@@ -1,0 +1,33 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's scale-oriented defaults. */
+object Graft {
+
+  /** Apply engine defaults to an existing session (runtime-settable confs
+    * only — safe to call on a driver-provided session). */
+  def tune(spark: SparkSession): SparkSession = {
+    val c = spark.conf
+    // events.ts is parquet TIMESTAMP(NANOS): Spark 4 only reads it as long.
+    c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    c.set("spark.sql.adaptive.enabled", "true")
+    c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    c.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+
+  def session(appName: String = "graft", master: String = "local[*]",
+              shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    tune(spark)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over ArrayType columns (SURVEY.md §2.8 X12-X13 + the
+  * embedding-similarity surface). Higher-order built-ins only — stays in
+  * whole-stage codegen; no UDF boxing on the 100 TB path.
+  */
+object VectorFunctions {
+
+  /** Σ a·b over two equal-length numeric arrays (double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+
+  /** Cosine similarity (null-safe via 0-norm guard). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = l2Norm(a) * l2Norm(b)
+    when(n === 0.0d, 0.0d).otherwise(d / n)
+  }
+
+  /** Reference quadratic-form distance sqrt(Σ((v-p)/p)^2)
+    * (simple_quadratic_form.py:30-41). */
+  def quadraticFormDistance(v: Column, p: Column): Column =
+    sqrt(aggregate(zip_with(v, p, (a, b) => pow((a - b) / b, 2.0d)),
+      lit(0.0d), (acc, x) => acc + x))
+
+  /** Distance → bin index over ascending thresholds; value ≥ last threshold
+    * falls in the last bin (pattern_finder.py:200-223). */
+  def binIndex(dist: Column, thresholds: Seq[Double]): Column = {
+    val arr = typedLit(thresholds)
+    val idx = size(filter(arr, t => t <= dist)) // #thresholds passed
+    least(idx, lit(thresholds.size - 1))
+  }
+
+  /** Element-wise sum of two equal-length long arrays (A12 array agg). */
+  def arraySum(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x + y)
+
+  /** SimHash of a token array under 64 planes using the portable
+    * fingerprint hash: bit k set iff Σ_tokens sign(bit k of hash(token))>0. */
+  def simhash64(tokens: Column): Column = {
+    val mod = 2305843009213693951L
+    val hashes = transform(tokens, t =>
+      aggregate(
+        transform(sequence(lit(1), length(t)), i => ascii(substr(t, i, lit(1))).cast("long")),
+        lit(0L), (acc, c) => (acc * 31 + c) % mod))
+    val bits = (0 until 61).map { k =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, k).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(votes > 0, shiftleft(lit(1L), k)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+}
