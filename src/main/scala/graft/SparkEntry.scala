@@ -1,11 +1,13 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{FlowSynth, Graft, Tables}
 import graft.analytics._
-import graft.functions.DnsFunctions
+import graft.functions.{DnsFunctions, NetFunctions, TextFunctions}
+import graft.pipeline.{Similarity, TextPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,8 +18,9 @@ import graft.functions.DnsFunctions
   * are oracle-checkable too.
   *
   * Convention: every output column is explicitly aliased identically on
-  * both sides; doubles are round()ed; results carry a deterministic
-  * ORDER BY (the sort is optimized away under Bench's count()).
+  * both sides; doubles are round()ed; float summation order is pinned;
+  * results carry a deterministic ORDER BY (optimized away under Bench's
+  * count()).
   */
 object SparkEntry {
 
@@ -32,6 +35,65 @@ object SparkEntry {
     FlowSynth.flows(s, d)
   }
 
+  private def eventsMs(s: SparkSession, d: String): DataFrame = {
+    Graft.tune(s)
+    Tables.events(s, d).withColumn("ts_ms", expr("ts div 1000000"))
+  }
+
+  // --- shared test parameters (mirrored into the oracle SQL) -----------
+  private val ddosSplitMs = 1705276800000L // 2024-01-15T00:00:00Z
+  private val dnsServers: Seq[String] =
+    for { i <- 0 until 5; j <- 0 until 4 } yield s"192.168.$i.$j"
+  private val suiteCodes = Seq("002f", "0035", "0033", "0039", "009c", "1301", "c02f", "cca8")
+  private def swap4(g: String) = g.substring(2, 4) + g.substring(0, 2)
+
+  /** TLS dictionary: covers ~2/3 of suite combos so the Unknown path is
+    * exercised; same data feeds the Spark broadcast join and the oracle's
+    * VALUES list. */
+  val tlsDict: Seq[TlsClassification.DictEntry] =
+    for { i <- 0 until 8; j <- 0 until 8 if (i + j) % 3 != 0 }
+      yield TlsClassification.DictEntry(
+        s"${swap4(suiteCodes(i))},${swap4(suiteCodes(j))}",
+        s"dev${(i + j) % 4}", s"os${i % 3}", s"app${j % 3}", s"br${(i * j) % 5}")
+
+  private val patterns = Seq(
+    PatternFinder.Pattern("bulk", Seq(2500.0, 25.0, 5000.0, 26.0, 10000.0)),
+    PatternFinder.Pattern("tiny", Seq(100.0, 5.0, 500.0, 6.0, 1000.0)))
+  private val binThresholds = Seq(1.0, 2.0, 4.0, 8.0)
+
+  /** Mirrored UDP responses (victim-ward) for the reflection analytic:
+    * every third DNS flow gets a 4x-amplified reverse flow (J6 union). */
+  private def withUdpEcho(f: DataFrame): DataFrame = {
+    val base = f.filter(col("protocol") === 17)
+      .select("flow_id", "src_ip4", "dst_ip", "protocol", "bytes")
+    base.unionByName(
+      f.filter(col("protocol") === 17 && col("flow_id") % 3 === 0).select(
+        (col("flow_id") + 10000000L).as("flow_id"),
+        col("dst_ip").as("src_ip4"),
+        col("src_ip4").as("dst_ip"),
+        col("protocol"),
+        (col("bytes") * 4).as("bytes")))
+  }
+
+  /** Request flows + synthetic paired responses for the biflow self-join:
+    * swapped endpoints, +flow_id%400 ms start offset (within the 500 ms
+    * pairing tolerance). */
+  private def withBiflowEcho(f: DataFrame): DataFrame = {
+    val base = f.filter(col("src_ip4").isNotNull)
+      .select("flow_id", "src_ip4", "dst_ip", "src_port", "dst_port",
+        "start_ms", "end_ms", "packets", "bytes")
+    base.unionByName(base.select(
+      (col("flow_id") + 10000000L).as("flow_id"),
+      col("dst_ip").as("src_ip4"),
+      col("src_ip4").as("dst_ip"),
+      col("dst_port").cast("long").as("src_port"),
+      col("src_port").cast("int").as("dst_port"),
+      (col("start_ms") + col("flow_id") % 400).as("start_ms"),
+      (col("end_ms") + col("flow_id") % 400).as("end_ms"),
+      (col("packets") + 1).as("packets"),
+      (col("bytes") * 2).as("bytes")))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- relational core over TPC-H-ish tables -------------------------
@@ -44,6 +106,69 @@ object SparkEntry {
           round(avg("l_discount"), 6).as("avg_disc"),
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q_join_region_revenue" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    "q_part_type_share" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).filter(col("p_size") < 20)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_type")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1.0d) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("p_type")
+    }),
+
+    // --- read-side interactive queries (SURVEY §2.9) -------------------
+    "q_read_totals" -> ((s, dir) => {
+      val e = eventsMs(s, dir)
+      val mx = e.agg(max("ts_ms").as("max_ms"))
+      e.crossJoin(broadcast(mx))
+        .filter(col("ts_ms") >= col("max_ms") - 432000000L)
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("total_value"),
+          count_distinct(col("user_id")).as("n_users"))
+    }),
+
+    "q_read_latest_per_pair" -> ((s, dir) => {
+      eventsMs(s, dir)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id", "event_type")
+            .orderBy(col("ts_ms").desc, col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts_ms"), round(col("value"), 2).as("value"))
+        .orderBy("user_id", "event_type")
+    }),
+
+    "q_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+      eventsMs(s, dir)
+        .select("user_id", "ts_ms", "event_id")
+        .withColumn("prev_ms", lag("ts_ms", 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 1800000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum("new_session").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts_ms").as("session_start_ms"),
+          max("ts_ms").as("session_end_ms"))
+        .orderBy("user_id", "session_idx")
     }),
 
     // --- flow synthesis parity (the CTE itself) ------------------------
@@ -72,12 +197,97 @@ object SparkEntry {
     "q_dns_statistics" -> ((s, dir) =>
       DnsStatistics(flows(s, dir), topN = 100)
         .orderBy(col("stat_type"), col("value").desc, col("key"))),
+
+    "q_ddos" -> ((s, dir) =>
+      DdosDetection(flows(s, dir), ddosSplitMs,
+        ratioIncrease = 0.8, minPackets = 20L)
+        .orderBy("dst_ip")),
+
+    "q_reflect_ddos" -> ((s, dir) =>
+      ReflectDdosDetection(withUdpEcho(flows(s, dir)), dnsServers,
+        ratioThreshold = 1.0, minReplies = 1L)
+        .orderBy("src_ip", "dns_ip")),
+
+    "q_dns_open_resolvers" -> ((s, dir) =>
+      DnsOpenResolvers(flows(s, dir).filter(col("dns_crr_type") === 1),
+        "10.0.0.0/16", whitelistRegex = Some("zone4"))
+        .orderBy("resolver_ip", "resolved_data", "resolved_query")),
+
+    "q_dns_external_resolvers" -> ((s, dir) =>
+      // 30 min tolerance: the synthetic event cadence is sparse; the
+      // reference's 5 s would make the interval join vacuously empty here
+      DnsExternalResolvers(flows(s, dir), toleranceMs = 1800000L)
+        .orderBy("client_ip", "resolver_ip")),
+
+    "q_tls_classification" -> ((s, dir) =>
+      TlsClassification(s, flows(s, dir), tlsDict)
+        .orderBy("stat_type", "key")),
+
+    "q_host_daily_profile" -> ((s, dir) =>
+      HostDailyProfile(flows(s, dir))
+        .orderBy("src_ip", "day_start_ms", "hour_slot")),
+
+    "q_pattern_finder" -> ((s, dir) =>
+      PatternFinder.classify(
+        PatternFinder.biflows(withBiflowEcho(flows(s, dir)), 500L),
+        patterns, binThresholds)
+        .select("biflow_key", "req_id", "rsp_id", "client_ip", "server_ip",
+          "closest_pattern", "distance", "bin")
+        .orderBy("req_id", "rsp_id")),
+
+    "q_cidr_filter" -> ((s, dir) =>
+      flows(s, dir)
+        .filter(NetFunctions.cidrMatch(col("src_ip4"), "10.0.100.0/24"))
+        .groupBy("src_ip4")
+        .agg(count(lit(1)).as("flows"))
+        .orderBy("src_ip4")),
+
+    "q_entropy" -> ((s, dir) =>
+      flows(s, dir)
+        .filter(col("dns_name").isNotNull)
+        .select("dns_name").distinct()
+        .select(col("dns_name"),
+          round(TextFunctions.charEntropy(col("dns_name")), 6).as("entropy"))
+        .orderBy("dns_name")),
+
+    // --- training-data pipeline ops (documents/embeddings) -------------
+    "q_doc_dedup_exact" -> ((s, dir) =>
+      TextPipeline.dedupExact(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    "q_doc_stats" -> ((s, dir) =>
+      TextPipeline.docStats(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    "q_doc_near_dup" -> ((s, dir) =>
+      TextPipeline.nearDupJaccard(Tables.documents(s, dir), n = 2, minJaccard = 0.1)
+        .orderBy("doc_a", "doc_b")),
+
+    "q_minhash_candidates" -> ((s, dir) =>
+      // no SQL oracle (rows-only check): nested-lambda minhash is the
+      // Spark-side scale path; its recall is spec-tested in ScalaTest
+      TextPipeline.minhashCandidates(Tables.documents(s, dir))
+        .orderBy("doc_a", "doc_b")),
+
+    "q_simhash" -> ((s, dir) =>
+      TextPipeline.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    "q_embed_knn" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnBruteForce(emb, emb.filter(col("vec_id") < 10), 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_embed_ann_lsh" -> ((s, dir) =>
+      // no SQL oracle (rows-only): LSH bucketing recall is spec-tested
+      Similarity.annLsh(Tables.embeddings(s, dir), planes = 8, minCosine = 0.2)
+        .orderBy("vec_a", "vec_b")),
   )
 
   /** Headline queries Bench runs at sf0.1. */
   val benchQueries: Seq[String] = Seq(
-    "q1_agg", "q_protocols_statistics", "q_host_stats",
-    "q_top_n_host_stats", "q_dns_statistics")
+    "q1_agg", "q_join_region_revenue", "q_protocols_statistics",
+    "q_host_stats", "q_top_n_host_stats", "q_dns_statistics",
+    "q_dns_external_resolvers", "q_pattern_finder",
+    "q_doc_stats", "q_doc_near_dup", "q_embed_knn")
 
   // ---------------------------------------------------------------------
   // DuckDB oracles. `flows` CTE = FlowSynth.cteSql (identical mapping).
@@ -97,6 +307,28 @@ object SparkEntry {
       s"CAST(SUM(CASE WHEN protocol = 6 THEN (tcp_flags >> $i) & 1 ELSE 0 END) AS BIGINT) AS flag_${n.toLowerCase}"
     }.mkString(",\n        ")
 
+  private val serversSqlList = dnsServers.map(ip => s"'$ip'").mkString("(", ",", ")")
+
+  private val stopwordsSqlList =
+    TextPipeline.defaultStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  private val tlsDictValues = tlsDict.map(e =>
+    s"('${e.suites}','${e.device_type}','${e.operating_system}','${e.application}','${e.browser}')")
+    .mkString(",\n    ")
+
+  /** SQL twins of TextFunctions (DuckDB list-lambda dialect). */
+  private val toksSql =
+    """list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0)"""
+  private def fpSql(expr: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length($expr) + 1), i -> CAST(ascii(substr($expr, CAST(i AS INT), 1)) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 140737488355213)"""
+  private def qfDistSql(p: Seq[Double]) =
+    s"""round(sqrt(
+       |      ((req_end_ms - req_start_ms - ${p(0)}) / ${p(0)}) ^ 2
+       |      + ((req_packets - ${p(1)}) / ${p(1)}) ^ 2
+       |      + ((req_bytes - ${p(2)}) / ${p(2)}) ^ 2
+       |      + ((rsp_packets - ${p(3)}) / ${p(3)}) ^ 2
+       |      + ((rsp_bytes - ${p(4)}) / ${p(4)}) ^ 2), 6)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -105,6 +337,60 @@ object SparkEntry {
         |  round(avg(l_discount), 6) AS avg_disc,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_join_region_revenue" ->
+      """SELECT r_name, n_name,
+        |  round(sum(o_totalprice), 2) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_part_type_share" ->
+      """SELECT p_type,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size < 20
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_read_totals" ->
+      """SELECT count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE epoch_ms(ts) >= (SELECT max(epoch_ms(ts)) FROM events) - 432000000""".stripMargin,
+
+    "q_read_latest_per_pair" ->
+      """SELECT user_id, event_type, event_id, ts_ms, round(value, 2) AS value
+        |FROM (SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms, value,
+        |        row_number() OVER (PARTITION BY user_id, event_type
+        |          ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events
+        |), flagged AS (
+        |  SELECT user_id, ts_ms, event_id,
+        |    CASE WHEN lag(ts_ms) OVER w IS NULL
+        |           OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts_ms,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM flagged
+        |)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  count(*) AS n_events,
+        |  min(ts_ms) AS session_start_ms,
+        |  max(ts_ms) AS session_end_ms
+        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_flows_synth" -> FlowSynth.oracle("SELECT * FROM flows ORDER BY flow_id"),
 
@@ -212,5 +498,301 @@ object SparkEntry {
          |  FROM e WHERE key IS NOT NULL GROUP BY 1, 2)
          |WHERE rank <= 100
          |ORDER BY stat_type, value DESC, key""".stripMargin),
+
+    "q_ddos" -> FlowSynth.oracle(
+      s"""WITH f AS (
+         |  SELECT * FROM flows
+         |  WHERE protocol IS NOT NULL AND packets IS NOT NULL
+         |    AND src_ip4 IS NOT NULL AND dst_ip IS NOT NULL
+         |    AND regexp_matches(dst_ip, '192\\.168\\..*')
+         |), s AS (
+         |  SELECT dst_ip, CAST(sum(packets) AS BIGINT) AS packets_short,
+         |         count(*) AS flows_short
+         |  FROM f WHERE start_ms >= $ddosSplitMs GROUP BY 1
+         |), l AS (
+         |  SELECT dst_ip, CAST(sum(packets) AS BIGINT) AS packets_long,
+         |         count(*) AS flows_long
+         |  FROM f WHERE start_ms < $ddosSplitMs GROUP BY 1
+         |), a AS (
+         |  SELECT dst_ip, string_agg(DISTINCT src_ip4, ',' ORDER BY src_ip4) AS attackers
+         |  FROM f WHERE start_ms >= $ddosSplitMs GROUP BY 1
+         |)
+         |SELECT dst_ip, shortratio, longratio, packets_short, attackers FROM (
+         |  SELECT s.dst_ip,
+         |    round(s.packets_short * 1.0 / s.flows_short, 4) AS shortratio,
+         |    round(l.packets_long * 1.0 / l.flows_long, 4) AS longratio,
+         |    s.packets_short, a.attackers
+         |  FROM s JOIN l USING (dst_ip) JOIN a USING (dst_ip)
+         |  WHERE l.packets_long <> 0 AND l.flows_long <> 0)
+         |WHERE shortratio >= longratio * 0.8 AND packets_short >= 20
+         |ORDER BY dst_ip""".stripMargin),
+
+    "q_reflect_ddos" -> FlowSynth.oracle(
+      s"""WITH fl AS (
+         |  SELECT flow_id, src_ip4, dst_ip, protocol, bytes FROM flows WHERE protocol = 17
+         |  UNION ALL
+         |  SELECT flow_id + 10000000, dst_ip, src_ip4, protocol, bytes * 4
+         |  FROM flows WHERE protocol = 17 AND flow_id % 3 = 0
+         |), dirs AS (
+         |  SELECT
+         |    CASE WHEN src_ip4 IN $serversSqlList THEN dst_ip ELSE src_ip4 END AS src_ip,
+         |    CASE WHEN src_ip4 IN $serversSqlList THEN src_ip4 ELSE dst_ip END AS dns_ip,
+         |    CASE WHEN src_ip4 IN $serversSqlList THEN bytes ELSE 0 END AS bytes_received,
+         |    CASE WHEN src_ip4 IN $serversSqlList THEN 0 ELSE bytes END AS bytes_sent,
+         |    CASE WHEN src_ip4 IN $serversSqlList THEN 1 ELSE 0 END AS replies,
+         |    CASE WHEN src_ip4 IN $serversSqlList THEN 0 ELSE 1 END AS requests
+         |  FROM fl
+         |  WHERE (dst_ip IN $serversSqlList OR src_ip4 IN $serversSqlList)
+         |    AND bytes IS NOT NULL AND src_ip4 IS NOT NULL AND dst_ip IS NOT NULL
+         |), g AS (
+         |  SELECT src_ip, dns_ip,
+         |    CAST(sum(bytes_received) AS BIGINT) AS data_received,
+         |    CAST(sum(bytes_sent) AS BIGINT) AS data_sent,
+         |    CAST(sum(replies) AS BIGINT) AS replies,
+         |    CAST(sum(requests) AS BIGINT) AS outgoing_connections
+         |  FROM dirs GROUP BY 1, 2
+         |)
+         |SELECT *, round(data_received * 1.0 / data_sent, 4) AS amplification
+         |FROM g
+         |WHERE data_sent <> 0
+         |  AND round(data_received * 1.0 / data_sent, 4) > 1.0 AND replies >= 1
+         |ORDER BY src_ip, dns_ip""".stripMargin),
+
+    "q_dns_open_resolvers" -> FlowSynth.oracle(
+      """SELECT src_ip4 AS resolver_ip,
+        |  CAST(((flow_id % 4294967296) >> 24) & 255 AS VARCHAR) || '.' ||
+        |  CAST(((flow_id % 4294967296) >> 16) & 255 AS VARCHAR) || '.' ||
+        |  CAST(((flow_id % 4294967296) >> 8) & 255 AS VARCHAR) || '.' ||
+        |  CAST((flow_id % 4294967296) & 255 AS VARCHAR) AS resolved_data,
+        |  dns_name AS resolved_query,
+        |  count(*) AS flows,
+        |  CAST(min(start_ms) AS BIGINT) AS first_seen_ms
+        |FROM flows
+        |WHERE dns_flags IS NOT NULL
+        |  AND ((dns_flags >> 15) & 1) = 1 AND (dns_flags & 15) = 0
+        |  AND dns_crr_type = 1 AND dns_rdata IS NOT NULL
+        |  AND src_ip4 IS NOT NULL
+        |  AND NOT regexp_matches(dns_name, 'zone4')
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin),
+
+    "q_dns_external_resolvers" -> FlowSynth.oracle(
+      """WITH dns AS (
+        |  SELECT src_ip4 AS client_ip, dst_ip AS resolver_ip, end_ms AS dns_end_ms
+        |  FROM flows
+        |  WHERE protocol = 17 AND dns_flags IS NOT NULL
+        |    AND ((dns_flags >> 15) & 1) = 1 AND src_ip4 IS NOT NULL
+        |), tcp AS (
+        |  SELECT src_ip4 AS client_ip, flow_id AS tcp_flow_id, start_ms AS tcp_start_ms
+        |  FROM flows WHERE protocol = 6 AND src_ip4 IS NOT NULL
+        |)
+        |SELECT client_ip, resolver_ip, count(*) AS flows,
+        |       count(DISTINCT tcp_flow_id) AS distinct_tcp_flows
+        |FROM tcp JOIN dns USING (client_ip)
+        |WHERE tcp_start_ms >= dns_end_ms AND tcp_start_ms <= dns_end_ms + 1800000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q_tls_classification" -> FlowSynth.oracle(
+      s"""WITH d(suites, device_type, operating_system, application, browser) AS (
+         |  VALUES $tlsDictValues
+         |), w AS (
+         |  SELECT array_to_string(
+         |    list_filter(
+         |      list_transform(
+         |        regexp_extract_all(substr(tls_cipher_suites, 3), '[0-9a-fA-F]{4}'),
+         |        g -> substr(g, 3, 2) || substr(g, 1, 2)),
+         |      g -> g <> '0000'), ',') AS suites
+         |  FROM flows
+         |  WHERE tls_cipher_suites IS NOT NULL
+         |    AND tls_cipher_suites <> '0x00000000000000000000000000000000'
+         |), j AS (
+         |  SELECT w.suites, d.operating_system, d.browser, d.application
+         |  FROM w LEFT JOIN d ON w.suites = d.suites
+         |), e AS (
+         |  SELECT 'operating_system' AS stat_type,
+         |         COALESCE(operating_system, 'Unknown') AS key FROM j
+         |  UNION ALL
+         |  SELECT 'browser', COALESCE(browser, 'Unknown') FROM j
+         |  UNION ALL
+         |  SELECT 'application', COALESCE(application, 'Unknown') FROM j
+         |)
+         |SELECT stat_type, key, count(*) AS value
+         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q_host_daily_profile" -> FlowSynth.oracle(
+      s"""SELECT $srcIpSql AS src_ip,
+         |  start_ms - (start_ms % 86400000) AS day_start_ms,
+         |  CAST((start_ms % 86400000) // 3600000 AS INT) AS hour_slot,
+         |  CAST(sum(packets) AS BIGINT) AS packets,
+         |  CAST(sum(bytes) AS BIGINT) AS bytes,
+         |  count(*) AS flows
+         |FROM flows
+         |WHERE $srcIpSql IS NOT NULL AND packets IS NOT NULL AND bytes IS NOT NULL
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
+    "q_pattern_finder" -> FlowSynth.oracle(
+      s"""WITH base AS (
+         |  SELECT flow_id, src_ip4, dst_ip, src_port, dst_port,
+         |         start_ms, end_ms, packets, bytes
+         |  FROM flows WHERE src_ip4 IS NOT NULL
+         |), both_dirs AS (
+         |  SELECT * FROM base
+         |  UNION ALL
+         |  SELECT flow_id + 10000000, dst_ip, src_ip4, dst_port, src_port,
+         |         start_ms + flow_id % 400, end_ms + flow_id % 400,
+         |         packets + 1, bytes * 2
+         |  FROM base
+         |), tagged AS (
+         |  SELECT *, array_to_string(list_sort([
+         |    CAST(src_port AS VARCHAR) || ':' || src_ip4,
+         |    CAST(dst_port AS VARCHAR) || ':' || dst_ip]), '|') AS biflow_key
+         |  FROM both_dirs
+         |), req AS (
+         |  SELECT biflow_key, flow_id AS req_id, src_ip4 AS client_ip,
+         |         dst_ip AS server_ip, start_ms AS req_start_ms,
+         |         end_ms AS req_end_ms, packets AS req_packets, bytes AS req_bytes
+         |  FROM tagged WHERE src_port > dst_port
+         |), rsp AS (
+         |  SELECT biflow_key, flow_id AS rsp_id, start_ms AS rsp_start_ms,
+         |         packets AS rsp_packets, bytes AS rsp_bytes
+         |  FROM tagged WHERE src_port <= dst_port
+         |), pairs AS (
+         |  SELECT * FROM req JOIN rsp USING (biflow_key)
+         |  WHERE abs(req_start_ms - rsp_start_ms) <= 500
+         |), scored AS (
+         |  SELECT *,
+         |    ${qfDistSql(patterns(0).vector)} AS d_bulk,
+         |    ${qfDistSql(patterns(1).vector)} AS d_tiny
+         |  FROM pairs
+         |), best AS (
+         |  SELECT *,
+         |    CASE WHEN d_bulk <= d_tiny THEN 'bulk' ELSE 'tiny' END AS closest_pattern,
+         |    CASE WHEN d_bulk <= d_tiny THEN d_bulk ELSE d_tiny END AS distance
+         |  FROM scored
+         |)
+         |SELECT biflow_key, req_id, rsp_id, client_ip, server_ip,
+         |  closest_pattern, distance,
+         |  CAST(least(CASE WHEN distance >= 8 THEN 4 WHEN distance >= 4 THEN 3
+         |        WHEN distance >= 2 THEN 2 WHEN distance >= 1 THEN 1
+         |        ELSE 0 END, 3) AS INT) AS bin
+         |FROM best ORDER BY req_id, rsp_id""".stripMargin),
+
+    "q_cidr_filter" -> FlowSynth.oracle(
+      """SELECT src_ip4, count(*) AS flows
+        |FROM flows
+        |WHERE src_ip4 IS NOT NULL AND (
+        |  (CAST(string_split(src_ip4, '.')[1] AS BIGINT) * 16777216
+        |   + CAST(string_split(src_ip4, '.')[2] AS BIGINT) * 65536
+        |   + CAST(string_split(src_ip4, '.')[3] AS BIGINT) * 256
+        |   + CAST(string_split(src_ip4, '.')[4] AS BIGINT)) & 4294967040) = 167797760
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q_entropy" -> FlowSynth.oracle(
+      """WITH d AS (
+        |  SELECT DISTINCT dns_name FROM flows WHERE dns_name IS NOT NULL
+        |), c AS (
+        |  SELECT dns_name,
+        |    list_transform(range(1, length(dns_name) + 1),
+        |      i -> substr(dns_name, CAST(i AS INT), 1)) AS chars
+        |  FROM d
+        |)
+        |SELECT dns_name,
+        |  round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(list_sort(list_distinct(chars)),
+        |      ch -> (len(list_filter(chars, x -> x = ch)) * 1.0 / len(chars))
+        |            * log2(len(list_filter(chars, x -> x = ch)) * 1.0 / len(chars)))),
+        |    (a, b) -> a + b), 6) AS entropy
+        |FROM c ORDER BY dns_name""".stripMargin),
+
+    "q_doc_dedup_exact" ->
+      """SELECT doc_id, dup_count FROM (
+        |  SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+        |  FROM documents GROUP BY text)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_doc_stats" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text, $toksSql AS toks,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) * 1.0 / length(text)
+         |    END AS punct_raw
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id, text, toks, punct_raw,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE len(list_filter(toks, t -> list_contains($stopwordsSqlList, t))) * 1.0 / len(toks)
+         |    END AS stop_raw
+         |  FROM base
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) END AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_subwords,
+         |  round(punct_raw, 6) AS punct_ratio,
+         |  round(stop_raw, 6) AS stopword_ratio,
+         |  round((least(length(text) / 500.0, 1.0)
+         |         + greatest(0.0, 1.0 - punct_raw * 5.0)
+         |         + least(stop_raw * 4.0, 1.0)) / 3.0, 6) AS quality,
+         |  ${fpSql("text")} AS fingerprint
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_doc_near_dup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> length(x) > 0) AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 2 THEN []
+        |         ELSE list_distinct(list_transform(range(1, len(toks)),
+        |                i -> array_to_string(toks[i:i+1], ' '))) END AS shingles
+        |  FROM t
+        |), sizes AS (
+        |  SELECT doc_id, len(shingles) AS n FROM sh
+        |), inv AS (
+        |  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+        |), shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, shared, jaccard FROM (
+        |  SELECT doc_a, doc_b, shared,
+        |    round(shared * 1.0 / (sa.n + sb.n - shared), 6) AS jaccard
+        |  FROM shared
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b)
+        |WHERE jaccard >= 0.1
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_embed_knn" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 10
+        |), e AS (
+        |  SELECT vec_id AS nbr_id, embedding::DOUBLE[] AS nv FROM embeddings
+        |), p AS (
+        |  SELECT query_id, nbr_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(qv) + 1),
+        |        i -> qv[CAST(i AS INT)] * nv[CAST(i AS INT)])), (a, b) -> a + b) AS dot,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(qv) + 1),
+        |        i -> qv[CAST(i AS INT)] * qv[CAST(i AS INT)])), (a, b) -> a + b)) AS na,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(nv) + 1),
+        |        i -> nv[CAST(i AS INT)] * nv[CAST(i AS INT)])), (a, b) -> a + b)) AS nb
+        |  FROM q, e WHERE query_id <> nbr_id
+        |), sc AS (
+        |  SELECT query_id, nbr_id,
+        |    round(CASE WHEN na * nb = 0 THEN 0.0 ELSE dot / (na * nb) END, 4) AS cosine
+        |  FROM p
+        |)
+        |SELECT query_id, nbr_id, cosine, CAST(rank AS INT) AS rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rank
+        |  FROM sc) WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
   )
 }

@@ -1,0 +1,104 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Configurable biflow pattern matching.
+  *
+  * Reference: applications/detection/pattern_finder/spark/pattern_finder.py
+  * — YAML-driven pipeline (S7): generic filter DSL (:53-98 — F8), biflow
+  * self-join pairing request/response (:168-194 — J5), feature vector
+  * build (:101-131 — X14), quadratic-form distance to configured patterns
+  * (simple_quadratic_form.py:30-41 — X12), distance → weighted bin
+  * distribution (:200-223 — X13).
+  */
+object PatternFinder {
+
+  // ----- F8: config filter DSL → Column tree ---------------------------
+  /** One filter item: values are OR-ed; items are AND-ed by [[filterExpr]].
+    * A missing/null field makes the item false (reference semantics:
+    * configuration.yml:36-42). Ops: exists, eq, ne, gt, ge, lt, le, nin. */
+  final case class FilterItem(field: String, op: String, values: Seq[Any] = Nil)
+
+  def itemExpr(item: FilterItem): Column = {
+    val c = col(item.field)
+    val vs = item.values
+    item.op match {
+      case "exists" => c.isNotNull
+      case "eq"  => c.isNotNull && vs.map(v => c === lit(v)).reduce(_ || _)
+      case "ne"  => c.isNotNull && vs.map(v => c =!= lit(v)).reduce(_ || _)
+      case "gt"  => c.isNotNull && vs.map(v => c > lit(v)).reduce(_ || _)
+      case "ge"  => c.isNotNull && vs.map(v => c >= lit(v)).reduce(_ || _)
+      case "lt"  => c.isNotNull && vs.map(v => c < lit(v)).reduce(_ || _)
+      case "le"  => c.isNotNull && vs.map(v => c <= lit(v)).reduce(_ || _)
+      case "nin" => c.isNotNull && !vs.map(v => c === lit(v)).reduce(_ || _)
+      case other => throw new IllegalArgumentException(s"filter op $other")
+    }
+  }
+
+  def filterExpr(items: Seq[FilterItem]): Column =
+    items.map(itemExpr).reduceOption(_ && _).getOrElse(lit(true))
+
+  // ----- J5: biflow self-join ------------------------------------------
+  /** Pair request/response flows of one biflow: canonical key = sorted
+    * endpoint strings ("port:ip", pattern_finder.py:158,168); the request
+    * is the flow with the higher src_port (ephemeral → service); pairs
+    * must start within `toleranceMs` of each other (configuration.yml:110).
+    *
+    * Equi-join on the canonical key carries the shuffle; the time window is
+    * a post-join filter, so no cartesian blowup. */
+  def biflows(flows: DataFrame, toleranceMs: Long = 500L): DataFrame = {
+    val key = sort_array(array(
+      concat_ws(":", col("src_port"), col("src_ip4")),
+      concat_ws(":", col("dst_port"), col("dst_ip"))))
+    val tagged = flows
+      .filter(col("src_ip4").isNotNull && col("src_port").isNotNull &&
+        col("dst_port").isNotNull)
+      .withColumn("biflow_key", concat_ws("|", key))
+    val req = tagged.filter(col("src_port") > col("dst_port"))
+      .select(col("biflow_key"), col("flow_id").as("req_id"),
+        col("src_ip4").as("client_ip"), col("dst_ip").as("server_ip"),
+        col("start_ms").as("req_start_ms"), col("end_ms").as("req_end_ms"),
+        col("packets").as("req_packets"), col("bytes").as("req_bytes"))
+    val rsp = tagged.filter(col("src_port") <= col("dst_port"))
+      .select(col("biflow_key"), col("flow_id").as("rsp_id"),
+        col("start_ms").as("rsp_start_ms"), col("end_ms").as("rsp_end_ms"),
+        col("packets").as("rsp_packets"), col("bytes").as("rsp_bytes"))
+    req.join(rsp, Seq("biflow_key"))
+      .filter(abs(col("req_start_ms") - col("rsp_start_ms")) <= toleranceMs)
+  }
+
+  // ----- X12-X13: distance + classification ----------------------------
+  /** A named pattern: reference feature vector for the quadratic form. */
+  final case class Pattern(name: String, vector: Seq[Double])
+
+  /** Feature vector per biflow pair: (req duration, req packets, req bytes,
+    * rsp packets, rsp bytes) — the reference's configurable math-op vector
+    * builder instantiated for the biflow case (X14). */
+  private def featureVector: Column = array(
+    (col("req_end_ms") - col("req_start_ms")).cast("double"),
+    col("req_packets").cast("double"),
+    col("req_bytes").cast("double"),
+    col("rsp_packets").cast("double"),
+    col("rsp_bytes").cast("double"))
+
+  /** Distance of each pair to each pattern + closest pattern pick +
+    * bin distribution of the closest distance. */
+  def classify(pairs: DataFrame, patterns: Seq[Pattern],
+               thresholds: Seq[Double]): DataFrame = {
+    val v = featureVector
+    val dists = patterns.map { p =>
+      struct(
+        round(VectorFunctions.quadraticFormDistance(v, typedLit(p.vector)), 6)
+          .as("distance"),
+        lit(p.name).as("pattern"))
+    }
+    pairs
+      .withColumn("best", sort_array(array(dists: _*)).getItem(0))
+      .withColumn("closest_pattern", col("best.pattern"))
+      .withColumn("distance", col("best.distance"))
+      .withColumn("bin", VectorFunctions.binIndex(col("distance"), thresholds))
+      .drop("best")
+  }
+}

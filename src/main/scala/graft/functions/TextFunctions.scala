@@ -17,7 +17,9 @@ object TextFunctions {
   def charEntropy(s: Column): Column = {
     val chars = split(s, "")
     val n = size(chars).cast("double")
-    val counts = transform(array_distinct(chars),
+    // sorted distinct chars: pins the floating-point summation order so
+    // independent implementations (the DuckDB oracle) get identical bits
+    val counts = transform(array_sort(array_distinct(chars)),
       c => size(filter(chars, x => x === c)).cast("double"))
     -aggregate(counts, lit(0.0d), (acc, c) => acc + (c / n) * log2(c / n))
   }
@@ -54,11 +56,11 @@ object TextFunctions {
     round((lenScore + punctPen + stopScore) / 3.0d, 6)
   }
 
-  /** Deterministic 63-bit polynomial rolling-hash fingerprint of a string:
-    * h = Σ h*31 + code(c) mod 2^61-1. Portable: same arithmetic is
+  /** Deterministic 47-bit polynomial rolling-hash fingerprint of a string:
+    * h = Σ h*31 + code(c), mod 2^47-115. Portable: same arithmetic is
     * expressible in ANSI SQL (list_reduce in DuckDB) for oracle checks. */
   def fingerprint(s: Column): Column = {
-    val mod = 2305843009213693951L // 2^61 - 1
+    val mod = 140737488355213L // 2^47 - 115 (prime); *31 stays within Long
     aggregate(
       transform(sequence(lit(1), length(s)), i => ascii(substr(s, i, lit(1))).cast("long")),
       lit(0L),

@@ -41,15 +41,15 @@ object VectorFunctions {
   /** Element-wise sum of two equal-length long arrays (A12 array agg). */
   def arraySum(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x + y)
 
-  /** SimHash of a token array under 64 planes using the portable
+  /** SimHash of a token array under 47 planes using the portable 47-bit
     * fingerprint hash: bit k set iff Σ_tokens sign(bit k of hash(token))>0. */
   def simhash64(tokens: Column): Column = {
-    val mod = 2305843009213693951L
+    val mod = 140737488355213L
     val hashes = transform(tokens, t =>
       aggregate(
         transform(sequence(lit(1), length(t)), i => ascii(substr(t, i, lit(1))).cast("long")),
         lit(0L), (acc, c) => (acc * 31 + c) % mod))
-    val bits = (0 until 61).map { k =>
+    val bits = (0 until 47).map { k =>
       val votes = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, k).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
       when(votes > 0, shiftleft(lit(1L), k)).otherwise(0L)

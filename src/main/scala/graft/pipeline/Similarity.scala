@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k (exact). Scale path: LSH bucketing
+  * via random-hyperplane signs so only same-bucket pairs are scored —
+  * candidate generation is an equi-join on the bucket key, turning the
+  * O(Q·N) scan into O(Σ bucket²). All math is higher-order built-ins
+  * (zip_with/aggregate) in whole-stage codegen; embeddings are cast to
+  * double once up front.
+  */
+object Similarity {
+
+  private def asDouble(c: org.apache.spark.sql.Column) = c.cast("array<double>")
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * The queries side is broadcast (small); ranking is per-query via a
+    * window function, ties broken by neighbor id. */
+  def knnBruteForce(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val base = embeddings.select(col("vec_id").as("nbr_id"),
+      asDouble(col("embedding")).as("nbr_vec"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("query_vec"))
+    base.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      .withColumn("cosine",
+        round(VectorFunctions.cosine(col("query_vec"), col("nbr_vec")), 4))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("nbr_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "cosine", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a fixed integer hash mapped to [-1, 1). Portable arithmetic (same
+    * formula is SQL-expressible for oracles). */
+  private def planeComponent(plane: Int, dim: org.apache.spark.sql.Column) = {
+    val h = pmod(dim * 2654435761L + lit(plane.toLong) * 40503L + 12345L, lit(1048576L))
+    (h.cast("double") / 524288.0d) - 1.0d
+  }
+
+  /** Sign-of-projection LSH bucket key under `planes` hyperplanes. */
+  def lshBucket(vec: org.apache.spark.sql.Column, planes: Int): org.apache.spark.sql.Column = {
+    val signs = (0 until planes).map { pl =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (v, i) => v * planeComponent(pl, i.cast("long"))),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << pl)).otherwise(lit(0L))
+    }
+    signs.reduce((a, b) => a + b)
+  }
+
+  /** Approximate same-bucket neighbor pairs with cosine score. */
+  def annLsh(embeddings: DataFrame, planes: Int, minCosine: Double): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .withColumn("bucket", lshBucket(col("vec"), planes))
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine",
+        round(VectorFunctions.cosine(col("a.vec"), col("b.vec")), 4))
+      .filter(col("cosine") >= minCosine)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
+  }
+}
