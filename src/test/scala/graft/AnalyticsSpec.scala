@@ -1,0 +1,245 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics._
+
+/** Golden scenarios per analytic (FIXTURES.md §5) — each crafts a
+  * deterministic flow fixture and asserts the reference-semantics output. */
+class AnalyticsSpec extends SparkSpec {
+
+  private val W = 10000L // 10 s window for tests
+
+  test("protocols: {20,40,60} integration assertion (query_for_data.py:6-11)") {
+    // 20 TCP + 40 UDP + 60 ICMP flows in one window
+    val rows =
+      (0 until 20).map(i => Fx(flow_id = i, protocol = 6)) ++
+      (0 until 40).map(i => Fx(flow_id = 100 + i, protocol = 17)) ++
+      (0 until 60).map(i => Fx(flow_id = 200 + i, protocol = 1))
+    val out = rowsOf(ProtocolStatistics(Fx.df(spark, rows: _*), W))
+    val byProto = out.map(r => r("protocol") -> r("flows")).toMap
+    assert(byProto == Map("tcp" -> 20L, "udp" -> 40L, "other" -> 60L))
+  }
+
+  test("protocols: windows split by start_ms") {
+    val rows = Seq(
+      Fx(flow_id = 1, start_ms = 0L), Fx(flow_id = 2, start_ms = 9999L),
+      Fx(flow_id = 3, start_ms = 10000L))
+    val out = rowsOf(ProtocolStatistics(Fx.df(spark, rows: _*), W))
+    assert(out.map(r => (r("window_start_ms"), r("flows"))).toSet ==
+      Set((0L, 2L), (10000L, 1L)))
+  }
+
+  test("host stats: totals, distincts, flags, ipv6 coalesce (host_stats.py)") {
+    val rows = Seq(
+      Fx(flow_id = 1, src_ip4 = "10.1.1.1", dst_ip = "8.8.8.8", dst_port = 80,
+        packets = 10, bytes = 100, tcp_flags = 2, start_ms = 0, end_ms = 2000),
+      Fx(flow_id = 2, src_ip4 = "10.1.1.1", dst_ip = "8.8.4.4", dst_port = 443,
+        packets = 5, bytes = 50, tcp_flags = 18, start_ms = 0, end_ms = 4000),
+      Fx(flow_id = 3, src_ip4 = null, src_ip6 = "fd00::1", dst_ip = "8.8.8.8",
+        packets = 1, bytes = 10, tcp_flags = 16))
+    val out = rowsOf(HostStats(Fx.df(spark, rows: _*)))
+    val h = out.find(_("src_ip") == "10.1.1.1").get
+    assert(h("flows") == 2L && h("packets") == 15L && h("bytes") == 150L)
+    assert(h("dport_count") == 2L && h("peer_number") == 2L)
+    assert(h("avg_duration_s") == 3.0d)
+    assert(h("flag_syn") == 2L && h("flag_ack") == 1L && h("flag_fin") == 0L)
+    assert(out.exists(_("src_ip") == "fd00::1")) // v6 fallback path
+  }
+
+  test("top-N: 15 ports -> 10 ranked, ties by key (top_n_host_stats.py)") {
+    val rows = (0 until 15).flatMap(p =>
+      (0 to p).map(i => Fx(flow_id = p * 100 + i, dst_port = 1000 + p)))
+    val out = rowsOf(TopNHostStats(Fx.df(spark, rows: _*), 10))
+      .filter(_("stat_type") == "dst_port")
+    assert(out.size == 10)
+    val top = out.minBy(r => r("rank").asInstanceOf[Int])
+    assert(top("key") == "1014") // most flows
+    assert(out.map(_("flows").asInstanceOf[Long]).min == 6L)        // p=5 cut
+  }
+
+  test("portscan: horizontal (1 src, 25 dsts, port 22, pure SYN) (ports_scan.py)") {
+    val scan = (0 until 25).map(i => Fx(flow_id = i, src_ip4 = "10.9.9.9",
+      dst_ip = s"192.0.2.$i", dst_port = 22, tcp_flags = 2))
+    val noise = Seq(Fx(flow_id = 100, src_ip4 = "10.9.9.9",
+      dst_ip = "192.0.2.99", dst_port = 22, tcp_flags = 18)) // SYN+ACK → excluded
+    val out = rowsOf(PortScanDetection(Fx.df(spark, scan ++ noise: _*), 20))
+    assert(out.size == 1)
+    val r = out.head
+    assert(r("scan_type") == "horizontal" && r("src_ip") == "10.9.9.9")
+    assert(r("key") == "22" && r("targets_total") == 25L)
+  }
+
+  test("portscan: vertical (1 src, 1 dst, 30 ports)") {
+    val scan = (0 until 30).map(i => Fx(flow_id = i, src_ip4 = "10.9.9.9",
+      dst_ip = "192.0.2.1", dst_port = 1000 + i, tcp_flags = 2))
+    val out = rowsOf(PortScanDetection(Fx.df(spark, scan: _*), 20))
+    assert(out.exists(r => r("scan_type") == "vertical" && r("targets_total") == 30L))
+  }
+
+  test("ssh brute force: conforming flows detected, band filters hold (ssh_auth_simple.py:170-179)") {
+    val ok = (0 until 10).map(i => Fx(flow_id = i, src_ip4 = "10.2.2.2",
+      dst_ip = "192.0.2.7", dst_port = 22, src_port = 40000 + i,
+      packets = 15, bytes = 2000, start_ms = 0, end_ms = 5000))
+    val bad = Seq(
+      ok.head.copy(flow_id = 100, packets = 50),          // packets band
+      ok.head.copy(flow_id = 101, bytes = 9999),          // bytes band
+      ok.head.copy(flow_id = 102, end_ms = 50000),        // duration
+      ok.head.copy(flow_id = 103, src_port = 22),         // ephemeral src
+      ok.head.copy(flow_id = 104, dst_port = 443))        // not ssh
+    val out = rowsOf(SshAuthDetection(Fx.df(spark, ok ++ bad: _*), minFlows = 10))
+    assert(out.size == 1)
+    assert(out.head("flows") == 10L && out.head("average_packet_count") == 15.0d)
+  }
+
+  test("dns statistics: stat-type fanout (dns_statistics.py:169-219)") {
+    val rows = Seq(
+      Fx(flow_id = 1, dns_name = "a.example", dns_qtype = Some(1), dns_flags = Some(256L)),
+      Fx(flow_id = 2, dns_name = "a.example", dns_qtype = Some(1), dns_flags = Some(256L)),
+      Fx(flow_id = 3, dns_name = "b.example", dns_qtype = Some(28), dns_flags = Some(256L)),
+      Fx(flow_id = 4, dns_name = "bad.example", dns_flags = Some(33155L)), // NXDomain resp
+      Fx(flow_id = 5, dns_name = "ok.example", dns_flags = Some(33152L)))  // NoError resp
+    val out = rowsOf(DnsStatistics(Fx.df(spark, rows: _*)))
+    def v(st: String, k: String) =
+      out.find(r => r("stat_type") == st && r("key") == k).map(_("value"))
+    assert(v("queried_domain", "a.example").contains(2L))
+    assert(v("qtype", "A").contains(2L) && v("qtype", "AAAA").contains(1L))
+    assert(v("rcode", "NXDomain").contains(1L) && v("rcode", "NoError").contains(1L))
+    assert(v("nxdomain_by_domain", "bad.example").contains(1L))
+    assert(v("queried_by_ip", "10.0.0.1").contains(3L))
+  }
+
+  test("ddos: short-window packet spike vs long profile (detection_ddos.py)") {
+    val long = (0 until 10).map(i => Fx(flow_id = i, src_ip4 = "10.3.0.1",
+      dst_ip = "192.168.1.1", packets = 10, start_ms = 1000))
+    val spike = (0 until 10).map(i => Fx(flow_id = 100 + i, src_ip4 = s"10.66.0.$i",
+      dst_ip = "192.168.1.1", packets = 10000, start_ms = 100000))
+    val out = rowsOf(DdosDetection(Fx.df(spark, long ++ spike: _*),
+      splitMs = 50000L, ratioIncrease = 50.0, minPackets = 100000L))
+    assert(out.size == 1)
+    val r = out.head
+    assert(r("dst_ip") == "192.168.1.1" && r("packets_short") == 100000L)
+    assert(r("attackers").asInstanceOf[String].split(",").length == 10)
+  }
+
+  test("reflect ddos: amplification ratio (reflectdos_main.py:151-179)") {
+    val reqs = (0 until 12).map(i => Fx(flow_id = i, protocol = 17,
+      src_ip4 = "10.4.0.1", dst_ip = "192.0.2.53", bytes = 100))
+    val amps = (0 until 12).map(i => Fx(flow_id = 100 + i, protocol = 17,
+      src_ip4 = "192.0.2.53", dst_ip = "10.4.0.1", bytes = 1000))
+    val out = rowsOf(ReflectDdosDetection(Fx.df(spark, reqs ++ amps: _*),
+      dnsServers = Seq("192.0.2.53"), ratioThreshold = 3.0, minReplies = 10))
+    assert(out.size == 1)
+    val r = out.head
+    assert(r("src_ip") == "10.4.0.1" && r("dns_ip") == "192.0.2.53")
+    assert(r("amplification") == 10.0d && r("replies") == 12L)
+  }
+
+  test("open resolvers: direction + rcode + rrtype + whitelist (dns_open_resolvers.py)") {
+    val rows = Seq(
+      Fx(flow_id = 1, src_ip4 = "10.5.0.1", dst_ip = "198.51.100.9",
+        dns_name = "x.example", dns_flags = Some(33152L), dns_crr_type = Some(1),
+        dns_rdata = "0x5db8d822"),
+      Fx(flow_id = 2, src_ip4 = "10.5.0.1", dst_ip = "198.51.100.9", // rcode 3 → dropped
+        dns_name = "x.example", dns_flags = Some(33155L), dns_crr_type = Some(1),
+        dns_rdata = "0x5db8d822"),
+      Fx(flow_id = 3, src_ip4 = "10.5.0.1", dst_ip = "10.5.0.2", // dst local → dropped
+        dns_name = "x.example", dns_flags = Some(33152L), dns_crr_type = Some(1),
+        dns_rdata = "0x5db8d822"),
+      Fx(flow_id = 4, src_ip4 = "10.5.0.1", dst_ip = "198.51.100.9", // whitelisted
+        dns_name = "good.whitelisted.example", dns_flags = Some(33152L),
+        dns_crr_type = Some(1), dns_rdata = "0x5db8d822"))
+    val out = rowsOf(DnsOpenResolvers(Fx.df(spark, rows: _*),
+      "10.5.0.0/16", Some("whitelisted")))
+    assert(out.size == 1)
+    val r = out.head
+    assert(r("resolver_ip") == "10.5.0.1" && r("resolved_data") == "93.184.216.34")
+    assert(r("flows") == 1L)
+  }
+
+  test("external resolvers: interval join pairs within tolerance (dns_external_resolvers.py:158-166)") {
+    val dns = Seq(Fx(flow_id = 1, protocol = 17, src_ip4 = "10.6.0.1",
+      dst_ip = "8.8.8.8", dns_flags = Some(33152L), end_ms = 10000))
+    val tcpHit  = Seq(Fx(flow_id = 2, protocol = 6, src_ip4 = "10.6.0.1", start_ms = 12000))
+    val tcpMiss = Seq(Fx(flow_id = 3, protocol = 6, src_ip4 = "10.6.0.1", start_ms = 999000))
+    val out = rowsOf(DnsExternalResolvers(
+      Fx.df(spark, dns ++ tcpHit ++ tcpMiss: _*), toleranceMs = 5000L))
+    assert(out.size == 1)
+    assert(out.head("client_ip") == "10.6.0.1" && out.head("resolver_ip") == "8.8.8.8")
+    assert(out.head("flows") == 1L)
+  }
+
+  test("tls classification: dictionary hit + unknown (tls_classification.py)") {
+    val dict = Seq(TlsClassification.DictEntry(
+      "002f,0035", "desktop", "linux", "openssl", "firefox"))
+    val rows = Seq(
+      Fx(flow_id = 1, tls_cipher_suites = "0x2f00350000000000"), // → 002f,0035 hit
+      Fx(flow_id = 2, tls_cipher_suites = "0x9c00"),             // unknown
+      Fx(flow_id = 3, tls_cipher_suites = "0x00000000000000000000000000000000"))
+    val out = rowsOf(TlsClassification(spark, Fx.df(spark, rows: _*), dict))
+    def v(st: String, k: String) =
+      out.find(r => r("stat_type") == st && r("key") == k).map(_("value"))
+    assert(v("operating_system", "linux").contains(1L))
+    assert(v("operating_system", "Unknown").contains(1L))
+    assert(v("browser", "firefox").contains(1L))
+    assert(out.map(_("value").asInstanceOf[Long]).sum == 6L) // 2 flows × 3 types
+  }
+
+  test("daily profile: hour slots within day (host_daily_profile.py:222-255)") {
+    val day0 = 0L
+    val rows = Seq(
+      Fx(flow_id = 1, src_ip4 = "10.7.0.1", packets = 10, bytes = 100,
+        start_ms = day0 + 3600000L * 2 + 5),   // hour 2
+      Fx(flow_id = 2, src_ip4 = "10.7.0.1", packets = 20, bytes = 200,
+        start_ms = day0 + 3600000L * 2 + 999), // hour 2
+      Fx(flow_id = 3, src_ip4 = "10.7.0.1", packets = 30, bytes = 300,
+        start_ms = day0 + 3600000L * 23),      // hour 23
+      Fx(flow_id = 4, src_ip4 = "10.7.0.1", packets = 40, bytes = 400,
+        start_ms = 86400000L + 3600000L))      // next day hour 1
+    val out = rowsOf(HostDailyProfile(Fx.df(spark, rows: _*)))
+    assert(out.size == 3)
+    val slot2 = out.find(r => r("day_start_ms") == 0L && r("hour_slot") == 2).get
+    assert(slot2("packets") == 30L && slot2("flows") == 2L)
+    assert(out.exists(r => r("day_start_ms") == 86400000L && r("hour_slot") == 1))
+  }
+
+  test("pattern finder: filter DSL semantics (pattern_finder.py:53-98)") {
+    val df = Fx.df(spark,
+      Fx(flow_id = 1, dst_port = 53, packets = 5),
+      Fx(flow_id = 2, dst_port = 80, packets = 5),
+      Fx(flow_id = 3, dst_port = 53, packets = 50),
+      Fx(flow_id = 4, dst_port = 53, packets = 5, dns_name = "x"))
+    import PatternFinder._
+    // dst_port == 53 AND packets < 10 (values OR-ed, items AND-ed)
+    val sel = df.filter(filterExpr(Seq(
+      FilterItem("dst_port", "eq", Seq(53, 5353)),
+      FilterItem("packets", "lt", Seq(10))))).collect().map(_.getAs[Long]("flow_id")).toSet
+    assert(sel == Set(1L, 4L))
+    // exists on optional field
+    val ex = df.filter(filterExpr(Seq(FilterItem("dns_name", "exists"))))
+      .collect().map(_.getAs[Long]("flow_id")).toSet
+    assert(ex == Set(4L))
+    // nin excludes listed values
+    val nin = df.filter(filterExpr(Seq(FilterItem("dst_port", "nin", Seq(80)))))
+      .collect().map(_.getAs[Long]("flow_id")).toSet
+    assert(nin == Set(1L, 3L, 4L))
+  }
+
+  test("pattern finder: biflow pairing + classification (pattern_finder.py:168-194)") {
+    val req = Fx(flow_id = 1, src_ip4 = "10.8.0.1", dst_ip = "192.0.2.9",
+      src_port = 40000, dst_port = 53, start_ms = 1000, end_ms = 1100,
+      packets = 5, bytes = 500)
+    // paired response: swapped endpoints, 200 ms later
+    val rsp = Fx(flow_id = 2, src_ip4 = "192.0.2.9", dst_ip = "10.8.0.1",
+      src_port = 53, dst_port = 40000, start_ms = 1200, end_ms = 1300,
+      packets = 6, bytes = 1000)
+    // unpaired: outside tolerance
+    val stale = rsp.copy(flow_id = 3, start_ms = 99999, end_ms = 100100)
+    val pairs = PatternFinder.biflows(Fx.df(spark, req, rsp, stale), 500L)
+    assert(pairs.count() == 1)
+    val out = rowsOf(PatternFinder.classify(pairs,
+      Seq(PatternFinder.Pattern("dnsish", Seq(100.0, 5.0, 500.0, 6.0, 1000.0))),
+      Seq(1.0, 2.0)))
+    assert(out.head("closest_pattern") == "dnsish")
+    assert(out.head("distance") == 0.0d && out.head("bin") == 0)
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Similarity, TextPipeline}
+
+/** Specs for the training-data pipeline operators. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(texts: (Long, String)*) =
+    texts.toSeq.toDF("doc_id", "text")
+
+  test("dedupExact keeps min doc_id and counts duplicates") {
+    val out = rowsOf(TextPipeline.dedupExact(docs(
+      1L -> "same text", 2L -> "same text", 3L -> "other")))
+    assert(out.size == 2)
+    assert(out.find(_("doc_id") == 1L).get("dup_count") == 2L)
+    assert(!out.exists(_("doc_id") == 2L))
+  }
+
+  test("docStats fields") {
+    val out = rowsOf(TextPipeline.docStats(docs(1L -> "the cat sat, on the mat!")))
+    val r = out.head
+    assert(r("n_tokens") == 6)
+    assert(r("stopword_ratio").asInstanceOf[Double] > 0.3) // "the","on","the"
+    assert(r("fingerprint").asInstanceOf[Long] > 0L)
+  }
+
+  test("nearDupJaccard finds overlapping docs, skips disjoint") {
+    val out = rowsOf(TextPipeline.nearDupJaccard(docs(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "alpha beta gamma delta zeta",
+      3L -> "one two three four five"), n = 2, minJaccard = 0.3))
+    assert(out.size == 1)
+    val r = out.head
+    assert(r("doc_a") == 1L && r("doc_b") == 2L)
+    assert(r("shared") == 3L) // "alpha beta","beta gamma","gamma delta"
+  }
+
+  test("minhash LSH recalls identical docs as candidates") {
+    val out = rowsOf(TextPipeline.minhashCandidates(docs(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon zeta",
+      3L -> "completely different words entirely here now")))
+    assert(out.exists(r => r("doc_a") == 1L && r("doc_b") == 2L))
+    assert(!out.exists(r => r("doc_a") == 1L && r("doc_b") == 3L) ||
+      !out.exists(r => r("doc_a") == 2L && r("doc_b") == 3L))
+  }
+
+  test("simhash: identical docs equal; near docs closer than far docs") {
+    val out = rowsOf(TextPipeline.simhash(docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      3L -> "alpha beta gamma delta epsilon zeta eta iota",
+      4L -> "qq ww ee rr tt yy uu ii")))
+    def h(id: Long) = out.find(_("doc_id") == id).get("simhash").asInstanceOf[Long]
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h(1) == h(2))
+    assert(ham(h(1), h(3)) < ham(h(1), h(4)))
+  }
+
+  test("langId picks profile with most stopword hits") {
+    val profiles = Map(
+      "en" -> Seq("the", "and", "of"),
+      "de" -> Seq("der", "und", "das"))
+    val out = rowsOf(TextPipeline.langId(docs(
+      1L -> "the cat and the dog", 2L -> "der hund und das haus"), profiles))
+    assert(out.find(_("doc_id") == 1L).get("lang_guess") == "en")
+    assert(out.find(_("doc_id") == 2L).get("lang_guess") == "de")
+  }
+
+  test("knnBruteForce ranks by cosine") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = rowsOf(Similarity.knnBruteForce(emb, emb.filter($"vec_id" === 0L), 2))
+    assert(out.size == 2)
+    assert(out.find(_("rank") == 1).get("nbr_id") == 1L)
+    assert(out.find(_("rank") == 2).get("nbr_id") == 2L)
+  }
+
+  test("annLsh: identical vectors share bucket and score 1") {
+    val emb = Seq(
+      (0L, Array.fill(8)(0.5f)),
+      (1L, Array.fill(8)(0.5f)),
+      (2L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = rowsOf(Similarity.annLsh(emb, planes = 6, minCosine = 0.9))
+    assert(out.exists(r => r("vec_a") == 0L && r("vec_b") == 1L &&
+      r("cosine") == 1.0d))
+  }
+}
