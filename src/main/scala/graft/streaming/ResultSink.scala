@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+/** Result sinks (SURVEY.md §2.1 S3/S9).
+  *
+  * Reference: kafkaIO.py:66-112 — every windowed result collected to the
+  * driver and sent via a single KafkaProducer (the scalability cliff called
+  * out in SURVEY §3.1). Spark-first: distributed sinks — the Kafka sink
+  * serializes per partition; the parquet sink replaces the ES daily index
+  * with date-partitioned files (partition pruning ≙ index selection).
+  */
+object ResultSink {
+
+  /** Tag rows like the reference's typed result documents (`@type`). */
+  def tagged(df: DataFrame, atType: String): DataFrame =
+    df.withColumn("type", lit(atType))
+      .withColumn("timestamp", current_timestamp())
+
+  /** results → Kafka topic as JSON lines (distributed, no driver collect). */
+  def kafka(df: DataFrame, bootstrap: String, topic: String,
+            checkpoint: String): DataStreamWriter[Row] =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  /** results → date-partitioned parquet (the ES `spark-YYYY.MM.dd` index
+    * analog; daily partitions prune on the read side). */
+  def parquet(df: DataFrame, path: String, checkpoint: String,
+              dateCol: String = "timestamp"): DataStreamWriter[Row] =
+    df.withColumn("date", to_date(col(dateCol)))
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("date")
+
+  /** Micro-batch bridge for custom handling — the disciplined foreachRDD
+    * replacement (work stays distributed inside the batch function). */
+  def foreachBatch(df: DataFrame, trigger: Trigger = Trigger.ProcessingTime("5 seconds"))(
+      f: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    df.writeStream.trigger(trigger).foreachBatch(f)
+}

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{BitFunctions, NetFunctions}
+
+/** Event-time windowed forms of the analytics (SURVEY.md §2.5).
+  *
+  * The reference used processing-time DStream windows with no late-data
+  * story; these are event-time windows + watermarks (deliberate semantic
+  * upgrade, SURVEY §7.3). Sliding windows share state in the streaming
+  * state store; partial aggregation is automatic.
+  *
+  * Each builder takes a flow stream bearing `event_time` (see
+  * [[FlowSource]]) and returns a streaming DataFrame ready for
+  * `writeStream` (append mode works once the watermark passes the window).
+  */
+object StreamingAnalytics {
+
+  /** W1: tumbling/sliding protocol stats (protocols_statistics.py:99-132;
+    * defaults 10 s window — BASELINE.md). */
+  def protocolStatistics(flows: DataFrame, window: String = "10 seconds",
+                         slide: Option[String] = None,
+                         watermark: String = "30 seconds"): DataFrame =
+    flows
+      .filter(col("protocol").isNotNull && col("packets").isNotNull &&
+        col("bytes").isNotNull)
+      .withWatermark("event_time", watermark)
+      .groupBy(
+        slide.map(sl => org.apache.spark.sql.functions.window(col("event_time"), window, sl))
+          .getOrElse(org.apache.spark.sql.functions.window(col("event_time"), window)),
+        NetFunctions.protocolName(col("protocol")).as("protocol"))
+      .agg(
+        count(lit(1)).as("flows"),
+        sum("packets").as("packets"),
+        sum("bytes").as("bytes"))
+
+  /** W2: sliding host stats (host_stats.py; 10 s/5 s defaults). Exact
+    * distincts are replaced by HLL — correct trade under unbounded state. */
+  def hostStats(flows: DataFrame, window: String = "10 seconds",
+                slide: String = "5 seconds",
+                watermark: String = "30 seconds"): DataFrame = {
+    val flagAggs = BitFunctions.tcpFlagCols(col("tcp_flags")).map {
+      case (n, c) => sum(when(col("protocol") === 6, c).otherwise(0L)).as(s"flag_${n.toLowerCase}")
+    }
+    val aggs = Seq(
+      sum("packets").as("packets"),
+      sum("bytes").as("bytes"),
+      round(avg(col("end_ms") - col("start_ms")) / 1000.0d, 4).as("avg_duration_s"),
+      approx_count_distinct(col("dst_port")).as("dport_count"),
+      approx_count_distinct(col("dst_ip")).as("peer_number")) ++ flagAggs
+    flows
+      .filter(coalesce(col("src_ip4"), col("src_ip6")).isNotNull)
+      .withWatermark("event_time", watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("event_time"), window, slide),
+        NetFunctions.ipCoalesce(col("src_ip4"), col("src_ip6")).as("src_ip"))
+      .agg(count(lit(1)).as("flows"), aggs: _*)
+  }
+
+  /** W4: two-level temporal profile — hourly aggregate re-windowed daily
+    * (host_daily_profile.py; ST3's global counter replaced by event-time
+    * hour index). The hourly stream feeds a second event-time window. */
+  def dailyProfile(flows: DataFrame, watermark: String = "2 hours"): DataFrame =
+    flows
+      .filter(coalesce(col("src_ip4"), col("src_ip6")).isNotNull)
+      .withWatermark("event_time", watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("event_time"), "1 hour"),
+        NetFunctions.ipCoalesce(col("src_ip4"), col("src_ip6")).as("src_ip"))
+      .agg(sum("packets").as("packets"), sum("bytes").as("bytes"),
+        count(lit(1)).as("flows"))
+      .select(col("window.start").as("hour_start"), col("src_ip"),
+        col("packets"), col("bytes"), col("flows"),
+        hour(col("window.start")).as("hour_slot"))
+
+  /** J4 streaming form: stream-stream interval join with watermarks on
+    * both sides (dns_external_resolvers.py:158-166). */
+  def externalResolvers(flows: DataFrame, tolerance: String = "5 seconds",
+                        watermark: String = "1 minute"): DataFrame = {
+    val dns = flows
+      .filter(col("protocol") === 17 &&
+        BitFunctions.dnsIsResponse(col("dns_flags")) && col("src_ip4").isNotNull)
+      .select(col("src_ip4").as("client_ip"), col("dst_ip").as("resolver_ip"),
+        col("event_time").as("dns_time"))
+      .withWatermark("dns_time", watermark)
+    val tcp = flows
+      .filter(col("protocol") === 6 && col("src_ip4").isNotNull)
+      .select(col("src_ip4").as("tcp_client_ip"), col("event_time").as("tcp_time"))
+      .withWatermark("tcp_time", watermark)
+    tcp.join(dns,
+      expr(s"tcp_client_ip = client_ip AND " +
+        s"tcp_time BETWEEN dns_time AND dns_time + interval $tolerance"))
+      .select(col("client_ip"), col("resolver_ip"), col("tcp_time"), col("dns_time"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.analytics.ProtocolStatistics
+import graft.streaming.{FlowSource, ReportDedup, StreamingAnalytics}
+
+/** Structured Streaming specs: wire parse, streaming-vs-batch parity
+  * (SURVEY.md §5: same input ⇒ windowed streaming result == batch groupBy
+  * over the same event-time buckets), and cross-batch report dedup. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("FlowSource.parse maps ipfix.* wire JSON to engine columns") {
+    val json =
+      """{"ipfix.sourceIPv4Address":"10.10.1.5","ipfix.destinationIPv4Address":"192.0.2.7",
+        |"ipfix.protocolIdentifier":6,"ipfix.sourceTransportPort":51234,
+        |"ipfix.destinationTransportPort":443,"ipfix.packetDeltaCount":12,
+        |"ipfix.octetDeltaCount":3480,"ipfix.tcpControlBits":27,
+        |"ipfix.flowStartMilliseconds":1502900000000,"ipfix.flowEndMilliseconds":1502900004500}"""
+        .stripMargin.replace("\n", "")
+    val out = FlowSource.parse(Seq(json).toDF("value")).collect()(0)
+    assert(out.getAs[String]("src_ip4") == "10.10.1.5")
+    assert(out.getAs[Int]("protocol") == 6)
+    assert(out.getAs[Long]("bytes") == 3480L)
+    assert(out.getAs[java.sql.Timestamp]("event_time").getTime == 1502900000000L)
+  }
+
+  test("streaming protocol stats == batch protocol stats on same input") {
+    val flows = (0 until 20).map(i => Fx(flow_id = i, protocol = 6,
+        start_ms = 1000L * i, packets = i + 1, bytes = 100L * i)) ++
+      (0 until 15).map(i => Fx(flow_id = 100 + i, protocol = 17,
+        start_ms = 1000L * i + 30000L, packets = 2, bytes = 50))
+
+    // batch result, 10 s buckets
+    val batch = rowsOf(ProtocolStatistics(Fx.df(spark, flows: _*), 10000L))
+      .map(r => (r("window_start_ms"), r("protocol"), r("flows"), r("packets"), r("bytes")))
+      .toSet
+
+    // streaming over MemoryStream, two micro-batches, complete mode
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Fx]
+    val streamed = StreamingAnalytics.protocolStatistics(
+      FlowSource.withEventTime(mem.toDF()), "10 seconds")
+    val q = streamed.writeStream.format("memory")
+      .queryName("proto_parity").outputMode(OutputMode.Complete()).start()
+    try {
+      val (a, b) = flows.splitAt(12)
+      mem.addData(a: _*); q.processAllAvailable()
+      mem.addData(b: _*); q.processAllAvailable()
+      val got = spark.table("proto_parity")
+        .select(unix_millis(col("window.start")).as("w"), col("protocol"),
+          col("flows"), col("packets"), col("bytes"))
+        .collect()
+        .map(r => (r.get(0), r.get(1), r.get(2), r.get(3), r.get(4))).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
+  test("ReportDedup: increment semantics + report throttling (ports_scan.py:109-141)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ReportDedup.Observation]
+    val out = ReportDedup(mem.toDS(), reportIntervalMs = 60000L)
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: first sighting reports, quick repeat is throttled
+      mem.addData(
+        ReportDedup.Observation("a|b|22", 1000L, 5L),
+        ReportDedup.Observation("a|b|22", 2000L, 3L))
+      q.processAllAvailable()
+      // batch 2: past the interval → reports the increment since last
+      mem.addData(ReportDedup.Observation("a|b|22", 70000L, 7L))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").as[ReportDedup.Report]
+        .collect().sortBy(_.ts)
+      assert(rows.length == 2)
+      assert(rows(0).flows_total == 5L && rows(0).flows_increment == 5L)
+      // second report: total 5+3+7, increment = everything since report 1
+      assert(rows(1).flows_total == 15L && rows(1).flows_increment == 10L)
+    } finally q.stop()
+  }
+
+  test("streaming interval join emits pair within tolerance") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Fx]
+    val joined = StreamingAnalytics.externalResolvers(
+      FlowSource.withEventTime(mem.toDF()), tolerance = "5 seconds")
+    val q = joined.writeStream.format("memory").queryName("xres")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        Fx(flow_id = 1, protocol = 17, src_ip4 = "10.6.0.1", dst_ip = "8.8.8.8",
+          dns_flags = Some(33152L), start_ms = 10000L),
+        Fx(flow_id = 2, protocol = 6, src_ip4 = "10.6.0.1", start_ms = 12000L),
+        Fx(flow_id = 3, protocol = 6, src_ip4 = "10.6.0.1", start_ms = 99000L))
+      q.processAllAvailable()
+      val got = spark.table("xres").collect()
+      assert(got.length == 1)
+      assert(got(0).getAs[String]("resolver_ip") == "8.8.8.8")
+    } finally q.stop()
+  }
+}
