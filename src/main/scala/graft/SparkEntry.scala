@@ -258,7 +258,8 @@ object SparkEntry {
       TextPipeline.docStats(Tables.documents(s, dir)).orderBy("doc_id")),
 
     "q_doc_near_dup" -> ((s, dir) =>
-      TextPipeline.nearDupJaccard(Tables.documents(s, dir), n = 2, minJaccard = 0.1)
+      TextPipeline.nearDupJaccard(Tables.documents(s, dir), n = 2,
+        minJaccard = 0.1, maxDf = 20L)
         .orderBy("doc_a", "doc_b")),
 
     "q_minhash_candidates" -> ((s, dir) =>
@@ -748,10 +749,15 @@ object SparkEntry {
         |         ELSE list_distinct(list_transform(range(1, len(toks)),
         |                i -> array_to_string(toks[i:i+1], ' '))) END AS shingles
         |  FROM t
-        |), sizes AS (
-        |  SELECT doc_id, len(shingles) AS n FROM sh
-        |), inv AS (
+        |), inv0 AS (
         |  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+        |), keep AS (
+        |  SELECT shingle FROM (SELECT shingle, count(*) AS df FROM inv0 GROUP BY 1)
+        |  WHERE df <= 20
+        |), inv AS (
+        |  SELECT doc_id, shingle FROM inv0 JOIN keep USING (shingle)
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM inv GROUP BY 1
         |), shared AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
         |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

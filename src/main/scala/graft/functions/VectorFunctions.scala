@@ -41,19 +41,34 @@ object VectorFunctions {
   /** Element-wise sum of two equal-length long arrays (A12 array agg). */
   def arraySum(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x + y)
 
-  /** SimHash of a token array under 47 planes using the portable 47-bit
-    * fingerprint hash: bit k set iff Σ_tokens sign(bit k of hash(token))>0. */
-  def simhash64(tokens: Column): Column = {
+  /** Portable 47-bit polynomial hash of each token in an array. */
+  def tokenHashes(tokens: Column): Column = {
     val mod = 140737488355213L
-    val hashes = transform(tokens, t =>
+    transform(tokens, t =>
       aggregate(
         transform(sequence(lit(1), length(t)), i => ascii(substr(t, i, lit(1))).cast("long")),
         lit(0L), (acc, c) => (acc * 31 + c) % mod))
-    val bits = (0 until 47).map { k =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, k).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(votes > 0, shiftleft(lit(1L), k)).otherwise(0L)
-    }
-    bits.reduce(_ + _)
   }
+
+  /** SimHash from token hashes: bit k set iff Σ_tokens sign(bit k) > 0.
+    *
+    * Single pass over `hashes`: each token hash expands to its 47 ±1 votes
+    * (the hash is a lambda value there — O(1) access), votes are summed
+    * element-wise with one `aggregate`+`zip_with` fold, then folded into a
+    * long against a literal 2^k weight array. The input column is
+    * referenced exactly once — 47 separate vote aggregates would
+    * re-evaluate it 47× per row (see TextFunctions.tokens). */
+  def simhashFromHashes(hashes: Column): Column = {
+    val perTok = transform(hashes, h =>
+      array((0 until 47).map(k =>
+        when(shiftright(h, k).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)): _*))
+    val votes = aggregate(perTok, array_repeat(lit(0L), 47),
+      (acc, b) => zip_with(acc, b, (x, y) => x + y))
+    val weights = array((0 until 47).map(k => lit(1L << k)): _*)
+    aggregate(zip_with(votes, weights, (v, w) => when(v > 0, w).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** SimHash of a token array under 47 planes. */
+  def simhash64(tokens: Column): Column = simhashFromHashes(tokenHashes(tokens))
 }

