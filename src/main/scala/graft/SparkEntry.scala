@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{FlowSynth, Graft, Tables}
 import graft.analytics._
 import graft.functions.{DnsFunctions, NetFunctions, TextFunctions}
+import graft.multimodal.Multimodal
 import graft.pipeline.{Similarity, TextPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -55,6 +56,13 @@ object SparkEntry {
       yield TlsClassification.DictEntry(
         s"${swap4(suiteCodes(i))},${swap4(suiteCodes(j))}",
         s"dev${(i + j) % 4}", s"os${i % 3}", s"app${j % 3}", s"br${(i * j) % 5}")
+
+  /** Stopword profiles for the language-ID heuristic (tie → lexicographically
+    * first language, mirrored in the oracle's CASE ordering). */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "for", "on", "with"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "de", "un", "une", "du", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "im", "ein"))
 
   private val patterns = Seq(
     PatternFinder.Pattern("bulk", Seq(2500.0, 25.0, 5000.0, 26.0, 10000.0)),
@@ -152,6 +160,35 @@ object SparkEntry {
         .select(col("user_id"), col("event_type"), col("event_id"),
           col("ts_ms"), round(col("value"), 2).as("value"))
         .orderBy("user_id", "event_type")
+    }),
+
+    "q_read_histogram" -> ((s, dir) =>
+      // Q1 shape: date_histogram(interval) → terms → sum metrics
+      eventsMs(s, dir)
+        .groupBy((col("ts_ms") - col("ts_ms") % 86400000L).as("bucket_ms"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("total_value"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy("bucket_ms", "event_type")),
+
+    "q_read_top_contributor" -> ((s, dir) => {
+      // Q7 shape: terms + sum totals + top-contributing sub-bucket
+      val e = eventsMs(s, dir)
+      val per = e.groupBy("event_type", "user_id")
+        .agg(round(sum("value"), 2).as("user_value"),
+          count(lit(1)).as("user_events"))
+      val top = per.withColumn("rn", row_number().over(
+          Window.partitionBy("event_type")
+            .orderBy(col("user_value").desc, col("user_id").asc)))
+        .filter(col("rn") === 1)
+      val tot = e.groupBy("event_type")
+        .agg(round(sum("value"), 2).as("total_value"),
+          count(lit(1)).as("n_events"))
+      top.join(tot, Seq("event_type"))
+        .select("event_type", "total_value", "n_events",
+          "user_id", "user_value", "user_events")
+        .orderBy("event_type")
     }),
 
     "q_sessionize" -> ((s, dir) => {
@@ -263,13 +300,32 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")),
 
     "q_minhash_candidates" -> ((s, dir) =>
-      // no SQL oracle (rows-only check): nested-lambda minhash is the
-      // Spark-side scale path; its recall is spec-tested in ScalaTest
       TextPipeline.minhashCandidates(Tables.documents(s, dir))
         .orderBy("doc_a", "doc_b")),
 
     "q_simhash" -> ((s, dir) =>
       TextPipeline.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    "q_lang_id" -> ((s, dir) =>
+      TextPipeline.langId(Tables.documents(s, dir), langProfiles)
+        .orderBy("doc_id")),
+
+    // --- multimodal binary columns (decode is a deterministic stub) ----
+    "q_media_features" -> ((s, dir) =>
+      Multimodal.mediaTable(Tables.documents(s, dir))
+        .select(col("media_id"), col("meta.mime").as("mime"),
+          Multimodal.decodeFeatures(col("media")).as("f"),
+          md5(Multimodal.resizeStub(col("media"), 64)).as("thumb_md5"))
+        .select(col("media_id"), col("mime"),
+          col("f.n_bytes").as("n_bytes"), col("f.checksum").as("checksum"),
+          col("f.byte_sum").as("byte_sum"), col("thumb_md5"))
+        .orderBy("media_id")),
+
+    "q_media_frames" -> ((s, dir) =>
+      Multimodal.frameSample(
+        Multimodal.mediaTable(Tables.documents(s, dir)),
+        frameBytes = 32, stride = 16)
+        .orderBy("media_id", "frame_idx")),
 
     "q_embed_knn" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -288,7 +344,8 @@ object SparkEntry {
     "q1_agg", "q_join_region_revenue", "q_protocols_statistics",
     "q_host_stats", "q_top_n_host_stats", "q_dns_statistics",
     "q_dns_external_resolvers", "q_pattern_finder",
-    "q_doc_stats", "q_doc_near_dup", "q_embed_knn")
+    "q_doc_stats", "q_doc_near_dup", "q_embed_knn",
+    "q_minhash_candidates", "q_simhash", "q_media_frames")
 
   // ---------------------------------------------------------------------
   // DuckDB oracles. `flows` CTE = FlowSynth.cteSql (identical mapping).
@@ -372,6 +429,31 @@ object SparkEntry {
         |          ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
         |      FROM events)
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q_read_histogram" ->
+      """SELECT epoch_ms(ts) - epoch_ms(ts) % 86400000 AS bucket_ms, event_type,
+        |  count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_read_top_contributor" ->
+      """WITH per AS (
+        |  SELECT event_type, user_id, round(sum(value), 2) AS user_value,
+        |         count(*) AS user_events
+        |  FROM events GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT event_type, round(sum(value), 2) AS total_value,
+        |         count(*) AS n_events
+        |  FROM events GROUP BY 1
+        |), top AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY user_value DESC, user_id ASC) AS rn
+        |    FROM per) WHERE rn = 1
+        |)
+        |SELECT event_type, total_value, n_events, user_id, user_value, user_events
+        |FROM top JOIN tot USING (event_type) ORDER BY event_type""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (
@@ -771,6 +853,93 @@ object SparkEntry {
         |  JOIN sizes sb ON sb.doc_id = doc_b)
         |WHERE jaccard >= 0.1
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_simhash" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), h AS (
+         |  SELECT doc_id, list_transform(toks, w -> ${fpSql("w")}) AS hashes FROM t
+         |)
+         |SELECT doc_id, CAST(list_sum(list_transform(range(0, 47), k ->
+         |  CASE WHEN COALESCE(list_sum(list_transform(hashes, hh ->
+         |         CASE WHEN (hh >> k) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+         |       THEN CAST(1 AS BIGINT) << k ELSE CAST(0 AS BIGINT) END))
+         |  AS BIGINT) AS simhash
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q_minhash_candidates" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) < 3 THEN []
+         |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+         |                i -> array_to_string(toks[i:i+2], ' '))) END AS shingles
+         |  FROM t
+         |), h AS (
+         |  SELECT doc_id, list_transform(shingles, w -> ${fpSql("w")}) AS hashes
+         |  FROM sh WHERE len(shingles) > 0
+         |), sig AS (
+         |  SELECT doc_id, list_transform(range(0, 16), i ->
+         |    list_min(list_transform(hashes,
+         |      hh -> (hh * (2 * i + 1) + 31 * i + 7) % 140737488355213))) AS sig
+         |  FROM h
+         |), bk AS (
+         |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+         |    CAST(b AS VARCHAR) || '_' || array_to_string(
+         |      list_transform(sig[CAST(b * 4 + 1 AS INT):CAST(b * 4 + 4 AS INT)],
+         |        x -> CAST(x AS VARCHAR)), '-'))) AS bucket
+         |  FROM sig
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_lang_id" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), s AS (
+         |  SELECT doc_id,
+         |    ${langProfiles.toSeq.sortBy(_._1).map { case (lang, ws) =>
+               s"len(list_filter(toks, w -> list_contains(${ws.map(w => s"'$w'").mkString("[", ",", "]")}, w))) AS s_$lang"
+             }.mkString(",\n    |    ")}
+         |  FROM t
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN s_de >= s_en AND s_de >= s_fr THEN 'de'
+         |       WHEN s_en >= s_fr THEN 'en' ELSE 'fr' END AS lang_guess
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_media_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 + 1 AS INT)] AS mime,
+        |    text AS media
+        |  FROM documents
+        |)
+        |SELECT media_id, mime,
+        |  CAST(length(media) AS INT) AS n_bytes,
+        |  md5(media) AS checksum,
+        |  CAST(COALESCE(list_sum(list_transform(regexp_extract_all(hex(media::BLOB), '..'),
+        |    p -> (CASE WHEN ascii(p[1]) >= 65 THEN ascii(p[1]) - 55 ELSE ascii(p[1]) - 48 END) * 16
+        |       + (CASE WHEN ascii(p[2]) >= 65 THEN ascii(p[2]) - 55 ELSE ascii(p[2]) - 48 END))), 0)
+        |    AS BIGINT) AS byte_sum,
+        |  md5(substring(media, 1, 64)) AS thumb_md5
+        |FROM m ORDER BY media_id""".stripMargin,
+
+    "q_media_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text AS media,
+        |    CASE WHEN length(text) < 32 THEN 0
+        |         ELSE (length(text) - 32) // 16 + 1 END AS n_frames
+        |  FROM documents
+        |), f AS (
+        |  SELECT media_id, media, unnest(range(0, n_frames)) AS frame_idx FROM m
+        |)
+        |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(length(substring(media, CAST(frame_idx * 16 + 1 AS INT), 32)) AS INT) AS frame_len,
+        |  md5(substring(media, CAST(frame_idx * 16 + 1 AS INT), 32)) AS frame_md5
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
 
     "q_embed_knn" ->
       """WITH q AS (

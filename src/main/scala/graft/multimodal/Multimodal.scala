@@ -1,0 +1,129 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column handling for training-data
+  * pipelines at 100 TB scale.
+  *
+  * Media payloads are opaque `BinaryType` columns carried next to a typed
+  * metadata struct — the layout a large multimodal corpus uses (content
+  * inline or via reference, metadata queryable without touching bytes).
+  * Catalyst column pruning means metadata-only queries never deserialize
+  * the blobs; predicate pushdown on `meta.*` prunes row groups before any
+  * byte is read.
+  *
+  * DECODE IS A DETERMINISTIC STUB: this container has no codec libraries,
+  * so the "decode" step ([[decodeFeatures]], [[frameSample]], the
+  * [[decodePartitions]] batch path) computes deterministic byte-level
+  * features (length, md5, byte sums) instead of pixels/samples. The
+  * Spark-side plumbing — schema, partitioning, frame explode shape, the
+  * per-partition batched decode signature — is real and oracle-tested;
+  * a production deployment swaps [[stubDecoder]] for a codec call with
+  * no change to the surrounding plan.
+  */
+object Multimodal {
+
+  val mimes: Seq[String] = Seq("image/png", "audio/wav", "video/mp4")
+
+  /** Synthesize the media table from the documents corpus: blob = UTF-8
+    * bytes of the text, metadata derived deterministically from doc_id.
+    * Stands in for `spark.read.format("binaryFile")` / a parquet corpus
+    * with a binary column. */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("media"),
+      struct(
+        element_at(typedLit(mimes), (col("doc_id") % 3 + 1).cast("int")).as("mime"),
+        (lit(16) + col("doc_id") % 64).cast("int").as("width"),
+        (lit(16) + col("doc_id") % 48).cast("int").as("height"))
+        .as("meta"))
+
+  /** Byte values of a blob as array<long> via its hex dump. The hex string
+    * is referenced once (argument position, not inside a per-element
+    * lambda — see TextFunctions.tokens for why that matters). */
+  def byteValues(media: Column): Column = {
+    def hexDigit(c: Column): Column = {
+      val d = ascii(c)
+      when(d >= 65, d - 55).otherwise(d - 48).cast("long")
+    }
+    transform(
+      regexp_extract_all(hex(media), lit(".."), lit(0)),
+      p => hexDigit(substring(p, 1, 1)) * 16L + hexDigit(substring(p, 2, 1)))
+  }
+
+  /** STUB decode + feature-extract (real pipeline: image decode → pixel
+    * stats / embedding). Deterministic byte-level features. */
+  def decodeFeatures(media: Column): Column = {
+    val bytes = byteValues(media)
+    val byteSum = aggregate(bytes, lit(0L), (acc, b) => acc + b)
+    struct(
+      length(media).as("n_bytes"),
+      md5(media).as("checksum"),
+      byteSum.as("byte_sum"))
+  }
+
+  /** STUB "resize"/transcode: truncate to `targetBytes` (real pipeline:
+    * scale the image / re-encode). Plan shape (projection over binary)
+    * is identical to the real op. */
+  def resizeStub(media: Column, targetBytes: Int): Column =
+    media.substr(lit(1), lit(targetBytes))
+
+  /** Fixed-size frame sampling (video frame extraction / audio windowing
+    * shape): full windows of `frameBytes` every `stride` bytes, exploded
+    * one row per frame. The blob is a row attribute inside the transform
+    * lambda (O(1) access), so this is linear in output size. */
+  def frameSample(mediaDf: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val nFrames =
+      when(length(col("media")) < frameBytes, 0)
+        .otherwise(
+          // Column `/` is double division; truncate (non-negative) to floor
+          ((length(col("media")) - frameBytes) / stride).cast("int") + 1)
+    // guard: sequence(0, -1) would generate a DESCENDING sequence
+    val frames =
+      when(nFrames <= 0, array().cast("array<binary>")).otherwise(
+        transform(
+          sequence(lit(0), nFrames - 1),
+          i => col("media").substr(i * stride + 1, lit(frameBytes))))
+    mediaDf
+      .select(col("media_id"), posexplode(frames).as(Seq("frame_idx", "frame")))
+      .select(
+        col("media_id"),
+        col("frame_idx"),
+        length(col("frame")).as("frame_len"),
+        md5(col("frame")).as("frame_md5"))
+  }
+
+  // --- batched decode path (mapPartitions tier) -------------------------
+
+  /** One media row for the typed batch-decode path. */
+  case class MediaRow(media_id: Long, media: Array[Byte], mime: String)
+
+  /** Decoder output: what a real codec would produce per blob. */
+  case class Decoded(media_id: Long, n_bytes: Int, checksum: String)
+
+  /** STUB decoder — a real deployment replaces this one function with a
+    * codec call (libjpeg/ffmpeg); everything around it is unchanged. */
+  val stubDecoder: MediaRow => Decoded = { row =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Decoded(row.media_id, row.media.length,
+      md.digest(row.media).map("%02x".format(_)).mkString)
+  }
+
+  /** Per-partition batched decode — the Scala analog of a pandas-UDF
+    * `mapInPandas` decode stage. The decoder initializes once per
+    * partition (amortizing codec setup), rows stream through without
+    * collecting the partition. Repartition by media_id upstream to bound
+    * partition memory at scale. */
+  def decodePartitions(mediaDf: DataFrame,
+                       decoder: MediaRow => Decoded = stubDecoder): Dataset[Decoded] = {
+    val ds = mediaDf
+      .select(col("media_id"), col("media"), col("meta.mime").as("mime"))
+      .as[MediaRow](Encoders.product[MediaRow])
+    ds.mapPartitions { rows =>
+      // per-partition init happens here in a real decoder
+      rows.map(decoder)
+    }(Encoders.product[Decoded])
+  }
+}

@@ -124,10 +124,13 @@ object TextPipeline {
         (m, h) => zip_with(m, ab,
           (mi, c) => least(mi, pmod(h * c.getField("a") + c.getField("b"), lit(p))))))
     // band → bucket key; Scala-side band loop so `signature` is referenced
-    // a constant number of times per row, never inside a per-element lambda
+    // a constant number of times per row, never inside a per-element lambda.
+    // Key = band index + the band's signature VALUES (not a hash of them):
+    // collision-free and portable, so candidate pairs are oracle-checkable.
     val bandKeys = array((0 until bands).map(b =>
       concat_ws("_", lit(b),
-        hash(slice(col("signature"), b * rowsPerBand + 1, rowsPerBand)))): _*)
+        array_join(slice(col("signature"), b * rowsPerBand + 1, rowsPerBand)
+          .cast("array<string>"), "-"))): _*)
     sig.select(col("doc_id"), col("signature"), posexplode(bandKeys))
       .withColumnRenamed("col", "bucket")
       .select("doc_id", "signature", "bucket")
