@@ -279,6 +279,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("flows"))
         .orderBy("src_ip4")),
 
+    "q_cidr_filter_native" -> ((s, dir) =>
+      // same semantics as q_cidr_filter via the native Catalyst expression
+      flows(s, dir)
+        .filter(graft.expressions.GraftFunctions.cidrMatch(
+          col("src_ip4"), lit("10.0.100.0/24")))
+        .groupBy("src_ip4")
+        .agg(count(lit(1)).as("flows"))
+        .orderBy("src_ip4")),
+
     "q_entropy" -> ((s, dir) =>
       flows(s, dir)
         .filter(col("dns_name").isNotNull)
@@ -759,6 +768,16 @@ object SparkEntry {
          |        WHEN distance >= 2 THEN 2 WHEN distance >= 1 THEN 1
          |        ELSE 0 END, 3) AS INT) AS bin
          |FROM best ORDER BY req_id, rsp_id""".stripMargin),
+
+    "q_cidr_filter_native" -> FlowSynth.oracle(
+      """SELECT src_ip4, count(*) AS flows
+        |FROM flows
+        |WHERE src_ip4 IS NOT NULL AND (
+        |  (CAST(string_split(src_ip4, '.')[1] AS BIGINT) * 16777216
+        |   + CAST(string_split(src_ip4, '.')[2] AS BIGINT) * 65536
+        |   + CAST(string_split(src_ip4, '.')[3] AS BIGINT) * 256
+        |   + CAST(string_split(src_ip4, '.')[4] AS BIGINT)) & 4294967040) = 167797760
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "q_cidr_filter" -> FlowSynth.oracle(
       """SELECT src_ip4, count(*) AS flows

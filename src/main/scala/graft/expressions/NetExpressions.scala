@@ -1,0 +1,168 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot network predicates (SURVEY.md
+  * §4 "custom Catalyst work": cidr_match as an expression, F4).
+  *
+  * The Column-composite versions in [[graft.functions.NetFunctions]] stay
+  * the default (they are oracle-portable); these native forms exist for
+  * the 100 TB hot path: a single byte-scan per row with no intermediate
+  * array allocation (the composite splits the IP into a string array and
+  * casts four octets per row), full whole-stage-codegen participation via
+  * `doGenCode`, and SQL availability through [[GraftExtensions]] /
+  * [[GraftFunctions.register]].
+  */
+object Ipv4Util {
+
+  /** Dotted-quad → uint32 as long; -1 for malformed (negative is outside
+    * the valid range, so it doubles as the null sentinel in codegen). */
+  def parse(s: UTF8String): Long = {
+    if (s == null) return -1L
+    val bytes = s.getBytes
+    var value = 0L
+    var octet = 0L
+    var nDots = 0
+    var digits = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b >= '0' && b <= '9') {
+        octet = octet * 10 + (b - '0')
+        digits += 1
+        if (octet > 255L || digits > 3) return -1L
+      } else if (b == '.') {
+        if (digits == 0) return -1L
+        value = value * 256L + octet
+        nDots += 1
+        if (nDots > 3) return -1L
+        octet = 0L
+        digits = 0
+      } else return -1L
+      i += 1
+    }
+    if (digits == 0 || nDots != 3) -1L
+    else value * 256L + octet
+  }
+
+  /** 1 = inside, 0 = outside, -1 = malformed ip or cidr (→ SQL NULL). */
+  def cidrMatch(ip: UTF8String, cidr: UTF8String): Int = {
+    if (ip == null || cidr == null) return -1
+    val cs = cidr.toString
+    val slash = cs.indexOf('/')
+    if (slash < 0) return -1
+    val net = parse(UTF8String.fromString(cs.substring(0, slash)))
+    if (net < 0) return -1
+    val len =
+      try cs.substring(slash + 1).toInt
+      catch { case _: NumberFormatException => return -1 }
+    if (len < 0 || len > 32) return -1
+    val ipL = parse(ip)
+    if (ipL < 0) return -1
+    val mask = if (len == 0) 0L else (0xFFFFFFFFL << (32 - len)) & 0xFFFFFFFFL
+    if ((ipL & mask) == (net & mask)) 1 else 0
+  }
+}
+
+/** `ip4_to_long('1.2.3.4')` → 16909060; NULL for malformed input. */
+case class Ipv4ToLong(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "ip4_to_long"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val r = Ipv4Util.parse(input.asInstanceOf[UTF8String])
+    if (r < 0L) null else r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val parsed = ctx.freshName("parsed")
+      s"""
+         |long $parsed = graft.expressions.Ipv4Util.parse($c);
+         |if ($parsed < 0L) { ${ev.isNull} = true; } else { ${ev.value} = $parsed; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Ipv4ToLong =
+    copy(child = newChild)
+}
+
+/** `cidr_match(ip, 'a.b.c.d/len')` → boolean; NULL for malformed input. */
+case class CidrMatch(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType.isInstanceOf[StringType] && right.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string arguments")
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cidr_match"
+
+  protected override def nullSafeEval(ip: Any, cidr: Any): Any =
+    Ipv4Util.cidrMatch(ip.asInstanceOf[UTF8String], cidr.asInstanceOf[UTF8String]) match {
+      case 1  => true
+      case 0  => false
+      case _  => null
+    }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ip, cidr) => {
+      val m = ctx.freshName("cidrm")
+      s"""
+         |int $m = graft.expressions.Ipv4Util.cidrMatch($ip, $cidr);
+         |if ($m < 0) { ${ev.isNull} = true; } else { ${ev.value} = ($m == 1); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CidrMatch =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Function registry entries + Column wrappers for the native expressions. */
+object GraftFunctions {
+
+  type Builder = Seq[Expression] => Expression
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    (FunctionIdentifier("ip4_to_long"),
+      new ExpressionInfo(classOf[Ipv4ToLong].getName, "ip4_to_long"),
+      (e: Seq[Expression]) => Ipv4ToLong(e.head)),
+    (FunctionIdentifier("cidr_match"),
+      new ExpressionInfo(classOf[CidrMatch].getName, "cidr_match"),
+      (e: Seq[Expression]) => CidrMatch(e(0), e(1))))
+
+  /** Register on a live session (the no-extensions path). */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    functions.foreach { case (id, info, builder) =>
+      registry.registerFunction(id, info, builder)
+    }
+  }
+
+  // Column API over the native expressions (no registration needed)
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  def ip4ToLong(ip: Column): Column = column(Ipv4ToLong(expression(ip)))
+  def cidrMatch(ip: Column, cidr: Column): Column =
+    column(CidrMatch(expression(ip), expression(cidr)))
+}
+
+/** `--conf spark.sql.extensions=graft.expressions.GraftExtensions` */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach(ext.injectFunction)
+}

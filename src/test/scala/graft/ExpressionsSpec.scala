@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.expressions.{GraftFunctions, Ipv4Util}
+import graft.functions.NetFunctions
+import org.apache.spark.unsafe.types.UTF8String
+
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def u(s: String) = UTF8String.fromString(s)
+
+  test("Ipv4Util.parse: valid, boundary, malformed") {
+    assert(Ipv4Util.parse(u("1.2.3.4")) == 16909060L)
+    assert(Ipv4Util.parse(u("0.0.0.0")) == 0L)
+    assert(Ipv4Util.parse(u("255.255.255.255")) == 4294967295L)
+    for (bad <- Seq("", "1.2.3", "1.2.3.4.5", "1.2.3.256", "a.b.c.d",
+                    "1..2.3", "1.2.3.4.", ".1.2.3.4", "01.2.3.4444"))
+      assert(Ipv4Util.parse(u(bad)) == -1L, s"expected -1 for '$bad'")
+  }
+
+  test("native expressions evaluate via Column API (codegen path)") {
+    val df = Seq("10.0.0.5", "10.0.1.5", "nonsense", null)
+      .toDF("ip")
+      .select(col("ip"),
+        GraftFunctions.ip4ToLong(col("ip")).as("n"),
+        GraftFunctions.cidrMatch(col("ip"), lit("10.0.0.0/24")).as("m"))
+    val r = df.collect()
+    assert(r(0).getLong(1) == 167772165L && r(0).getBoolean(2))
+    assert(!r(1).getBoolean(2))
+    assert(r(2).isNullAt(1) && r(2).isNullAt(2))
+    assert(r(3).isNullAt(1) && r(3).isNullAt(2))
+  }
+
+  test("SQL registration: ip4_to_long / cidr_match callable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT ip4_to_long('1.2.3.4') AS n,
+        |       cidr_match('192.168.1.77', '192.168.0.0/16') AS hit,
+        |       cidr_match('192.169.0.1', '192.168.0.0/16') AS miss,
+        |       cidr_match('192.168.1.77', 'junk') AS bad""".stripMargin).head()
+    assert(r.getLong(0) == 16909060L)
+    assert(r.getBoolean(1) && !r.getBoolean(2) && r.isNullAt(3))
+  }
+
+  test("native cidr_match agrees with the composite NetFunctions version") {
+    val ips = (0 until 256).map(i => s"10.0.${i % 8}.$i").toDF("ip")
+    val both = ips.select(
+      GraftFunctions.cidrMatch(col("ip"), lit("10.0.4.0/22")).as("native"),
+      NetFunctions.cidrMatch(col("ip"), "10.0.4.0/22").as("composite"))
+    assert(both.filter(col("native") =!= col("composite")).count() == 0)
+  }
+
+  test("/0 matches everything; /32 matches only itself") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT cidr_match('8.8.8.8', '0.0.0.0/0') AS all_v4,
+        |       cidr_match('1.2.3.4', '1.2.3.4/32') AS self,
+        |       cidr_match('1.2.3.5', '1.2.3.4/32') AS nbr""".stripMargin).head()
+    assert(r.getBoolean(0) && r.getBoolean(1) && !r.getBoolean(2))
+  }
+}
