@@ -11,6 +11,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.core.Graft.tune(spark)
+    // JVM/codegen/parquet-footer warmup so the first timed query isn't
+    // charged ~4s of one-time session cost
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
+      .groupBy("l_returnflag").count().collect()
     val all = SparkEntry.queries
     val names =
       if (SparkEntry.benchQueries.nonEmpty) SparkEntry.benchQueries else all.keys.toSeq

@@ -346,6 +346,13 @@ object SparkEntry {
       // no SQL oracle (rows-only): LSH bucketing recall is spec-tested
       Similarity.annLsh(Tables.embeddings(s, dir), planes = 8, minCosine = 0.2)
         .orderBy("vec_a", "vec_b")),
+
+    "q_embed_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.annIvf(emb, emb.filter(col("vec_id") < 10),
+        centroidStride = 50L, nprobe = 3, k = 10)
+        .orderBy("query_id", "rank")
+    }),
   )
 
   /** Headline queries Bench runs at sf0.1. */
@@ -388,6 +395,12 @@ object SparkEntry {
     """list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0)"""
   private def fpSql(expr: String) =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length($expr) + 1), i -> CAST(ascii(substr($expr, CAST(i AS INT), 1)) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 140737488355213)"""
+  /** Left-fold dot product — same summation order as VectorFunctions. */
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($a) + 1), i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)])), (x, y) -> x + y)"
+  private def cosSql(a: String, b: String) =
+    s"(CASE WHEN sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}) = 0 THEN 0.0 ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END)"
+
   private def qfDistSql(p: Seq[Double]) =
     s"""round(sqrt(
        |      ((req_end_ms - req_start_ms - ${p(0)}) / ${p(0)}) ^ 2
@@ -959,6 +972,37 @@ object SparkEntry {
         |  CAST(length(substring(media, CAST(frame_idx * 16 + 1 AS INT), 32)) AS INT) AS frame_len,
         |  md5(substring(media, CAST(frame_idx * 16 + 1 AS INT), 32)) AS frame_md5
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+
+    "q_embed_ann_ivf" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), c AS (
+         |  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0
+         |), asg AS (
+         |  SELECT vec_id AS nbr_id, v AS nv, cid FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosSql("e.v", "c.cv")}, 6) DESC, c.cid ASC) AS crn
+         |    FROM e CROSS JOIN c) WHERE crn = 1
+         |), q AS (
+         |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+         |), probes AS (
+         |  SELECT query_id, qv, cid FROM (
+         |    SELECT q.query_id, q.qv, c.cid,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY round(${cosSql("q.qv", "c.cv")}, 6) DESC, c.cid ASC) AS crn
+         |    FROM q CROSS JOIN c) WHERE crn <= 3
+         |), cand AS (
+         |  SELECT p.query_id, a.nbr_id,
+         |    round(${cosSql("p.qv", "a.nv")}, 4) AS cosine
+         |  FROM probes p JOIN asg a USING (cid)
+         |  WHERE p.query_id <> a.nbr_id
+         |)
+         |SELECT query_id, nbr_id, cosine, CAST(rank AS INT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, nbr_id ASC) AS rank
+         |  FROM cand) WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q_embed_knn" ->
       """WITH q AS (

@@ -56,6 +56,46 @@ object Similarity {
     signs.reduce((a, b) => a + b)
   }
 
+  /** IVF-style ANN: coarse quantizer → inverted lists → probe-limited
+    * search (the FAISS IVF-flat shape, relationally).
+    *
+    * The quantizer here is a deterministic corpus sample (every
+    * `centroidStride`-th vector) standing in for trained k-means
+    * centroids — the plan shape is identical, and determinism keeps it
+    * oracle-checkable. At scale: assignment is one broadcast pass over
+    * the corpus (centroid set is small by construction, N/stride);
+    * probing turns the O(Q·N) brute-force scan into a shuffle-join on
+    * centroid id touching ~nprobe/nlist of the corpus. Similarities are
+    * rounded before ranking so ordering is reproducible across engines. */
+  def annIvf(embeddings: DataFrame, queries: DataFrame, centroidStride: Long,
+             nprobe: Int, k: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val cents = e.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("cid"), col("vec").as("cvec"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("csim", round(VectorFunctions.cosine(col("vec"), col("cvec")), 6))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)))
+      .filter(col("crn") === 1)
+      .select(col("vec_id").as("nbr_id"), col("vec").as("nbr_vec"), col("cid"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("query_vec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", round(VectorFunctions.cosine(col("query_vec"), col("cvec")), 6))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid").asc)))
+      .filter(col("crn") <= nprobe)
+      .select(col("query_id"), col("query_vec"), col("cid"))
+    probes.join(assigned, Seq("cid"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cosine",
+        round(VectorFunctions.cosine(col("query_vec"), col("nbr_vec")), 4))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("nbr_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "cosine", "rank")
+  }
+
   /** Approximate same-bucket neighbor pairs with cosine score. */
   def annLsh(embeddings: DataFrame, planes: Int, minCosine: Double): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))

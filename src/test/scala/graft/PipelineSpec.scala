@@ -81,6 +81,32 @@ class PipelineSpec extends SparkSpec {
     assert(out.find(_("rank") == 2).get("nbr_id") == 2L)
   }
 
+  test("annIvf: probes nearest centroid lists, ranks like brute force there") {
+    // centroids = ids 0 and 2 (stride 2); two clear clusters on axes
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.95f, 0.05f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.05f, 0.95f)),
+      (5L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val out = rowsOf(Similarity.annIvf(
+      emb, emb.filter($"vec_id" === 0L), centroidStride = 2L, nprobe = 1, k = 10))
+    // nprobe=1: only the x-axis list {0,1,5} is searched → neighbors 1 and 5
+    assert(out.map(_("nbr_id")).toSet == Set(1L, 5L))
+    assert(out.find(_("rank") == 1).get("nbr_id") == 1L)
+  }
+
+  test("annIvf with all lists probed matches knnBruteForce") {
+    val emb = (0L until 12L).map(i =>
+      (i, Array.tabulate(4)(d => math.sin(i * 3 + d).toFloat))).toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" < 2L)
+    val ivf = rowsOf(Similarity.annIvf(emb, q, centroidStride = 4L, nprobe = 3, k = 5))
+      .map(r => (r("query_id"), r("rank"), r("nbr_id")))
+    val bf = rowsOf(Similarity.knnBruteForce(emb, q, 5))
+      .map(r => (r("query_id"), r("rank"), r("nbr_id")))
+    assert(ivf.toSet == bf.toSet)
+  }
+
   test("annLsh: identical vectors share bucket and score 1") {
     val emb = Seq(
       (0L, Array.fill(8)(0.5f)),
