@@ -16,26 +16,44 @@ import graft.functions.VectorFunctions
 object PatternFinder {
 
   // ----- F8: config filter DSL → Column tree ---------------------------
-  /** One filter item: values are OR-ed; items are AND-ed by [[filterExpr]].
-    * A missing/null field makes the item false (reference semantics:
-    * configuration.yml:36-42). Ops: exists, eq, ne, gt, ge, lt, le, nin. */
-  final case class FilterItem(field: String, op: String, values: Seq[Any] = Nil)
+  /** One filter item: fields are OR-ed, values are OR-ed within a field;
+    * items are AND-ed by [[filterExpr]]. A missing/null field contributes
+    * false (reference semantics: pattern_finder.py:53-98 — the KeyError
+    * branch — and configuration.yml:36-42).
+    * Ops: ip (CIDR membership), exists, int (set membership),
+    * eq, ne, gt, ge, lt, le, nin. */
+  final case class FilterItem(fields: Seq[String], op: String, values: Seq[Any] = Nil)
 
-  def itemExpr(item: FilterItem): Column = {
-    val c = col(item.field)
-    val vs = item.values
-    item.op match {
-      case "exists" => c.isNotNull
-      case "eq"  => c.isNotNull && vs.map(v => c === lit(v)).reduce(_ || _)
-      case "ne"  => c.isNotNull && vs.map(v => c =!= lit(v)).reduce(_ || _)
-      case "gt"  => c.isNotNull && vs.map(v => c > lit(v)).reduce(_ || _)
-      case "ge"  => c.isNotNull && vs.map(v => c >= lit(v)).reduce(_ || _)
-      case "lt"  => c.isNotNull && vs.map(v => c < lit(v)).reduce(_ || _)
-      case "le"  => c.isNotNull && vs.map(v => c <= lit(v)).reduce(_ || _)
-      case "nin" => c.isNotNull && !vs.map(v => c === lit(v)).reduce(_ || _)
-      case other => throw new IllegalArgumentException(s"filter op $other")
-    }
+  object FilterItem {
+    /** Single-field convenience constructor. */
+    def apply(field: String, op: String): FilterItem =
+      FilterItem(Seq(field), op, Nil)
+    def apply(field: String, op: String, values: Seq[Any]): FilterItem =
+      FilterItem(Seq(field), op, values)
   }
+
+  private def fieldExpr(c: Column, op: String, vs: Seq[Any]): Column = op match {
+    case "exists" => c.isNotNull
+    case "ip"  => c.isNotNull &&
+      vs.map { v =>
+        // bare address = /32 (netaddr IPNetwork semantics)
+        val cidr = if (v.toString.contains("/")) v.toString else v.toString + "/32"
+        graft.functions.NetFunctions.cidrMatch(c, cidr)
+      }.reduce(_ || _)
+    case "int" => c.isNotNull && c.isin(vs: _*)
+    case "eq"  => c.isNotNull && vs.map(v => c === lit(v)).reduce(_ || _)
+    case "ne"  => c.isNotNull && vs.map(v => c =!= lit(v)).reduce(_ || _)
+    case "gt"  => c.isNotNull && vs.map(v => c > lit(v)).reduce(_ || _)
+    case "ge"  => c.isNotNull && vs.map(v => c >= lit(v)).reduce(_ || _)
+    case "lt"  => c.isNotNull && vs.map(v => c < lit(v)).reduce(_ || _)
+    case "le"  => c.isNotNull && vs.map(v => c <= lit(v)).reduce(_ || _)
+    case "nin" => c.isNotNull && !vs.map(v => c === lit(v)).reduce(_ || _)
+    case other => throw new IllegalArgumentException(s"filter op $other")
+  }
+
+  def itemExpr(item: FilterItem): Column =
+    item.fields.map(f => fieldExpr(col(f), item.op, item.values))
+      .reduce(_ || _)
 
   def filterExpr(items: Seq[FilterItem]): Column =
     items.map(itemExpr).reduceOption(_ && _).getOrElse(lit(true))

@@ -222,6 +222,29 @@ class AnalyticsSpec extends SparkSpec {
     val nin = df.filter(filterExpr(Seq(FilterItem("dst_port", "nin", Seq(80)))))
       .collect().map(_.getAs[Long]("flow_id")).toSet
     assert(nin == Set(1L, 3L, 4L))
+    // int = set membership
+    val im = df.filter(filterExpr(Seq(FilterItem("packets", "int", Seq(50, 51)))))
+      .collect().map(_.getAs[Long]("flow_id")).toSet
+    assert(im == Set(3L))
+  }
+
+  test("pattern finder: filter DSL ip op and multi-field OR") {
+    import PatternFinder._
+    val df = Fx.df(spark,
+      Fx(flow_id = 1, src_ip4 = "10.1.0.5", dst_ip = "192.0.2.1"),
+      Fx(flow_id = 2, src_ip4 = "172.16.0.9", dst_ip = "192.0.2.1"),
+      Fx(flow_id = 3, src_ip4 = "172.16.0.9", dst_ip = "10.1.0.7"),
+      Fx(flow_id = 4, src_ip4 = null, src_ip6 = "fd00::1", dst_ip = "192.0.2.1"))
+    // CIDR membership, fields OR-ed: src OR dst in 10.1.0.0/16
+    val hit = df.filter(filterExpr(Seq(
+      FilterItem(Seq("src_ip4", "dst_ip"), "ip", Seq("10.1.0.0/16")))))
+      .collect().map(_.getAs[Long]("flow_id")).toSet
+    assert(hit == Set(1L, 3L))
+    // bare address -> /32
+    val exact = df.filter(filterExpr(Seq(
+      FilterItem("src_ip4", "ip", Seq("172.16.0.9")))))
+      .collect().map(_.getAs[Long]("flow_id")).toSet
+    assert(exact == Set(2L, 3L))
   }
 
   test("pattern finder: biflow pairing + classification (pattern_finder.py:168-194)") {
