@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.analytics.HostStats
+import graft.expressions.Ipv4Util
+import graft.functions.TextFunctions
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property tests (SURVEY.md §5): reduce-order invariance of the
+  * aggregations (the reference's A10/A11 are order-dependent — ours must
+  * not be), portability of the 47-bit fingerprint hash, and native-parse
+  * equivalence against the JDK.
+  */
+class PropertySpec extends SparkSpec {
+
+  /** Draw n samples from a generator (scalatestplus bridge isn't on the
+    * offline classpath, so sampling is explicit). */
+  private def forAll[T](g: Gen[T], n: Int = 20)(f: T => Unit): Unit =
+    Iterator.continually(g.sample).flatten.take(n).foreach(f)
+
+  private val ipGen: Gen[String] = for {
+    a <- Gen.choose(0, 255); b <- Gen.choose(0, 255)
+    c <- Gen.choose(0, 255); d <- Gen.choose(0, 255)
+  } yield s"$a.$b.$c.$d"
+
+  test("property: Ipv4Util.parse agrees with the JDK on all well-formed IPs") {
+    forAll(ipGen, 200) { ip =>
+      val jdk = java.net.InetAddress.getByName(ip).getAddress
+        .foldLeft(0L)((acc, b) => acc * 256 + (b & 0xFF))
+      assert(Ipv4Util.parse(UTF8String.fromString(ip)) == jdk)
+    }
+  }
+
+  test("property: HostStats is invariant under input row order") {
+    val rows = (0 until 40).map { i =>
+      Fx(flow_id = i, src_ip4 = s"10.0.0.${i % 5}", dst_ip = s"192.0.2.${i % 7}",
+        dst_port = 1000 + i % 11, packets = 1 + i % 13, bytes = 100L * (1 + i % 17),
+        tcp_flags = i % 64, start_ms = 1502900000000L + i * 1000,
+        end_ms = 1502900001000L + i * 1500)
+    }
+    val base = rowsOf(HostStats(Fx.df(spark, rows: _*)).orderBy("src_ip"))
+    forAll(Gen.choose(1L, Long.MaxValue), 10) { seed =>
+      val shuffled = new scala.util.Random(seed).shuffle(rows)
+      val out = rowsOf(HostStats(Fx.df(spark, shuffled: _*)).orderBy("src_ip"))
+      assert(out == base)
+    }
+  }
+
+  test("property: fingerprint Column impl == Scala reference impl") {
+    val strGen = Gen.listOf(Gen.asciiPrintableChar).map(_.mkString.take(50))
+    forAll(strGen, 30) { s =>
+      val mod = 140737488355213L
+      val expected = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % mod)
+      import spark.implicits._
+      val got = Seq(s).toDF("s")
+        .select(TextFunctions.fingerprint(col("s"))).head().getLong(0)
+      assert(got == expected, s"fingerprint mismatch for '$s'")
+    }
+  }
+
+  test("property: shingles are exactly the sliding n-grams of the tokens") {
+    import spark.implicits._
+    val textGen = Gen.listOf(Gen.oneOf("aa", "bb", "cc", "dd", "e"))
+      .map(_.mkString(" "))
+    forAll(Gen.zip(textGen, Gen.choose(1, 4)), 30) { case (text, n) =>
+      val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val expected = if (toks.size < n) Seq.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      val got = Seq(text).toDF("text")
+        .select(TextFunctions.wordShingles(col("text"), n))
+        .head().getSeq[String](0)
+      assert(got == expected, s"n=$n text='$text'")
+    }
+  }
+}
