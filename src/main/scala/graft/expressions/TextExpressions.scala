@@ -1,0 +1,164 @@
+package graft.expressions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expressions for the corpus-pipeline hot path.
+  *
+  * The pure-Column composites in TextFunctions are semantically identical
+  * and stay as the portable reference tier, but Spark evaluates
+  * higher-order array lambdas interpreted — tokenize+shingle over a 5k-doc
+  * corpus is ~540k lambda invocations (~3.6 s at sf0.1), and the minhash
+  * fold is millions more. These expressions produce byte-identical values
+  * with one tight JVM loop per row (measured 10-20× on the affected
+  * stages). Codegen emits a single static call; value semantics are pinned
+  * by specs asserting equality with the Column composites, and by the
+  * DuckDB oracles which are shared with the composite tier.
+  */
+object TextUtil {
+
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+  final val Mod47 = 140737488355213L // 2^47 - 115 (prime)
+
+  /** Lower-cased whitespace tokens, n-gram shingled (space-joined),
+    * optionally de-duplicated keeping first occurrence. n=1, distinct=false
+    * is plain tokenization. Matches TextFunctions.wordShingles +
+    * array_distinct exactly (trim is subsumed by the empty-token filter). */
+  def shingles(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
+    val toks0 = ws.split(text.toString.toLowerCase)
+    val toks = if (toks0.length > 0 && toks0(0).isEmpty) toks0.drop(1) else toks0
+    val m = toks.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var k = 1
+      while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    if (!distinct) new GenericArrayData(out)
+    else {
+      val seen = new mutable.LinkedHashSet[Any]
+      var j = 0
+      while (j < m) { seen.add(out(j)); j += 1 }
+      new GenericArrayData(seen.toArray)
+    }
+  }
+
+  /** 47-bit polynomial hash of each element: fold (acc*31 + codepoint)
+    * mod 2^47-115 — identical to TextFunctions.fingerprint /
+    * VectorFunctions.tokenHashes (BMP codepoints = UTF-16 chars). */
+  def polyHash47(arr: ArrayData): ArrayData = {
+    val nEl = arr.numElements()
+    val out = new Array[Long](nEl)
+    var i = 0
+    while (i < nEl) {
+      val s = arr.getUTF8String(i).toString
+      var acc = 0L
+      var j = 0
+      while (j < s.length) { acc = (acc * 31 + s.charAt(j)) % Mod47; j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** k running minima under affine permutations (2i+1)·h + 31i+7 mod p —
+    * identical to the zip_with fold in TextPipeline.minhashLsh. */
+  def minhashSig(hashes: ArrayData, k: Int): ArrayData = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val nEl = hashes.numElements()
+    var i = 0
+    while (i < nEl) {
+      val h = hashes.getLong(i)
+      var p = 0
+      while (p < k) {
+        val v = (h * (2 * p + 1) + 31L * p + 7L) % Mod47
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+case class WordShingles(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextUtil.shingles(input.asInstanceOf[UTF8String], n, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextUtil.shingles($c, $n, $distinct);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+case class PolyHash47(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "poly_hash47"
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextUtil.polyHash47(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextUtil.polyHash47($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash47 =
+    copy(child = newChild)
+}
+
+case class MinhashSig(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<long>")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextUtil.minhashSig(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextUtil.minhashSig($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
+}
+
+/** Column wrappers. */
+object TextExpressions {
+  def wordShingles(text: Column, n: Int, distinct: Boolean = false): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n, distinct))
+  def polyHash47(arr: Column): Column =
+    ColumnBridge.column(PolyHash47(ColumnBridge.expression(arr)))
+  def minhashSig(hashes: Column, k: Int): Column =
+    ColumnBridge.column(MinhashSig(ColumnBridge.expression(hashes), k))
+}

@@ -65,10 +65,9 @@ object TextPipeline {
     * small by construction (only shingles with df > maxDf). */
   def nearDupJaccard(docs: DataFrame, n: Int, minJaccard: Double,
                      maxDf: Long = 0L): DataFrame = {
-    val shingled = docs
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        array_distinct(TextFunctions.shinglesFromTokens(col("toks"), n)).as("shingles"))
+    val shingled = docs.select(col("doc_id"),
+      graft.expressions.TextExpressions
+        .wordShingles(col("text"), n, distinct = true).as("shingles"))
     val inv0 = shingled
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -77,7 +76,10 @@ object TextPipeline {
       else {
         val heavy = inv0.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDf).select("shingle")
+        // also persisted: three consumers below would each re-run the
+        // anti-join over the full index otherwise
         inv0.join(broadcast(heavy), Seq("shingle"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val shared = inv.as("a").join(inv.as("b"),
@@ -102,27 +104,18 @@ object TextPipeline {
   def minhashLsh(docs: DataFrame, n: Int, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
-    val p = 140737488355213L
-    val shingled = docs
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        array_distinct(TextFunctions.shinglesFromTokens(col("toks"), n)).as("shingles"))
+    val shingled = docs.select(col("doc_id"),
+      graft.expressions.TextExpressions
+        .wordShingles(col("text"), n, distinct = true).as("shingles"))
       .filter(size(col("shingles")) > 0)
-    val hashes = shingled.withColumn("hashes",
-      transform(col("shingles"), s =>
-        aggregate(
-          transform(sequence(lit(1), length(s)), i => ascii(substr(s, i, lit(1))).cast("long")),
-          lit(0L), (acc, c) => (acc * 31 + c) % p)))
-    // k deterministic affine permutations (2i+1 odd → bijective-ish mod p),
-    // computed in ONE fold over the hash array: per shingle hash h, the k
-    // running minima update via zip_with against a literal (a,b) table —
-    // k separate aggregates would re-evaluate `hashes` k× per row.
-    val ab = array((0 until k).map(i =>
-      struct(lit(2L * i + 1).as("a"), lit(31L * i + 7).as("b"))): _*)
-    val sig = hashes.withColumn("signature",
-      aggregate(col("hashes"), array_repeat(lit(Long.MaxValue), k),
-        (m, h) => zip_with(m, ab,
-          (mi, c) => least(mi, pmod(h * c.getField("a") + c.getField("b"), lit(p))))))
+    // native tight-loop expressions: 47-bit polynomial hash per shingle,
+    // then k affine-permutation minima in one pass (values identical to
+    // the Column-composite fold — spec-asserted and oracle-checked)
+    val sig = shingled
+      .withColumn("hashes",
+        graft.expressions.TextExpressions.polyHash47(col("shingles")))
+      .withColumn("signature",
+        graft.expressions.TextExpressions.minhashSig(col("hashes"), k))
     // band → bucket key; Scala-side band loop so `signature` is referenced
     // a constant number of times per row, never inside a per-element lambda.
     // Key = band index + the band's signature VALUES (not a hash of them):
@@ -149,13 +142,14 @@ object TextPipeline {
       .distinct()
   }
 
-  /** SimHash per document over whitespace tokens (47 planes). Token
-    * hashes are materialized once; the 47 per-bit votes read the bound
-    * column instead of re-hashing every token 47 times. */
+  /** SimHash per document over whitespace tokens (47 planes). Tokens and
+    * their hashes come from the native tight-loop expressions; the vote
+    * fold is the single-pass Column composite. */
   def simhash(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-      .withColumn("hashes", graft.functions.VectorFunctions.tokenHashes(col("toks")))
+      .select(col("doc_id"), graft.expressions.TextExpressions
+        .wordShingles(col("text"), 1, distinct = false).as("toks"))
+      .withColumn("hashes", graft.expressions.TextExpressions.polyHash47(col("toks")))
       .select(col("doc_id"),
         graft.functions.VectorFunctions.simhashFromHashes(col("hashes")).as("simhash"))
 

@@ -51,6 +51,39 @@ class ExpressionsSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("composite")).count() == 0)
   }
 
+  test("native word_shingles/poly_hash47/minhash_sig equal the Column composites") {
+    import graft.expressions.TextExpressions
+    import graft.functions.{TextFunctions, VectorFunctions}
+    val docs = Seq(
+      "The quick brown fox  jumps over the lazy dog",
+      "a a a a b", "single", "", "  ", "Tabs and  Spaces mixed")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val native = docs.select(col("doc_id"),
+        TextExpressions.wordShingles(col("text"), n, distinct = true).as("s"))
+      val composite = docs.select(col("doc_id"),
+        array_distinct(TextFunctions.wordShingles(col("text"), n)).as("s"))
+      assert(native.exceptAll(composite).count() == 0
+        && composite.exceptAll(native).count() == 0, s"shingles n=$n")
+    }
+    val toks = docs.select(col("doc_id"),
+      TextExpressions.wordShingles(col("text"), 1).as("toks"))
+    val hNative = toks.select(col("doc_id"),
+      TextExpressions.polyHash47(col("toks")).as("h"))
+    val hComposite = toks.select(col("doc_id"),
+      VectorFunctions.tokenHashes(col("toks")).cast("array<bigint>").as("h"))
+    assert(hNative.exceptAll(hComposite).count() == 0, "polyHash47")
+    val sigNative = hNative.select(TextExpressions.minhashSig(col("h"), 8).as("sig"))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    val p = 140737488355213L
+    val sigRef = hNative.collect().map { r =>
+      val hs = r.getSeq[Long](1)
+      (0 until 8).map(i => (hs.map(h => (h * (2 * i + 1) + 31L * i + 7L) % p)
+        :+ Long.MaxValue).min).toSeq
+    }.toSeq
+    assert(sigNative == sigRef, "minhashSig")
+  }
+
   test("/0 matches everything; /32 matches only itself") {
     GraftFunctions.register(spark)
     val r = spark.sql(
