@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import graft.functions.{BitFunctions, NetFunctions}
 
@@ -73,6 +73,34 @@ object StreamingAnalytics {
       .select(col("window.start").as("hour_start"), col("src_ip"),
         col("packets"), col("bytes"), col("flows"),
         hour(col("window.start")).as("hour_slot"))
+
+  /** ST1 end-to-end: SYN flows keyed by scan identity (horizontal =
+    * src×dst_port, vertical = src×dst_ip — ports_scan.py:180-188).
+    *
+    * Counting lives inside the dedup state rather than a preceding
+    * windowed aggregation: Structured Streaming disallows
+    * flatMapGroupsWithState downstream of an aggregation, and the
+    * reference's driver dict did exactly this accumulate-in-state anyway. */
+  def scanObservations(flows: DataFrame): Dataset[ReportDedup.Observation] = {
+    import flows.sparkSession.implicits._
+    val syn = flows.filter(col("protocol") === 6 && col("tcp_flags").isNotNull &&
+      col("tcp_flags").bitwiseAND(31) === 2 && col("src_ip4").isNotNull &&
+      col("dst_ip").isNotNull && col("dst_port").isNotNull)
+    val h = syn.select(
+      concat_ws("|", lit("horizontal"), col("src_ip4"), col("dst_port")).as("key"),
+      col("start_ms").as("ts"), lit(1L).as("flows"))
+    val v = syn.select(
+      concat_ws("|", lit("vertical"), col("src_ip4"), col("dst_ip")).as("key"),
+      col("start_ms").as("ts"), lit(1L).as("flows"))
+    h.unionByName(v).as[ReportDedup.Observation]
+  }
+
+  /** Streaming port-scan reports with increment semantics + state GC —
+    * the full ports_scan.py pipeline shape (filter → key → stateful
+    * dedup → report stream). */
+  def portScanReports(flows: DataFrame, reportIntervalMs: Long = 60000L,
+                      gcMs: Long = 0L): Dataset[ReportDedup.Report] =
+    ReportDedup(scanObservations(flows), reportIntervalMs, gcMs)
 
   /** J4 streaming form: stream-stream interval join with watermarks on
     * both sides (dns_external_resolvers.py:158-166). */

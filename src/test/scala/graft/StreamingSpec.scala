@@ -83,6 +83,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming port-scan pipeline: SYN flows -> keyed state -> increment reports") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Fx]
+    val out = StreamingAnalytics.portScanReports(mem.toDF(), reportIntervalMs = 60000L)
+    val q = out.writeStream.format("memory").queryName("pscan_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // scanner hits 3 targets on port 22 with pure SYNs; one non-SYN noise row
+      mem.addData(
+        Fx(flow_id = 1, src_ip4 = "10.9.0.1", dst_ip = "192.0.2.1", dst_port = 22,
+          tcp_flags = 2L, start_ms = 1000L),
+        Fx(flow_id = 2, src_ip4 = "10.9.0.1", dst_ip = "192.0.2.2", dst_port = 22,
+          tcp_flags = 2L, start_ms = 2000L),
+        Fx(flow_id = 3, src_ip4 = "10.9.0.1", dst_ip = "192.0.2.3", dst_port = 22,
+          tcp_flags = 2L, start_ms = 3000L),
+        Fx(flow_id = 4, src_ip4 = "10.9.0.1", dst_ip = "192.0.2.4", dst_port = 22,
+          tcp_flags = 18L, start_ms = 3500L))
+      q.processAllAvailable()
+      val rows = spark.table("pscan_out").as[ReportDedup.Report].collect()
+      val horiz = rows.filter(_.key == "horizontal|10.9.0.1|22")
+      // first sighting reported once (throttled afterward), 3 SYN flows total
+      assert(horiz.length == 1 && horiz.head.flows_increment == 1L)
+      // vertical keys: one per (src, dst_ip), non-SYN row excluded
+      assert(rows.count(_.key.startsWith("vertical|")) == 3)
+      // past the report interval: increment picks up the accumulated flows
+      mem.addData(
+        Fx(flow_id = 5, src_ip4 = "10.9.0.1", dst_ip = "192.0.2.9", dst_port = 22,
+          tcp_flags = 2L, start_ms = 70000L))
+      q.processAllAvailable()
+      val h2 = spark.table("pscan_out").as[ReportDedup.Report].collect()
+        .filter(_.key == "horizontal|10.9.0.1|22").sortBy(_.ts)
+      assert(h2.length == 2)
+      assert(h2(1).flows_total == 4L && h2(1).flows_increment == 3L)
+    } finally q.stop()
+  }
+
   test("streaming interval join emits pair within tolerance") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Fx]
