@@ -139,37 +139,27 @@ object SparkEntry {
         .orderBy("p_type")
     }),
 
-    // --- read-side interactive queries (SURVEY §2.9) -------------------
-    "q_read_totals" -> ((s, dir) => {
-      val e = eventsMs(s, dir)
-      val mx = e.agg(max("ts_ms").as("max_ms"))
-      e.crossJoin(broadcast(mx))
-        .filter(col("ts_ms") >= col("max_ms") - 432000000L)
-        .agg(
-          count(lit(1)).as("n_events"),
+    // --- read-side interactive queries (SURVEY §2.9, graft.queries API) -
+    "q_read_totals" -> ((s, dir) =>
+      graft.queries.ReadSide.totals(eventsMs(s, dir), col("ts_ms"), 432000000L,
+        Seq(count(lit(1)).as("n_events"),
           round(sum("value"), 2).as("total_value"),
-          count_distinct(col("user_id")).as("n_users"))
-    }),
+          count_distinct(col("user_id")).as("n_users")))),
 
-    "q_read_latest_per_pair" -> ((s, dir) => {
-      eventsMs(s, dir)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("user_id", "event_type")
-            .orderBy(col("ts_ms").desc, col("event_id").desc)))
-        .filter(col("rn") === 1)
+    "q_read_latest_per_pair" -> ((s, dir) =>
+      graft.queries.ReadSide.latestPerGroup(eventsMs(s, dir),
+        Seq(col("user_id"), col("event_type")), col("ts_ms"), col("event_id"))
         .select(col("user_id"), col("event_type"), col("event_id"),
           col("ts_ms"), round(col("value"), 2).as("value"))
-        .orderBy("user_id", "event_type")
-    }),
+        .orderBy("user_id", "event_type")),
 
     "q_read_histogram" -> ((s, dir) =>
       // Q1 shape: date_histogram(interval) → terms → sum metrics
-      eventsMs(s, dir)
-        .groupBy((col("ts_ms") - col("ts_ms") % 86400000L).as("bucket_ms"),
-          col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
+      graft.queries.ReadSide.timeSeries(eventsMs(s, dir), col("ts_ms"),
+        86400000L, Seq(col("event_type")),
+        Seq(count(lit(1)).as("n_events"),
           round(sum("value"), 2).as("total_value"),
-          count_distinct(col("user_id")).as("n_users"))
+          count_distinct(col("user_id")).as("n_users")))
         .orderBy("bucket_ms", "event_type")),
 
     "q_read_top_contributor" -> ((s, dir) => {
