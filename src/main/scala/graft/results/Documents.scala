@@ -51,6 +51,27 @@ object Documents {
         col("data_array"))
   }
 
+  /** host_daily_profile rows (src_ip, day_start_ms, hour_slot, stats…) →
+    * the reference's 24-slot temporal-profile document
+    * (host_daily_profile.py:155-190): one row per (src_ip, day) with a
+    * dense 24-entry array, zero-filled for silent hours. Event-time hour
+    * indexing replaces the reference's INCREMENT-modulo slotting
+    * (SURVEY §7.4.5). */
+  def dailyProfileDoc(profile: DataFrame): DataFrame = {
+    val slotted = profile
+      .groupBy(col("src_ip"), col("day_start_ms"))
+      .agg(map_from_entries(collect_list(struct(col("hour_slot"),
+        struct(col("packets"), col("bytes"), col("flows"))))).as("by_hour"))
+    slotted.select(
+      lit("host_stats_temporal_profile").as("@type"),
+      timestamp_millis(col("day_start_ms")).as("@timestamp"),
+      col("src_ip").as("src_ipv4"),
+      transform(sequence(lit(0), lit(23)), h =>
+        coalesce(element_at(col("by_hour"), h.cast("int")),
+          struct(lit(0L).as("packets"), lit(0L).as("bytes"), lit(0L).as("flows"))))
+        .as("stats"))
+  }
+
   /** Write documents date-partitioned (daily ES index replacement). */
   def writeDaily(docs: DataFrame, path: String): Unit =
     docs

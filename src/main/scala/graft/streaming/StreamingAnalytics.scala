@@ -102,6 +102,36 @@ object StreamingAnalytics {
                       gcMs: Long = 0L): Dataset[ReportDedup.Report] =
     ReportDedup(scanObservations(flows), reportIntervalMs, gcMs)
 
+  /** J5 streaming form: biflow request/response pairing as a watermarked
+    * stream-stream self-join — equi-join on the canonical biflow key with
+    * an event-time range condition (pattern_finder.py:168-194;
+    * configuration.yml:110's ±tolerance). */
+  def biflowPairs(flows: DataFrame, tolerance: String = "500 milliseconds",
+                  watermark: String = "30 seconds"): DataFrame = {
+    val key = sort_array(array(
+      concat_ws(":", col("src_port"), col("src_ip4")),
+      concat_ws(":", col("dst_port"), col("dst_ip"))))
+    val tagged = flows
+      .filter(col("src_ip4").isNotNull && col("src_port").isNotNull &&
+        col("dst_port").isNotNull)
+      .withColumn("biflow_key", concat_ws("|", key))
+    val req = tagged.filter(col("src_port") > col("dst_port"))
+      .select(col("biflow_key"), col("flow_id").as("req_id"),
+        col("src_ip4").as("client_ip"), col("dst_ip").as("server_ip"),
+        col("event_time").as("req_time"))
+      .withWatermark("req_time", watermark)
+    val rsp = tagged.filter(col("src_port") <= col("dst_port"))
+      .select(col("biflow_key").as("rsp_key"), col("flow_id").as("rsp_id"),
+        col("event_time").as("rsp_time"))
+      .withWatermark("rsp_time", watermark)
+    req.join(rsp,
+      expr(s"biflow_key = rsp_key AND " +
+        s"rsp_time BETWEEN req_time - interval $tolerance " +
+        s"AND req_time + interval $tolerance"))
+      .select(col("biflow_key"), col("req_id"), col("rsp_id"),
+        col("client_ip"), col("server_ip"), col("req_time"), col("rsp_time"))
+  }
+
   /** J4 streaming form: stream-stream interval join with watermarks on
     * both sides (dns_external_resolvers.py:158-166). */
   def externalResolvers(flows: DataFrame, tolerance: String = "5 seconds",

@@ -51,6 +51,19 @@ class ResultsSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("day"))
   }
 
+  test("dailyProfileDoc: dense 24-slot array, zero-filled silent hours") {
+    val profile = Seq(
+      ("10.0.0.1", 0L, 3, 100L, 1000L, 2L),
+      ("10.0.0.1", 0L, 23, 50L, 500L, 1L))
+      .toDF("src_ip", "day_start_ms", "hour_slot", "packets", "bytes", "flows")
+    val doc = Documents.dailyProfileDoc(profile)
+    val r = doc.selectExpr("src_ipv4", "size(stats)",
+      "stats[3].packets", "stats[23].flows", "stats[0].packets").head()
+    assert(r.getString(0) == "10.0.0.1")
+    assert(r.getInt(1) == 24)
+    assert(r.getLong(2) == 100L && r.getLong(3) == 1L && r.getLong(4) == 0L)
+  }
+
   test("ReadSide.minAvgMax and groupSum and distinctCount shapes") {
     val df = Seq(
       (1000L, "a", 1.0, "u1"), (2000L, "a", 3.0, "u2"),

@@ -119,6 +119,71 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ReportDedup state survives a query restart from checkpoint (SURVEY §7.4.4)") {
+    // memory sources are not checkpoint-recoverable; use a replayable
+    // file source like a real deployment would
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val in = java.nio.file.Files.createTempDirectory("obs").toString
+    def addFile(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        lines.mkString("\n").getBytes)
+    val outDir = java.nio.file.Files.createTempDirectory("rep").toString
+    def start() = {
+      val obs = spark.readStream
+        .schema("key STRING, ts BIGINT, flows BIGINT").json(in)
+        .as[ReportDedup.Observation]
+      // parquet sink: the memory sink is not checkpoint-recoverable
+      ReportDedup(obs, reportIntervalMs = 60000L)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+    }
+    val q1 = start()
+    try {
+      addFile("b1.json", """{"key":"k","ts":1000,"flows":5}""")
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the same checkpoint: totals must carry over (the
+    // reference lost its driver dicts on restart — we must not)
+    val q2 = start()
+    try {
+      addFile("b2.json", """{"key":"k","ts":70000,"flows":2}""")
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(outDir).as[ReportDedup.Report]
+        .collect().sortBy(_.ts)
+      assert(rows.map(r => (r.flows_total, r.flows_increment)).toSeq ==
+        Seq((5L, 5L), (7L, 2L)))
+    } finally q2.stop()
+  }
+
+  test("streaming biflow self-join pairs request/response within tolerance") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Fx]
+    val pairs = StreamingAnalytics.biflowPairs(
+      FlowSource.withEventTime(mem.toDF()), tolerance = "500 milliseconds")
+    val q = pairs.writeStream.format("memory").queryName("biflow_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        // request: ephemeral 40000 -> 53
+        Fx(flow_id = 1, src_ip4 = "10.7.0.1", dst_ip = "192.0.2.9",
+          src_port = 40000, dst_port = 53, start_ms = 10000L),
+        // response within 400ms: 53 -> 40000 (same canonical key)
+        Fx(flow_id = 2, src_ip4 = "192.0.2.9", dst_ip = "10.7.0.1",
+          src_port = 53, dst_port = 40000, start_ms = 10400L),
+        // late response beyond tolerance
+        Fx(flow_id = 3, src_ip4 = "192.0.2.9", dst_ip = "10.7.0.1",
+          src_port = 53, dst_port = 40000, start_ms = 20000L))
+      q.processAllAvailable()
+      val got = spark.table("biflow_out").collect()
+      assert(got.length == 1)
+      assert(got(0).getAs[Long]("req_id") == 1L &&
+        got(0).getAs[Long]("rsp_id") == 2L)
+      assert(got(0).getAs[String]("client_ip") == "10.7.0.1")
+    } finally q.stop()
+  }
+
   test("streaming interval join emits pair within tolerance") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Fx]
