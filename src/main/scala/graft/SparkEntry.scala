@@ -290,6 +290,9 @@ object SparkEntry {
     "q_doc_dedup_exact" -> ((s, dir) =>
       TextPipeline.dedupExact(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    "q_doc_dedup_hash" -> ((s, dir) =>
+      TextPipeline.dedupExactByHash(Tables.documents(s, dir)).orderBy("doc_id")),
+
     "q_doc_stats" -> ((s, dir) =>
       TextPipeline.docStats(Tables.documents(s, dir)).orderBy("doc_id")),
 
@@ -813,6 +816,12 @@ object SparkEntry {
       """SELECT doc_id, dup_count FROM (
         |  SELECT min(doc_id) AS doc_id, count(*) AS dup_count
         |  FROM documents GROUP BY text)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_doc_dedup_hash" ->
+      """SELECT doc_id, dup_count FROM (
+        |  SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+        |  FROM documents GROUP BY md5(text))
         |ORDER BY doc_id""".stripMargin,
 
     "q_doc_stats" ->

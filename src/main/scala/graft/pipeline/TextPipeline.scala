@@ -19,10 +19,20 @@ object TextPipeline {
     "for", "on", "with", "as", "at", "by", "from", "that", "this")
 
   /** Exact dedup: canonical representative = min doc_id per identical text;
-    * emits survivors with their duplicate count (A: hash groupBy — one
-    * shuffle keyed by the text hash at scale, group key pruned early). */
+    * emits survivors with their duplicate count (one hash-aggregate
+    * shuffle). Groups by the full text — exact, but the shuffle carries
+    * the documents; see [[dedupExactByHash]] for the at-scale form. */
   def dedupExact(docs: DataFrame): DataFrame =
     docs.groupBy(col("text"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
+      .select("doc_id", "dup_count")
+
+  /** Exact dedup keyed by the md5 digest: the shuffle moves 16-byte keys
+    * instead of whole documents — the standard form for a 100 TB corpus
+    * (collision probability is negligible at any realistic corpus size,
+    * and partial aggregation collapses duplicates map-side). */
+  def dedupExactByHash(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text").cast("binary")).as("text_md5"))
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
       .select("doc_id", "dup_count")
 
