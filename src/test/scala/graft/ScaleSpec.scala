@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.scale.Skew
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedAgg equals plain groupBy on skewed data") {
+    // hot key: 90% of rows on one key
+    val rows = (0 until 1000).map(i =>
+      (if (i < 900) "hot" else s"k${i % 17}", i.toLong))
+    val df = rows.toDF("k", "v").repartition(8)
+    val plain = df.groupBy("k").agg(sum("v").as("total"), count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Skew.saltedAgg(df, col("k"), buckets = 4,
+      Seq(sum("v").as("s"), count(lit(1)).as("c")),
+      Seq(sum("s").as("total"), sum("c").as("cnt")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = java.nio.file.Paths.get("spark-warehouse")
+    try {
+      val left = (0L until 500L).map(i => (i, s"l$i")).toDF("id", "l")
+      val right = (0L until 500L).map(i => (i, i * 2)).toDF("id", "r")
+      Skew.writeBucketed(left, "bk_left", "id", 8)
+      Skew.writeBucketed(right, "bk_right", "id", 8)
+      // force sort-merge (tiny inputs would broadcast, which has no hash
+      // exchange either and would prove nothing about bucketing)
+      val joined = spark.table("bk_left").hint("merge")
+        .join(spark.table("bk_right"), "id")
+      assert(joined.count() == 500)
+      assert(Skew.hasNoShuffle(joined),
+        "bucketed join should have no hashpartitioning exchange:\n" +
+          joined.queryExecution.executedPlan.toString)
+      // contrast: the same join as sort-merge on plain tables needs a
+      // shuffle (hint forces SMJ — tiny inputs would broadcast otherwise)
+      val plain = left.hint("merge").join(right, "id")
+      assert(!Skew.hasNoShuffle(plain))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bk_left")
+      spark.sql("DROP TABLE IF EXISTS bk_right")
+      if (java.nio.file.Files.exists(wh)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(wh).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+}
