@@ -46,4 +46,33 @@ object DnsStatistics {
       .filter(col("rank") <= topN)
       .drop("rank")
   }
+
+  /** Sketch-based top-N (T2 at 100 TB): `approx_top_k` keeps a bounded
+    * DataSketches frequent-items summary per stat type instead of the
+    * exact per-key counts — one aggregation, state O(k), no full key-space
+    * shuffle. Exact on key spaces smaller than the sketch capacity. */
+  def applyApprox(flows: DataFrame, topN: Int = 100): DataFrame = {
+    val dns = flows.filter(col("dns_name").isNotNull && col("dns_flags").isNotNull)
+    val isResp = BitFunctions.dnsIsResponse(col("dns_flags"))
+    val rcode = BitFunctions.dnsRcode(col("dns_flags"))
+    val contributions = array(
+      struct(lit("queried_domain").as("stat_type"),
+        when(!isResp, col("dns_name")).as("key")),
+      struct(lit("qtype").as("stat_type"),
+        when(!isResp, DnsFunctions.qtypeName(col("dns_qtype"))).as("key")),
+      struct(lit("rcode").as("stat_type"),
+        when(isResp, DnsFunctions.rcodeName(rcode)).as("key")),
+      struct(lit("nxdomain_by_domain").as("stat_type"),
+        when(isResp && rcode === 3, col("dns_name")).as("key")),
+      struct(lit("queried_by_ip").as("stat_type"),
+        when(!isResp, coalesce(col("src_ip4"), col("src_ip6"))).as("key")))
+    dns.select(explode(contributions).as("c"))
+      .select(col("c.stat_type"), col("c.key"))
+      .filter(col("key").isNotNull)
+      .groupBy("stat_type")
+      .agg(expr(s"approx_top_k(key, $topN)").as("top"))
+      .select(col("stat_type"), explode(col("top")).as("kv"))
+      .select(col("stat_type"), col("kv.item").as("key"),
+        col("kv.count").as("value"))
+  }
 }

@@ -108,6 +108,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(v("queried_by_ip", "10.0.0.1").contains(3L))
   }
 
+  test("dns statistics: sketch top-N equals exact on a small key space") {
+    val rows = (0 until 60).map(i =>
+      Fx(flow_id = i, dns_name = s"d${i % 7}.example", dns_qtype = Some(1),
+        dns_flags = Some(256L)))
+    // topN >= distinct keys: counts must be exact (tie ORDER at a cut is
+    // sketch-arbitrary, so no cut here)
+    val exact = rowsOf(DnsStatistics(Fx.df(spark, rows: _*), topN = 10))
+      .map(r => (r("stat_type"), r("key"), r("value"))).toSet
+    val approx = rowsOf(DnsStatistics.applyApprox(Fx.df(spark, rows: _*), topN = 10))
+      .map(r => (r("stat_type"), r("key"), r("value"))).toSet
+    assert(approx.filter(_._1 == "queried_domain") ==
+      exact.filter(_._1 == "queried_domain"))
+  }
+
   test("ddos: short-window packet spike vs long profile (detection_ddos.py)") {
     val long = (0 until 10).map(i => Fx(flow_id = i, src_ip4 = "10.3.0.1",
       dst_ip = "192.168.1.1", packets = 10, start_ms = 1000))
