@@ -36,6 +36,17 @@ object TextPipeline {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
       .select("doc_id", "dup_count")
 
+  /** Streaming exact dedup: the first-seen document per md5 digest within
+    * the watermark horizon passes; later duplicates are dropped.
+    * `dropDuplicates` keeps one 16-byte key per distinct document in the
+    * state store and the watermark evicts expired keys — bounded state,
+    * no full-corpus shuffle (the streaming face of [[dedupExactByHash]]).
+    * Input must carry an `event_time` timestamp column. */
+  def dedupStreaming(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("text_md5", md5(col("text").cast("binary")))
+      .withWatermark("event_time", watermark)
+      .dropDuplicates("text_md5")
+
   /** Per-document analysis: token counts, punctuation ratio, stopword
     * ratio, quality score, fingerprint, heuristic language guess.
     * Raw ratios are materialized once (see TextFunctions.tokens). */

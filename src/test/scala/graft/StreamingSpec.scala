@@ -157,6 +157,26 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming dedup keeps first-seen doc per digest across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "event_time")
+    val out = graft.pipeline.TextPipeline.dedupStreaming(docs)
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    try {
+      mem.addData((1L, "alpha", ts(10)), (2L, "beta", ts(11)), (3L, "alpha", ts(12)))
+      q.processAllAvailable()
+      mem.addData((4L, "alpha", ts(20)), (5L, "gamma", ts(21)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      // duplicates of "alpha" (ids 3, 4) dropped, including across batches
+      assert(ids == Set(1L, 2L, 5L))
+    } finally q.stop()
+  }
+
   test("streaming biflow self-join pairs request/response within tolerance") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Fx]
