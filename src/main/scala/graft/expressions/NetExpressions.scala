@@ -136,13 +136,34 @@ object GraftFunctions {
 
   type Builder = Seq[Expression] => Expression
 
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case lit if lit.foldable => lit.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a literal int, got $other")
+    }
+    case _ => throw new IllegalArgumentException(s"$fn expects a literal int")
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
     (FunctionIdentifier("ip4_to_long"),
       new ExpressionInfo(classOf[Ipv4ToLong].getName, "ip4_to_long"),
       (e: Seq[Expression]) => Ipv4ToLong(e.head)),
     (FunctionIdentifier("cidr_match"),
       new ExpressionInfo(classOf[CidrMatch].getName, "cidr_match"),
-      (e: Seq[Expression]) => CidrMatch(e(0), e(1))))
+      (e: Seq[Expression]) => CidrMatch(e(0), e(1))),
+    (FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (e: Seq[Expression]) => WordShingles(e.head,
+        if (e.size > 1) intArg(e(1), "word_shingles") else 1,
+        distinct = e.size > 2 && e(2).foldable &&
+          e(2).eval() == java.lang.Boolean.TRUE)),
+    (FunctionIdentifier("poly_hash47"),
+      new ExpressionInfo(classOf[PolyHash47].getName, "poly_hash47"),
+      (e: Seq[Expression]) => PolyHash47(e.head)),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+      (e: Seq[Expression]) => MinhashSig(e.head, intArg(e(1), "minhash_sig"))))
 
   /** Register on a live session (the no-extensions path). */
   def register(spark: SparkSession): Unit = {

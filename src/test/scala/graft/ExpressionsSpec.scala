@@ -43,6 +43,19 @@ class ExpressionsSpec extends SparkSpec {
     assert(r.getBoolean(1) && !r.getBoolean(2) && r.isNullAt(3))
   }
 
+  test("SQL registration: text expressions callable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT word_shingles('a b c', 2, true) AS sh,
+        |       poly_hash47(array('ab')) AS h,
+        |       minhash_sig(poly_hash47(array('ab')), 2) AS sig""".stripMargin).head()
+    assert(r.getSeq[String](0) == Seq("a b", "b c"))
+    val expected = ("ab".foldLeft(0L)((acc, c) => (acc * 31 + c) % 140737488355213L))
+    assert(r.getSeq[Long](1) == Seq(expected))
+    assert(r.getSeq[Long](2) == Seq(
+      (expected + 7) % 140737488355213L, (expected * 3 + 38) % 140737488355213L))
+  }
+
   test("native cidr_match agrees with the composite NetFunctions version") {
     val ips = (0 until 256).map(i => s"10.0.${i % 8}.$i").toDF("ip")
     val both = ips.select(
