@@ -108,6 +108,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(v("queried_by_ip", "10.0.0.1").contains(3L))
   }
 
+  test("golden: 10x input replay scales flow counts 10x (integration-test analog)") {
+    // the reference's only test replays a canned capture 10x and asserts
+    // the protocol flow counts {20,40,60} (provisioning/test/integration,
+    // query_for_data.py:6-21); same invariant here
+    val base = Seq.tabulate(6)(i => Fx(flow_id = i, protocol = 6)) ++
+      Seq.tabulate(4)(i => Fx(flow_id = 10 + i, protocol = 17)) ++
+      Seq.tabulate(2)(i => Fx(flow_id = 20 + i, protocol = 1))
+    val replayed = (0 until 10).flatMap(r =>
+      base.map(f => f.copy(flow_id = f.flow_id + 1000L * r)))
+    val out = rowsOf(ProtocolStatistics(Fx.df(spark, replayed: _*), 3600000L))
+    def flows(p: String) = out.find(_("protocol") == p).get("flows")
+    assert(flows("tcp") == 60L && flows("udp") == 40L && flows("other") == 20L)
+  }
+
   test("dns statistics: sketch top-N equals exact on a small key space") {
     val rows = (0 until 60).map(i =>
       Fx(flow_id = i, dns_name = s"d${i % 7}.example", dns_qtype = Some(1),
