@@ -6,6 +6,23 @@ import graft.functions._
 /** Unit specs for the scalar/bit/net/text/vector function library
   * (SURVEY.md §2.8). Reference semantics cited per test. */
 class FunctionsSpec extends SparkSpec {
+
+  test("time: ISO8601 emission + h:mm:ss durations (X15/X16)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1502900000000L, 3661000L),     // 1h 1m 1s
+      (1700000000123L, 90000000L))    // 25h — beyond time-of-day formats
+      .toDF("ts_ms", "dur_ms")
+      .select(
+        graft.functions.TimeFunctions.isoTimestamp(col("ts_ms")).as("iso"),
+        graft.functions.TimeFunctions.durationHms(col("dur_ms")).as("hms"))
+    val r = df.collect()
+    assert(r(0).getString(0) == "2017-08-16T16:13:20.000Z")
+    assert(r(1).getString(0) == "2023-11-14T22:13:20.123Z")
+    assert(r(0).getString(1) == "1:01:01")
+    assert(r(1).getString(1) == "25:00:00")
+  }
   import spark.implicits._
 
   private def eval1(c: org.apache.spark.sql.Column): Any =
