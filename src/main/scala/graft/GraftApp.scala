@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.core.Graft
+import graft.streaming.{FlowSource, ResultSink, StreamingAnalytics}
+
+/** Runnable streaming application — the analog of the reference's
+  * spark-submitted apps (run-application.sh.j2 + per-app argparse mains).
+  *
+  * One configurable main replaces the 13 Python entrypoints: pick the
+  * analytic by name, the source (a Kafka topic or a JSON file directory),
+  * and the parquet output/checkpoint paths. Example:
+  *
+  * {{{
+  * spark-submit --class graft.GraftApp graft.jar \
+  *   --analytic protocol_statistics --input-json /data/flows \
+  *   --output /results/protocols --checkpoint /ckpt/protocols \
+  *   --window "10 seconds"
+  * }}}
+  */
+object GraftApp {
+
+  final case class Config(
+      analytic: String = "protocol_statistics",
+      inputJson: Option[String] = None,
+      kafka: Option[(String, String)] = None, // bootstrap, topic
+      output: String = "out",
+      checkpoint: String = "ckpt",
+      window: String = "10 seconds",
+      slide: Option[String] = None,
+      watermark: String = "30 seconds")
+
+  /** Analytic name → streaming transform over a flow stream. */
+  def analytic(c: Config): DataFrame => DataFrame = c.analytic match {
+    case "protocol_statistics" =>
+      StreamingAnalytics.protocolStatistics(_, c.window, c.slide, c.watermark)
+    case "host_stats" =>
+      StreamingAnalytics.hostStats(_, c.window,
+        c.slide.getOrElse(c.window), c.watermark)
+    case "host_daily_profile" =>
+      StreamingAnalytics.dailyProfile(_, c.watermark)
+    case "dns_external_resolvers" =>
+      StreamingAnalytics.externalResolvers(_, watermark = c.watermark)
+    case "biflow_pairs" =>
+      StreamingAnalytics.biflowPairs(_, watermark = c.watermark)
+    case "ports_scan" =>
+      flows => StreamingAnalytics.portScanReports(flows).toDF()
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown analytic '$other'; known: protocol_statistics host_stats " +
+          "host_daily_profile dns_external_resolvers biflow_pairs ports_scan")
+  }
+
+  /** Build (not start) the full source → analytic → sink query. */
+  def build(spark: SparkSession, c: Config): StreamingQuery = {
+    val flows = (c.inputJson, c.kafka) match {
+      case (Some(dir), _) => FlowSource.files(spark, dir)
+      case (_, Some((bootstrap, topic))) => FlowSource.kafka(spark, bootstrap, topic)
+      case _ => throw new IllegalArgumentException("need --input-json or --kafka")
+    }
+    val result = analytic(c)(FlowSource.withEventTime(flows))
+    ResultSink.parquet(ResultSink.tagged(result, c.analytic),
+      c.output, c.checkpoint).start()
+  }
+
+  def parse(args: Array[String]): Config = {
+    @annotation.tailrec
+    def loop(rest: List[String], c: Config): Config = rest match {
+      case "--analytic" :: v :: t    => loop(t, c.copy(analytic = v))
+      case "--input-json" :: v :: t  => loop(t, c.copy(inputJson = Some(v)))
+      case "--kafka" :: b :: topic :: t => loop(t, c.copy(kafka = Some((b, topic))))
+      case "--output" :: v :: t      => loop(t, c.copy(output = v))
+      case "--checkpoint" :: v :: t  => loop(t, c.copy(checkpoint = v))
+      case "--window" :: v :: t      => loop(t, c.copy(window = v))
+      case "--slide" :: v :: t       => loop(t, c.copy(slide = Some(v)))
+      case "--watermark" :: v :: t   => loop(t, c.copy(watermark = v))
+      case Nil => c
+      case other :: _ => throw new IllegalArgumentException(s"unknown arg $other")
+    }
+    loop(args.toList, Config())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val c = parse(args)
+    val spark = Graft.session(s"graft-${c.analytic}")
+    build(spark, c).awaitTermination()
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class GraftAppSpec extends SparkSpec {
+
+  private def flowJson(proto: Int, startMs: Long, packets: Int, bytes: Int) =
+    s"""{"ipfix.sourceIPv4Address":"10.0.0.1","ipfix.destinationIPv4Address":"192.0.2.1","ipfix.protocolIdentifier":$proto,"ipfix.sourceTransportPort":40000,"ipfix.destinationTransportPort":80,"ipfix.packetDeltaCount":$packets,"ipfix.octetDeltaCount":$bytes,"ipfix.tcpControlBits":16,"ipfix.flowStartMilliseconds":$startMs,"ipfix.flowEndMilliseconds":${startMs + 500}}"""
+
+  test("GraftApp end-to-end: wire-JSON replay -> protocol stats -> dated parquet") {
+    val in = java.nio.file.Files.createTempDirectory("appin").toString
+    val out = java.nio.file.Files.createTempDirectory("appout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("appckpt").toString
+    def write(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        lines.mkString("\n").getBytes)
+
+    // window [10s, 20s): 3 tcp flows
+    write("b1.json",
+      flowJson(6, 11000L, 2, 100),
+      flowJson(6, 12000L, 3, 200),
+      flowJson(6, 13000L, 5, 300))
+    val q = GraftApp.build(spark, GraftApp.Config(
+      analytic = "protocol_statistics", inputJson = Some(in),
+      output = out, checkpoint = ckpt, window = "10 seconds"))
+    try {
+      q.processAllAvailable()
+      // advance the watermark far past the first window so it closes
+      write("b2.json", flowJson(17, 100000L, 1, 50))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(out)
+        .filter(col("protocol") === "tcp").collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      assert(r.getAs[Long]("flows") == 3L)
+      assert(r.getAs[Long]("packets") == 10L)
+      assert(r.getAs[Long]("bytes") == 600L)
+      assert(r.getAs[String]("type") == "protocol_statistics")
+      // dated partition column present (daily-index replacement)
+      assert(spark.read.parquet(out).columns.contains("date"))
+    } finally q.stop()
+  }
+
+  test("GraftApp.parse maps CLI args") {
+    val c = GraftApp.parse(Array(
+      "--analytic", "ports_scan", "--input-json", "/x",
+      "--output", "/o", "--checkpoint", "/c",
+      "--window", "60 seconds", "--slide", "5 seconds"))
+    assert(c.analytic == "ports_scan" && c.inputJson.contains("/x"))
+    assert(c.window == "60 seconds" && c.slide.contains("5 seconds"))
+    intercept[IllegalArgumentException] { GraftApp.parse(Array("--nope")) }
+    intercept[IllegalArgumentException] {
+      GraftApp.analytic(GraftApp.Config(analytic = "bogus"))
+    }
+  }
+}
