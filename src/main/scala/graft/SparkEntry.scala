@@ -353,7 +353,8 @@ object SparkEntry {
     "q_host_stats", "q_top_n_host_stats", "q_dns_statistics",
     "q_dns_external_resolvers", "q_pattern_finder",
     "q_doc_stats", "q_doc_near_dup", "q_embed_knn",
-    "q_minhash_candidates", "q_simhash", "q_media_frames")
+    "q_minhash_candidates", "q_simhash", "q_media_frames",
+    "q_embed_ann_ivf", "q_media_features")
 
   // ---------------------------------------------------------------------
   // DuckDB oracles. `flows` CTE = FlowSynth.cteSql (identical mapping).
