@@ -96,6 +96,49 @@ object Similarity {
       .select("query_id", "nbr_id", "cosine", "rank")
   }
 
+  /** IVF with a TRAINED coarse quantizer (MLlib k-means) — the production
+    * form of [[annIvf]] (which uses a deterministic corpus sample so the
+    * oracle can replay it). Same plan shape: broadcast assignment pass,
+    * probe-limited candidate join on the list id. k-means runs on a
+    * sample (`trainFraction`) — at 100 TB you never train on the corpus. */
+  def annIvfKmeans(embeddings: DataFrame, queries: DataFrame, nlist: Int,
+                   nprobe: Int, k: Int, trainFraction: Double = 1.0,
+                   seed: Long = 7L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .withColumn("features", array_to_vector(col("vec")))
+    val train = if (trainFraction >= 1.0) e else e.sample(trainFraction, seed)
+    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
+      .fit(train)
+    val assigned = model.transform(e)
+      .select(col("vec_id").as("nbr_id"), col("vec").as("nbr_vec"),
+        col("prediction").as("cid"))
+    val q = queries.select(col("vec_id").as("query_id"),
+        asDouble(col("embedding")).as("query_vec"))
+      .withColumn("features", array_to_vector(col("query_vec")))
+    // rank all centroids per query by distance, keep nprobe nearest
+    val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.toSeq)
+    }.toSeq
+    val centDf = broadcast(embeddings.sparkSession.createDataFrame(cents)
+      .toDF("cid", "cvec"))
+    val probes = q.crossJoin(centDf)
+      .withColumn("csim", VectorFunctions.cosine(col("query_vec"), col("cvec")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid").asc)))
+      .filter(col("crn") <= nprobe)
+      .select(col("query_id"), col("query_vec"), col("cid"))
+    probes.join(assigned, Seq("cid"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cosine",
+        round(VectorFunctions.cosine(col("query_vec"), col("nbr_vec")), 4))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("nbr_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "cosine", "rank")
+  }
+
   /** Approximate same-bucket neighbor pairs with cosine score. */
   def annLsh(embeddings: DataFrame, planes: Int, minCosine: Double): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))

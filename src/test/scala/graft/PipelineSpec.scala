@@ -107,6 +107,21 @@ class PipelineSpec extends SparkSpec {
     assert(ivf.toSet == bf.toSet)
   }
 
+  test("annIvfKmeans: trained quantizer separates clusters; full probe == brute force") {
+    // two tight clusters around the axes
+    val emb = ((0 until 6).map(i => (i.toLong, Array(1.0f + i * 0.01f, 0.0f))) ++
+      (6 until 12).map(i => (i.toLong, Array(0.0f, 1.0f + i * 0.01f)))).toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 0L)
+    val one = rowsOf(Similarity.annIvfKmeans(emb, q, nlist = 2, nprobe = 1, k = 20))
+    // nprobe=1: only the x-cluster list is searched
+    assert(one.map(_("nbr_id").asInstanceOf[Long]).toSet == Set(1L, 2L, 3L, 4L, 5L))
+    val all = rowsOf(Similarity.annIvfKmeans(emb, q, nlist = 2, nprobe = 2, k = 5))
+      .map(r => (r("rank"), r("nbr_id")))
+    val bf = rowsOf(Similarity.knnBruteForce(emb, q, 5))
+      .map(r => (r("rank"), r("nbr_id")))
+    assert(all.toSet == bf.toSet)
+  }
+
   test("annLsh: identical vectors share bucket and score 1") {
     val emb = Seq(
       (0L, Array.fill(8)(0.5f)),
