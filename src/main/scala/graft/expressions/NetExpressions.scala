@@ -182,8 +182,12 @@ object GraftFunctions {
     column(CidrMatch(expression(ip), expression(cidr)))
 }
 
-/** `--conf spark.sql.extensions=graft.expressions.GraftExtensions` */
+/** `--conf spark.sql.extensions=graft.expressions.GraftExtensions` —
+  * registers the native functions and the opt-in count_distinct→HLL
+  * optimizer rewrite (flag `spark.graft.approxDistinct`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
+  }
 }
