@@ -64,6 +64,44 @@ class ResultsSpec extends SparkSpec {
     assert(r.getLong(2) == 100L && r.getLong(3) == 1L && r.getLong(4) == 0L)
   }
 
+  test("full chain: streaming host stats -> nested doc -> daily store -> read-side query") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("chain").toString
+    val mem = MemoryStream[Fx]
+    val stats = graft.streaming.StreamingAnalytics.hostStats(
+      graft.streaming.FlowSource.withEventTime(mem.toDF()),
+      window = "10 seconds", slide = "10 seconds")
+    val q = graft.streaming.ResultSink.foreachBatch(stats) { (batch, _) =>
+      if (!batch.isEmpty)
+        Documents.writeDaily(
+          Documents.hostStatsDoc(
+            batch.withColumn("src_ip", col("src_ip")),
+            col("window.start").cast("long") * 1000L),
+          store)
+    }.start()
+    try {
+      mem.addData(
+        Fx(flow_id = 1, src_ip4 = "10.0.0.1", packets = 10, bytes = 500,
+          start_ms = 1700000000000L),
+        Fx(flow_id = 2, src_ip4 = "10.0.0.1", packets = 4, bytes = 200,
+          start_ms = 1700000002000L),
+        // watermark push so the window closes
+        Fx(flow_id = 9, src_ip4 = "10.0.0.9", start_ms = 1700000100000L))
+      q.processAllAvailable()
+      val day = "2023-11-14"
+      val docs = Documents.readDaily(spark, store, day, day)
+      val r = docs.filter(col("src_ip") === "10.0.0.1")
+        .selectExpr("stats.total.packets", "stats.total.flow").head()
+      assert(r.getLong(0) == 14L && r.getLong(1) == 2L)
+      // read-side heatmap over the stored documents
+      val heat = ReadSide.groupSum(docs, col("src_ip"),
+        col("stats.total.flow")).collect()
+      assert(heat.head.getString(0) == "10.0.0.1")
+    } finally q.stop()
+  }
+
   test("ReadSide.minAvgMax and groupSum and distinctCount shapes") {
     val df = Seq(
       (1000L, "a", 1.0, "u1"), (2000L, "a", 3.0, "u2"),
