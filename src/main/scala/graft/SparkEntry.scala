@@ -139,6 +139,23 @@ object SparkEntry {
         .orderBy("p_type")
     }),
 
+    "q_anti_join" -> ((s, dir) =>
+      // left_anti: the idiomatic large-whitelist / EXCEPT replacement
+      // (SURVEY §2.3 note below J8)
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    "q_rollup_revenue" -> ((s, dir) =>
+      // grouping-set rollup (SURVEY §2.4: exposed for free by Spark)
+      Tables.orders(s, dir)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus", "o_orderpriority")),
+
     // --- read-side interactive queries (SURVEY §2.9, graft.queries API) -
     "q_read_totals" -> ((s, dir) =>
       graft.queries.ReadSide.totals(eventsMs(s, dir), col("ts_ms"), 432000000L,
@@ -444,6 +461,19 @@ object SparkEntry {
         |          ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
         |      FROM events)
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_rollup_revenue" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  round(sum(o_totalprice), 2) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_read_histogram" ->
       """SELECT epoch_ms(ts) - epoch_ms(ts) % 86400000 AS bucket_ms, event_type,
