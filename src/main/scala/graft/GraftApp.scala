@@ -41,6 +41,8 @@ object GraftApp {
         c.slide.getOrElse(c.window), c.watermark)
     case "host_daily_profile" =>
       StreamingAnalytics.dailyProfile(_, c.watermark)
+    case "dns_statistics" =>
+      StreamingAnalytics.dnsStatistics(_, c.window, c.watermark)
     case "dns_external_resolvers" =>
       StreamingAnalytics.externalResolvers(_, watermark = c.watermark)
     case "biflow_pairs" =>
@@ -50,7 +52,8 @@ object GraftApp {
     case other =>
       throw new IllegalArgumentException(
         s"unknown analytic '$other'; known: protocol_statistics host_stats " +
-          "host_daily_profile dns_external_resolvers biflow_pairs ports_scan")
+          "host_daily_profile dns_statistics dns_external_resolvers " +
+          "biflow_pairs ports_scan")
   }
 
   /** Build (not start) the full source → analytic → sink query. */

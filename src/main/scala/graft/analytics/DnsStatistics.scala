@@ -19,12 +19,13 @@ import graft.functions.{BitFunctions, DnsFunctions}
   */
 object DnsStatistics {
 
-  def apply(flows: DataFrame, topN: Int = 100): DataFrame = {
+  /** F12 fanout: one DNS flow → 0..5 (stat_type, key) contribution rows.
+    * `carry` columns (e.g. event_time for streaming windows) ride along. */
+  def contributions(flows: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val dns = flows.filter(col("dns_name").isNotNull && col("dns_flags").isNotNull)
     val isResp = BitFunctions.dnsIsResponse(col("dns_flags"))
     val rcode = BitFunctions.dnsRcode(col("dns_flags"))
-
-    val contributions = array(
+    val fanout = array(
       struct(lit("queried_domain").as("stat_type"),
         when(!isResp, col("dns_name")).as("key")),
       struct(lit("qtype").as("stat_type"),
@@ -35,10 +36,13 @@ object DnsStatistics {
         when(isResp && rcode === 3, col("dns_name")).as("key")),
       struct(lit("queried_by_ip").as("stat_type"),
         when(!isResp, coalesce(col("src_ip4"), col("src_ip6"))).as("key")))
-
-    dns.select(explode(contributions).as("c"))
-      .select(col("c.stat_type"), col("c.key"))
+    dns.select(explode(fanout).as("c") +: carry.map(col): _*)
+      .select(col("c.stat_type") +: col("c.key") +: carry.map(col): _*)
       .filter(col("key").isNotNull)
+  }
+
+  def apply(flows: DataFrame, topN: Int = 100): DataFrame = {
+    contributions(flows)
       .groupBy("stat_type", "key")
       .agg(count(lit(1)).as("value"))
       .withColumn("rank", row_number().over(
@@ -52,23 +56,7 @@ object DnsStatistics {
     * exact per-key counts — one aggregation, state O(k), no full key-space
     * shuffle. Exact on key spaces smaller than the sketch capacity. */
   def applyApprox(flows: DataFrame, topN: Int = 100): DataFrame = {
-    val dns = flows.filter(col("dns_name").isNotNull && col("dns_flags").isNotNull)
-    val isResp = BitFunctions.dnsIsResponse(col("dns_flags"))
-    val rcode = BitFunctions.dnsRcode(col("dns_flags"))
-    val contributions = array(
-      struct(lit("queried_domain").as("stat_type"),
-        when(!isResp, col("dns_name")).as("key")),
-      struct(lit("qtype").as("stat_type"),
-        when(!isResp, DnsFunctions.qtypeName(col("dns_qtype"))).as("key")),
-      struct(lit("rcode").as("stat_type"),
-        when(isResp, DnsFunctions.rcodeName(rcode)).as("key")),
-      struct(lit("nxdomain_by_domain").as("stat_type"),
-        when(isResp && rcode === 3, col("dns_name")).as("key")),
-      struct(lit("queried_by_ip").as("stat_type"),
-        when(!isResp, coalesce(col("src_ip4"), col("src_ip6"))).as("key")))
-    dns.select(explode(contributions).as("c"))
-      .select(col("c.stat_type"), col("c.key"))
-      .filter(col("key").isNotNull)
+    contributions(flows)
       .groupBy("stat_type")
       .agg(expr(s"approx_top_k(key, $topN)").as("top"))
       .select(col("stat_type"), explode(col("top")).as("kv"))

@@ -74,6 +74,20 @@ object StreamingAnalytics {
         col("packets"), col("bytes"), col("flows"),
         hour(col("window.start")).as("hour_slot"))
 
+  /** W1 + F12: windowed DNS statistics (dns_statistics.py:258-260, 60 s
+    * default). Emits per-window (stat_type, key) counts; the top-N cut is
+    * a read-side concern (ReadSide.nestedTopN / T2) since global ranking
+    * inside an append-mode stream is not expressible — the reference did
+    * the same sort driver-side per batch. */
+  def dnsStatistics(flows: DataFrame, window: String = "60 seconds",
+                    watermark: String = "2 minutes"): DataFrame =
+    graft.analytics.DnsStatistics.contributions(flows, carry = Seq("event_time"))
+      .withWatermark("event_time", watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("event_time"), window),
+        col("stat_type"), col("key"))
+      .agg(count(lit(1)).as("value"))
+
   /** ST1 end-to-end: SYN flows keyed by scan identity (horizontal =
     * src×dst_port, vertical = src×dst_ip — ports_scan.py:180-188).
     *

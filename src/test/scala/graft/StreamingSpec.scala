@@ -157,6 +157,31 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming dns statistics: windowed fanout counts match batch semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Fx]
+    val out = StreamingAnalytics.dnsStatistics(
+      FlowSource.withEventTime(mem.toDF()), window = "60 seconds")
+    val q = out.writeStream.format("memory").queryName("dnsstat_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        Fx(flow_id = 1, dns_name = "a.example", dns_qtype = Some(1),
+          dns_flags = Some(256L), start_ms = 10000L),
+        Fx(flow_id = 2, dns_name = "a.example", dns_qtype = Some(1),
+          dns_flags = Some(256L), start_ms = 20000L),
+        // watermark pusher (non-DNS contribution-free far-future flow)
+        Fx(flow_id = 9, dns_name = "z.example", dns_qtype = Some(1),
+          dns_flags = Some(256L), start_ms = 500000L))
+      q.processAllAvailable()
+      val rows = spark.table("dnsstat_out")
+        .select("stat_type", "key", "value").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows.contains(("queried_domain", "a.example", 2L)))
+      assert(rows.contains(("qtype", "A", 2L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first-seen doc per digest across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
