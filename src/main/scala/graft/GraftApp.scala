@@ -49,11 +49,13 @@ object GraftApp {
       StreamingAnalytics.biflowPairs(_, watermark = c.watermark)
     case "ports_scan" =>
       flows => StreamingAnalytics.portScanReports(flows).toDF()
+    case "ssh_auth" =>
+      flows => StreamingAnalytics.sshAuthReports(flows).toDF()
     case other =>
       throw new IllegalArgumentException(
         s"unknown analytic '$other'; known: protocol_statistics host_stats " +
           "host_daily_profile dns_statistics dns_external_resolvers " +
-          "biflow_pairs ports_scan")
+          "biflow_pairs ports_scan ssh_auth")
   }
 
   /** Build (not start) the full source → analytic → sink query. */

@@ -116,6 +116,25 @@ object StreamingAnalytics {
                       gcMs: Long = 0L): Dataset[ReportDedup.Report] =
     ReportDedup(scanObservations(flows), reportIntervalMs, gcMs)
 
+  /** SSH brute-force candidates keyed src|dst through the same dedup
+    * state (ssh_auth_simple.py:170-179 band filter + :61-81 reporting).
+    * Bands are the reference defaults. */
+  def sshAuthReports(flows: DataFrame, reportIntervalMs: Long = 300000L,
+                     gcMs: Long = 0L): Dataset[ReportDedup.Report] = {
+    import flows.sparkSession.implicits._
+    val cand = flows.filter(
+      col("protocol") === 6 && col("dst_port") === 22 && col("src_port") > 1024 &&
+      col("packets") > 10 && col("packets") < 20 &&
+      col("bytes") > 1800 && col("bytes") < 5000 &&
+      col("end_ms") - col("start_ms") < 12000 &&
+      col("src_ip4").isNotNull && col("dst_ip").isNotNull)
+    val obs = cand.select(
+      concat_ws("|", col("src_ip4"), col("dst_ip")).as("key"),
+      col("start_ms").as("ts"), lit(1L).as("flows"))
+      .as[ReportDedup.Observation]
+    ReportDedup(obs, reportIntervalMs, gcMs)
+  }
+
   /** J5 streaming form: biflow request/response pairing as a watermarked
     * stream-stream self-join — equi-join on the canonical biflow key with
     * an event-time range condition (pattern_finder.py:168-194;

@@ -157,6 +157,29 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming ssh auth: band-filtered candidates report through dedup state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Fx]
+    val out = StreamingAnalytics.sshAuthReports(mem.toDF())
+    val q = out.writeStream.format("memory").queryName("ssh_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        // in-band brute-force candidate
+        Fx(flow_id = 1, src_ip4 = "10.5.0.1", dst_ip = "192.0.2.7", dst_port = 22,
+          src_port = 40000, packets = 15, bytes = 2000, start_ms = 1000L,
+          end_ms = 3000L),
+        // out of band: too many packets
+        Fx(flow_id = 2, src_ip4 = "10.5.0.2", dst_ip = "192.0.2.7", dst_port = 22,
+          src_port = 40001, packets = 99, bytes = 2000, start_ms = 1000L,
+          end_ms = 3000L))
+      q.processAllAvailable()
+      val keys = spark.table("ssh_out").as[ReportDedup.Report]
+        .collect().map(_.key).toSet
+      assert(keys == Set("10.5.0.1|192.0.2.7"))
+    } finally q.stop()
+  }
+
   test("streaming dns statistics: windowed fanout counts match batch semantics") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Fx]
