@@ -72,12 +72,17 @@ object Similarity {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
     val cents = e.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("cid"), col("vec").as("cvec"))
+    // argmax via max_by hash aggregate (partial agg + no sort), not a
+    // row_number window: the assignment pass touches the whole corpus.
+    // Ordering struct (csim, -cid) = highest similarity, then lowest cid —
+    // identical tie-break to the oracle's row_number formulation.
     val assigned = e.crossJoin(broadcast(cents))
       .withColumn("csim", round(VectorFunctions.cosine(col("vec"), col("cvec")), 6))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)))
-      .filter(col("crn") === 1)
-      .select(col("vec_id").as("nbr_id"), col("vec").as("nbr_vec"), col("cid"))
+      .groupBy(col("vec_id").as("nbr_id"))
+      .agg(
+        max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
+        first(col("vec")).as("nbr_vec"))
+      .select(col("nbr_id"), col("nbr_vec"), col("cid"))
     val probes = queries
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("query_vec"))
       .crossJoin(broadcast(cents))
