@@ -163,7 +163,10 @@ object GraftFunctions {
       (e: Seq[Expression]) => PolyHash47(e.head)),
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
-      (e: Seq[Expression]) => MinhashSig(e.head, intArg(e(1), "minhash_sig"))))
+      (e: Seq[Expression]) => MinhashSig(e.head, intArg(e(1), "minhash_sig"))),
+    (FunctionIdentifier("char_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy"),
+      (e: Seq[Expression]) => CharEntropy(e.head)))
 
   /** Register on a live session (the no-extensions path). */
   def register(spark: SparkSession): Unit = {

@@ -73,6 +73,30 @@ object TextUtil {
     new GenericArrayData(out)
   }
 
+  /** Shannon entropy (bits/char): Σ over SORTED distinct chars of
+    * -(c/n)·log2(c/n) — the summation order and log2 formulation mirror
+    * TextFunctions.charEntropy exactly (bit-identical doubles), replacing
+    * its O(distinct·len) per-element array scans with one counting pass. */
+  def charEntropy(s: UTF8String): Double = {
+    val str = s.toString
+    if (str.isEmpty) return -0.0d
+    val counts = new java.util.TreeMap[String, Long]()
+    var i = 0
+    while (i < str.length) {
+      val c = String.valueOf(str.charAt(i))
+      counts.merge(c, 1L, (a, b) => a + b)
+      i += 1
+    }
+    val n = str.length.toDouble
+    var acc = 0.0d
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next() / n
+      acc += p * (StrictMath.log(p) / StrictMath.log(2.0))
+    }
+    -acc
+  }
+
   /** k running minima under affine permutations (2i+1)·h + 31i+7 mod p —
     * identical to the zip_with fold in TextPipeline.minhashLsh. */
   def minhashSig(hashes: ArrayData, k: Int): ArrayData = {
@@ -133,6 +157,25 @@ case class PolyHash47(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class CharEntropy(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "char_entropy"
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextUtil.charEntropy(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextUtil.charEntropy($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
 case class MinhashSig(child: Expression, k: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -161,4 +204,6 @@ object TextExpressions {
     ColumnBridge.column(PolyHash47(ColumnBridge.expression(arr)))
   def minhashSig(hashes: Column, k: Int): Column =
     ColumnBridge.column(MinhashSig(ColumnBridge.expression(hashes), k))
+  def charEntropy(s: Column): Column =
+    ColumnBridge.column(CharEntropy(ColumnBridge.expression(s)))
 }

@@ -56,6 +56,22 @@ class ExpressionsSpec extends SparkSpec {
       (expected + 7) % 140737488355213L, (expected * 3 + 38) % 140737488355213L))
   }
 
+  test("native char_entropy is bit-identical to the Column composite") {
+    import graft.expressions.TextExpressions
+    import graft.functions.TextFunctions
+    val strs = Seq("abc", "aaaa", "a1b2c3!@#", "host17.zone3.example",
+      "zzzzzzzzzzzy", "the quick brown fox")
+    val df = strs.zipWithIndex.map(_.swap).toDF("id", "s")
+    val both = df.select(
+      TextExpressions.charEntropy(col("s")).as("native"),
+      TextFunctions.charEntropy(col("s")).as("composite")).collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"entropy mismatch: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+  }
+
   test("native cidr_match agrees with the composite NetFunctions version") {
     val ips = (0 until 256).map(i => s"10.0.${i % 8}.$i").toDF("ip")
     val both = ips.select(
