@@ -74,6 +74,40 @@ object StreamingAnalytics {
         col("packets"), col("bytes"), col("flows"),
         hour(col("window.start")).as("hour_slot"))
 
+  /** S5/J7/A15 streaming: TLS suite normalization → broadcast dictionary
+    * join → 3-way stat fanout → windowed counts (tls_classification.py
+    * :142-221). Broadcast joins work unchanged on streaming frames. */
+  def tlsClassification(flows: DataFrame,
+                        dict: Seq[graft.analytics.TlsClassification.DictEntry],
+                        window: String = "60 seconds",
+                        watermark: String = "2 minutes"): DataFrame = {
+    val spark = flows.sparkSession
+    import spark.implicits._
+    val dictDf = dict.toDF()
+    val withSuites = flows
+      .filter(col("tls_cipher_suites").isNotNull &&
+        col("tls_cipher_suites") =!= "0x00000000000000000000000000000000")
+      .select(
+        graft.analytics.TlsClassification
+          .formatCipherSuites(col("tls_cipher_suites")).as("suites"),
+        col("event_time"))
+    withSuites.join(broadcast(dictDf), Seq("suites"), "left")
+      .select(explode(array(
+        struct(lit("operating_system").as("stat_type"),
+          coalesce(col("operating_system"), lit("Unknown")).as("key")),
+        struct(lit("browser").as("stat_type"),
+          coalesce(col("browser"), lit("Unknown")).as("key")),
+        struct(lit("application").as("stat_type"),
+          coalesce(col("application"), lit("Unknown")).as("key")))).as("c"),
+        col("event_time"))
+      .select(col("c.stat_type"), col("c.key"), col("event_time"))
+      .withWatermark("event_time", watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("event_time"), window),
+        col("stat_type"), col("key"))
+      .agg(count(lit(1)).as("value"))
+  }
+
   /** W1 + F12: windowed DNS statistics (dns_statistics.py:258-260, 60 s
     * default). Emits per-window (stat_type, key) counts; the top-N cut is
     * a read-side concern (ReadSide.nestedTopN / T2) since global ranking

@@ -157,6 +157,33 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming tls classification: broadcast dict join + windowed fanout") {
+    implicit val sqlCtx = spark.sqlContext
+    val dict = Seq(graft.analytics.TlsClassification.DictEntry(
+      "002f,0035", "dev0", "os0", "app0", "br0"))
+    val mem = MemoryStream[Fx]
+    val out = StreamingAnalytics.tlsClassification(
+      FlowSource.withEventTime(mem.toDF()), dict, window = "60 seconds")
+    val q = out.writeStream.format("memory").queryName("tls_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        // known suites (wire order byte-swapped: 2f00 3500 -> 002f,0035)
+        Fx(flow_id = 1, tls_cipher_suites = "0x2f003500", start_ms = 10000L),
+        // unknown suites
+        Fx(flow_id = 2, tls_cipher_suites = "0xabcd1234", start_ms = 11000L),
+        // watermark pusher
+        Fx(flow_id = 9, tls_cipher_suites = "0x2f003500", start_ms = 500000L))
+      q.processAllAvailable()
+      val rows = spark.table("tls_out")
+        .select("stat_type", "key", "value").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows.contains(("operating_system", "os0", 1L)))
+      assert(rows.contains(("browser", "Unknown", 1L)))
+      assert(rows.contains(("application", "app0", 1L)))
+    } finally q.stop()
+  }
+
   test("streaming ssh auth: band-filtered candidates report through dedup state") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Fx]
