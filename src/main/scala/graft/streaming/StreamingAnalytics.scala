@@ -185,19 +185,49 @@ object StreamingAnalytics {
     val req = tagged.filter(col("src_port") > col("dst_port"))
       .select(col("biflow_key"), col("flow_id").as("req_id"),
         col("src_ip4").as("client_ip"), col("dst_ip").as("server_ip"),
-        col("event_time").as("req_time"))
+        col("event_time").as("req_time"),
+        col("start_ms").as("req_start_ms"), col("end_ms").as("req_end_ms"),
+        col("packets").as("req_packets"), col("bytes").as("req_bytes"))
       .withWatermark("req_time", watermark)
     val rsp = tagged.filter(col("src_port") <= col("dst_port"))
       .select(col("biflow_key").as("rsp_key"), col("flow_id").as("rsp_id"),
-        col("event_time").as("rsp_time"))
+        col("event_time").as("rsp_time"),
+        col("packets").as("rsp_packets"), col("bytes").as("rsp_bytes"))
       .withWatermark("rsp_time", watermark)
+    // feature columns ride along so PatternFinder.classify composes
+    // directly on the joined stream (full streaming pattern_finder)
     req.join(rsp,
       expr(s"biflow_key = rsp_key AND " +
         s"rsp_time BETWEEN req_time - interval $tolerance " +
         s"AND req_time + interval $tolerance"))
       .select(col("biflow_key"), col("req_id"), col("rsp_id"),
-        col("client_ip"), col("server_ip"), col("req_time"), col("rsp_time"))
+        col("client_ip"), col("server_ip"), col("req_time"), col("rsp_time"),
+        col("req_start_ms"), col("req_end_ms"),
+        col("req_packets"), col("req_bytes"),
+        col("rsp_packets"), col("rsp_bytes"))
   }
+
+  /** Windowed open-resolver inventory (dns_open_resolvers.py:51-68):
+    * NoError A-record answers grouped per (resolver, data, query) with
+    * first-seen (T5). CIDR/whitelist filtering composes upstream via
+    * NetFunctions.cidrMatch / rlike exactly as in the batch analytic. */
+  def openResolvers(flows: DataFrame, window: String = "60 seconds",
+                    watermark: String = "2 minutes"): DataFrame =
+    flows
+      .filter(col("dns_flags").isNotNull &&
+        BitFunctions.dnsIsResponse(col("dns_flags")) &&
+        BitFunctions.dnsRcode(col("dns_flags")) === 0 &&
+        col("dns_crr_type") === 1 && col("dns_rdata").isNotNull &&
+        col("src_ip4").isNotNull)
+      .select(col("src_ip4").as("resolver_ip"),
+        graft.functions.DnsFunctions.rdataToIpv4(col("dns_rdata")).as("resolved_data"),
+        col("dns_name").as("resolved_query"),
+        col("start_ms"), col("event_time"))
+      .withWatermark("event_time", watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("event_time"), window),
+        col("resolver_ip"), col("resolved_data"), col("resolved_query"))
+      .agg(count(lit(1)).as("flows"), min("start_ms").as("first_seen_ms"))
 
   /** J4 streaming form: stream-stream interval join with watermarks on
     * both sides (dns_external_resolvers.py:158-166). */

@@ -252,6 +252,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming pattern finder: classify composes on the biflow join stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.analytics.PatternFinder
+    val mem = MemoryStream[Fx]
+    val pairs = StreamingAnalytics.biflowPairs(
+      FlowSource.withEventTime(mem.toDF()), tolerance = "500 milliseconds")
+    val classified = PatternFinder.classify(pairs,
+      Seq(PatternFinder.Pattern("bulk", Seq(100.0, 5.0, 500.0, 6.0, 1000.0))),
+      thresholds = Seq(1.0, 2.0))
+    val q = classified.writeStream.format("memory").queryName("pf_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        Fx(flow_id = 1, src_ip4 = "10.7.0.1", dst_ip = "192.0.2.9",
+          src_port = 40000, dst_port = 53, start_ms = 10000L, end_ms = 10100L,
+          packets = 5, bytes = 500),
+        Fx(flow_id = 2, src_ip4 = "192.0.2.9", dst_ip = "10.7.0.1",
+          src_port = 53, dst_port = 40000, start_ms = 10200L, end_ms = 10300L,
+          packets = 6, bytes = 1000))
+      q.processAllAvailable()
+      val got = spark.table("pf_stream").collect()
+      assert(got.length == 1)
+      assert(got(0).getAs[String]("closest_pattern") == "bulk")
+      assert(got(0).getAs[Int]("bin") == 0) // distance 0 -> first bin
+    } finally q.stop()
+  }
+
+  test("streaming open resolvers: windowed answer inventory with first-seen") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Fx]
+    val out = StreamingAnalytics.openResolvers(
+      FlowSource.withEventTime(mem.toDF()), window = "60 seconds")
+    val q = out.writeStream.format("memory").queryName("openres_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        Fx(flow_id = 1, src_ip4 = "198.51.100.5", dns_name = "x.example",
+          dns_flags = Some(33152L), dns_crr_type = Some(1),
+          dns_rdata = "0x01020304", start_ms = 10000L),
+        Fx(flow_id = 2, src_ip4 = "198.51.100.5", dns_name = "x.example",
+          dns_flags = Some(33152L), dns_crr_type = Some(1),
+          dns_rdata = "0x01020304", start_ms = 20000L),
+        // watermark pusher
+        Fx(flow_id = 9, src_ip4 = "198.51.100.9", dns_name = "y.example",
+          dns_flags = Some(33152L), dns_crr_type = Some(1),
+          dns_rdata = "0x05060708", start_ms = 500000L))
+      q.processAllAvailable()
+      val r = spark.table("openres_out")
+        .filter(col("resolver_ip") === "198.51.100.5").collect()
+      assert(r.length == 1)
+      assert(r(0).getAs[String]("resolved_data") == "1.2.3.4")
+      assert(r(0).getAs[Long]("flows") == 2L)
+      assert(r(0).getAs[Long]("first_seen_ms") == 10000L)
+    } finally q.stop()
+  }
+
   test("streaming biflow self-join pairs request/response within tolerance") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Fx]
