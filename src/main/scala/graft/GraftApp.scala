@@ -30,7 +30,18 @@ object GraftApp {
       checkpoint: String = "ckpt",
       window: String = "10 seconds",
       slide: Option[String] = None,
-      watermark: String = "30 seconds")
+      watermark: String = "30 seconds",
+      tlsDict: Option[String] = None) // ;-separated CSV (reference S5 shape)
+
+  /** Load the reference-format classifier CSV:
+    * suites;device;os;application;browser (tls_classification.py:44-83). */
+  def loadTlsDict(path: String): Seq[graft.analytics.TlsClassification.DictEntry] =
+    scala.io.Source.fromFile(path).getLines()
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val p = l.split(";", -1)
+        graft.analytics.TlsClassification.DictEntry(p(0), p(1), p(2), p(3), p(4))
+      }.toSeq
 
   /** Analytic name → streaming transform over a flow stream. */
   def analytic(c: Config): DataFrame => DataFrame = c.analytic match {
@@ -51,11 +62,18 @@ object GraftApp {
       flows => StreamingAnalytics.portScanReports(flows).toDF()
     case "ssh_auth" =>
       flows => StreamingAnalytics.sshAuthReports(flows).toDF()
+    case "dns_open_resolvers" =>
+      StreamingAnalytics.openResolvers(_, c.window, c.watermark)
+    case "tls_classification" =>
+      val dict = loadTlsDict(c.tlsDict.getOrElse(
+        throw new IllegalArgumentException("tls_classification needs --tls-dict")))
+      StreamingAnalytics.tlsClassification(_, dict, c.window, c.watermark)
     case other =>
       throw new IllegalArgumentException(
         s"unknown analytic '$other'; known: protocol_statistics host_stats " +
           "host_daily_profile dns_statistics dns_external_resolvers " +
-          "biflow_pairs ports_scan ssh_auth")
+          "dns_open_resolvers tls_classification biflow_pairs " +
+          "ports_scan ssh_auth")
   }
 
   /** Build (not start) the full source → analytic → sink query. */
@@ -81,6 +99,7 @@ object GraftApp {
       case "--window" :: v :: t      => loop(t, c.copy(window = v))
       case "--slide" :: v :: t       => loop(t, c.copy(slide = Some(v)))
       case "--watermark" :: v :: t   => loop(t, c.copy(watermark = v))
+      case "--tls-dict" :: v :: t    => loop(t, c.copy(tlsDict = Some(v)))
       case Nil => c
       case other :: _ => throw new IllegalArgumentException(s"unknown arg $other")
     }

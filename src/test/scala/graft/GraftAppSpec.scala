@@ -41,6 +41,16 @@ class GraftAppSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("GraftApp.loadTlsDict parses the reference CSV shape") {
+    val f = java.nio.file.Files.createTempFile("tlsdict", ".csv")
+    java.nio.file.Files.write(f,
+      "# comment\n002f,0035;dev0;os0;app0;br0\n1301;dev1;os1;app1;br1\n".getBytes)
+    val d = GraftApp.loadTlsDict(f.toString)
+    assert(d.size == 2)
+    assert(d.head.suites == "002f,0035" && d.head.operating_system == "os0")
+    assert(d(1).browser == "br1")
+  }
+
   test("GraftApp.parse maps CLI args") {
     val c = GraftApp.parse(Array(
       "--analytic", "ports_scan", "--input-json", "/x",
