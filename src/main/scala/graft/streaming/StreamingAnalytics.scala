@@ -229,6 +229,60 @@ object StreamingAnalytics {
         col("resolver_ip"), col("resolved_data"), col("resolved_query"))
       .agg(count(lit(1)).as("flows"), min("start_ms").as("first_seen_ms"))
 
+  /** W3/J3 streaming: the DDoS short-vs-long-horizon comparison
+    * (detection_ddos.py:122-163) as a foreachBatch composition. Joining
+    * two differently-windowed streaming aggregates is unsupported, so the
+    * long horizon lives as a compacted per-dst profile table maintained
+    * microbatch-by-microbatch — the idiomatic pattern for a long-horizon
+    * reference state (at scale: a partitioned table, compaction amortized).
+    *
+    * Per batch: aggregate the batch per dst_ip, merge into the profile
+    * (read → union → re-aggregate → persist → overwrite), then emit dsts
+    * whose batch packet/flow ratio ≥ `ratioIncrease` × profile ratio with
+    * at least `minPackets` batch packets via `report`. */
+  def ddosForeachBatch(flows: DataFrame, profileDir: String,
+                       dstPattern: String, ratioIncrease: Double,
+                       minPackets: Long)(report: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = flows.sparkSession
+    val filtered = flows.filter(col("protocol").isNotNull &&
+      col("packets").isNotNull && col("src_ip4").isNotNull &&
+      col("dst_ip").isNotNull && col("dst_ip").rlike(dstPattern))
+    def aggOf(df: DataFrame) = df.groupBy("dst_ip")
+      .agg(sum("packets").as("packets"), count(lit(1)).as("flows"))
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "dst_ip STRING, packets BIGINT, flows BIGINT"))
+    filtered.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val short = aggOf(batch)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (short.count() > 0) {
+        val prior =
+          try spark.read.parquet(profileDir)
+          catch { case _: Exception => empty }
+        val profile = prior.unionByName(short)
+          .groupBy("dst_ip")
+          .agg(sum("packets").as("packets"), sum("flows").as("flows"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        profile.count() // materialize before overwriting its input
+        val detections = short
+          .join(prior.select(col("dst_ip"),
+            (col("packets").cast("double") / col("flows")).as("long_ratio")),
+            Seq("dst_ip"), "inner")
+          .withColumn("short_ratio", col("packets").cast("double") / col("flows"))
+          .filter(col("short_ratio") >= col("long_ratio") * ratioIncrease &&
+            col("packets") >= minPackets)
+          .select("dst_ip", "short_ratio", "long_ratio", "packets", "flows")
+        report(detections)
+        profile.write.mode("overwrite").parquet(profileDir)
+        profile.unpersist()
+      }
+      short.unpersist()
+      ()
+    }.start()
+  }
+
   /** J4 streaming form: stream-stream interval join with watermarks on
     * both sides (dns_external_resolvers.py:158-166). */
   def externalResolvers(flows: DataFrame, tolerance: String = "5 seconds",

@@ -157,6 +157,39 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming ddos: foreachBatch long-horizon profile flags a spike") {
+    implicit val sqlCtx = spark.sqlContext
+    val profDir = java.nio.file.Files.createTempDirectory("ddosprof").toString + "/p"
+    val mem = MemoryStream[Fx]
+    val detected = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val q = StreamingAnalytics.ddosForeachBatch(
+      FlowSource.withEventTime(mem.toDF()), profDir,
+      dstPattern = "192\\.168\\..*", ratioIncrease = 5.0, minPackets = 100L) {
+      det => detected ++= det.collect().map(r =>
+        (r.getAs[String]("dst_ip"), r.getAs[Long]("packets")))
+    }
+    try {
+      // batch 1: benign baseline (10 pkt/flow) -> builds the profile
+      mem.addData((0 until 10).map(i =>
+        Fx(flow_id = i, src_ip4 = s"10.1.0.$i", dst_ip = "192.168.1.1",
+          packets = 10)): _*)
+      q.processAllAvailable()
+      assert(detected.isEmpty) // no prior profile on the first batch
+      // batch 2: spike (1000 pkt/flow vs baseline 10)
+      mem.addData((0 until 5).map(i =>
+        Fx(flow_id = 100 + i, src_ip4 = s"10.2.0.$i", dst_ip = "192.168.1.1",
+          packets = 1000)): _*)
+      q.processAllAvailable()
+      assert(detected.map(_._1).toSeq == Seq("192.168.1.1"))
+      assert(detected.head._2 == 5000L)
+      // batch 3: benign again -> ratio vs merged profile, no detection
+      mem.addData(Fx(flow_id = 200, src_ip4 = "10.3.0.1",
+        dst_ip = "192.168.1.1", packets = 10))
+      q.processAllAvailable()
+      assert(detected.size == 1)
+    } finally q.stop()
+  }
+
   test("streaming tls classification: broadcast dict join + windowed fanout") {
     implicit val sqlCtx = spark.sqlContext
     val dict = Seq(graft.analytics.TlsClassification.DictEntry(
