@@ -356,6 +356,11 @@ object SparkEntry {
       Similarity.annLsh(Tables.embeddings(s, dir), planes = 8, minCosine = 0.2)
         .orderBy("vec_a", "vec_b")),
 
+    "q_embed_dedup" -> ((s, dir) =>
+      Similarity.dedupByCosine(Tables.embeddings(s, dir),
+        planes = 8, minCosine = 0.9)
+        .orderBy("vec_id")),
+
     "q_embed_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.annIvf(emb, emb.filter(col("vec_id") < 10),
@@ -1001,6 +1006,28 @@ object SparkEntry {
         |  CAST(length(substring(media, CAST(frame_idx * 16 + 1 AS INT), 32)) AS INT) AS frame_len,
         |  md5(substring(media, CAST(frame_idx * 16 + 1 AS INT), 32)) AS frame_md5
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+
+    "q_embed_dedup" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), b AS (
+         |  SELECT vec_id, v, CAST(list_sum(list_transform(range(0, 8), pl ->
+         |    CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, len(v) + 1), i ->
+         |        v[CAST(i AS INT)] * (CAST((CAST(i - 1 AS BIGINT) * 2654435761
+         |          + pl * 40503 + 12345) % 1048576 AS DOUBLE) / 524288.0 - 1.0))),
+         |      (x, y) -> x + y) >= 0
+         |    THEN CAST(1 AS BIGINT) << pl ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+         |    AS bucket
+         |  FROM e
+         |), dupes AS (
+         |  SELECT DISTINCT c.vec_id FROM b a
+         |  JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |  WHERE round(${cosSql("a.v", "c.v")}, 4) >= 0.9
+         |)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dupes)
+         |ORDER BY vec_id""".stripMargin,
 
     "q_embed_ann_lsh" ->
       s"""WITH e AS (

@@ -144,6 +144,20 @@ object Similarity {
       .select("query_id", "nbr_id", "cosine", "rank")
   }
 
+  /** Embedding-cosine near-duplicate REMOVAL: greedy canonical selection
+    * over the LSH near-dup pairs — a vector is dropped iff some
+    * lower-id vector in its bucket matches at ≥ `minCosine` (vec_a <
+    * vec_b in [[annLsh]] makes the earliest id the canonical survivor).
+    * One broadcast-able distinct-duplicates set + a left_anti join; the
+    * corpus-side work is the LSH pass itself. */
+  def dedupByCosine(embeddings: DataFrame, planes: Int,
+                    minCosine: Double): DataFrame = {
+    val dupes = annLsh(embeddings, planes, minCosine)
+      .select(col("vec_b").as("vec_id")).distinct()
+    embeddings.join(dupes, Seq("vec_id"), "left_anti")
+      .select("vec_id")
+  }
+
   /** Approximate same-bucket neighbor pairs with cosine score. */
   def annLsh(embeddings: DataFrame, planes: Int, minCosine: Double): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
