@@ -21,13 +21,23 @@ object Bench {
       if (SparkEntry.benchQueries.nonEmpty) SparkEntry.benchQueries else all.keys.toSeq
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { all(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      val err = try { all(name)(spark, sfDir).count(); None } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          Some(e.getClass.getSimpleName)
+      }
+      (name, (System.nanoTime() - t0) / 1e9, err)
+    }
+    // a crashed query must not read as a fast success: its timing is -1
+    // and it is listed under "errors"
+    val qs = results.map { case (k, v, err) =>
+      s"\"" + k + "\":" + (if (err.isEmpty) v else -1.0)
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, _, Some(e)) => s"\"$k:$e\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(_._3.nonEmpty)) sys.exit(1)
   }
 }

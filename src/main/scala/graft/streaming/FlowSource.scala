@@ -17,7 +17,14 @@ import graft.core.FlowSchema
 object FlowSource {
 
   /** Parse a DataFrame with a string `value` column of wire-format JSON
-    * (`ipfix.*` keys) into engine flow columns + `event_time`. */
+    * (`ipfix.*` keys) into engine flow columns + `event_time`.
+    *
+    * Besides the raw wire fields this emits the derived columns every
+    * analytic consumes: `src_ip`/`dst_ip` (v4-with-v6-fallback — the
+    * reference's get_ip pattern, ssh_auth_simple.py:139-150) and a
+    * surrogate `flow_id` (the wire format has no record id; analytics
+    * like biflow pairing need one to tell two otherwise-identical flow
+    * records apart). */
   def parse(raw: DataFrame): DataFrame = {
     val parsed = raw.select(
       from_json(col("value").cast("string"), FlowSchema.wireSchema).as("j"))
@@ -25,6 +32,11 @@ object FlowSource {
       parsed.col("j").getField(wire).as(c)
     }
     parsed.select(cols: _*)
+      .withColumn("src_ip",
+        coalesce(col(FlowSchema.F.srcIp4), col(FlowSchema.F.srcIp6)))
+      .withColumn("dst_ip",
+        coalesce(col(FlowSchema.F.dstIp4), col(FlowSchema.F.dstIp6)))
+      .withColumn("flow_id", monotonically_increasing_id())
       .withColumn("event_time", timestamp_millis(col(FlowSchema.F.startMs)))
   }
 

@@ -239,7 +239,10 @@ object StreamingAnalytics {
     * Per batch: aggregate the batch per dst_ip, merge into the profile
     * (read → union → re-aggregate → persist → overwrite), then emit dsts
     * whose batch packet/flow ratio ≥ `ratioIncrease` × profile ratio with
-    * at least `minPackets` batch packets via `report`. */
+    * at least `minPackets` batch packets via `report`. The detections
+    * frame is materialized for the duration of the callback only —
+    * `report` must consume it synchronously (its lineage reads the
+    * profile dir, which is overwritten right after the callback). */
   def ddosForeachBatch(flows: DataFrame, profileDir: String,
                        dstPattern: String, ratioIncrease: Double,
                        minPackets: Long)(report: DataFrame => Unit)
@@ -260,7 +263,13 @@ object StreamingAnalytics {
       if (short.count() > 0) {
         val prior =
           try spark.read.parquet(profileDir)
-          catch { case _: Exception => empty }
+          catch {
+            // only the first-microbatch missing path means "no profile";
+            // any other failure (corrupt file, IO) must propagate rather
+            // than silently reset the long-horizon state
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" => empty
+          }
         val profile = prior.unionByName(short)
           .groupBy("dst_ip")
           .agg(sum("packets").as("packets"), sum("flows").as("flows"))
@@ -274,9 +283,13 @@ object StreamingAnalytics {
           .filter(col("short_ratio") >= col("long_ratio") * ratioIncrease &&
             col("packets") >= minPackets)
           .select("dst_ip", "short_ratio", "long_ratio", "packets", "flows")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        detections.count() // materialize: `detections` reads profileDir via
+                           // `prior`, which the overwrite below invalidates
         report(detections)
         profile.write.mode("overwrite").parquet(profileDir)
         profile.unpersist()
+        detections.unpersist()
       }
       short.unpersist()
       ()

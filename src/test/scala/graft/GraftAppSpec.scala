@@ -41,6 +41,52 @@ class GraftAppSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("GraftApp end-to-end: dst_ip/flow_id-consuming analytic over wire JSON") {
+    val in = java.nio.file.Files.createTempDirectory("appin2").toString
+    val out = java.nio.file.Files.createTempDirectory("appout2").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("appckpt2").toString
+    def write(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        lines.mkString("\n").getBytes)
+
+    // host_stats consumes dst_ip (peer_number) — this is the column the
+    // wire schema itself doesn't carry; parse must derive it
+    write("b1.json",
+      flowJson(6, 11000L, 2, 100),
+      flowJson(6, 12000L, 3, 200))
+    val q = GraftApp.build(spark, GraftApp.Config(
+      analytic = "host_stats", inputJson = Some(in),
+      output = out, checkpoint = ckpt,
+      window = "10 seconds", slide = Some("10 seconds")))
+    try {
+      q.processAllAvailable()
+      write("b2.json", flowJson(17, 100000L, 1, 50))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(out)
+        .filter(col("src_ip") === "10.0.0.1").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("flows") == 2L)
+      assert(rows.head.getAs[Long]("peer_number") == 1L)
+    } finally q.stop()
+  }
+
+  test("FlowSource.parse derives src_ip/dst_ip with v6 fallback and unique flow_id") {
+    import spark.implicits._
+    val raw = Seq(
+      """{"ipfix.sourceIPv4Address":"10.0.0.1","ipfix.destinationIPv4Address":"192.0.2.1","ipfix.flowStartMilliseconds":1000}""",
+      """{"ipfix.sourceIPv6Address":"2001:db8::1","ipfix.destinationIPv6Address":"2001:db8::2","ipfix.flowStartMilliseconds":2000}""",
+      // identical payloads must still get distinct flow_ids
+      """{"ipfix.sourceIPv4Address":"10.0.0.9","ipfix.destinationIPv4Address":"192.0.2.9","ipfix.flowStartMilliseconds":3000}""",
+      """{"ipfix.sourceIPv4Address":"10.0.0.9","ipfix.destinationIPv4Address":"192.0.2.9","ipfix.flowStartMilliseconds":3000}"""
+    ).toDF("value")
+    val parsed = graft.streaming.FlowSource.parse(raw).collect()
+      .sortBy(_.getAs[Long]("start_ms"))
+    assert(parsed(0).getAs[String]("dst_ip") == "192.0.2.1")
+    assert(parsed(1).getAs[String]("src_ip") == "2001:db8::1")
+    assert(parsed(1).getAs[String]("dst_ip") == "2001:db8::2")
+    assert(parsed(2).getAs[Long]("flow_id") != parsed(3).getAs[Long]("flow_id"))
+  }
+
   test("GraftApp.loadTlsDict parses the reference CSV shape") {
     val f = java.nio.file.Files.createTempFile("tlsdict", ".csv")
     java.nio.file.Files.write(f,
