@@ -36,12 +36,14 @@ object GraftApp {
   /** Load the reference-format classifier CSV:
     * suites;device;os;application;browser (tls_classification.py:44-83). */
   def loadTlsDict(path: String): Seq[graft.analytics.TlsClassification.DictEntry] =
-    scala.io.Source.fromFile(path).getLines()
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map { l =>
-        val p = l.split(";", -1)
-        graft.analytics.TlsClassification.DictEntry(p(0), p(1), p(2), p(3), p(4))
-      }.toSeq
+    scala.util.Using.resource(scala.io.Source.fromFile(path)) { src =>
+      src.getLines()
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l =>
+          val p = l.split(";", -1)
+          graft.analytics.TlsClassification.DictEntry(p(0), p(1), p(2), p(3), p(4))
+        }.toList
+    }
 
   /** Analytic name → streaming transform over a flow stream. */
   def analytic(c: Config): DataFrame => DataFrame = c.analytic match {

@@ -356,6 +356,11 @@ object SparkEntry {
       Similarity.annLsh(Tables.embeddings(s, dir), planes = 8, minCosine = 0.2)
         .orderBy("vec_a", "vec_b")),
 
+    "q_embed_ann_lsh_banded" -> ((s, dir) =>
+      Similarity.annLshBanded(Tables.embeddings(s, dir),
+        planes = 16, bands = 4, minCosine = 0.2)
+        .orderBy("vec_a", "vec_b")),
+
     "q_embed_dedup" -> ((s, dir) =>
       Similarity.dedupByCosine(Tables.embeddings(s, dir),
         planes = 8, minCosine = 0.9)
@@ -364,7 +369,7 @@ object SparkEntry {
     "q_embed_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.annIvf(emb, emb.filter(col("vec_id") < 10),
-        centroidStride = 50L, nprobe = 3, k = 10)
+        nlist = 10, nprobe = 3, k = 10)
         .orderBy("query_id", "rank")
     }),
   )
@@ -1050,11 +1055,42 @@ object SparkEntry {
          |WHERE cosine >= 0.2
          |ORDER BY vec_a, vec_b""".stripMargin,
 
+    "q_embed_ann_lsh_banded" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), s AS (
+         |  SELECT vec_id, list_reduce(list_transform(range(0, 16), pl ->
+         |    CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, len(v) + 1), i ->
+         |        v[CAST(i AS INT)] * (CAST((CAST(i - 1 AS BIGINT) * 2654435761
+         |          + pl * 40503 + 12345) % 1048576 AS DOUBLE) / 524288.0 - 1.0))),
+         |      (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END),
+         |    (x, y) -> x || y) AS signs
+         |  FROM e
+         |), bk AS (
+         |  SELECT vec_id, unnest(list_transform(range(0, 4), b ->
+         |    CAST(b AS VARCHAR) || '_' || substr(signs, CAST(b * 4 + 1 AS INT), 4)))
+         |    AS bucket
+         |  FROM s
+         |), pairs AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+         |  FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |)
+         |SELECT vec_a, vec_b,
+         |  round(${cosSql("ea.v", "eb.v")}, 4) AS cosine
+         |FROM pairs
+         |JOIN e ea ON ea.vec_id = vec_a
+         |JOIN e eb ON eb.vec_id = vec_b
+         |WHERE round(${cosSql("ea.v", "eb.v")}, 4) >= 0.2
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
     "q_embed_ann_ivf" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
          |), c AS (
-         |  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0
+         |  SELECT vec_id AS cid, v AS cv FROM e
+         |  ORDER BY (vec_id % 1048576 * 2654435761 + 40503) % 1048576, vec_id
+         |  LIMIT 10
          |), asg AS (
          |  SELECT vec_id AS nbr_id, v AS nv, cid FROM (
          |    SELECT e.vec_id, e.v, c.cid,

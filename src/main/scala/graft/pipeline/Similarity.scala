@@ -56,21 +56,31 @@ object Similarity {
     signs.reduce((a, b) => a + b)
   }
 
+  /** Deterministic id scramble used to draw a pseudo-random fixed-size
+    * corpus sample: a linear-congruential hash on the id, bounded by a
+    * pre-mod so the arithmetic never overflows int64 (SQL-portable for
+    * the oracle). */
+  private def idScramble(id: org.apache.spark.sql.Column) =
+    pmod(pmod(id, lit(1048576L)) * 2654435761L + 40503L, lit(1048576L))
+
   /** IVF-style ANN: coarse quantizer → inverted lists → probe-limited
     * search (the FAISS IVF-flat shape, relationally).
     *
-    * The quantizer here is a deterministic corpus sample (every
-    * `centroidStride`-th vector) standing in for trained k-means
-    * centroids — the plan shape is identical, and determinism keeps it
-    * oracle-checkable. At scale: assignment is one broadcast pass over
-    * the corpus (centroid set is small by construction, N/stride);
-    * probing turns the O(Q·N) brute-force scan into a shuffle-join on
-    * centroid id touching ~nprobe/nlist of the corpus. Similarities are
-    * rounded before ranking so ordering is reproducible across engines. */
-  def annIvf(embeddings: DataFrame, queries: DataFrame, centroidStride: Long,
+    * The quantizer here is a deterministic pseudo-random corpus sample of
+    * FIXED size `nlist` (the vectors with the smallest scrambled ids)
+    * standing in for trained k-means centroids — the plan shape is
+    * identical, and determinism keeps it oracle-checkable. Centroid
+    * selection is a TakeOrderedAndProject (per-partition top-nlist, no
+    * full sort/shuffle), so the centroid set does NOT grow with the
+    * corpus: assignment is one broadcast O(N·nlist) pass; probing turns
+    * the O(Q·N) brute-force scan into a shuffle-join on centroid id
+    * touching ~nprobe/nlist of the corpus. Similarities are rounded
+    * before ranking so ordering is reproducible across engines. */
+  def annIvf(embeddings: DataFrame, queries: DataFrame, nlist: Int,
              nprobe: Int, k: Int): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
-    val cents = e.filter(col("vec_id") % centroidStride === 0)
+    val cents = e.orderBy(idScramble(col("vec_id")).asc, col("vec_id").asc)
+      .limit(nlist)
       .select(col("vec_id").as("cid"), col("vec").as("cvec"))
     // argmax via max_by hash aggregate (partial agg + no sort), not a
     // row_number window: the assignment pass touches the whole corpus.
@@ -158,7 +168,62 @@ object Similarity {
       .select("vec_id")
   }
 
-  /** Approximate same-bucket neighbor pairs with cosine score. */
+  /** Per-plane hyperplane sign bits as a '0'/'1' string (plane 0 first).
+    * Scala-side plane loop: `vec` is referenced a constant number of
+    * times, never inside a per-element lambda. */
+  def lshSignBits(vec: org.apache.spark.sql.Column, planes: Int): org.apache.spark.sql.Column =
+    concat((0 until planes).map { pl =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (v, i) => v * planeComponent(pl, i.cast("long"))),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** Banded multi-table sign-LSH candidate pairs with cosine score — the
+    * minhash band shape applied to hyperplane signs. `planes` signs are
+    * split into `bands` tables of planes/bands signs each; a pair is a
+    * candidate if it shares ANY band's full sign-substring
+    * (OR-amplification for recall, longer per-band keys for precision).
+    *
+    * Scale: unlike the single-table form (whose 2^planes key space must
+    * stay small for recall, forcing O(N²/2^planes) same-bucket pairs and
+    * maximal shuffle skew), the band keys draw from 2^(planes/bands) ×
+    * bands values with recall coming from the OR across tables — so
+    * planes can grow with log2(N) and bucket sizes stay bounded.
+    * Candidate pairs are deduplicated BEFORE vectors are re-attached
+    * (ids only through the distinct; two slim joins fetch the vectors). */
+  def annLshBanded(embeddings: DataFrame, planes: Int, bands: Int,
+                   minCosine: Double): DataFrame = {
+    require(planes % bands == 0, "bands must divide planes")
+    val perBand = planes / bands
+    val sig = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .withColumn("signs", lshSignBits(col("vec"), planes))
+    val bandKeys = array((0 until bands).map(b =>
+      concat_ws("_", lit(b),
+        substring(col("signs"), b * perBand + 1, perBand))): _*)
+    // persisted: both self-join sides read the buckets, and the sign
+    // computation (planes × dims fold) is the expensive part
+    val buckets = sig.select(col("vec_id"), explode(bandKeys).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = buckets.as("a").join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val va = embeddings.select(col("vec_id").as("vec_a"),
+      asDouble(col("embedding")).as("va"))
+    val vb = embeddings.select(col("vec_id").as("vec_b"),
+      asDouble(col("embedding")).as("vb"))
+    pairs.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
+      .withColumn("cosine", round(VectorFunctions.cosine(col("va"), col("vb")), 4))
+      .filter(col("cosine") >= minCosine)
+      .select("vec_a", "vec_b", "cosine")
+  }
+
+  /** Approximate same-bucket neighbor pairs with cosine score.
+    * Single-table form: fine at moderate N, but the key space is
+    * 2^planes — prefer [[annLshBanded]] when the corpus is large. */
   def annLsh(embeddings: DataFrame, planes: Int, minCosine: Double): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
       .withColumn("bucket", lshBucket(col("vec"), planes))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.FlowSchema
 
@@ -16,6 +16,32 @@ import graft.core.FlowSchema
   */
 object FlowSource {
 
+  /** Deterministic flow id from Kafka source metadata: partition << 40 |
+    * offset. Unique across the topic for offsets < 2^40 per partition,
+    * stable across replays and failure re-execution (unlike
+    * monotonically_increasing_id, whose per-partition counters restart
+    * every microbatch and which streaming analysis rejects outright). */
+  def kafkaFlowId: Column =
+    shiftleft(col("partition").cast("long"), 40).bitwiseOR(col("offset"))
+
+  /** Pick a flow-id derivation from whatever metadata the raw frame has.
+    * Kafka frames carry (partition, offset) → [[kafkaFlowId]]. File-replay
+    * frames carry `_src_file` (see [[files]]) → xxhash64(file, line):
+    * stable across restarts; collides only for byte-identical lines
+    * within one file. A bare streaming `value` frame (e.g. a socket or
+    * MemoryStream) falls back to xxhash64(value) — per-content, so
+    * duplicate payloads share an id; analytics needing per-record ids
+    * should feed a metadata-bearing source. Batch frames keep
+    * monotonically_increasing_id (one-shot, no replay concern), which
+    * also guarantees distinct ids for identical payloads. */
+  private def defaultFlowId(raw: DataFrame): Column =
+    if (!raw.isStreaming) monotonically_increasing_id()
+    else if (raw.columns.contains("partition") && raw.columns.contains("offset"))
+      kafkaFlowId
+    else if (raw.columns.contains("_src_file"))
+      xxhash64(col("_src_file"), col("value"))
+    else xxhash64(col("value"))
+
   /** Parse a DataFrame with a string `value` column of wire-format JSON
     * (`ipfix.*` keys) into engine flow columns + `event_time`.
     *
@@ -24,19 +50,25 @@ object FlowSource {
     * reference's get_ip pattern, ssh_auth_simple.py:139-150) and a
     * surrogate `flow_id` (the wire format has no record id; analytics
     * like biflow pairing need one to tell two otherwise-identical flow
-    * records apart). */
-  def parse(raw: DataFrame): DataFrame = {
+    * records apart). The id derivation is source-aware — see
+    * [[parseWithId]] for supplying your own. */
+  def parse(raw: DataFrame): DataFrame = parseWithId(raw, defaultFlowId(raw))
+
+  /** [[parse]] with an explicit flow-id expression, evaluated against the
+    * RAW frame (so Kafka partition/offset or file metadata columns are
+    * still in scope) before projection down to flow columns. */
+  def parseWithId(raw: DataFrame, flowId: Column): DataFrame = {
     val parsed = raw.select(
-      from_json(col("value").cast("string"), FlowSchema.wireSchema).as("j"))
+      from_json(col("value").cast("string"), FlowSchema.wireSchema).as("j"),
+      flowId.cast("long").as("flow_id"))
     val cols = FlowSchema.jsonFieldMap.map { case (wire, c) =>
       parsed.col("j").getField(wire).as(c)
     }
-    parsed.select(cols: _*)
+    parsed.select(cols :+ parsed.col("flow_id"): _*)
       .withColumn("src_ip",
         coalesce(col(FlowSchema.F.srcIp4), col(FlowSchema.F.srcIp6)))
       .withColumn("dst_ip",
         coalesce(col(FlowSchema.F.dstIp4), col(FlowSchema.F.dstIp6)))
-      .withColumn("flow_id", monotonically_increasing_id())
       .withColumn("event_time", timestamp_millis(col(FlowSchema.F.startMs)))
   }
 
@@ -49,13 +81,15 @@ object FlowSource {
       .option("startingOffsets", startingOffsets)
       .load())
 
-  /** Directory of JSON-lines files → flow stream (replay/testing). */
+  /** Directory of JSON-lines files → flow stream (replay/testing).
+    * Carries the source file path so flow ids stay stable across replays
+    * (xxhash64 of file + line, not a restart-unstable counter). */
   def files(spark: SparkSession, path: String,
             maxFilesPerTrigger: Int = 16): DataFrame =
     parse(spark.readStream.format("text")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .load(path)
-      .withColumnRenamed("value", "value"))
+      .select(col("value"), col("_metadata.file_path").as("_src_file")))
 
   /** Attach event_time to an already-parsed flow DataFrame (e.g. from
     * MemoryStream[Flow] in tests or a batch frame for parity runs). */

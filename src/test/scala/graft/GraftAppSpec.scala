@@ -87,6 +87,36 @@ class GraftAppSpec extends SparkSpec {
     assert(parsed(2).getAs[Long]("flow_id") != parsed(3).getAs[Long]("flow_id"))
   }
 
+  test("FlowSource.files flow_id is unique across microbatches and replay-stable") {
+    val in = java.nio.file.Files.createTempDirectory("appin3").toString
+    def write(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        lines.mkString("\n").getBytes)
+    // same payload in two files, arriving in two different microbatches:
+    // a per-batch counter would hand both the same id
+    write("f1.json", flowJson(6, 11000L, 2, 100), flowJson(6, 12000L, 3, 200))
+    def run(ckpt: String): Seq[(String, Long)] = {
+      val flows = graft.streaming.FlowSource.files(spark, in)
+      val q = flows.select(col("src_ip"), col("start_ms"), col("flow_id"))
+        .writeStream.format("memory").queryName(s"xbatch_${ckpt.hashCode.abs}")
+        .option("checkpointLocation", ckpt).start()
+      try {
+        q.processAllAvailable()
+        if (!new java.io.File(in, "f2.json").exists())
+          write("f2.json", flowJson(6, 11000L, 2, 100))
+        q.processAllAvailable()
+        spark.table(s"xbatch_${ckpt.hashCode.abs}")
+          .collect().map(r => (r.getAs[Long]("start_ms").toString, r.getAs[Long]("flow_id"))).toSeq
+      } finally q.stop()
+    }
+    val first = run(java.nio.file.Files.createTempDirectory("appckpt3").toString)
+    assert(first.size == 3)
+    assert(first.map(_._2).distinct.size == 3) // cross-batch unique
+    // replay from scratch (fresh checkpoint) reproduces the same ids
+    val second = run(java.nio.file.Files.createTempDirectory("appckpt4").toString)
+    assert(first.sortBy(r => (r._1, r._2)) == second.sortBy(r => (r._1, r._2)))
+  }
+
   test("GraftApp.loadTlsDict parses the reference CSV shape") {
     val f = java.nio.file.Files.createTempFile("tlsdict", ".csv")
     java.nio.file.Files.write(f,

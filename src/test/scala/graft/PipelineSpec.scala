@@ -82,17 +82,18 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("annIvf: probes nearest centroid lists, ranks like brute force there") {
-    // centroids = ids 0 and 2 (stride 2); two clear clusters on axes
+    // nlist=2 picks the two smallest scrambled ids of {0,1,2,3,5} — ids 0
+    // and 5 — so the data puts those on the two axes; two clear clusters
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)),
       (1L, Array(0.95f, 0.05f)),
-      (2L, Array(0.0f, 1.0f)),
+      (2L, Array(0.9f, 0.1f)),
       (3L, Array(0.05f, 0.95f)),
-      (5L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+      (5L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
     val out = rowsOf(Similarity.annIvf(
-      emb, emb.filter($"vec_id" === 0L), centroidStride = 2L, nprobe = 1, k = 10))
-    // nprobe=1: only the x-axis list {0,1,5} is searched → neighbors 1 and 5
-    assert(out.map(_("nbr_id")).toSet == Set(1L, 5L))
+      emb, emb.filter($"vec_id" === 0L), nlist = 2, nprobe = 1, k = 10))
+    // nprobe=1: only the x-axis list {0,1,2} is searched → neighbors 1 and 2
+    assert(out.map(_("nbr_id")).toSet == Set(1L, 2L))
     assert(out.find(_("rank") == 1).get("nbr_id") == 1L)
   }
 
@@ -100,7 +101,7 @@ class PipelineSpec extends SparkSpec {
     val emb = (0L until 12L).map(i =>
       (i, Array.tabulate(4)(d => math.sin(i * 3 + d).toFloat))).toDF("vec_id", "embedding")
     val q = emb.filter($"vec_id" < 2L)
-    val ivf = rowsOf(Similarity.annIvf(emb, q, centroidStride = 4L, nprobe = 3, k = 5))
+    val ivf = rowsOf(Similarity.annIvf(emb, q, nlist = 3, nprobe = 3, k = 5))
       .map(r => (r("query_id"), r("rank"), r("nbr_id")))
     val bf = rowsOf(Similarity.knnBruteForce(emb, q, 5))
       .map(r => (r("query_id"), r("rank"), r("nbr_id")))
@@ -131,5 +132,36 @@ class PipelineSpec extends SparkSpec {
     val out = rowsOf(Similarity.annLsh(emb, planes = 6, minCosine = 0.9))
     assert(out.exists(r => r("vec_a") == 0L && r("vec_b") == 1L &&
       r("cosine") == 1.0d))
+  }
+
+  test("annLshBanded: OR-amplified recall >= single-table; pairs deduped") {
+    // 12 near-dup pairs (2c, 2c+1) differing in one dim by 1e-3, plus the
+    // spread the sin() base gives across clusters
+    val base = (0 until 12).map(c => Array.tabulate(8)(d => math.sin(c * 5 + d).toFloat))
+    val vecs = base.zipWithIndex.flatMap { case (v, c) =>
+      Seq((c * 2L, v), (c * 2L + 1L, v.updated(0, v(0) + 0.001f)))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val truth = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib && cosine(va, vb) >= 0.9
+    } yield (ia, ib)).toSet
+    assert(truth.size >= 12) // at least the constructed near-dup pairs
+    def found(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      rowsOf(df).map(r => (r("vec_a").asInstanceOf[Long], r("vec_b").asInstanceOf[Long]))
+    val banded = found(Similarity.annLshBanded(emb, planes = 16, bands = 4, minCosine = 0.9))
+    val single = found(Similarity.annLsh(emb, planes = 8, minCosine = 0.9))
+    assert(banded.size == banded.distinct.size) // multi-band hits deduped
+    val bandedRecall = (banded.toSet intersect truth).size
+    val singleRecall = (single.toSet intersect truth).size
+    assert(bandedRecall >= singleRecall)
+    // identical-up-to-1e-3 pairs share every band unless a projection sits
+    // exactly at the sign boundary — all 12 must surface
+    assert((0 until 12).forall(c => banded.contains((c * 2L, c * 2L + 1L))))
   }
 }
