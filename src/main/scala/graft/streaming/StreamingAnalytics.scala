@@ -229,71 +229,65 @@ object StreamingAnalytics {
         col("resolver_ip"), col("resolved_data"), col("resolved_query"))
       .agg(count(lit(1)).as("flows"), min("start_ms").as("first_seen_ms"))
 
+  /** Long-horizon per-destination traffic profile held in keyed state. */
+  final case class DdosProfile(packets: Long, flows: Long)
+
+  /** One emitted DDoS detection (detection_ddos.py:155-163 semantics). */
+  final case class DdosDetection(dst_ip: String, short_ratio: Double,
+                                 long_ratio: Double, packets: Long, flows: Long)
+
   /** W3/J3 streaming: the DDoS short-vs-long-horizon comparison
-    * (detection_ddos.py:122-163) as a foreachBatch composition. Joining
-    * two differently-windowed streaming aggregates is unsupported, so the
-    * long horizon lives as a compacted per-dst profile table maintained
-    * microbatch-by-microbatch — the idiomatic pattern for a long-horizon
-    * reference state (at scale: a partitioned table, compaction amortized).
+    * (detection_ddos.py:122-163) as keyed state. Joining two
+    * differently-windowed streaming aggregates is unsupported, so the
+    * long horizon lives as per-dst (packets, flows) counters in
+    * `flatMapGroupsWithState` — checkpointed by the state store (crash
+    * recovery for free), incrementally updated, never rewritten.
     *
-    * Per batch: aggregate the batch per dst_ip, merge into the profile
-    * (read → union → re-aggregate → persist → overwrite), then emit dsts
-    * whose batch packet/flow ratio ≥ `ratioIncrease` × profile ratio with
-    * at least `minPackets` batch packets via `report`. The detections
-    * frame is materialized for the duration of the callback only —
-    * `report` must consume it synchronously (its lineage reads the
-    * profile dir, which is overwritten right after the callback). */
-  def ddosForeachBatch(flows: DataFrame, profileDir: String,
-                       dstPattern: String, ratioIncrease: Double,
-                       minPackets: Long)(report: DataFrame => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val spark = flows.sparkSession
-    val filtered = flows.filter(col("protocol").isNotNull &&
-      col("packets").isNotNull && col("src_ip4").isNotNull &&
-      col("dst_ip").isNotNull && col("dst_ip").rlike(dstPattern))
-    def aggOf(df: DataFrame) = df.groupBy("dst_ip")
-      .agg(sum("packets").as("packets"), count(lit(1)).as("flows"))
-    val empty = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](),
-      org.apache.spark.sql.types.StructType.fromDDL(
-        "dst_ip STRING, packets BIGINT, flows BIGINT"))
-    filtered.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      val short = aggOf(batch)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      if (short.count() > 0) {
-        val prior =
-          try spark.read.parquet(profileDir)
-          catch {
-            // only the first-microbatch missing path means "no profile";
-            // any other failure (corrupt file, IO) must propagate rather
-            // than silently reset the long-horizon state
-            case e: org.apache.spark.sql.AnalysisException
-                if e.getCondition == "PATH_NOT_FOUND" => empty
+    * Per microbatch and destination: fold the batch's flows into a short
+    * horizon (packets, flows); against the PRIOR profile, emit a
+    * detection when the short packet/flow ratio ≥ `ratioIncrease` × the
+    * profile ratio with at least `minPackets` short packets (no emission
+    * until a profile exists — the reference also warms up first); then
+    * fold the short horizon into the profile.
+    *
+    * Scale: one shuffle on dst_ip, state is 16 bytes per distinct
+    * destination, and per-batch work is proportional to the batch — no
+    * profile-table read/rewrite per trigger (the previous foreachBatch
+    * form rewrote the whole profile every 30 s batch and could lose the
+    * profile on a crash between report and overwrite). Emitted rows are
+    * final, so the operator runs in Append mode and file sinks work. */
+  def ddosKeyedState(flows: DataFrame, dstPattern: String,
+                     ratioIncrease: Double, minPackets: Long): Dataset[DdosDetection] = {
+    import flows.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    flows
+      .filter(col("protocol").isNotNull && col("packets").isNotNull &&
+        col("src_ip4").isNotNull && col("dst_ip").isNotNull &&
+        col("dst_ip").rlike(dstPattern))
+      .select(col("dst_ip").as[String], col("packets").cast("long").as[Long])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DdosProfile, DdosDetection](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (dst, rows, state) =>
+          var pk = 0L
+          var fl = 0L
+          rows.foreach { r => pk += r._2; fl += 1 }
+          val prior = state.getOption
+          val out = prior match {
+            case Some(p) if fl > 0 && p.flows > 0 && pk >= minPackets =>
+              val shortRatio = pk.toDouble / fl
+              val longRatio = p.packets.toDouble / p.flows
+              if (shortRatio >= longRatio * ratioIncrease)
+                Iterator.single(DdosDetection(dst, shortRatio, longRatio, pk, fl))
+              else Iterator.empty
+            case _ => Iterator.empty
           }
-        val profile = prior.unionByName(short)
-          .groupBy("dst_ip")
-          .agg(sum("packets").as("packets"), sum("flows").as("flows"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        profile.count() // materialize before overwriting its input
-        val detections = short
-          .join(prior.select(col("dst_ip"),
-            (col("packets").cast("double") / col("flows")).as("long_ratio")),
-            Seq("dst_ip"), "inner")
-          .withColumn("short_ratio", col("packets").cast("double") / col("flows"))
-          .filter(col("short_ratio") >= col("long_ratio") * ratioIncrease &&
-            col("packets") >= minPackets)
-          .select("dst_ip", "short_ratio", "long_ratio", "packets", "flows")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        detections.count() // materialize: `detections` reads profileDir via
-                           // `prior`, which the overwrite below invalidates
-        report(detections)
-        profile.write.mode("overwrite").parquet(profileDir)
-        profile.unpersist()
-        detections.unpersist()
+          if (fl > 0) state.update(prior match {
+            case Some(p) => DdosProfile(p.packets + pk, p.flows + fl)
+            case None    => DdosProfile(pk, fl)
+          })
+          out
       }
-      short.unpersist()
-      ()
-    }.start()
   }
 
   /** J4 streaming form: stream-stream interval join with watermarks on

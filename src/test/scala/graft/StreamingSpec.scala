@@ -157,37 +157,67 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
-  test("streaming ddos: foreachBatch long-horizon profile flags a spike") {
+  test("streaming ddos: keyed-state long-horizon profile flags a spike") {
     implicit val sqlCtx = spark.sqlContext
-    val profDir = java.nio.file.Files.createTempDirectory("ddosprof").toString + "/p"
     val mem = MemoryStream[Fx]
-    val detected = scala.collection.mutable.ArrayBuffer[(String, Long)]()
-    val q = StreamingAnalytics.ddosForeachBatch(
-      FlowSource.withEventTime(mem.toDF()), profDir,
-      dstPattern = "192\\.168\\..*", ratioIncrease = 5.0, minPackets = 100L) {
-      det => detected ++= det.collect().map(r =>
-        (r.getAs[String]("dst_ip"), r.getAs[Long]("packets")))
-    }
+    val det = StreamingAnalytics.ddosKeyedState(
+      FlowSource.withEventTime(mem.toDF()),
+      dstPattern = "192\\.168\\..*", ratioIncrease = 5.0, minPackets = 100L)
+    val q = det.toDF().writeStream.format("memory").queryName("ddos_keyed")
+      .outputMode(OutputMode.Append()).start()
     try {
       // batch 1: benign baseline (10 pkt/flow) -> builds the profile
       mem.addData((0 until 10).map(i =>
         Fx(flow_id = i, src_ip4 = s"10.1.0.$i", dst_ip = "192.168.1.1",
           packets = 10)): _*)
       q.processAllAvailable()
-      assert(detected.isEmpty) // no prior profile on the first batch
+      assert(spark.table("ddos_keyed").count() == 0) // no prior profile yet
       // batch 2: spike (1000 pkt/flow vs baseline 10)
       mem.addData((0 until 5).map(i =>
         Fx(flow_id = 100 + i, src_ip4 = s"10.2.0.$i", dst_ip = "192.168.1.1",
           packets = 1000)): _*)
       q.processAllAvailable()
-      assert(detected.map(_._1).toSeq == Seq("192.168.1.1"))
-      assert(detected.head._2 == 5000L)
+      val rows = spark.table("ddos_keyed").collect()
+      assert(rows.map(_.getAs[String]("dst_ip")).toSeq == Seq("192.168.1.1"))
+      assert(rows.head.getAs[Long]("packets") == 5000L)
+      assert(rows.head.getAs[Double]("long_ratio") == 10.0d)
       // batch 3: benign again -> ratio vs merged profile, no detection
       mem.addData(Fx(flow_id = 200, src_ip4 = "10.3.0.1",
         dst_ip = "192.168.1.1", packets = 10))
       q.processAllAvailable()
-      assert(detected.size == 1)
+      assert(spark.table("ddos_keyed").count() == 1)
     } finally q.stop()
+  }
+
+  test("streaming ddos keyed state survives a checkpoint restart") {
+    val in = java.nio.file.Files.createTempDirectory("ddosin").toString
+    val out = java.nio.file.Files.createTempDirectory("ddosout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ddosckpt").toString
+    def flowJson(src: String, packets: Int, startMs: Long) =
+      s"""{"ipfix.sourceIPv4Address":"$src","ipfix.destinationIPv4Address":"192.168.1.1","ipfix.protocolIdentifier":17,"ipfix.packetDeltaCount":$packets,"ipfix.octetDeltaCount":${packets * 100},"ipfix.flowStartMilliseconds":$startMs,"ipfix.flowEndMilliseconds":${startMs + 100}}"""
+    def write(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        lines.mkString("\n").getBytes)
+    def start() = StreamingAnalytics.ddosKeyedState(
+        FlowSource.files(spark, in),
+        dstPattern = "192\\.168\\..*", ratioIncrease = 5.0, minPackets = 100L)
+      .toDF().writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode(OutputMode.Append()).start()
+    // run 1 builds the benign profile (10 pkt/flow), then dies
+    write("f1.json", (0 until 10).map(i => flowJson(s"10.1.0.$i", 10, 1000L * i)))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // run 2 sees only the spike — detection needs the recovered profile
+    write("f2.json", (0 until 5).map(i => flowJson(s"10.2.0.$i", 1000, 60000L + i)))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out).collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[String]("dst_ip") == "192.168.1.1")
+      assert(rows.head.getAs[Long]("packets") == 5000L)
+      assert(rows.head.getAs[Double]("long_ratio") == 10.0d)
+    } finally q2.stop()
   }
 
   test("streaming tls classification: broadcast dict join + windowed fanout") {
