@@ -267,6 +267,47 @@ object SparkEntry {
       TlsClassification(s, flows(s, dir), tlsDict)
         .orderBy("stat_type", "key")),
 
+    // --- detection result documents (reference @type shapes, results API) -
+    "q_doc_portscan" -> ((s, dir) =>
+      graft.results.Documents.portScanDoc(
+        PortScanDetection(flows(s, dir), minTargets = 2))
+        .orderBy(col("@type"), col("src_ip"), col("dst_port"), col("dst_ip"))),
+
+    "q_doc_ssh" -> ((s, dir) =>
+      graft.results.Documents.sshAuthDoc(
+        SshAuthDetection(flows(s, dir), minFlows = 1))
+        .orderBy("src_ip", "dst_ip")),
+
+    "q_doc_ddos" -> ((s, dir) =>
+      // attackers re-joined to a string for the oracle compare (the doc
+      // itself carries the list, spec'd in ResultsSpec)
+      graft.results.Documents.ddosDoc(
+        DdosDetection(flows(s, dir), ddosSplitMs,
+          ratioIncrease = 0.8, minPackets = 20L), lit(ddosSplitMs))
+        .withColumn("attackers", array_join(col("attackers"), ","))
+        .orderBy("dst_ip")),
+
+    "q_doc_resolvers" -> ((s, dir) =>
+      graft.results.Documents.resolverDoc(
+        DnsExternalResolvers(flows(s, dir), toleranceMs = 1800000L))
+        .orderBy("src_ip", "resolver_ip")),
+
+    // Q10 read-side latest-document-per-host over the portscan doc store
+    "q_doc_portscan_latest" -> ((s, dir) =>
+      graft.queries.ReadSide.latestPerGroup(
+        graft.results.Documents.portScanDoc(
+          PortScanDetection(flows(s, dir), minTargets = 2)),
+        Seq(col("src_ip")), unix_millis(col("@timestamp")),
+        concat_ws("_", col("@type"), coalesce(col("dst_port"), col("dst_ip"))))
+        .orderBy("src_ip")),
+
+    // Q9 read-side attacker leaderboard over the ssh doc store
+    "q_doc_ssh_top_attackers" -> ((s, dir) =>
+      graft.queries.ReadSide.groupSum(
+        graft.results.Documents.sshAuthDoc(
+          SshAuthDetection(flows(s, dir), minFlows = 1)),
+        col("src_ip"), col("flows"))),
+
     "q_host_daily_profile" -> ((s, dir) =>
       HostDailyProfile(flows(s, dir))
         .orderBy("src_ip", "day_start_ms", "hour_slot")),
@@ -418,6 +459,10 @@ object SparkEntry {
   /** Left-fold dot product — same summation order as VectorFunctions. */
   private def dotSql(a: String, b: String) =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($a) + 1), i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)])), (x, y) -> x + y)"
+  /** DuckDB dual of TimeFunctions.isoTimestamp (UTC session on both sides). */
+  private def isoSql(ms: String) =
+    s"strftime(epoch_ms($ms), '%Y-%m-%dT%H:%M:%S.%g') || 'Z'"
+
   private def cosSql(a: String, b: String) =
     s"(CASE WHEN sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}) = 0 THEN 0.0 ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END)"
 
@@ -584,13 +629,15 @@ object SparkEntry {
         |  SELECT 'horizontal' AS scan_type, src_ip4 AS src_ip,
         |         CAST(dst_port AS VARCHAR) AS key, count(*) AS flows,
         |         count(DISTINCT dst_ip) AS targets_total,
-        |         CAST(max(end_ms) - min(start_ms) AS BIGINT) AS duration_ms
+        |         CAST(max(end_ms) - min(start_ms) AS BIGINT) AS duration_ms,
+        |         CAST(max(end_ms) AS BIGINT) AS last_seen_ms
         |  FROM syn GROUP BY 2, 3 HAVING count(DISTINCT dst_ip) >= 2
         |), v AS (
         |  SELECT 'vertical' AS scan_type, src_ip4 AS src_ip,
         |         dst_ip AS key, count(*) AS flows,
         |         count(DISTINCT dst_port) AS targets_total,
-        |         CAST(max(end_ms) - min(start_ms) AS BIGINT) AS duration_ms
+        |         CAST(max(end_ms) - min(start_ms) AS BIGINT) AS duration_ms,
+        |         CAST(max(end_ms) AS BIGINT) AS last_seen_ms
         |  FROM syn GROUP BY 2, 3 HAVING count(DISTINCT dst_port) >= 2
         |)
         |SELECT * FROM h UNION ALL SELECT * FROM v
@@ -600,7 +647,8 @@ object SparkEntry {
       s"""SELECT $srcIpSql AS src_ip, dst_ip,
          |  count(*) AS flows,
          |  round(avg(packets), 4) AS average_packet_count,
-         |  CAST(max(end_ms) - min(start_ms) AS BIGINT) AS duration_ms
+         |  CAST(max(end_ms) - min(start_ms) AS BIGINT) AS duration_ms,
+         |  CAST(max(end_ms) AS BIGINT) AS last_seen_ms
          |FROM flows
          |WHERE protocol = 6 AND dst_port = 22 AND src_port > 1024
          |  AND packets > 10 AND packets < 20
@@ -725,10 +773,174 @@ object SparkEntry {
         |  FROM flows WHERE protocol = 6 AND src_ip4 IS NOT NULL
         |)
         |SELECT client_ip, resolver_ip, count(*) AS flows,
-        |       count(DISTINCT tcp_flow_id) AS distinct_tcp_flows
+        |       count(DISTINCT tcp_flow_id) AS distinct_tcp_flows,
+        |       CAST(max(tcp_start_ms) AS BIGINT) AS last_seen_ms
         |FROM tcp JOIN dns USING (client_ip)
         |WHERE tcp_start_ms >= dns_end_ms AND tcp_start_ms <= dns_end_ms + 1800000
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q_doc_portscan" -> FlowSynth.oracle(
+      s"""WITH syn AS (
+         |  SELECT * FROM flows
+         |  WHERE protocol = 6 AND tcp_flags IS NOT NULL AND (tcp_flags & 31) = 2
+         |    AND src_ip4 IS NOT NULL AND dst_ip IS NOT NULL AND dst_port IS NOT NULL
+         |), h AS (
+         |  SELECT 'horizontal' AS scan_type, src_ip4 AS src_ip,
+         |         CAST(dst_port AS VARCHAR) AS key, count(*) AS flows,
+         |         count(DISTINCT dst_ip) AS targets_total,
+         |         CAST(max(end_ms) - min(start_ms) AS BIGINT) AS duration_ms,
+         |         CAST(max(end_ms) AS BIGINT) AS last_seen_ms
+         |  FROM syn GROUP BY 2, 3 HAVING count(DISTINCT dst_ip) >= 2
+         |), v AS (
+         |  SELECT 'vertical' AS scan_type, src_ip4 AS src_ip,
+         |         dst_ip AS key, count(*) AS flows,
+         |         count(DISTINCT dst_port) AS targets_total,
+         |         CAST(max(end_ms) - min(start_ms) AS BIGINT) AS duration_ms,
+         |         CAST(max(end_ms) AS BIGINT) AS last_seen_ms
+         |  FROM syn GROUP BY 2, 3 HAVING count(DISTINCT dst_port) >= 2
+         |), r AS (SELECT * FROM h UNION ALL SELECT * FROM v)
+         |SELECT 'portscan_' || scan_type AS "@type",
+         |  epoch_ms(last_seen_ms) AS "@timestamp",
+         |  src_ip,
+         |  CASE WHEN scan_type = 'horizontal' THEN key END AS dst_port,
+         |  CASE WHEN scan_type = 'vertical' THEN key END AS dst_ip,
+         |  flows,
+         |  duration_ms AS duration_in_milliseconds,
+         |  ${isoSql("last_seen_ms")} AS "timestamp",
+         |  flows AS flows_increment,
+         |  targets_total
+         |FROM r ORDER BY 1, 3, 4, 5""".stripMargin),
+
+    "q_doc_ssh" -> FlowSynth.oracle(
+      s"""WITH r AS (
+         |  SELECT $srcIpSql AS src_ip, dst_ip,
+         |    count(*) AS flows,
+         |    round(avg(packets), 4) AS average_packet_count,
+         |    CAST(max(end_ms) - min(start_ms) AS BIGINT) AS duration_ms,
+         |    CAST(max(end_ms) AS BIGINT) AS last_seen_ms
+         |  FROM flows
+         |  WHERE protocol = 6 AND dst_port = 22 AND src_port > 1024
+         |    AND packets > 10 AND packets < 20
+         |    AND bytes > 1800 AND bytes < 5000
+         |    AND (end_ms - start_ms) < 12000
+         |  GROUP BY 1, 2 HAVING count(*) >= 1
+         |)
+         |SELECT 'ssh_auth_simple' AS "@type",
+         |  epoch_ms(last_seen_ms) AS "@timestamp",
+         |  src_ip, dst_ip, flows, average_packet_count,
+         |  duration_ms AS duration_in_milliseconds,
+         |  ${isoSql("last_seen_ms")} AS "timestamp",
+         |  flows AS flows_increment
+         |FROM r ORDER BY src_ip, dst_ip""".stripMargin),
+
+    "q_doc_ddos" -> FlowSynth.oracle(
+      s"""WITH f AS (
+         |  SELECT * FROM flows
+         |  WHERE protocol IS NOT NULL AND packets IS NOT NULL
+         |    AND src_ip4 IS NOT NULL AND dst_ip IS NOT NULL
+         |    AND regexp_matches(dst_ip, '192\\.168\\..*')
+         |), s AS (
+         |  SELECT dst_ip, CAST(sum(packets) AS BIGINT) AS packets_short,
+         |         count(*) AS flows_short
+         |  FROM f WHERE start_ms >= $ddosSplitMs GROUP BY 1
+         |), l AS (
+         |  SELECT dst_ip, CAST(sum(packets) AS BIGINT) AS packets_long,
+         |         count(*) AS flows_long
+         |  FROM f WHERE start_ms < $ddosSplitMs GROUP BY 1
+         |), a AS (
+         |  SELECT dst_ip, string_agg(DISTINCT src_ip4, ',' ORDER BY src_ip4) AS attackers
+         |  FROM f WHERE start_ms >= $ddosSplitMs GROUP BY 1
+         |)
+         |SELECT 'detection.ddos' AS "@type",
+         |  epoch_ms($ddosSplitMs) AS "@timestamp",
+         |  dst_ip, shortratio, longratio, attackers
+         |FROM (
+         |  SELECT s.dst_ip,
+         |    round(s.packets_short * 1.0 / s.flows_short, 4) AS shortratio,
+         |    round(l.packets_long * 1.0 / l.flows_long, 4) AS longratio,
+         |    s.packets_short, a.attackers
+         |  FROM s JOIN l USING (dst_ip) JOIN a USING (dst_ip)
+         |  WHERE l.packets_long <> 0 AND l.flows_long <> 0)
+         |WHERE shortratio >= longratio * 0.8 AND packets_short >= 20
+         |ORDER BY dst_ip""".stripMargin),
+
+    "q_doc_resolvers" -> FlowSynth.oracle(
+      s"""WITH dns AS (
+         |  SELECT src_ip4 AS client_ip, dst_ip AS resolver_ip, end_ms AS dns_end_ms
+         |  FROM flows
+         |  WHERE protocol = 17 AND dns_flags IS NOT NULL
+         |    AND ((dns_flags >> 15) & 1) = 1 AND src_ip4 IS NOT NULL
+         |), tcp AS (
+         |  SELECT src_ip4 AS client_ip, flow_id AS tcp_flow_id, start_ms AS tcp_start_ms
+         |  FROM flows WHERE protocol = 6 AND src_ip4 IS NOT NULL
+         |), r AS (
+         |  SELECT client_ip, resolver_ip, count(*) AS flows,
+         |         CAST(max(tcp_start_ms) AS BIGINT) AS last_seen_ms
+         |  FROM tcp JOIN dns USING (client_ip)
+         |  WHERE tcp_start_ms >= dns_end_ms AND tcp_start_ms <= dns_end_ms + 1800000
+         |  GROUP BY 1, 2
+         |)
+         |SELECT 'external_dns_resolver' AS "@type",
+         |  epoch_ms(last_seen_ms) AS "@timestamp",
+         |  client_ip AS src_ip, resolver_ip, flows,
+         |  flows AS flows_increment,
+         |  ${isoSql("last_seen_ms")} AS "timestamp"
+         |FROM r ORDER BY src_ip, resolver_ip""".stripMargin),
+
+    "q_doc_portscan_latest" -> FlowSynth.oracle(
+      s"""WITH syn AS (
+         |  SELECT * FROM flows
+         |  WHERE protocol = 6 AND tcp_flags IS NOT NULL AND (tcp_flags & 31) = 2
+         |    AND src_ip4 IS NOT NULL AND dst_ip IS NOT NULL AND dst_port IS NOT NULL
+         |), h AS (
+         |  SELECT 'horizontal' AS scan_type, src_ip4 AS src_ip,
+         |         CAST(dst_port AS VARCHAR) AS key, count(*) AS flows,
+         |         count(DISTINCT dst_ip) AS targets_total,
+         |         CAST(max(end_ms) - min(start_ms) AS BIGINT) AS duration_ms,
+         |         CAST(max(end_ms) AS BIGINT) AS last_seen_ms
+         |  FROM syn GROUP BY 2, 3 HAVING count(DISTINCT dst_ip) >= 2
+         |), v AS (
+         |  SELECT 'vertical' AS scan_type, src_ip4 AS src_ip,
+         |         dst_ip AS key, count(*) AS flows,
+         |         count(DISTINCT dst_port) AS targets_total,
+         |         CAST(max(end_ms) - min(start_ms) AS BIGINT) AS duration_ms,
+         |         CAST(max(end_ms) AS BIGINT) AS last_seen_ms
+         |  FROM syn GROUP BY 2, 3 HAVING count(DISTINCT dst_port) >= 2
+         |), d AS (
+         |  SELECT 'portscan_' || scan_type AS "@type",
+         |    epoch_ms(last_seen_ms) AS "@timestamp",
+         |    src_ip,
+         |    CASE WHEN scan_type = 'horizontal' THEN key END AS dst_port,
+         |    CASE WHEN scan_type = 'vertical' THEN key END AS dst_ip,
+         |    flows,
+         |    duration_ms AS duration_in_milliseconds,
+         |    ${isoSql("last_seen_ms")} AS "timestamp",
+         |    flows AS flows_increment,
+         |    targets_total,
+         |    last_seen_ms
+         |  FROM (SELECT * FROM h UNION ALL SELECT * FROM v)
+         |)
+         |SELECT "@type", "@timestamp", src_ip, dst_port, dst_ip, flows,
+         |  duration_in_milliseconds, "timestamp", flows_increment, targets_total
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY src_ip
+         |    ORDER BY last_seen_ms DESC,
+         |      ("@type" || '_' || coalesce(dst_port, dst_ip)) DESC) AS rn
+         |  FROM d)
+         |WHERE rn = 1 ORDER BY src_ip""".stripMargin),
+
+    "q_doc_ssh_top_attackers" -> FlowSynth.oracle(
+      s"""WITH r AS (
+         |  SELECT $srcIpSql AS src_ip, count(*) AS flows
+         |  FROM flows
+         |  WHERE protocol = 6 AND dst_port = 22 AND src_port > 1024
+         |    AND packets > 10 AND packets < 20
+         |    AND bytes > 1800 AND bytes < 5000
+         |    AND (end_ms - start_ms) < 12000
+         |  GROUP BY 1 HAVING count(*) >= 1
+         |)
+         |SELECT src_ip AS key, CAST(sum(flows) AS BIGINT) AS value
+         |FROM r GROUP BY 1 ORDER BY value DESC, key ASC""".stripMargin),
 
     "q_tls_classification" -> FlowSynth.oracle(
       s"""WITH d(suites, device_type, operating_system, application, browser) AS (

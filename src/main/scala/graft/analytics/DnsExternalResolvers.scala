@@ -41,6 +41,7 @@ object DnsExternalResolvers {
       .groupBy("client_ip", "resolver_ip")
       .agg(
         count(lit(1)).as("flows"),
-        count_distinct(col("tcp_flow_id")).as("distinct_tcp_flows"))
+        count_distinct(col("tcp_flow_id")).as("distinct_tcp_flows"),
+        max("tcp_start_ms").as("last_seen_ms"))
   }
 }

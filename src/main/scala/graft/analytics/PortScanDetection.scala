@@ -29,9 +29,11 @@ object PortScanDetection {
           lit(kind).as("scan_type"),
           count(lit(1)).as("flows"),
           count_distinct(col(target)).as("targets_total"),
-          (max("end_ms") - min("start_ms")).as("duration_ms"))
+          (max("end_ms") - min("start_ms")).as("duration_ms"),
+          max("end_ms").as("last_seen_ms"))
         .filter(col("targets_total") >= minTargets)
-        .select("scan_type", "src_ip", "key", "flows", "targets_total", "duration_ms")
+        .select("scan_type", "src_ip", "key", "flows", "targets_total",
+          "duration_ms", "last_seen_ms")
 
     scan("horizontal", "dst_port", "dst_ip")
       .unionByName(scan("vertical", "dst_ip", "dst_port"))

@@ -36,7 +36,8 @@ object SshAuthDetection {
       .agg(
         count(lit(1)).as("flows"),
         round(avg("packets"), 4).as("average_packet_count"),
-        (max("end_ms") - min("start_ms")).as("duration_ms"))
+        (max("end_ms") - min("start_ms")).as("duration_ms"),
+        max("end_ms").as("last_seen_ms"))
       .filter(col("flows") >= minFlows)
   }
 }

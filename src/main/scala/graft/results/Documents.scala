@@ -72,6 +72,91 @@ object Documents {
         .as("stats"))
   }
 
+  /** ports_scan report rows (PortScanDetection output) →
+    * @type=portscan_{horizontal,vertical} documents (ports_scan.py:96-106):
+    * horizontal scans carry `dst_port`, vertical scans `dst_ip`, plus the
+    * reference's ISO-millisecond `timestamp`. The batch form emits one
+    * report per scan, so `flows_increment` equals `flows` (the reference's
+    * increment is per-report; the streaming path tracks it in
+    * [[graft.streaming.ReportDedup]]). */
+  def portScanDoc(scans: DataFrame): DataFrame =
+    scans.select(
+      concat(lit("portscan_"), col("scan_type")).as("@type"),
+      timestamp_millis(col("last_seen_ms")).as("@timestamp"),
+      col("src_ip"),
+      when(col("scan_type") === "horizontal", col("key")).as("dst_port"),
+      when(col("scan_type") === "vertical", col("key")).as("dst_ip"),
+      col("flows"),
+      col("duration_ms").as("duration_in_milliseconds"),
+      graft.functions.TimeFunctions.isoTimestamp(col("last_seen_ms")).as("timestamp"),
+      col("flows").as("flows_increment"),
+      col("targets_total"))
+
+  /** ssh_auth report rows (SshAuthDetection output) →
+    * @type=ssh_auth_simple documents (ssh_auth_simple.py:84-103). */
+  def sshAuthDoc(reports: DataFrame): DataFrame =
+    reports.select(
+      lit("ssh_auth_simple").as("@type"),
+      timestamp_millis(col("last_seen_ms")).as("@timestamp"),
+      col("src_ip"),
+      col("dst_ip"),
+      col("flows"),
+      col("average_packet_count"),
+      col("duration_ms").as("duration_in_milliseconds"),
+      graft.functions.TimeFunctions.isoTimestamp(col("last_seen_ms")).as("timestamp"),
+      col("flows").as("flows_increment"))
+
+  /** ddos detection rows (DdosDetection output) → @type=detection.ddos
+    * documents (detection_ddos.py:73-94): attackers as a list. `tsMs` is
+    * the report time (the short-horizon split point in the batch form). */
+  def ddosDoc(detections: DataFrame, tsMs: Column): DataFrame =
+    detections.select(
+      lit("detection.ddos").as("@type"),
+      timestamp_millis(tsMs).as("@timestamp"),
+      col("dst_ip"),
+      col("shortratio"),
+      col("longratio"),
+      split(col("attackers"), ",").as("attackers"))
+
+  /** external-resolver rows (DnsExternalResolvers output) →
+    * @type=external_dns_resolver documents
+    * (dns_external_resolvers.py:72-89). */
+  def resolverDoc(reports: DataFrame): DataFrame =
+    reports.select(
+      lit("external_dns_resolver").as("@type"),
+      timestamp_millis(col("last_seen_ms")).as("@timestamp"),
+      col("client_ip").as("src_ip"),
+      col("resolver_ip"),
+      col("flows"),
+      col("flows").as("flows_increment"),
+      graft.functions.TimeFunctions.isoTimestamp(col("last_seen_ms")).as("timestamp"))
+
+  /** T1 ranked rows (TopNHostStats output) → @type=top_n_host_stats doc
+    * with the reference's ranked-dict stats shape
+    * (top_n_host_stats.py:91-131): `stats` maps each stat name to a
+    * rank→(key, flows) dict ("0" = top entry). The reference's per-stat
+    * value field names (port / dst_host) are unified to `key` — one map
+    * value schema, the relational dual of the heterogeneous JSON. */
+  def topNHostStatsDoc(topN: DataFrame, tsMs: Column): DataFrame = {
+    val statName = map(
+      lit("dst_port"), lit("top_n_dst_ports"),
+      lit("dst_ip"), lit("top_n_dst_hosts"),
+      lit("http_host"), lit("top_n_http_dst"))
+    topN
+      .groupBy(col("src_ip"), col("stat_type"))
+      .agg(map_from_entries(collect_list(struct(
+        (col("rank") - 1).cast("string"),
+        struct(col("key"), col("flows"))))).as("ranked"))
+      .groupBy(col("src_ip"))
+      .agg(map_from_entries(collect_list(struct(
+        element_at(statName, col("stat_type")), col("ranked")))).as("stats"))
+      .select(
+        lit("top_n_host_stats").as("@type"),
+        timestamp_millis(tsMs).as("@timestamp"),
+        col("src_ip"),
+        col("stats"))
+  }
+
   /** Write documents date-partitioned (daily ES index replacement). */
   def writeDaily(docs: DataFrame, path: String): Unit =
     docs

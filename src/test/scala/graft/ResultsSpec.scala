@@ -117,4 +117,74 @@ class ResultsSpec extends SparkSpec {
       .orderBy("key").collect()
     assert(dc(0).getLong(1) == 2L && dc(1).getLong(1) == 1L)
   }
+
+  test("portScanDoc: reference shape incl. ISO timestamp; daily round-trip") {
+    val scans = Seq(
+      ("horizontal", "10.0.0.9", "22", 40L, 20L, 9000L, 1700000000123L),
+      ("vertical", "10.0.0.9", "192.0.2.1", 25L, 25L, 5000L, 1700000000500L))
+      .toDF("scan_type", "src_ip", "key", "flows", "targets_total",
+        "duration_ms", "last_seen_ms")
+    val doc = Documents.portScanDoc(scans).orderBy("@type")
+    val rows = doc.selectExpr("`@type`", "dst_port", "dst_ip", "flows",
+      "duration_in_milliseconds", "timestamp", "flows_increment",
+      "targets_total").collect()
+    assert(rows(0).getString(0) == "portscan_horizontal")
+    assert(rows(0).getString(1) == "22" && rows(0).isNullAt(2))
+    assert(rows(0).getString(5) == "2023-11-14T22:13:20.123Z")
+    assert(rows(1).getString(0) == "portscan_vertical")
+    assert(rows(1).isNullAt(1) && rows(1).getString(2) == "192.0.2.1")
+    // daily store round-trip keeps the shape
+    val dir = java.nio.file.Files.createTempDirectory("psdocs").toString
+    Documents.writeDaily(doc, dir)
+    val back = Documents.readDaily(spark, dir, "2023-11-14", "2023-11-14")
+    assert(back.count() == 2)
+    assert(back.columns.contains("@type") && back.columns.contains("timestamp"))
+  }
+
+  test("ddos/ssh/resolver docs: reference @type fields") {
+    val ddos = Seq(("192.168.1.1", 500.0, 10.0, 123L, "10.2.0.1,10.2.0.2"))
+      .toDF("dst_ip", "shortratio", "longratio", "packets_short", "attackers")
+    val dd = Documents.ddosDoc(ddos, lit(1700000000000L)).head()
+    assert(dd.getString(0) == "detection.ddos")
+    assert(dd.getSeq[String](dd.fieldIndex("attackers")).toSeq ==
+      Seq("10.2.0.1", "10.2.0.2"))
+
+    val ssh = Seq(("10.0.0.1", "192.0.2.9", 12L, 14.5, 8000L, 1700000000001L))
+      .toDF("src_ip", "dst_ip", "flows", "average_packet_count",
+        "duration_ms", "last_seen_ms")
+    val sd = Documents.sshAuthDoc(ssh).head()
+    assert(sd.getString(0) == "ssh_auth_simple")
+    assert(sd.getAs[Long]("flows_increment") == 12L)
+    assert(sd.getAs[String]("timestamp") == "2023-11-14T22:13:20.001Z")
+
+    val res = Seq(("10.0.0.1", "8.8.8.8", 7L, 3L, 1700000000002L))
+      .toDF("client_ip", "resolver_ip", "flows", "distinct_tcp_flows",
+        "last_seen_ms")
+    val rd = Documents.resolverDoc(res).head()
+    assert(rd.getString(0) == "external_dns_resolver")
+    assert(rd.getAs[String]("src_ip") == "10.0.0.1")
+    assert(rd.getAs[Long]("flows_increment") == 7L)
+  }
+
+  test("topNHostStatsDoc: ranked-dict stats maps (top_n_host_stats shape)") {
+    val topN = Seq(
+      ("10.0.0.1", "dst_port", "80", 30L, 1),
+      ("10.0.0.1", "dst_port", "443", 12L, 2),
+      ("10.0.0.1", "dst_ip", "192.0.2.1", 20L, 1),
+      ("10.0.0.1", "http_host", "example.test", 9L, 1))
+      .toDF("src_ip", "stat_type", "key", "flows", "rank")
+    val doc = Documents.topNHostStatsDoc(topN, lit(1700000000000L))
+    assert(doc.count() == 1)
+    val r = doc.selectExpr("`@type`", "src_ip",
+      "stats['top_n_dst_ports']['0'].key",
+      "stats['top_n_dst_ports']['0'].flows",
+      "stats['top_n_dst_ports']['1'].key",
+      "stats['top_n_dst_hosts']['0'].key",
+      "stats['top_n_http_dst']['0'].key").head()
+    assert(r.getString(0) == "top_n_host_stats")
+    assert(r.getString(2) == "80" && r.getLong(3) == 30L)
+    assert(r.getString(4) == "443")
+    assert(r.getString(5) == "192.0.2.1")
+    assert(r.getString(6) == "example.test")
+  }
 }
