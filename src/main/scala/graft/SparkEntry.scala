@@ -69,6 +69,15 @@ object SparkEntry {
     PatternFinder.Pattern("tiny", Seq(100.0, 5.0, 500.0, 6.0, 1000.0)))
   private val binThresholds = Seq(1.0, 2.0, 4.0, 8.0)
 
+  /** Distribution config for the pattern_finder report document — the
+    * reference configuration.yml shape (intervals/weights/limit) sized to
+    * the synthetic biflow distance scale so the anomaly filter keeps a
+    * non-trivial subset. */
+  private val pfDist = PatternFinder.DistConfig(
+    intervals = Seq(0.0, 1.0, 1.5, 2.0, 3.0, 6.0),
+    weights = Seq(3L, 2L, 1L, 1L, 2L, 3L),
+    limit = 5L)
+
   /** Mirrored UDP responses (victim-ward) for the reflection analytic:
     * every third DNS flow gets a 4x-amplified reverse flow (J6 union). */
   private def withUdpEcho(f: DataFrame): DataFrame = {
@@ -319,6 +328,23 @@ object SparkEntry {
         .select("biflow_key", "req_id", "rsp_id", "client_ip", "server_ip",
           "closest_pattern", "distance", "bin")
         .orderBy("req_id", "rsp_id")),
+
+    // ST2/A12 batch face: per-(src,dst) element-wise distribution sums +
+    // anomaly filter + @type=pattern_finder document; nested columns are
+    // serialized to strings for the oracle compare (the doc itself carries
+    // the arrays, spec'd in ResultsSpec)
+    "q_doc_pattern_finder" -> ((s, dir) =>
+      graft.results.Documents.patternFinderDoc(
+        PatternFinder.patternReport(
+          PatternFinder.biflows(withBiflowEcho(flows(s, dir)), 500L),
+          patterns, pfDist),
+        "Anomaly Detection", lit(ddosSplitMs))
+        .withColumn("data_array",
+          concat_ws(";", transform(col("data_array"), e =>
+            concat(e.getField("name"), lit(":"),
+              array_join(e.getField("distribution").cast("array<string>"), "-")))))
+        .withColumn("closest_patterns", array_join(col("closest_patterns"), ","))
+        .orderBy("src_ip", "dst_ip")),
 
     "q_cidr_filter" -> ((s, dir) =>
       flows(s, dir)
@@ -979,6 +1005,86 @@ object SparkEntry {
          |FROM flows
          |WHERE $srcIpSql IS NOT NULL AND packets IS NOT NULL AND bytes IS NOT NULL
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
+    "q_doc_pattern_finder" -> FlowSynth.oracle {
+      val n = pfDist.intervals.size
+      val mid = pfDist.mid
+      val ivs = pfDist.intervals.mkString("[", ", ", "]")
+      def binSql(d: String) =
+        s"(CASE WHEN len(list_filter($ivs, x -> x <= $d)) = 0 THEN ${n - 1} " +
+          s"ELSE len(list_filter($ivs, x -> x <= $d)) - 1 END)"
+      val slotSums = (for { pi <- patterns.indices; i <- 0 until n } yield
+        s"SUM(CASE WHEN bin_$pi = $i THEN ${pfDist.weights(i)} ELSE 0 END) AS d_${pi}_$i")
+        .mkString(",\n    ")
+      def leftSql(pi: Int) = (0 until mid).map(i => s"d_${pi}_$i").mkString(" + ")
+      def rightSql(pi: Int) = (mid until n).map(i => s"d_${pi}_$i").mkString(" + ")
+      val dataArrSql = patterns.zipWithIndex.map { case (p, pi) =>
+        s"'${p.name}:' || " + (0 until n).map(i => s"d_${pi}_$i").mkString(" || '-' || ")
+      }.mkString(" || ';' || ")
+      val maxLeftSql = patterns.indices
+        .map(pi => s"CASE WHEN q_$pi THEN left_$pi ELSE -1 END").mkString("greatest(", ", ", ")")
+      val closestSql = patterns.zipWithIndex.map { case (p, pi) =>
+        s"CASE WHEN q_$pi AND left_$pi = $maxLeftSql THEN '${p.name}' END"
+      }.mkString("concat_ws(',', ", ", ", ")")
+      s"""WITH base AS (
+         |  SELECT flow_id, src_ip4, dst_ip, src_port, dst_port,
+         |         start_ms, end_ms, packets, bytes
+         |  FROM flows WHERE src_ip4 IS NOT NULL
+         |), both_dirs AS (
+         |  SELECT * FROM base
+         |  UNION ALL
+         |  SELECT flow_id + 10000000, dst_ip, src_ip4, dst_port, src_port,
+         |         start_ms + flow_id % 400, end_ms + flow_id % 400,
+         |         packets + 1, bytes * 2
+         |  FROM base
+         |), tagged AS (
+         |  SELECT *, array_to_string(list_sort([
+         |    CAST(src_port AS VARCHAR) || ':' || src_ip4,
+         |    CAST(dst_port AS VARCHAR) || ':' || dst_ip]), '|') AS biflow_key
+         |  FROM both_dirs
+         |), req AS (
+         |  SELECT biflow_key, flow_id AS req_id, src_ip4 AS client_ip,
+         |         dst_ip AS server_ip, start_ms AS req_start_ms,
+         |         end_ms AS req_end_ms, packets AS req_packets, bytes AS req_bytes
+         |  FROM tagged WHERE src_port > dst_port
+         |), rsp AS (
+         |  SELECT biflow_key, flow_id AS rsp_id, start_ms AS rsp_start_ms,
+         |         packets AS rsp_packets, bytes AS rsp_bytes
+         |  FROM tagged WHERE src_port <= dst_port
+         |), pairs AS (
+         |  SELECT * FROM req JOIN rsp USING (biflow_key)
+         |  WHERE abs(req_start_ms - rsp_start_ms) <= 500
+         |), scored AS (
+         |  SELECT client_ip AS src_ip, server_ip AS dst_ip,
+         |    ${binSql(qfDistSql(patterns(0).vector))} AS bin_0,
+         |    ${binSql(qfDistSql(patterns(1).vector))} AS bin_1
+         |  FROM pairs
+         |), g AS (
+         |  SELECT src_ip, dst_ip,
+         |    $slotSums
+         |  FROM scored GROUP BY 1, 2
+         |), h AS (
+         |  SELECT *,
+         |    ${patterns.indices.map(pi =>
+               s"${leftSql(pi)} AS left_$pi, ${rightSql(pi)} AS right_$pi")
+              .mkString(",\n    ")}
+         |  FROM g
+         |), q AS (
+         |  SELECT *,
+         |    ${patterns.indices.map(pi =>
+               s"(left_$pi >= ${pfDist.limit} AND left_$pi > right_$pi) AS q_$pi")
+              .mkString(",\n    ")}
+         |  FROM h
+         |)
+         |SELECT 'pattern_finder' AS "@type",
+         |  epoch_ms($ddosSplitMs) AS "@timestamp",
+         |  'Anomaly Detection' AS configuration,
+         |  src_ip, dst_ip,
+         |  $dataArrSql AS data_array,
+         |  $closestSql AS closest_patterns
+         |FROM q WHERE ${patterns.indices.map(pi => s"q_$pi").mkString(" OR ")}
+         |ORDER BY src_ip, dst_ip""".stripMargin
+    },
 
     "q_pattern_finder" -> FlowSynth.oracle(
       s"""WITH base AS (

@@ -101,6 +101,107 @@ object PatternFinder {
     col("rsp_packets").cast("double"),
     col("rsp_bytes").cast("double"))
 
+  /** Distribution config (configuration.yml `distance.distribution`):
+    * ascending interval upper bounds ("< interval" semantics,
+    * pattern_finder.py:200-223), per-bin weights, and the report `limit`
+    * the left half-sum must reach (:264-276). */
+  final case class DistConfig(intervals: Seq[Double], weights: Seq[Long],
+                              limit: Long) {
+    require(intervals.size == weights.size, "intervals/weights length mismatch")
+    /** Half split point: left = bins [0, mid), right = [mid, len). */
+    val mid: Int = intervals.size / 2
+  }
+
+  /** Reference interval→bin rule (pattern_finder.py:216-221): position of
+    * the first interval strictly greater than the distance, minus one;
+    * distances past every interval land in the last bin, and a distance
+    * below the first interval wraps to the last bin too (the reference
+    * indexes `distribution[-1]` — Python negative indexing, preserved). */
+  def intervalBin(dist: Column, intervals: Seq[Double]): Column = {
+    val cnt = size(filter(typedLit(intervals), iv => iv <= dist))
+    when(cnt === 0, lit(intervals.size - 1)).otherwise(cnt - 1)
+  }
+
+  /** Per-(src_ip, dst_ip) pattern report (pattern_finder.py:253-276 +
+    * :334-378): each biflow pair contributes, per pattern, a one-hot
+    * weighted bin vector; vectors are summed element-wise per key; a key
+    * is reported iff for some pattern `sum(left half) >= limit` and
+    * `left > right`; `closest_patterns` collects the qualifying pattern
+    * names with the maximal left sum, in configuration order.
+    *
+    * The element-wise distribution-array sum (A12, sum_distributions at
+    * pattern_finder.py:238-247) is expressed as one per-bin conditional
+    * SUM inside a single hash aggregate — the map-side-combinable form of
+    * [[graft.functions.VectorFunctions.arraySum]] (spec-pinned equal to
+    * the explicit array fold), so one shuffle on (src_ip, dst_ip) carries
+    * fixed-width partial sums, never per-pair arrays. */
+  def patternReport(pairs: DataFrame, patterns: Seq[Pattern],
+                    cfg: DistConfig): DataFrame = {
+    val v = featureVector
+    val nBins = cfg.intervals.size
+    val binCols = patterns.zipWithIndex.map { case (p, pi) =>
+      intervalBin(
+        round(VectorFunctions.quadraticFormDistance(v, typedLit(p.vector)), 6),
+        cfg.intervals).as(s"_bin_$pi")
+    }
+    val slotSums = for {
+      pi <- patterns.indices; i <- 0 until nBins
+    } yield sum(when(col(s"_bin_$pi") === i, lit(cfg.weights(i))).otherwise(0L))
+      .as(s"_d_${pi}_$i")
+    val grouped = pairs
+      .select(Seq(col("client_ip").as("src_ip"), col("server_ip").as("dst_ip"))
+        ++ binCols: _*)
+      .groupBy("src_ip", "dst_ip")
+      .agg(slotSums.head, slotSums.tail: _*)
+    val distArr = patterns.indices.map(pi =>
+      array((0 until nBins).map(i => col(s"_d_${pi}_$i")): _*))
+    val halves = patterns.zipWithIndex.map { case (p, pi) =>
+      val left = (0 until cfg.mid).map(i => col(s"_d_${pi}_$i"))
+        .reduce(_ + _)
+      val right = (cfg.mid until nBins).map(i => col(s"_d_${pi}_$i"))
+        .reduce(_ + _)
+      struct(lit(p.name).as("name"), left.as("left"), right.as("right"))
+    }
+    val qual = filter(array(halves: _*),
+      h => h.getField("left") >= cfg.limit &&
+        h.getField("left") > h.getField("right"))
+    grouped
+      .withColumn("data_array", array(patterns.zipWithIndex.map {
+        case (p, pi) => struct(lit(p.name).as("name"),
+          distArr(pi).as("distribution"))
+      }: _*))
+      .withColumn("_qual", qual)
+      .filter(size(col("_qual")) > 0)
+      .withColumn("closest_patterns",
+        transform(
+          filter(col("_qual"), h => h.getField("left") ===
+            array_max(transform(col("_qual"), q => q.getField("left")))),
+          h => h.getField("name")))
+      .select("src_ip", "dst_ip", "data_array", "closest_patterns")
+  }
+
+  /** Per-pair streaming observations for the stateful report path: key =
+    * "src-dst" (the reference's result_key, pattern_finder.py:317-318),
+    * ts = request start, dist = the per-pattern one-hot weighted bin
+    * vectors FLATTENED patterns-major (pattern 0 bins, pattern 1 bins, …)
+    * so the keyed state carries one fixed-width Array[Long]. */
+  def patternObservations(pairs: DataFrame, patterns: Seq[Pattern],
+                          cfg: DistConfig): DataFrame = {
+    val v = featureVector
+    val nBins = cfg.intervals.size
+    val oneHots = patterns.map { p =>
+      val bin = intervalBin(
+        round(VectorFunctions.quadraticFormDistance(v, typedLit(p.vector)), 6),
+        cfg.intervals)
+      array((0 until nBins).map(i =>
+        when(bin === i, lit(cfg.weights(i))).otherwise(0L)): _*)
+    }
+    pairs.select(
+      concat_ws("-", col("client_ip"), col("server_ip")).as("key"),
+      col("req_start_ms").as("ts"),
+      flatten(array(oneHots: _*)).as("dist"))
+  }
+
   /** Distance of each pair to each pattern + closest pattern pick +
     * bin distribution of the closest distance. */
   def classify(pairs: DataFrame, patterns: Seq[Pattern],

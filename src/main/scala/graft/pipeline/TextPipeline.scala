@@ -79,10 +79,14 @@ object TextPipeline {
     * whole job. Jaccard is then over each doc's *rare*-shingle set — the
     * discriminative part. maxDf <= 0 disables the cap.
     *
-    * The exploded index is persisted: it feeds the per-doc sizes and both
-    * self-join sides, and recomputing the interpreted shingle lambdas per
-    * consumer dominates runtime otherwise (43 s → ~2 s at sf0.1). The cap
-    * is a broadcast LEFT ANTI against the heavy-shingle list, which is
+    * Exactly ONE copy of the exploded index is persisted — the post-cap
+    * `inv` that the per-doc sizes and both self-join sides consume
+    * (recomputing the index per consumer dominated runtime before:
+    * 43 s → ~2 s at sf0.1). The heavy-shingle list is derived from the
+    * UNPERSISTED raw explode: one extra codegen'd scan of the documents,
+    * which is far cheaper than double-caching the index — at corpus scale
+    * the exploded index is the biggest intermediate in the pipeline. The
+    * cap itself is a broadcast LEFT ANTI against the heavy list, which is
     * small by construction (only shingles with df > maxDf). */
   def nearDupJaccard(docs: DataFrame, n: Int, minJaccard: Double,
                      maxDf: Long = 0L): DataFrame = {
@@ -91,17 +95,13 @@ object TextPipeline {
         .wordShingles(col("text"), n, distinct = true).as("shingles"))
     val inv0 = shingled
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val inv =
+    val inv = (
       if (maxDf <= 0) inv0
       else {
         val heavy = inv0.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDf).select("shingle")
-        // also persisted: three consumers below would each re-run the
-        // anti-join over the full index otherwise
         inv0.join(broadcast(heavy), Seq("shingle"), "left_anti")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      }
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val shared = inv.as("a").join(inv.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

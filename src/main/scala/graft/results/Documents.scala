@@ -157,6 +157,23 @@ object Documents {
         col("stats"))
   }
 
+  /** pattern_finder report rows (PatternFinder.patternReport output:
+    * src_ip, dst_ip, data_array, closest_patterns) →
+    * @type=pattern_finder documents (pattern_finder.py:334-378):
+    * `configuration` = the YAML analysis name, `data_array` =
+    * [{name, distribution[]}] per pattern, `closest_patterns` = the
+    * qualifying pattern names with the maximal left half-sum. */
+  def patternFinderDoc(reports: DataFrame, configName: String,
+                       tsMs: Column): DataFrame =
+    reports.select(
+      lit("pattern_finder").as("@type"),
+      timestamp_millis(tsMs).as("@timestamp"),
+      lit(configName).as("configuration"),
+      col("src_ip"),
+      col("dst_ip"),
+      col("data_array"),
+      col("closest_patterns"))
+
   /** Write documents date-partitioned (daily ES index replacement). */
   def writeDaily(docs: DataFrame, path: String): Unit =
     docs

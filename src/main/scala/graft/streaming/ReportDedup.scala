@@ -66,4 +66,87 @@ object ReportDedup {
     obs.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append(), timeout)(update(reportIntervalMs, gcMs))
   }
+
+  // ----- ST2: pattern_finder distribution carry-over ---------------------
+
+  /** One per-pair pattern observation: key = the reference's result_key
+    * ("src-dst"), ts = event-time ms, dist = flattened per-pattern one-hot
+    * weighted bin vectors (PatternFinder.patternObservations). */
+  final case class PatternObservation(key: String, ts: Long, dist: Seq[Long])
+
+  /** Emitted pattern report: `dist` is the cumulative distribution — this
+    * report's window sum PLUS every previously REPORTED distribution for
+    * the key (sum_with_previous_distributions, pattern_finder.py:280-300:
+    * the stored sum only advances when a report fires; throttled
+    * detections never fold in). */
+  final case class PatternReport(key: String, ts: Long, dist: Seq[Long])
+
+  /** window = distributions accumulated since the last report boundary
+    * (tumbling-interval stand-in for the reference's sliding 300 s DStream
+    * window); carried = sum of all previously reported distributions. */
+  final case class PatternState(lastReportTs: Long, window: Seq[Long],
+                                carried: Seq[Long])
+
+  private def elemSum(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+    if (a.isEmpty) b else a.lazyZip(b).map(_ + _)
+
+  /** Reference anomaly_filter (pattern_finder.py:256-276) over a flattened
+    * distribution: some pattern's left half-sum reaches `limit` and
+    * exceeds its right half-sum. */
+  def anomalous(dist: Seq[Long], nBins: Int, mid: Int, limit: Long): Boolean =
+    dist.grouped(nBins).exists { d =>
+      val left = d.take(mid).sum
+      left >= limit && left > d.drop(mid).sum
+    }
+
+  /** Pattern-report state update: accumulate the window distribution;
+    * at each report boundary test the anomaly filter — on pass, emit the
+    * window sum folded into the carried total (the reference's
+    * check_if_report + sum_with_previous_distributions), reset the window;
+    * on fail, reset the window without emitting (the reference's windowed
+    * sums likewise age out unreported slices). */
+  def updatePatterns(reportIntervalMs: Long, gcMs: Long, nBins: Int,
+                     mid: Int, limit: Long)(
+      key: String, rows: Iterator[PatternObservation],
+      state: GroupState[PatternState]): Iterator[PatternReport] = {
+    if (state.hasTimedOut) { // reference: hourly reported_detections sweep
+      state.remove()
+      return Iterator.empty
+    }
+    val obs = rows.toSeq.sortBy(_.ts)
+    if (obs.isEmpty) return Iterator.empty
+    var st = state.getOption.getOrElse(PatternState(Long.MinValue, Nil, Nil))
+    val out = Seq.newBuilder[PatternReport]
+    for (o <- obs) {
+      st = st.copy(window = elemSum(st.window, o.dist))
+      if (st.lastReportTs == Long.MinValue ||
+          o.ts - st.lastReportTs >= reportIntervalMs) {
+        if (anomalous(st.window, nBins, mid, limit)) {
+          val emitted = elemSum(st.carried, st.window)
+          out += PatternReport(key, o.ts, emitted)
+          st = PatternState(o.ts, Nil, emitted)
+        } else st = st.copy(lastReportTs = o.ts, window = Nil)
+      }
+    }
+    state.update(st)
+    if (gcMs > 0) state.setTimeoutDuration(gcMs)
+    out.result().iterator
+  }
+
+  /** Wire the pattern-report state function over a keyed stream.
+    * `nBins`/`mid`/`limit` come from the distribution config
+    * (PatternFinder.DistConfig). */
+  def patterns(obs: Dataset[PatternObservation], reportIntervalMs: Long,
+               nBins: Int, mid: Int, limit: Long,
+               gcMs: Long = 0L): Dataset[PatternReport] = {
+    implicit val se: Encoder[PatternState] = Encoders.product[PatternState]
+    implicit val re: Encoder[PatternReport] = Encoders.product[PatternReport]
+    import obs.sparkSession.implicits._
+    val timeout =
+      if (gcMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    obs.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(
+        updatePatterns(reportIntervalMs, gcMs, nBins, mid, limit))
+  }
 }

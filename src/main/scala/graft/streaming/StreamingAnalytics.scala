@@ -207,6 +207,28 @@ object StreamingAnalytics {
         col("rsp_packets"), col("rsp_bytes"))
   }
 
+  /** ST2 end-to-end: the full streaming pattern_finder — biflow pairing
+    * (J5 stream-stream join) → per-pair one-hot weighted bin vectors →
+    * keyed report state with distribution carry-over
+    * (pattern_finder.py:250-331). Emitted reports carry the cumulative
+    * distribution (window sum + previously reported sums);
+    * Documents.patternFinderDoc shapes them into @type=pattern_finder. */
+  def patternFinderReports(flows: DataFrame,
+                           patterns: Seq[graft.analytics.PatternFinder.Pattern],
+                           cfg: graft.analytics.PatternFinder.DistConfig,
+                           reportIntervalMs: Long = 300000L,
+                           tolerance: String = "500 milliseconds",
+                           watermark: String = "30 seconds",
+                           gcMs: Long = 0L): Dataset[ReportDedup.PatternReport] = {
+    import flows.sparkSession.implicits._
+    val pairs = biflowPairs(flows, tolerance, watermark)
+    val obs = graft.analytics.PatternFinder
+      .patternObservations(pairs, patterns, cfg)
+      .as[ReportDedup.PatternObservation]
+    ReportDedup.patterns(obs, reportIntervalMs,
+      cfg.intervals.size, cfg.mid, cfg.limit, gcMs)
+  }
+
   /** Windowed open-resolver inventory (dns_open_resolvers.py:51-68):
     * NoError A-record answers grouped per (resolver, data, query) with
     * first-seen (T5). CIDR/whitelist filtering composes upstream via

@@ -293,4 +293,58 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.head("closest_pattern") == "dnsish")
     assert(out.head("distance") == 0.0d && out.head("bin") == 0)
   }
+
+  test("pattern report: per-key slot sums == explicit arraySum fold (A12)") {
+    import spark.implicits._
+    val pats = Seq(
+      PatternFinder.Pattern("p0", Seq(100.0, 5.0, 500.0, 6.0, 1000.0)),
+      PatternFinder.Pattern("p1", Seq(9999.0, 99.0, 99999.0, 99.0, 99999.0)))
+    val cfg = PatternFinder.DistConfig(
+      intervals = Seq(0.0, 1.0, 2.0, 4.0), weights = Seq(3L, 2L, 1L, 1L),
+      limit = 3L)
+    // two pairs on one key: one exactly on p0 (distance 0 -> bin 0), one
+    // slightly off; p1 is far away for both (last bin)
+    val pairs = Seq(
+      ("10.1.0.1", "192.0.2.5", 1000L, 1100L, 5L, 500L, 6L, 1000L),
+      ("10.1.0.1", "192.0.2.5", 2000L, 2150L, 6L, 600L, 7L, 1200L))
+      .toDF("client_ip", "server_ip", "req_start_ms", "req_end_ms",
+        "req_packets", "req_bytes", "rsp_packets", "rsp_bytes")
+    val report = rowsOf(PatternFinder.patternReport(pairs, pats, cfg))
+    assert(report.size == 1)
+    // independent fold: sum the flattened per-pair one-hot vectors with the
+    // explicit VectorFunctions.arraySum element-wise fold
+    val folded = PatternFinder.patternObservations(pairs, pats, cfg)
+      .groupBy("key")
+      .agg(aggregate(collect_list(col("dist")),
+        array_repeat(lit(0L), 2 * cfg.intervals.size),
+        (acc, d) => graft.functions.VectorFunctions.arraySum(acc, d)).as("dist"))
+      .collect().head.getSeq[Long](1)
+    val (d0, d1) = folded.splitAt(cfg.intervals.size)
+    val arr = report.head("data_array")
+      .asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]].toSeq
+    assert(arr.map(_.getString(0)) == Seq("p0", "p1"))
+    assert(arr(0).getSeq[Long](1).toSeq == d0.toSeq &&
+      arr(1).getSeq[Long](1).toSeq == d1.toSeq)
+    // p0 qualifies (left-heavy), p1 does not (all weight in the right half)
+    assert(report.head("closest_patterns")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("p0"))
+  }
+
+  test("pattern report: closest_patterns keeps all maximal qualifiers in config order") {
+    import spark.implicits._
+    val pats = Seq(
+      PatternFinder.Pattern("a", Seq(100.0, 5.0, 500.0, 6.0, 1000.0)),
+      PatternFinder.Pattern("b", Seq(100.0, 5.0, 500.0, 6.0, 1000.0)))
+    val cfg = PatternFinder.DistConfig(
+      intervals = Seq(0.0, 1.0, 2.0, 4.0), weights = Seq(2L, 1L, 1L, 2L),
+      limit = 2L)
+    // identical patterns -> identical distributions -> a tie on the left
+    // sum; reference keeps both, configuration order preserved
+    val pairs = Seq(("10.1.0.2", "192.0.2.6", 1000L, 1100L, 5L, 500L, 6L, 1000L))
+      .toDF("client_ip", "server_ip", "req_start_ms", "req_end_ms",
+        "req_packets", "req_bytes", "rsp_packets", "rsp_bytes")
+    val report = rowsOf(PatternFinder.patternReport(pairs, pats, cfg))
+    assert(report.head("closest_patterns")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("a", "b"))
+  }
 }

@@ -187,4 +187,27 @@ class ResultsSpec extends SparkSpec {
     assert(r.getString(5) == "192.0.2.1")
     assert(r.getString(6) == "example.test")
   }
+
+  test("patternFinderDoc: @type=pattern_finder nested data_array shape (pattern_finder.py:334-378)") {
+    import graft.analytics.PatternFinder
+    val pats = Seq(PatternFinder.Pattern("p0", Seq(100.0, 5.0, 500.0, 6.0, 1000.0)))
+    val cfg = PatternFinder.DistConfig(
+      intervals = Seq(0.0, 1.0, 2.0, 4.0), weights = Seq(2L, 1L, 1L, 2L),
+      limit = 2L)
+    val pairs = Seq(("10.1.0.3", "192.0.2.7", 1000L, 1100L, 5L, 500L, 6L, 1000L))
+      .toDF("client_ip", "server_ip", "req_start_ms", "req_end_ms",
+        "req_packets", "req_bytes", "rsp_packets", "rsp_bytes")
+    val doc = Documents.patternFinderDoc(
+      PatternFinder.patternReport(pairs, pats, cfg),
+      "Anomaly Detection", lit(1700000000000L))
+    val r = doc.selectExpr("`@type`", "configuration", "src_ip", "dst_ip",
+      "data_array[0].name", "data_array[0].distribution",
+      "closest_patterns").head()
+    assert(r.getString(0) == "pattern_finder")
+    assert(r.getString(1) == "Anomaly Detection")
+    assert(r.getString(2) == "10.1.0.3" && r.getString(3) == "192.0.2.7")
+    assert(r.getString(4) == "p0")
+    assert(r.getSeq[Long](5).toSeq == Seq(2L, 0L, 0L, 0L))
+    assert(r.getSeq[String](6).toSeq == Seq("p0"))
+  }
 }

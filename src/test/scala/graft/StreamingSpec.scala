@@ -295,6 +295,75 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pattern report state: distribution carry-over across reports (pattern_finder.py:280-331)") {
+    implicit val sqlCtx = spark.sqlContext
+    // 1 pattern × 4 bins, mid=2, limit=2: left = bins 0-1, right = bins 2-3
+    val mem = MemoryStream[ReportDedup.PatternObservation]
+    val out = ReportDedup.patterns(mem.toDS(), reportIntervalMs = 60000L,
+      nBins = 4, mid = 2, limit = 2L)
+    val q = out.writeStream.format("memory").queryName("pat_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: first sighting is anomalous (left=2 >= limit, > right=0)
+      // -> immediate report; quick repeat stays inside the throttle window
+      mem.addData(
+        ReportDedup.PatternObservation("a-b", 1000L, Seq(2L, 0L, 0L, 0L)),
+        ReportDedup.PatternObservation("a-b", 2000L, Seq(0L, 1L, 0L, 0L)))
+      q.processAllAvailable()
+      // batch 2: past the interval -> report = carried + window sum
+      mem.addData(ReportDedup.PatternObservation("a-b", 70000L, Seq(2L, 0L, 0L, 0L)))
+      q.processAllAvailable()
+      val rows = spark.table("pat_out").as[ReportDedup.PatternReport]
+        .collect().sortBy(_.ts)
+      assert(rows.length == 2)
+      assert(rows(0).dist == Seq(2L, 0L, 0L, 0L))
+      // second report: carried [2,0,0,0] + window ([0,1,0,0]+[2,0,0,0])
+      // — the element-wise sum_with_previous_distributions semantics
+      assert(rows(1).dist == Seq(4L, 1L, 0L, 0L))
+      // right-heavy key never passes the anomaly filter -> never reported
+      mem.addData(ReportDedup.PatternObservation("c-d", 1000L, Seq(0L, 0L, 0L, 9L)))
+      q.processAllAvailable()
+      assert(!spark.table("pat_out").as[ReportDedup.PatternReport]
+        .collect().exists(_.key == "c-d"))
+    } finally q.stop()
+  }
+
+  test("streaming pattern_finder end-to-end: biflow join -> one-hot bins -> carried report") {
+    implicit val sqlCtx = spark.sqlContext
+    val pats = Seq(graft.analytics.PatternFinder.Pattern(
+      "p0", Seq(1000.0, 10.0, 1000.0, 10.0, 1000.0)))
+    val cfg = graft.analytics.PatternFinder.DistConfig(
+      intervals = Seq(0.0, 1.0, 2.0, 4.0), weights = Seq(2L, 1L, 1L, 2L),
+      limit = 2L)
+    val mem = MemoryStream[Fx]
+    val out = StreamingAnalytics.patternFinderReports(
+      FlowSource.withEventTime(mem.toDF()), pats, cfg,
+      reportIntervalMs = 60000L)
+    val q = out.writeStream.format("memory").queryName("pf_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // request (high src_port) + response (low src_port) of one biflow,
+      // features exactly on the pattern -> distance 0 -> bin 0 (weight 2)
+      mem.addData(
+        Fx(flow_id = 1, src_ip4 = "10.0.0.1", dst_ip = "192.0.2.1",
+          src_port = 40000L, dst_port = 80, packets = 10, bytes = 1000,
+          start_ms = 10000L, end_ms = 11000L),
+        Fx(flow_id = 2, src_ip4 = "192.0.2.1", dst_ip = "10.0.0.1",
+          src_port = 80L, dst_port = 40000, packets = 10, bytes = 1000,
+          start_ms = 10100L, end_ms = 11100L),
+        // watermark pushers on both join sides (far future, unpaired key)
+        Fx(flow_id = 8, src_ip4 = "10.9.9.9", dst_ip = "192.0.2.9",
+          src_port = 50000L, dst_port = 81, start_ms = 900000L),
+        Fx(flow_id = 9, src_ip4 = "192.0.2.9", dst_ip = "10.9.9.9",
+          src_port = 81L, dst_port = 50000, start_ms = 900100L))
+      q.processAllAvailable()
+      val rows = spark.table("pf_stream").as[ReportDedup.PatternReport].collect()
+      val hit = rows.filter(_.key == "10.0.0.1-192.0.2.1")
+      assert(hit.length == 1)
+      assert(hit.head.dist == Seq(2L, 0L, 0L, 0L))
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first-seen doc per digest across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
