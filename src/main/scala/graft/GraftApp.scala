@@ -31,7 +31,15 @@ object GraftApp {
       window: String = "10 seconds",
       slide: Option[String] = None,
       watermark: String = "30 seconds",
-      tlsDict: Option[String] = None) // ;-separated CSV (reference S5 shape)
+      tlsDict: Option[String] = None, // ;-separated CSV (reference S5 shape)
+      config: Option[String] = None,  // pattern_finder YAML (reference S7)
+      dnsServers: Seq[String] = Nil,  // reflect_ddos watch list (-dns arg)
+      dstPattern: String = ".*",      // ddos network filter regex (-nf arg)
+      ratioIncrease: Double = 50.0,   // ddos threshold (detection_ddos.py:186)
+      minPackets: Long = 100000L,     // ddos minimal_incoming (:187)
+      stateTtlMs: Long = 86400000L,   // ddos profile GC horizon (1 day)
+      reflectRatio: Double = 3.0,     // reflect_ddos threshold_change (reflectdos_main.py:186)
+      minReplies: Long = 10L)         // reflect_ddos minimal_replies (:185)
 
   /** Load the reference-format classifier CSV:
     * suites;device;os;application;browser (tls_classification.py:44-83). */
@@ -70,12 +78,27 @@ object GraftApp {
       val dict = loadTlsDict(c.tlsDict.getOrElse(
         throw new IllegalArgumentException("tls_classification needs --tls-dict")))
       StreamingAnalytics.tlsClassification(_, dict, c.window, c.watermark)
+    case "pattern_finder" =>
+      // YAML-driven (reference S7): filters, biflow vectors, patterns and
+      // the report window all come from the configuration file
+      val cfg = graft.analytics.PatternConfig.load(c.config.getOrElse(
+        throw new IllegalArgumentException("pattern_finder needs --config <yaml>")))
+      flows => graft.analytics.PatternConfig.streamingReports(flows, cfg).toDF()
+    case "ddos" =>
+      flows => StreamingAnalytics.ddosKeyedState(flows, c.dstPattern,
+        c.ratioIncrease, c.minPackets, c.stateTtlMs).toDF()
+    case "reflect_ddos" =>
+      if (c.dnsServers.isEmpty)
+        throw new IllegalArgumentException("reflect_ddos needs --dns-servers a,b,c")
+      StreamingAnalytics.reflectDdos(_, c.dnsServers,
+        ratioThreshold = c.reflectRatio, minReplies = c.minReplies,
+        window = c.window, watermark = c.watermark)
     case other =>
       throw new IllegalArgumentException(
         s"unknown analytic '$other'; known: protocol_statistics host_stats " +
           "host_daily_profile dns_statistics dns_external_resolvers " +
           "dns_open_resolvers tls_classification biflow_pairs " +
-          "ports_scan ssh_auth")
+          "ports_scan ssh_auth pattern_finder ddos reflect_ddos")
   }
 
   /** Build (not start) the full source → analytic → sink query. */
@@ -102,6 +125,14 @@ object GraftApp {
       case "--slide" :: v :: t       => loop(t, c.copy(slide = Some(v)))
       case "--watermark" :: v :: t   => loop(t, c.copy(watermark = v))
       case "--tls-dict" :: v :: t    => loop(t, c.copy(tlsDict = Some(v)))
+      case "--config" :: v :: t      => loop(t, c.copy(config = Some(v)))
+      case "--dns-servers" :: v :: t => loop(t, c.copy(dnsServers = v.split(",").toSeq))
+      case "--dst-pattern" :: v :: t => loop(t, c.copy(dstPattern = v))
+      case "--ratio-increase" :: v :: t => loop(t, c.copy(ratioIncrease = v.toDouble))
+      case "--min-packets" :: v :: t => loop(t, c.copy(minPackets = v.toLong))
+      case "--state-ttl-ms" :: v :: t => loop(t, c.copy(stateTtlMs = v.toLong))
+      case "--reflect-ratio" :: v :: t => loop(t, c.copy(reflectRatio = v.toDouble))
+      case "--min-replies" :: v :: t => loop(t, c.copy(minReplies = v.toLong))
       case Nil => c
       case other :: _ => throw new IllegalArgumentException(s"unknown arg $other")
     }

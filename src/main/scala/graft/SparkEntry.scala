@@ -329,6 +329,33 @@ object SparkEntry {
           "closest_pattern", "distance", "bin")
         .orderBy("req_id", "rsp_id")),
 
+    // Q7: the dns_statistics data_array doc WITH the per-key
+    // top-contributing ip (controller nested terms sub-agg,
+    // web-interface/Stream4Flow/controllers/dns_statistics.py:53-75);
+    // data_array serialized to a string for the oracle compare
+    "q_doc_dns_stats_ip" -> ((s, dir) => {
+      val contrib = DnsStatistics.contributions(flows(s, dir),
+        carry = Seq("src_ip4", "src_ip6"))
+        .withColumn("ip", coalesce(col("src_ip4"), col("src_ip6")))
+        .filter(col("ip").isNotNull)
+      val perIp = contrib.groupBy("stat_type", "key", "ip")
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("stat_type", "key")
+      val stats = perIp
+        .withColumn("value", sum("cnt").over(w))
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("cnt").desc, col("ip").asc)))
+        .filter(col("rn") === 1)
+        .select("stat_type", "key", "value", "ip")
+      graft.results.Documents.dataArrayDoc(stats, "dns_statistics",
+        lit(ddosSplitMs), withIp = true)
+        .withColumn("data_array",
+          concat_ws(";", transform(col("data_array"), e =>
+            concat_ws(":", e.getField("key"), e.getField("value"),
+              e.getField("ip")))))
+        .orderBy("@stat_type")
+    }),
+
     // ST2/A12 batch face: per-(src,dst) element-wise distribution sums +
     // anomaly filter + @type=pattern_finder document; nested columns are
     // serialized to strings for the oracle compare (the doc itself carries
@@ -429,8 +456,9 @@ object SparkEntry {
         .orderBy("vec_a", "vec_b")),
 
     "q_embed_dedup" -> ((s, dir) =>
+      // banded composition (the corpus-scale path; bands ≥ 4)
       Similarity.dedupByCosine(Tables.embeddings(s, dir),
-        planes = 8, minCosine = 0.9)
+        planes = 16, minCosine = 0.9, bands = 4)
         .orderBy("vec_id")),
 
     "q_embed_ann_ivf" -> ((s, dir) => {
@@ -710,6 +738,50 @@ object SparkEntry {
          |  FROM e WHERE key IS NOT NULL GROUP BY 1, 2)
          |WHERE rank <= 100
          |ORDER BY stat_type, value DESC, key""".stripMargin),
+
+    "q_doc_dns_stats_ip" -> FlowSynth.oracle(
+      s"""WITH dns AS (
+         |  SELECT *, ((dns_flags >> 15) & 1) = 1 AS is_resp, dns_flags & 15 AS rcode
+         |  FROM flows WHERE dns_name IS NOT NULL AND dns_flags IS NOT NULL
+         |), e AS (
+         |  SELECT 'queried_domain' AS stat_type,
+         |         CASE WHEN NOT is_resp THEN dns_name END AS key,
+         |         $srcIpSql AS ip FROM dns
+         |  UNION ALL
+         |  SELECT 'qtype', CASE WHEN NOT is_resp THEN
+         |    ${caseFromMap(DnsFunctions.qtypeNames, "dns_qtype", "OTHER")} END,
+         |    $srcIpSql FROM dns
+         |  UNION ALL
+         |  SELECT 'rcode', CASE WHEN is_resp THEN
+         |    ${caseFromMap(DnsFunctions.rcodeNames, "rcode", "Unknown")} END,
+         |    $srcIpSql FROM dns
+         |  UNION ALL
+         |  SELECT 'nxdomain_by_domain',
+         |         CASE WHEN is_resp AND rcode = 3 THEN dns_name END,
+         |         $srcIpSql FROM dns
+         |  UNION ALL
+         |  SELECT 'queried_by_ip',
+         |         CASE WHEN NOT is_resp THEN $srcIpSql END,
+         |         $srcIpSql FROM dns
+         |), c AS (
+         |  SELECT stat_type, key, ip, count(*) AS cnt FROM e
+         |  WHERE key IS NOT NULL AND ip IS NOT NULL GROUP BY 1, 2, 3
+         |), s AS (
+         |  SELECT stat_type, key, ip, cnt,
+         |    sum(cnt) OVER (PARTITION BY stat_type, key) AS value,
+         |    row_number() OVER (PARTITION BY stat_type, key
+         |      ORDER BY cnt DESC, ip ASC) AS rn
+         |  FROM c
+         |), t AS (
+         |  SELECT stat_type, key, CAST(value AS BIGINT) AS value, ip
+         |  FROM s WHERE rn = 1
+         |)
+         |SELECT 'dns_statistics' AS "@type",
+         |  epoch_ms($ddosSplitMs) AS "@timestamp",
+         |  stat_type AS "@stat_type",
+         |  array_to_string(list(key || ':' || value || ':' || ip
+         |    ORDER BY key, value, ip), ';') AS data_array
+         |FROM t GROUP BY stat_type ORDER BY stat_type""".stripMargin),
 
     "q_ddos" -> FlowSynth.oracle(
       s"""WITH f AS (
@@ -1333,20 +1405,29 @@ object SparkEntry {
     "q_embed_dedup" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-         |), b AS (
-         |  SELECT vec_id, v, CAST(list_sum(list_transform(range(0, 8), pl ->
+         |), s AS (
+         |  SELECT vec_id, list_reduce(list_transform(range(0, 16), pl ->
          |    CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |      list_transform(range(1, len(v) + 1), i ->
          |        v[CAST(i AS INT)] * (CAST((CAST(i - 1 AS BIGINT) * 2654435761
          |          + pl * 40503 + 12345) % 1048576 AS DOUBLE) / 524288.0 - 1.0))),
-         |      (x, y) -> x + y) >= 0
-         |    THEN CAST(1 AS BIGINT) << pl ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
-         |    AS bucket
+         |      (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END),
+         |    (x, y) -> x || y) AS signs
          |  FROM e
+         |), bk AS (
+         |  SELECT vec_id, unnest(list_transform(range(0, 4), b ->
+         |    CAST(b AS VARCHAR) || '_' || substr(signs, CAST(b * 4 + 1 AS INT), 4)))
+         |    AS bucket
+         |  FROM s
+         |), pairs AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+         |  FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
          |), dupes AS (
-         |  SELECT DISTINCT c.vec_id FROM b a
-         |  JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-         |  WHERE round(${cosSql("a.v", "c.v")}, 4) >= 0.9
+         |  SELECT DISTINCT vec_b AS vec_id
+         |  FROM pairs
+         |  JOIN e ea ON ea.vec_id = vec_a
+         |  JOIN e eb ON eb.vec_id = vec_b
+         |  WHERE round(${cosSql("ea.v", "eb.v")}, 4) >= 0.9
          |)
          |SELECT vec_id FROM embeddings
          |WHERE vec_id NOT IN (SELECT vec_id FROM dupes)

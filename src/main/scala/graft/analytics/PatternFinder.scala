@@ -66,7 +66,8 @@ object PatternFinder {
     *
     * Equi-join on the canonical key carries the shuffle; the time window is
     * a post-join filter, so no cartesian blowup. */
-  def biflows(flows: DataFrame, toleranceMs: Long = 500L): DataFrame = {
+  def biflows(flows: DataFrame, toleranceMs: Long = 500L,
+              vector: Seq[Column] = Nil): DataFrame = {
     val key = sort_array(array(
       concat_ws(":", col("src_port"), col("src_ip4")),
       concat_ws(":", col("dst_port"), col("dst_ip"))))
@@ -74,18 +75,34 @@ object PatternFinder {
       .filter(col("src_ip4").isNotNull && col("src_port").isNotNull &&
         col("dst_port").isNotNull)
       .withColumn("biflow_key", concat_ws("|", key))
-    val req = tagged.filter(col("src_port") > col("dst_port"))
-      .select(col("biflow_key"), col("flow_id").as("req_id"),
+    // optional config-driven per-flow vector (X14): evaluated once per flow
+    // BEFORE the self-join, so each side carries its array through the
+    // shuffle instead of re-deriving features from carried raw columns
+    val withVec =
+      if (vector.isEmpty) tagged
+      else tagged.withColumn("_vec", array(vector.map(_.cast("double")): _*))
+    val vecReq = if (vector.isEmpty) Nil else Seq(col("_vec").as("req_vec"))
+    val vecRsp = if (vector.isEmpty) Nil else Seq(col("_vec").as("rsp_vec"))
+    val req = withVec.filter(col("src_port") > col("dst_port"))
+      .select(Seq(col("biflow_key"), col("flow_id").as("req_id"),
         col("src_ip4").as("client_ip"), col("dst_ip").as("server_ip"),
         col("start_ms").as("req_start_ms"), col("end_ms").as("req_end_ms"),
         col("packets").as("req_packets"), col("bytes").as("req_bytes"))
-    val rsp = tagged.filter(col("src_port") <= col("dst_port"))
-      .select(col("biflow_key"), col("flow_id").as("rsp_id"),
+        ++ vecReq: _*)
+    val rsp = withVec.filter(col("src_port") <= col("dst_port"))
+      .select(Seq(col("biflow_key"), col("flow_id").as("rsp_id"),
         col("start_ms").as("rsp_start_ms"), col("end_ms").as("rsp_end_ms"),
         col("packets").as("rsp_packets"), col("bytes").as("rsp_bytes"))
+        ++ vecRsp: _*)
     req.join(rsp, Seq("biflow_key"))
       .filter(abs(col("req_start_ms") - col("rsp_start_ms")) <= toleranceMs)
   }
+
+  /** The biflow comparison vector for config-driven pairs: request values
+    * then response values (biflow_quadratic_form.py:30-41 sums the request
+    * and response quadratic terms — identical to one quadratic form over
+    * the concatenation). Requires [[biflows]] called with a `vector`. */
+  def biflowVector: Column = concat(col("req_vec"), col("rsp_vec"))
 
   // ----- X12-X13: distance + classification ----------------------------
   /** A named pattern: reference feature vector for the quadratic form. */
@@ -136,16 +153,23 @@ object PatternFinder {
     * the explicit array fold), so one shuffle on (src_ip, dst_ip) carries
     * fixed-width partial sums, never per-pair arrays. */
   def patternReport(pairs: DataFrame, patterns: Seq[Pattern],
-                    cfg: DistConfig): DataFrame = {
-    val v = featureVector
-    val nBins = cfg.intervals.size
-    val binCols = patterns.zipWithIndex.map { case (p, pi) =>
+                    cfg: DistConfig): DataFrame =
+    patternReportVec(pairs, patterns.map(p => (p, cfg)), featureVector)
+
+  /** [[patternReport]] generalized for the YAML-driven pipeline (S7): an
+    * explicit comparison-vector column (e.g. [[biflowVector]] from
+    * config-built per-flow vectors) and a per-pattern distribution config
+    * (the reference resolves intervals/weights/limit per pattern name
+    * with a default fallback — pattern_finder.py:213-223, 362). */
+  def patternReportVec(pairs: DataFrame, pats: Seq[(Pattern, DistConfig)],
+                       vec: Column): DataFrame = {
+    val binCols = pats.zipWithIndex.map { case ((p, cfg), pi) =>
       intervalBin(
-        round(VectorFunctions.quadraticFormDistance(v, typedLit(p.vector)), 6),
+        round(VectorFunctions.quadraticFormDistance(vec, typedLit(p.vector)), 6),
         cfg.intervals).as(s"_bin_$pi")
     }
     val slotSums = for {
-      pi <- patterns.indices; i <- 0 until nBins
+      (( _, cfg), pi) <- pats.zipWithIndex; i <- cfg.intervals.indices
     } yield sum(when(col(s"_bin_$pi") === i, lit(cfg.weights(i))).otherwise(0L))
       .as(s"_d_${pi}_$i")
     val grouped = pairs
@@ -153,21 +177,24 @@ object PatternFinder {
         ++ binCols: _*)
       .groupBy("src_ip", "dst_ip")
       .agg(slotSums.head, slotSums.tail: _*)
-    val distArr = patterns.indices.map(pi =>
-      array((0 until nBins).map(i => col(s"_d_${pi}_$i")): _*))
-    val halves = patterns.zipWithIndex.map { case (p, pi) =>
+    val distArr = pats.zipWithIndex.map { case ((_, cfg), pi) =>
+      array(cfg.intervals.indices.map(i => col(s"_d_${pi}_$i")): _*)
+    }
+    // qual carried per pattern: left/right half-sums + that pattern's limit
+    val halves = pats.zipWithIndex.map { case ((p, cfg), pi) =>
       val left = (0 until cfg.mid).map(i => col(s"_d_${pi}_$i"))
         .reduce(_ + _)
-      val right = (cfg.mid until nBins).map(i => col(s"_d_${pi}_$i"))
+      val right = (cfg.mid until cfg.intervals.size).map(i => col(s"_d_${pi}_$i"))
         .reduce(_ + _)
-      struct(lit(p.name).as("name"), left.as("left"), right.as("right"))
+      struct(lit(p.name).as("name"), left.as("left"), right.as("right"),
+        lit(cfg.limit).as("limit"))
     }
     val qual = filter(array(halves: _*),
-      h => h.getField("left") >= cfg.limit &&
+      h => h.getField("left") >= h.getField("limit") &&
         h.getField("left") > h.getField("right"))
     grouped
-      .withColumn("data_array", array(patterns.zipWithIndex.map {
-        case (p, pi) => struct(lit(p.name).as("name"),
+      .withColumn("data_array", array(pats.zipWithIndex.map {
+        case ((p, _), pi) => struct(lit(p.name).as("name"),
           distArr(pi).as("distribution"))
       }: _*))
       .withColumn("_qual", qual)
@@ -186,12 +213,12 @@ object PatternFinder {
     * vectors FLATTENED patterns-major (pattern 0 bins, pattern 1 bins, …)
     * so the keyed state carries one fixed-width Array[Long]. */
   def patternObservations(pairs: DataFrame, patterns: Seq[Pattern],
-                          cfg: DistConfig): DataFrame = {
-    val v = featureVector
+                          cfg: DistConfig,
+                          vec: Column = featureVector): DataFrame = {
     val nBins = cfg.intervals.size
     val oneHots = patterns.map { p =>
       val bin = intervalBin(
-        round(VectorFunctions.quadraticFormDistance(v, typedLit(p.vector)), 6),
+        round(VectorFunctions.quadraticFormDistance(vec, typedLit(p.vector)), 6),
         cfg.intervals)
       array((0 until nBins).map(i =>
         when(bin === i, lit(cfg.weights(i))).otherwise(0L)): _*)

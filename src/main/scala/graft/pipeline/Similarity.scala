@@ -156,14 +156,24 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate REMOVAL: greedy canonical selection
     * over the LSH near-dup pairs — a vector is dropped iff some
-    * lower-id vector in its bucket matches at ≥ `minCosine` (vec_a <
-    * vec_b in [[annLsh]] makes the earliest id the canonical survivor).
+    * lower-id candidate vector matches at ≥ `minCosine` (vec_a < vec_b in
+    * the pair generators makes the earliest id the canonical survivor).
     * One broadcast-able distinct-duplicates set + a left_anti join; the
-    * corpus-side work is the LSH pass itself. */
+    * corpus-side work is the LSH pass itself.
+    *
+    * `bands > 1` composes on [[annLshBanded]] — the corpus-scale path:
+    * banded keys keep bucket sizes bounded as `planes` grows with
+    * log2(N), where the single-table form (`bands = 1`, [[annLsh]])
+    * degenerates to O(N²/2^planes) same-bucket pairs. Banded candidates
+    * with bands spanning the same leading planes are a superset of the
+    * single-table candidates, so banded dedup removes at least as many
+    * near-duplicates (spec-asserted). */
   def dedupByCosine(embeddings: DataFrame, planes: Int,
-                    minCosine: Double): DataFrame = {
-    val dupes = annLsh(embeddings, planes, minCosine)
-      .select(col("vec_b").as("vec_id")).distinct()
+                    minCosine: Double, bands: Int = 1): DataFrame = {
+    val pairs =
+      if (bands <= 1) annLsh(embeddings, planes, minCosine)
+      else annLshBanded(embeddings, planes, bands, minCosine)
+    val dupes = pairs.select(col("vec_b").as("vec_id")).distinct()
     embeddings.join(dupes, Seq("vec_id"), "left_anti")
       .select("vec_id")
   }

@@ -174,7 +174,8 @@ object StreamingAnalytics {
     * an event-time range condition (pattern_finder.py:168-194;
     * configuration.yml:110's ±tolerance). */
   def biflowPairs(flows: DataFrame, tolerance: String = "500 milliseconds",
-                  watermark: String = "30 seconds"): DataFrame = {
+                  watermark: String = "30 seconds",
+                  vector: Seq[Column] = Nil): DataFrame = {
     val key = sort_array(array(
       concat_ws(":", col("src_port"), col("src_ip4")),
       concat_ws(":", col("dst_port"), col("dst_ip"))))
@@ -182,17 +183,26 @@ object StreamingAnalytics {
       .filter(col("src_ip4").isNotNull && col("src_port").isNotNull &&
         col("dst_port").isNotNull)
       .withColumn("biflow_key", concat_ws("|", key))
-    val req = tagged.filter(col("src_port") > col("dst_port"))
-      .select(col("biflow_key"), col("flow_id").as("req_id"),
+    // optional config-driven per-flow vector (S7/X14) evaluated before the
+    // join so each side ships its array once through the stream-stream join
+    val withVec =
+      if (vector.isEmpty) tagged
+      else tagged.withColumn("_vec", array(vector.map(_.cast("double")): _*))
+    val vecReq = if (vector.isEmpty) Nil else Seq(col("_vec").as("req_vec"))
+    val vecRsp = if (vector.isEmpty) Nil else Seq(col("_vec").as("rsp_vec"))
+    val req = withVec.filter(col("src_port") > col("dst_port"))
+      .select(Seq(col("biflow_key"), col("flow_id").as("req_id"),
         col("src_ip4").as("client_ip"), col("dst_ip").as("server_ip"),
         col("event_time").as("req_time"),
         col("start_ms").as("req_start_ms"), col("end_ms").as("req_end_ms"),
         col("packets").as("req_packets"), col("bytes").as("req_bytes"))
+        ++ vecReq: _*)
       .withWatermark("req_time", watermark)
-    val rsp = tagged.filter(col("src_port") <= col("dst_port"))
-      .select(col("biflow_key").as("rsp_key"), col("flow_id").as("rsp_id"),
+    val rsp = withVec.filter(col("src_port") <= col("dst_port"))
+      .select(Seq(col("biflow_key").as("rsp_key"), col("flow_id").as("rsp_id"),
         col("event_time").as("rsp_time"),
         col("packets").as("rsp_packets"), col("bytes").as("rsp_bytes"))
+        ++ vecRsp: _*)
       .withWatermark("rsp_time", watermark)
     // feature columns ride along so PatternFinder.classify composes
     // directly on the joined stream (full streaming pattern_finder)
@@ -200,11 +210,13 @@ object StreamingAnalytics {
       expr(s"biflow_key = rsp_key AND " +
         s"rsp_time BETWEEN req_time - interval $tolerance " +
         s"AND req_time + interval $tolerance"))
-      .select(col("biflow_key"), col("req_id"), col("rsp_id"),
+      .select(Seq(col("biflow_key"), col("req_id"), col("rsp_id"),
         col("client_ip"), col("server_ip"), col("req_time"), col("rsp_time"),
         col("req_start_ms"), col("req_end_ms"),
         col("req_packets"), col("req_bytes"),
         col("rsp_packets"), col("rsp_bytes"))
+        ++ (if (vector.isEmpty) Nil
+            else Seq(col("req_vec"), col("rsp_vec"))): _*)
   }
 
   /** ST2 end-to-end: the full streaming pattern_finder — biflow pairing
@@ -219,11 +231,16 @@ object StreamingAnalytics {
                            reportIntervalMs: Long = 300000L,
                            tolerance: String = "500 milliseconds",
                            watermark: String = "30 seconds",
-                           gcMs: Long = 0L): Dataset[ReportDedup.PatternReport] = {
+                           gcMs: Long = 0L,
+                           vector: Seq[Column] = Nil): Dataset[ReportDedup.PatternReport] = {
     import flows.sparkSession.implicits._
-    val pairs = biflowPairs(flows, tolerance, watermark)
-    val obs = graft.analytics.PatternFinder
-      .patternObservations(pairs, patterns, cfg)
+    val pairs = biflowPairs(flows, tolerance, watermark, vector)
+    val vec =
+      if (vector.isEmpty) None
+      else Some(graft.analytics.PatternFinder.biflowVector)
+    val obs = vec.fold(
+      graft.analytics.PatternFinder.patternObservations(pairs, patterns, cfg))(
+      v => graft.analytics.PatternFinder.patternObservations(pairs, patterns, cfg, v))
       .as[ReportDedup.PatternObservation]
     ReportDedup.patterns(obs, reportIntervalMs,
       cfg.intervals.size, cfg.mid, cfg.limit, gcMs)
@@ -278,10 +295,51 @@ object StreamingAnalytics {
     * form rewrote the whole profile every 30 s batch and could lose the
     * profile on a crash between report and overwrite). Emitted rows are
     * final, so the operator runs in Append mode and file sinks work. */
+  /** The DDoS keyed-state update, factored out so the timeout/eviction
+    * branch is unit-testable with TestGroupState (a ProcessingTimeTimeout
+    * keeps a local test query triggering sweep batches forever, so the
+    * eviction path can't be driven through processAllAvailable). */
+  def ddosUpdate(ratioIncrease: Double, minPackets: Long, stateTtlMs: Long)(
+      dst: String, rows: Iterator[(String, Long)],
+      state: org.apache.spark.sql.streaming.GroupState[DdosProfile])
+      : Iterator[DdosDetection] = {
+    if (state.hasTimedOut) { // TTL eviction: idle profile dropped
+      state.remove()
+      Iterator.empty
+    } else {
+      var pk = 0L
+      var fl = 0L
+      rows.foreach { r => pk += r._2; fl += 1 }
+      val prior = state.getOption
+      val out = prior match {
+        case Some(p) if fl > 0 && p.flows > 0 && pk >= minPackets =>
+          val shortRatio = pk.toDouble / fl
+          val longRatio = p.packets.toDouble / p.flows
+          if (shortRatio >= longRatio * ratioIncrease)
+            Iterator.single(DdosDetection(dst, shortRatio, longRatio, pk, fl))
+          else Iterator.empty
+        case _ => Iterator.empty
+      }
+      if (fl > 0) state.update(prior match {
+        case Some(p) => DdosProfile(p.packets + pk, p.flows + fl)
+        case None    => DdosProfile(pk, fl)
+      })
+      if (stateTtlMs > 0 && state.exists) state.setTimeoutDuration(stateTtlMs)
+      out
+    }
+  }
+
   def ddosKeyedState(flows: DataFrame, dstPattern: String,
-                     ratioIncrease: Double, minPackets: Long): Dataset[DdosDetection] = {
+                     ratioIncrease: Double, minPackets: Long,
+                     stateTtlMs: Long = 0L): Dataset[DdosDetection] = {
     import flows.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    // stateTtlMs > 0 bounds the profile map: a destination idle past the
+    // TTL is dropped (the reference GC'd its driver dict daily; an
+    // unfiltered /0 watch pattern would otherwise grow state forever)
+    val timeout =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     flows
       .filter(col("protocol").isNotNull && col("packets").isNotNull &&
         col("src_ip4").isNotNull && col("dst_ip").isNotNull &&
@@ -289,27 +347,46 @@ object StreamingAnalytics {
       .select(col("dst_ip").as[String], col("packets").cast("long").as[Long])
       .groupByKey(_._1)
       .flatMapGroupsWithState[DdosProfile, DdosDetection](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (dst, rows, state) =>
-          var pk = 0L
-          var fl = 0L
-          rows.foreach { r => pk += r._2; fl += 1 }
-          val prior = state.getOption
-          val out = prior match {
-            case Some(p) if fl > 0 && p.flows > 0 && pk >= minPackets =>
-              val shortRatio = pk.toDouble / fl
-              val longRatio = p.packets.toDouble / p.flows
-              if (shortRatio >= longRatio * ratioIncrease)
-                Iterator.single(DdosDetection(dst, shortRatio, longRatio, pk, fl))
-              else Iterator.empty
-            case _ => Iterator.empty
-          }
-          if (fl > 0) state.update(prior match {
-            case Some(p) => DdosProfile(p.packets + pk, p.flows + fl)
-            case None    => DdosProfile(pk, fl)
-          })
-          out
-      }
+        OutputMode.Append, timeout)(
+        ddosUpdate(ratioIncrease, minPackets, stateTtlMs))
+  }
+
+  /** F6/J6/W1 streaming: reflected-DDoS detection as a windowed
+    * conditional aggregation (reflectdos_main.py:140-199 — the reference's
+    * 20 s processing-time window over a union of two keyed streams;
+    * restructured like the batch analytic to one scan where the victim is
+    * the non-server endpoint, with an event-time tumbling window). */
+  def reflectDdos(flows: DataFrame, dnsServers: Seq[String],
+                  ratioThreshold: Double = 3.0, minReplies: Long = 10L,
+                  window: String = "20 seconds",
+                  watermark: String = "1 minute"): DataFrame = {
+    val toServer   = col("dst_ip").isin(dnsServers: _*)
+    val fromServer = col("src_ip4").isin(dnsServers: _*)
+    flows
+      .filter(col("protocol") === 17 && col("bytes").isNotNull &&
+        col("src_ip4").isNotNull && col("dst_ip").isNotNull &&
+        (toServer || fromServer))
+      .select(
+        when(fromServer, col("dst_ip")).otherwise(col("src_ip4")).as("src_ip"),
+        when(fromServer, col("src_ip4")).otherwise(col("dst_ip")).as("dns_ip"),
+        when(fromServer, col("bytes")).otherwise(0L).as("bytes_received"),
+        when(!fromServer, col("bytes")).otherwise(0L).as("bytes_sent"),
+        when(fromServer, 1L).otherwise(0L).as("replies"),
+        when(!fromServer, 1L).otherwise(0L).as("requests"),
+        col("event_time"))
+      .withWatermark("event_time", watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("event_time"), window),
+        col("src_ip"), col("dns_ip"))
+      .agg(
+        sum("bytes_received").as("data_received"),
+        sum("bytes_sent").as("data_sent"),
+        sum("replies").as("replies"),
+        sum("requests").as("outgoing_connections"))
+      .filter(col("data_sent") =!= 0)
+      .withColumn("amplification",
+        round(col("data_received").cast("double") / col("data_sent"), 4))
+      .filter(col("amplification") > ratioThreshold && col("replies") >= minReplies)
   }
 
   /** J4 streaming form: stream-stream interval join with watermarks on

@@ -330,6 +330,140 @@ class AnalyticsSpec extends SparkSpec {
       .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("p0"))
   }
 
+  private val referenceYaml =
+    """configuration:
+      |    name: Anomaly Detection
+      |    window: 300
+      |    slice: 5
+      |filter:
+      |    - element_names:
+      |          - ipfix.sourceIPv4Address
+      |          - ipfix.destinationIPv4Address
+      |      type: exists
+      |    - element_names:
+      |          - ipfix.protocolIdentifier
+      |      type: int
+      |      values:
+      |          - 6
+      |vectors:
+      |    key:
+      |        type: biflow
+      |        elements:
+      |            src_ip: ipfix.sourceIPv4Address
+      |            dst_ip: ipfix.destinationIPv4Address
+      |            src_port: ipfix.sourceTransportPort
+      |            dst_port: ipfix.destinationTransportPort
+      |            flow_start: ipfix.flowStartMilliseconds
+      |        time_difference: 500
+      |    values:
+      |        - type: element
+      |          element: ipfix.packetDeltaCount
+      |        - type: element
+      |          element: ipfix.octetDeltaCount
+      |        - type: operation
+      |          operator: sub
+      |          elements:
+      |              - ipfix.flowEndMilliseconds
+      |              - ipfix.flowStartMilliseconds
+      |output:
+      |    - name: src_ip
+      |      element: ipfix.sourceIPv4Address
+      |      type: request
+      |    - name: dst_ip
+      |      element: ipfix.destinationIPv4Address
+      |      type: request
+      |distance:
+      |    distance_module: biflow_quadratic_form
+      |    patterns:
+      |        - name: anomaly-1
+      |          request: [5, 500, 100]
+      |          response: [6, 1000, 100]
+      |        - name: anomaly-2
+      |          request: [50, 9000, 2000]
+      |          response: [60, 12000, 2500]
+      |    distribution:
+      |        anomaly-1:
+      |            intervals: [0, 3, 4, 5, 6, 7]
+      |        default:
+      |            intervals: [0, 2, 3, 4, 5, 7]
+      |            weights: [3, 2, 1, 1, 2, 3]
+      |            limit: 2
+      |""".stripMargin
+
+  test("S7: YAML loader parses the reference configuration shape") {
+    import graft.analytics.PatternConfig
+    val cfg = PatternConfig.parse(referenceYaml)
+    assert(cfg.name == "Anomaly Detection")
+    assert(cfg.windowSec == 300L && cfg.reportIntervalMs == 300000L)
+    // wire element names resolve to engine columns
+    assert(cfg.filters == Seq(
+      PatternFinder.FilterItem(Seq("src_ip4", "dst_ip4"), "exists", Nil),
+      PatternFinder.FilterItem(Seq("protocol"), "int", Seq(6L))))
+    assert(cfg.biflowKey.get.srcIp == "src_ip4" &&
+      cfg.biflowKey.get.flowStart == "start_ms" &&
+      cfg.biflowKey.get.toleranceMs == 500L)
+    assert(cfg.values.map(_.kind) == Seq("element", "element", "operation"))
+    // biflow pattern vector = request ++ response halves
+    assert(cfg.patterns.map(_._1) == Seq(
+      PatternFinder.Pattern("anomaly-1", Seq(5.0, 500.0, 100.0, 6.0, 1000.0, 100.0)),
+      PatternFinder.Pattern("anomaly-2", Seq(50.0, 9000.0, 2000.0, 60.0, 12000.0, 2500.0))))
+    // per-pattern interval override with default weight/limit fallback
+    assert(cfg.patterns(0)._2 == PatternFinder.DistConfig(
+      Seq(0.0, 3.0, 4.0, 5.0, 6.0, 7.0), Seq(3L, 2L, 1L, 1L, 2L, 3L), 2L))
+    assert(cfg.patterns(1)._2 == PatternFinder.DistConfig(
+      Seq(0.0, 2.0, 3.0, 4.0, 5.0, 7.0), Seq(3L, 2L, 1L, 1L, 2L, 3L), 2L))
+  }
+
+  test("S7: YAML-driven pipeline == directly configured pipeline on same flows") {
+    import graft.analytics.PatternConfig
+    val cfg = PatternConfig.parse(referenceYaml)
+    // two pairable biflows on the anomaly-1 shape + one UDP flow the
+    // config's protocol filter must drop; the Fx fixture carries the
+    // derived dst_ip only, so restore the wire-faithful dst_ip4 the
+    // YAML's exists-filter names
+    val flows = Fx.df(spark,
+      Fx(flow_id = 1, src_ip4 = "10.8.0.1", dst_ip = "192.0.2.9",
+        src_port = 40000, dst_port = 53, start_ms = 1000, end_ms = 1100,
+        packets = 5, bytes = 500),
+      Fx(flow_id = 2, src_ip4 = "192.0.2.9", dst_ip = "10.8.0.1",
+        src_port = 53, dst_port = 40000, start_ms = 1200, end_ms = 1300,
+        packets = 6, bytes = 1000),
+      Fx(flow_id = 3, src_ip4 = "10.8.0.2", dst_ip = "192.0.2.9",
+        src_port = 40001, dst_port = 53, start_ms = 5000, end_ms = 5100,
+        packets = 5, bytes = 500),
+      Fx(flow_id = 4, src_ip4 = "192.0.2.9", dst_ip = "10.8.0.2",
+        src_port = 53, dst_port = 40001, start_ms = 5200, end_ms = 5300,
+        packets = 6, bytes = 1000),
+      // UDP pairable twin of pair 1: filtered out by `int protocol [6]`
+      Fx(flow_id = 5, src_ip4 = "10.8.0.3", dst_ip = "192.0.2.9", protocol = 17,
+        src_port = 40002, dst_port = 53, start_ms = 9000, end_ms = 9100,
+        packets = 5, bytes = 500),
+      Fx(flow_id = 6, src_ip4 = "192.0.2.9", dst_ip = "10.8.0.3", protocol = 17,
+        src_port = 53, dst_port = 40002, start_ms = 9200, end_ms = 9300,
+        packets = 6, bytes = 1000))
+      .withColumn("dst_ip4", col("dst_ip"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      rowsOf(df.select(col("src_ip"), col("dst_ip"),
+        to_json(col("data_array")).as("da"),
+        to_json(col("closest_patterns")).as("cp")))
+        .map(r => (r("src_ip"), r("dst_ip"), r("da"), r("cp"))).toSet
+    val fromYaml = canon(PatternConfig.batchReport(flows, cfg))
+    // the same pipeline configured directly in Scala
+    val direct = canon(PatternFinder.patternReportVec(
+      PatternFinder.biflows(
+        flows.filter(PatternFinder.filterExpr(Seq(
+          PatternFinder.FilterItem(Seq("src_ip4", "dst_ip4"), "exists", Nil),
+          PatternFinder.FilterItem(Seq("protocol"), "int", Seq(6L))))),
+        500L,
+        Seq(col("packets").cast("double"), col("bytes").cast("double"),
+          (col("end_ms") - col("start_ms")).cast("double"))),
+      cfg.patterns, PatternFinder.biflowVector))
+    assert(fromYaml == direct)
+    assert(fromYaml.nonEmpty)
+    // the anomaly-1-shaped TCP pairs report; the UDP twin key must not
+    assert(fromYaml.map(t => t._1) == Set("10.8.0.1", "10.8.0.2"))
+  }
+
   test("pattern report: closest_patterns keeps all maximal qualifiers in config order") {
     import spark.implicits._
     val pats = Seq(

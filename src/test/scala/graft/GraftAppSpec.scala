@@ -117,6 +117,137 @@ class GraftAppSpec extends SparkSpec {
     assert(first.sortBy(r => (r._1, r._2)) == second.sortBy(r => (r._1, r._2)))
   }
 
+  private def flowJson2(src: String, dst: String, proto: Int, srcPort: Int,
+                        dstPort: Int, startMs: Long, packets: Int, bytes: Int) =
+    s"""{"ipfix.sourceIPv4Address":"$src","ipfix.destinationIPv4Address":"$dst","ipfix.protocolIdentifier":$proto,"ipfix.sourceTransportPort":$srcPort,"ipfix.destinationTransportPort":$dstPort,"ipfix.packetDeltaCount":$packets,"ipfix.octetDeltaCount":$bytes,"ipfix.tcpControlBits":16,"ipfix.flowStartMilliseconds":$startMs,"ipfix.flowEndMilliseconds":${startMs + 100}}"""
+
+  test("GraftApp end-to-end: ddos keyed-state analytic file -> parquet") {
+    val in = java.nio.file.Files.createTempDirectory("ddosappin").toString
+    val out = java.nio.file.Files.createTempDirectory("ddosappout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ddosappckpt").toString
+    def write(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        lines.mkString("\n").getBytes)
+    write("b1.json", (0 until 10).map(i =>
+      flowJson2(s"10.1.0.$i", "192.168.1.1", 17, 4000 + i, 53, 1000L * i, 10, 500)))
+    // stateTtlMs = 0 here: a processing-time timeout keeps the engine
+    // scheduling timeout-sweep batches, which processAllAvailable never
+    // drains (TTL eviction itself is spec'd in StreamingSpec via
+    // Trigger.AvailableNow restarts)
+    val q = GraftApp.build(spark, GraftApp.Config(
+      analytic = "ddos", inputJson = Some(in), output = out, checkpoint = ckpt,
+      dstPattern = "192\\.168\\..*", ratioIncrease = 5.0, minPackets = 100L,
+      stateTtlMs = 0L))
+    try {
+      q.processAllAvailable()
+      write("b2.json", (0 until 5).map(i =>
+        flowJson2(s"10.2.0.$i", "192.168.1.1", 17, 5000 + i, 53, 60000L + i, 1000, 50000)))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(out).collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[String]("dst_ip") == "192.168.1.1")
+      assert(rows.head.getAs[Double]("long_ratio") == 10.0d)
+      assert(rows.head.getAs[String]("type") == "ddos")
+    } finally q.stop()
+  }
+
+  test("GraftApp end-to-end: reflect_ddos windowed analytic file -> parquet") {
+    val in = java.nio.file.Files.createTempDirectory("reflappin").toString
+    val out = java.nio.file.Files.createTempDirectory("reflappout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("reflappckpt").toString
+    def write(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        lines.mkString("\n").getBytes)
+    val dns = "192.168.0.53"
+    write("b1.json",
+      (0 until 2).map(i => flowJson2("10.7.0.1", dns, 17, 4000 + i, 53, 1000L * (i + 1), 1, 100)) ++
+      (0 until 3).map(i => flowJson2(dns, "10.7.0.1", 17, 53, 4000 + i, 3000L + 1000L * i, 10, 4000)))
+    val q = GraftApp.build(spark, GraftApp.Config(
+      analytic = "reflect_ddos", inputJson = Some(in), output = out,
+      checkpoint = ckpt, window = "20 seconds", watermark = "30 seconds",
+      dnsServers = Seq(dns), minReplies = 2L))
+    try {
+      q.processAllAvailable()
+      // watermark pusher closes the first window
+      write("b2.json", Seq(flowJson2("10.9.9.9", dns, 17, 4999, 53, 900000L, 1, 1)))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(out).collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[String]("src_ip") == "10.7.0.1")
+      assert(rows.head.getAs[Double]("amplification") == 60.0d)
+    } finally q.stop()
+  }
+
+  test("GraftApp end-to-end: YAML-configured pattern_finder file -> parquet (S7)") {
+    val in = java.nio.file.Files.createTempDirectory("pfappin").toString
+    val out = java.nio.file.Files.createTempDirectory("pfappout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("pfappckpt").toString
+    val yaml = java.nio.file.Files.createTempFile("pfcfg", ".yml")
+    // reference-shaped config: TCP-only filter, biflow key, per-flow
+    // vector [packets, bytes], one pattern matching the request/response
+    // fixture below
+    java.nio.file.Files.write(yaml,
+      """configuration:
+        |    name: Test Detection
+        |    window: 300
+        |    slice: 5
+        |filter:
+        |    - element_names:
+        |          - ipfix.protocolIdentifier
+        |      type: int
+        |      values:
+        |          - 6
+        |vectors:
+        |    key:
+        |        type: biflow
+        |        elements:
+        |            src_ip: ipfix.sourceIPv4Address
+        |            dst_ip: ipfix.destinationIPv4Address
+        |            src_port: ipfix.sourceTransportPort
+        |            dst_port: ipfix.destinationTransportPort
+        |            flow_start: ipfix.flowStartMilliseconds
+        |        time_difference: 500
+        |    values:
+        |        - type: element
+        |          element: ipfix.packetDeltaCount
+        |        - type: element
+        |          element: ipfix.octetDeltaCount
+        |distance:
+        |    distance_module: biflow_quadratic_form
+        |    patterns:
+        |        - name: hit
+        |          request: [5, 500]
+        |          response: [6, 1000]
+        |    distribution:
+        |        default:
+        |            intervals: [0, 1, 2, 4]
+        |            weights: [2, 1, 1, 2]
+        |            limit: 2
+        |""".stripMargin.getBytes)
+    def write(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        lines.mkString("\n").getBytes)
+    // request/response on the pattern + far-future pair pushing both
+    // join-side watermarks
+    write("b1.json", Seq(
+      flowJson2("10.8.0.1", "192.0.2.9", 6, 40000, 53, 10000L, 5, 500),
+      flowJson2("192.0.2.9", "10.8.0.1", 6, 53, 40000, 10100L, 6, 1000),
+      flowJson2("10.9.9.9", "192.0.2.8", 6, 50000, 81, 900000L, 1, 1),
+      flowJson2("192.0.2.8", "10.9.9.9", 6, 81, 50000, 900100L, 1, 1)))
+    val q = GraftApp.build(spark, GraftApp.Config(
+      analytic = "pattern_finder", inputJson = Some(in), output = out,
+      checkpoint = ckpt, config = Some(yaml.toString)))
+    try {
+      q.processAllAvailable()
+      val rows = spark.read.parquet(out)
+        .filter(col("key") === "10.8.0.1-192.0.2.9").collect()
+      assert(rows.length == 1)
+      // distance 0 -> bin 0 -> weight 2 in the first slot
+      assert(rows.head.getAs[scala.collection.Seq[Long]]("dist").toSeq ==
+        Seq(2L, 0L, 0L, 0L))
+    } finally q.stop()
+  }
+
   test("GraftApp.loadTlsDict parses the reference CSV shape") {
     val f = java.nio.file.Files.createTempFile("tlsdict", ".csv")
     java.nio.file.Files.write(f,

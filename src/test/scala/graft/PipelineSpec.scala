@@ -164,4 +164,28 @@ class PipelineSpec extends SparkSpec {
     // exactly at the sign boundary — all 12 must surface
     assert((0 until 12).forall(c => banded.contains((c * 2L, c * 2L + 1L))))
   }
+
+  test("dedupByCosine on banded LSH removes a superset of the single-table set") {
+    // same near-dup cluster fixture as the recall test
+    val base = (0 until 12).map(c => Array.tabulate(8)(d => math.sin(c * 5 + d).toFloat))
+    val vecs = base.zipWithIndex.flatMap { case (v, c) =>
+      Seq((c * 2L, v), (c * 2L + 1L, v.updated(0, v(0) + 0.001f)))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    def survivors(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      rowsOf(df).map(_("vec_id").asInstanceOf[Long]).toSet
+    val banded = survivors(Similarity.dedupByCosine(emb, planes = 16,
+      minCosine = 0.9, bands = 4))
+    val single = survivors(Similarity.dedupByCosine(emb, planes = 8,
+      minCosine = 0.9))
+    // bands 0-1 of the 16-plane signature reproduce the 8-plane bucket, so
+    // banded candidates ⊇ single-table candidates at equal minCosine:
+    // banded dedup removes at least as much
+    assert(banded.subsetOf(single))
+    // every odd twin is dropped: its lower-id even partner always shares
+    // all bands (cosine 1 up to the 1e-3 nudge), so the twin can never be
+    // a canonical survivor (cross-cluster matches may drop some even
+    // vectors too — fine, that's more dedup, covered by the subset check)
+    assert((0 until 12).forall(c => !banded.contains(c * 2L + 1L)))
+  }
 }

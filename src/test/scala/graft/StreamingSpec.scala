@@ -189,6 +189,81 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ddos: state TTL evicts idle profiles (bounded state)") {
+    // a ProcessingTimeTimeout keeps the engine scheduling timeout-sweep
+    // batches, which neither processAllAvailable nor AvailableNow drains
+    // in-process — so drive the factored-out update function directly
+    // with TestGroupState (Spark's harness for exactly this)
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import StreamingAnalytics.{DdosProfile, ddosUpdate}
+    val update = ddosUpdate(ratioIncrease = 5.0, minPackets = 100L,
+      stateTtlMs = 200L) _
+    // fresh key: profile stored and the TTL registered
+    val fresh = TestGroupState.create[DdosProfile](
+      org.apache.spark.api.java.Optional.empty[DdosProfile](), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, org.apache.spark.api.java.Optional.empty[Long](), false)
+    assert(update("192.168.5.5",
+      Iterator.fill(10)(("192.168.5.5", 10L)), fresh).isEmpty)
+    assert(fresh.get == DdosProfile(100L, 10L))
+    assert(fresh.getTimeoutTimestampMs.get() == 1200L) // batchTs + TTL
+    // timed-out invocation: the idle profile is evicted, nothing emitted
+    val expired = TestGroupState.create[DdosProfile](
+      org.apache.spark.api.java.Optional.of(DdosProfile(100L, 10L)),
+      GroupStateTimeout.ProcessingTimeTimeout,
+      5000L, org.apache.spark.api.java.Optional.empty[Long](), true)
+    assert(update("192.168.5.5", Iterator.empty, expired).isEmpty)
+    assert(expired.isRemoved)
+    // post-eviction spike: no prior profile -> warm-up only, no detection
+    val after = TestGroupState.create[DdosProfile](
+      org.apache.spark.api.java.Optional.empty[DdosProfile](), GroupStateTimeout.ProcessingTimeTimeout,
+      6000L, org.apache.spark.api.java.Optional.empty[Long](), false)
+    assert(update("192.168.5.5",
+      Iterator.fill(5)(("192.168.5.5", 1000L)), after).isEmpty)
+    assert(after.get == DdosProfile(5000L, 5L))
+  }
+
+  test("streaming reflect_ddos: windowed conditional agg flags amplification") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Fx]
+    val out = StreamingAnalytics.reflectDdos(
+      FlowSource.withEventTime(mem.toDF()),
+      dnsServers = Seq("192.168.0.53"), ratioThreshold = 3.0, minReplies = 2L,
+      window = "20 seconds")
+    val q = out.writeStream.format("memory").queryName("reflect_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val victim = "10.7.0.1"
+      // 2 small requests victim -> server, 3 amplified replies server -> victim
+      mem.addData(
+        Fx(flow_id = 1, src_ip4 = victim, dst_ip = "192.168.0.53",
+          protocol = 17, bytes = 100, start_ms = 1000L),
+        Fx(flow_id = 2, src_ip4 = victim, dst_ip = "192.168.0.53",
+          protocol = 17, bytes = 100, start_ms = 2000L),
+        Fx(flow_id = 3, src_ip4 = "192.168.0.53", dst_ip = victim,
+          protocol = 17, bytes = 4000, start_ms = 3000L),
+        Fx(flow_id = 4, src_ip4 = "192.168.0.53", dst_ip = victim,
+          protocol = 17, bytes = 4000, start_ms = 4000L),
+        Fx(flow_id = 5, src_ip4 = "192.168.0.53", dst_ip = victim,
+          protocol = 17, bytes = 4000, start_ms = 5000L),
+        // non-watched server traffic is ignored
+        Fx(flow_id = 6, src_ip4 = "10.7.0.2", dst_ip = "192.168.0.99",
+          protocol = 17, bytes = 100, start_ms = 6000L),
+        // watermark pusher
+        Fx(flow_id = 9, src_ip4 = "10.9.9.9", dst_ip = "192.168.0.53",
+          protocol = 17, bytes = 1, start_ms = 900000L))
+      q.processAllAvailable()
+      val rows = spark.table("reflect_out").collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      assert(r.getAs[String]("src_ip") == victim)
+      assert(r.getAs[String]("dns_ip") == "192.168.0.53")
+      assert(r.getAs[Long]("data_received") == 12000L)
+      assert(r.getAs[Long]("data_sent") == 200L)
+      assert(r.getAs[Double]("amplification") == 60.0d)
+      assert(r.getAs[Long]("replies") == 3L)
+    } finally q.stop()
+  }
+
   test("streaming ddos keyed state survives a checkpoint restart") {
     val in = java.nio.file.Files.createTempDirectory("ddosin").toString
     val out = java.nio.file.Files.createTempDirectory("ddosout").toString
