@@ -62,6 +62,8 @@ object GraftApp {
         c.slide.getOrElse(c.window), c.watermark)
     case "host_daily_profile" =>
       StreamingAnalytics.dailyProfile(_, c.watermark)
+    case "top_n_host_stats" =>
+      StreamingAnalytics.topNHostStats(_, c.window, c.watermark)
     case "dns_statistics" =>
       StreamingAnalytics.dnsStatistics(_, c.window, c.watermark)
     case "dns_external_resolvers" =>
@@ -96,9 +98,9 @@ object GraftApp {
     case other =>
       throw new IllegalArgumentException(
         s"unknown analytic '$other'; known: protocol_statistics host_stats " +
-          "host_daily_profile dns_statistics dns_external_resolvers " +
-          "dns_open_resolvers tls_classification biflow_pairs " +
-          "ports_scan ssh_auth pattern_finder ddos reflect_ddos")
+          "host_daily_profile top_n_host_stats dns_statistics " +
+          "dns_external_resolvers dns_open_resolvers tls_classification " +
+          "biflow_pairs ports_scan ssh_auth pattern_finder ddos reflect_ddos")
   }
 
   /** Build (not start) the full source → analytic → sink query. */

@@ -20,18 +20,24 @@ import graft.functions.NetFunctions
   */
 object TopNHostStats {
 
-  def apply(flows: DataFrame, n: Int): DataFrame = {
+  /** The three-way key fanout (dst_port / dst_ip / http_host per source
+    * host). `carry` columns (e.g. event_time for streaming windows) ride
+    * along — shared by the batch rank and the streaming counts builder. */
+  def contributions(flows: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val src = NetFunctions.ipCoalesce(col("src_ip4"), col("src_ip6"))
-    val exploded = flows
+    flows
       .filter(src.isNotNull)
-      .select(src.as("src_ip"), explode(array(
+      .select(src.as("src_ip") +: explode(array(
         struct(lit("dst_port").as("stat_type"), col("dst_port").cast("string").as("key")),
         struct(lit("dst_ip").as("stat_type"), col("dst_ip").as("key")),
         struct(lit("http_host").as("stat_type"), col("http_host").as("key"))
-      )).as("kv"))
-      .select(col("src_ip"), col("kv.stat_type"), col("kv.key"))
+      )).as("kv") +: carry.map(col): _*)
+      .select(col("src_ip") +: col("kv.stat_type") +: col("kv.key") +: carry.map(col): _*)
       .filter(col("key").isNotNull)
-    val counted = exploded.groupBy("src_ip", "stat_type", "key")
+  }
+
+  def apply(flows: DataFrame, n: Int): DataFrame = {
+    val counted = contributions(flows).groupBy("src_ip", "stat_type", "key")
       .agg(count(lit(1)).as("flows"))
     counted
       .withColumn("rank", row_number().over(

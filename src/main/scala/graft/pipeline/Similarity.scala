@@ -202,7 +202,14 @@ object Similarity {
     * bands values with recall coming from the OR across tables — so
     * planes can grow with log2(N) and bucket sizes stay bounded.
     * Candidate pairs are deduplicated BEFORE vectors are re-attached
-    * (ids only through the distinct; two slim joins fetch the vectors). */
+    * (ids only through the distinct; two slim joins fetch the vectors).
+    *
+    * Cache lifetime: the bucket frame is persisted (both self-join sides
+    * read it) and, because the result is lazy, stays cached until the
+    * session ends. Callers looping over many corpora should
+    * `spark.catalog.clearCache()` (or unpersist via `spark.sharedState
+    * .cacheManager`) between corpora — same contract as
+    * TextPipeline.nearDupJaccard/minhashCandidates. */
   def annLshBanded(embeddings: DataFrame, planes: Int, bands: Int,
                    minCosine: Double): DataFrame = {
     require(planes % bands == 0, "bands must divide planes")

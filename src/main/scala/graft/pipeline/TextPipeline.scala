@@ -87,7 +87,11 @@ object TextPipeline {
     * which is far cheaper than double-caching the index — at corpus scale
     * the exploded index is the biggest intermediate in the pipeline. The
     * cap itself is a broadcast LEFT ANTI against the heavy list, which is
-    * small by construction (only shingles with df > maxDf). */
+    * small by construction (only shingles with df > maxDf).
+    *
+    * Cache lifetime: the persisted index outlives this (lazy) result —
+    * callers looping over many corpora should `spark.catalog.clearCache()`
+    * between corpora (same contract as Similarity.annLshBanded). */
   def nearDupJaccard(docs: DataFrame, n: Int, minJaccard: Double,
                      maxDf: Long = 0L): DataFrame = {
     val shingled = docs.select(col("doc_id"),

@@ -16,13 +16,24 @@ import graft.core.FlowSchema
   */
 object FlowSource {
 
-  /** Deterministic flow id from Kafka source metadata: partition << 40 |
-    * offset. Unique across the topic for offsets < 2^40 per partition,
-    * stable across replays and failure re-execution (unlike
+  /** Deterministic flow id from Kafka source metadata: partition << 48 |
+    * offset — stable across replays and failure re-execution (unlike
     * monotonically_increasing_id, whose per-partition counters restart
-    * every microbatch and which streaming analysis rejects outright). */
-  def kafkaFlowId: Column =
-    shiftleft(col("partition").cast("long"), 40).bitwiseOR(col("offset"))
+    * every microbatch and which streaming analysis rejects outright).
+    *
+    * Offsets ≥ 2^48 (~2.8e14 records in one partition) or partitions
+    * ≥ 2^15 would alias ids across partitions; both FAIL LOUDLY via
+    * raise_error instead of silently colliding — at 100 TB-scale
+    * long-retention topics an overflow must stop the query, not corrupt
+    * biflow pairing. */
+  def kafkaFlowId: Column = {
+    val guarded = when(
+      col("offset") >= (1L << 48) || col("partition").cast("long") >= (1L << 15),
+      raise_error(concat(lit("kafkaFlowId overflow: partition="),
+        col("partition"), lit(" offset="), col("offset"))))
+    coalesce(guarded,
+      shiftleft(col("partition").cast("long"), 48).bitwiseOR(col("offset")))
+  }
 
   /** Pick a flow-id derivation from whatever metadata the raw frame has.
     * Kafka frames carry (partition, offset) → [[kafkaFlowId]]. File-replay
@@ -33,7 +44,16 @@ object FlowSource {
     * duplicate payloads share an id; analytics needing per-record ids
     * should feed a metadata-bearing source. Batch frames keep
     * monotonically_increasing_id (one-shot, no replay concern), which
-    * also guarantees distinct ids for identical payloads. */
+    * also guarantees distinct ids for identical payloads.
+    *
+    * WARNING (file replay): the text source exposes no per-line offset,
+    * so two byte-identical lines in ONE file silently share an id —
+    * unlike Kafka (offset-derived) and batch (counter-derived) ids, which
+    * are distinct for identical payloads. Analytics that need ids to tell
+    * identical records apart (biflow pairing J5) must replay through a
+    * metadata-bearing source (Kafka, or pre-deduplicated files); flow
+    * replay files produced by `graft` tooling embed distinct timestamps,
+    * which keeps lines distinct in practice. */
   private def defaultFlowId(raw: DataFrame): Column =
     if (!raw.isStreaming) monotonically_increasing_id()
     else if (raw.columns.contains("partition") && raw.columns.contains("offset"))

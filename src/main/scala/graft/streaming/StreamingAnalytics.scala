@@ -122,6 +122,21 @@ object StreamingAnalytics {
         col("stat_type"), col("key"))
       .agg(count(lit(1)).as("value"))
 
+  /** T1 streaming (top_n_host_stats.py:155-202): per-window
+    * (src_ip, stat_type, key) flow counts — the windowed-counts half of
+    * the per-host top-N. The rank CUT is a read-side concern
+    * (ReadSide.nestedTopN over the stored counts): ranking inside an
+    * append-mode stream is not expressible, and the reference likewise
+    * sorted driver-side per batch — same split as [[dnsStatistics]]. */
+  def topNHostStats(flows: DataFrame, window: String = "10 seconds",
+                    watermark: String = "30 seconds"): DataFrame =
+    graft.analytics.TopNHostStats.contributions(flows, carry = Seq("event_time"))
+      .withWatermark("event_time", watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("event_time"), window),
+        col("src_ip"), col("stat_type"), col("key"))
+      .agg(count(lit(1)).as("flows"))
+
   /** ST1 end-to-end: SYN flows keyed by scan identity (horizontal =
     * src×dst_port, vertical = src×dst_ip — ports_scan.py:180-188).
     *

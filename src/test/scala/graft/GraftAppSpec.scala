@@ -248,6 +248,20 @@ class GraftAppSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kafkaFlowId: partition<<48|offset composition fails loudly on overflow") {
+    import spark.implicits._
+    val ok = Seq((0, 5L), (3, 7L)).toDF("partition", "offset")
+      .select(graft.streaming.FlowSource.kafkaFlowId.as("id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(ok == Seq(5L, (3L << 48) | 7L))
+    // an offset past 2^48 must stop the query, not alias across partitions
+    val bad = Seq((0, 1L << 48)).toDF("partition", "offset")
+      .select(graft.streaming.FlowSource.kafkaFlowId.as("id"))
+    val e = intercept[Exception] { bad.collect() }
+    assert(e.getMessage.contains("kafkaFlowId overflow") ||
+      e.getCause != null && e.getCause.getMessage.contains("kafkaFlowId overflow"))
+  }
+
   test("GraftApp.loadTlsDict parses the reference CSV shape") {
     val f = java.nio.file.Files.createTempFile("tlsdict", ".csv")
     java.nio.file.Files.write(f,

@@ -439,6 +439,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming top_n_host_stats: windowed counts match batch semantics (rank is read-side)") {
+    implicit val sqlCtx = spark.sqlContext
+    val flows = Seq(
+      Fx(flow_id = 1, src_ip4 = "10.3.0.1", dst_ip = "192.0.2.1", dst_port = 80,
+        http_host = "a.example", start_ms = 1000L),
+      Fx(flow_id = 2, src_ip4 = "10.3.0.1", dst_ip = "192.0.2.1", dst_port = 80,
+        start_ms = 2000L),
+      Fx(flow_id = 3, src_ip4 = "10.3.0.1", dst_ip = "192.0.2.2", dst_port = 443,
+        start_ms = 3000L))
+    // batch counts (the pre-rank aggregation of TopNHostStats)
+    val batch = rowsOf(graft.analytics.TopNHostStats(Fx.df(spark, flows: _*), n = 100)
+      .select("src_ip", "stat_type", "key", "flows"))
+      .map(r => (r("src_ip"), r("stat_type"), r("key"), r("flows"))).toSet
+    val mem = MemoryStream[Fx]
+    val out = StreamingAnalytics.topNHostStats(
+      FlowSource.withEventTime(mem.toDF()), window = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("topn_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(flows: _*)
+      // watermark pusher outside the asserted window
+      mem.addData(Fx(flow_id = 9, src_ip4 = "10.9.9.9", dst_ip = "192.0.2.9",
+        dst_port = 9, start_ms = 500000L))
+      q.processAllAvailable()
+      val got = spark.table("topn_out")
+        .filter(unix_millis(col("window.start")) === 0L)
+        .select("src_ip", "stat_type", "key", "flows").collect()
+        .map(r => (r.get(0), r.get(1), r.get(2), r.get(3))).toSet
+      assert(got == batch)
+      // the read-side rank cut over the stored counts reproduces the
+      // batch top-N rows (T1 split documented on the builder)
+      val ranked = spark.table("topn_out")
+        .filter(unix_millis(col("window.start")) === 0L)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("src_ip", "stat_type")
+            .orderBy(col("flows").desc, col("key").asc)))
+        .filter(col("rank") === 1)
+      assert(ranked.filter(col("stat_type") === "dst_port").collect()
+        .map(_.getAs[String]("key")).toSeq == Seq("80"))
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first-seen doc per digest across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
