@@ -340,12 +340,13 @@ object SparkEntry {
         .filter(col("ip").isNotNull)
       val perIp = contrib.groupBy("stat_type", "key", "ip")
         .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy("stat_type", "key")
+      // argmax contributor via min_by hash agg (partial agg, no window
+      // sort): min of (-cnt, ip) = highest count, then lowest ip — the
+      // same tie-break as the oracle's row_number formulation
       val stats = perIp
-        .withColumn("value", sum("cnt").over(w))
-        .withColumn("rn", row_number().over(
-          w.orderBy(col("cnt").desc, col("ip").asc)))
-        .filter(col("rn") === 1)
+        .groupBy("stat_type", "key")
+        .agg(sum("cnt").as("value"),
+          min_by(col("ip"), struct((-col("cnt")).as("n"), col("ip"))).as("ip"))
         .select("stat_type", "key", "value", "ip")
       graft.results.Documents.dataArrayDoc(stats, "dns_statistics",
         lit(ddosSplitMs), withIp = true)

@@ -41,6 +41,7 @@ object PatternConfig {
       filters: Seq[PatternFinder.FilterItem],
       keyType: String, // "biflow" | "simple"
       biflowKey: Option[BiflowKey],
+      simpleKey: Seq[String], // engine columns forming the simple key
       values: Seq[VectorValue],
       outputs: Seq[OutputField],
       distanceModule: String,
@@ -119,6 +120,12 @@ object PatternConfig {
           el("dst_port"), el("flow_start"),
           keyMap.get("time_difference").map(asLong).getOrElse(500L)))
       }
+    // simple key: a flat element list joined '-' per flow
+    // (pattern_finder.py:157-168)
+    val simpleKey =
+      if (keyType != "simple") Nil
+      else asList(keyMap.getOrElse("elements", null))
+        .map(e => engineColumn(e.toString))
     val values = asList(vectors.getOrElse("values", null)).map { v =>
       val m = asMap(v)
       val kind = m.getOrElse("type", "element").toString
@@ -174,8 +181,8 @@ object PatternConfig {
       (PatternFinder.Pattern(pname, vec), distFor(pname))
     }
 
-    Config(name, windowSec, sliceSec, filters, keyType, biflowKey, values,
-      outputs, distModule, patterns)
+    Config(name, windowSec, sliceSec, filters, keyType, biflowKey,
+      simpleKey, values, outputs, distModule, patterns)
   }
 
   def load(path: String): Config =
@@ -212,35 +219,60 @@ object PatternConfig {
 
   // ----- config → pipelines ---------------------------------------------
 
-  /** The full batch pipeline from a parsed config: filter → biflow pairing
-    * with config vectors → per-pattern distribution report (the
-    * process_input chain, pattern_finder.py:394-422). */
+  /** The full batch pipeline from a parsed config: filter → key
+    * construction (biflow pairing or per-flow simple key) → per-pattern
+    * distribution report (the process_input chain,
+    * pattern_finder.py:394-422). Biflow reports key on (src_ip, dst_ip);
+    * simple reports key on the '-'.joined `key` column. */
   def batchReport(flows: DataFrame, cfg: Config): DataFrame = {
-    require(cfg.keyType == "biflow", s"key type ${cfg.keyType}: only biflow reports are implemented")
-    val pairs = PatternFinder.biflows(
-      flows.filter(PatternFinder.filterExpr(cfg.filters)),
-      cfg.biflowKey.map(_.toleranceMs).getOrElse(500L),
-      vectorCols(cfg))
-    PatternFinder.patternReportVec(pairs, cfg.patterns,
-      PatternFinder.biflowVector)
+    val filtered = flows.filter(PatternFinder.filterExpr(cfg.filters))
+    cfg.keyType match {
+      case "biflow" =>
+        val pairs = PatternFinder.biflows(filtered,
+          cfg.biflowKey.map(_.toleranceMs).getOrElse(500L),
+          vectorCols(cfg))
+        PatternFinder.patternReportVec(pairs, cfg.patterns,
+          PatternFinder.biflowVector)
+      case "simple" =>
+        PatternFinder.patternReportKeyed(filtered,
+          Seq("key" -> concat_ws("-", cfg.simpleKey.map(col): _*)),
+          cfg.patterns,
+          array(vectorCols(cfg).map(_.cast("double")): _*))
+      case other =>
+        throw new IllegalArgumentException(s"vector key type $other")
+    }
   }
 
-  /** The streaming pipeline: filter → stream-stream biflow join → one-hot
-    * bin observations → keyed report state with distribution carry.
-    * Requires a uniform distribution config across patterns (the flattened
-    * state array is fixed-width); configs with per-pattern interval
-    * overrides must run the batch form. */
+  /** The streaming pipeline: filter → key construction (stream-stream
+    * biflow join, or per-flow simple key) → one-hot bin observations →
+    * keyed report state with distribution carry. Requires a uniform
+    * distribution config across patterns (the flattened state array is
+    * fixed-width); configs with per-pattern interval overrides must run
+    * the batch form. */
   def streamingReports(flows: DataFrame, cfg: Config)
       : org.apache.spark.sql.Dataset[graft.streaming.ReportDedup.PatternReport] = {
-    require(cfg.keyType == "biflow", s"key type ${cfg.keyType}: only biflow reports are implemented")
     val dists = cfg.patterns.map(_._2).distinct
     require(dists.size == 1,
       "streaming pattern reports need a uniform distribution config")
-    graft.streaming.StreamingAnalytics.patternFinderReports(
-      flows.filter(PatternFinder.filterExpr(cfg.filters)),
-      cfg.patterns.map(_._1), dists.head,
-      reportIntervalMs = cfg.reportIntervalMs,
-      tolerance = s"${cfg.biflowKey.map(_.toleranceMs).getOrElse(500L)} milliseconds",
-      vector = vectorCols(cfg))
+    val filtered = flows.filter(PatternFinder.filterExpr(cfg.filters))
+    cfg.keyType match {
+      case "biflow" =>
+        graft.streaming.StreamingAnalytics.patternFinderReports(
+          filtered, cfg.patterns.map(_._1), dists.head,
+          reportIntervalMs = cfg.reportIntervalMs,
+          tolerance = s"${cfg.biflowKey.map(_.toleranceMs).getOrElse(500L)} milliseconds",
+          vector = vectorCols(cfg))
+      case "simple" =>
+        import flows.sparkSession.implicits._
+        val obs = PatternFinder.patternObservationsKeyed(filtered,
+          concat_ws("-", cfg.simpleKey.map(col): _*), col("start_ms"),
+          cfg.patterns.map(_._1), dists.head,
+          array(vectorCols(cfg).map(_.cast("double")): _*))
+          .as[graft.streaming.ReportDedup.PatternObservation]
+        graft.streaming.ReportDedup.patterns(obs, cfg.reportIntervalMs,
+          dists.head.intervals.size, dists.head.mid, dists.head.limit)
+      case other =>
+        throw new IllegalArgumentException(s"vector key type $other")
+    }
   }
 }

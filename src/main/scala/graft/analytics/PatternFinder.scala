@@ -162,7 +162,18 @@ object PatternFinder {
     * (the reference resolves intervals/weights/limit per pattern name
     * with a default fallback — pattern_finder.py:213-223, 362). */
   def patternReportVec(pairs: DataFrame, pats: Seq[(Pattern, DistConfig)],
-                       vec: Column): DataFrame = {
+                       vec: Column): DataFrame =
+    patternReportKeyed(pairs,
+      Seq("src_ip" -> col("client_ip"), "dst_ip" -> col("server_ip")),
+      pats, vec)
+
+  /** Core of the pattern report over arbitrary report-key columns — the
+    * reference's `simple` vector key (one row per flow, key =
+    * '-'.joined elements) and the biflow key are both instances
+    * (pattern_finder.py:157-168 vs :168-194). */
+  def patternReportKeyed(rows: DataFrame, keys: Seq[(String, Column)],
+                         pats: Seq[(Pattern, DistConfig)],
+                         vec: Column): DataFrame = {
     val binCols = pats.zipWithIndex.map { case ((p, cfg), pi) =>
       intervalBin(
         round(VectorFunctions.quadraticFormDistance(vec, typedLit(p.vector)), 6),
@@ -172,10 +183,10 @@ object PatternFinder {
       (( _, cfg), pi) <- pats.zipWithIndex; i <- cfg.intervals.indices
     } yield sum(when(col(s"_bin_$pi") === i, lit(cfg.weights(i))).otherwise(0L))
       .as(s"_d_${pi}_$i")
-    val grouped = pairs
-      .select(Seq(col("client_ip").as("src_ip"), col("server_ip").as("dst_ip"))
-        ++ binCols: _*)
-      .groupBy("src_ip", "dst_ip")
+    val keyNames = keys.map(_._1)
+    val grouped = rows
+      .select(keys.map { case (n, c) => c.as(n) } ++ binCols: _*)
+      .groupBy(keyNames.head, keyNames.tail: _*)
       .agg(slotSums.head, slotSums.tail: _*)
     val distArr = pats.zipWithIndex.map { case ((_, cfg), pi) =>
       array(cfg.intervals.indices.map(i => col(s"_d_${pi}_$i")): _*)
@@ -204,7 +215,8 @@ object PatternFinder {
           filter(col("_qual"), h => h.getField("left") ===
             array_max(transform(col("_qual"), q => q.getField("left")))),
           h => h.getField("name")))
-      .select("src_ip", "dst_ip", "data_array", "closest_patterns")
+      .select(keyNames.head,
+        keyNames.tail :+ "data_array" :+ "closest_patterns": _*)
   }
 
   /** Per-pair streaming observations for the stateful report path: key =
@@ -214,7 +226,16 @@ object PatternFinder {
     * so the keyed state carries one fixed-width Array[Long]. */
   def patternObservations(pairs: DataFrame, patterns: Seq[Pattern],
                           cfg: DistConfig,
-                          vec: Column = featureVector): DataFrame = {
+                          vec: Column = featureVector): DataFrame =
+    patternObservationsKeyed(pairs,
+      concat_ws("-", col("client_ip"), col("server_ip")),
+      col("req_start_ms"), patterns, cfg, vec)
+
+  /** [[patternObservations]] over an arbitrary report key / event-time
+    * column — the `simple` per-flow key is the other instance. */
+  def patternObservationsKeyed(rows: DataFrame, key: Column, ts: Column,
+                               patterns: Seq[Pattern], cfg: DistConfig,
+                               vec: Column): DataFrame = {
     val nBins = cfg.intervals.size
     val oneHots = patterns.map { p =>
       val bin = intervalBin(
@@ -223,9 +244,9 @@ object PatternFinder {
       array((0 until nBins).map(i =>
         when(bin === i, lit(cfg.weights(i))).otherwise(0L)): _*)
     }
-    pairs.select(
-      concat_ws("-", col("client_ip"), col("server_ip")).as("key"),
-      col("req_start_ms").as("ts"),
+    rows.select(
+      key.as("key"),
+      ts.as("ts"),
       flatten(array(oneHots: _*)).as("dist"))
   }
 

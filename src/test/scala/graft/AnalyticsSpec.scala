@@ -464,6 +464,49 @@ class AnalyticsSpec extends SparkSpec {
     assert(fromYaml.map(t => t._1) == Set("10.8.0.1", "10.8.0.2"))
   }
 
+  test("S7: simple vector key — per-flow report keyed by joined elements") {
+    import graft.analytics.PatternConfig
+    val yaml =
+      """configuration:
+        |    name: Simple Detection
+        |    window: 60
+        |vectors:
+        |    key:
+        |        type: simple
+        |        elements:
+        |            - ipfix.sourceIPv4Address
+        |            - ipfix.sourceTransportPort
+        |    values:
+        |        - type: element
+        |          element: ipfix.packetDeltaCount
+        |        - type: element
+        |          element: ipfix.octetDeltaCount
+        |distance:
+        |    distance_module: simple_quadratic_form
+        |    patterns:
+        |        - name: p0
+        |          vector: [5, 500]
+        |    distribution:
+        |        default:
+        |            intervals: [0, 1, 2, 4]
+        |            weights: [2, 1, 1, 2]
+        |            limit: 4
+        |""".stripMargin
+    val cfg = PatternConfig.parse(yaml)
+    assert(cfg.keyType == "simple" &&
+      cfg.simpleKey == Seq("src_ip4", "src_port"))
+    // two on-pattern flows on one key (left = 4 >= limit), one off-pattern
+    val flows = Fx.df(spark,
+      Fx(flow_id = 1, src_ip4 = "10.6.0.1", src_port = 40000, packets = 5, bytes = 500),
+      Fx(flow_id = 2, src_ip4 = "10.6.0.1", src_port = 40000, packets = 5, bytes = 500),
+      Fx(flow_id = 3, src_ip4 = "10.6.0.2", src_port = 40001, packets = 999, bytes = 9))
+    val out = rowsOf(PatternConfig.batchReport(flows, cfg))
+    assert(out.map(_("key")) == Seq("10.6.0.1-40000"))
+    val da = out.head("data_array")
+      .asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]]
+    assert(da.head.getSeq[Long](1).toSeq == Seq(4L, 0L, 0L, 0L))
+  }
+
   test("pattern report: closest_patterns keeps all maximal qualifiers in config order") {
     import spark.implicits._
     val pats = Seq(
