@@ -174,6 +174,46 @@ object Documents {
       col("data_array"),
       col("closest_patterns"))
 
+  /** Streaming pattern reports (ReportDedup.PatternReport rows: key, ts,
+    * flattened `dist`) → the same @type=pattern_finder document as
+    * [[patternFinderDoc]]: the patterns-major flattened distribution is
+    * re-split per pattern, closest_patterns recomputed from the carried
+    * sums (pattern_finder.py:355-375), and a biflow "src-dst" key split
+    * back into src_ip / dst_ip (`splitKey = false` keeps the raw key for
+    * simple-vector configs). */
+  def patternFinderDocFromReports(reports: DataFrame, patternNames: Seq[String],
+                                  nBins: Int, mid: Int, limit: Long,
+                                  configName: String,
+                                  splitKey: Boolean = true): DataFrame = {
+    val perPattern = patternNames.zipWithIndex.map { case (n, pi) =>
+      val d = slice(col("dist"), pi * nBins + 1, nBins)
+      val left = aggregate(slice(d, 1, mid), lit(0L), (a, x) => a + x)
+      val right = aggregate(slice(d, mid + 1, nBins - mid), lit(0L), (a, x) => a + x)
+      struct(lit(n).as("name"), d.as("distribution"),
+        left.as("left"), right.as("right"))
+    }
+    val qual = filter(array(perPattern: _*),
+      h => h.getField("left") >= limit && h.getField("left") > h.getField("right"))
+    val keyCols =
+      if (splitKey)
+        Seq(substring_index(col("key"), "-", 1).as("src_ip"),
+          substring_index(col("key"), "-", -1).as("dst_ip"))
+      else Seq(col("key"))
+    reports
+      .withColumn("_qual", qual)
+      .select(Seq(
+        lit("pattern_finder").as("@type"),
+        timestamp_millis(col("ts")).as("@timestamp"),
+        lit(configName).as("configuration")) ++ keyCols ++ Seq(
+        transform(array(perPattern: _*), p =>
+          struct(p.getField("name").as("name"),
+            p.getField("distribution").as("distribution"))).as("data_array"),
+        transform(
+          filter(col("_qual"), h => h.getField("left") ===
+            array_max(transform(col("_qual"), q => q.getField("left")))),
+          h => h.getField("name")).as("closest_patterns")): _*)
+  }
+
   /** Write documents date-partitioned (daily ES index replacement). */
   def writeDaily(docs: DataFrame, path: String): Unit =
     docs

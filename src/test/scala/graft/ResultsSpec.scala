@@ -210,4 +210,41 @@ class ResultsSpec extends SparkSpec {
     assert(r.getSeq[Long](5).toSeq == Seq(2L, 0L, 0L, 0L))
     assert(r.getSeq[String](6).toSeq == Seq("p0"))
   }
+
+  test("patternFinderDocFromReports: streaming PatternReport rows → pattern_finder doc (pattern_finder.py:334-378)") {
+    import graft.streaming.ReportDedup
+    // Two patterns, nBins=4, mid=2, limit=2. dist is patterns-major flattened:
+    // p0 = [2,1,0,0] (left 3 > right 0, qualifies), p1 = [0,0,3,0] (left 0).
+    val reports = Seq(
+      ReportDedup.PatternReport("10.1.0.3-192.0.2.7", 1700000000000L,
+        Seq(2L, 1L, 0L, 0L, 0L, 0L, 3L, 0L))).toDS()
+    val doc = Documents.patternFinderDocFromReports(
+      reports.toDF(), Seq("p0", "p1"), nBins = 4, mid = 2, limit = 2L,
+      configName = "Anomaly Detection")
+    val r = doc.selectExpr("`@type`", "configuration", "src_ip", "dst_ip",
+      "data_array[0].name", "data_array[0].distribution",
+      "data_array[1].name", "data_array[1].distribution",
+      "closest_patterns", "`@timestamp`").head()
+    assert(r.getString(0) == "pattern_finder")
+    assert(r.getString(1) == "Anomaly Detection")
+    assert(r.getString(2) == "10.1.0.3" && r.getString(3) == "192.0.2.7")
+    assert(r.getString(4) == "p0")
+    assert(r.getSeq[Long](5).toSeq == Seq(2L, 1L, 0L, 0L))
+    assert(r.getString(6) == "p1")
+    assert(r.getSeq[Long](7).toSeq == Seq(0L, 0L, 3L, 0L))
+    assert(r.getSeq[String](8).toSeq == Seq("p0"))
+    assert(r.getTimestamp(9).getTime == 1700000000000L)
+
+    // Tie on left half-sum → both names in closest_patterns; simple-vector
+    // configs keep the raw key.
+    val tie = Seq(
+      ReportDedup.PatternReport("10.9.9.9", 1700000001000L,
+        Seq(3L, 0L, 0L, 0L, 0L, 3L, 1L, 0L))).toDS()
+    val tieDoc = Documents.patternFinderDocFromReports(
+      tie.toDF(), Seq("p0", "p1"), nBins = 4, mid = 2, limit = 2L,
+      configName = "cfg", splitKey = false)
+    val t = tieDoc.selectExpr("key", "closest_patterns").head()
+    assert(t.getString(0) == "10.9.9.9")
+    assert(t.getSeq[String](1).toSeq == Seq("p0", "p1"))
+  }
 }
