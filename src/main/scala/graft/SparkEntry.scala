@@ -8,7 +8,7 @@ import graft.core.{FlowSynth, Graft, Tables}
 import graft.analytics._
 import graft.functions.{DnsFunctions, NetFunctions, TextFunctions}
 import graft.multimodal.Multimodal
-import graft.pipeline.{Similarity, TextPipeline}
+import graft.pipeline.{Curation, Similarity, TextPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -468,6 +468,42 @@ object SparkEntry {
         nlist = 10, nprobe = 3, k = 10)
         .orderBy("query_id", "rank")
     }),
+
+    // --- training-data curation (Curation) -----------------------------
+    "q_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // every 50th document stands in for the benchmark/eval set
+      Curation.contamination(docs, docs.filter(col("doc_id") % 50 === 0), n = 3)
+        .orderBy("doc_id")
+    }),
+
+    "q_repetition" -> ((s, dir) =>
+      Curation.repetitionStats(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    "q_redact" -> ((s, dir) =>
+      // deterministic PII augmentation so the scrub has real work to do
+      Curation.redact(Tables.documents(s, dir).withColumn("text",
+        concat(col("text"),
+          lit(" user"), col("doc_id").cast("string"), lit("@example.com"),
+          lit(" 10.0."), pmod(col("doc_id"), lit(200)).cast("string"), lit(".7"),
+          lit(" 4401"), lpad(pmod(col("doc_id") * 7919, lit(100000))
+            .cast("string"), 5, "0"))))
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_nums"),
+          length(col("text_redacted")).as("redacted_len"),
+          md5(col("text_redacted").cast("binary")).as("redacted_md5"))
+        .orderBy("doc_id")),
+
+    "q_chunk" -> ((s, dir) =>
+      Curation.chunk(Tables.documents(s, dir), chunkSize = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id")),
+
+    "q_dedup_cluster" -> ((s, dir) =>
+      Curation.clusterComponents(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    "q_sample_mix" -> ((s, dir) =>
+      Curation.sampleBySource(Tables.documents(s, dir),
+        Map("src0" -> 0L, "src1" -> 250000L, "src2" -> 500000L))
+        .select("doc_id", "source").orderBy("doc_id")),
   )
 
   /** Headline queries Bench runs at sf0.1. */
@@ -528,6 +564,34 @@ object SparkEntry {
        |      + ((req_bytes - ${p(2)}) / ${p(2)}) ^ 2
        |      + ((rsp_packets - ${p(3)}) / ${p(3)}) ^ 2
        |      + ((rsp_bytes - ${p(4)}) / ${p(4)}) ^ 2), 6)""".stripMargin
+
+  /** Shared CTE chain → (doc_id, bucket) minhash LSH band buckets — the
+    * SQL twin of TextPipeline.minhashLsh(n=3, k=16, bands=4). Used by
+    * q_minhash_candidates and q_dedup_cluster. */
+  private val minhashBucketCtes =
+    s"""t AS (
+       |  SELECT doc_id, $toksSql AS toks FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) < 3 THEN []
+       |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+       |                i -> array_to_string(toks[i:i+2], ' '))) END AS shingles
+       |  FROM t
+       |), h AS (
+       |  SELECT doc_id, list_transform(shingles, w -> ${fpSql("w")}) AS hashes
+       |  FROM sh WHERE len(shingles) > 0
+       |), sig AS (
+       |  SELECT doc_id, list_transform(range(0, 16), i ->
+       |    list_min(list_transform(hashes,
+       |      hh -> (hh * (2 * i + 1) + 31 * i + 7) % 140737488355213))) AS sig
+       |  FROM h
+       |), bk AS (
+       |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+       |    CAST(b AS VARCHAR) || '_' || array_to_string(
+       |      list_transform(sig[CAST(b * 4 + 1 AS INT):CAST(b * 4 + 4 AS INT)],
+       |        x -> CAST(x AS VARCHAR)), '-'))) AS bucket
+       |  FROM sig
+       |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -1330,29 +1394,7 @@ object SparkEntry {
          |FROM h ORDER BY doc_id""".stripMargin,
 
     "q_minhash_candidates" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, $toksSql AS toks FROM documents
-         |), sh AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(toks) < 3 THEN []
-         |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
-         |                i -> array_to_string(toks[i:i+2], ' '))) END AS shingles
-         |  FROM t
-         |), h AS (
-         |  SELECT doc_id, list_transform(shingles, w -> ${fpSql("w")}) AS hashes
-         |  FROM sh WHERE len(shingles) > 0
-         |), sig AS (
-         |  SELECT doc_id, list_transform(range(0, 16), i ->
-         |    list_min(list_transform(hashes,
-         |      hh -> (hh * (2 * i + 1) + 31 * i + 7) % 140737488355213))) AS sig
-         |  FROM h
-         |), bk AS (
-         |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
-         |    CAST(b AS VARCHAR) || '_' || array_to_string(
-         |      list_transform(sig[CAST(b * 4 + 1 AS INT):CAST(b * 4 + 4 AS INT)],
-         |        x -> CAST(x AS VARCHAR)), '-'))) AS bucket
-         |  FROM sig
-         |)
+      s"""WITH $minhashBucketCtes
          |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
          |FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
@@ -1545,5 +1587,131 @@ object SparkEntry {
         |    PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rank
         |  FROM sc) WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // --- training-data curation -----------------------------------------
+
+    "q_contamination" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) < 3 THEN []
+         |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+         |                i -> array_to_string(toks[i:i+2], ' '))) END AS shingles
+         |  FROM t
+         |), ds AS (
+         |  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+         |), bs AS (
+         |  SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 50 = 0
+         |)
+         |SELECT d.doc_id, count(*) AS overlap_ngrams
+         |FROM ds d JOIN bs USING (shingle)
+         |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), w AS (
+         |  SELECT doc_id, unnest(toks) AS gram FROM t
+         |), wc AS (
+         |  SELECT doc_id, gram, count(*) AS c FROM w GROUP BY doc_id, gram
+         |), ws AS (
+         |  SELECT doc_id, sum(c) AS total, count(*) AS uniq FROM wc GROUP BY doc_id
+         |), g AS (
+         |  SELECT doc_id, unnest(
+         |    CASE WHEN len(toks) < 2 THEN []
+         |         ELSE list_transform(range(1, len(toks)),
+         |                i -> array_to_string(toks[i:i+1], ' ')) END) AS gram
+         |  FROM t
+         |), gc AS (
+         |  SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
+         |), gs AS (
+         |  SELECT doc_id, sum(c) AS total, count(*) AS uniq, max(c) AS top
+         |  FROM gc GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  round(CASE WHEN COALESCE(ws.total, 0) > 0
+         |    THEN (ws.total - ws.uniq) * 1.0 / ws.total ELSE 0.0 END, 6)
+         |    AS dup_word_frac,
+         |  round(CASE WHEN COALESCE(gs.total, 0) > 0
+         |    THEN (gs.total - gs.uniq) * 1.0 / gs.total ELSE 0.0 END, 6)
+         |    AS dup_2gram_frac,
+         |  round(CASE WHEN COALESCE(gs.total, 0) > 0
+         |    THEN gs.top * 1.0 / gs.total ELSE 0.0 END, 6)
+         |    AS top_2gram_frac
+         |FROM documents d
+         |LEFT JOIN ws ON ws.doc_id = d.doc_id
+         |LEFT JOIN gs ON gs.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      || ' 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7'
+        |      || ' 4401' || lpad(CAST((doc_id * 7919) % 100000 AS VARCHAR), 5, '0')
+        |      AS text
+        |  FROM documents
+        |), s1 AS (
+        |  SELECT doc_id, text AS t0,
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '[EMAIL]', 'g') AS t1
+        |  FROM aug
+        |), s2 AS (
+        |  SELECT *, regexp_replace(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g') AS t2
+        |  FROM s1
+        |), s3 AS (
+        |  SELECT *, regexp_replace(t2, '[0-9]{6,}', '[NUM]', 'g') AS t3 FROM s2
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS INT) AS n_ips,
+        |  CAST(len(regexp_extract_all(t2, '[0-9]{6,}')) AS INT) AS n_nums,
+        |  CAST(length(t3) AS INT) AS redacted_len,
+        |  md5(t3) AS redacted_md5
+        |FROM s3 ORDER BY doc_id""".stripMargin,
+
+    "q_chunk" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, toks FROM (
+         |    SELECT doc_id, $toksSql AS toks FROM documents) WHERE len(toks) > 0
+         |), c AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(0, ((greatest(len(toks) - 32, 0) + 23) // 24) + 1))
+         |      AS chunk_id
+         |  FROM t
+         |)
+         |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+         |  CAST(len(toks[CAST(chunk_id * 24 + 1 AS INT):CAST(chunk_id * 24 + 32 AS INT)]) AS INT)
+         |    AS n_chunk_tokens,
+         |  array_to_string(toks[CAST(chunk_id * 24 + 1 AS INT):CAST(chunk_id * 24 + 32 AS INT)], ' ')
+         |    AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE $minhashBucketCtes, cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |  FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM cand
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM cand
+         |), reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |)
+         |SELECT d.doc_id, least(d.doc_id, COALESCE(m.mn, d.doc_id)) AS component
+         |FROM documents d LEFT JOIN (
+         |  SELECT src, min(dst) AS mn FROM reach GROUP BY src) m
+         |  ON m.src = d.doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_mix" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE ${fpSql("('mix:' || CAST(doc_id AS VARCHAR))")} % 1000000 <
+         |  CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 250000
+         |              WHEN 'src2' THEN 500000 ELSE 1000000 END
+         |ORDER BY doc_id""".stripMargin,
   )
 }

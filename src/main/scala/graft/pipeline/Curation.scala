@@ -1,0 +1,224 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.functions.TextFunctions
+
+/** Training-data curation operators beyond cleaning: benchmark
+  * decontamination, repetition (Gopher-style) metrics, PII redaction,
+  * token chunking, cluster dedup, deterministic source mixing.
+  *
+  * Shuffle discipline matches TextPipeline: eval sets and heavy lists are
+  * broadcast, per-document metrics are explode → hash-aggregate (map-side
+  * partial), and the only iterative operator (connected components) cuts
+  * lineage per step and converges in diameter iterations over the
+  * candidate graph — tiny relative to the corpus.
+  */
+object Curation {
+
+  // ----- decontamination -------------------------------------------------
+
+  /** Documents sharing ≥1 word n-gram with the benchmark set, with the
+    * overlap count: explode doc shingles → broadcast-join the distinct
+    * benchmark shingle set → per-doc count. Eval sets are MBs against a
+    * 100 TB corpus, so the benchmark side is always the broadcast side;
+    * the corpus side stays a linear explode + one hash aggregate. */
+  def contamination(docs: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
+    val docShingles = docs.select(col("doc_id"),
+      explode(graft.expressions.TextExpressions
+        .wordShingles(col("text"), n, distinct = true)).as("shingle"))
+    val benchShingles = benchmark.select(
+      explode(graft.expressions.TextExpressions
+        .wordShingles(col("text"), n, distinct = true)).as("shingle"))
+      .distinct()
+    docShingles.join(broadcast(benchShingles), Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("overlap_ngrams"))
+  }
+
+  /** Decontaminated corpus: drop documents whose benchmark n-gram overlap
+    * exceeds `maxOverlap` (0 = any overlap removes). Broadcast anti-join
+    * against the (small) contaminated-id set. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int,
+                    maxOverlap: Long = 0L): DataFrame = {
+    val bad = contamination(docs, benchmark, n)
+      .filter(col("overlap_ngrams") > maxOverlap).select("doc_id")
+    docs.join(broadcast(bad), Seq("doc_id"), "left_anti")
+  }
+
+  // ----- repetition metrics (Gopher rules 4-8 analogue) ------------------
+
+  private def gramStats(grams: DataFrame, prefix: String): DataFrame =
+    grams
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        sum("c").as(s"${prefix}_total"),
+        count(lit(1)).as(s"${prefix}_uniq"),
+        max("c").as(s"${prefix}_top"))
+
+  /** Per-document repetition signals (the word-level analogue of Gopher's
+    * repetition filters): duplicate-word fraction, duplicate-2-gram
+    * fraction, and the fraction held by the single most frequent 2-gram.
+    * Two explode → two-level hash-aggregate chains (map-side partial on
+    * (doc_id, gram)), left-joined back so gram-less documents keep zeros.
+    * No per-element lambda touches the token array. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val words = toks.select(col("doc_id"), explode(col("toks")).as("gram"))
+    val grams2 = toks.select(col("doc_id"),
+      explode(TextFunctions.shinglesFromTokens(col("toks"), 2)).as("gram"))
+    val frac = (num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =>
+      round(when(den > 0, num.cast("double") / den).otherwise(0.0), 6)
+    docs.select(col("doc_id"))
+      .join(gramStats(words, "w"), Seq("doc_id"), "left")
+      .join(gramStats(grams2, "g2"), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        frac(coalesce(col("w_total"), lit(0L)) - coalesce(col("w_uniq"), lit(0L)),
+          coalesce(col("w_total"), lit(0L))).as("dup_word_frac"),
+        frac(coalesce(col("g2_total"), lit(0L)) - coalesce(col("g2_uniq"), lit(0L)),
+          coalesce(col("g2_total"), lit(0L))).as("dup_2gram_frac"),
+        frac(coalesce(col("g2_top"), lit(0L)),
+          coalesce(col("g2_total"), lit(0L))).as("top_2gram_frac"))
+  }
+
+  // ----- PII redaction ---------------------------------------------------
+
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val longDigitPattern = "[0-9]{6,}"
+
+  /** Sequential PII scrub — emails, then IPv4 literals, then long digit
+    * runs — with per-stage match counts (each counted on the text state
+    * entering that stage, so an address inside an already-redacted email
+    * is not double-counted). Pure codegen'd regexp work, no UDF; patterns
+    * are RE2-compatible (no lookaround) so external engines can reproduce
+    * the result byte-for-byte. */
+  def redact(docs: DataFrame): DataFrame = {
+    val t0 = col("text")
+    val t1 = regexp_replace(t0, emailPattern, "[EMAIL]")
+    val t2 = regexp_replace(t1, ipv4Pattern, "[IP]")
+    val t3 = regexp_replace(t2, longDigitPattern, "[NUM]")
+    docs.select(
+      col("doc_id"),
+      regexp_count(t0, lit(emailPattern)).as("n_emails"),
+      regexp_count(t1, lit(ipv4Pattern)).as("n_ips"),
+      regexp_count(t2, lit(longDigitPattern)).as("n_nums"),
+      t3.as("text_redacted"))
+  }
+
+  // ----- token chunking --------------------------------------------------
+
+  /** Fixed-size training windows: split each document's token stream into
+    * `chunkSize`-token chunks every `stride` tokens (stride < chunkSize
+    * overlaps). One explode, output-linear — n_chunks ≈ n_tokens/stride,
+    * so cost scales with the emitted training set, not with doc count ×
+    * max length. Short final windows are kept (padding is the trainer's
+    * concern); empty documents produce no chunks. */
+  def chunk(docs: DataFrame, chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1, "chunkSize and stride must be >= 1")
+    val toks = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    // integer chunk count: 1 + ceil(max(n - chunkSize, 0) / stride)
+    val extra = greatest(size(col("toks")) - chunkSize, lit(0))
+    val nChunks = ((extra + (stride - 1)) / lit(stride)).cast("int") + 1
+    toks
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), nChunks - 1)))
+      .select(
+        col("doc_id"),
+        col("pos").as("chunk_id"),
+        size(slice(col("toks"), col("pos") * stride + 1, lit(chunkSize)))
+          .as("n_chunk_tokens"),
+        array_join(slice(col("toks"), col("pos") * stride + 1, lit(chunkSize)), " ")
+          .as("chunk_text"))
+  }
+
+  // ----- connected components / cluster dedup ----------------------------
+
+  /** Connected components over an undirected candidate-pair graph
+    * (doc_a, doc_b) by iterative min-label propagation: each node adopts
+    * the minimum component id among itself and its neighbours until a
+    * fixpoint. Converges in (component diameter) rounds — near-dup
+    * clusters are shallow, so this is a handful of small shuffles over the
+    * EDGE set only, never the corpus. Each step `localCheckpoint`s to cut
+    * lineage (re-execution restarts the loop, acceptable for a short
+    * bounded iteration). Returns (doc_id, component), component = min
+    * doc_id reachable. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint(true)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("component").as("dst_comp")),
+          Seq("dst"))
+        .groupBy(col("src")).agg(min("dst_comp").as("nbr_comp"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_comp"), col("component")))
+            .as("component"),
+          (coalesce(col("nbr_comp"), col("component")) < col("component"))
+            .as("_changed"))
+        .localCheckpoint(true)
+      converged = next.filter(col("_changed")).limit(1).isEmpty
+      labels = next.drop("_changed")
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Cluster-complete near-dup dedup: MinHash-LSH candidate pairs →
+    * connected components → every document labelled with its cluster id
+    * (its own id if unpaired). Pairwise dedup keeps B when A~B, B~C but
+    * A≁C; clustering removes the whole chain, keeping one canonical
+    * (min-id) survivor per component — the standard corpus-dedup
+    * semantics. The component map is tiny (only docs with ≥1 candidate
+    * pair), so it broadcasts back onto the corpus. */
+  def clusterComponents(docs: DataFrame, n: Int = 3, k: Int = 16,
+                        bands: Int = 4): DataFrame = {
+    val comp = connectedComponents(
+      TextPipeline.minhashCandidates(docs, n, k, bands))
+    docs.select(col("doc_id"))
+      .join(broadcast(comp.withColumnRenamed("id", "doc_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+  }
+
+  /** Survivors only: one document (min id) per cluster. */
+  def clusterDedup(docs: DataFrame, n: Int = 3, k: Int = 16,
+                   bands: Int = 4): DataFrame =
+    clusterComponents(docs, n, k, bands)
+      .filter(col("doc_id") === col("component"))
+      .select("doc_id")
+
+  // ----- deterministic source mixing -------------------------------------
+
+  /** Deterministic per-source downsampling (data-mixing weights): keep a
+    * document iff a stable content-independent hash of its id lands under
+    * the source's rate. Rates are parts-per-million so the keep decision
+    * is pure integer arithmetic — reproducible across engines and runs,
+    * unlike `sample()` whose seed is partition-dependent. The hash is the
+    * portable 47-bit polynomial fingerprint (TextFunctions.fingerprint),
+    * salted so sampling is independent of other fingerprint uses. */
+  def sampleBySource(docs: DataFrame, ratesPpm: Map[String, Long],
+                     defaultPpm: Long = 1000000L): DataFrame = {
+    val u = TextFunctions.fingerprint(
+      concat(lit("mix:"), col("doc_id").cast("string"))) % 1000000L
+    val rate = ratesPpm.foldLeft(lit(defaultPpm)) { case (acc, (s, r)) =>
+      when(col("source") === s, lit(r)).otherwise(acc)
+    }
+    docs.filter(u < rate)
+  }
+}

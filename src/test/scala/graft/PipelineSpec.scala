@@ -188,4 +188,112 @@ class PipelineSpec extends SparkSpec {
     // vectors too — fine, that's more dedup, covered by the subset check)
     assert((0 until 12).forall(c => !banded.contains(c * 2L + 1L)))
   }
+
+  // ----- Curation --------------------------------------------------------
+
+  test("contamination counts benchmark n-gram overlap; decontaminate drops") {
+    import graft.pipeline.Curation
+    val corpus = docs(
+      1L -> "alpha beta gamma delta epsilon", // shares 3-grams with bench
+      2L -> "one two three four five",        // disjoint
+      3L -> "alpha beta gamma zeta")          // shares exactly one 3-gram
+    val bench = docs(100L -> "alpha beta gamma delta")
+    val c = rowsOf(Curation.contamination(corpus, bench, n = 3))
+      .map(r => r("doc_id") -> r("overlap_ngrams")).toMap
+    // doc 1: "alpha beta gamma" + "beta gamma delta"; doc 3: first only
+    assert(c == Map(1L -> 2L, 3L -> 1L))
+    val kept = rowsOf(Curation.decontaminate(corpus, bench, n = 3))
+      .map(_("doc_id")).toSet
+    assert(kept == Set(2L))
+    // higher tolerance keeps the single-overlap doc
+    val kept1 = rowsOf(Curation.decontaminate(corpus, bench, n = 3,
+      maxOverlap = 1L)).map(_("doc_id")).toSet
+    assert(kept1 == Set(2L, 3L))
+  }
+
+  test("repetitionStats: duplicate word/2-gram fractions, zero for gram-less docs") {
+    import graft.pipeline.Curation
+    val out = rowsOf(Curation.repetitionStats(docs(
+      1L -> "spam spam spam eggs", // 4 words, 2 uniq; 3 2-grams, 2 uniq
+      2L -> "all distinct words here",
+      3L -> "single")))            // no 2-grams at all
+      .map(r => r("doc_id") -> r).toMap
+    assert(out(1L)("dup_word_frac") == 0.5)
+    assert(out(1L)("dup_2gram_frac") == 0.333333) // round(1/3, 6)
+    assert(out(1L)("top_2gram_frac") == 0.666667) // "spam spam" ×2, round(2/3, 6)
+    assert(out(2L)("dup_word_frac") == 0.0)
+    assert(out(3L)("dup_2gram_frac") == 0.0 && out(3L)("top_2gram_frac") == 0.0)
+  }
+
+  test("redact: sequential email/IP/number scrub with per-stage counts") {
+    import graft.pipeline.Curation
+    val out = rowsOf(Curation.redact(docs(
+      1L -> "mail bob.smith+x@corp.example.org from 192.168.1.250 ref 123456789 ok",
+      2L -> "clean text, no pii here 123")))
+      .map(r => r("doc_id") -> r).toMap
+    assert(out(1L)("n_emails") == 1 && out(1L)("n_ips") == 1 && out(1L)("n_nums") == 1)
+    assert(out(1L)("text_redacted") == "mail [EMAIL] from [IP] ref [NUM] ok")
+    assert(out(2L)("n_emails") == 0 && out(2L)("n_ips") == 0 && out(2L)("n_nums") == 0)
+    assert(out(2L)("text_redacted") == "clean text, no pii here 123")
+  }
+
+  test("chunk: stride windows, short tail kept, empty docs dropped") {
+    import graft.pipeline.Curation
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val out = rowsOf(Curation.chunk(docs(1L -> ten, 2L -> "a b", 3L -> " "),
+      chunkSize = 4, stride = 3))
+    val byDoc = out.groupBy(_("doc_id"))
+    // n=10: 1 + ceil((10-4)/3) = 3 chunks at offsets 0,3,6 — [1-4],[4-7],[7-10]
+    assert(byDoc(1L).size == 3)
+    val c = byDoc(1L).map(r => r("chunk_id") -> r).toMap
+    assert(c(0)("chunk_text") == "w1 w2 w3 w4")
+    assert(c(1)("chunk_text") == "w4 w5 w6 w7")
+    assert(c(2)("chunk_text") == "w7 w8 w9 w10")
+    assert(c(2)("n_chunk_tokens") == 4)
+    // n=2 < chunkSize: one short chunk; blank doc: no chunks
+    assert(byDoc(2L).map(r => (r("chunk_id"), r("n_chunk_tokens"), r("chunk_text")))
+      == Seq((0, 2, "a b")))
+    assert(!byDoc.contains(3L))
+  }
+
+  test("connectedComponents: transitive chains collapse to min id") {
+    import graft.pipeline.Curation
+    val pairs = Seq((2L, 3L), (3L, 4L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val comp = rowsOf(Curation.connectedComponents(pairs))
+      .map(r => r("id") -> r("component")).toMap
+    assert(comp == Map(2L -> 2L, 3L -> 2L, 4L -> 2L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("clusterDedup: one survivor per near-dup chain (pairwise would keep the middle)") {
+    import graft.pipeline.Curation
+    // a~b and b~c share 3-gram bands, a vs c drift further apart — the
+    // chain must still collapse to ONE survivor
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = a.replace("theta", "iota")
+    val c = b.replace("alpha", "kappa")
+    val corpus = docs(1L -> a, 2L -> b, 3L -> c, 9L -> "totally different words only")
+    val comp = rowsOf(Curation.clusterComponents(corpus))
+      .map(r => r("doc_id") -> r("component")).toMap
+    assert(comp(9L) == 9L) // unpaired doc keeps its own id
+    if (comp(2L) == 1L && comp(3L) == 1L) { // chain recalled by LSH
+      val kept = rowsOf(Curation.clusterDedup(corpus)).map(_("doc_id")).toSet
+      assert(kept == Set(1L, 9L))
+    }
+  }
+
+  test("sampleBySource: deterministic, rate 0 drops source, rate 1 keeps all") {
+    import graft.pipeline.Curation
+    val d = (0L until 60L).map(i => (i, s"text $i", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val rates = Map("src0" -> 0L, "src1" -> 500000L)
+    val once = rowsOf(Curation.sampleBySource(d, rates))
+      .map(_("doc_id").asInstanceOf[Long]).toSet
+    val twice = rowsOf(Curation.sampleBySource(d, rates))
+      .map(_("doc_id").asInstanceOf[Long]).toSet
+    assert(once == twice) // stable across runs — no partition-seeded sample()
+    assert(!once.exists(_ % 3 == 0)) // src0 fully dropped
+    assert((0L until 60L).filter(_ % 3 == 2).forall(once.contains)) // default ppm keeps src2
+    val src1Kept = once.count(_ % 3 == 1)
+    assert(src1Kept > 0 && src1Kept < 20) // genuinely downsampled
+  }
 }
