@@ -403,6 +403,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("RocksDB state store: keyed dedup state runs under the RocksDB provider") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.core.Graft.useRocksDbState(spark)
+    val mem = MemoryStream[ReportDedup.Observation]
+    val out = ReportDedup(mem.toDS(), reportIntervalMs = 60000L)
+    val q = out.writeStream.format("memory").queryName("rocks_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(ReportDedup.Observation("k1", 1000L, 5L),
+        ReportDedup.Observation("k1", 2000L, 3L))
+      q.processAllAvailable()
+      mem.addData(ReportDedup.Observation("k1", 70000L, 2L))
+      q.processAllAvailable()
+      // same increment semantics as under the default provider
+      val rows = spark.table("rocks_out").as[ReportDedup.Report]
+        .collect().sortBy(_.ts)
+      assert(rows.map(r => (r.flows_total, r.flows_increment)).toSeq
+        == Seq((5L, 5L), (10L, 5L)))
+      // and the state really lives in RocksDB: provider-specific metrics
+      // appear on the state operator progress
+      val metrics = q.lastProgress.stateOperators(0).customMetrics
+      assert(scala.jdk.CollectionConverters.SetHasAsScala(metrics.keySet)
+        .asScala.exists(_.startsWith("rocksdb")))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    }
+  }
+
   test("streaming pattern_finder end-to-end: biflow join -> one-hot bins -> carried report") {
     implicit val sqlCtx = spark.sqlContext
     val pats = Seq(graft.analytics.PatternFinder.Pattern(
