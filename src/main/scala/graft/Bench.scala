@@ -17,8 +17,12 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
       .groupBy("l_returnflag").count().collect()
     val all = SparkEntry.queries
-    val names =
-      if (SparkEntry.benchQueries.nonEmpty) SparkEntry.benchQueries else all.keys.toSeq
+    // SPARK_GRAFT_QUERIES=a,b,c overrides the headline set (ad-hoc timing)
+    val names = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(
+        if (SparkEntry.benchQueries.nonEmpty) SparkEntry.benchQueries
+        else all.keys.toSeq)
     val results = names.map { name =>
       val t0 = System.nanoTime()
       val err = try { all(name)(spark, sfDir).count(); None } catch {

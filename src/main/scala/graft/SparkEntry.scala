@@ -504,6 +504,13 @@ object SparkEntry {
       Curation.sampleBySource(Tables.documents(s, dir),
         Map("src0" -> 0L, "src1" -> 250000L, "src2" -> 500000L))
         .select("doc_id", "source").orderBy("doc_id")),
+
+    "q_curate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curation.curate(docs, docs.filter(col("doc_id") % 50 === 0),
+        ratesPpm = Map("src0" -> 0L, "src1" -> 250000L, "src2" -> 500000L))
+        .orderBy("doc_id", "chunk_id")
+    }),
   )
 
   /** Headline queries Bench runs at sf0.1. */
@@ -567,10 +574,11 @@ object SparkEntry {
 
   /** Shared CTE chain → (doc_id, bucket) minhash LSH band buckets — the
     * SQL twin of TextPipeline.minhashLsh(n=3, k=16, bands=4). Used by
-    * q_minhash_candidates and q_dedup_cluster. */
-  private val minhashBucketCtes =
+    * q_minhash_candidates, q_dedup_cluster and q_curate; `src` is the
+    * (sub)query naming the corpus to bucket. */
+  private def minhashBucketCtes(src: String = "documents") =
     s"""t AS (
-       |  SELECT doc_id, $toksSql AS toks FROM documents
+       |  SELECT doc_id, $toksSql AS toks FROM $src
        |), sh AS (
        |  SELECT doc_id,
        |    CASE WHEN len(toks) < 3 THEN []
@@ -1394,7 +1402,7 @@ object SparkEntry {
          |FROM h ORDER BY doc_id""".stripMargin,
 
     "q_minhash_candidates" ->
-      s"""WITH $minhashBucketCtes
+      s"""WITH ${minhashBucketCtes()}
          |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
          |FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
@@ -1689,7 +1697,7 @@ object SparkEntry {
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_dedup_cluster" ->
-      s"""WITH RECURSIVE $minhashBucketCtes, cand AS (
+      s"""WITH RECURSIVE ${minhashBucketCtes()}, cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
          |  FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
          |), edges AS (
@@ -1713,5 +1721,70 @@ object SparkEntry {
          |  CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 250000
          |              WHEN 'src2' THEN 500000 ELSE 1000000 END
          |ORDER BY doc_id""".stripMargin,
+
+    // composed pipeline: repetition filter -> cluster dedup -> decontam ->
+    // mixing -> chunking, each stage the SQL twin of its Curation operator
+    "q_curate" ->
+      s"""WITH RECURSIVE t0 AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), w AS (
+         |  SELECT doc_id, unnest(toks) AS gram FROM t0
+         |), wc AS (
+         |  SELECT doc_id, gram, count(*) AS c FROM w GROUP BY doc_id, gram
+         |), ws AS (
+         |  SELECT doc_id, sum(c) AS total, count(*) AS uniq FROM wc GROUP BY doc_id
+         |), docs1 AS (
+         |  SELECT d.* FROM documents d LEFT JOIN ws ON ws.doc_id = d.doc_id
+         |  WHERE round(CASE WHEN COALESCE(ws.total, 0) > 0
+         |    THEN (ws.total - ws.uniq) * 1.0 / ws.total ELSE 0.0 END, 6) <= 0.55
+         |), ${minhashBucketCtes("docs1")}, cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |  FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM cand
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM cand
+         |), reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |), docs2 AS (
+         |  SELECT d.* FROM docs1 d LEFT JOIN (
+         |    SELECT src, min(dst) AS mn FROM reach GROUP BY src) m
+         |    ON m.src = d.doc_id
+         |  WHERE least(d.doc_id, COALESCE(m.mn, d.doc_id)) = d.doc_id
+         |), bsh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) < 3 THEN []
+         |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+         |                i -> array_to_string(toks[i:i+2], ' '))) END AS shingles
+         |  FROM t0 WHERE doc_id % 50 = 0
+         |), bs AS (
+         |  SELECT DISTINCT unnest(shingles) AS shingle FROM bsh
+         |), cont AS (
+         |  SELECT DISTINCT s.doc_id FROM (
+         |    SELECT doc_id, unnest(shingles) AS shingle FROM sh) s
+         |  JOIN bs USING (shingle)
+         |), docs4 AS (
+         |  SELECT * FROM docs2
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+         |    AND ${fpSql("('mix:' || CAST(doc_id AS VARCHAR))")} % 1000000 <
+         |      CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 250000
+         |                  WHEN 'src2' THEN 500000 ELSE 1000000 END
+         |), ct AS (
+         |  SELECT t0.doc_id, t0.toks FROM t0 JOIN docs4 USING (doc_id)
+         |  WHERE len(t0.toks) > 0
+         |), cc AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(0, ((greatest(len(toks) - 64, 0) + 47) // 48) + 1))
+         |      AS chunk_id
+         |  FROM ct
+         |)
+         |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+         |  CAST(len(toks[CAST(chunk_id * 48 + 1 AS INT):CAST(chunk_id * 48 + 64 AS INT)]) AS INT)
+         |    AS n_chunk_tokens,
+         |  array_to_string(toks[CAST(chunk_id * 48 + 1 AS INT):CAST(chunk_id * 48 + 64 AS INT)], ' ')
+         |    AS chunk_text
+         |FROM cc ORDER BY doc_id, chunk_id""".stripMargin,
   )
 }

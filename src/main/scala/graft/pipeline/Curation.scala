@@ -203,6 +203,36 @@ object Curation {
       .filter(col("doc_id") === col("component"))
       .select("doc_id")
 
+  // ----- composed end-to-end pipeline ------------------------------------
+
+  /** The full curation pipeline a training-data run chains together:
+    * repetition filter → cluster-complete near-dup dedup → benchmark
+    * decontamination → deterministic source mixing → token chunking.
+    *
+    * Stage order is the scale order: the repetition filter is one
+    * explode + hash-agg and prunes the corpus before any shingle/LSH
+    * work; dedup and decontamination then run over survivors only;
+    * sampling is a free filter; chunking (the only output-expanding
+    * stage) runs last over the smallest corpus. Every stage is one of
+    * the individually-oracle-checked operators above — this is pure
+    * composition, no new semantics. */
+  def curate(docs: DataFrame, benchmark: DataFrame,
+             maxDupWordFrac: Double = 0.55,
+             n: Int = 3, k: Int = 16, bands: Int = 4,
+             ratesPpm: Map[String, Long] = Map.empty,
+             defaultPpm: Long = 1000000L,
+             chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    val keptIds = repetitionStats(docs)
+      .filter(col("dup_word_frac") <= maxDupWordFrac).select("doc_id")
+    val kept = docs.join(keptIds, Seq("doc_id"))
+    val survivors = clusterComponents(kept, n, k, bands)
+      .filter(col("doc_id") === col("component")).select("doc_id")
+    val deduped = kept.join(survivors, Seq("doc_id"))
+    val clean = decontaminate(deduped, benchmark, n)
+    val mixed = sampleBySource(clean, ratesPpm, defaultPpm)
+    chunk(mixed, chunkSize, stride)
+  }
+
   // ----- deterministic source mixing -------------------------------------
 
   /** Deterministic per-source downsampling (data-mixing weights): keep a

@@ -281,6 +281,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("curate: composed pipeline drops repetitive, duplicate and contaminated docs") {
+    import graft.pipeline.Curation
+    val clean = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, clean, "srcA"),
+      (2L, clean + " lambda", "srcA"),            // near-dup of 1 -> deduped
+      (3L, "spam spam spam spam spam spam", "srcA"), // repetitive -> filtered
+      (4L, "one two three four five six seven", "srcA"),
+      (5L, "totally different benchmark overlap words here now", "srcA"))
+      .toDF("doc_id", "text", "source")
+    val bench = docs(99L -> "benchmark overlap words")
+    val out = rowsOf(Curation.curate(corpus, bench, maxDupWordFrac = 0.4,
+      chunkSize = 4, stride = 4))
+    val ids = out.map(_("doc_id")).toSet
+    // 1 survives its near-dup pair, 3 is repetitive, 5 shares the bench
+    // 3-gram "benchmark overlap words" — only 1 and 4 reach chunking
+    assert(ids == Set(1L, 4L))
+    assert(out.count(_("doc_id") == 1L) == 3) // 10 tokens / size 4 stride 4
+  }
+
   test("sampleBySource: deterministic, rate 0 drops source, rate 1 keeps all") {
     import graft.pipeline.Curation
     val d = (0L until 60L).map(i => (i, s"text $i", s"src${i % 3}"))
