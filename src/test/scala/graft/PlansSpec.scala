@@ -29,6 +29,25 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("Curation plans: benchmark side broadcasts; chunk and mix are shuffle-free") {
+    import graft.pipeline.Curation
+    val docs = (0L until 100L).map(i =>
+      (i, s"w${i % 7} w${(i + 1) % 7} w${(i + 2) % 7} w${(i + 3) % 7} tail$i",
+        s"src${i % 3}")).toDF("doc_id", "text", "source")
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val cont = Curation.contamination(docs, bench, 3)
+      .queryExecution.executedPlan.toString
+    // the eval set must never be the streamed side of a shuffle join
+    assert(cont.contains("BroadcastHashJoin"))
+    assert(!cont.contains("CartesianProduct"))
+    // chunking explodes in place — one pass, no shuffle
+    assert(!Curation.chunk(docs, 8, 8)
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+    // mixing is a pure filter on a deterministic hash — pushes to the scan
+    assert(!Curation.sampleBySource(docs, Map("src0" -> 0L))
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("ApproxDistinctRewrite leaves filtered and multi-arg distincts alone") {
     val df = (0 until 100).map(i => (i % 3, i % 10, i % 5)).toDF("g", "x", "y")
     spark.experimental.extraOptimizations =
