@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.Graft
+import graft.pipeline.Curation
+
+/** Runnable batch curation application — the training-data counterpart of
+  * [[GraftApp]]: read a documents table (parquet with doc_id/text/source),
+  * run the composed curation pipeline (repetition filter → cluster dedup →
+  * benchmark decontamination → source mixing → chunking), write the
+  * training chunks as parquet. Example:
+  *
+  * {{{
+  * spark-submit --class graft.CurateApp graft.jar \
+  *   --input /corpus/documents --benchmark /eval/documents \
+  *   --output /corpus/chunks --max-dup-word-frac 0.55 \
+  *   --rates src_web=250000,src_code=1000000 --chunk-size 2048 --stride 2048
+  * }}}
+  *
+  * Omitting --benchmark skips decontamination; omitting --rates keeps
+  * every source at full weight.
+  */
+object CurateApp {
+
+  final case class Config(
+      input: String = "",
+      benchmark: Option[String] = None,
+      output: String = "curated",
+      maxDupWordFrac: Double = 0.55,
+      n: Int = 3, k: Int = 16, bands: Int = 4,
+      rates: Map[String, Long] = Map.empty, // source -> keep ppm
+      defaultPpm: Long = 1000000L,
+      chunkSize: Int = 64, stride: Int = 48)
+
+  /** Build the curation pipeline frame (lazy — callers choose the sink). */
+  def run(spark: SparkSession, c: Config): DataFrame = {
+    require(c.input.nonEmpty, "need --input <documents parquet>")
+    val docs = spark.read.parquet(c.input)
+    val bench = c.benchmark.map(spark.read.parquet(_))
+      // no benchmark -> empty eval set -> decontamination is a no-op
+      .getOrElse(docs.limit(0))
+    Curation.curate(docs, bench, c.maxDupWordFrac, c.n, c.k, c.bands,
+      c.rates, c.defaultPpm, c.chunkSize, c.stride)
+  }
+
+  private def parseRates(v: String): Map[String, Long] =
+    v.split(",").filter(_.nonEmpty).map { kv =>
+      val Array(s, ppm) = kv.split("=", 2)
+      s -> ppm.toLong
+    }.toMap
+
+  def parse(args: Array[String]): Config = {
+    @annotation.tailrec
+    def loop(rest: List[String], c: Config): Config = rest match {
+      case "--input" :: v :: t     => loop(t, c.copy(input = v))
+      case "--benchmark" :: v :: t => loop(t, c.copy(benchmark = Some(v)))
+      case "--output" :: v :: t    => loop(t, c.copy(output = v))
+      case "--max-dup-word-frac" :: v :: t =>
+        loop(t, c.copy(maxDupWordFrac = v.toDouble))
+      case "--shingle-n" :: v :: t => loop(t, c.copy(n = v.toInt))
+      case "--minhash-k" :: v :: t => loop(t, c.copy(k = v.toInt))
+      case "--bands" :: v :: t     => loop(t, c.copy(bands = v.toInt))
+      case "--rates" :: v :: t     => loop(t, c.copy(rates = parseRates(v)))
+      case "--default-ppm" :: v :: t => loop(t, c.copy(defaultPpm = v.toLong))
+      case "--chunk-size" :: v :: t => loop(t, c.copy(chunkSize = v.toInt))
+      case "--stride" :: v :: t    => loop(t, c.copy(stride = v.toInt))
+      case Nil => c
+      case other :: _ => throw new IllegalArgumentException(s"unknown arg $other")
+    }
+    loop(args.toList, Config())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val c = parse(args)
+    val spark = Graft.session("graft-curate")
+    run(spark, c).write.mode("overwrite").parquet(c.output)
+    spark.stop()
+  }
+}

@@ -41,6 +41,38 @@ class GraftAppSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CurateApp end-to-end: parquet corpus -> curated chunks parquet") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("curin").toString
+    val bench = java.nio.file.Files.createTempDirectory("curbench").toString
+    val out = java.nio.file.Files.createTempDirectory("curout").toString
+    val clean = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq(
+      (1L, clean, "srcA"),
+      (2L, clean + " lambda", "srcA"),               // near-dup of 1
+      (3L, "spam spam spam spam spam spam", "srcA"), // repetitive
+      (4L, "one two three four five six seven", "srcB"),
+      (5L, "totally different benchmark overlap words here now", "srcA"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite").parquet(in)
+    Seq((99L, "benchmark overlap words", "eval"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite").parquet(bench)
+
+    val c = CurateApp.parse(Array(
+      "--input", in, "--benchmark", bench, "--output", out,
+      "--max-dup-word-frac", "0.4", "--chunk-size", "4", "--stride", "4",
+      "--rates", "srcB=1000000"))
+    assert(c.rates == Map("srcB" -> 1000000L))
+    CurateApp.run(spark, c).write.mode("overwrite").parquet(out)
+    val got = spark.read.parquet(out)
+    assert(got.select("doc_id").distinct().as[Long].collect().toSet == Set(1L, 4L))
+    assert(got.filter(col("doc_id") === 1L).count() == 3) // 10 toks / 4-stride
+    // no benchmark -> decontamination no-op: doc 5 comes back
+    val noBench = CurateApp.run(spark, CurateApp.parse(Array(
+      "--input", in, "--max-dup-word-frac", "0.4")))
+    assert(noBench.select("doc_id").distinct().as[Long].collect().toSet
+      == Set(1L, 4L, 5L))
+  }
+
   test("GraftApp end-to-end: dst_ip/flow_id-consuming analytic over wire JSON") {
     val in = java.nio.file.Files.createTempDirectory("appin2").toString
     val out = java.nio.file.Files.createTempDirectory("appout2").toString

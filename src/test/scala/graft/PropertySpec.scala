@@ -74,4 +74,41 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"n=$n text='$text'")
     }
   }
+
+  test("property: chunk with stride == chunkSize partitions the token stream exactly") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    val docGen = Gen.zip(Gen.choose(1, 40), Gen.choose(1, 8))
+    forAll(docGen, 15) { case (nToks, size) =>
+      val toks = (1 to nToks).map(i => s"t$i")
+      val chunks = rowsOf(Curation.chunk(
+        Seq((1L, toks.mkString(" "))).toDF("doc_id", "text"), size, size))
+        .sortBy(_("chunk_id").asInstanceOf[Int])
+      // non-overlapping windows reassemble the document exactly
+      assert(chunks.map(_("chunk_text")).mkString(" ") == toks.mkString(" "),
+        s"n=$nToks size=$size")
+      assert(chunks.map(_("n_chunk_tokens").asInstanceOf[Int]).sum == nToks)
+      // every chunk except possibly the last is full
+      assert(chunks.init.forall(_("n_chunk_tokens") == size))
+    }
+  }
+
+  test("property: connectedComponents is a fixpoint and respects every edge") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    val edgeGen = Gen.listOfN(8,
+      Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L)).suchThat(p => p._1 != p._2))
+    forAll(edgeGen, 8) { edges =>
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val comp = rowsOf(Curation.connectedComponents(pairs))
+        .map(r => r("id").asInstanceOf[Long] -> r("component").asInstanceOf[Long])
+        .toMap
+      // both endpoints of every edge share a component
+      assert(edges.forall { case (a, b) => comp(a) == comp(b) })
+      // each component is labelled by its own minimum member
+      comp.groupBy(_._2).foreach { case (label, members) =>
+        assert(members.keys.min == label)
+      }
+    }
+  }
 }
