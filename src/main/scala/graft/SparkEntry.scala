@@ -511,6 +511,13 @@ object SparkEntry {
         ratesPpm = Map("src0" -> 0L, "src1" -> 250000L, "src2" -> 500000L))
         .orderBy("doc_id", "chunk_id")
     }),
+
+    "q_simhash_candidates" -> ((s, dir) =>
+      TextPipeline.simhashCandidates(Tables.documents(s, dir))
+        .orderBy("doc_a", "doc_b")),
+
+    "q_corpus_report" -> ((s, dir) =>
+      Curation.corpusReport(Tables.documents(s, dir)).orderBy("source")),
   )
 
   /** Headline queries Bench runs at sf0.1. */
@@ -599,6 +606,22 @@ object SparkEntry {
        |      list_transform(sig[CAST(b * 4 + 1 AS INT):CAST(b * 4 + 4 AS INT)],
        |        x -> CAST(x AS VARCHAR)), '-'))) AS bucket
        |  FROM sig
+       |)""".stripMargin
+
+  /** Shared CTE chain → (doc_id, simhash) — the SQL twin of
+    * TextPipeline.simhash. Used by q_simhash and q_simhash_candidates. */
+  private val simhashCtes =
+    s"""t AS (
+       |  SELECT doc_id, $toksSql AS toks FROM documents
+       |), h AS (
+       |  SELECT doc_id, list_transform(toks, w -> ${fpSql("w")}) AS hashes FROM t
+       |), sim AS (
+       |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 47), k ->
+       |    CASE WHEN COALESCE(list_sum(list_transform(hashes, hh ->
+       |           CASE WHEN (hh >> k) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+       |         THEN CAST(1 AS BIGINT) << k ELSE CAST(0 AS BIGINT) END))
+       |    AS BIGINT) AS simhash
+       |  FROM h
        |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
@@ -1389,17 +1412,8 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_simhash" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, $toksSql AS toks FROM documents
-         |), h AS (
-         |  SELECT doc_id, list_transform(toks, w -> ${fpSql("w")}) AS hashes FROM t
-         |)
-         |SELECT doc_id, CAST(list_sum(list_transform(range(0, 47), k ->
-         |  CASE WHEN COALESCE(list_sum(list_transform(hashes, hh ->
-         |         CASE WHEN (hh >> k) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
-         |       THEN CAST(1 AS BIGINT) << k ELSE CAST(0 AS BIGINT) END))
-         |  AS BIGINT) AS simhash
-         |FROM h ORDER BY doc_id""".stripMargin,
+      s"""WITH $simhashCtes
+         |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin,
 
     "q_minhash_candidates" ->
       s"""WITH ${minhashBucketCtes()}
@@ -1786,5 +1800,42 @@ object SparkEntry {
          |  array_to_string(toks[CAST(chunk_id * 48 + 1 AS INT):CAST(chunk_id * 48 + 64 AS INT)], ' ')
          |    AS chunk_text
          |FROM cc ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_simhash_candidates" ->
+      s"""WITH $simhashCtes, sb AS (
+         |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+         |    CAST(b AS VARCHAR) || '_' || CAST(
+         |      (simhash >> CAST(b * 11 AS INT)) &
+         |      (CASE WHEN b = 3 THEN (CAST(1 AS BIGINT) << 14) - 1
+         |            ELSE 2047 END) AS VARCHAR))) AS bucket
+         |  FROM sim
+         |), cp AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |  FROM sb a JOIN sb c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+         |)
+         |SELECT cp.doc_a, cp.doc_b,
+         |  CAST(bit_count(xor(sa.simhash, sc.simhash)) AS INT) AS hamming
+         |FROM cp
+         |JOIN sim sa ON sa.doc_id = cp.doc_a
+         |JOIN sim sc ON sc.doc_id = cp.doc_b
+         |WHERE bit_count(xor(sa.simhash, sc.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_corpus_report" ->
+      s"""WITH p AS (
+         |  SELECT source, md5(text) AS text_md5,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |              ELSE len($toksSql) END AS BIGINT) AS n_toks
+         |  FROM documents
+         |), g AS (
+         |  SELECT source, text_md5, count(*) AS copies, sum(n_toks) AS toks
+         |  FROM p GROUP BY source, text_md5
+         |)
+         |SELECT source,
+         |  CAST(sum(copies) AS BIGINT) AS n_docs,
+         |  count(*) AS n_uniq_texts,
+         |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+         |  round(sum(toks) * 1.0 / sum(copies), 2) AS avg_tokens
+         |FROM g GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -203,6 +203,25 @@ object Curation {
       .filter(col("doc_id") === col("component"))
       .select("doc_id")
 
+  // ----- corpus composition report ---------------------------------------
+
+  /** Per-source corpus composition: document count, total/average token
+    * volume, distinct-text count (md5-keyed — the dedup headroom signal a
+    * mixing decision needs). One hash aggregate over (source, md5) then
+    * one over source; both partial-aggregate map-side. */
+  def corpusReport(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), md5(col("text").cast("binary")).as("text_md5"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_toks"))
+      .groupBy(col("source"), col("text_md5"))
+      .agg(count(lit(1)).as("copies"), sum("n_toks").as("toks"))
+      .groupBy(col("source"))
+      .agg(
+        sum("copies").as("n_docs"),
+        count(lit(1)).as("n_uniq_texts"),
+        sum("toks").as("total_tokens"),
+        round(sum("toks").cast("double") / sum("copies"), 2).as("avg_tokens"))
+
   // ----- composed end-to-end pipeline ------------------------------------
 
   /** The full curation pipeline a training-data run chains together:

@@ -178,6 +178,41 @@ object TextPipeline {
       .select(col("doc_id"),
         graft.functions.VectorFunctions.simhashFromHashes(col("hashes")).as("simhash"))
 
+  /** SimHash near-dup candidate pairs: split the 47-bit signature into
+    * `bands` bit-bands and pair documents agreeing on at least one band,
+    * then keep pairs within true Hamming distance `maxHamming`.
+    * Pigeonhole guarantee: hamming < bands ⇒ some band is untouched ⇒ the
+    * pair IS a candidate, so recall is total for distance ≤ bands - 1.
+    * Same inverted-bucket shape as minhash LSH — cost scales with
+    * same-bucket pairs, never N²; the final Hamming check is one
+    * codegen'd bit_count(xor) on 8-byte keys. */
+  def simhashCandidates(docs: DataFrame, bands: Int = 4,
+                        maxHamming: Int = 3): DataFrame = {
+    require(bands >= 1 && bands <= 47, "bands must be in [1, 47]")
+    val width = 47 / bands
+    val sigs = simhash(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandKeys = array((0 until bands).map { b =>
+      val lo = b * width
+      val len = if (b == bands - 1) 47 - lo else width
+      concat_ws("_", lit(b),
+        shiftrightunsigned(col("simhash"), lo)
+          .bitwiseAND(lit((1L << len) - 1)).cast("string"))
+    }: _*)
+    val buckets = sigs.select(col("doc_id"), explode(bandKeys).as("bucket"))
+    val pairs = buckets.as("a").join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b")), Seq("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Heuristic language ID over the text column (tokens materialized). */
   def langId(docs: DataFrame, profiles: Map[String, Seq[String]]): DataFrame =
     docs

@@ -189,6 +189,31 @@ class PipelineSpec extends SparkSpec {
     assert((0 until 12).forall(c => !banded.contains(c * 2L + 1L)))
   }
 
+  test("simhashCandidates: near-identical docs pair with small hamming, disjoint don't") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val out = rowsOf(TextPipeline.simhashCandidates(docs(
+      1L -> base,
+      2L -> base,                                   // identical -> hamming 0
+      3L -> "completely different vocabulary set entirely unrelated words")))
+    val pairs = out.map(r => (r("doc_a"), r("doc_b"), r("hamming"))).toSet
+    assert(pairs.contains((1L, 2L, 0)))
+    assert(!out.exists(r => r("doc_a") == 3L || r("doc_b") == 3L)
+      || out.filter(r => r("doc_b") == 3L).forall(_("hamming").asInstanceOf[Int] <= 3))
+  }
+
+  test("corpusReport: per-source doc/token/uniq-text composition") {
+    import graft.pipeline.Curation
+    val d = Seq(
+      (1L, "one two three", "sA"), (2L, "one two three", "sA"),
+      (3L, "four five", "sA"), (4L, "six", "sB"))
+      .toDF("doc_id", "text", "source")
+    val out = rowsOf(Curation.corpusReport(d)).map(r => r("source") -> r).toMap
+    assert(out("sA")("n_docs") == 3L && out("sA")("n_uniq_texts") == 2L)
+    assert(out("sA")("total_tokens") == 8L)
+    assert(out("sA")("avg_tokens") == 2.67) // round(8/3, 2)
+    assert(out("sB")("n_docs") == 1L && out("sB")("total_tokens") == 1L)
+  }
+
   // ----- Curation --------------------------------------------------------
 
   test("contamination counts benchmark n-gram overlap; decontaminate drops") {
