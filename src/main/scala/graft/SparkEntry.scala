@@ -516,6 +516,16 @@ object SparkEntry {
       TextPipeline.simhashCandidates(Tables.documents(s, dir))
         .orderBy("doc_a", "doc_b")),
 
+    "q_pq_codes" -> ((s, dir) =>
+      Similarity.pqCodes(Tables.embeddings(s, dir)).orderBy("vec_id")),
+
+    "q_embed_ann_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.annPq(emb, emb.filter(col("vec_id") < 10),
+        m = 4, ksub = 16, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "q_corpus_report" -> ((s, dir) =>
       Curation.corpusReport(Tables.documents(s, dir)).orderBy("source")),
   )
@@ -564,6 +574,10 @@ object SparkEntry {
   /** Left-fold dot product — same summation order as VectorFunctions. */
   private def dotSql(a: String, b: String) =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($a) + 1), i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)])), (x, y) -> x + y)"
+  /** Left-fold Σ(a-b)² — same summation order as VectorFunctions.l2Squared. */
+  private def l2Sql(a: String, b: String) =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($a) + 1), i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))), (x, y) -> x + y)"
+
   /** DuckDB dual of TimeFunctions.isoTimestamp (UTC session on both sides). */
   private def isoSql(ms: String) =
     s"strftime(epoch_ms($ms), '%Y-%m-%dT%H:%M:%S.%g') || 'Z'"
@@ -622,6 +636,38 @@ object SparkEntry {
        |         THEN CAST(1 AS BIGINT) << k ELSE CAST(0 AS BIGINT) END))
        |    AS BIGINT) AS simhash
        |  FROM h
+       |)""".stripMargin
+
+  /** Shared CTE chain → PQ codebook (cb: sub, code, csv) and per-(vector,
+    * subspace) code assignment (asg: vec_id, sub, code) — the SQL twin of
+    * Similarity.pqAssign(m=4, ksub=16). Used by q_pq_codes and
+    * q_embed_ann_pq. */
+  private val pqAsgCtes =
+    s"""e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), c AS (
+       |  SELECT vec_id AS cid, v AS cv FROM e
+       |  ORDER BY (vec_id % 1048576 * 2654435761 + 40503) % 1048576, vec_id
+       |  LIMIT 16
+       |), coded AS (
+       |  SELECT cid, cv, CAST(row_number() OVER (ORDER BY cid) - 1 AS INT) AS code
+       |  FROM c
+       |), cb AS (
+       |  SELECT code, CAST(s.sub AS BIGINT) AS sub,
+       |    cv[CAST(s.sub * (len(cv) // 4) + 1 AS INT):CAST((s.sub + 1) * (len(cv) // 4) AS INT)] AS csv
+       |  FROM coded, (SELECT unnest(range(0, 4)) AS sub) s
+       |), es AS (
+       |  SELECT e.vec_id, CAST(s.sub AS BIGINT) AS sub,
+       |    v[CAST(s.sub * (len(v) // 4) + 1 AS INT):CAST((s.sub + 1) * (len(v) // 4) AS INT)] AS sv
+       |  FROM e, (SELECT unnest(range(0, 4)) AS sub) s
+       |), asg AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT es.vec_id, es.sub, cb.code,
+       |      row_number() OVER (PARTITION BY es.vec_id, es.sub
+       |        ORDER BY CAST(round(${l2Sql("es.sv", "cb.csv")} * 1000000.0) AS BIGINT) ASC,
+       |                 cb.code ASC) AS rn
+       |    FROM es JOIN cb ON cb.sub = es.sub)
+       |  WHERE rn = 1
        |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
@@ -1820,6 +1866,35 @@ object SparkEntry {
          |JOIN sim sc ON sc.doc_id = cp.doc_b
          |WHERE bit_count(xor(sa.simhash, sc.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_pq_codes" ->
+      s"""WITH $pqAsgCtes
+         |SELECT vec_id, string_agg(CAST(code AS VARCHAR), '-' ORDER BY sub) AS codes
+         |FROM asg GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q_embed_ann_pq" ->
+      s"""WITH $pqAsgCtes, qs AS (
+         |  SELECT e.vec_id AS query_id, s.sub,
+         |    v[CAST(s.sub * (len(v) // 4) + 1 AS INT):CAST((s.sub + 1) * (len(v) // 4) AS INT)] AS sv
+         |  FROM e, (SELECT unnest(range(0, 4)) AS sub) s
+         |  WHERE e.vec_id < 10
+         |), qt AS (
+         |  SELECT qs.query_id, qs.sub, cb.code,
+         |    CAST(round(${l2Sql("qs.sv", "cb.csv")} * 1000000.0) AS BIGINT) AS qd2u
+         |  FROM qs JOIN cb ON cb.sub = qs.sub
+         |), adc AS (
+         |  SELECT qt.query_id, asg.vec_id AS nbr_id, sum(qt.qd2u) AS d2u
+         |  FROM asg JOIN qt ON qt.sub = asg.sub AND qt.code = asg.code
+         |  GROUP BY qt.query_id, asg.vec_id
+         |)
+         |SELECT query_id, nbr_id, round(d2u / 1000000.0, 6) AS approx_d2,
+         |  CAST(rank AS INT) AS rank
+         |FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY d2u ASC, nbr_id ASC) AS rank
+         |  FROM adc WHERE query_id <> nbr_id)
+         |WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q_corpus_report" ->
       s"""WITH p AS (

@@ -17,6 +17,12 @@ object VectorFunctions {
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
 
+  /** Squared L2 distance Σ (a-b)² (left fold — summation order pinned,
+    * SQL-portable). */
+  def l2Squared(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, v) => acc + v)
+
   /** Cosine similarity (null-safe via 0-norm guard). */
   def cosine(a: Column, b: Column): Column = {
     val d = dot(a, b)

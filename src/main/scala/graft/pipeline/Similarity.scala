@@ -154,6 +154,92 @@ object Similarity {
       .select("query_id", "nbr_id", "cosine", "rank")
   }
 
+  // ----- product quantization -------------------------------------------
+
+  /** Per-subspace PQ codebooks and per-(vector, subspace) code
+    * assignment, shared by [[pqCodes]] and [[annPq]]. The codebook is a
+    * deterministic scrambled-id corpus sample of `ksub` vectors (same
+    * trick as [[annIvf]] — plan shape of a trained codebook, oracle-
+    * replayable), sliced into m subvectors; codes are assigned by a
+    * min_by hash aggregate over the broadcast codebook (partial agg, no
+    * window sort over the corpus). Distances are fixed-point micro-units
+    * (round(d²·1e6) as long) so every downstream sum/compare is exact
+    * integer arithmetic — reproducible across engines and partition
+    * orders. */
+  private def pqAssign(e: DataFrame, m: Int, ksub: Int) = {
+    val subIdx = explode(sequence(lit(0), lit(m - 1))).as("sub")
+    def subW(vec: org.apache.spark.sql.Column) = (size(vec) / m).cast("int")
+    val cents = e.orderBy(idScramble(col("vec_id")).asc, col("vec_id").asc)
+      .limit(ksub)
+      .select(col("vec_id").as("cid"), col("vec").as("cvec"))
+      .withColumn("code",
+        (row_number().over(Window.orderBy(col("cid"))) - 1).cast("int"))
+    val codebook = cents.select(col("code"), col("cvec"), subIdx)
+      .withColumn("csubvec",
+        slice(col("cvec"), col("sub") * subW(col("cvec")) + 1, subW(col("cvec"))))
+      .select("sub", "code", "csubvec")
+    val assignment = e.select(col("vec_id"), col("vec"), subIdx)
+      .withColumn("subvec",
+        slice(col("vec"), col("sub") * subW(col("vec")) + 1, subW(col("vec"))))
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("d2u",
+        round(VectorFunctions.l2Squared(col("subvec"), col("csubvec")) * 1000000.0d)
+          .cast("long"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("d2u"), col("code"))).as("code"))
+    (codebook, assignment)
+  }
+
+  /** PQ compression: each vector → `m` codebook indices ('-'-joined).
+    * With m=4, ksub=16 a 64-dim float vector (256 B) compresses to 4
+    * half-byte codes — the memory step that lets a 100 TB embedding
+    * corpus live in scan-friendly storage; [[annPq]] searches these codes
+    * without touching the original vectors. */
+  def pqCodes(embeddings: DataFrame, m: Int = 4, ksub: Int = 16): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    pqAssign(e, m, ksub)._2
+      .groupBy("vec_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+          s => s.getField("code").cast("string")), "-").as("codes"))
+  }
+
+  /** PQ asymmetric-distance (ADC) search: the query builds an m×ksub
+    * distance table against the broadcast codebook; each corpus vector's
+    * approximate distance is the SUM of table entries at its codes —
+    * compressed-domain search that never touches corpus vectors after
+    * encoding. Relationally: assignment ⋈ broadcast table on (sub, code)
+    * then an integer sum per (query, nbr) — O(N·m·Q) with m ≪ dim, the
+    * PQ speedup over brute force's O(N·d·Q), all in one partial-agg
+    * shuffle keyed by the pair. */
+  def annPq(embeddings: DataFrame, queries: DataFrame, m: Int = 4,
+            ksub: Int = 16, k: Int = 10): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val (codebook, assignment) = pqAssign(e, m, ksub)
+    def subW(vec: org.apache.spark.sql.Column) = (size(vec) / m).cast("int")
+    val qtable = queries
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qvec"))
+      .select(col("query_id"), col("qvec"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .withColumn("qsubvec",
+        slice(col("qvec"), col("sub") * subW(col("qvec")) + 1, subW(col("qvec"))))
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("qd2u",
+        round(VectorFunctions.l2Squared(col("qsubvec"), col("csubvec")) * 1000000.0d)
+          .cast("long"))
+      .select("query_id", "sub", "code", "qd2u")
+    assignment.withColumnRenamed("vec_id", "nbr_id")
+      .join(broadcast(qtable), Seq("sub", "code"))
+      .groupBy(col("query_id"), col("nbr_id"))
+      .agg(sum("qd2u").as("d2u"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("approx_d2", round(col("d2u") / 1000000.0d, 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d2u").asc, col("nbr_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "approx_d2", "rank")
+  }
+
   /** Embedding-cosine near-duplicate REMOVAL: greedy canonical selection
     * over the LSH near-dup pairs — a vector is dropped iff some
     * lower-id candidate vector matches at ≥ `minCosine` (vec_a < vec_b in

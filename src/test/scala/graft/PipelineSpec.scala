@@ -189,6 +189,25 @@ class PipelineSpec extends SparkSpec {
     assert((0 until 12).forall(c => !banded.contains(c * 2L + 1L)))
   }
 
+  test("pqCodes/annPq: identical vectors share codes; ADC ranks the duplicate first") {
+    val vecs = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Seq.fill(8)(base * (1.0f + (i / 2) * 0.01f)))
+    } :+ (21L, Seq.fill(8)(1.0f)) // exact duplicate of vec 0
+    val emb = vecs.toDF("vec_id", "embedding")
+    val codes = rowsOf(graft.pipeline.Similarity.pqCodes(emb, m = 4, ksub = 4))
+      .map(r => r("vec_id") -> r("codes")).toMap
+    assert(codes.size == 21)
+    assert(codes(21L) == codes(0L)) // identical vector, identical codes
+    // ADC search from the duplicate: minimal possible table sum is achieved
+    // exactly by vectors sharing the query's argmin codes — vec 0 is the
+    // lowest such id, so the id tie-break puts it at rank 1
+    val top = rowsOf(graft.pipeline.Similarity.annPq(
+      emb, emb.filter(col("vec_id") === 21), m = 4, ksub = 4, k = 3))
+      .minBy(_("rank").asInstanceOf[Int])
+    assert(top("nbr_id") == 0L)
+  }
+
   test("simhashCandidates: near-identical docs pair with small hamming, disjoint don't") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val out = rowsOf(TextPipeline.simhashCandidates(docs(
