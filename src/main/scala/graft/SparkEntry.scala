@@ -526,6 +526,13 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q_embed_ann_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.annIvfPq(emb, emb.filter(col("vec_id") < 10),
+        nlist = 10, nprobe = 3, m = 4, ksub = 16, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "q_corpus_report" -> ((s, dir) =>
       Curation.corpusReport(Tables.documents(s, dir)).orderBy("source")),
   )
@@ -1885,6 +1892,50 @@ object SparkEntry {
          |), adc AS (
          |  SELECT qt.query_id, asg.vec_id AS nbr_id, sum(qt.qd2u) AS d2u
          |  FROM asg JOIN qt ON qt.sub = asg.sub AND qt.code = asg.code
+         |  GROUP BY qt.query_id, asg.vec_id
+         |)
+         |SELECT query_id, nbr_id, round(d2u / 1000000.0, 6) AS approx_d2,
+         |  CAST(rank AS INT) AS rank
+         |FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY d2u ASC, nbr_id ASC) AS rank
+         |  FROM adc WHERE query_id <> nbr_id)
+         |WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_embed_ann_ivfpq" ->
+      s"""WITH $pqAsgCtes, c2 AS (
+         |  SELECT vec_id AS cid, v AS cv FROM e
+         |  ORDER BY (vec_id % 1048576 * 2654435761 + 40503) % 1048576, vec_id
+         |  LIMIT 10
+         |), coarse AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c2.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosSql("e.v", "c2.cv")}, 6) DESC, c2.cid ASC) AS rn
+         |    FROM e, c2) WHERE rn = 1
+         |), probes AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT e.vec_id AS query_id, c2.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosSql("e.v", "c2.cv")}, 6) DESC, c2.cid ASC) AS crn
+         |    FROM e, c2 WHERE e.vec_id < 10) WHERE crn <= 3
+         |), qs AS (
+         |  SELECT e.vec_id AS query_id, CAST(s.sub AS BIGINT) AS sub,
+         |    v[CAST(s.sub * (len(v) // 4) + 1 AS INT):CAST((s.sub + 1) * (len(v) // 4) AS INT)] AS sv
+         |  FROM e, (SELECT unnest(range(0, 4)) AS sub) s
+         |  WHERE e.vec_id < 10
+         |), qt AS (
+         |  SELECT qs.query_id, qs.sub, cb.code,
+         |    CAST(round(${l2Sql("qs.sv", "cb.csv")} * 1000000.0) AS BIGINT) AS qd2u
+         |  FROM qs JOIN cb ON cb.sub = qs.sub
+         |), adc AS (
+         |  SELECT qt.query_id, asg.vec_id AS nbr_id, sum(qt.qd2u) AS d2u
+         |  FROM asg
+         |  JOIN coarse ON coarse.vec_id = asg.vec_id
+         |  JOIN probes ON probes.cid = coarse.cid
+         |  JOIN qt ON qt.query_id = probes.query_id
+         |         AND qt.sub = asg.sub AND qt.code = asg.code
          |  GROUP BY qt.query_id, asg.vec_id
          |)
          |SELECT query_id, nbr_id, round(d2u / 1000000.0, 6) AS approx_d2,

@@ -240,6 +240,60 @@ object Similarity {
       .select("query_id", "nbr_id", "approx_d2", "rank")
   }
 
+  /** IVF-PQ: the composition a 100 TB vector store actually runs — the
+    * [[annIvf]] coarse quantizer prunes the corpus to `nprobe`/`nlist`
+    * inverted lists, then [[annPq]]'s fixed-point ADC ranks inside the
+    * probed lists using codes only. Corpus vectors are touched once (at
+    * encode time); the search-side joins move ids, codes and the
+    * broadcast query table — never embeddings. */
+  def annIvfPq(embeddings: DataFrame, queries: DataFrame,
+               nlist: Int, nprobe: Int, m: Int = 4, ksub: Int = 16,
+               k: Int = 10): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    // coarse lists (annIvf's deterministic quantizer + max_by argmax)
+    val cents = e.orderBy(idScramble(col("vec_id")).asc, col("vec_id").asc)
+      .limit(nlist)
+      .select(col("vec_id").as("cid"), col("vec").as("cvec"))
+    val coarse = e.crossJoin(broadcast(cents))
+      .withColumn("csim", round(VectorFunctions.cosine(col("vec"), col("cvec")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qvec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", round(VectorFunctions.cosine(col("qvec"), col("cvec")), 6))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid").asc)))
+      .filter(col("crn") <= nprobe)
+      .select(col("query_id"), col("cid"))
+    // fine ranking: ADC over the probed lists only
+    val (codebook, assignment) = pqAssign(e, m, ksub)
+    def subW(vec: org.apache.spark.sql.Column) = (size(vec) / m).cast("int")
+    val qtable = queries
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qvec"))
+      .select(col("query_id"), col("qvec"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .withColumn("qsubvec",
+        slice(col("qvec"), col("sub") * subW(col("qvec")) + 1, subW(col("qvec"))))
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("qd2u",
+        round(VectorFunctions.l2Squared(col("qsubvec"), col("csubvec")) * 1000000.0d)
+          .cast("long"))
+      .select("query_id", "sub", "code", "qd2u")
+    assignment.withColumnRenamed("vec_id", "nbr_id")
+      .join(coarse.withColumnRenamed("vec_id", "nbr_id"), Seq("nbr_id"))
+      .join(broadcast(probes), Seq("cid"))
+      .join(broadcast(qtable), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("nbr_id"))
+      .agg(sum("qd2u").as("d2u"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("approx_d2", round(col("d2u") / 1000000.0d, 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d2u").asc, col("nbr_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "approx_d2", "rank")
+  }
+
   /** Embedding-cosine near-duplicate REMOVAL: greedy canonical selection
     * over the LSH near-dup pairs — a vector is dropped iff some
     * lower-id candidate vector matches at ≥ `minCosine` (vec_a < vec_b in

@@ -208,6 +208,22 @@ class PipelineSpec extends SparkSpec {
     assert(top("nbr_id") == 0L)
   }
 
+  test("annIvfPq with all lists probed == annPq (coarse stage prunes, never re-ranks)") {
+    import graft.pipeline.Similarity
+    val vecs = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Seq.fill(8)(base * (1.0f + (i / 2) * 0.01f)))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 3)
+    def asTuples(rows: Seq[Map[String, Any]]) =
+      rows.map(r => (r("query_id"), r("nbr_id"), r("approx_d2"), r("rank"))).toSet
+    val full = asTuples(rowsOf(Similarity.annPq(emb, queries, m = 4, ksub = 4, k = 5)))
+    val ivfpq = asTuples(rowsOf(Similarity.annIvfPq(emb, queries,
+      nlist = 6, nprobe = 6, m = 4, ksub = 4, k = 5)))
+    assert(ivfpq == full)
+  }
+
   test("simhashCandidates: near-identical docs pair with small hamming, disjoint don't") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val out = rowsOf(TextPipeline.simhashCandidates(docs(
