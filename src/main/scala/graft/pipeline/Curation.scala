@@ -203,6 +203,26 @@ object Curation {
       .filter(col("doc_id") === col("component"))
       .select("doc_id")
 
+  // ----- streaming ingestion ---------------------------------------------
+
+  /** Streaming corpus ingestion: exact dedup within the watermark horizon
+    * (16-byte md5 keys in the state store, watermark-evicted — see
+    * TextPipeline.dedupStreaming), an inline token-count quality gate,
+    * then chunking. Every stage is stateless or watermark-bounded, so the
+    * pipeline runs in APPEND mode with bounded state — the shape for
+    * curating a continuously-arriving corpus instead of re-batching it.
+    * Near-dup/cluster stages stay batch: candidate generation needs
+    * corpus-wide self-joins that have no bounded-state streaming form;
+    * run them as periodic compaction over the chunk store. Input must
+    * carry an `event_time` column. */
+  def curateStream(docs: DataFrame, watermark: String = "1 hour",
+                   minTokens: Int = 1, chunkSize: Int = 64,
+                   stride: Int = 48): DataFrame =
+    chunk(
+      TextPipeline.dedupStreaming(docs, watermark)
+        .filter(TextFunctions.tokenCount(col("text")) >= minTokens),
+      chunkSize, stride)
+
   // ----- corpus composition report ---------------------------------------
 
   /** Per-source corpus composition: document count, total/average token

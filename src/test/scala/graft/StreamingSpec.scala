@@ -403,6 +403,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curateStream: dedup + quality gate + chunking in append mode with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "event_time")
+    val out = graft.pipeline.Curation.curateStream(docs,
+      watermark = "10 minutes", minTokens = 3, chunkSize = 4, stride = 4)
+    val q = out.writeStream.format("memory").queryName("curate_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val t0 = new java.sql.Timestamp(1000L)
+      mem.addData(
+        (1L, "one two three four five six", t0),
+        (2L, "one two three four five six", t0), // exact dup of 1 -> dropped
+        (3L, "too short", t0))                   // quality gate
+      q.processAllAvailable()
+      val rows = spark.table("curate_stream")
+        .select("doc_id", "chunk_id", "chunk_text").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      assert(rows.map(_._1).toSet == Set(1L))
+      assert(rows.sortBy(_._2).map(_._3).toSeq
+        == Seq("one two three four", "five six"))
+    } finally q.stop()
+  }
+
   test("RocksDB state store: keyed dedup state runs under the RocksDB provider") {
     implicit val sqlCtx = spark.sqlContext
     graft.core.Graft.useRocksDbState(spark)
