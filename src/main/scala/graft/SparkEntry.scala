@@ -535,6 +535,14 @@ object SparkEntry {
 
     "q_corpus_report" -> ((s, dir) =>
       Curation.corpusReport(Tables.documents(s, dir)).orderBy("source")),
+
+    "q_vocab_top" -> ((s, dir) =>
+      TextPipeline.vocab(Tables.documents(s, dir), topK = 100)
+        .orderBy(col("cnt").desc, col("token").asc)),
+
+    "q_bpe_pairs" -> ((s, dir) =>
+      TextPipeline.bpePairCounts(Tables.documents(s, dir), topK = 100)
+        .orderBy(col("cnt").desc, col("pair").asc)),
   )
 
   /** Headline queries Bench runs at sf0.1. */
@@ -1963,5 +1971,21 @@ object SparkEntry {
          |  CAST(sum(toks) AS BIGINT) AS total_tokens,
          |  round(sum(toks) * 1.0 / sum(copies), 2) AS avg_tokens
          |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_vocab_top" ->
+      s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents)
+         |SELECT token, count(*) AS cnt FROM t GROUP BY token
+         |ORDER BY cnt DESC, token ASC LIMIT 100""".stripMargin,
+
+    "q_bpe_pairs" ->
+      s"""WITH w AS (SELECT unnest($toksSql) AS w FROM documents),
+         |p AS (
+         |  SELECT unnest(CASE WHEN length(w) < 2 THEN []
+         |    ELSE list_transform(range(1, length(w)),
+         |           i -> substr(w, CAST(i AS INT), 2)) END) AS pair
+         |  FROM w
+         |)
+         |SELECT pair, count(*) AS cnt FROM p GROUP BY pair
+         |ORDER BY cnt DESC, pair ASC LIMIT 100""".stripMargin,
   )
 }

@@ -213,6 +213,33 @@ object TextPipeline {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Corpus vocabulary: top-`topK` tokens by frequency (ties broken by
+    * token, so the cut is deterministic). One explode + hash aggregate
+    * with map-side partial counts; the top-k is a TakeOrderedAndProject
+    * (per-partition heads, no corpus-wide sort) — the exact form of the
+    * token-frequency table tokenizer training starts from. For unbounded
+    * vocabularies at 100 TB use the approx_top_k sketch path
+    * (DnsStatistics.applyApprox shows the swap). */
+  def vocab(docs: DataFrame, topK: Int = 100): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc).limit(topK)
+
+  /** BPE merge-candidate statistics: corpus-wide counts of adjacent
+    * character pairs within tokens — the scan each BPE training
+    * iteration runs over the corpus. The per-element lambda only touches
+    * `w`, an already-materialized attribute (cheap re-read), not a
+    * recomputed expression — the HOF re-evaluation trap doesn't bite. */
+  def bpePairCounts(docs: DataFrame, topK: Int = 100): DataFrame = {
+    val pairs = when(length(col("w")) < 2, array())
+      .otherwise(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2))))
+    docs.select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .select(explode(pairs).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc).limit(topK)
+  }
+
   /** Heuristic language ID over the text column (tokens materialized). */
   def langId(docs: DataFrame, profiles: Map[String, Seq[String]]): DataFrame =
     docs

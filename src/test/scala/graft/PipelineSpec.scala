@@ -189,6 +189,14 @@ class PipelineSpec extends SparkSpec {
     assert((0 until 12).forall(c => !banded.contains(c * 2L + 1L)))
   }
 
+  test("vocab and bpePairCounts: exact frequency tables with deterministic ties") {
+    val out = rowsOf(TextPipeline.vocab(docs(1L -> "b a a c b a"), 2))
+    assert(out.map(r => (r("token"), r("cnt"))) == Seq(("a", 3L), ("b", 2L)))
+    val pairs = rowsOf(TextPipeline.bpePairCounts(docs(1L -> "abab ab x"), 3))
+    // "abab": ab ba ab; "ab": ab; "x": too short -> ab=3, ba=1
+    assert(pairs.map(r => (r("pair"), r("cnt"))) == Seq(("ab", 3L), ("ba", 1L)))
+  }
+
   test("pqCodes/annPq: identical vectors share codes; ADC ranks the duplicate first") {
     val vecs = (0 until 20).map { i =>
       val base = if (i % 2 == 0) 1.0f else -1.0f
