@@ -225,6 +225,16 @@ object TextPipeline {
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token").asc).limit(topK)
 
+  /** Sketch form of [[vocab]] for unbounded vocabularies: approx_top_k
+    * keeps a bounded per-partition summary instead of the full token
+    * table (counts approximate, tie order sketch-dependent — never
+    * assert a cut against the exact path). */
+  def vocabApprox(docs: DataFrame, topK: Int = 100): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .agg(expr(s"approx_top_k(token, $topK)").as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.item").as("token"), col("e.count").as("cnt"))
+
   /** BPE merge-candidate statistics: corpus-wide counts of adjacent
     * character pairs within tokens — the scan each BPE training
     * iteration runs over the corpus. The per-element lambda only touches

@@ -48,6 +48,22 @@ class PlansSpec extends SparkSpec {
       .queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("PQ plans: codebook and query table broadcast; vocab cut is TakeOrdered") {
+    import graft.pipeline.{Similarity, TextPipeline}
+    val emb = (0L until 64L).map(i => (i, Seq.fill(8)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val pq = Similarity.annPq(emb, emb.filter(col("vec_id") < 2),
+      m = 4, ksub = 4, k = 3).queryExecution.executedPlan.toString
+    // ADC never shuffles embeddings: codebook + query table are broadcast,
+    // the only exchange is the (query, nbr) partial-agg sum
+    assert(pq.contains("BroadcastHashJoin"))
+    assert(!pq.contains("CartesianProduct") && !pq.contains("SortMergeJoin"))
+    val vocabPlan = TextPipeline.vocab(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), 10)
+      .queryExecution.executedPlan.toString
+    assert(vocabPlan.contains("TakeOrderedAndProject")) // no corpus-wide sort
+  }
+
   test("ApproxDistinctRewrite leaves filtered and multi-arg distincts alone") {
     val df = (0 until 100).map(i => (i % 3, i % 10, i % 5)).toDF("g", "x", "y")
     spark.experimental.extraOptimizations =
