@@ -61,7 +61,12 @@ object Curation {
     * fraction, and the fraction held by the single most frequent 2-gram.
     * Two explode → two-level hash-aggregate chains (map-side partial on
     * (doc_id, gram)), left-joined back so gram-less documents keep zeros.
-    * No per-element lambda touches the token array. */
+    * No per-element lambda touches the token array.
+    *
+    * Cache lifetime: the tokenized frame is persisted (both gram paths
+    * read it) and stays cached for the session — callers looping over
+    * corpora should `spark.catalog.clearCache()` between corpora (same
+    * contract as TextPipeline.nearDupJaccard). */
   def repetitionStats(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))

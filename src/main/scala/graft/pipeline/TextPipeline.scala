@@ -185,7 +185,11 @@ object TextPipeline {
     * pair IS a candidate, so recall is total for distance ≤ bands - 1.
     * Same inverted-bucket shape as minhash LSH — cost scales with
     * same-bucket pairs, never N²; the final Hamming check is one
-    * codegen'd bit_count(xor) on 8-byte keys. */
+    * codegen'd bit_count(xor) on 8-byte keys.
+    *
+    * Cache lifetime: the signature frame is persisted (bucket explode +
+    * two pair-side joins read it) and stays cached for the session —
+    * same clearCache-between-corpora contract as [[nearDupJaccard]]. */
   def simhashCandidates(docs: DataFrame, bands: Int = 4,
                         maxHamming: Int = 3): DataFrame = {
     require(bands >= 1 && bands <= 47, "bands must be in [1, 47]")
