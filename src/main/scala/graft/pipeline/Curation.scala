@@ -37,13 +37,15 @@ object Curation {
   }
 
   /** Decontaminated corpus: drop documents whose benchmark n-gram overlap
-    * exceeds `maxOverlap` (0 = any overlap removes). Broadcast anti-join
-    * against the (small) contaminated-id set. */
+    * exceeds `maxOverlap` (0 = any overlap removes). The anti-join
+    * strategy is left to AQE: the contaminated set is usually tiny (eval
+    * sets are MBs) but is NOT small by construction — a heavily
+    * contaminated corpus would OOM a forced broadcast. */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int,
                     maxOverlap: Long = 0L): DataFrame = {
     val bad = contamination(docs, benchmark, n)
       .filter(col("overlap_ngrams") > maxOverlap).select("doc_id")
-    docs.join(broadcast(bad), Seq("doc_id"), "left_anti")
+    docs.join(bad, Seq("doc_id"), "left_anti")
   }
 
   // ----- repetition metrics (Gopher rules 4-8 analogue) ------------------
@@ -189,14 +191,16 @@ object Curation {
     * (its own id if unpaired). Pairwise dedup keeps B when A~B, B~C but
     * A≁C; clustering removes the whole chain, keeping one canonical
     * (min-id) survivor per component — the standard corpus-dedup
-    * semantics. The component map is tiny (only docs with ≥1 candidate
-    * pair), so it broadcasts back onto the corpus. */
+    * semantics. The component map holds only docs with ≥1 candidate pair
+    * — usually a small fraction, but on a duplicate-heavy corpus it can
+    * approach corpus size, so the join strategy is left to AQE rather
+    * than a forced broadcast. */
   def clusterComponents(docs: DataFrame, n: Int = 3, k: Int = 16,
                         bands: Int = 4): DataFrame = {
     val comp = connectedComponents(
       TextPipeline.minhashCandidates(docs, n, k, bands))
     docs.select(col("doc_id"))
-      .join(broadcast(comp.withColumnRenamed("id", "doc_id")), Seq("doc_id"), "left")
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("component"))
   }
