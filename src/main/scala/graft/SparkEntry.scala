@@ -533,6 +533,13 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q_embed_ann_ivfpq_res" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.annIvfPqResidual(emb, emb.filter(col("vec_id") < 10),
+        nlist = 10, nprobe = 3, m = 4, ksub = 16, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "q_corpus_report" -> ((s, dir) =>
       Curation.corpusReport(Tables.documents(s, dir)).orderBy("source")),
 
@@ -653,28 +660,32 @@ object SparkEntry {
        |  FROM h
        |)""".stripMargin
 
+  private val eCte =
+    """e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |)""".stripMargin
+
   /** Shared CTE chain → PQ codebook (cb: sub, code, csv) and per-(vector,
-    * subspace) code assignment (asg: vec_id, sub, code) — the SQL twin of
-    * Similarity.pqAssign(m=4, ksub=16). Used by q_pq_codes and
-    * q_embed_ann_pq. */
-  private val pqAsgCtes =
-    s"""e AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-       |), c AS (
-       |  SELECT vec_id AS cid, v AS cv FROM e
+    * subspace) code assignment (asg: vec_id, sub, code) over the vector
+    * CTE `src` (v column) — the SQL twin of Similarity.pqAssign(m=4,
+    * ksub=16). Used by q_pq_codes, q_embed_ann_pq, q_embed_ann_ivfpq and
+    * (over residuals) q_embed_ann_ivfpq_res. */
+  private def pqAsgCtes(src: String = "e") =
+    s"""c AS (
+       |  SELECT vec_id AS pcid, v AS cv FROM $src
        |  ORDER BY (vec_id % 1048576 * 2654435761 + 40503) % 1048576, vec_id
        |  LIMIT 16
        |), coded AS (
-       |  SELECT cid, cv, CAST(row_number() OVER (ORDER BY cid) - 1 AS INT) AS code
+       |  SELECT pcid, cv, CAST(row_number() OVER (ORDER BY pcid) - 1 AS INT) AS code
        |  FROM c
        |), cb AS (
        |  SELECT code, CAST(s.sub AS BIGINT) AS sub,
        |    cv[CAST(s.sub * (len(cv) // 4) + 1 AS INT):CAST((s.sub + 1) * (len(cv) // 4) AS INT)] AS csv
        |  FROM coded, (SELECT unnest(range(0, 4)) AS sub) s
        |), es AS (
-       |  SELECT e.vec_id, CAST(s.sub AS BIGINT) AS sub,
+       |  SELECT $src.vec_id, CAST(s.sub AS BIGINT) AS sub,
        |    v[CAST(s.sub * (len(v) // 4) + 1 AS INT):CAST((s.sub + 1) * (len(v) // 4) AS INT)] AS sv
-       |  FROM e, (SELECT unnest(range(0, 4)) AS sub) s
+       |  FROM $src, (SELECT unnest(range(0, 4)) AS sub) s
        |), asg AS (
        |  SELECT vec_id, sub, code FROM (
        |    SELECT es.vec_id, es.sub, cb.code,
@@ -1883,12 +1894,12 @@ object SparkEntry {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_pq_codes" ->
-      s"""WITH $pqAsgCtes
+      s"""WITH $eCte, ${pqAsgCtes()}
          |SELECT vec_id, string_agg(CAST(code AS VARCHAR), '-' ORDER BY sub) AS codes
          |FROM asg GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "q_embed_ann_pq" ->
-      s"""WITH $pqAsgCtes, qs AS (
+      s"""WITH $eCte, ${pqAsgCtes()}, qs AS (
          |  SELECT e.vec_id AS query_id, s.sub,
          |    v[CAST(s.sub * (len(v) // 4) + 1 AS INT):CAST((s.sub + 1) * (len(v) // 4) AS INT)] AS sv
          |  FROM e, (SELECT unnest(range(0, 4)) AS sub) s
@@ -1912,7 +1923,7 @@ object SparkEntry {
          |ORDER BY query_id, rank""".stripMargin,
 
     "q_embed_ann_ivfpq" ->
-      s"""WITH $pqAsgCtes, c2 AS (
+      s"""WITH $eCte, ${pqAsgCtes()}, c2 AS (
          |  SELECT vec_id AS cid, v AS cv FROM e
          |  ORDER BY (vec_id % 1048576 * 2654435761 + 40503) % 1048576, vec_id
          |  LIMIT 10
@@ -1944,6 +1955,55 @@ object SparkEntry {
          |  JOIN probes ON probes.cid = coarse.cid
          |  JOIN qt ON qt.query_id = probes.query_id
          |         AND qt.sub = asg.sub AND qt.code = asg.code
+         |  GROUP BY qt.query_id, asg.vec_id
+         |)
+         |SELECT query_id, nbr_id, round(d2u / 1000000.0, 6) AS approx_d2,
+         |  CAST(rank AS INT) AS rank
+         |FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY d2u ASC, nbr_id ASC) AS rank
+         |  FROM adc WHERE query_id <> nbr_id)
+         |WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_embed_ann_ivfpq_res" ->
+      s"""WITH $eCte, c2 AS (
+         |  SELECT vec_id AS cid, v AS cv FROM e
+         |  ORDER BY (vec_id % 1048576 * 2654435761 + 40503) % 1048576, vec_id
+         |  LIMIT 10
+         |), coarse AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c2.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosSql("e.v", "c2.cv")}, 6) DESC, c2.cid ASC) AS rn
+         |    FROM e, c2) WHERE rn = 1
+         |), r AS (
+         |  SELECT e.vec_id, coarse.cid,
+         |    list_transform(range(1, len(e.v) + 1),
+         |      i -> e.v[CAST(i AS INT)] - c2.cv[CAST(i AS INT)]) AS v
+         |  FROM e JOIN coarse ON coarse.vec_id = e.vec_id
+         |         JOIN c2 ON c2.cid = coarse.cid
+         |), ${pqAsgCtes("r")}, probes AS (
+         |  SELECT query_id, cid, qres FROM (
+         |    SELECT e.vec_id AS query_id, c2.cid,
+         |      list_transform(range(1, len(e.v) + 1),
+         |        i -> e.v[CAST(i AS INT)] - c2.cv[CAST(i AS INT)]) AS qres,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosSql("e.v", "c2.cv")}, 6) DESC, c2.cid ASC) AS crn
+         |    FROM e, c2 WHERE e.vec_id < 10) WHERE crn <= 3
+         |), qs AS (
+         |  SELECT query_id, cid, CAST(s.sub AS BIGINT) AS sub,
+         |    qres[CAST(s.sub * (len(qres) // 4) + 1 AS INT):CAST((s.sub + 1) * (len(qres) // 4) AS INT)] AS sv
+         |  FROM probes, (SELECT unnest(range(0, 4)) AS sub) s
+         |), qt AS (
+         |  SELECT qs.query_id, qs.cid, qs.sub, cb.code,
+         |    CAST(round(${l2Sql("qs.sv", "cb.csv")} * 1000000.0) AS BIGINT) AS qd2u
+         |  FROM qs JOIN cb ON cb.sub = qs.sub
+         |), adc AS (
+         |  SELECT qt.query_id, asg.vec_id AS nbr_id, sum(qt.qd2u) AS d2u
+         |  FROM asg
+         |  JOIN r ON r.vec_id = asg.vec_id
+         |  JOIN qt ON qt.cid = r.cid AND qt.sub = asg.sub AND qt.code = asg.code
          |  GROUP BY qt.query_id, asg.vec_id
          |)
          |SELECT query_id, nbr_id, round(d2u / 1000000.0, 6) AS approx_d2,

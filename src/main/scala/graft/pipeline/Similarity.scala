@@ -294,6 +294,63 @@ object Similarity {
       .select("query_id", "nbr_id", "approx_d2", "rank")
   }
 
+  /** IVF-PQ with RESIDUAL encoding — the production FAISS form: each
+    * vector is PQ-encoded as its residual from the assigned coarse
+    * centroid, and the query builds a separate ADC table per probed list
+    * from ITS residual to that centroid. Residuals concentrate around the
+    * origin, so the same ksub codebook quantizes far more precisely than
+    * raw-vector PQ; the cost is a per-(query, probe) table (nprobe× the
+    * query-side work — still tiny) while the corpus-side joins stay
+    * codes + ids only. */
+  def annIvfPqResidual(embeddings: DataFrame, queries: DataFrame,
+                       nlist: Int, nprobe: Int, m: Int = 4, ksub: Int = 16,
+                       k: Int = 10): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val cents = e.orderBy(idScramble(col("vec_id")).asc, col("vec_id").asc)
+      .limit(nlist)
+      .select(col("vec_id").as("cid"), col("vec").as("cvec"))
+    val coarse = e.crossJoin(broadcast(cents))
+      .withColumn("csim", round(VectorFunctions.cosine(col("vec"), col("cvec")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
+        first(col("vec")).as("vec"))
+    // residual vectors: vec - assigned centroid (arrays referenced once)
+    val resid = coarse.join(broadcast(cents), Seq("cid"))
+      .withColumn("vec", zip_with(col("vec"), col("cvec"), (a, b) => a - b))
+      .select("vec_id", "cid", "vec")
+    val (codebook, assignment) = pqAssign(resid.select("vec_id", "vec"), m, ksub)
+    def subW(vec: org.apache.spark.sql.Column) = (size(vec) / m).cast("int")
+    // per-(query, probed list) residual → its own ADC table
+    val qtable = queries
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qvec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", round(VectorFunctions.cosine(col("qvec"), col("cvec")), 6))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid").asc)))
+      .filter(col("crn") <= nprobe)
+      .withColumn("qres", zip_with(col("qvec"), col("cvec"), (a, b) => a - b))
+      .select(col("query_id"), col("cid"), col("qres"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .withColumn("qsubvec",
+        slice(col("qres"), col("sub") * subW(col("qres")) + 1, subW(col("qres"))))
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("qd2u",
+        round(VectorFunctions.l2Squared(col("qsubvec"), col("csubvec")) * 1000000.0d)
+          .cast("long"))
+      .select("query_id", "cid", "sub", "code", "qd2u")
+    assignment.withColumnRenamed("vec_id", "nbr_id")
+      .join(resid.select(col("vec_id").as("nbr_id"), col("cid")), Seq("nbr_id"))
+      .join(broadcast(qtable), Seq("cid", "sub", "code"))
+      .groupBy(col("query_id"), col("nbr_id"))
+      .agg(sum("qd2u").as("d2u"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("approx_d2", round(col("d2u") / 1000000.0d, 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d2u").asc, col("nbr_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "approx_d2", "rank")
+  }
+
   /** Embedding-cosine near-duplicate REMOVAL: greedy canonical selection
     * over the LSH near-dup pairs — a vector is dropped iff some
     * lower-id candidate vector matches at ≥ `minCosine` (vec_a < vec_b in

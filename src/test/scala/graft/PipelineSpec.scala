@@ -240,6 +240,22 @@ class PipelineSpec extends SparkSpec {
     assert(ivfpq == full)
   }
 
+  test("annIvfPqResidual: ADC over residual codes still ranks the duplicate first") {
+    import graft.pipeline.Similarity
+    val vecs = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Seq.fill(8)(base * (1.0f + (i / 2) * 0.01f)))
+    } :+ (21L, Seq.fill(8)(1.0f)) // exact duplicate of vec 0
+    val emb = vecs.toDF("vec_id", "embedding")
+    val top = rowsOf(Similarity.annIvfPqResidual(
+      emb, emb.filter(col("vec_id") === 21),
+      nlist = 4, nprobe = 4, m = 4, ksub = 4, k = 3))
+      .minBy(_("rank").asInstanceOf[Int])
+    // identical vector -> identical residual -> identical codes -> minimal
+    // ADC sum; id tie-break puts the duplicate at rank 1
+    assert(top("nbr_id") == 0L)
+  }
+
   test("simhashCandidates: near-identical docs pair with small hamming, disjoint don't") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val out = rowsOf(TextPipeline.simhashCandidates(docs(
