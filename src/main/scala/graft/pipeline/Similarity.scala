@@ -351,6 +351,25 @@ object Similarity {
       .select("query_id", "nbr_id", "approx_d2", "rank")
   }
 
+  /** Recall@k of an approximate ANN result against exact ground truth:
+    * per query, the fraction of the true top-k the approximate method
+    * returned. Both inputs carry (query_id, nbr_id, rank) — i.e. any two
+    * outputs of the methods in this module. One semi-join + two hash
+    * aggregates; queries with no approximate hits score 0. This is the
+    * tuning loop for planes/bands/nlist/nprobe/m/ksub: measure on a
+    * sampled query set, then fix the config for the corpus pass. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val t = exact.filter(col("rank") <= k).select("query_id", "nbr_id")
+    val hit = t.join(approx.filter(col("rank") <= k)
+        .select("query_id", "nbr_id"), Seq("query_id", "nbr_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    t.groupBy("query_id").agg(count(lit(1)).as("truth"))
+      .join(hit, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / col("truth"), 4)
+          .as("recall"))
+  }
+
   /** Embedding-cosine near-duplicate REMOVAL: greedy canonical selection
     * over the LSH near-dup pairs — a vector is dropped iff some
     * lower-id candidate vector matches at ≥ `minCosine` (vec_a < vec_b in

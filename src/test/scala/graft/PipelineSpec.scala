@@ -240,6 +240,25 @@ class PipelineSpec extends SparkSpec {
     assert(ivfpq == full)
   }
 
+  test("recallAtK: exact-vs-self is 1.0; all-lists IVF recalls brute force fully") {
+    import graft.pipeline.Similarity
+    val vecs = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Seq.fill(8)(base * (1.0f + (i / 2) * 0.01f)))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 3)
+    val exact = Similarity.knnBruteForce(emb, queries, 5)
+    def recalls(approx: org.apache.spark.sql.DataFrame) =
+      rowsOf(Similarity.recallAtK(approx, exact, 5)).map(_("recall"))
+    assert(recalls(exact).forall(_ == 1.0))
+    assert(recalls(Similarity.annIvf(emb, queries, nlist = 4, nprobe = 4, k = 5))
+      .forall(_ == 1.0))
+    // probing 1 of 4 lists can miss neighbors — recall stays a valid fraction
+    assert(recalls(Similarity.annIvf(emb, queries, nlist = 4, nprobe = 1, k = 5))
+      .forall(r => { val d = r.asInstanceOf[Double]; d >= 0.0 && d <= 1.0 }))
+  }
+
   test("annIvfPqResidual: ADC over residual codes still ranks the duplicate first") {
     import graft.pipeline.Similarity
     val vecs = (0 until 20).map { i =>
