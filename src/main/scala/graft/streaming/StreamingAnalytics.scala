@@ -113,6 +113,24 @@ object StreamingAnalytics {
     * a read-side concern (ReadSide.nestedTopN / T2) since global ranking
     * inside an append-mode stream is not expressible — the reference did
     * the same sort driver-side per batch. */
+  /** Streaming sessionization via the native session_window operator:
+    * gap-based sessions per key with watermark-bounded state — the
+    * streaming face of the batch lag/cumsum sessionizer (q_sessionize).
+    * Sessions merge as events arrive; a session emits (append mode) once
+    * the watermark passes its end + gap. State is one open session per
+    * active key, watermark-evicted — bounded regardless of stream length.
+    * Input needs `user_id`, `event_time`. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(col("user_id"), session_window(col("event_time"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_millis(col("event_time"))).as("session_start_ms"),
+        max(unix_millis(col("event_time"))).as("session_end_ms"))
+      .select(col("user_id"), col("n_events"),
+        col("session_start_ms"), col("session_end_ms"))
+
   def dnsStatistics(flows: DataFrame, window: String = "60 seconds",
                     watermark: String = "2 minutes"): DataFrame =
     graft.analytics.DnsStatistics.contributions(flows, carry = Seq("event_time"))

@@ -403,6 +403,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionize == batch gap sessionizer on the same events") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val events = mem.toDF().toDF("user_id", "ts_ms")
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+    val q = StreamingAnalytics.sessionize(events, gap = "30 minutes",
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // u1: two sessions split by a >30 min gap; u2: one session
+      mem.addData(("u1", 0L), ("u1", 60000L), ("u1", 3000000L), ("u2", 500L))
+      q.processAllAvailable()
+      // watermark pusher far past every session end + gap
+      mem.addData(("wm", 100000000L))
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .select("user_id", "n_events", "session_start_ms", "session_end_ms")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == Set(
+        ("u1", 2L, 0L, 60000L),       // 0 and 60s merge (gap < 30 min)
+        ("u1", 1L, 3000000L, 3000000L), // 50 min later -> new session
+        ("u2", 1L, 500L, 500L)))
+    } finally q.stop()
+  }
+
   test("curateStream: dedup + quality gate + chunking in append mode with bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
