@@ -543,6 +543,9 @@ object SparkEntry {
     "q_corpus_report" -> ((s, dir) =>
       Curation.corpusReport(Tables.documents(s, dir)).orderBy("source")),
 
+    "q_corpus_quantiles" -> ((s, dir) =>
+      Curation.corpusQuantiles(Tables.documents(s, dir)).orderBy("source")),
+
     "q_vocab_top" -> ((s, dir) =>
       TextPipeline.vocab(Tables.documents(s, dir), topK = 100)
         .orderBy(col("cnt").desc, col("token").asc)),
@@ -2031,6 +2034,19 @@ object SparkEntry {
          |  CAST(sum(toks) AS BIGINT) AS total_tokens,
          |  round(sum(toks) * 1.0 / sum(copies), 2) AS avg_tokens
          |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_corpus_quantiles" ->
+      s"""WITH p AS (
+         |  SELECT source,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |              ELSE len($toksSql) END AS BIGINT) AS n_toks
+         |  FROM documents
+         |)
+         |SELECT source,
+         |  round(quantile_cont(n_toks, 0.5), 2) AS p50_tokens,
+         |  round(quantile_cont(n_toks, 0.9), 2) AS p90_tokens,
+         |  round(quantile_cont(n_toks, 0.99), 2) AS p99_tokens
+         |FROM p GROUP BY source ORDER BY source""".stripMargin,
 
     "q_vocab_top" ->
       s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents)

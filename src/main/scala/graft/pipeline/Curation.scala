@@ -251,6 +251,22 @@ object Curation {
         sum("toks").as("total_tokens"),
         round(sum("toks").cast("double") / sum("copies"), 2).as("avg_tokens"))
 
+  /** Per-source token-length quantiles (exact interpolated percentiles —
+    * the length-distribution view mixing and truncation decisions read).
+    * Exact `percentile` is one hash aggregate holding per-source value
+    * counts; for unbounded sources at 100 TB swap to `approx_percentile`
+    * (same call shape, sketch state). */
+  def corpusQuantiles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_toks"))
+      .groupBy(col("source"))
+      .agg(expr("percentile(n_toks, array(0.5, 0.9, 0.99))").as("q"))
+      .select(col("source"),
+        round(col("q")(0), 2).as("p50_tokens"),
+        round(col("q")(1), 2).as("p90_tokens"),
+        round(col("q")(2), 2).as("p99_tokens"))
+
   // ----- composed end-to-end pipeline ------------------------------------
 
   /** The full curation pipeline a training-data run chains together:

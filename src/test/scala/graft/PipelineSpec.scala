@@ -392,6 +392,16 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("corpusQuantiles: interpolated percentiles per source") {
+    import graft.pipeline.Curation
+    val d = Seq((1L, "a", "s"), (2L, "a b", "s"), (3L, "a b c", "s"),
+      (4L, "a b c d", "s")).toDF("doc_id", "text", "source")
+    val r = rowsOf(Curation.corpusQuantiles(d)).head
+    assert(r("p50_tokens") == 2.5) // (n-1)p = 1.5 -> 2 + .5
+    assert(r("p90_tokens") == 3.7) // r = 2.7 -> 3 + .7
+    assert(r("p99_tokens") == 3.97)
+  }
+
   test("curate: composed pipeline drops repetitive, duplicate and contaminated docs") {
     import graft.pipeline.Curation
     val clean = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
