@@ -546,6 +546,11 @@ object SparkEntry {
     "q_corpus_quantiles" -> ((s, dir) =>
       Curation.corpusQuantiles(Tables.documents(s, dir)).orderBy("source")),
 
+    "q_split" -> ((s, dir) =>
+      Curation.assignSplit(Tables.documents(s, dir),
+        valPpm = 100000L, testPpm = 100000L)
+        .select("doc_id", "split").orderBy("doc_id")),
+
     "q_vocab_top" -> ((s, dir) =>
       TextPipeline.vocab(Tables.documents(s, dir), topK = 100)
         .orderBy(col("cnt").desc, col("token").asc)),
@@ -2047,6 +2052,15 @@ object SparkEntry {
          |  round(quantile_cont(n_toks, 0.9), 2) AS p90_tokens,
          |  round(quantile_cont(n_toks, 0.99), 2) AS p99_tokens
          |FROM p GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_split" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN ${fpSql("('split:' || CAST(doc_id AS VARCHAR))")} % 1000000 < 100000
+         |         THEN 'val'
+         |       WHEN ${fpSql("('split:' || CAST(doc_id AS VARCHAR))")} % 1000000 < 200000
+         |         THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_vocab_top" ->
       s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents)

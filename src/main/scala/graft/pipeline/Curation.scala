@@ -267,6 +267,26 @@ object Curation {
         round(col("q")(1), 2).as("p90_tokens"),
         round(col("q")(2), 2).as("p99_tokens"))
 
+  // ----- train/val/test split --------------------------------------------
+
+  /** Deterministic train/val/test assignment: the salted fingerprint hash
+    * maps each doc to [0, 1e6) ppm space; the first `valPpm` go to val,
+    * the next `testPpm` to test, the rest to train. Pure stateless filter
+    * logic — no sampling seed, no shuffle, stable under reruns and corpus
+    * growth (a document's split never changes when others are added,
+    * which is what keeps eval sets uncontaminated across corpus
+    * versions). Salt differs from [[sampleBySource]]'s so mixing and
+    * splitting stay independent decisions. */
+  def assignSplit(docs: DataFrame, valPpm: Long = 10000L,
+                  testPpm: Long = 10000L): DataFrame = {
+    val u = TextFunctions.fingerprint(
+      concat(lit("split:"), col("doc_id").cast("string"))) % 1000000L
+    docs.withColumn("split",
+      when(u < valPpm, "val")
+        .when(u < valPpm + testPpm, "test")
+        .otherwise("train"))
+  }
+
   // ----- composed end-to-end pipeline ------------------------------------
 
   /** The full curation pipeline a training-data run chains together:

@@ -392,6 +392,22 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("assignSplit: deterministic, partitioning, stable under corpus growth") {
+    import graft.pipeline.Curation
+    val d = (0L until 400L).map(i => (i, s"text $i", "s"))
+      .toDF("doc_id", "text", "source")
+    val splits = rowsOf(Curation.assignSplit(d, 100000L, 100000L))
+      .map(r => r("doc_id").asInstanceOf[Long] -> r("split")).toMap
+    assert(splits.values.toSet == Set("train", "val", "test"))
+    assert(splits.values.count(_ == "train") > 250) // ~80%
+    // a doc's split never changes when the corpus grows
+    val grown = rowsOf(Curation.assignSplit(
+      (0L until 800L).map(i => (i, s"text $i", "s"))
+        .toDF("doc_id", "text", "source"), 100000L, 100000L))
+      .map(r => r("doc_id").asInstanceOf[Long] -> r("split")).toMap
+    assert(splits.forall { case (id, s) => grown(id) == s })
+  }
+
   test("corpusQuantiles: interpolated percentiles per source") {
     import graft.pipeline.Curation
     val d = Seq((1L, "a", "s"), (2L, "a b", "s"), (3L, "a b c", "s"),
