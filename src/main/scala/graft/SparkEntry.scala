@@ -604,6 +604,11 @@ object SparkEntry {
   /** Left-fold dot product — same summation order as VectorFunctions. */
   private def dotSql(a: String, b: String) =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($a) + 1), i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)])), (x, y) -> x + y)"
+  /** SQL twin of Curation.ppmHash: salted fingerprint → LCG avalanche →
+    * ppm space. */
+  private def ppmSql(salt: String) =
+    s"((${fpSql(s"('$salt:' || CAST(doc_id AS VARCHAR))")} % 1048576) * 2654435761 + 40503) % 1000000"
+
   /** Left-fold Σ(a-b)² — same summation order as VectorFunctions.l2Squared. */
   private def l2Sql(a: String, b: String) =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($a) + 1), i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))), (x, y) -> x + y)"
@@ -1811,7 +1816,7 @@ object SparkEntry {
 
     "q_sample_mix" ->
       s"""SELECT doc_id, source FROM documents
-         |WHERE ${fpSql("('mix:' || CAST(doc_id AS VARCHAR))")} % 1000000 <
+         |WHERE ${ppmSql("mix")} <
          |  CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 250000
          |              WHEN 'src2' THEN 500000 ELSE 1000000 END
          |ORDER BY doc_id""".stripMargin,
@@ -1862,7 +1867,7 @@ object SparkEntry {
          |), docs4 AS (
          |  SELECT * FROM docs2
          |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)
-         |    AND ${fpSql("('mix:' || CAST(doc_id AS VARCHAR))")} % 1000000 <
+         |    AND ${ppmSql("mix")} <
          |      CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 250000
          |                  WHEN 'src2' THEN 500000 ELSE 1000000 END
          |), ct AS (
@@ -2055,10 +2060,8 @@ object SparkEntry {
 
     "q_split" ->
       s"""SELECT doc_id,
-         |  CASE WHEN ${fpSql("('split:' || CAST(doc_id AS VARCHAR))")} % 1000000 < 100000
-         |         THEN 'val'
-         |       WHEN ${fpSql("('split:' || CAST(doc_id AS VARCHAR))")} % 1000000 < 200000
-         |         THEN 'test'
+         |  CASE WHEN ${ppmSql("split")} < 100000 THEN 'val'
+         |       WHEN ${ppmSql("split")} < 200000 THEN 'test'
          |       ELSE 'train' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
 

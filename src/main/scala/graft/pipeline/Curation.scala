@@ -279,8 +279,7 @@ object Curation {
     * splitting stay independent decisions. */
   def assignSplit(docs: DataFrame, valPpm: Long = 10000L,
                   testPpm: Long = 10000L): DataFrame = {
-    val u = TextFunctions.fingerprint(
-      concat(lit("split:"), col("doc_id").cast("string"))) % 1000000L
+    val u = ppmHash("split")
     docs.withColumn("split",
       when(u < valPpm, "val")
         .when(u < valPpm + testPpm, "test")
@@ -328,11 +327,19 @@ object Curation {
     * salted so sampling is independent of other fingerprint uses. */
   def sampleBySource(docs: DataFrame, ratesPpm: Map[String, Long],
                      defaultPpm: Long = 1000000L): DataFrame = {
-    val u = TextFunctions.fingerprint(
-      concat(lit("mix:"), col("doc_id").cast("string"))) % 1000000L
     val rate = ratesPpm.foldLeft(lit(defaultPpm)) { case (acc, (s, r)) =>
       when(col("source") === s, lit(r)).otherwise(acc)
     }
-    docs.filter(u < rate)
+    docs.filter(ppmHash("mix") < rate)
   }
+
+  /** Salted id → uniform [0, 1e6) ppm value, SQL-portable. The raw
+    * polynomial fingerprint clusters for short consecutive keys (doc ids
+    * differ only in trailing chars), so an LCG avalanche step — bounded
+    * pre-mod, same arithmetic as Similarity's idScramble — decorrelates
+    * it before the ppm reduction. */
+  private def ppmHash(salt: String) =
+    (pmod(TextFunctions.fingerprint(
+      concat(lit(s"$salt:"), col("doc_id").cast("string"))), lit(1048576L))
+      * 2654435761L + 40503L) % 1000000L
 }
