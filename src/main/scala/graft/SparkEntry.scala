@@ -546,6 +546,19 @@ object SparkEntry {
     "q_corpus_quantiles" -> ((s, dir) =>
       Curation.corpusQuantiles(Tables.documents(s, dir)).orderBy("source")),
 
+    // C4-style sub-document dedup: chunk the corpus, then exact-dedup the
+    // CHUNKS across documents (md5 keys) — repeated boilerplate passages
+    // collapse even when their parent documents differ. Pure composition
+    // of chunk + the md5-keyed dedup shape.
+    "q_chunk_dedup" -> ((s, dir) =>
+      Curation.chunk(Tables.documents(s, dir), chunkSize = 16, stride = 16)
+        .groupBy(md5(col("chunk_text").cast("binary")).as("chunk_md5"))
+        .agg(min(struct(col("doc_id"), col("chunk_id"))).as("first"),
+          count(lit(1)).as("dup_count"))
+        .select(col("first.doc_id").as("doc_id"),
+          col("first.chunk_id").as("chunk_id"), col("dup_count"))
+        .orderBy("doc_id", "chunk_id")),
+
     "q_split" -> ((s, dir) =>
       Curation.assignSplit(Tables.documents(s, dir),
         valPpm = 100000L, testPpm = 100000L)
@@ -2057,6 +2070,29 @@ object SparkEntry {
          |  round(quantile_cont(n_toks, 0.9), 2) AS p90_tokens,
          |  round(quantile_cont(n_toks, 0.99), 2) AS p99_tokens
          |FROM p GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_chunk_dedup" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, toks FROM (
+         |    SELECT doc_id, $toksSql AS toks FROM documents) WHERE len(toks) > 0
+         |), c AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(0, ((greatest(len(toks) - 16, 0) + 15) // 16) + 1))
+         |      AS chunk_id
+         |  FROM t
+         |), ch AS (
+         |  SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+         |    md5(array_to_string(toks[CAST(chunk_id * 16 + 1 AS INT):CAST(chunk_id * 16 + 16 AS INT)], ' '))
+         |      AS chunk_md5
+         |  FROM c
+         |)
+         |SELECT first.doc_id AS doc_id, first.chunk_id AS chunk_id, dup_count
+         |FROM (
+         |  SELECT min(struct_pack(doc_id := doc_id, chunk_id := chunk_id)) AS first,
+         |    count(*) AS dup_count
+         |  FROM ch GROUP BY chunk_md5
+         |)
+         |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_split" ->
       s"""SELECT doc_id,

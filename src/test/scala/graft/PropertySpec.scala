@@ -93,6 +93,22 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: redact is idempotent — placeholders contain nothing redactable") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    val piiGen = Gen.oneOf(
+      Gen.choose(0, 999).map(i => s"word$i a.b$i@ex$i.org tail"),
+      Gen.choose(0, 999).map(i => s"ip 10.$i.0.1 and num 123456$i"),
+      Gen.alphaStr.map(s => s"clean $s"))
+    forAll(piiGen, 20) { text =>
+      val once = rowsOf(Curation.redact(Seq((1L, text)).toDF("doc_id", "text")))
+        .head("text_redacted").asInstanceOf[String]
+      val twice = rowsOf(Curation.redact(Seq((1L, once)).toDF("doc_id", "text")))
+        .head("text_redacted").asInstanceOf[String]
+      assert(twice == once, s"not idempotent for '$text'")
+    }
+  }
+
   test("property: connectedComponents is a fixpoint and respects every edge") {
     import spark.implicits._
     import graft.pipeline.Curation
