@@ -533,6 +533,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      Similarity.recallAtK(
+        Similarity.annIvf(emb, queries, nlist = 10, nprobe = 3, k = 10),
+        Similarity.knnBruteForce(emb, queries, 10), k = 10)
+        .orderBy("query_id")
+    }),
+
     "q_embed_ann_ivfpq_res" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.annIvfPqResidual(emb, emb.filter(col("vec_id") < 10),
@@ -722,7 +731,28 @@ object SparkEntry {
        |  WHERE rn = 1
        |)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = baseOracles +
+    // recall@10 of probe-limited IVF vs brute-force ground truth — pure
+    // composition of the two sub-oracles (full WITH queries are legal
+    // derived tables in DuckDB)
+    ("q_ann_recall" ->
+      s"""WITH approx AS (
+         |${baseOracles("q_embed_ann_ivf")}
+         |), exact AS (
+         |${baseOracles("q_embed_knn")}
+         |), hits AS (
+         |  SELECT e.query_id, count(*) AS h
+         |  FROM exact e JOIN approx a
+         |    ON a.query_id = e.query_id AND a.nbr_id = e.nbr_id
+         |  GROUP BY e.query_id
+         |), truth AS (
+         |  SELECT query_id, count(*) AS t FROM exact GROUP BY query_id
+         |)
+         |SELECT truth.query_id AS query_id, round(COALESCE(h, 0) * 1.0 / t, 4) AS recall
+         |FROM truth LEFT JOIN hits ON hits.query_id = truth.query_id
+         |ORDER BY truth.query_id""".stripMargin)
+
+  private lazy val baseOracles: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
