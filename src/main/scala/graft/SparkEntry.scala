@@ -82,14 +82,15 @@ object SparkEntry {
     * every third DNS flow gets a 4x-amplified reverse flow (J6 union). */
   private def withUdpEcho(f: DataFrame): DataFrame = {
     val base = f.filter(col("protocol") === 17)
-      .select("flow_id", "src_ip4", "dst_ip", "protocol", "bytes")
+      .select("flow_id", "src_ip4", "dst_ip", "protocol", "bytes", "packets")
     base.unionByName(
       f.filter(col("protocol") === 17 && col("flow_id") % 3 === 0).select(
         (col("flow_id") + 10000000L).as("flow_id"),
         col("dst_ip").as("src_ip4"),
         col("src_ip4").as("dst_ip"),
         col("protocol"),
-        (col("bytes") * 4).as("bytes")))
+        (col("bytes") * 4).as("bytes"),
+        col("packets")))
   }
 
   /** Request flows + synthetic paired responses for the biflow self-join:
@@ -715,11 +716,11 @@ object SparkEntry {
        |  FROM c
        |), cb AS (
        |  SELECT code, CAST(s.sub AS BIGINT) AS sub,
-       |    cv[CAST(s.sub * (len(cv) // 4) + 1 AS INT):CAST((s.sub + 1) * (len(cv) // 4) AS INT)] AS csv
+       |    cv[CAST(s.sub * (len(cv) // 4) + 1 AS INT):CAST(CASE WHEN s.sub = 3 THEN len(cv) ELSE (s.sub + 1) * (len(cv) // 4) END AS INT)] AS csv
        |  FROM coded, (SELECT unnest(range(0, 4)) AS sub) s
        |), es AS (
        |  SELECT $src.vec_id, CAST(s.sub AS BIGINT) AS sub,
-       |    v[CAST(s.sub * (len(v) // 4) + 1 AS INT):CAST((s.sub + 1) * (len(v) // 4) AS INT)] AS sv
+       |    v[CAST(s.sub * (len(v) // 4) + 1 AS INT):CAST(CASE WHEN s.sub = 3 THEN len(v) ELSE (s.sub + 1) * (len(v) // 4) END AS INT)] AS sv
        |  FROM $src, (SELECT unnest(range(0, 4)) AS sub) s
        |), asg AS (
        |  SELECT vec_id, sub, code FROM (
@@ -1037,9 +1038,9 @@ object SparkEntry {
 
     "q_reflect_ddos" -> FlowSynth.oracle(
       s"""WITH fl AS (
-         |  SELECT flow_id, src_ip4, dst_ip, protocol, bytes FROM flows WHERE protocol = 17
+         |  SELECT flow_id, src_ip4, dst_ip, protocol, bytes, packets FROM flows WHERE protocol = 17
          |  UNION ALL
-         |  SELECT flow_id + 10000000, dst_ip, src_ip4, protocol, bytes * 4
+         |  SELECT flow_id + 10000000, dst_ip, src_ip4, protocol, bytes * 4, packets
          |  FROM flows WHERE protocol = 17 AND flow_id % 3 = 0
          |), dirs AS (
          |  SELECT
@@ -1047,7 +1048,7 @@ object SparkEntry {
          |    CASE WHEN src_ip4 IN $serversSqlList THEN src_ip4 ELSE dst_ip END AS dns_ip,
          |    CASE WHEN src_ip4 IN $serversSqlList THEN bytes ELSE 0 END AS bytes_received,
          |    CASE WHEN src_ip4 IN $serversSqlList THEN 0 ELSE bytes END AS bytes_sent,
-         |    CASE WHEN src_ip4 IN $serversSqlList THEN 1 ELSE 0 END AS replies,
+         |    CASE WHEN src_ip4 IN $serversSqlList THEN COALESCE(packets, 0) ELSE 0 END AS replies,
          |    CASE WHEN src_ip4 IN $serversSqlList THEN 0 ELSE 1 END AS requests
          |  FROM fl
          |  WHERE (dst_ip IN $serversSqlList OR src_ip4 IN $serversSqlList)
@@ -1063,7 +1064,7 @@ object SparkEntry {
          |SELECT *, round(data_received * 1.0 / data_sent, 4) AS amplification
          |FROM g
          |WHERE data_sent <> 0
-         |  AND round(data_received * 1.0 / data_sent, 4) > 1.0 AND replies >= 1
+         |  AND round(data_received * 1.0 / data_sent, 4) > 1.0 AND replies > 1
          |ORDER BY src_ip, dns_ip""".stripMargin),
 
     "q_dns_open_resolvers" -> FlowSynth.oracle(
@@ -1957,7 +1958,7 @@ object SparkEntry {
     "q_embed_ann_pq" ->
       s"""WITH $eCte, ${pqAsgCtes()}, qs AS (
          |  SELECT e.vec_id AS query_id, s.sub,
-         |    v[CAST(s.sub * (len(v) // 4) + 1 AS INT):CAST((s.sub + 1) * (len(v) // 4) AS INT)] AS sv
+         |    v[CAST(s.sub * (len(v) // 4) + 1 AS INT):CAST(CASE WHEN s.sub = 3 THEN len(v) ELSE (s.sub + 1) * (len(v) // 4) END AS INT)] AS sv
          |  FROM e, (SELECT unnest(range(0, 4)) AS sub) s
          |  WHERE e.vec_id < 10
          |), qt AS (
@@ -1997,7 +1998,7 @@ object SparkEntry {
          |    FROM e, c2 WHERE e.vec_id < 10) WHERE crn <= 3
          |), qs AS (
          |  SELECT e.vec_id AS query_id, CAST(s.sub AS BIGINT) AS sub,
-         |    v[CAST(s.sub * (len(v) // 4) + 1 AS INT):CAST((s.sub + 1) * (len(v) // 4) AS INT)] AS sv
+         |    v[CAST(s.sub * (len(v) // 4) + 1 AS INT):CAST(CASE WHEN s.sub = 3 THEN len(v) ELSE (s.sub + 1) * (len(v) // 4) END AS INT)] AS sv
          |  FROM e, (SELECT unnest(range(0, 4)) AS sub) s
          |  WHERE e.vec_id < 10
          |), qt AS (
@@ -2049,7 +2050,7 @@ object SparkEntry {
          |    FROM e, c2 WHERE e.vec_id < 10) WHERE crn <= 3
          |), qs AS (
          |  SELECT query_id, cid, CAST(s.sub AS BIGINT) AS sub,
-         |    qres[CAST(s.sub * (len(qres) // 4) + 1 AS INT):CAST((s.sub + 1) * (len(qres) // 4) AS INT)] AS sv
+         |    qres[CAST(s.sub * (len(qres) // 4) + 1 AS INT):CAST(CASE WHEN s.sub = 3 THEN len(qres) ELSE (s.sub + 1) * (len(qres) // 4) END AS INT)] AS sv
          |  FROM probes, (SELECT unnest(range(0, 4)) AS sub) s
          |), qt AS (
          |  SELECT qs.query_id, qs.cid, qs.sub, cb.code,

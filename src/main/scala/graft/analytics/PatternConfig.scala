@@ -159,6 +159,12 @@ object PatternConfig {
           case l => l
         }
       val intervals = pick("intervals").map(asDouble)
+      // intervalBin counts intervals <= distance, which matches the
+      // reference's first-interval-greater scan only when the interval
+      // list ascends — reject a misordered config instead of silently
+      // binning differently (pattern_finder.py distribution intervals)
+      require(intervals == intervals.sorted,
+        s"distribution intervals for pattern '$patName' must be ascending: $intervals")
       val weights = pick("weights") match {
         case Nil => Seq.fill(intervals.size)(1L)
         case w => w.map(asLong)

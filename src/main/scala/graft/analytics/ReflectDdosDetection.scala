@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
   *
   * Reference: applications/detection/reflect_ddos/spark/reflectdos_main.py —
   * flows to/from a configured DNS-server list (:127,134 — F6 isin filter),
-  * per (victim, dns_server): bytes received vs sent and reply count
-  * (:140-153); alert when received/sent ratio > `ratioThreshold` and
-  * replies ≥ `minReplies` (:178-179).
+  * per (victim, dns_server): bytes received vs sent and reply PACKETS
+  * (:140-153 — stats[2] sums packetDeltaCount); alert when received/sent
+  * ratio > `ratioThreshold` and reply packets STRICTLY exceed
+  * `minReplies` (:178-179, `stats[2] > minimal_replies`).
   *
   * The reference unions two keyed streams then reduces (:140); restructured
   * to conditional aggregation over one scan — the victim is the non-server
@@ -32,7 +33,8 @@ object ReflectDdosDetection {
         when(fromServer, col("src_ip4")).otherwise(col("dst_ip")).as("dns_ip"),
         when(fromServer, col("bytes")).otherwise(0L).as("bytes_received"),
         when(!fromServer, col("bytes")).otherwise(0L).as("bytes_sent"),
-        when(fromServer, 1L).otherwise(0L).as("replies"),
+        when(fromServer, coalesce(col("packets"), lit(0L))).otherwise(0L)
+          .as("replies"),
         when(!fromServer, 1L).otherwise(0L).as("requests"))
       .groupBy("src_ip", "dns_ip")
       .agg(
@@ -43,6 +45,6 @@ object ReflectDdosDetection {
       .filter(col("data_sent") =!= 0)
       .withColumn("amplification",
         round(col("data_received").cast("double") / col("data_sent"), 4))
-      .filter(col("amplification") > ratioThreshold && col("replies") >= minReplies)
+      .filter(col("amplification") > ratioThreshold && col("replies") > minReplies)
   }
 }

@@ -154,8 +154,16 @@ object Curation {
     * EDGE set only, never the corpus. Each step `localCheckpoint`s to cut
     * lineage (re-execution restarts the loop, acceptable for a short
     * bounded iteration). Returns (doc_id, component), component = min
-    * doc_id reachable. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    * doc_id reachable.
+    *
+    * If a component's diameter exceeds `maxIter` the labels are NOT a
+    * fixpoint — downstream cluster dedup would silently keep extra
+    * near-duplicates. A non-converged exit logs a warning, or throws when
+    * `requireConvergence` is set (chain-heavy graphs should raise
+    * `maxIter`: label propagation halves path length per round only on
+    * the min side, so diameter rounds is the worst case). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+                          requireConvergence: Boolean = false): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -183,6 +191,12 @@ object Curation {
       i += 1
     }
     edges.unpersist()
+    if (!converged) {
+      val msg = s"connectedComponents did not converge within maxIter=$maxIter " +
+        "iterations; component labels are not a fixpoint (raise maxIter)"
+      if (requireConvergence) throw new IllegalStateException(msg)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
     labels
   }
 

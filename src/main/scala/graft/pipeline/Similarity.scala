@@ -156,11 +156,23 @@ object Similarity {
 
   // ----- product quantization -------------------------------------------
 
+  /** Subvector `sub` (0-based) of `vec` under an m-way PQ split. The last
+    * subspace absorbs the `dim % m` remainder so no component is dropped
+    * when the embedding dimension is not divisible by m (FAISS instead
+    * requires d % m == 0); for divisible dims this is the even split. */
+  private def subSlice(vec: org.apache.spark.sql.Column,
+                       sub: org.apache.spark.sql.Column, m: Int) = {
+    val w = (size(vec) / m).cast("int")
+    slice(vec, sub * w + 1,
+      when(sub === (m - 1), size(vec) - w * (m - 1)).otherwise(w))
+  }
+
   /** Per-subspace PQ codebooks and per-(vector, subspace) code
     * assignment, shared by [[pqCodes]] and [[annPq]]. The codebook is a
     * deterministic scrambled-id corpus sample of `ksub` vectors (same
     * trick as [[annIvf]] — plan shape of a trained codebook, oracle-
-    * replayable), sliced into m subvectors; codes are assigned by a
+    * replayable), sliced into m subvectors (the last absorbing the
+    * dim % m remainder, so no component is dropped); codes are assigned by a
     * min_by hash aggregate over the broadcast codebook (partial agg, no
     * window sort over the corpus). Distances are fixed-point micro-units
     * (round(d²·1e6) as long) so every downstream sum/compare is exact
@@ -168,19 +180,16 @@ object Similarity {
     * orders. */
   private def pqAssign(e: DataFrame, m: Int, ksub: Int) = {
     val subIdx = explode(sequence(lit(0), lit(m - 1))).as("sub")
-    def subW(vec: org.apache.spark.sql.Column) = (size(vec) / m).cast("int")
     val cents = e.orderBy(idScramble(col("vec_id")).asc, col("vec_id").asc)
       .limit(ksub)
       .select(col("vec_id").as("cid"), col("vec").as("cvec"))
       .withColumn("code",
         (row_number().over(Window.orderBy(col("cid"))) - 1).cast("int"))
     val codebook = cents.select(col("code"), col("cvec"), subIdx)
-      .withColumn("csubvec",
-        slice(col("cvec"), col("sub") * subW(col("cvec")) + 1, subW(col("cvec"))))
+      .withColumn("csubvec", subSlice(col("cvec"), col("sub"), m))
       .select("sub", "code", "csubvec")
     val assignment = e.select(col("vec_id"), col("vec"), subIdx)
-      .withColumn("subvec",
-        slice(col("vec"), col("sub") * subW(col("vec")) + 1, subW(col("vec"))))
+      .withColumn("subvec", subSlice(col("vec"), col("sub"), m))
       .join(broadcast(codebook), Seq("sub"))
       .withColumn("d2u",
         round(VectorFunctions.l2Squared(col("subvec"), col("csubvec")) * 1000000.0d)
@@ -216,13 +225,11 @@ object Similarity {
             ksub: Int = 16, k: Int = 10): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
     val (codebook, assignment) = pqAssign(e, m, ksub)
-    def subW(vec: org.apache.spark.sql.Column) = (size(vec) / m).cast("int")
     val qtable = queries
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qvec"))
       .select(col("query_id"), col("qvec"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"))
-      .withColumn("qsubvec",
-        slice(col("qvec"), col("sub") * subW(col("qvec")) + 1, subW(col("qvec"))))
+      .withColumn("qsubvec", subSlice(col("qvec"), col("sub"), m))
       .join(broadcast(codebook), Seq("sub"))
       .withColumn("qd2u",
         round(VectorFunctions.l2Squared(col("qsubvec"), col("csubvec")) * 1000000.0d)
@@ -268,13 +275,11 @@ object Similarity {
       .select(col("query_id"), col("cid"))
     // fine ranking: ADC over the probed lists only
     val (codebook, assignment) = pqAssign(e, m, ksub)
-    def subW(vec: org.apache.spark.sql.Column) = (size(vec) / m).cast("int")
     val qtable = queries
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qvec"))
       .select(col("query_id"), col("qvec"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"))
-      .withColumn("qsubvec",
-        slice(col("qvec"), col("sub") * subW(col("qvec")) + 1, subW(col("qvec"))))
+      .withColumn("qsubvec", subSlice(col("qvec"), col("sub"), m))
       .join(broadcast(codebook), Seq("sub"))
       .withColumn("qd2u",
         round(VectorFunctions.l2Squared(col("qsubvec"), col("csubvec")) * 1000000.0d)
@@ -319,7 +324,6 @@ object Similarity {
       .withColumn("vec", zip_with(col("vec"), col("cvec"), (a, b) => a - b))
       .select("vec_id", "cid", "vec")
     val (codebook, assignment) = pqAssign(resid.select("vec_id", "vec"), m, ksub)
-    def subW(vec: org.apache.spark.sql.Column) = (size(vec) / m).cast("int")
     // per-(query, probed list) residual → its own ADC table
     val qtable = queries
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qvec"))
@@ -331,8 +335,7 @@ object Similarity {
       .withColumn("qres", zip_with(col("qvec"), col("cvec"), (a, b) => a - b))
       .select(col("query_id"), col("cid"), col("qres"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"))
-      .withColumn("qsubvec",
-        slice(col("qres"), col("sub") * subW(col("qres")) + 1, subW(col("qres"))))
+      .withColumn("qsubvec", subSlice(col("qres"), col("sub"), m))
       .join(broadcast(codebook), Seq("sub"))
       .withColumn("qd2u",
         round(VectorFunctions.l2Squared(col("qsubvec"), col("csubvec")) * 1000000.0d)

@@ -102,9 +102,13 @@ object ReportDedup {
   /** Pattern-report state update: accumulate the window distribution;
     * at each report boundary test the anomaly filter — on pass, emit the
     * window sum folded into the carried total (the reference's
-    * check_if_report + sum_with_previous_distributions), reset the window;
-    * on fail, reset the window without emitting (the reference's windowed
-    * sums likewise age out unreported slices). */
+    * check_if_report + sum_with_previous_distributions), reset the window.
+    * The FIRST observation of a key only opens the throttle window — its
+    * evidence stays in the accumulating distribution and is not tested
+    * (the reference's 300 s window starts collecting before any report
+    * decision). A failed boundary check advances the throttle but KEEPS
+    * the window, so evidence keeps accumulating toward the limit instead
+    * of being discarded. */
   def updatePatterns(reportIntervalMs: Long, gcMs: Long, nBins: Int,
                      mid: Int, limit: Long)(
       key: String, rows: Iterator[PatternObservation],
@@ -119,13 +123,14 @@ object ReportDedup {
     val out = Seq.newBuilder[PatternReport]
     for (o <- obs) {
       st = st.copy(window = elemSum(st.window, o.dist))
-      if (st.lastReportTs == Long.MinValue ||
-          o.ts - st.lastReportTs >= reportIntervalMs) {
+      if (st.lastReportTs == Long.MinValue) {
+        st = st.copy(lastReportTs = o.ts)
+      } else if (o.ts - st.lastReportTs >= reportIntervalMs) {
         if (anomalous(st.window, nBins, mid, limit)) {
           val emitted = elemSum(st.carried, st.window)
           out += PatternReport(key, o.ts, emitted)
           st = PatternState(o.ts, Nil, emitted)
-        } else st = st.copy(lastReportTs = o.ts, window = Nil)
+        } else st = st.copy(lastReportTs = o.ts)
       }
     }
     state.update(st)

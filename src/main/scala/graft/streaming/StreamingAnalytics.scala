@@ -388,7 +388,9 @@ object StreamingAnalytics {
     * conditional aggregation (reflectdos_main.py:140-199 — the reference's
     * 20 s processing-time window over a union of two keyed streams;
     * restructured like the batch analytic to one scan where the victim is
-    * the non-server endpoint, with an event-time tumbling window). */
+    * the non-server endpoint, with an event-time tumbling window).
+    * `replies` sums reply PACKETS and gates strictly, matching
+    * `stats[2] > minimal_replies` (:153,178). */
   def reflectDdos(flows: DataFrame, dnsServers: Seq[String],
                   ratioThreshold: Double = 3.0, minReplies: Long = 10L,
                   window: String = "20 seconds",
@@ -404,7 +406,8 @@ object StreamingAnalytics {
         when(fromServer, col("src_ip4")).otherwise(col("dst_ip")).as("dns_ip"),
         when(fromServer, col("bytes")).otherwise(0L).as("bytes_received"),
         when(!fromServer, col("bytes")).otherwise(0L).as("bytes_sent"),
-        when(fromServer, 1L).otherwise(0L).as("replies"),
+        when(fromServer, coalesce(col("packets"), lit(0L))).otherwise(0L)
+          .as("replies"),
         when(!fromServer, 1L).otherwise(0L).as("requests"),
         col("event_time"))
       .withWatermark("event_time", watermark)
@@ -419,7 +422,7 @@ object StreamingAnalytics {
       .filter(col("data_sent") =!= 0)
       .withColumn("amplification",
         round(col("data_received").cast("double") / col("data_sent"), 4))
-      .filter(col("amplification") > ratioThreshold && col("replies") >= minReplies)
+      .filter(col("amplification") > ratioThreshold && col("replies") > minReplies)
   }
 
   /** J4 streaming form: stream-stream interval join with watermarks on

@@ -159,7 +159,9 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.size == 1)
     val r = out.head
     assert(r("src_ip") == "10.4.0.1" && r("dns_ip") == "192.0.2.53")
-    assert(r("amplification") == 10.0d && r("replies") == 12L)
+    // replies counts reply PACKETS (stats[2] = packetDeltaCount):
+    // 12 reply flows x 10 packets each
+    assert(r("amplification") == 10.0d && r("replies") == 120L)
   }
 
   test("open resolvers: direction + rcode + rrtype + whitelist (dns_open_resolvers.py)") {
@@ -412,6 +414,14 @@ class AnalyticsSpec extends SparkSpec {
       Seq(0.0, 3.0, 4.0, 5.0, 6.0, 7.0), Seq(3L, 2L, 1L, 1L, 2L, 3L), 2L))
     assert(cfg.patterns(1)._2 == PatternFinder.DistConfig(
       Seq(0.0, 2.0, 3.0, 4.0, 5.0, 7.0), Seq(3L, 2L, 1L, 1L, 2L, 3L), 2L))
+  }
+
+  test("S7: unsorted distribution intervals are rejected, not silently re-binned") {
+    import graft.analytics.PatternConfig
+    val bad = referenceYaml.replace(
+      "intervals: [0, 3, 4, 5, 6, 7]", "intervals: [0, 4, 3, 5, 6, 7]")
+    val e = intercept[IllegalArgumentException](PatternConfig.parse(bad))
+    assert(e.getMessage.contains("ascending"))
   }
 
   test("S7: YAML-driven pipeline == directly configured pipeline on same flows") {

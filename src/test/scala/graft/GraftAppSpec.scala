@@ -259,11 +259,15 @@ class GraftAppSpec extends SparkSpec {
     def write(name: String, lines: Seq[String]): Unit =
       java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
         lines.mkString("\n").getBytes)
-    // request/response on the pattern + far-future pair pushing both
-    // join-side watermarks
+    // two request/response biflows on the pattern: the first opens the
+    // key's throttle window, the second (past the 300 s report interval)
+    // is the boundary reporting the accumulated window; plus a far-future
+    // pair pushing both join-side watermarks
     write("b1.json", Seq(
       flowJson2("10.8.0.1", "192.0.2.9", 6, 40000, 53, 10000L, 5, 500),
       flowJson2("192.0.2.9", "10.8.0.1", 6, 53, 40000, 10100L, 6, 1000),
+      flowJson2("10.8.0.1", "192.0.2.9", 6, 40001, 53, 320000L, 5, 500),
+      flowJson2("192.0.2.9", "10.8.0.1", 6, 53, 40001, 320100L, 6, 1000),
       flowJson2("10.9.9.9", "192.0.2.8", 6, 50000, 81, 900000L, 1, 1),
       flowJson2("192.0.2.8", "10.9.9.9", 6, 81, 50000, 900100L, 1, 1)))
     val q = GraftApp.build(spark, GraftApp.Config(
@@ -274,9 +278,9 @@ class GraftAppSpec extends SparkSpec {
       val rows = spark.read.parquet(out)
         .filter(col("key") === "10.8.0.1-192.0.2.9").collect()
       assert(rows.length == 1)
-      // distance 0 -> bin 0 -> weight 2 in the first slot
+      // distance 0 -> bin 0 -> weight 2 per biflow, both accumulated
       assert(rows.head.getAs[scala.collection.Seq[Long]]("dist").toSeq ==
-        Seq(2L, 0L, 0L, 0L))
+        Seq(4L, 0L, 0L, 0L))
     } finally q.stop()
   }
 

@@ -224,6 +224,22 @@ class PipelineSpec extends SparkSpec {
     assert(top("nbr_id") == 0L)
   }
 
+  test("pqCodes: non-divisible dim — last subspace absorbs the remainder") {
+    // 7-dim vectors, m=4: subspace widths 1/1/1/4. Vectors a and b differ
+    // ONLY in components 6..7, which a truncated size/m split would drop
+    // from every subvector; with the remainder folded into the last
+    // subspace they must code differently there.
+    val emb = Seq(
+      (0L, Seq(0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 0f, 0f, 0f, 0f, 9f, 9f))).toDF("vec_id", "embedding")
+    val codes = rowsOf(graft.pipeline.Similarity.pqCodes(emb, m = 4, ksub = 2))
+      .map(r => r("vec_id") -> r("codes")).toMap
+    // each vector is its own codebook entry (ksub=2) → distance-0 self code
+    assert(codes(0L) != codes(1L))
+    assert(codes(0L).asInstanceOf[String].split("-").take(3).toSeq ==
+      codes(1L).asInstanceOf[String].split("-").take(3).toSeq)
+  }
+
   test("annIvfPq with all lists probed == annPq (coarse stage prunes, never re-ranks)") {
     import graft.pipeline.Similarity
     val vecs = (0 until 20).map { i =>
@@ -373,6 +389,18 @@ class PipelineSpec extends SparkSpec {
     val comp = rowsOf(Curation.connectedComponents(pairs))
       .map(r => r("id") -> r("component")).toMap
     assert(comp == Map(2L -> 2L, 3L -> 2L, 4L -> 2L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("connectedComponents: non-convergence within maxIter throws when required") {
+    import graft.pipeline.Curation
+    // a 6-node path needs more than one round to reach the min-label fixpoint
+    val path = (1L to 5L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Curation.connectedComponents(path, maxIter = 1, requireConvergence = true)
+        .collect()
+    }
+    // default is warn-only: same call yields the (non-fixpoint) labels
+    assert(Curation.connectedComponents(path, maxIter = 1).count() == 6)
   }
 
   test("clusterDedup: one survivor per near-dup chain (pairwise would keep the middle)") {

@@ -260,7 +260,8 @@ class StreamingSpec extends SparkSpec {
       assert(r.getAs[Long]("data_received") == 12000L)
       assert(r.getAs[Long]("data_sent") == 200L)
       assert(r.getAs[Double]("amplification") == 60.0d)
-      assert(r.getAs[Long]("replies") == 3L)
+      // reply PACKETS (3 reply flows x 10 packets), not reply flows
+      assert(r.getAs[Long]("replies") == 30L)
     } finally q.stop()
   }
 
@@ -379,22 +380,30 @@ class StreamingSpec extends SparkSpec {
     val q = out.writeStream.format("memory").queryName("pat_out")
       .outputMode(OutputMode.Append()).start()
     try {
-      // batch 1: first sighting is anomalous (left=2 >= limit, > right=0)
-      // -> immediate report; quick repeat stays inside the throttle window
+      // batch 1: the first sighting only opens the throttle window — its
+      // evidence accumulates but is NOT an immediate report boundary
       mem.addData(
         ReportDedup.PatternObservation("a-b", 1000L, Seq(2L, 0L, 0L, 0L)),
         ReportDedup.PatternObservation("a-b", 2000L, Seq(0L, 1L, 0L, 0L)))
       q.processAllAvailable()
-      // batch 2: past the interval -> report = carried + window sum
+      assert(spark.table("pat_out").isEmpty)
+      // batch 2: past the interval -> report = full accumulated window
+      // (including the first observation's evidence)
       mem.addData(ReportDedup.PatternObservation("a-b", 70000L, Seq(2L, 0L, 0L, 0L)))
+      q.processAllAvailable()
+      // batch 3: a below-limit boundary (left=1 < limit) must KEEP its
+      // window — the next boundary reports the accumulated two singles
+      mem.addData(ReportDedup.PatternObservation("a-b", 140000L, Seq(1L, 0L, 0L, 0L)))
+      q.processAllAvailable()
+      mem.addData(ReportDedup.PatternObservation("a-b", 210000L, Seq(1L, 0L, 0L, 0L)))
       q.processAllAvailable()
       val rows = spark.table("pat_out").as[ReportDedup.PatternReport]
         .collect().sortBy(_.ts)
       assert(rows.length == 2)
-      assert(rows(0).dist == Seq(2L, 0L, 0L, 0L))
-      // second report: carried [2,0,0,0] + window ([0,1,0,0]+[2,0,0,0])
-      // — the element-wise sum_with_previous_distributions semantics
-      assert(rows(1).dist == Seq(4L, 1L, 0L, 0L))
+      assert(rows(0).dist == Seq(4L, 1L, 0L, 0L))
+      // second report: carried [4,1,0,0] + kept window ([1,0,0,0]+[1,0,0,0])
+      // — element-wise sum_with_previous_distributions over BOTH slices
+      assert(rows(1).dist == Seq(6L, 1L, 0L, 0L))
       // right-heavy key never passes the anomaly filter -> never reported
       mem.addData(ReportDedup.PatternObservation("c-d", 1000L, Seq(0L, 0L, 0L, 9L)))
       q.processAllAvailable()
@@ -500,8 +509,10 @@ class StreamingSpec extends SparkSpec {
     val q = out.writeStream.format("memory").queryName("pf_stream")
       .outputMode(OutputMode.Append()).start()
     try {
-      // request (high src_port) + response (low src_port) of one biflow,
-      // features exactly on the pattern -> distance 0 -> bin 0 (weight 2)
+      // two request/response biflows of the same key, features exactly on
+      // the pattern -> distance 0 -> bin 0 (weight 2). The FIRST pair only
+      // opens the key's throttle window; the second, past the 60 s report
+      // interval, is the boundary that reports the accumulated window.
       mem.addData(
         Fx(flow_id = 1, src_ip4 = "10.0.0.1", dst_ip = "192.0.2.1",
           src_port = 40000L, dst_port = 80, packets = 10, bytes = 1000,
@@ -509,6 +520,12 @@ class StreamingSpec extends SparkSpec {
         Fx(flow_id = 2, src_ip4 = "192.0.2.1", dst_ip = "10.0.0.1",
           src_port = 80L, dst_port = 40000, packets = 10, bytes = 1000,
           start_ms = 10100L, end_ms = 11100L),
+        Fx(flow_id = 3, src_ip4 = "10.0.0.1", dst_ip = "192.0.2.1",
+          src_port = 40001L, dst_port = 80, packets = 10, bytes = 1000,
+          start_ms = 80000L, end_ms = 81000L),
+        Fx(flow_id = 4, src_ip4 = "192.0.2.1", dst_ip = "10.0.0.1",
+          src_port = 80L, dst_port = 40001, packets = 10, bytes = 1000,
+          start_ms = 80100L, end_ms = 81100L),
         // watermark pushers on both join sides (far future, unpaired key)
         Fx(flow_id = 8, src_ip4 = "10.9.9.9", dst_ip = "192.0.2.9",
           src_port = 50000L, dst_port = 81, start_ms = 900000L),
@@ -518,7 +535,8 @@ class StreamingSpec extends SparkSpec {
       val rows = spark.table("pf_stream").as[ReportDedup.PatternReport].collect()
       val hit = rows.filter(_.key == "10.0.0.1-192.0.2.1")
       assert(hit.length == 1)
-      assert(hit.head.dist == Seq(2L, 0L, 0L, 0L))
+      // both pairs' one-hot bins accumulate into the single report
+      assert(hit.head.dist == Seq(4L, 0L, 0L, 0L))
     } finally q.stop()
   }
 
