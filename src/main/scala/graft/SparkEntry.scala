@@ -225,6 +225,50 @@ object SparkEntry {
         .orderBy("user_id", "session_idx")
     }),
 
+    // --- generic relational operators (operators/, plans/) -------------
+    "q_asof_join" -> ((s, dir) => {
+      val ev = eventsMs(s, dir)
+      val left = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_ms")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_ms").as("click_ms"),
+          col("event_id"))
+        .groupBy("user_id", "click_ms")
+        .agg(max("event_id").as("click_id"))
+      graft.operators.AsOfJoin.backward(left, clicks, Seq("user_id"),
+          "ts_ms", "click_ms", Seq("click_id"))
+        .orderBy("event_id")
+    }),
+
+    "q_asof_join_native" -> ((s, dir) => {
+      val ev = eventsMs(s, dir)
+      val left = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_ms")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("r_user"), col("ts_ms").as("click_ms"),
+          col("event_id"))
+        .groupBy("r_user", "click_ms")
+        .agg(max("event_id").as("click_id"))
+      graft.plans.AsOfJoinPlan.backward(left, clicks,
+          Seq("user_id"), Seq("r_user"), "ts_ms", "click_ms")
+        .select(col("event_id"), col("user_id"), col("ts_ms"),
+          col("click_id"), col("click_ms").as("asof_ts"))
+        .orderBy("event_id")
+    }),
+
+    "q_range_join" -> ((s, dir) => {
+      val e = eventsMs(s, dir).select(col("event_id"),
+        col("ts_ms").as("start_ms"),
+        (col("ts_ms") + floor(col("value")).cast("long") * 1000L).as("end_ms"))
+      graft.operators.RangeJoin.overlap(
+          e.toDF("a_id", "a_start", "a_end"),
+          e.toDF("b_id", "b_start", "b_end"),
+          "a_start", "a_end", "b_start", "b_end", bucketWidth = 600000L)
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id", "a_start", "b_start")
+        .orderBy("a_id", "b_id")
+    }),
+
     // --- flow synthesis parity (the CTE itself) ------------------------
     "q_flows_synth" -> ((s, dir) => flows(s, dir).orderBy("flow_id")),
 
@@ -581,6 +625,37 @@ object SparkEntry {
     "q_bpe_pairs" -> ((s, dir) =>
       TextPipeline.bpePairCounts(Tables.documents(s, dir), topK = 100)
         .orderBy(col("cnt").desc, col("pair").asc)),
+
+    "q_tfidf" -> ((s, dir) =>
+      TextPipeline.tfidfKeywords(Tables.documents(s, dir), k = 5)
+        .orderBy("doc_id", "rank")),
+
+    // BPE training is iterative (argmax per round) — not SQL-expressible,
+    // so these two carry no oracle row: the driver records the weaker
+    // rows-only check, and ExpressionsSpec/PipelineSpec pin the semantics
+    // (reference-implementation parity, round-trip + monotonicity laws).
+    "q_bpe_train" -> ((s, dir) =>
+      TextPipeline.bpeMerges(Tables.documents(s, dir), numMerges = 24)
+        .orderBy("rank")),
+
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = TextPipeline.bpeTrain(docs, numMerges = 24).map(_._1)
+      docs.select(col("doc_id"),
+          graft.expressions.TextExpressions.bpeEncode(col("text"), merges)
+            .as("subwords"),
+          graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), size(col("subwords")).as("n_subwords"),
+          size(col("toks")).as("n_words"),
+          slice(col("subwords"), 1, 8).as("head_subwords"))
+        .orderBy("doc_id")
+    }),
+
+    "q_ts_anomaly" -> ((s, dir) =>
+      TimeSeriesAnomaly(eventsMs(s, dir), Seq("event_type"), "ts_ms", "value",
+          bucketMs = 3600000L, lookback = 24, minPoints = 12,
+          zThreshold = 2.0)
+        .orderBy("event_type", "bucket_ms")),
   )
 
   /** Headline queries Bench runs at sf0.1. */
@@ -853,6 +928,47 @@ object SparkEntry {
         |  min(ts_ms) AS session_start_ms,
         |  max(ts_ms) AS session_end_ms
         |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type FROM events
+        |), p AS (
+        |  SELECT event_id, user_id, ts_ms FROM e WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT user_id, ts_ms AS click_ms, max(event_id) AS click_id
+        |  FROM e WHERE event_type = 'click' GROUP BY 1, 2
+        |)
+        |SELECT p.event_id, p.user_id, p.ts_ms, c.click_id, c.click_ms AS asof_ts
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_ms >= c.click_ms
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_asof_join_native" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type FROM events
+        |), p AS (
+        |  SELECT event_id, user_id, ts_ms FROM e WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT user_id, ts_ms AS click_ms, max(event_id) AS click_id
+        |  FROM e WHERE event_type = 'click' GROUP BY 1, 2
+        |)
+        |SELECT p.event_id, p.user_id, p.ts_ms, c.click_id, c.click_ms AS asof_ts
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_ms >= c.click_ms
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH e AS (
+        |  SELECT event_id, epoch_ms(ts) AS start_ms,
+        |    epoch_ms(ts) + CAST(floor(value) AS BIGINT) * 1000 AS end_ms
+        |  FROM events
+        |)
+        |SELECT a.event_id AS a_id, b.event_id AS b_id,
+        |  a.start_ms AS a_start, b.start_ms AS b_start
+        |FROM e a, e b
+        |WHERE a.event_id < b.event_id
+        |  AND a.start_ms <= b.end_ms AND b.start_ms <= a.end_ms
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "q_flows_synth" -> FlowSynth.oracle("SELECT * FROM flows ORDER BY flow_id"),
 
@@ -2136,6 +2252,42 @@ object SparkEntry {
       s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents)
          |SELECT token, count(*) AS cnt FROM t GROUP BY token
          |ORDER BY cnt DESC, token ASC LIMIT 100""".stripMargin,
+
+    "q_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+         |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+         |), ranked AS (
+         |  SELECT doc_id, token, tf, df, tfidf,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY tfidf DESC, token ASC) AS rank
+         |  FROM scored
+         |)
+         |SELECT doc_id, token, tf, df, tfidf, rank FROM ranked
+         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "q_ts_anomaly" ->
+      """WITH b AS (
+        |  SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+        |    round(sum(value), 2) AS value
+        |  FROM events GROUP BY 1, 2
+        |), roll AS (
+        |  SELECT event_type, bucket_ms, value,
+        |    avg(value) OVER w AS mean, stddev_samp(value) OVER w AS sd,
+        |    count(value) OVER w AS n_prev
+        |  FROM b WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ms
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_type, bucket_ms, value, round(mean, 6) AS mean,
+        |  round(sd, 6) AS sd, round((value - mean) / sd, 4) AS z
+        |FROM roll
+        |WHERE n_prev >= 12 AND sd > 0 AND abs(round((value - mean) / sd, 4)) >= 2.0
+        |ORDER BY event_type, bucket_ms""".stripMargin,
 
     "q_bpe_pairs" ->
       s"""WITH w AS (SELECT unnest($toksSql) AS w FROM documents),

@@ -186,11 +186,13 @@ object GraftFunctions {
 }
 
 /** `--conf spark.sql.extensions=graft.expressions.GraftExtensions` —
-  * registers the native functions and the opt-in count_distinct→HLL
-  * optimizer rewrite (flag `spark.graft.approxDistinct`). */
+  * registers the native functions, the opt-in count_distinct→HLL
+  * optimizer rewrite (flag `spark.graft.approxDistinct`), and the native
+  * as-of join planner strategy. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -97,6 +97,66 @@ object TextUtil {
     -acc
   }
 
+  /** Greedy BPE apply: lower-cased whitespace words, each exploded to
+    * single-character symbols, then the lowest-rank applicable merge is
+    * applied (all occurrences, left-to-right) until none applies — the
+    * standard BPE encoding loop (Sennrich et al. 2016, public algorithm).
+    * `ranks` maps "a b" → merge priority (0 = first merge learned).
+    * Output is the concatenation of every word's final symbols; joining a
+    * word's symbols restores the word exactly (no unknown handling — the
+    * base alphabet is every character seen). */
+  def bpeEncode(text: UTF8String, ranks: java.util.HashMap[String, Integer]): ArrayData = {
+    val toks0 = ws.split(text.toString.toLowerCase)
+    val out = mutable.ArrayBuffer.empty[Any]
+    var t = 0
+    while (t < toks0.length) {
+      val w = toks0(t)
+      if (w.nonEmpty) {
+        var syms = new mutable.ArrayBuffer[String](w.length)
+        var i = 0
+        while (i < w.length) { syms += String.valueOf(w.charAt(i)); i += 1 }
+        var done = syms.length < 2
+        while (!done) {
+          // lowest-rank pair present in the current symbol sequence
+          var bestRank = Int.MaxValue
+          var j = 0
+          while (j < syms.length - 1) {
+            val r = ranks.get(syms(j) + " " + syms(j + 1))
+            if (r != null && r < bestRank) bestRank = r
+            j += 1
+          }
+          if (bestRank == Int.MaxValue) done = true
+          else {
+            val merged = new mutable.ArrayBuffer[String](syms.length)
+            var k = 0
+            while (k < syms.length) {
+              if (k < syms.length - 1 &&
+                  ranks.get(syms(k) + " " + syms(k + 1)) != null &&
+                  ranks.get(syms(k) + " " + syms(k + 1)).intValue == bestRank) {
+                merged += syms(k) + syms(k + 1)
+                k += 2
+              } else { merged += syms(k); k += 1 }
+            }
+            syms = merged
+            done = syms.length < 2
+          }
+        }
+        var m = 0
+        while (m < syms.length) { out += UTF8String.fromString(syms(m)); m += 1 }
+      }
+      t += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Build the rank map a [[bpeEncode]] call needs from merges in
+    * learned order ("a b" strings). */
+  def bpeRanks(merges: Seq[String]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case (p, i) => m.put(p, Integer.valueOf(i)) }
+    m
+  }
+
   /** k running minima under affine permutations (2i+1)·h + 31i+7 mod p —
     * identical to the zip_with fold in TextPipeline.minhashLsh. */
   def minhashSig(hashes: ArrayData, k: Int): ArrayData = {
@@ -196,6 +256,36 @@ case class MinhashSig(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `bpe_encode(text)` with a learned merge list: subword tokens after
+  * greedily applying `merges` ("a b" pairs in learned-rank order) to each
+  * lower-cased whitespace word. The merge table rides the expression as a
+  * codegen reference object — one shared hash map per executor, no
+  * broadcast join against a vocab and no per-row parsing. */
+case class BpeEncode(child: Expression, merges: Seq[String])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+
+  @transient private lazy val ranks = TextUtil.bpeRanks(merges)
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextUtil.bpeEncode(input.asInstanceOf[UTF8String], ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("bpeRanks", ranks,
+      classOf[java.util.HashMap[String, Integer]].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextUtil.bpeEncode($c, $ranksRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
 /** Column wrappers. */
 object TextExpressions {
   def wordShingles(text: Column, n: Int, distinct: Boolean = false): Column =
@@ -206,4 +296,6 @@ object TextExpressions {
     ColumnBridge.column(MinhashSig(ColumnBridge.expression(hashes), k))
   def charEntropy(s: Column): Column =
     ColumnBridge.column(CharEntropy(ColumnBridge.expression(s)))
+  def bpeEncode(text: Column, merges: Seq[String]): Column =
+    ColumnBridge.column(BpeEncode(ColumnBridge.expression(text), merges))
 }

@@ -239,6 +239,37 @@ object TextPipeline {
       .select(explode(col("top")).as("e"))
       .select(col("e.item").as("token"), col("e.count").as("cnt"))
 
+  /** TF-IDF keyword extraction: the top-`k` tokens per document ranked by
+    * `tf · ln(N / df)` — the classic relevance weighting a curation
+    * pipeline uses for topic tagging and per-document keyword features.
+    *
+    * Shape at scale: one explode + (doc, token) hash aggregate (map-side
+    * partial), a token-keyed shuffle join against the document-frequency
+    * table (both sides token-partitioned — no broadcast needed, the vocab
+    * can be unbounded), and a per-doc window whose rank<=k cut Spark 4
+    * plans as WindowGroupLimit partial top-k. The corpus size joins in as
+    * a broadcast 1-row aggregate, not a driver-side count — the whole
+    * plan stays lazy. Ranking uses the ROUNDED weight (6 dp) with a token
+    * tiebreak, so the cut is deterministic and engine-portable.
+    * `minDf` drops hapax noise before the join when > 1. */
+  def tfidfKeywords(docs: DataFrame, k: Int = 5, minDf: Long = 1L): DataFrame = {
+    val tf = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("token").asc)))
+      .filter(col("rank") <= k)
+      .select("doc_id", "token", "tf", "df", "tfidf", "rank")
+  }
+
   /** BPE merge-candidate statistics: corpus-wide counts of adjacent
     * character pairs within tokens — the scan each BPE training
     * iteration runs over the corpus. The per-element lambda only touches
@@ -252,6 +283,63 @@ object TextPipeline {
       .select(explode(pairs).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("pair").asc).limit(topK)
+  }
+
+  /** BPE merge training (Sennrich et al. 2016, public algorithm): learn
+    * `numMerges` merges by repeatedly taking the corpus-wide most frequent
+    * adjacent symbol pair. Runs on the WORD-FREQUENCY table, not the raw
+    * corpus — the classic compression that makes BPE training tractable:
+    * one corpus scan builds (word, count), and every iteration after that
+    * touches only the vocabulary (|V| rows, millions at worst at 100 TB —
+    * a per-iteration job of seconds, not a corpus pass).
+    *
+    * Each iteration re-symbolizes words from scratch with the native
+    * [[graft.expressions.BpeEncode]] under the merges learned so far —
+    * O(len·merges) per word, but the plan stays ONE expression deep
+    * instead of an iteration-deep lineage chain, so analysis cost and
+    * checkpoint pressure stay constant. The only driver-side data is one
+    * (pair, count) row per iteration — the argmax, same scalar-per-round
+    * pattern as [[Curation.connectedComponents]]'s convergence probe.
+    * Training stops early when the best pair's count drops below
+    * `minPairCount` (merging noise pairs hurts downstream tokenization).
+    *
+    * Returns merges in learned order with their counts at merge time. */
+  def bpeTrain(docs: DataFrame, numMerges: Int,
+               minPairCount: Long = 2L): Seq[(String, Long)] = {
+    val words = docs
+      .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var go = true
+    while (go && merges.length < numMerges) {
+      val pairCol = transform(sequence(lit(1), size(col("syms")) - 1),
+        i => concat_ws(" ", element_at(col("syms"), i),
+          element_at(col("syms"), i + 1)))
+      val best = words
+        .withColumn("syms", graft.expressions.TextExpressions
+          .bpeEncode(col("word"), merges.map(_._1).toSeq))
+        .filter(size(col("syms")) > 1)
+        .select(col("cnt"), explode(pairCol).as("pair"))
+        .groupBy("pair").agg(sum("cnt").as("pcnt"))
+        .orderBy(col("pcnt").desc, col("pair").asc).limit(1)
+        .collect()
+      if (best.isEmpty || best(0).getLong(1) < minPairCount) go = false
+      else merges += ((best(0).getString(0), best(0).getLong(1)))
+    }
+    words.unpersist()
+    merges.toSeq
+  }
+
+  /** [[bpeTrain]] as a (rank, pair, cnt) table — the artifact a tokenizer
+    * build persists. */
+  def bpeMerges(docs: DataFrame, numMerges: Int,
+                minPairCount: Long = 2L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTrain(docs, numMerges, minPairCount).zipWithIndex
+      .map { case ((pair, cnt), i) => (i, pair, cnt) }
+      .toDF("rank", "pair", "cnt")
   }
 
   /** Heuristic language ID over the text column (tokens materialized). */

@@ -534,4 +534,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(report.head("closest_patterns")
       .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("a", "b"))
   }
+
+  test("ts anomaly: flags the injected spike, not the steady baseline") {
+    import spark.implicits._
+    // key A: 9/11 alternation (mean 10, sd ~1) with bucket 25 spiked to
+    // 200; key B constant (sd = 0 -> the guard excludes it entirely)
+    val rows = (0 until 30).flatMap { h =>
+      val ts = h * 3600000L
+      val va = if (h == 25) 200.0 else if (h % 2 == 0) 9.0 else 11.0
+      Seq(("A", ts, va), ("B", ts, 10.0))
+    }.toDF("k", "ts_ms", "value")
+    val out = rowsOf(TimeSeriesAnomaly(rows, Seq("k"), "ts_ms", "value",
+      bucketMs = 3600000L, lookback = 24, minPoints = 12, zThreshold = 2.0))
+    assert(out.size == 1)
+    assert(out.head("k") == "A" &&
+      out.head("bucket_ms") == 25 * 3600000L &&
+      out.head("z").asInstanceOf[Double] > 2.0)
+    // zero-variance baseline (sd = 0) never divides by zero: bucket 26+
+    // of A has the spike in its window, sd > 0, value back at 10 -> below
+    // threshold -> exactly one flag total, and B never flags
+    assert(!out.exists(_("k") == "B"))
+  }
 }

@@ -121,4 +121,40 @@ class ExpressionsSpec extends SparkSpec {
         |       cidr_match('1.2.3.5', '1.2.3.4/32') AS nbr""".stripMargin).head()
     assert(r.getBoolean(0) && r.getBoolean(1) && !r.getBoolean(2))
   }
+
+  test("bpe_encode: greedy lowest-rank merges, round-trip, no merges = chars") {
+    import spark.implicits._
+    import graft.expressions.TextExpressions
+    val merges = Seq("a a", "a b", "aa ab")
+    val out = Seq("aaab aab", "Ba", "").toDF("text")
+      .select(TextExpressions.bpeEncode(col("text"), merges).as("s"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    // aaab: aa+ab then the rank-2 merge -> aaab; aab: aa,b ("aa b" unlearned)
+    assert(out(0) == Seq("aaab", "aa", "b"))
+    assert(out(1) == Seq("b", "a")) // lower-cased, no merge applies
+    assert(out(2) == Seq.empty)
+    // round-trip: concatenating subwords restores the lower-cased words
+    val docs = Seq("The Quick brown fox", "ab aab aaab abba").toDF("text")
+    val rt = docs.select(
+        concat_ws("", TextExpressions.bpeEncode(col("text"), merges)).as("joined"),
+        concat_ws("", graft.functions.TextFunctions.tokens(col("text"))).as("ref"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rt.forall { case (a, b) => a == b })
+    // more merges never increases the subword count
+    val n1 = docs.select(size(TextExpressions.bpeEncode(col("text"),
+      merges.take(1))).as("n")).collect().map(_.getInt(0)).toSeq
+    val n3 = docs.select(size(TextExpressions.bpeEncode(col("text"),
+      merges)).as("n")).collect().map(_.getInt(0)).toSeq
+    assert(n1.zip(n3).forall { case (a, b) => b <= a })
+  }
+
+  test("bpeTrain learns the hand-computed merge sequence") {
+    import spark.implicits._
+    // counts: aaab x2, aab x1 -> "a a" 5; then "a b" ties "aa a" at 2 and
+    // wins on pair order; then "aa ab" 2; next best "aa b" = 1 < min -> stop
+    val docs = Seq("aaab aaab aab").toDF("text")
+    val merges = graft.pipeline.TextPipeline.bpeTrain(docs, numMerges = 10,
+      minPairCount = 2L)
+    assert(merges == Seq(("a a", 5L), ("a b", 2L), ("aa ab", 2L)))
+  }
 }

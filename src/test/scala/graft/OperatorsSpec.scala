@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, RangeJoin}
+import graft.plans.{AsOfJoinExec, AsOfJoinPlan}
+
+/** Generic relational operators Spark lacks natively: backward as-of join
+  * (Column composition + native sorted-merge exec) and the bucketed
+  * interval-overlap range join. */
+class OperatorsSpec extends SparkSpec {
+
+  private def quotes: DataFrame = {
+    import spark.implicits._
+    Seq( // (key, ts, quote)
+      ("a", 10L, 1.0), ("a", 20L, 2.0), ("a", 20L, 3.0), ("a", 40L, 4.0),
+      ("b", 15L, 5.0)
+    ).toDF("sym", "qts", "quote")
+  }
+
+  private def trades: DataFrame = {
+    import spark.implicits._
+    Seq( // (key, ts, size)
+      ("a", 5L, 1L),   // before any quote -> null
+      ("a", 20L, 2L),  // tie -> matches ts=20 (greatest payload = 3.0)
+      ("a", 30L, 3L),  // between -> ts=20
+      ("a", 50L, 4L),  // after -> ts=40
+      ("b", 100L, 5L), // b -> ts=15
+      ("c", 10L, 6L)   // no right key -> null
+    ).toDF("sym", "tts", "size")
+  }
+
+  test("as-of join: backward match, ties, missing keys") {
+    val out = AsOfJoin.backward(trades, quotes, Seq("sym"),
+        "tts", "qts", Seq("quote"))
+      .orderBy("sym", "tts")
+      .select("sym", "tts", "quote", "asof_ts")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3))))
+    assert(out.toSeq == Seq(
+      ("a", 5L, None, None),
+      ("a", 20L, Some(3.0), Some(20L)),
+      ("a", 30L, Some(3.0), Some(20L)),
+      ("a", 50L, Some(4.0), Some(40L)),
+      ("b", 100L, Some(5.0), Some(15L)),
+      ("c", 10L, None, None)))
+  }
+
+  test("as-of join: tolerance bounds the lag") {
+    val out = AsOfJoin.backward(trades, quotes, Seq("sym"),
+        "tts", "qts", Seq("quote"), tolerance = 10L)
+      .orderBy("sym", "tts")
+      .select("sym", "tts", "quote")
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.get(2))))
+    assert(out.toSeq == Seq(
+      ("a", 5L, None),
+      ("a", 20L, Some(3.0)),
+      ("a", 30L, Some(3.0)), // lag 10 = tolerance boundary, inclusive
+      ("a", 50L, Some(4.0)),
+      ("b", 100L, None),     // lag 85 > 10
+      ("c", 10L, None)))
+  }
+
+  test("native as-of exec matches the Column form on events") {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val ev = core.Tables.events(spark, dir)
+      .withColumn("ts_ms", expr("ts div 1000000"))
+    val left = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_ms")
+    val right = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("r_user"), col("ts_ms").as("click_ms"),
+        col("event_id").as("click_id"))
+      // dedupe (key, ts) so both forms' tie-resolution agrees
+      .groupBy("r_user", "click_ms").agg(max("click_id").as("click_id"))
+    val viaColumns = AsOfJoin.backward(
+        left, right.withColumnRenamed("r_user", "user_id"), Seq("user_id"),
+        "ts_ms", "click_ms", Seq("click_id"))
+      .select("event_id", "user_id", "ts_ms", "click_id", "asof_ts")
+    val viaExec = AsOfJoinPlan.backward(
+        left, right, Seq("user_id"), Seq("r_user"), "ts_ms", "click_ms")
+      .select(col("event_id"), col("user_id"), col("ts_ms"), col("click_id"),
+        col("click_ms").as("asof_ts"))
+    assert(viaExec.queryExecution.sparkPlan.exists(
+      _.isInstanceOf[AsOfJoinExec]))
+    assert(viaColumns.exceptAll(viaExec).isEmpty &&
+      viaExec.exceptAll(viaColumns).isEmpty)
+    assert(viaColumns.count() == left.count())
+  }
+
+  test("range join: bucketed overlap equals the naive inequality join") {
+    import spark.implicits._
+    val a = Seq((1L, 0L, 10L), (2L, 5L, 8L), (3L, 100L, 200L), (4L, 7L, 7L))
+      .toDF("a_id", "a_start", "a_end")
+    val b = Seq((10L, 9L, 12L), (11L, 50L, 99L), (12L, 150L, 300L),
+        (13L, 7L, 7L))
+      .toDF("b_id", "b_start", "b_end")
+    val bucketed = RangeJoin.overlap(a, b, "a_start", "a_end",
+        "b_start", "b_end", bucketWidth = 16L)
+      .select("a_id", "b_id")
+    val naive = a.crossJoin(b)
+      .filter(col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+      .select("a_id", "b_id")
+    assert(bucketed.exceptAll(naive).isEmpty && naive.exceptAll(bucketed).isEmpty)
+    // expected pairs: 1-10 (9..10), 1-13 and 2-13 and 4-13 (point 7),
+    // 3-12 (150..200); 11 overlaps nothing
+    assert(bucketed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 10L), (1L, 13L), (2L, 13L), (4L, 13L), (3L, 12L)))
+  }
+
+  test("range join with key column restricts pairs to the key") {
+    import spark.implicits._
+    val a = Seq(("u1", 0L, 10L), ("u2", 0L, 10L)).toDF("user", "a_start", "a_end")
+    val b = Seq(("u1", 5L, 6L)).toDF("user", "b_start", "b_end")
+    val out = RangeJoin.overlap(a, b, "a_start", "a_end", "b_start", "b_end",
+      bucketWidth = 8L, key = Seq("user"))
+    assert(out.select("user").collect().map(_.getString(0)).toSeq == Seq("u1"))
+  }
+}

@@ -481,4 +481,32 @@ class PipelineSpec extends SparkSpec {
     val src1Kept = once.count(_ % 3 == 1)
     assert(src1Kept > 0 && src1Kept < 20) // genuinely downsampled
   }
+
+  test("tfidf: corpus-wide tokens score zero, rare tokens rank first") {
+    val d = docs(
+      (1L, "the cat sat"),
+      (2L, "the dog ran"),
+      (3L, "the cat ran"))
+    val out = rowsOf(TextPipeline.tfidfKeywords(d, k = 2))
+    // 'the' is in every doc -> ln(3/3) = 0, never outranks a rarer token
+    val byDoc = out.groupBy(_("doc_id").asInstanceOf[Long])
+    assert(byDoc.keySet == Set(1L, 2L, 3L))
+    val top1 = byDoc.view.mapValues(
+      _.find(_("rank") == 1).get("token").asInstanceOf[String]).toMap
+    // doc 1: 'sat' (df=1) beats 'cat' (df=2); doc 2: 'dog' (df=1)
+    assert(top1(1L) == "sat" && top1(2L) == "dog")
+    assert(out.forall(r => r("token") != "the" ||
+      r("tfidf").asInstanceOf[Double] == 0.0))
+    // tf weighting: a repeated rare token scores tf x single score
+    val d2 = docs((1L, "x x y"), (2L, "z z z"))
+    val o2 = rowsOf(TextPipeline.tfidfKeywords(d2, k = 1))
+    assert(o2.find(_("doc_id") == 1L).get("token") == "x")
+  }
+
+  test("bpeMerges table carries learned order and counts") {
+    val d = docs((1L, "aaab aaab aab"))
+    val m = rowsOf(TextPipeline.bpeMerges(d, numMerges = 10, minPairCount = 2L))
+    assert(m.map(r => (r("rank"), r("pair"), r("cnt"))) ==
+      Seq((0, "a a", 5L), (1, "a b", 2L), (2, "aa ab", 2L)))
+  }
 }
