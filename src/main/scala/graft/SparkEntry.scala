@@ -630,10 +630,12 @@ object SparkEntry {
       TextPipeline.tfidfKeywords(Tables.documents(s, dir), k = 5)
         .orderBy("doc_id", "rank")),
 
-    // BPE training is iterative (argmax per round) — not SQL-expressible,
-    // so these two carry no oracle row: the driver records the weaker
-    // rows-only check, and ExpressionsSpec/PipelineSpec pin the semantics
-    // (reference-implementation parity, round-trip + monotonicity laws).
+    // BPE training is iterative (argmax per round) — not expressible as a
+    // single static SQL string, so these two get DATA-DEPENDENT oracles:
+    // Verify calls [[dataOracles]] at dump time, which re-learns the
+    // merges with the independent in-memory RefBpe trainer and embeds
+    // them as SQL literals (pinned merge table for train; a full DuckDB
+    // recursive-CTE re-encode for encode).
     "q_bpe_train" -> ((s, dir) =>
       TextPipeline.bpeMerges(Tables.documents(s, dir), numMerges = 24)
         .orderBy("rank")),
@@ -647,7 +649,9 @@ object SparkEntry {
           graft.functions.TextFunctions.tokens(col("text")).as("toks"))
         .select(col("doc_id"), size(col("subwords")).as("n_subwords"),
           size(col("toks")).as("n_words"),
-          slice(col("subwords"), 1, 8).as("head_subwords"))
+          // string, not array<string>: the driver's pandas-side compare
+          // sorts/hashes cell values and cannot hash array cells
+          array_join(slice(col("subwords"), 1, 8), " ").as("head_subwords"))
         .orderBy("doc_id")
     }),
 
@@ -827,6 +831,22 @@ object SparkEntry {
          |SELECT truth.query_id AS query_id, round(COALESCE(h, 0) * 1.0 / t, 4) AS recall
          |FROM truth LEFT JOIN hits ON hits.query_id = truth.query_id
          |ORDER BY truth.query_id""".stripMargin)
+
+  /** Oracles whose SQL depends on the data (the BPE merge list is learned
+    * from the corpus, so a static string can't carry it). Verify calls
+    * this with the sf dir before dumping oracle_sql.json. The merges are
+    * re-learned by [[RefBpe]] — an independent in-memory implementation,
+    * not the Spark pipeline under test — and embedded as SQL literals;
+    * collecting the 500-doc text column here is Verify-fixture code, not
+    * an engine path. */
+  def dataOracles(spark: SparkSession, dir: String): Map[String, String] = {
+    val texts = Tables.documents(spark, dir)
+      .select(col("text")).collect().map(_.getString(0)).toSeq
+    val merges = RefBpe.train(texts, numMerges = 24, minPairCount = 2L)
+    Map(
+      "q_bpe_train" -> RefBpe.trainOracleSql(merges),
+      "q_bpe_encode" -> RefBpe.encodeOracleSql(merges))
+  }
 
   private lazy val baseOracles: Map[String, String] = Map(
     "q1_agg" ->

@@ -35,7 +35,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // static oracles + data-dependent ones (BPE merges learned from the
+    // corpus via the independent RefBpe trainer); a fixture failure must
+    // not zero every other oracle
+    val dynamic =
+      try SparkEntry.dataOracles(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] dataOracles failed: ${e.getMessage}")
+        Map.empty[String, String]
+      }
+    val json = (SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

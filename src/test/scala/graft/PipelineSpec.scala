@@ -509,4 +509,17 @@ class PipelineSpec extends SparkSpec {
     assert(m.map(r => (r("rank"), r("pair"), r("cnt"))) ==
       Seq((0, "a a", 5L), (1, "a b", 2L), (2, "aa ab", 2L)))
   }
+
+  test("RefBpe fixture trainer matches the distributed bpeTrain") {
+    // the Verify-time oracle fixture and the Spark path must learn the
+    // same merges (count desc, pair asc tie-break, minPairCount stop) or
+    // the pinned q_bpe_train oracle would drift from the engine
+    val texts = Seq(
+      "the merge rate of the merge table", "rate the table the merge",
+      "aaab aaab aab zz zz zzz", "singleton words here only once")
+    val d = docs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+    val spark_ = TextPipeline.bpeTrain(d, numMerges = 12, minPairCount = 2L)
+    val ref = RefBpe.train(texts, numMerges = 12, minPairCount = 2L)
+    assert(spark_ == ref)
+  }
 }
