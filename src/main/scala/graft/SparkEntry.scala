@@ -662,14 +662,21 @@ object SparkEntry {
         .orderBy("event_type", "bucket_ms")),
   )
 
-  /** Headline queries Bench runs at sf0.1. */
+  /** Headline queries Bench runs at sf0.1. The last four are the heavy
+    * tier — the queries that actually exercise scale shapes (iterative
+    * label propagation, banded candidate joins, the composed curation
+    * pipeline, IVF-PQ ADC) — kept in the headline set so round-over-round
+    * regressions there are visible, not just the ~1 s floor-dominated
+    * queries. */
   val benchQueries: Seq[String] = Seq(
     "q1_agg", "q_join_region_revenue", "q_protocols_statistics",
     "q_host_stats", "q_top_n_host_stats", "q_dns_statistics",
     "q_dns_external_resolvers", "q_pattern_finder",
     "q_doc_stats", "q_doc_near_dup", "q_embed_knn",
     "q_minhash_candidates", "q_simhash", "q_media_frames",
-    "q_embed_ann_ivf", "q_media_features")
+    "q_embed_ann_ivf", "q_media_features",
+    "q_dedup_cluster", "q_simhash_candidates", "q_curate",
+    "q_embed_ann_ivfpq")
 
   // ---------------------------------------------------------------------
   // DuckDB oracles. `flows` CTE = FlowSynth.cteSql (identical mapping).

@@ -1,0 +1,233 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native vector-distance expressions for the embedding hot path.
+  *
+  * [[graft.functions.VectorFunctions]] builds the same math from
+  * `zip_with`/`aggregate` — but Spark evaluates higher-order array
+  * lambdas interpreted (HigherOrderFunction has no doGenCode), so an ANN
+  * assignment pass pays ~µs of lambda dispatch per distance: the IVF-PQ
+  * code-assignment alone is corpus × m × ksub distances. These produce
+  * byte-identical doubles with one tight JVM loop per row — identical
+  * IEEE operations in identical (left-fold) order, so every rounded
+  * oracle value is unchanged; ExpressionsSpec pins tier equality
+  * including null/length-mismatch propagation.
+  */
+object VectorUtil {
+
+  /** Σ a·b, left fold; null on length mismatch or null element (the
+    * zip_with null-padding / null-propagation behavior). */
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0d
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  /** Σ (a-b)², left fold; null semantics as [[dot]]. */
+  def l2Squared(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0d
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  /** Cosine similarity with the composite's exact op order:
+    * d = Σ a·b (left fold), n = sqrt(Σ a²)·sqrt(Σ b²), 0-norm → 0. */
+  def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var d = 0.0d
+    var na = 0.0d
+    var nb = 0.0d
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      d += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val nn = math.sqrt(na) * math.sqrt(nb)
+    java.lang.Double.valueOf(if (nn == 0.0d) 0.0d else d / nn)
+  }
+}
+
+/** Sign-of-projection LSH kernels shared by [[LshSignBits]] and
+  * [[LshBucketKey]] — the same deterministic hyperplane formula as the
+  * Column composite in Similarity (h = (i·2654435761 + pl·40503 + 12345)
+  * mod 2^20, component = h/2^19 − 1, left-fold projection), one tight
+  * loop instead of planes × dims interpreted lambda calls. A null element
+  * nulls that plane's projection, which the composite's when() maps to
+  * sign 0 — replicated here. (Whole-NULL input is null under these
+  * expressions, where the composite degenerates to all-zero signs; no
+  * data path feeds null embeddings.) */
+object LshUtil {
+  private def planeSign(a: ArrayData, pl: Int): Boolean = {
+    val n = a.numElements()
+    var acc = 0.0d
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return false // null proj → when() else-branch
+      val h = (i.toLong * 2654435761L + pl.toLong * 40503L + 12345L) % 1048576L
+      acc += a.getDouble(i) * ((h.toDouble / 524288.0d) - 1.0d)
+      i += 1
+    }
+    acc >= 0.0d
+  }
+
+  def signBits(a: ArrayData, planes: Int): UTF8String = {
+    val out = new Array[Byte](planes)
+    var pl = 0
+    while (pl < planes) {
+      out(pl) = if (planeSign(a, pl)) '1' else '0'
+      pl += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  def bucketKey(a: ArrayData, planes: Int): Long = {
+    var key = 0L
+    var pl = 0
+    while (pl < planes) {
+      if (planeSign(a, pl)) key |= (1L << pl)
+      pl += 1
+    }
+    key
+  }
+}
+
+/** Per-plane sign string ("10011…", length = planes) — the banded-LSH
+  * signature column. */
+case class LshSignBits(child: Expression, planes: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<double>")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lsh_sign_bits"
+  protected override def nullSafeEval(input: Any): Any =
+    LshUtil.signBits(input.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.LshUtil.signBits($c, $planes);")
+  override protected def withNewChildInternal(newChild: Expression): LshSignBits =
+    copy(child = newChild)
+}
+
+/** Single-table LSH bucket key: bit pl set iff plane pl's sign is 1. */
+case class LshBucketKey(child: Expression, planes: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<double>")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_bucket_key"
+  protected override def nullSafeEval(input: Any): Any =
+    LshUtil.bucketKey(input.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.LshUtil.bucketKey($c, $planes);")
+  override protected def withNewChildInternal(newChild: Expression): LshBucketKey =
+    copy(child = newChild)
+}
+
+/** Shared shape for the three binary array<double> → double distances. */
+abstract class VectorBinaryExpression extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(s"$prettyName requires two array<double>")
+    }
+  override def dataType: DataType = DoubleType
+  // null also on length mismatch / null element, not just null input
+  override def nullable: Boolean = true
+
+  /** Name of the VectorUtil method implementing this distance. */
+  protected def util: String
+
+  protected def eval2(a: ArrayData, b: ArrayData): java.lang.Double
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    eval2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("vres")
+      s"""java.lang.Double $r = graft.expressions.VectorUtil.$util($a, $b);
+         |${ev.isNull} = ($r == null);
+         |${ev.value} = ($r == null) ? 0.0d : $r.doubleValue();""".stripMargin
+    })
+}
+
+case class DotProduct(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def prettyName: String = "vec_dot"
+  protected def util: String = "dot"
+  protected def eval2(a: ArrayData, b: ArrayData): java.lang.Double =
+    VectorUtil.dot(a, b)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+case class L2SquaredDistance(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def prettyName: String = "vec_l2sq"
+  protected def util: String = "l2Squared"
+  protected def eval2(a: ArrayData, b: ArrayData): java.lang.Double =
+    VectorUtil.l2Squared(a, b)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2SquaredDistance =
+    copy(left = newLeft, right = newRight)
+}
+
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def prettyName: String = "vec_cosine"
+  protected def util: String = "cosine"
+  protected def eval2(a: ArrayData, b: ArrayData): java.lang.Double =
+    VectorUtil.cosine(a, b)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column wrappers. */
+object VectorExpressions {
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def l2Squared(a: Column, b: Column): Column =
+    ColumnBridge.column(L2SquaredDistance(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def cosine(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def lshSignBits(vec: Column, planes: Int): Column =
+    ColumnBridge.column(LshSignBits(ColumnBridge.expression(vec), planes))
+  def lshBucketKey(vec: Column, planes: Int): Column =
+    ColumnBridge.column(LshBucketKey(ColumnBridge.expression(vec), planes))
+}

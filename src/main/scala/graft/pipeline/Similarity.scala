@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.expressions.{VectorExpressions => Vec}
 import graft.functions.VectorFunctions
 
 /** Similarity search over an embedding column (Array[Float]).
@@ -10,8 +11,11 @@ import graft.functions.VectorFunctions
   * Baseline: brute-force cosine top-k (exact). Scale path: LSH bucketing
   * via random-hyperplane signs so only same-bucket pairs are scored —
   * candidate generation is an equi-join on the bucket key, turning the
-  * O(Q·N) scan into O(Σ bucket²). All math is higher-order built-ins
-  * (zip_with/aggregate) in whole-stage codegen; embeddings are cast to
+  * O(Q·N) scan into O(Σ bucket²). Distance math on the hot paths is the
+  * native codegen'd [[graft.expressions.VectorExpressions]] tier (Spark
+  * evaluates zip_with/aggregate lambdas interpreted); the
+  * [[graft.functions.VectorFunctions]] composites remain the portable
+  * reference tier, spec-pinned byte-identical. Embeddings are cast to
   * double once up front.
   */
 object Similarity {
@@ -28,7 +32,7 @@ object Similarity {
       asDouble(col("embedding")).as("query_vec"))
     base.join(broadcast(q), col("query_id") =!= col("nbr_id"))
       .withColumn("cosine",
-        round(VectorFunctions.cosine(col("query_vec"), col("nbr_vec")), 4))
+        round(Vec.cosine(col("query_vec"), col("nbr_vec")), 4))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("cosine").desc, col("nbr_id").asc)))
@@ -44,8 +48,14 @@ object Similarity {
     (h.cast("double") / 524288.0d) - 1.0d
   }
 
-  /** Sign-of-projection LSH bucket key under `planes` hyperplanes. */
-  def lshBucket(vec: org.apache.spark.sql.Column, planes: Int): org.apache.spark.sql.Column = {
+  /** Sign-of-projection LSH bucket key under `planes` hyperplanes —
+    * native codegen'd kernel; [[lshBucketComposite]] is the spec-pinned
+    * portable twin of the same formula. */
+  def lshBucket(vec: org.apache.spark.sql.Column, planes: Int): org.apache.spark.sql.Column =
+    Vec.lshBucketKey(vec, planes)
+
+  /** Column-composite twin of [[lshBucket]] (reference tier). */
+  def lshBucketComposite(vec: org.apache.spark.sql.Column, planes: Int): org.apache.spark.sql.Column = {
     val signs = (0 until planes).map { pl =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
@@ -62,6 +72,20 @@ object Similarity {
     * the oracle). */
   private def idScramble(id: org.apache.spark.sql.Column) =
     pmod(pmod(id, lit(1048576L)) * 2654435761L + 40503L, lit(1048576L))
+
+  /** Top-n of the deterministic scrambled-id order, materialized ONCE
+    * (TakeOrderedAndProject → driver collect, rows arrive sorted) and
+    * re-injected as a local relation. Operators that need several
+    * prefixes of this order ([[annIvfPq]]: nlist coarse centroids + ksub
+    * codebook rows) derive them all from the one frame with local
+    * `limit`s instead of paying a full corpus scan per broadcast side. */
+  private def collectedSample(e: DataFrame, n: Int): DataFrame = {
+    val top = e.orderBy(idScramble(col("vec_id")).asc, col("vec_id").asc)
+      .limit(n)
+      .select(col("vec_id").as("cid"), col("vec").as("cvec"))
+    e.sparkSession.createDataFrame(
+      java.util.Arrays.asList(top.collect(): _*), top.schema)
+  }
 
   /** IVF-style ANN: coarse quantizer → inverted lists → probe-limited
     * search (the FAISS IVF-flat shape, relationally).
@@ -87,7 +111,7 @@ object Similarity {
     // Ordering struct (csim, -cid) = highest similarity, then lowest cid —
     // identical tie-break to the oracle's row_number formulation.
     val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("csim", round(VectorFunctions.cosine(col("vec"), col("cvec")), 6))
+      .withColumn("csim", round(Vec.cosine(col("vec"), col("cvec")), 6))
       .groupBy(col("vec_id").as("nbr_id"))
       .agg(
         max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
@@ -96,7 +120,7 @@ object Similarity {
     val probes = queries
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("query_vec"))
       .crossJoin(broadcast(cents))
-      .withColumn("csim", round(VectorFunctions.cosine(col("query_vec"), col("cvec")), 6))
+      .withColumn("csim", round(Vec.cosine(col("query_vec"), col("cvec")), 6))
       .withColumn("crn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid").asc)))
       .filter(col("crn") <= nprobe)
@@ -104,7 +128,7 @@ object Similarity {
     probes.join(assigned, Seq("cid"))
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cosine",
-        round(VectorFunctions.cosine(col("query_vec"), col("nbr_vec")), 4))
+        round(Vec.cosine(col("query_vec"), col("nbr_vec")), 4))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cosine").desc, col("nbr_id").asc)))
       .filter(col("rank") <= k)
@@ -139,7 +163,7 @@ object Similarity {
     val centDf = broadcast(embeddings.sparkSession.createDataFrame(cents)
       .toDF("cid", "cvec"))
     val probes = q.crossJoin(centDf)
-      .withColumn("csim", VectorFunctions.cosine(col("query_vec"), col("cvec")))
+      .withColumn("csim", Vec.cosine(col("query_vec"), col("cvec")))
       .withColumn("crn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid").asc)))
       .filter(col("crn") <= nprobe)
@@ -147,7 +171,7 @@ object Similarity {
     probes.join(assigned, Seq("cid"))
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cosine",
-        round(VectorFunctions.cosine(col("query_vec"), col("nbr_vec")), 4))
+        round(Vec.cosine(col("query_vec"), col("nbr_vec")), 4))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cosine").desc, col("nbr_id").asc)))
       .filter(col("rank") <= k)
@@ -178,11 +202,13 @@ object Similarity {
     * (round(d²·1e6) as long) so every downstream sum/compare is exact
     * integer arithmetic — reproducible across engines and partition
     * orders. */
-  private def pqAssign(e: DataFrame, m: Int, ksub: Int) = {
+  private def pqAssign(e: DataFrame, m: Int, ksub: Int,
+                       sample: Option[DataFrame] = None) = {
     val subIdx = explode(sequence(lit(0), lit(m - 1))).as("sub")
-    val cents = e.orderBy(idScramble(col("vec_id")).asc, col("vec_id").asc)
-      .limit(ksub)
-      .select(col("vec_id").as("cid"), col("vec").as("cvec"))
+    val cents = sample.getOrElse(
+        e.orderBy(idScramble(col("vec_id")).asc, col("vec_id").asc)
+          .limit(ksub)
+          .select(col("vec_id").as("cid"), col("vec").as("cvec")))
       .withColumn("code",
         (row_number().over(Window.orderBy(col("cid"))) - 1).cast("int"))
     val codebook = cents.select(col("code"), col("cvec"), subIdx)
@@ -192,7 +218,7 @@ object Similarity {
       .withColumn("subvec", subSlice(col("vec"), col("sub"), m))
       .join(broadcast(codebook), Seq("sub"))
       .withColumn("d2u",
-        round(VectorFunctions.l2Squared(col("subvec"), col("csubvec")) * 1000000.0d)
+        round(Vec.l2Squared(col("subvec"), col("csubvec")) * 1000000.0d)
           .cast("long"))
       .groupBy(col("vec_id"), col("sub"))
       .agg(min_by(col("code"), struct(col("d2u"), col("code"))).as("code"))
@@ -232,7 +258,7 @@ object Similarity {
       .withColumn("qsubvec", subSlice(col("qvec"), col("sub"), m))
       .join(broadcast(codebook), Seq("sub"))
       .withColumn("qd2u",
-        round(VectorFunctions.l2Squared(col("qsubvec"), col("csubvec")) * 1000000.0d)
+        round(Vec.l2Squared(col("qsubvec"), col("csubvec")) * 1000000.0d)
           .cast("long"))
       .select("query_id", "sub", "code", "qd2u")
     assignment.withColumnRenamed("vec_id", "nbr_id")
@@ -257,24 +283,31 @@ object Similarity {
                nlist: Int, nprobe: Int, m: Int = 4, ksub: Int = 16,
                k: Int = 10): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
-    // coarse lists (annIvf's deterministic quantizer + max_by argmax)
-    val cents = e.orderBy(idScramble(col("vec_id")).asc, col("vec_id").asc)
-      .limit(nlist)
-      .select(col("vec_id").as("cid"), col("vec").as("cvec"))
+    // The coarse quantizer (nlist rows) and the PQ codebook sample (ksub
+    // rows) are prefixes of the SAME scrambled-id order, so one corpus
+    // TakeOrderedAndProject — collected to the driver and re-injected as
+    // a local relation — serves both broadcast sides. Deriving each
+    // separately costs a second full-corpus scan (ReuseExchange can't
+    // unify broadcasts with different limits). Codebooks are tiny
+    // driver-side artifacts by construction, the same shape
+    // [[annIvfKmeans]] ships its trained centers in.
+    val sample = collectedSample(e, math.max(nlist, ksub))
+    val cents = sample.limit(nlist)
     val coarse = e.crossJoin(broadcast(cents))
-      .withColumn("csim", round(VectorFunctions.cosine(col("vec"), col("cvec")), 6))
+      .withColumn("csim", round(Vec.cosine(col("vec"), col("cvec")), 6))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"))
     val probes = queries
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qvec"))
       .crossJoin(broadcast(cents))
-      .withColumn("csim", round(VectorFunctions.cosine(col("qvec"), col("cvec")), 6))
+      .withColumn("csim", round(Vec.cosine(col("qvec"), col("cvec")), 6))
       .withColumn("crn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid").asc)))
       .filter(col("crn") <= nprobe)
       .select(col("query_id"), col("cid"))
-    // fine ranking: ADC over the probed lists only
-    val (codebook, assignment) = pqAssign(e, m, ksub)
+    // fine ranking: ADC over the probed lists only (codebook sample =
+    // first ksub rows of the shared collected sample)
+    val (codebook, assignment) = pqAssign(e, m, ksub, Some(sample.limit(ksub)))
     val qtable = queries
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qvec"))
       .select(col("query_id"), col("qvec"),
@@ -282,7 +315,7 @@ object Similarity {
       .withColumn("qsubvec", subSlice(col("qvec"), col("sub"), m))
       .join(broadcast(codebook), Seq("sub"))
       .withColumn("qd2u",
-        round(VectorFunctions.l2Squared(col("qsubvec"), col("csubvec")) * 1000000.0d)
+        round(Vec.l2Squared(col("qsubvec"), col("csubvec")) * 1000000.0d)
           .cast("long"))
       .select("query_id", "sub", "code", "qd2u")
     assignment.withColumnRenamed("vec_id", "nbr_id")
@@ -315,7 +348,7 @@ object Similarity {
       .limit(nlist)
       .select(col("vec_id").as("cid"), col("vec").as("cvec"))
     val coarse = e.crossJoin(broadcast(cents))
-      .withColumn("csim", round(VectorFunctions.cosine(col("vec"), col("cvec")), 6))
+      .withColumn("csim", round(Vec.cosine(col("vec"), col("cvec")), 6))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
         first(col("vec")).as("vec"))
@@ -328,7 +361,7 @@ object Similarity {
     val qtable = queries
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qvec"))
       .crossJoin(broadcast(cents))
-      .withColumn("csim", round(VectorFunctions.cosine(col("qvec"), col("cvec")), 6))
+      .withColumn("csim", round(Vec.cosine(col("qvec"), col("cvec")), 6))
       .withColumn("crn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid").asc)))
       .filter(col("crn") <= nprobe)
@@ -338,7 +371,7 @@ object Similarity {
       .withColumn("qsubvec", subSlice(col("qres"), col("sub"), m))
       .join(broadcast(codebook), Seq("sub"))
       .withColumn("qd2u",
-        round(VectorFunctions.l2Squared(col("qsubvec"), col("csubvec")) * 1000000.0d)
+        round(Vec.l2Squared(col("qsubvec"), col("csubvec")) * 1000000.0d)
           .cast("long"))
       .select("query_id", "cid", "sub", "code", "qd2u")
     assignment.withColumnRenamed("vec_id", "nbr_id")
@@ -401,6 +434,10 @@ object Similarity {
     * Scala-side plane loop: `vec` is referenced a constant number of
     * times, never inside a per-element lambda. */
   def lshSignBits(vec: org.apache.spark.sql.Column, planes: Int): org.apache.spark.sql.Column =
+    Vec.lshSignBits(vec, planes)
+
+  /** Column-composite twin of [[lshSignBits]] (reference tier). */
+  def lshSignBitsComposite(vec: org.apache.spark.sql.Column, planes: Int): org.apache.spark.sql.Column =
     concat((0 until planes).map { pl =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
@@ -452,7 +489,7 @@ object Similarity {
     val vb = embeddings.select(col("vec_id").as("vec_b"),
       asDouble(col("embedding")).as("vb"))
     pairs.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
-      .withColumn("cosine", round(VectorFunctions.cosine(col("va"), col("vb")), 4))
+      .withColumn("cosine", round(Vec.cosine(col("va"), col("vb")), 4))
       .filter(col("cosine") >= minCosine)
       .select("vec_a", "vec_b", "cosine")
   }
@@ -466,7 +503,7 @@ object Similarity {
     e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cosine",
-        round(VectorFunctions.cosine(col("a.vec"), col("b.vec")), 4))
+        round(Vec.cosine(col("a.vec"), col("b.vec")), 4))
       .filter(col("cosine") >= minCosine)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
   }

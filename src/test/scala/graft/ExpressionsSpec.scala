@@ -72,6 +72,57 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("native vector distances are bit-identical to the Column composites") {
+    import graft.expressions.VectorExpressions
+    import graft.functions.VectorFunctions
+    val rnd = new scala.util.Random(7)
+    val rows: Seq[(Seq[Double], Seq[Double])] =
+      Seq.tabulate(50)(i => (Seq.fill(64)(rnd.nextDouble() * 2 - 1),
+          Seq.fill(64)(rnd.nextDouble() * 2 - 1))) ++
+        Seq((Seq.empty[Double], Seq.empty[Double]),          // empty: cos=0
+          (Seq(0.0, 0.0), Seq(1.0, 2.0)),                    // zero norm
+          (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0)))               // length mismatch
+    val df = rows.toDF("a", "b")
+    val both = df.select(
+      VectorExpressions.cosine(col("a"), col("b")).as("nc"),
+      VectorFunctions.cosine(col("a"), col("b")).as("cc"),
+      VectorExpressions.l2Squared(col("a"), col("b")).as("nl"),
+      VectorFunctions.l2Squared(col("a"), col("b")).as("cl"),
+      VectorExpressions.dot(col("a"), col("b")).as("nd"),
+      VectorFunctions.dot(col("a"), col("b")).as("cd")).collect()
+    both.foreach { r =>
+      for ((n, c) <- Seq((0, 1), (2, 3), (4, 5))) {
+        assert(r.isNullAt(n) == r.isNullAt(c), s"null mismatch at $n/$c: $r")
+        if (!r.isNullAt(n))
+          assert(java.lang.Double.doubleToLongBits(r.getDouble(n)) ==
+            java.lang.Double.doubleToLongBits(r.getDouble(c)),
+            s"value mismatch at $n/$c: ${r.getDouble(n)} vs ${r.getDouble(c)}")
+      }
+    }
+    // null input array → null on both tiers
+    val nr = Seq((Option.empty[Seq[Double]], Option(Seq(1.0))))
+      .toDF("a", "b")
+      .select(VectorExpressions.cosine(col("a"), col("b")).as("n"),
+        VectorFunctions.cosine(col("a"), col("b")).as("c")).collect()(0)
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+  }
+
+  test("native LSH sign bits / bucket key equal the Column composites") {
+    import graft.pipeline.Similarity
+    val rnd = new scala.util.Random(11)
+    val df = Seq.tabulate(40)(i =>
+        (i.toLong, Seq.fill(64)(rnd.nextDouble() * 2 - 1))).toDF("id", "vec")
+    val both = df.select(
+      Similarity.lshSignBits(col("vec"), 16).as("ns"),
+      Similarity.lshSignBitsComposite(col("vec"), 16).as("cs"),
+      Similarity.lshBucket(col("vec"), 16).as("nb"),
+      Similarity.lshBucketComposite(col("vec"), 16).as("cb")).collect()
+    both.foreach { r =>
+      assert(r.getString(0) == r.getString(1), s"sign mismatch: $r")
+      assert(r.getLong(2) == r.getLong(3), s"bucket mismatch: $r")
+    }
+  }
+
   test("native cidr_match agrees with the composite NetFunctions version") {
     val ips = (0 until 256).map(i => s"10.0.${i % 8}.$i").toDF("ip")
     val both = ips.select(

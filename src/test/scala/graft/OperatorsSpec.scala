@@ -88,6 +88,51 @@ class OperatorsSpec extends SparkSpec {
     assert(viaColumns.count() == left.count())
   }
 
+  test("native as-of exec: adversarial pre-partitioning on key subsets") {
+    // The co-partitioning trap for custom binary execs: each child
+    // pre-shuffled on a SUBSET of its join keys (and different counts)
+    // satisfies its own ClusteredDistribution while being misaligned
+    // with the other side — EnsureRequirements must detect the
+    // incompatible HashShuffleSpecs and re-shuffle, or zipPartitions
+    // silently merges wrong partition pairs and drops matches.
+    import spark.implicits._
+    val left = (0 until 400).map { i =>
+      (i.toLong % 7, i.toLong % 5, (i * 37L) % 1000L, i.toLong)
+    }.toDF("g", "h", "lts", "l_id")
+    val right0 = (0 until 300).map { i =>
+      (i.toLong % 7, i.toLong % 5, (i * 53L) % 1000L, i.toLong * 10)
+    }.toDF("rg", "rh", "rts", "payload")
+    // dedupe (key, ts) so exec and Column tie-resolution agree
+    val right = right0.groupBy("rg", "rh", "rts")
+      .agg(max("payload").as("payload"))
+
+    val reference = AsOfJoin.backward(
+        left,
+        right.withColumnRenamed("rg", "g").withColumnRenamed("rh", "h"),
+        Seq("g", "h"), "lts", "rts", Seq("payload"))
+      .select("g", "h", "lts", "l_id", "payload")
+
+    val variants: Seq[(String, DataFrame, DataFrame)] = Seq(
+      ("left on subset [g] x3", left.repartition(3, col("g")), right),
+      ("left [g] x3 vs right [rh] x5",
+        left.repartition(3, col("g")), right.repartition(5, col("rh"))),
+      ("same subset position, different counts",
+        left.repartition(4, col("g")), right.repartition(2, col("rg"))),
+      ("full keys, different counts",
+        left.repartition(4, col("g"), col("h")),
+        right.repartition(2, col("rg"), col("rh"))))
+    for ((label, l, r) <- variants) {
+      val out = AsOfJoinPlan.backward(l, r, Seq("g", "h"), Seq("rg", "rh"),
+          "lts", "rts")
+        .select("g", "h", "lts", "l_id", "payload")
+      assert(out.queryExecution.sparkPlan.exists(
+        _.isInstanceOf[AsOfJoinExec]), s"$label: exec not planned")
+      assert(out.count() == 400, s"$label: row count")
+      assert(out.exceptAll(reference).isEmpty &&
+        reference.exceptAll(out).isEmpty, s"$label: rows differ")
+    }
+  }
+
   test("range join: bucketed overlap equals the naive inequality join") {
     import spark.implicits._
     val a = Seq((1L, 0L, 10L), (2L, 5L, 8L), (3L, 100L, 200L), (4L, 7L, 7L))
