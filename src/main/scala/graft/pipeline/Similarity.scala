@@ -462,12 +462,17 @@ object Similarity {
     *
     * Cache lifetime: the bucket frame is persisted (both self-join sides
     * read it) and, because the result is lazy, stays cached until the
-    * session ends. Callers looping over many corpora should
-    * `spark.catalog.clearCache()` (or unpersist via `spark.sharedState
-    * .cacheManager`) between corpora — same contract as
-    * TextPipeline.nearDupJaccard/minhashCandidates. */
+    * session ends. Callers looping over many corpora should use
+    * [[annLshBandedCached]] and release the handle between corpora — same
+    * contract as TextPipeline.nearDupJaccard/minhashCandidates. */
   def annLshBanded(embeddings: DataFrame, planes: Int, bands: Int,
-                   minCosine: Double): DataFrame = {
+                   minCosine: Double): DataFrame =
+    annLshBandedCached(embeddings, planes, bands, minCosine).result
+
+  /** [[annLshBanded]] with an explicit release handle for the persisted
+    * bucket frame — `handle.unpersist()` when done with this corpus. */
+  def annLshBandedCached(embeddings: DataFrame, planes: Int, bands: Int,
+                         minCosine: Double): graft.core.Cached[DataFrame] = {
     require(planes % bands == 0, "bands must divide planes")
     val perBand = planes / bands
     val sig = embeddings
@@ -488,10 +493,11 @@ object Similarity {
       asDouble(col("embedding")).as("va"))
     val vb = embeddings.select(col("vec_id").as("vec_b"),
       asDouble(col("embedding")).as("vb"))
-    pairs.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
+    val result = pairs.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
       .withColumn("cosine", round(Vec.cosine(col("va"), col("vb")), 4))
       .filter(col("cosine") >= minCosine)
       .select("vec_a", "vec_b", "cosine")
+    graft.core.Cached(result, buckets)
   }
 
   /** Approximate same-bucket neighbor pairs with cosine score.

@@ -90,10 +90,17 @@ object TextPipeline {
     * small by construction (only shingles with df > maxDf).
     *
     * Cache lifetime: the persisted index outlives this (lazy) result —
-    * callers looping over many corpora should `spark.catalog.clearCache()`
-    * between corpora (same contract as Similarity.annLshBanded). */
+    * callers looping over many corpora should use [[nearDupJaccardCached]]
+    * and release the handle between corpora (same contract as
+    * Similarity.annLshBanded). */
   def nearDupJaccard(docs: DataFrame, n: Int, minJaccard: Double,
-                     maxDf: Long = 0L): DataFrame = {
+                     maxDf: Long = 0L): DataFrame =
+    nearDupJaccardCached(docs, n, minJaccard, maxDf).result
+
+  /** [[nearDupJaccard]] with an explicit release handle for the persisted
+    * inverted index — `handle.unpersist()` when done with this corpus. */
+  def nearDupJaccardCached(docs: DataFrame, n: Int, minJaccard: Double,
+                           maxDf: Long = 0L): graft.core.Cached[DataFrame] = {
     val shingled = docs.select(col("doc_id"),
       graft.expressions.TextExpressions
         .wordShingles(col("text"), n, distinct = true).as("shingles"))
@@ -111,7 +118,7 @@ object TextPipeline {
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
-    shared
+    val result = shared
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n_shingles", "size_a"), Seq("doc_a"))
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
@@ -121,6 +128,7 @@ object TextPipeline {
           (col("size_a") + col("size_b") - col("shared")), 6))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "shared", "jaccard")
+    graft.core.Cached(result, inv)
   }
 
   /** MinHash signatures: k portable hash functions (a_i·h + b_i mod p) over
@@ -156,15 +164,23 @@ object TextPipeline {
 
   /** LSH near-dup candidates: pairs sharing a band bucket, deduplicated.
     * Buckets are persisted — both self-join sides read them, and the
-    * minhash signature computation is the expensive part. */
+    * minhash signature computation is the expensive part. Multi-corpus
+    * drivers: use [[minhashCandidatesCached]] and release the handle. */
   def minhashCandidates(docs: DataFrame, n: Int = 3, k: Int = 16,
-                        bands: Int = 4): DataFrame = {
+                        bands: Int = 4): DataFrame =
+    minhashCandidatesCached(docs, n, k, bands).result
+
+  /** [[minhashCandidates]] with an explicit release handle for the
+    * persisted bucket frame. */
+  def minhashCandidatesCached(docs: DataFrame, n: Int = 3, k: Int = 16,
+                              bands: Int = 4): graft.core.Cached[DataFrame] = {
     val buckets = minhashLsh(docs, n, k, bands).select("doc_id", "bucket")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    buckets.as("a").join(buckets.as("b"),
+    val result = buckets.as("a").join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    graft.core.Cached(result, buckets)
   }
 
   /** SimHash per document over whitespace tokens (47 planes). Tokens and
@@ -189,9 +205,16 @@ object TextPipeline {
     *
     * Cache lifetime: the signature frame is persisted (bucket explode +
     * two pair-side joins read it) and stays cached for the session —
-    * same clearCache-between-corpora contract as [[nearDupJaccard]]. */
+    * multi-corpus drivers should use [[simhashCandidatesCached]] and
+    * release the handle between corpora. */
   def simhashCandidates(docs: DataFrame, bands: Int = 4,
-                        maxHamming: Int = 3): DataFrame = {
+                        maxHamming: Int = 3): DataFrame =
+    simhashCandidatesCached(docs, bands, maxHamming).result
+
+  /** [[simhashCandidates]] with an explicit release handle for the
+    * persisted signature frame. */
+  def simhashCandidatesCached(docs: DataFrame, bands: Int = 4,
+                              maxHamming: Int = 3): graft.core.Cached[DataFrame] = {
     require(bands >= 1 && bands <= 47, "bands must be in [1, 47]")
     val width = 47 / bands
     val sigs = simhash(docs)
@@ -208,13 +231,14 @@ object TextPipeline {
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    pairs
+    val result = pairs
       .join(sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a")), Seq("doc_a"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b")), Seq("doc_b"))
       .withColumn("hamming",
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+    graft.core.Cached(result, sigs)
   }
 
   /** Corpus vocabulary: top-`topK` tokens by frequency (ties broken by
