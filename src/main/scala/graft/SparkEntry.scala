@@ -462,6 +462,12 @@ object SparkEntry {
       TextPipeline.minhashCandidates(Tables.documents(s, dir))
         .orderBy("doc_a", "doc_b")),
 
+    // hot-bucket skew guard engaged (the 100 TB configuration — a bucket
+    // of d docs yields d² pairs, so over-cap buckets are dropped)
+    "q_minhash_candidates_capped" -> ((s, dir) =>
+      TextPipeline.minhashCandidates(Tables.documents(s, dir), maxBucket = 2L)
+        .orderBy("doc_a", "doc_b")),
+
     "q_simhash" -> ((s, dir) =>
       TextPipeline.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
 
@@ -499,6 +505,12 @@ object SparkEntry {
     "q_embed_ann_lsh_banded" -> ((s, dir) =>
       Similarity.annLshBanded(Tables.embeddings(s, dir),
         planes = 16, bands = 4, minCosine = 0.2)
+        .orderBy("vec_a", "vec_b")),
+
+    // hot-bucket skew guard engaged (dominant-cluster buckets dropped)
+    "q_embed_ann_lsh_banded_capped" -> ((s, dir) =>
+      Similarity.annLshBanded(Tables.embeddings(s, dir),
+        planes = 16, bands = 4, minCosine = 0.2, maxBucket = 100L)
         .orderBy("vec_a", "vec_b")),
 
     "q_embed_dedup" -> ((s, dir) =>
@@ -559,6 +571,13 @@ object SparkEntry {
 
     "q_simhash_candidates" -> ((s, dir) =>
       TextPipeline.simhashCandidates(Tables.documents(s, dir))
+        .orderBy("doc_a", "doc_b")),
+
+    // skew guard engaged: at sf0.01 one band bucket holds ALL 500 docs
+    // (degenerate band under the tiny synthetic vocabulary) — exactly the
+    // hot-bucket shape the cap exists for
+    "q_simhash_candidates_capped" -> ((s, dir) =>
+      TextPipeline.simhashCandidates(Tables.documents(s, dir), maxBucket = 100L)
         .orderBy("doc_a", "doc_b")),
 
     "q_pq_codes" -> ((s, dir) =>
@@ -676,7 +695,10 @@ object SparkEntry {
     "q_minhash_candidates", "q_simhash", "q_media_frames",
     "q_embed_ann_ivf", "q_media_features",
     "q_dedup_cluster", "q_simhash_candidates", "q_curate",
-    "q_embed_ann_ivfpq")
+    "q_embed_ann_ivfpq",
+    // capped twin of q_simhash_candidates: tracks what the hot-bucket
+    // skew guard saves (the 100 TB configuration)
+    "q_simhash_candidates_capped")
 
   // ---------------------------------------------------------------------
   // DuckDB oracles. `flows` CTE = FlowSynth.cteSql (identical mapping).
@@ -765,6 +787,79 @@ object SparkEntry {
        |        x -> CAST(x AS VARCHAR)), '-'))) AS bucket
        |  FROM sig
        |)""".stripMargin
+
+  /** SQL twin of the shared hot-bucket skew guard
+    * (TextPipeline.capBuckets / annLshBanded maxBucket): keep only
+    * entries of buckets at or under the cap. `src` must expose a
+    * `bucket` column plus `keyCol`. */
+  private def capBucketsSql(src: String, keyCol: String, maxBucket: Long) =
+    s"""kept AS (
+       |  SELECT bucket FROM $src GROUP BY bucket HAVING count(*) <= $maxBucket
+       |), ${src}c AS (
+       |  SELECT $src.$keyCol, $src.bucket FROM $src JOIN kept USING (bucket)
+       |)""".stripMargin
+
+  /** q_embed_ann_lsh_banded oracle, optionally with the bucket cap
+    * engaged — one builder for both rows so they can't drift. */
+  private def lshBandedOracle(maxBucket: Long): String = {
+    val (capCte, bkt) =
+      if (maxBucket <= 0L) ("", "bk")
+      else (", " + capBucketsSql("bk", "vec_id", maxBucket), "bkc")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), s AS (
+       |  SELECT vec_id, list_reduce(list_transform(range(0, 16), pl ->
+       |    CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, len(v) + 1), i ->
+       |        v[CAST(i AS INT)] * (CAST((CAST(i - 1 AS BIGINT) * 2654435761
+       |          + pl * 40503 + 12345) % 1048576 AS DOUBLE) / 524288.0 - 1.0))),
+       |      (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END),
+       |    (x, y) -> x || y) AS signs
+       |  FROM e
+       |), bk AS (
+       |  SELECT vec_id, unnest(list_transform(range(0, 4), b ->
+       |    CAST(b AS VARCHAR) || '_' || substr(signs, CAST(b * 4 + 1 AS INT), 4)))
+       |    AS bucket
+       |  FROM s
+       |)$capCte, pairs AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+       |  FROM $bkt a JOIN $bkt c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+       |)
+       |SELECT vec_a, vec_b,
+       |  round(${cosSql("ea.v", "eb.v")}, 4) AS cosine
+       |FROM pairs
+       |JOIN e ea ON ea.vec_id = vec_a
+       |JOIN e eb ON eb.vec_id = vec_b
+       |WHERE round(${cosSql("ea.v", "eb.v")}, 4) >= 0.2
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  /** q_simhash_candidates oracle, optionally with the bucket cap engaged
+    * (maxBucket <= 0 → uncapped; the two variants must share one SQL
+    * builder so the capped row can't drift from the green uncapped one). */
+  private def simhashCandidatesOracle(maxBucket: Long): String = {
+    val (capCte, bkt) =
+      if (maxBucket <= 0L) ("", "sb")
+      else (", " + capBucketsSql("sb", "doc_id", maxBucket), "sbc")
+    s"""WITH $simhashCtes, sb AS (
+       |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+       |    CAST(b AS VARCHAR) || '_' || CAST(
+       |      (simhash >> CAST(b * 11 AS INT)) &
+       |      (CASE WHEN b = 3 THEN (CAST(1 AS BIGINT) << 14) - 1
+       |            ELSE 2047 END) AS VARCHAR))) AS bucket
+       |  FROM sim
+       |)$capCte, cp AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |  FROM $bkt a JOIN $bkt c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+       |)
+       |SELECT cp.doc_a, cp.doc_b,
+       |  CAST(bit_count(xor(sa.simhash, sc.simhash)) AS INT) AS hamming
+       |FROM cp
+       |JOIN sim sa ON sa.doc_id = cp.doc_a
+       |JOIN sim sc ON sc.doc_id = cp.doc_b
+       |WHERE bit_count(xor(sa.simhash, sc.simhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** Shared CTE chain → (doc_id, simhash) — the SQL twin of
     * TextPipeline.simhash. Used by q_simhash and q_simhash_candidates. */
@@ -1693,6 +1788,12 @@ object SparkEntry {
          |FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    "q_minhash_candidates_capped" ->
+      s"""WITH ${minhashBucketCtes()}, ${capBucketsSql("bk", "doc_id", 2L)}
+         |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |FROM bkc a JOIN bkc c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "q_lang_id" ->
       s"""WITH t AS (
          |  SELECT doc_id, $toksSql AS toks FROM documents
@@ -1791,34 +1892,9 @@ object SparkEntry {
          |WHERE cosine >= 0.2
          |ORDER BY vec_a, vec_b""".stripMargin,
 
-    "q_embed_ann_lsh_banded" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-         |), s AS (
-         |  SELECT vec_id, list_reduce(list_transform(range(0, 16), pl ->
-         |    CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_transform(range(1, len(v) + 1), i ->
-         |        v[CAST(i AS INT)] * (CAST((CAST(i - 1 AS BIGINT) * 2654435761
-         |          + pl * 40503 + 12345) % 1048576 AS DOUBLE) / 524288.0 - 1.0))),
-         |      (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END),
-         |    (x, y) -> x || y) AS signs
-         |  FROM e
-         |), bk AS (
-         |  SELECT vec_id, unnest(list_transform(range(0, 4), b ->
-         |    CAST(b AS VARCHAR) || '_' || substr(signs, CAST(b * 4 + 1 AS INT), 4)))
-         |    AS bucket
-         |  FROM s
-         |), pairs AS (
-         |  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
-         |  FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-         |)
-         |SELECT vec_a, vec_b,
-         |  round(${cosSql("ea.v", "eb.v")}, 4) AS cosine
-         |FROM pairs
-         |JOIN e ea ON ea.vec_id = vec_a
-         |JOIN e eb ON eb.vec_id = vec_b
-         |WHERE round(${cosSql("ea.v", "eb.v")}, 4) >= 0.2
-         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_embed_ann_lsh_banded" -> lshBandedOracle(maxBucket = 0L),
+
+    "q_embed_ann_lsh_banded_capped" -> lshBandedOracle(maxBucket = 100L),
 
     "q_embed_ann_ivf" ->
       s"""WITH e AS (
@@ -2073,25 +2149,9 @@ object SparkEntry {
          |    AS chunk_text
          |FROM cc ORDER BY doc_id, chunk_id""".stripMargin,
 
-    "q_simhash_candidates" ->
-      s"""WITH $simhashCtes, sb AS (
-         |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
-         |    CAST(b AS VARCHAR) || '_' || CAST(
-         |      (simhash >> CAST(b * 11 AS INT)) &
-         |      (CASE WHEN b = 3 THEN (CAST(1 AS BIGINT) << 14) - 1
-         |            ELSE 2047 END) AS VARCHAR))) AS bucket
-         |  FROM sim
-         |), cp AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-         |  FROM sb a JOIN sb c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
-         |)
-         |SELECT cp.doc_a, cp.doc_b,
-         |  CAST(bit_count(xor(sa.simhash, sc.simhash)) AS INT) AS hamming
-         |FROM cp
-         |JOIN sim sa ON sa.doc_id = cp.doc_a
-         |JOIN sim sc ON sc.doc_id = cp.doc_b
-         |WHERE bit_count(xor(sa.simhash, sc.simhash)) <= 3
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_simhash_candidates" -> simhashCandidatesOracle(maxBucket = 0L),
+
+    "q_simhash_candidates_capped" -> simhashCandidatesOracle(maxBucket = 100L),
 
     "q_pq_codes" ->
       s"""WITH $eCte, ${pqAsgCtes()}

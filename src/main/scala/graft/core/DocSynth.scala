@@ -1,0 +1,93 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic corpus generator for scale-up smokes.
+  *
+  * The driver's testdata tops out at sf0.1 (5k documents / 2k embeddings —
+  * TESTDATA.md), so super-linear degradation in the candidate-pair
+  * operators (near-dup df-cap, banded-LSH bucket bounds) is invisible to
+  * the per-round bench. This generator reproduces the testdata's corpus
+  * statistics — 31-word vocabulary, 10–100 words/doc, 20 sources, the
+  * 5-language mix, a small exact-duplicate and near-duplicate fraction,
+  * 64-dim unit embeddings in 10 clusters — as pure Column arithmetic over
+  * `spark.range`, so any scale materializes distributed (no driver-side
+  * generation) and the same `(seed, id)` always yields the same row.
+  *
+  * Synthesis only (tools/specs); the oracle-checked queries always read
+  * the driver's parquet. Statistics measured from
+  * /root/testdata/sf0.1/documents.parquet.
+  */
+object DocSynth {
+
+  /** The testdata's 31-word vocabulary (uniform draw reproduces its
+    * near-uniform token frequencies). */
+  val vocab: Seq[String] = Seq(
+    "spark", "window", "merge", "table", "column", "vector", "stream",
+    "value", "data", "small", "join", "filter", "big", "group", "hash",
+    "customer", "sort", "order", "slow", "line", "part", "fast", "the",
+    "row", "agg", "key", "query", "a", "scan", "batch", "dup")
+
+  private def h(parts: Column*): Column = xxhash64(parts: _*)
+
+  private def word(seed: Column, i: Column, salt: Int): Column =
+    element_at(typedLit(vocab),
+      (pmod(h(lit(salt), seed, i), lit(vocab.size)) + 1).cast("int"))
+
+  /** `nDocs` documents with the testdata schema
+    * (doc_id, text, lang, source, n_chars).
+    *
+    * `dupPpm` of documents copy the previous document's text verbatim
+    * (exact-dedup fodder); `nearDupPpm` copy it with the last two words
+    * rewritten (high-Jaccard / low-Hamming near-dup fodder). Both are
+    * id-hash gated, so the fractions hold at any scale and the data is
+    * identical for identical (nDocs, seed). */
+  def documents(spark: SparkSession, nDocs: Long, seed: Long = 42L,
+                dupPpm: Long = 1600L, nearDupPpm: Long = 1600L,
+                nSources: Int = 20): DataFrame = {
+    val id = col("id")
+    val gate = pmod(h(lit(seed), lit("kind"), id), lit(1000000L))
+    val isDup = id > 0 && gate < dupPpm
+    val isNear = id > 0 && !isDup && gate < dupPpm + nearDupPpm
+    // text content derives from `src`: the previous id for (near-)dups
+    val src = when(isDup || isNear, id - 1).otherwise(id)
+    val nWords = (lit(10) + pmod(h(lit(seed), lit("len"), src), lit(91))).cast("int")
+    val base = transform(sequence(lit(0), nWords - 1),
+      i => word(h(lit(seed), src), i, 1))
+    // near-dup: rewrite the last two words from the OWN id's hash stream
+    val words = when(isNear,
+        concat(slice(base, lit(1), nWords - 2),
+          transform(sequence(lit(0), lit(1)), i => word(h(lit(seed), id), i, 2))))
+      .otherwise(base)
+    val langP = pmod(h(lit(seed), lit("lang"), id), lit(1000L))
+    spark.range(nDocs).select(
+      id.as("doc_id"),
+      array_join(words, " ").as("text"),
+      when(langP < 412, "en").when(langP < 562, "zh").when(langP < 711, "es")
+        .when(langP < 860, "fr").otherwise("de").as("lang"),
+      concat(lit("src"),
+        pmod(h(lit(seed), lit("srcn"), id), lit(nSources.toLong))).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  /** `nVecs` unit-norm `dims`-dim float embeddings in `nLabels` clusters
+    * (testdata schema: vec_id, embedding, label). Each vector is its
+    * label's centroid plus 0.3-amplitude noise, renormalized — clustered
+    * enough that IVF/PQ partitions meaningfully, noisy enough that
+    * neighbor sets are non-trivial. */
+  def embeddings(spark: SparkSession, nVecs: Long, seed: Long = 42L,
+                 dims: Int = 64, nLabels: Int = 10): DataFrame = {
+    val id = col("id")
+    val label = pmod(h(lit(seed), lit("lbl"), id), lit(nLabels.toLong)).cast("int")
+    def unit(salt: String, k: Column, d: Column): Column =
+      (pmod(h(lit(seed), lit(salt), k, d), lit(2001L)) - 1000L) / 1000.0d
+    val raw = transform(sequence(lit(0), lit(dims - 1)),
+      d => unit("cent", label, d) + unit("noise", id, d) * 0.3d)
+    val norm = sqrt(aggregate(raw, lit(0.0d), (acc, x) => acc + x * x))
+    spark.range(nVecs).select(
+      id.as("vec_id"),
+      transform(raw, x => (x / norm).cast("float")).as("embedding"),
+      label.as("label"))
+  }
+}

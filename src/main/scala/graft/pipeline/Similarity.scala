@@ -466,13 +466,21 @@ object Similarity {
     * [[annLshBandedCached]] and release the handle between corpora — same
     * contract as TextPipeline.nearDupJaccard/minhashCandidates. */
   def annLshBanded(embeddings: DataFrame, planes: Int, bands: Int,
-                   minCosine: Double): DataFrame =
-    annLshBandedCached(embeddings, planes, bands, minCosine).result
+                   minCosine: Double, maxBucket: Long = 0L): DataFrame =
+    annLshBandedCached(embeddings, planes, bands, minCosine, maxBucket).result
 
   /** [[annLshBanded]] with an explicit release handle for the persisted
-    * bucket frame — `handle.unpersist()` when done with this corpus. */
+    * bucket frame — `handle.unpersist()` when done with this corpus.
+    *
+    * `maxBucket` drops band buckets larger than the cap before the
+    * self-join — the hot-bucket skew guard (a bucket of d vectors yields
+    * d² pairs; one degenerate bucket — zero vectors, a dominant cluster —
+    * turns the join quadratic). Recall loss is confined to pairs agreeing
+    * only on an over-cap band. <= 0 disables (the oracle-checked
+    * default). */
   def annLshBandedCached(embeddings: DataFrame, planes: Int, bands: Int,
-                         minCosine: Double): graft.core.Cached[DataFrame] = {
+                         minCosine: Double,
+                         maxBucket: Long = 0L): graft.core.Cached[DataFrame] = {
     require(planes % bands == 0, "bands must divide planes")
     val perBand = planes / bands
     val sig = embeddings
@@ -482,9 +490,17 @@ object Similarity {
       concat_ws("_", lit(b),
         substring(col("signs"), b * perBand + 1, perBand))): _*)
     // persisted: both self-join sides read the buckets, and the sign
-    // computation (planes × dims fold) is the expensive part
-    val buckets = sig.select(col("vec_id"), explode(bandKeys).as("bucket"))
+    // computation (planes × dims fold) is the expensive part; the
+    // hot-bucket list reads the persisted frame (cheap cached scan)
+    val raw = sig.select(col("vec_id"), explode(bandKeys).as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets =
+      if (maxBucket <= 0L) raw
+      else {
+        val hot = raw.groupBy("bucket").agg(count(lit(1)).as("bsize"))
+          .filter(col("bsize") > maxBucket).select("bucket")
+        raw.join(broadcast(hot), Seq("bucket"), "left_anti")
+      }
     val pairs = buckets.as("a").join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
@@ -497,7 +513,7 @@ object Similarity {
       .withColumn("cosine", round(Vec.cosine(col("va"), col("vb")), 4))
       .filter(col("cosine") >= minCosine)
       .select("vec_a", "vec_b", "cosine")
-    graft.core.Cached(result, buckets)
+    graft.core.Cached(result, raw)
   }
 
   /** Approximate same-bucket neighbor pairs with cosine score.

@@ -165,23 +165,51 @@ object TextPipeline {
   /** LSH near-dup candidates: pairs sharing a band bucket, deduplicated.
     * Buckets are persisted — both self-join sides read them, and the
     * minhash signature computation is the expensive part. Multi-corpus
-    * drivers: use [[minhashCandidatesCached]] and release the handle. */
+    * drivers: use [[minhashCandidatesCached]] and release the handle.
+    *
+    * `maxBucket` is the bucket-size skew guard (the [[nearDupJaccard]]
+    * maxDf analogue at the bucket level): a bucket holding d documents
+    * contributes d² candidate pairs, so one hot bucket — boilerplate or
+    * template documents whose band signatures all agree — turns the
+    * self-join quadratic. Buckets larger than the cap are dropped before
+    * the join (their members are mutual near-dup candidates many times
+    * over in OTHER bands, so recall loss is confined to pairs that agree
+    * ONLY on an over-cap band — at the cap sizes that matter, boilerplate
+    * clusters, not genuine near-dups). The 10×-scale smoke that motivated
+    * the guard saw candidate pairs grow 100× for 10× documents without
+    * it (ScaleSmoke). maxBucket <= 0 disables. */
   def minhashCandidates(docs: DataFrame, n: Int = 3, k: Int = 16,
-                        bands: Int = 4): DataFrame =
-    minhashCandidatesCached(docs, n, k, bands).result
+                        bands: Int = 4, maxBucket: Long = 0L): DataFrame =
+    minhashCandidatesCached(docs, n, k, bands, maxBucket).result
 
   /** [[minhashCandidates]] with an explicit release handle for the
     * persisted bucket frame. */
   def minhashCandidatesCached(docs: DataFrame, n: Int = 3, k: Int = 16,
-                              bands: Int = 4): graft.core.Cached[DataFrame] = {
-    val buckets = minhashLsh(docs, n, k, bands).select("doc_id", "bucket")
+                              bands: Int = 4,
+                              maxBucket: Long = 0L): graft.core.Cached[DataFrame] = {
+    val raw = minhashLsh(docs, n, k, bands).select("doc_id", "bucket")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // hot-bucket list from the PERSISTED frame (one cheap cached scan);
+    // small by construction — only buckets above the cap
+    val buckets = capBuckets(raw, maxBucket)
     val result = buckets.as("a").join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    graft.core.Cached(result, buckets)
+    graft.core.Cached(result, raw)
   }
+
+  /** Drop entries of buckets holding more than `maxBucket` members —
+    * broadcast LEFT ANTI against the (small) hot-bucket list. The shared
+    * skew guard of the LSH candidate generators; no-op when cap <= 0. */
+  private[pipeline] def capBuckets(buckets: DataFrame, maxBucket: Long,
+                                   bucketCol: String = "bucket"): DataFrame =
+    if (maxBucket <= 0L) buckets
+    else {
+      val hot = buckets.groupBy(bucketCol).agg(count(lit(1)).as("bsize"))
+        .filter(col("bsize") > maxBucket).select(bucketCol)
+      buckets.join(broadcast(hot), Seq(bucketCol), "left_anti")
+    }
 
   /** SimHash per document over whitespace tokens (47 planes). Tokens and
     * their hashes come from the native tight-loop expressions; the vote
@@ -206,15 +234,22 @@ object TextPipeline {
     * Cache lifetime: the signature frame is persisted (bucket explode +
     * two pair-side joins read it) and stays cached for the session —
     * multi-corpus drivers should use [[simhashCandidatesCached]] and
-    * release the handle between corpora. */
+    * release the handle between corpora.
+    *
+    * `maxBucket` drops band buckets larger than the cap before the
+    * self-join — the skew guard for hot buckets (see [[minhashCandidates]];
+    * same 100×-pairs-at-10×-docs failure mode, same recall caveat: only
+    * pairs agreeing solely on an over-cap band are lost, and with it the
+    * pigeonhole guarantee for members of over-cap buckets). <= 0 off. */
   def simhashCandidates(docs: DataFrame, bands: Int = 4,
-                        maxHamming: Int = 3): DataFrame =
-    simhashCandidatesCached(docs, bands, maxHamming).result
+                        maxHamming: Int = 3, maxBucket: Long = 0L): DataFrame =
+    simhashCandidatesCached(docs, bands, maxHamming, maxBucket).result
 
   /** [[simhashCandidates]] with an explicit release handle for the
     * persisted signature frame. */
   def simhashCandidatesCached(docs: DataFrame, bands: Int = 4,
-                              maxHamming: Int = 3): graft.core.Cached[DataFrame] = {
+                              maxHamming: Int = 3,
+                              maxBucket: Long = 0L): graft.core.Cached[DataFrame] = {
     require(bands >= 1 && bands <= 47, "bands must be in [1, 47]")
     val width = 47 / bands
     val sigs = simhash(docs)
@@ -226,7 +261,9 @@ object TextPipeline {
         shiftrightunsigned(col("simhash"), lo)
           .bitwiseAND(lit((1L << len) - 1)).cast("string"))
     }: _*)
-    val buckets = sigs.select(col("doc_id"), explode(bandKeys).as("bucket"))
+    // bucket cap reads the explode of the PERSISTED sigs — cheap rescan
+    val buckets = capBuckets(
+      sigs.select(col("doc_id"), explode(bandKeys).as("bucket")), maxBucket)
     val pairs = buckets.as("a").join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.DocSynth
+
+/** DocSynth generates the scale-smoke corpora — it must be deterministic,
+  * schema-compatible with the driver's documents/embeddings tables, and
+  * actually contain the (near-)duplicate structure the dedup operators
+  * are measured on. */
+class DocSynthSpec extends SparkSpec {
+
+  test("documents: deterministic, testdata schema, vocab-only tokens") {
+    val a = DocSynth.documents(spark, 300)
+    val b = DocSynth.documents(spark, 300)
+    assert(a.schema.fields.map(f => (f.name, f.dataType.typeName)).toSeq ==
+      Seq("doc_id" -> "long", "text" -> "string", "lang" -> "string",
+        "source" -> "string", "n_chars" -> "long"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val bad = a.select(explode(split(col("text"), " ")).as("w"))
+      .filter(!col("w").isin(DocSynth.vocab: _*)).count()
+    assert(bad == 0L)
+    val langs = rowsOf(a.select(collect_set("lang"))).head.values.head
+      .asInstanceOf[scala.collection.Seq[String]].toSet
+    assert(langs.subsetOf(Set("en", "zh", "es", "fr", "de")))
+  }
+
+  test("documents: dup/near-dup gates inject verbatim and high-overlap copies") {
+    // high ppm so a small n still exercises both gates deterministically
+    val d = DocSynth.documents(spark, 2000, dupPpm = 50000L, nearDupPpm = 50000L)
+    val dups = d.groupBy("text").count().filter(col("count") > 1).count()
+    assert(dups > 0L, "exact-duplicate groups expected")
+    val nearPairs = graft.pipeline.TextPipeline
+      .nearDupJaccard(d, n = 2, minJaccard = 0.5, maxDf = 0L).count()
+    assert(nearPairs > 0L, "near-duplicate pairs expected")
+    spark.catalog.clearCache()
+  }
+
+  test("embeddings: deterministic, unit norm, clustered labels") {
+    val e = DocSynth.embeddings(spark, 200)
+    assert(e.schema.fieldNames.toSeq == Seq("vec_id", "embedding", "label"))
+    val norms = rowsOf(e.select(
+      sqrt(aggregate(transform(col("embedding"), x => x.cast("double")),
+        lit(0.0d), (acc, x) => acc + x * x)).as("n")))
+    assert(norms.forall(r => math.abs(r("n").asInstanceOf[Double] - 1.0) < 1e-5))
+    assert(e.select("label").distinct().count() == 10L)
+    // same-label vectors sit nearer their centroid than cross-label ones:
+    // mean pairwise cosine within a label must beat the global mean
+    val v = e.select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val pairs = v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select((col("a.label") === col("b.label")).as("same"),
+        graft.expressions.VectorExpressions.cosine(col("a.vec"), col("b.vec")).as("cos"))
+    val byGroup = rowsOf(pairs.groupBy("same").agg(avg("cos").as("m")))
+    val within = byGroup.find(_("same") == true).get("m").asInstanceOf[Double]
+    val across = byGroup.find(_("same") == false).get("m").asInstanceOf[Double]
+    assert(within > across + 0.1)
+  }
+}

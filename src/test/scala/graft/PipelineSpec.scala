@@ -59,6 +59,29 @@ class PipelineSpec extends SparkSpec {
     assert(ham(h(1), h(3)) < ham(h(1), h(4)))
   }
 
+  test("maxBucket skew guard: capped candidates are a subset; hot bucket dropped") {
+    // 6 identical docs form a hot bucket in EVERY band (d²=15 pairs);
+    // docs 7/8 are a near-identical pair that should survive the cap
+    val corpus = docs((1L to 6L).map(i => i -> "alpha beta gamma delta epsilon zeta") ++ Seq(
+      7L -> "one two three four five six seven eight",
+      8L -> "one two three four five six seven eight"): _*)
+    def pairs(maxBucket: Long) =
+      rowsOf(TextPipeline.minhashCandidates(corpus, maxBucket = maxBucket))
+        .map(r => (r("doc_a"), r("doc_b"))).toSet
+    val (un, cap) = (pairs(0L), pairs(4L))
+    assert(cap.subsetOf(un), "capped candidates must be a subset of uncapped")
+    assert(un.contains((1L, 2L)) && !cap.contains((1L, 2L)),
+      "hot-bucket pairs must be dropped by the cap")
+    assert(cap.contains((7L, 8L)), "small-bucket pairs must survive the cap")
+    // simhash: same guard, same subset semantics
+    def sPairs(maxBucket: Long) =
+      rowsOf(TextPipeline.simhashCandidates(corpus, maxBucket = maxBucket))
+        .map(r => (r("doc_a"), r("doc_b"))).toSet
+    assert(sPairs(4L).subsetOf(sPairs(0L)))
+    assert(sPairs(4L).contains((7L, 8L)))
+    spark.catalog.clearCache()
+  }
+
   test("langId picks profile with most stopword hits") {
     val profiles = Map(
       "en" -> Seq("the", "and", "of"),
