@@ -31,9 +31,23 @@ object DocSynth {
 
   private def h(parts: Column*): Column = xxhash64(parts: _*)
 
-  private def word(seed: Column, i: Column, salt: Int): Column =
-    element_at(typedLit(vocab),
+  /** One word draw: a head word from the 31-word vocabulary, suffixed
+    * with a long-tail id for `tailPct`% of draws. The tail makes the
+    * token/shingle document-frequency distribution realistic — a real
+    * corpus has hot stop-words AND a long rare tail, and the df/bucket
+    * skew guards are only meaningfully exercisable when rare shingles
+    * exist to survive the caps (an all-stop-word corpus degenerates every
+    * df-capped operator to an empty result). */
+  private def word(seed: Column, i: Column, salt: Int,
+                   tailPct: Int, tailSize: Int): Column = {
+    val head = element_at(typedLit(vocab),
       (pmod(h(lit(salt), seed, i), lit(vocab.size)) + 1).cast("int"))
+    if (tailPct <= 0) head
+    else when(pmod(h(lit(salt + 100), seed, i), lit(100L)) < tailPct,
+        concat(head, lit("-"),
+          pmod(h(lit(salt + 200), seed, i), lit(tailSize.toLong))))
+      .otherwise(head)
+  }
 
   /** `nDocs` documents with the testdata schema
     * (doc_id, text, lang, source, n_chars).
@@ -45,7 +59,8 @@ object DocSynth {
     * identical for identical (nDocs, seed). */
   def documents(spark: SparkSession, nDocs: Long, seed: Long = 42L,
                 dupPpm: Long = 1600L, nearDupPpm: Long = 1600L,
-                nSources: Int = 20): DataFrame = {
+                nSources: Int = 20, tailPct: Int = 40,
+                tailSize: Int = 4000): DataFrame = {
     val id = col("id")
     val gate = pmod(h(lit(seed), lit("kind"), id), lit(1000000L))
     val isDup = id > 0 && gate < dupPpm
@@ -54,11 +69,12 @@ object DocSynth {
     val src = when(isDup || isNear, id - 1).otherwise(id)
     val nWords = (lit(10) + pmod(h(lit(seed), lit("len"), src), lit(91))).cast("int")
     val base = transform(sequence(lit(0), nWords - 1),
-      i => word(h(lit(seed), src), i, 1))
+      i => word(h(lit(seed), src), i, 1, tailPct, tailSize))
     // near-dup: rewrite the last two words from the OWN id's hash stream
     val words = when(isNear,
         concat(slice(base, lit(1), nWords - 2),
-          transform(sequence(lit(0), lit(1)), i => word(h(lit(seed), id), i, 2))))
+          transform(sequence(lit(0), lit(1)),
+            i => word(h(lit(seed), id), i, 2, tailPct, tailSize))))
       .otherwise(base)
     val langP = pmod(h(lit(seed), lit("lang"), id), lit(1000L))
     spark.range(nDocs).select(

@@ -16,9 +16,14 @@ class DocSynthSpec extends SparkSpec {
       Seq("doc_id" -> "long", "text" -> "string", "lang" -> "string",
         "source" -> "string", "n_chars" -> "long"))
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
-    val bad = a.select(explode(split(col("text"), " ")).as("w"))
-      .filter(!col("w").isin(DocSynth.vocab: _*)).count()
+    // every token is a head vocabulary word, optionally with a long-tail
+    // suffix; both head (hot) and tail (rare) tokens must be present
+    val toks = a.select(explode(split(col("text"), " ")).as("w"))
+    val bad = toks
+      .filter(!split(col("w"), "-").getItem(0).isin(DocSynth.vocab: _*)).count()
     assert(bad == 0L)
+    assert(toks.filter(col("w").contains("-")).count() > 0L, "tail tokens expected")
+    assert(toks.filter(!col("w").contains("-")).count() > 0L, "head tokens expected")
     val langs = rowsOf(a.select(collect_set("lang"))).head.values.head
       .asInstanceOf[scala.collection.Seq[String]].toSet
     assert(langs.subsetOf(Set("en", "zh", "es", "fr", "de")))
