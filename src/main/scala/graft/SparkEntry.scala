@@ -557,6 +557,12 @@ object SparkEntry {
     "q_dedup_cluster" -> ((s, dir) =>
       Curation.clusterComponents(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // same components via O(log²)-round large-star/small-star instead of
+    // O(diameter) label propagation — identical result, chain-proof rounds
+    "q_dedup_cluster_star" -> ((s, dir) =>
+      Curation.clusterComponents(Tables.documents(s, dir), star = true)
+        .orderBy("doc_id")),
+
     "q_sample_mix" -> ((s, dir) =>
       Curation.sampleBySource(Tables.documents(s, dir),
         Map("src0" -> 0L, "src1" -> 250000L, "src2" -> 500000L))
@@ -914,6 +920,9 @@ object SparkEntry {
        |)""".stripMargin
 
   def oracleSql: Map[String, String] = baseOracles +
+    // identical components from a different distributed algorithm
+    // (large-star/small-star) — same recursive-closure oracle
+    ("q_dedup_cluster_star" -> baseOracles("q_dedup_cluster")) +
     // recall@10 of probe-limited IVF vs brute-force ground truth — pure
     // composition of the two sub-oracles (full WITH queries are legal
     // derived tables in DuckDB)

@@ -426,6 +426,47 @@ class PipelineSpec extends SparkSpec {
     assert(Curation.connectedComponents(path, maxIter = 1).count() == 6)
   }
 
+  test("connectedComponentsStar: long path converges in O(log) rounds where label prop cannot") {
+    import graft.pipeline.Curation
+    // a 100-node path has diameter 99: label propagation inside its
+    // default maxIter budget cannot reach the fixpoint, large-star/
+    // small-star must (log² 100 ≈ 44 ≫ actual, a handful of rounds)
+    val path = (0L until 99L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comp = rowsOf(
+        Curation.connectedComponentsStar(path, requireConvergence = true))
+      .map(r => r("id") -> r("component")).toMap
+    assert(comp.size == 100 && comp.values.forall(_ == 0L))
+  }
+
+  test("connectedComponentsStar: equals label propagation on an arbitrary graph") {
+    import graft.pipeline.Curation
+    // deterministic pseudo-random multi-component graph with dup edges,
+    // reversed orientation and self-loops
+    val edges = (0 until 300).map { i =>
+      val a = (i * 131) % 97; val b = (i * 197 + 13) % 97
+      (a.toLong, b.toLong)
+    }.toDF("doc_a", "doc_b")
+    val star = rowsOf(Curation.connectedComponentsStar(edges, requireConvergence = true))
+      .map(r => r("id") -> r("component")).toMap
+    val label = rowsOf(Curation.connectedComponents(edges, maxIter = 100))
+      .map(r => r("id") -> r("component")).toMap
+    // same node set (minus pure-self-loop nodes label prop also keeps)
+    val selfOnly = label.keySet -- star.keySet
+    assert(selfOnly.forall(id => label(id) == id))
+    assert(star == label.filter { case (id, _) => star.contains(id) })
+  }
+
+  test("connectedComponentsStar: empty input, maxIter guard") {
+    import graft.pipeline.Curation
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Curation.connectedComponentsStar(empty).count() == 0)
+    val path = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Curation.connectedComponentsStar(path, maxIter = 1,
+        requireConvergence = true).collect()
+    }
+  }
+
   test("clusterDedup: one survivor per near-dup chain (pairwise would keep the middle)") {
     import graft.pipeline.Curation
     // a~b and b~c share 3-gram bands, a vs c drift further apart — the
