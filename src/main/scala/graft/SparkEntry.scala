@@ -603,6 +603,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // the build-once / search-many path: encode the corpus into a
+    // persisted index (parquet, codes partitioned by inverted list),
+    // reload it, search — must equal the monolithic annIvfPq exactly
+    "q_embed_ann_ivfpq_idx" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_idx"
+      pipeline.IvfPqIndex.build(emb, nlist = 10, m = 4, ksub = 16).save(idxDir)
+      pipeline.IvfPqIndex.load(s, idxDir)
+        .search(emb.filter(col("vec_id") < 10), nprobe = 3, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "q_ann_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 10)
@@ -923,6 +935,8 @@ object SparkEntry {
     // identical components from a different distributed algorithm
     // (large-star/small-star) — same recursive-closure oracle
     ("q_dedup_cluster_star" -> baseOracles("q_dedup_cluster")) +
+    // persisted-index search must equal the monolithic IVF-PQ — same oracle
+    ("q_embed_ann_ivfpq_idx" -> baseOracles("q_embed_ann_ivfpq")) +
     // recall@10 of probe-limited IVF vs brute-force ground truth — pure
     // composition of the two sub-oracles (full WITH queries are legal
     // derived tables in DuckDB)

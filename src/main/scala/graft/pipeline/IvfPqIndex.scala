@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.expressions.{VectorExpressions => Vec}
+
+/** Persisted IVF-PQ index: the build-once / search-many separation a
+  * production vector store runs at 100 TB. [[Similarity.annIvfPq]]
+  * re-derives the quantizer, codebook and corpus codes on every call —
+  * correct, but the encode pass is the expensive part (it touches every
+  * corpus vector) while searches only need the tiny broadcast tables
+  * plus the code lists. This splits them:
+  *
+  *   - [[IvfPqIndex.build]]: one corpus pass → centroids (nlist rows),
+  *     per-subspace codebook (m·ksub rows), and packed per-vector codes
+  *     (vec_id, cid, codes array) — the only corpus-sized artifact,
+  *     ~m bytes per vector instead of 4·dims.
+  *   - [[IvfPqIndex#save]] / [[IvfPqIndex.load]]: the three tables plus
+  *     a params row as plain parquet — readable by any engine, and the
+  *     codes table partitions by `cid` so a probe-limited search prunes
+  *     inverted lists at the FILE level (partition pruning on the scan,
+  *     the on-disk analogue of FAISS's inverted lists).
+  *   - [[IvfPqIndex#search]]: centroids/probes/codebook/query-table all
+  *     broadcast; the only corpus-sized work is the pruned codes scan +
+  *     one partial-agg shuffle keyed by (query, neighbor). Bit-identical
+  *     to [[Similarity.annIvfPq]] with the same parameters (spec-pinned
+  *     and oracle-checked), including after a save/load round trip.
+  *
+  * Derivations (scrambled-id sample quantizer, fixed-point ADC) match
+  * [[Similarity]] — see the Scaladoc there for why they are
+  * deterministic and engine-portable.
+  */
+final case class IvfPqIndex(centroids: DataFrame, codebook: DataFrame,
+                            codes: DataFrame, nlist: Int, m: Int, ksub: Int) {
+
+  /** Write the index under `dir` (params, centroids, codebook, codes).
+    * Codes partition by coarse centroid id so probe-limited reads prune
+    * whole inverted lists at the scan. */
+  def save(dir: String): Unit = {
+    val spark = centroids.sparkSession
+    import spark.implicits._
+    Seq((nlist, m, ksub)).toDF("nlist", "m", "ksub")
+      .write.mode("overwrite").parquet(s"$dir/params")
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    codebook.write.mode("overwrite").parquet(s"$dir/codebook")
+    codes.write.mode("overwrite").partitionBy("cid").parquet(s"$dir/codes")
+  }
+
+  /** Probe-limited ADC search over the prebuilt index — same output
+    * contract as [[Similarity.annIvfPq]]: (query_id, nbr_id, approx_d2,
+    * rank ≤ k). */
+  def search(queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      Similarity.asDouble(col("embedding")).as("qvec"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("csim", round(Vec.cosine(col("qvec"), col("cvec")), 6))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid").asc)))
+      .filter(col("crn") <= nprobe)
+      .select(col("query_id"), col("cid"))
+    val qtable = q
+      .select(col("query_id"), col("qvec"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .withColumn("qsubvec", Similarity.subSlice(col("qvec"), col("sub"), m))
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("qd2u",
+        round(Vec.l2Squared(col("qsubvec"), col("csubvec")) * 1000000.0d)
+          .cast("long"))
+      .select("query_id", "sub", "code", "qd2u")
+    codes.join(broadcast(probes), Seq("cid"))
+      .select(col("query_id"), col("vec_id").as("nbr_id"),
+        posexplode(col("codes")))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "code")
+      .join(broadcast(qtable), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("nbr_id"))
+      .agg(sum("qd2u").as("d2u"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("approx_d2", round(col("d2u") / 1000000.0d, 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d2u").asc, col("nbr_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "approx_d2", "rank")
+  }
+}
+
+object IvfPqIndex {
+
+  /** One corpus encode pass (the expensive part, paid once): coarse
+    * assignment against the broadcast quantizer + PQ code assignment
+    * against the broadcast codebook, packed to one row per vector. */
+  def build(embeddings: DataFrame, nlist: Int, m: Int = 4,
+            ksub: Int = 16): IvfPqIndex = {
+    val e = embeddings.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("vec"))
+    // one collected scrambled-id sample serves both broadcast sides
+    // (same derivation as annIvfPq — prefix property keeps them equal)
+    val sample = Similarity.collectedSample(e, math.max(nlist, ksub))
+    val cents = sample.limit(nlist)
+    val coarse = e.crossJoin(broadcast(cents))
+      .withColumn("csim", round(Vec.cosine(col("vec"), col("cvec")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"))
+    val (codebook, assignment) =
+      Similarity.pqAssign(e, m, ksub, Some(sample.limit(ksub)))
+    val packed = assignment
+      .groupBy("vec_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+    IvfPqIndex(cents, codebook, packed.join(coarse, Seq("vec_id")),
+      nlist, m, ksub)
+  }
+
+  /** Read an index written by [[IvfPqIndex#save]]. */
+  def load(spark: SparkSession, dir: String): IvfPqIndex = {
+    val p = spark.read.parquet(s"$dir/params").head()
+    IvfPqIndex(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/codebook"),
+      spark.read.parquet(s"$dir/codes"),
+      p.getAs[Int]("nlist"), p.getAs[Int]("m"), p.getAs[Int]("ksub"))
+  }
+}

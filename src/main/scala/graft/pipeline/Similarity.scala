@@ -20,7 +20,7 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
-  private def asDouble(c: org.apache.spark.sql.Column) = c.cast("array<double>")
+  private[pipeline] def asDouble(c: org.apache.spark.sql.Column) = c.cast("array<double>")
 
   /** Exact top-k cosine neighbors for each query vector.
     * The queries side is broadcast (small); ranking is per-query via a
@@ -70,7 +70,7 @@ object Similarity {
     * corpus sample: a linear-congruential hash on the id, bounded by a
     * pre-mod so the arithmetic never overflows int64 (SQL-portable for
     * the oracle). */
-  private def idScramble(id: org.apache.spark.sql.Column) =
+  private[pipeline] def idScramble(id: org.apache.spark.sql.Column) =
     pmod(pmod(id, lit(1048576L)) * 2654435761L + 40503L, lit(1048576L))
 
   /** Top-n of the deterministic scrambled-id order, materialized ONCE
@@ -79,7 +79,7 @@ object Similarity {
     * prefixes of this order ([[annIvfPq]]: nlist coarse centroids + ksub
     * codebook rows) derive them all from the one frame with local
     * `limit`s instead of paying a full corpus scan per broadcast side. */
-  private def collectedSample(e: DataFrame, n: Int): DataFrame = {
+  private[pipeline] def collectedSample(e: DataFrame, n: Int): DataFrame = {
     val top = e.orderBy(idScramble(col("vec_id")).asc, col("vec_id").asc)
       .limit(n)
       .select(col("vec_id").as("cid"), col("vec").as("cvec"))
@@ -184,7 +184,7 @@ object Similarity {
     * subspace absorbs the `dim % m` remainder so no component is dropped
     * when the embedding dimension is not divisible by m (FAISS instead
     * requires d % m == 0); for divisible dims this is the even split. */
-  private def subSlice(vec: org.apache.spark.sql.Column,
+  private[pipeline] def subSlice(vec: org.apache.spark.sql.Column,
                        sub: org.apache.spark.sql.Column, m: Int) = {
     val w = (size(vec) / m).cast("int")
     slice(vec, sub * w + 1,
@@ -202,7 +202,7 @@ object Similarity {
     * (round(d²·1e6) as long) so every downstream sum/compare is exact
     * integer arithmetic — reproducible across engines and partition
     * orders. */
-  private def pqAssign(e: DataFrame, m: Int, ksub: Int,
+  private[pipeline] def pqAssign(e: DataFrame, m: Int, ksub: Int,
                        sample: Option[DataFrame] = None) = {
     val subIdx = explode(sequence(lit(0), lit(m - 1))).as("sub")
     val cents = sample.getOrElse(

@@ -426,6 +426,29 @@ class PipelineSpec extends SparkSpec {
     assert(Curation.connectedComponents(path, maxIter = 1).count() == 6)
   }
 
+  test("IvfPqIndex: build/search equals monolithic annIvfPq; save/load round-trips") {
+    import graft.pipeline.{IvfPqIndex, Similarity}
+    val emb = (0L until 120L).map { i =>
+      (i, (0 until 16).map(d => ((i * 31 + d * 7) % 13 - 6).toFloat / 6f))
+    }.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 5)
+    val direct = Similarity.annIvfPq(emb, queries,
+      nlist = 8, nprobe = 3, m = 4, ksub = 8, k = 5)
+    val idx = IvfPqIndex.build(emb, nlist = 8, m = 4, ksub = 8)
+    val viaIndex = idx.search(queries, nprobe = 3, k = 5)
+    assert(viaIndex.exceptAll(direct).isEmpty && direct.exceptAll(viaIndex).isEmpty)
+
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    idx.save(dir)
+    val loaded = IvfPqIndex.load(spark, dir)
+    assert((loaded.nlist, loaded.m, loaded.ksub) == (8, 4, 8))
+    val viaLoaded = loaded.search(queries, nprobe = 3, k = 5)
+    assert(viaLoaded.exceptAll(direct).isEmpty && direct.exceptAll(viaLoaded).isEmpty)
+    // search-side joins stay broadcast: no sort-merge join over the codes
+    val plan = viaLoaded.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"))
+  }
+
   test("connectedComponentsStar: long path converges in O(log) rounds where label prop cannot") {
     import graft.pipeline.Curation
     // a 100-node path has diameter 99: label propagation inside its
