@@ -579,6 +579,21 @@ object SparkEntry {
       TextPipeline.simhashCandidates(Tables.documents(s, dir))
         .orderBy("doc_a", "doc_b")),
 
+    // incremental ingest (two batches against an append-only band-key
+    // store) must reproduce the batch candidate set exactly
+    "q_minhash_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val storeDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_inc_dedup"
+      val p = new org.apache.hadoop.fs.Path(storeDir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true) // fresh store per run
+      pipeline.IncrementalDedup.ingest(storeDir, docs.filter(col("doc_id") < 250))
+        .union(
+          pipeline.IncrementalDedup.ingest(storeDir, docs.filter(col("doc_id") >= 250)))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // skew guard engaged: at sf0.01 one band bucket holds ALL 500 docs
     // (degenerate band under the tiny synthetic vocabulary) — exactly the
     // hot-bucket shape the cap exists for
@@ -937,6 +952,8 @@ object SparkEntry {
     ("q_dedup_cluster_star" -> baseOracles("q_dedup_cluster")) +
     // persisted-index search must equal the monolithic IVF-PQ — same oracle
     ("q_embed_ann_ivfpq_idx" -> baseOracles("q_embed_ann_ivfpq")) +
+    // incremental two-batch ingest reproduces the batch candidate set
+    ("q_minhash_incremental" -> baseOracles("q_minhash_candidates")) +
     // recall@10 of probe-limited IVF vs brute-force ground truth — pure
     // composition of the two sub-oracles (full WITH queries are legal
     // derived tables in DuckDB)

@@ -315,10 +315,13 @@ object Curation {
     * then chunking. Every stage is stateless or watermark-bounded, so the
     * pipeline runs in APPEND mode with bounded state — the shape for
     * curating a continuously-arriving corpus instead of re-batching it.
-    * Near-dup/cluster stages stay batch: candidate generation needs
-    * corpus-wide self-joins that have no bounded-state streaming form;
-    * run them as periodic compaction over the chunk store. Input must
-    * carry an `event_time` column. */
+    * Near-dup/cluster stages stay out of the stream: corpus-wide
+    * self-joins have no bounded-state streaming form — run
+    * [[IncrementalDedup.ingest]] per micro-batch (foreachBatch) instead,
+    * which emits each candidate pair exactly once against an append-only
+    * band-key store (see its Scaladoc; parity with the batch operator is
+    * spec- and oracle-pinned). Input must carry an `event_time`
+    * column. */
   def curateStream(docs: DataFrame, watermark: String = "1 hour",
                    minTokens: Int = 1, chunkSize: Int = 64,
                    stride: Int = 48): DataFrame =

@@ -426,6 +426,31 @@ class PipelineSpec extends SparkSpec {
     assert(Curation.connectedComponents(path, maxIter = 1).count() == 6)
   }
 
+  test("IncrementalDedup: batched ingest reproduces batch candidates, no re-emission") {
+    import graft.pipeline.{IncrementalDedup, TextPipeline}
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = (0L until 60L).map { i =>
+      val text = if (i % 7 == 0) a
+      else if (i % 7 == 1) a.replace("kappa", s"mut$i")
+      else s"unique words only document number $i with filler ${i * 31}"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("inc_dedup").toString
+    // three uneven increments
+    val outs = Seq(
+      IncrementalDedup.ingest(dir, corpus.filter(col("doc_id") < 15)),
+      IncrementalDedup.ingest(dir, corpus.filter(col("doc_id") >= 15 && col("doc_id") < 40)),
+      IncrementalDedup.ingest(dir, corpus.filter(col("doc_id") >= 40)))
+    val all = outs.reduce(_ union _)
+    // exactly-once: increments are disjoint even before distinct
+    assert(all.count() == all.distinct().count())
+    val batch = TextPipeline.minhashCandidates(corpus)
+    assert(all.exceptAll(batch).isEmpty && batch.exceptAll(all).isEmpty)
+    // every pair lands in the increment of its LATER member
+    val firstOut = outs.head
+    assert(firstOut.filter(col("doc_b") >= 15).count() == 0)
+  }
+
   test("IvfPqIndex: build/search equals monolithic annIvfPq; save/load round-trips") {
     import graft.pipeline.{IvfPqIndex, Similarity}
     val emb = (0L until 120L).map { i =>

@@ -603,6 +603,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup compaction: foreachBatch ingest equals batch candidates") {
+    // the compaction path curateStream documents: per micro-batch,
+    // IncrementalDedup.ingest emits each candidate pair exactly once
+    // (at the ingest of its later member) against the append-only store
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.{IncrementalDedup, TextPipeline}
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    def text(i: Long) =
+      if (i % 5 == 0) base
+      else if (i % 5 == 1) base.replace("kappa", s"mut$i")
+      else s"unique words only document number $i filler ${i * 31}"
+    val storeDir =
+      java.nio.file.Files.createTempDirectory("inc_dedup_stream").toString
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val got = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= IncrementalDedup.ingest(storeDir, batch).collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+        }
+        ()
+      }
+      .outputMode(OutputMode.Append()).start()
+    val corpus = (0L until 40L).map(i => (i, text(i)))
+    try {
+      val (b1, rest) = corpus.splitAt(13)
+      val (b2, b3) = rest.splitAt(14)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
+      val batchPairs = TextPipeline
+        .minhashCandidates(corpus.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.synchronized(got.toSet) == batchPairs)
+    } finally q.stop()
+  }
+
   test("streaming pattern finder: classify composes on the biflow join stream") {
     implicit val sqlCtx = spark.sqlContext
     import graft.analytics.PatternFinder
