@@ -729,6 +729,9 @@ object SparkEntry {
     "q_embed_ann_ivf", "q_media_features",
     "q_dedup_cluster", "q_simhash_candidates", "q_curate",
     "q_embed_ann_ivfpq",
+    // O(log²)-round CC vs q_dedup_cluster's O(diameter) — same result,
+    // round-count tradeoff tracked side by side
+    "q_dedup_cluster_star",
     // capped twin of q_simhash_candidates: tracks what the hot-bucket
     // skew guard saves (the 100 TB configuration)
     "q_simhash_candidates_capped")
