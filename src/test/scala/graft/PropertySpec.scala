@@ -127,4 +127,49 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: connectedComponentsStar equals label propagation on random graphs") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    val edgeGen = Gen.listOfN(10,
+      Gen.zip(Gen.choose(0L, 14L), Gen.choose(0L, 14L)).suchThat(p => p._1 != p._2))
+    forAll(edgeGen, 8) { edges =>
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val star = rowsOf(
+          Curation.connectedComponentsStar(pairs, requireConvergence = true))
+        .map(r => r("id").asInstanceOf[Long] -> r("component").asInstanceOf[Long])
+        .toMap
+      val label = rowsOf(Curation.connectedComponents(pairs, maxIter = 50))
+        .map(r => r("id").asInstanceOf[Long] -> r("component").asInstanceOf[Long])
+        .toMap
+      assert(star == label, s"edges=$edges")
+    }
+  }
+
+  test("property: incremental ingest over any batch split equals batch candidates") {
+    import spark.implicits._
+    import graft.pipeline.{IncrementalDedup, TextPipeline}
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = (0L until 24L).map { i =>
+      val text = if (i % 4 == 0) base
+      else if (i % 4 == 1) base.replace("theta", s"mut$i")
+      else s"unique words only document number $i filler ${i * 31}"
+      (i, text)
+    }
+    val batch = TextPipeline.minhashCandidates(corpus.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // random split points into 1..4 batches; ingest order = corpus order
+    val cutsGen = Gen.listOfN(3, Gen.choose(0, 24)).map(_.distinct.sorted)
+    forAll(cutsGen, 5) { cuts =>
+      val dir = java.nio.file.Files.createTempDirectory("inc_prop").toString
+      val bounds = (0 +: cuts :+ 24).distinct.sorted
+      val got = bounds.zip(bounds.tail).flatMap { case (lo, hi) =>
+        IncrementalDedup.ingest(dir,
+          corpus.slice(lo, hi).toDF("doc_id", "text"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+      }
+      assert(got.size == got.toSet.size, s"re-emission for cuts=$cuts")
+      assert(got.toSet == batch, s"cuts=$cuts")
+    }
+  }
 }
