@@ -20,6 +20,14 @@ import graft.pipeline.Curation
   *
   * Omitting --benchmark skips decontamination; omitting --rates keeps
   * every source at full weight.
+  *
+  * `--compact-store <dir>` switches to the periodic COMPACTION job for a
+  * streaming/incrementally-ingested corpus: the input batch is band-keyed
+  * and joined against the append-only store
+  * ([[graft.pipeline.IncrementalDedup]]), the output is the batch's
+  * candidate pairs (doc_a, doc_b), and the store grows by the batch's
+  * keys. Scheduling one such run per ingest increment reproduces exactly
+  * the batch operator's candidate set over the whole corpus.
   */
 object CurateApp {
 
@@ -31,17 +39,27 @@ object CurateApp {
       n: Int = 3, k: Int = 16, bands: Int = 4,
       rates: Map[String, Long] = Map.empty, // source -> keep ppm
       defaultPpm: Long = 1000000L,
-      chunkSize: Int = 64, stride: Int = 48)
+      chunkSize: Int = 64, stride: Int = 48,
+      compactStore: Option[String] = None,
+      maxBucket: Long = 0L)
 
-  /** Build the curation pipeline frame (lazy — callers choose the sink). */
+  /** Build the curation pipeline frame (lazy — callers choose the sink),
+    * or run a compaction increment when `--compact-store` is set (eager
+    * by nature: the store append happens here). */
   def run(spark: SparkSession, c: Config): DataFrame = {
     require(c.input.nonEmpty, "need --input <documents parquet>")
     val docs = spark.read.parquet(c.input)
-    val bench = c.benchmark.map(spark.read.parquet(_))
-      // no benchmark -> empty eval set -> decontamination is a no-op
-      .getOrElse(docs.limit(0))
-    Curation.curate(docs, bench, c.maxDupWordFrac, c.n, c.k, c.bands,
-      c.rates, c.defaultPpm, c.chunkSize, c.stride)
+    c.compactStore match {
+      case Some(store) =>
+        graft.pipeline.IncrementalDedup.ingest(store, docs, c.n, c.k,
+          c.bands, c.maxBucket)
+      case None =>
+        val bench = c.benchmark.map(spark.read.parquet(_))
+          // no benchmark -> empty eval set -> decontamination is a no-op
+          .getOrElse(docs.limit(0))
+        Curation.curate(docs, bench, c.maxDupWordFrac, c.n, c.k, c.bands,
+          c.rates, c.defaultPpm, c.chunkSize, c.stride)
+    }
   }
 
   private def parseRates(v: String): Map[String, Long] =
@@ -65,6 +83,9 @@ object CurateApp {
       case "--default-ppm" :: v :: t => loop(t, c.copy(defaultPpm = v.toLong))
       case "--chunk-size" :: v :: t => loop(t, c.copy(chunkSize = v.toInt))
       case "--stride" :: v :: t    => loop(t, c.copy(stride = v.toInt))
+      case "--compact-store" :: v :: t =>
+        loop(t, c.copy(compactStore = Some(v)))
+      case "--max-bucket" :: v :: t => loop(t, c.copy(maxBucket = v.toLong))
       case Nil => c
       case other :: _ => throw new IllegalArgumentException(s"unknown arg $other")
     }

@@ -73,6 +73,30 @@ class GraftAppSpec extends SparkSpec {
       == Set(1L, 4L, 5L))
   }
 
+  test("CurateApp --compact-store: two increments reproduce the batch candidate set") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    def text(i: Long) =
+      if (i % 5 == 0) base
+      else if (i % 5 == 1) base.replace("kappa", s"mut$i")
+      else s"unique words only document number $i filler ${i * 31}"
+    val corpus = (0L until 30L).map(i => (i, text(i), "srcA"))
+    val store = java.nio.file.Files.createTempDirectory("compstore").toString
+    def ingestVia(range: Range): Set[(Long, Long)] = {
+      val in = java.nio.file.Files.createTempDirectory("compin").toString
+      corpus.slice(range.start, range.end).toDF("doc_id", "text", "source")
+        .write.mode("overwrite").parquet(in)
+      CurateApp.run(spark, CurateApp.parse(Array(
+          "--input", in, "--compact-store", store)))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val got = ingestVia(0 until 12) ++ ingestVia(12 until 30)
+    val batch = graft.pipeline.TextPipeline
+      .minhashCandidates(corpus.toDF("doc_id", "text", "source"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch)
+  }
+
   test("GraftApp end-to-end: dst_ip/flow_id-consuming analytic over wire JSON") {
     val in = java.nio.file.Files.createTempDirectory("appin2").toString
     val out = java.nio.file.Files.createTempDirectory("appout2").toString
