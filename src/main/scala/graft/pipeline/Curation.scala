@@ -402,11 +402,12 @@ object Curation {
              n: Int = 3, k: Int = 16, bands: Int = 4,
              ratesPpm: Map[String, Long] = Map.empty,
              defaultPpm: Long = 1000000L,
-             chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+             chunkSize: Int = 64, stride: Int = 48,
+             star: Boolean = false): DataFrame = {
     val keptIds = repetitionStats(docs)
       .filter(col("dup_word_frac") <= maxDupWordFrac).select("doc_id")
     val kept = docs.join(keptIds, Seq("doc_id"))
-    val survivors = clusterComponents(kept, n, k, bands)
+    val survivors = clusterComponents(kept, n, k, bands, star)
       .filter(col("doc_id") === col("component")).select("doc_id")
     val deduped = kept.join(survivors, Seq("doc_id"))
     val clean = decontaminate(deduped, benchmark, n)

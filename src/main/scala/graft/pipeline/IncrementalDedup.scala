@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Incremental near-dup candidate maintenance — the compaction path
   * [[Curation.curateStream]] defers to batch. A streaming corpus cannot
@@ -11,24 +12,29 @@ import org.apache.spark.sql.functions._
   * require the historical band-key table, which is an append-only
   * parquet store, not streaming state.
   *
-  * Per increment ([[ingest]]):
-  *   1. band-key the new batch (the same [[TextPipeline.minhashLsh]]
-  *      signature derivation as the batch operator — parity is exact);
+  * Per increment ([[ingest]] / [[ingestSimhash]] / [[ingestEmbeddings]]):
+  *   1. band-key the new batch with the SAME key derivation as the
+  *      corresponding batch operator ([[TextPipeline.minhashLsh]] /
+  *      [[TextPipeline.simhashBandKeys]] / [[Similarity.lshBandKeys]]),
+  *      so buckets agree by construction;
   *   2. candidates = (new × new within the batch) ∪ (store × new on
   *      shared bucket) — the new side of the cross join is the small
   *      side (one increment vs the whole history) and is broadcast;
-  *   3. append the new keys to the store.
+  *   3. verify schemes re-attach signatures/vectors (from the payload
+  *      store plus the batch) for the exact hamming/cosine confirmation
+  *      the batch operator applies;
+  *   4. append the batch's keys (and payload) to the store.
   *
   * Every candidate pair is emitted exactly once, at the ingest of its
   * LATER member — so the union of all increments' outputs equals the
-  * batch operator over the union of all batches (spec-pinned and
-  * oracle-checked). The store only ever grows by the increment's keys;
-  * nothing is rewritten, which is what makes this run as a foreachBatch
-  * against a 100 TB history.
+  * batch operator over the union of all batches (spec-pinned per scheme
+  * and oracle-checked). The store only ever grows by the increment's
+  * rows; nothing is rewritten, which is what makes this run as a
+  * foreachBatch against a 100 TB history.
   *
-  * The store is read from an explicit file-list snapshot taken at
-  * ingest time, so a lazily-evaluated candidates frame stays pinned to
-  * the pre-append store even after later ingests append files.
+  * Store reads use an explicit file-list snapshot taken at ingest time
+  * and results are pinned with an eager localCheckpoint, so a
+  * lazily-held candidates frame never sees later appends.
   *
   * `maxBucket` caps the STORE-side bucket size at each ingest (hot
   * boilerplate buckets would otherwise make every future increment pay
@@ -42,47 +48,140 @@ object IncrementalDedup {
             bands: Int = 4): DataFrame =
     TextPipeline.minhashLsh(docs, n, k, bands).select("doc_id", "bucket")
 
-  private def keysDir(dir: String) = s"$dir/keys"
+  // ----- store plumbing ---------------------------------------------------
 
-  /** Snapshot of the store's current parquet files (empty frame with the
-    * right schema when the store doesn't exist yet). */
-  private def storeSnapshot(spark: SparkSession, dir: String): DataFrame = {
-    val p = new Path(keysDir(dir))
+  /** Snapshot of a store table's current parquet files (empty frame with
+    * `schema` when the table doesn't exist yet). */
+  private def snapshot(spark: SparkSession, dir: String, table: String,
+                       schema: StructType): DataFrame = {
+    val p = new Path(s"$dir/$table")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files =
       if (!fs.exists(p)) Array.empty[String]
       else fs.listStatus(p).map(_.getPath.toString)
         .filter(f => f.endsWith(".parquet"))
     if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("bucket",
-            org.apache.spark.sql.types.StringType))))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.parquet(files: _*)
   }
 
+  private def keySchema(idCol: String) = StructType(Seq(
+    StructField(idCol, LongType), StructField("bucket", StringType)))
+
+  /** Core exactly-once pair emission: (new × new) ∪ (capped store × new,
+    * new side broadcast), oriented a < b. Caller appends the keys AFTER
+    * materializing its result. */
+  private def keyedPairs(store: DataFrame, newKeys: DataFrame,
+                         idCol: String, outA: String, outB: String,
+                         maxBucket: Long): DataFrame = {
+    val capped = TextPipeline.capBuckets(store, maxBucket)
+    val within = newKeys.as("a").join(newKeys.as("b"),
+        col(s"a.bucket") === col(s"b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as(outA), col(s"b.$idCol").as(outB))
+    val cross = capped.as("s").join(broadcast(newKeys.as("nw")),
+        col(s"s.bucket") === col(s"nw.bucket") &&
+          col(s"s.$idCol") =!= col(s"nw.$idCol"))
+      .select(least(col(s"s.$idCol"), col(s"nw.$idCol")).as(outA),
+        greatest(col(s"s.$idCol"), col(s"nw.$idCol")).as(outB))
+    within.union(cross).distinct()
+  }
+
+  // ----- minhash scheme (word-shingle Jaccard candidates) -----------------
+
   /** Ingest one batch: return its candidate pairs (within-batch and
     * against the pre-existing store, `doc_a < doc_b`), then append the
-    * batch's band keys to the store. */
+    * batch's band keys to the store. Batch twin:
+    * [[TextPipeline.minhashCandidates]]. */
   def ingest(dir: String, docs: DataFrame, n: Int = 3, k: Int = 16,
              bands: Int = 4, maxBucket: Long = 0L): DataFrame = {
     val spark = docs.sparkSession
     val newKeys = index(docs, n, k, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val store = TextPipeline.capBuckets(storeSnapshot(spark, dir), maxBucket)
-    val within = newKeys.as("a").join(newKeys.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val cross = store.as("s").join(broadcast(newKeys.as("nw")),
-        col("s.bucket") === col("nw.bucket") && col("s.doc_id") =!= col("nw.doc_id"))
-      .select(least(col("s.doc_id"), col("nw.doc_id")).as("doc_a"),
-        greatest(col("s.doc_id"), col("nw.doc_id")).as("doc_b"))
-    val result = within.union(cross).distinct()
-      .localCheckpoint(true) // pin results before the store grows
-    newKeys.write.mode("append").parquet(keysDir(dir))
+    val store = snapshot(spark, dir, "keys", keySchema("doc_id"))
+    val result =
+      keyedPairs(store, newKeys, "doc_id", "doc_a", "doc_b", maxBucket)
+        .localCheckpoint(true) // pin results before the store grows
+    newKeys.write.mode("append").parquet(s"$dir/keys")
     newKeys.unpersist()
+    result
+  }
+
+  // ----- simhash scheme (Hamming-confirmed candidates) --------------------
+
+  /** Simhash ingest: bit-band candidate pairing plus the exact Hamming
+    * confirmation over full 47-bit signatures (old signatures read from
+    * the payload store). Output (doc_a, doc_b, hamming) — batch twin:
+    * [[TextPipeline.simhashCandidates]]. */
+  def ingestSimhash(dir: String, docs: DataFrame, bands: Int = 4,
+                    maxHamming: Int = 3, maxBucket: Long = 0L): DataFrame = {
+    val spark = docs.sparkSession
+    val newSigs = TextPipeline.simhash(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newKeys = newSigs.select(col("doc_id"),
+      explode(TextPipeline.simhashBandKeys(col("simhash"), bands)).as("bucket"))
+    val storeKeys = snapshot(spark, dir, "keys", keySchema("doc_id"))
+    val pairs =
+      keyedPairs(storeKeys, newKeys, "doc_id", "doc_a", "doc_b", maxBucket)
+    val sigs = snapshot(spark, dir, "sigs", StructType(Seq(
+        StructField("doc_id", LongType), StructField("simhash", LongType))))
+      .union(newSigs)
+    val result = pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a")),
+        Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b")),
+        Seq("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .localCheckpoint(true)
+    newKeys.write.mode("append").parquet(s"$dir/keys")
+    newSigs.write.mode("append").parquet(s"$dir/sigs")
+    newSigs.unpersist()
+    result
+  }
+
+  // ----- embedding scheme (cosine-confirmed sign-LSH candidates) ----------
+
+  /** Embedding ingest: banded sign-LSH candidate pairing plus the exact
+    * cosine confirmation (old vectors read from the payload store).
+    * Output (vec_a, vec_b, cosine) — batch twin:
+    * [[Similarity.annLshBanded]]. */
+  def ingestEmbeddings(dir: String, embeddings: DataFrame, planes: Int,
+                       bands: Int, minCosine: Double,
+                       maxBucket: Long = 0L): DataFrame = {
+    val spark = embeddings.sparkSession
+    val newVecs = embeddings
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newKeys = newVecs
+      .withColumn("signs", Similarity.lshSignBits(col("vec"), planes))
+      .select(col("vec_id"),
+        explode(Similarity.lshBandKeys(col("signs"), planes, bands)).as("bucket"))
+    val storeKeys = snapshot(spark, dir, "keys", keySchema("vec_id"))
+    val pairs =
+      keyedPairs(storeKeys, newKeys, "vec_id", "vec_a", "vec_b", maxBucket)
+    val vecs = snapshot(spark, dir, "vecs", StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("vec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+      .union(newVecs)
+    val result = pairs
+      .join(vecs.select(col("vec_id").as("vec_a"), col("vec").as("va")),
+        Seq("vec_a"))
+      .join(vecs.select(col("vec_id").as("vec_b"), col("vec").as("vb")),
+        Seq("vec_b"))
+      .withColumn("cosine",
+        round(graft.expressions.VectorExpressions.cosine(col("va"), col("vb")), 4))
+      .filter(col("cosine") >= minCosine)
+      .select("vec_a", "vec_b", "cosine")
+      .localCheckpoint(true)
+    newKeys.write.mode("append").parquet(s"$dir/keys")
+    newVecs.write.mode("append").parquet(s"$dir/vecs")
+    newVecs.unpersist()
     result
   }
 }

@@ -478,17 +478,25 @@ object Similarity {
     * turns the join quadratic). Recall loss is confined to pairs agreeing
     * only on an over-cap band. <= 0 disables (the oracle-checked
     * default). */
+  /** Band keys over a sign-bit string (band index + the band's sign
+    * substring). Shared by the batch generator and incremental ingest so
+    * buckets agree by construction. */
+  private[pipeline] def lshBandKeys(signs: org.apache.spark.sql.Column,
+                                    planes: Int, bands: Int): org.apache.spark.sql.Column = {
+    require(planes % bands == 0, "bands must divide planes")
+    val perBand = planes / bands
+    array((0 until bands).map(b =>
+      concat_ws("_", lit(b),
+        substring(signs, b * perBand + 1, perBand))): _*)
+  }
+
   def annLshBandedCached(embeddings: DataFrame, planes: Int, bands: Int,
                          minCosine: Double,
                          maxBucket: Long = 0L): graft.core.Cached[DataFrame] = {
-    require(planes % bands == 0, "bands must divide planes")
-    val perBand = planes / bands
     val sig = embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
       .withColumn("signs", lshSignBits(col("vec"), planes))
-    val bandKeys = array((0 until bands).map(b =>
-      concat_ws("_", lit(b),
-        substring(col("signs"), b * perBand + 1, perBand))): _*)
+    val bandKeys = lshBandKeys(col("signs"), planes, bands)
     // persisted: both self-join sides read the buckets, and the sign
     // computation (planes × dims fold) is the expensive part; the
     // hot-bucket list reads the persisted frame (cheap cached scan)

@@ -247,20 +247,29 @@ object TextPipeline {
 
   /** [[simhashCandidates]] with an explicit release handle for the
     * persisted signature frame. */
-  def simhashCandidatesCached(docs: DataFrame, bands: Int = 4,
-                              maxHamming: Int = 3,
-                              maxBucket: Long = 0L): graft.core.Cached[DataFrame] = {
+  /** Bit-band keys over a 47-bit simhash signature (band index + the
+    * band's bit value — collision-free, portable). Shared by the batch
+    * candidate generator and the incremental ingest so their buckets are
+    * identical by construction. */
+  private[pipeline] def simhashBandKeys(sim: org.apache.spark.sql.Column,
+                                        bands: Int): org.apache.spark.sql.Column = {
     require(bands >= 1 && bands <= 47, "bands must be in [1, 47]")
     val width = 47 / bands
-    val sigs = simhash(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandKeys = array((0 until bands).map { b =>
+    array((0 until bands).map { b =>
       val lo = b * width
       val len = if (b == bands - 1) 47 - lo else width
       concat_ws("_", lit(b),
-        shiftrightunsigned(col("simhash"), lo)
+        shiftrightunsigned(sim, lo)
           .bitwiseAND(lit((1L << len) - 1)).cast("string"))
     }: _*)
+  }
+
+  def simhashCandidatesCached(docs: DataFrame, bands: Int = 4,
+                              maxHamming: Int = 3,
+                              maxBucket: Long = 0L): graft.core.Cached[DataFrame] = {
+    val sigs = simhash(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandKeys = simhashBandKeys(col("simhash"), bands)
     // bucket cap reads the explode of the PERSISTED sigs — cheap rescan
     val buckets = capBuckets(
       sigs.select(col("doc_id"), explode(bandKeys).as("bucket")), maxBucket)

@@ -451,6 +451,46 @@ class PipelineSpec extends SparkSpec {
     assert(firstOut.filter(col("doc_b") >= 15).count() == 0)
   }
 
+  test("IncrementalDedup.ingestSimhash: batched ingest equals batch simhash candidates") {
+    import graft.pipeline.{IncrementalDedup, TextPipeline}
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = (0L until 45L).map { i =>
+      val text = if (i % 6 == 0) base
+      else if (i % 6 == 1) base.replace("kappa", s"mut$i")
+      else s"unique words only document number $i with filler ${i * 31}"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("inc_simhash").toString
+    val all = Seq(0L -> 20L, 20L -> 33L, 33L -> 45L).map { case (lo, hi) =>
+      IncrementalDedup.ingestSimhash(dir,
+        corpus.filter(col("doc_id") >= lo && col("doc_id") < hi))
+    }.reduce(_ union _)
+    assert(all.count() == all.distinct().count())
+    val batch = TextPipeline.simhashCandidates(corpus)
+    assert(all.exceptAll(batch).isEmpty && batch.exceptAll(all).isEmpty)
+  }
+
+  test("IncrementalDedup.ingestEmbeddings: batched ingest equals annLshBanded") {
+    import graft.pipeline.{IncrementalDedup, Similarity}
+    val emb = (0L until 90L).map { i =>
+      val seed = i % 9 // nine clusters of ten near-identical vectors
+      (i, (0 until 12).map(d =>
+        (((seed * 31 + d * 7) % 13 - 6).toFloat / 6f) +
+          (i.toFloat / 10000f)))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("inc_emb").toString
+    val all = Seq(0L -> 30L, 30L -> 70L, 70L -> 90L).map { case (lo, hi) =>
+      IncrementalDedup.ingestEmbeddings(dir,
+        emb.filter(col("vec_id") >= lo && col("vec_id") < hi),
+        planes = 8, bands = 2, minCosine = 0.9)
+    }.reduce(_ union _)
+    assert(all.count() == all.distinct().count())
+    val batch = Similarity.annLshBanded(emb, planes = 8, bands = 2,
+      minCosine = 0.9)
+    assert(all.exceptAll(batch).isEmpty && batch.exceptAll(all).isEmpty)
+    assert(batch.count() > 0) // parity must not be vacuous
+  }
+
   test("IvfPqIndex: build/search equals monolithic annIvfPq; save/load round-trips") {
     import graft.pipeline.{IvfPqIndex, Similarity}
     val emb = (0L until 120L).map { i =>
