@@ -575,8 +575,12 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // tileTarget spreads the degenerate band bucket's d² pair generation
+    // over tile-pair keys — identical output (oracle-checked), but the
+    // single 9s reducer task becomes ~T²/2 parallel tasks
     "q_simhash_candidates" -> ((s, dir) =>
-      TextPipeline.simhashCandidates(Tables.documents(s, dir))
+      TextPipeline.simhashCandidates(Tables.documents(s, dir),
+          tileTarget = 500L)
         .orderBy("doc_a", "doc_b")),
 
     // incremental ingest (two batches against an append-only band-key

@@ -242,11 +242,11 @@ object TextPipeline {
     * pairs agreeing solely on an over-cap band are lost, and with it the
     * pigeonhole guarantee for members of over-cap buckets). <= 0 off. */
   def simhashCandidates(docs: DataFrame, bands: Int = 4,
-                        maxHamming: Int = 3, maxBucket: Long = 0L): DataFrame =
-    simhashCandidatesCached(docs, bands, maxHamming, maxBucket).result
+                        maxHamming: Int = 3, maxBucket: Long = 0L,
+                        tileTarget: Long = 0L): DataFrame =
+    simhashCandidatesCached(docs, bands, maxHamming, maxBucket, tileTarget)
+      .result
 
-  /** [[simhashCandidates]] with an explicit release handle for the
-    * persisted signature frame. */
   /** Bit-band keys over a 47-bit simhash signature (band index + the
     * band's bit value — collision-free, portable). Shared by the batch
     * candidate generator and the incremental ingest so their buckets are
@@ -264,19 +264,35 @@ object TextPipeline {
     }: _*)
   }
 
+  /** [[simhashCandidates]] with an explicit release handle for the
+    * persisted signature frame.
+    *
+    * `tileTarget > 0` generates the same-bucket pairs via
+    * [[graft.scale.Skew.tiledPairs]] — recall-LOSSLESS parallelism for
+    * hot buckets that must be kept: a bucket of d docs owes d² pairs,
+    * and without tiling every one of them is produced by the single
+    * reducer owning the bucket key (AQE redistributes input skew, not a
+    * join's output explosion; measured: one 9 s task on 32 idle cores
+    * at sf0.1). Prefer `maxBucket` when dropping degenerate buckets is
+    * acceptable — that skips the d² work entirely. */
   def simhashCandidatesCached(docs: DataFrame, bands: Int = 4,
                               maxHamming: Int = 3,
-                              maxBucket: Long = 0L): graft.core.Cached[DataFrame] = {
+                              maxBucket: Long = 0L,
+                              tileTarget: Long = 0L): graft.core.Cached[DataFrame] = {
     val sigs = simhash(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandKeys = simhashBandKeys(col("simhash"), bands)
     // bucket cap reads the explode of the PERSISTED sigs — cheap rescan
     val buckets = capBuckets(
       sigs.select(col("doc_id"), explode(bandKeys).as("bucket")), maxBucket)
-    val pairs = buckets.as("a").join(buckets.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val rawPairs =
+      if (tileTarget > 0L)
+        graft.scale.Skew.tiledPairs(buckets, "doc_id", "bucket", tileTarget)
+          .select(col("a").as("doc_a"), col("b").as("doc_b"))
+      else buckets.as("a").join(buckets.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val pairs = rawPairs.distinct()
     val result = pairs
       .join(sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a")), Seq("doc_a"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b")), Seq("doc_b"))

@@ -47,4 +47,65 @@ object Skew {
     * i.e. bucketing actually removed the join shuffle. */
   def hasNoShuffle(joined: DataFrame): Boolean =
     !joined.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+
+  /** Same-key pair generation (`a < b`) with 2-D tiling of hot keys —
+    * the d² decomposition for bucket self-joins that AQE cannot help
+    * with: when one key holds d rows, ALL d² output pairs must be
+    * produced by the single reducer owning that key (skew-join splitting
+    * redistributes INPUT rows, not the join's output explosion; measured:
+    * a degenerate LSH bucket serialized a 2M-pair generation into one
+    * 9 s task on an otherwise idle 32-core machine).
+    *
+    * Keys with more than `targetTile` rows are split into
+    * T = ceil(d / targetTile) tiles by row position; the pair space
+    * becomes the T(T+1)/2 tile pairs (i ≤ j), each an independent join
+    * key with ≤ targetTile² output pairs, so the work spreads over the
+    * cluster. Side A carries a row to tiles (t, j ≥ t), side B to
+    * (i ≤ t, t): a cross-tile pair meets exactly once (orientation fixed
+    * with least/greatest), a within-tile pair meets in both orientations
+    * and the `a < b` filter keeps one. Replication factor is
+    * (T+1)/2 per side FOR HOT-KEY ROWS ONLY — cold keys (T = 1) pass
+    * through unreplicated. Output equals the naive
+    * `a.key = b.key && a.id < b.id` self-join exactly (spec-pinned);
+    * pairs sharing several keys still need the caller's distinct.
+    *
+    * This is recall-lossless parallelism — when dropping hot buckets is
+    * acceptable, the `maxBucket`/`maxDf` caps are cheaper (no d² work at
+    * all); tiling is for when every pair must be produced. */
+  def tiledPairs(rows: DataFrame, idCol: String, keyCol: String,
+                 targetTile: Long): DataFrame = {
+    require(targetTile >= 1, "targetTile must be >= 1")
+    val tileCounts = rows.groupBy(keyCol)
+      .agg(count(lit(1)).as("__d"))
+      .filter(col("__d") > targetTile)
+      .select(col(keyCol),
+        ceil(col("__d").cast("double") / targetTile).cast("int").as("__tiles"))
+    val withTile = rows
+      .join(broadcast(tileCounts), Seq(keyCol), "left")
+      .withColumn("__tiles", coalesce(col("__tiles"), lit(1)))
+      // row position within the key: linear window (d rows, not d² pairs)
+      .withColumn("__t",
+        pmod(row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCol).orderBy(idCol)) - 1, col("__tiles")))
+    val sideA = withTile.select(col(keyCol), col(idCol).as("__a"),
+        col("__t").as("__ti"),
+        explode(sequence(col("__t"), col("__tiles") - 1)).as("__tj"))
+    val sideB = withTile.select(col(keyCol), col(idCol).as("__b"),
+        explode(sequence(lit(0), col("__t"))).as("__ti"),
+        col("__t").as("__tj"))
+    // The tiles only help if the join actually RUNS with many partitions.
+    // AQE coalesces planner shuffles by INPUT bytes — a few MB of band
+    // keys collapse to one partition even though the join's OUTPUT
+    // explodes to millions of pairs there. An explicit numPartitions
+    // repartition (REPARTITION_BY_NUM origin) is exempt from coalescing
+    // and satisfies the join's required distribution, so the tile-pair
+    // keys really do spread over the cluster.
+    val parts = rows.sparkSession.sessionState.conf.numShufflePartitions
+    val joinKeys = Seq(col(keyCol), col("__ti"), col("__tj"))
+    sideA.repartition(parts, joinKeys: _*)
+      .join(sideB.repartition(parts, joinKeys: _*), Seq(keyCol, "__ti", "__tj"))
+      .filter(col("__ti") =!= col("__tj") || col("__a") < col("__b"))
+      .select(least(col("__a"), col("__b")).as("a"),
+        greatest(col("__a"), col("__b")).as("b"))
+  }
 }

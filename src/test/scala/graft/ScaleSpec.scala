@@ -20,6 +20,23 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("tiledPairs equals the naive same-key self-join, hot and cold keys") {
+    // one degenerate key with 57 rows (tiled into ceil(57/8)=8 tiles),
+    // several cold keys (pass through untiled), ids deliberately NOT
+    // aligned with row positions
+    val rows = ((0 until 57).map(i => ((i * 37 + 11) % 1000 + 1000L, "hot")) ++
+      (0 until 30).map(i => (i.toLong, s"cold${i % 7}"))).toDF("id", "key")
+    val naive = rows.as("a").join(rows.as("b"),
+        col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a"), col("b.id").as("b"))
+    val tiled = Skew.tiledPairs(rows, "id", "key", targetTile = 8)
+    assert(tiled.count() == naive.count()) // exactly-once, pre-distinct
+    assert(tiled.exceptAll(naive).isEmpty && naive.exceptAll(tiled).isEmpty)
+    // degenerate single-tile edge: target larger than every key
+    val one = Skew.tiledPairs(rows, "id", "key", targetTile = 1000)
+    assert(one.exceptAll(naive).isEmpty && naive.exceptAll(one).isEmpty)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = java.nio.file.Paths.get("spark-warehouse")
     try {
