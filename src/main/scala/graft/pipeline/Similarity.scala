@@ -466,8 +466,10 @@ object Similarity {
     * [[annLshBandedCached]] and release the handle between corpora — same
     * contract as TextPipeline.nearDupJaccard/minhashCandidates. */
   def annLshBanded(embeddings: DataFrame, planes: Int, bands: Int,
-                   minCosine: Double, maxBucket: Long = 0L): DataFrame =
-    annLshBandedCached(embeddings, planes, bands, minCosine, maxBucket).result
+                   minCosine: Double, maxBucket: Long = 0L,
+                   tileTarget: Long = 0L): DataFrame =
+    annLshBandedCached(embeddings, planes, bands, minCosine, maxBucket,
+      tileTarget).result
 
   /** [[annLshBanded]] with an explicit release handle for the persisted
     * bucket frame — `handle.unpersist()` when done with this corpus.
@@ -492,7 +494,8 @@ object Similarity {
 
   def annLshBandedCached(embeddings: DataFrame, planes: Int, bands: Int,
                          minCosine: Double,
-                         maxBucket: Long = 0L): graft.core.Cached[DataFrame] = {
+                         maxBucket: Long = 0L,
+                         tileTarget: Long = 0L): graft.core.Cached[DataFrame] = {
     val sig = embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
       .withColumn("signs", lshSignBits(col("vec"), planes))
@@ -509,10 +512,14 @@ object Similarity {
           .filter(col("bsize") > maxBucket).select("bucket")
         raw.join(broadcast(hot), Seq("bucket"), "left_anti")
       }
-    val pairs = buckets.as("a").join(buckets.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
+    val rawPairs =
+      if (tileTarget > 0L)
+        graft.scale.Skew.tiledPairs(buckets, "vec_id", "bucket", tileTarget)
+          .select(col("a").as("vec_a"), col("b").as("vec_b"))
+      else buckets.as("a").join(buckets.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    val pairs = rawPairs.distinct()
     val va = embeddings.select(col("vec_id").as("vec_a"),
       asDouble(col("embedding")).as("va"))
     val vb = embeddings.select(col("vec_id").as("vec_b"),

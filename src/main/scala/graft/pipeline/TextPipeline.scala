@@ -179,24 +179,31 @@ object TextPipeline {
     * the guard saw candidate pairs grow 100× for 10× documents without
     * it (ScaleSmoke). maxBucket <= 0 disables. */
   def minhashCandidates(docs: DataFrame, n: Int = 3, k: Int = 16,
-                        bands: Int = 4, maxBucket: Long = 0L): DataFrame =
-    minhashCandidatesCached(docs, n, k, bands, maxBucket).result
+                        bands: Int = 4, maxBucket: Long = 0L,
+                        tileTarget: Long = 0L): DataFrame =
+    minhashCandidatesCached(docs, n, k, bands, maxBucket, tileTarget).result
 
   /** [[minhashCandidates]] with an explicit release handle for the
-    * persisted bucket frame. */
+    * persisted bucket frame. `tileTarget` as in
+    * [[simhashCandidatesCached]]: recall-lossless tiled pair generation
+    * for hot buckets that must be kept. */
   def minhashCandidatesCached(docs: DataFrame, n: Int = 3, k: Int = 16,
                               bands: Int = 4,
-                              maxBucket: Long = 0L): graft.core.Cached[DataFrame] = {
+                              maxBucket: Long = 0L,
+                              tileTarget: Long = 0L): graft.core.Cached[DataFrame] = {
     val raw = minhashLsh(docs, n, k, bands).select("doc_id", "bucket")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // hot-bucket list from the PERSISTED frame (one cheap cached scan);
     // small by construction — only buckets above the cap
     val buckets = capBuckets(raw, maxBucket)
-    val result = buckets.as("a").join(buckets.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    graft.core.Cached(result, raw)
+    val pairs =
+      if (tileTarget > 0L)
+        graft.scale.Skew.tiledPairs(buckets, "doc_id", "bucket", tileTarget)
+          .select(col("a").as("doc_a"), col("b").as("doc_b"))
+      else buckets.as("a").join(buckets.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    graft.core.Cached(pairs.distinct(), raw)
   }
 
   /** Drop entries of buckets holding more than `maxBucket` members —

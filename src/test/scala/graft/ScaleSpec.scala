@@ -37,6 +37,29 @@ class ScaleSpec extends SparkSpec {
     assert(one.exceptAll(naive).isEmpty && naive.exceptAll(one).isEmpty)
   }
 
+  test("tiled candidate generation equals the default path in all three generators") {
+    import graft.pipeline.{Similarity, TextPipeline}
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = (0L until 40L).map { i =>
+      (i, if (i % 3 == 0) base else s"unique doc $i words ${i * 7}")
+    }.toDF("doc_id", "text")
+    val mhPlain = TextPipeline.minhashCandidates(docs)
+    val mhTiled = TextPipeline.minhashCandidates(docs, tileTarget = 4L)
+    assert(mhTiled.exceptAll(mhPlain).isEmpty && mhPlain.exceptAll(mhTiled).isEmpty)
+    val shPlain = TextPipeline.simhashCandidates(docs)
+    val shTiled = TextPipeline.simhashCandidates(docs, tileTarget = 4L)
+    assert(shTiled.exceptAll(shPlain).isEmpty && shPlain.exceptAll(shTiled).isEmpty)
+    val emb = (0L until 40L).map { i =>
+      (i, (0 until 8).map(d =>
+        (((i % 4) * 31 + d * 7) % 13 - 6).toFloat / 6f + i.toFloat / 5000f))
+    }.toDF("vec_id", "embedding")
+    val lshPlain = Similarity.annLshBanded(emb, planes = 8, bands = 2, minCosine = 0.8)
+    val lshTiled = Similarity.annLshBanded(emb, planes = 8, bands = 2,
+      minCosine = 0.8, tileTarget = 4L)
+    assert(lshTiled.exceptAll(lshPlain).isEmpty && lshPlain.exceptAll(lshTiled).isEmpty)
+    assert(lshPlain.count() > 0 && shPlain.count() > 0 && mhPlain.count() > 0)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = java.nio.file.Paths.get("spark-warehouse")
     try {
