@@ -94,13 +94,17 @@ object TextPipeline {
     * and release the handle between corpora (same contract as
     * Similarity.annLshBanded). */
   def nearDupJaccard(docs: DataFrame, n: Int, minJaccard: Double,
-                     maxDf: Long = 0L): DataFrame =
-    nearDupJaccardCached(docs, n, minJaccard, maxDf).result
+                     maxDf: Long = 0L, tileTarget: Long = 0L): DataFrame =
+    nearDupJaccardCached(docs, n, minJaccard, maxDf, tileTarget).result
 
   /** [[nearDupJaccard]] with an explicit release handle for the persisted
-    * inverted index — `handle.unpersist()` when done with this corpus. */
+    * inverted index — `handle.unpersist()` when done with this corpus.
+    * `tileTarget` as in [[simhashCandidatesCached]]: shingles kept near
+    * the df cap still emit df² pair rows through the single reducer
+    * owning the shingle; tiling spreads that recall-losslessly. */
   def nearDupJaccardCached(docs: DataFrame, n: Int, minJaccard: Double,
-                           maxDf: Long = 0L): graft.core.Cached[DataFrame] = {
+                           maxDf: Long = 0L,
+                           tileTarget: Long = 0L): graft.core.Cached[DataFrame] = {
     val shingled = docs.select(col("doc_id"),
       graft.expressions.TextExpressions
         .wordShingles(col("text"), n, distinct = true).as("shingles"))
@@ -114,10 +118,14 @@ object TextPipeline {
         inv0.join(broadcast(heavy), Seq("shingle"), "left_anti")
       }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val shared = inv.as("a").join(inv.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
+    val shared = (
+      if (tileTarget > 0L)
+        graft.scale.Skew.tiledPairs(inv, "doc_id", "shingle", tileTarget)
+          .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
+      else inv.as("a").join(inv.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      ).agg(count(lit(1)).as("shared"))
     val result = shared
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n_shingles", "size_a"), Seq("doc_a"))

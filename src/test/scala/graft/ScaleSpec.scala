@@ -57,7 +57,12 @@ class ScaleSpec extends SparkSpec {
     val lshTiled = Similarity.annLshBanded(emb, planes = 8, bands = 2,
       minCosine = 0.8, tileTarget = 4L)
     assert(lshTiled.exceptAll(lshPlain).isEmpty && lshPlain.exceptAll(lshTiled).isEmpty)
-    assert(lshPlain.count() > 0 && shPlain.count() > 0 && mhPlain.count() > 0)
+    val ndPlain = TextPipeline.nearDupJaccard(docs, n = 2, minJaccard = 0.1)
+    val ndTiled = TextPipeline.nearDupJaccard(docs, n = 2, minJaccard = 0.1,
+      tileTarget = 4L)
+    assert(ndTiled.exceptAll(ndPlain).isEmpty && ndPlain.exceptAll(ndTiled).isEmpty)
+    assert(lshPlain.count() > 0 && shPlain.count() > 0 && mhPlain.count() > 0 &&
+      ndPlain.count() > 0)
   }
 
   test("bucketed tables join without a shuffle exchange") {
