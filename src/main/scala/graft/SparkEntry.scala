@@ -534,6 +534,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // same computation through the Bloom pre-probe (scale/Bloom): every
+    // corpus shingle pays a codegen'd xxhash64 bit-probe and only hits
+    // reach the broadcast hash relation — result must be EXACTLY the
+    // un-pruned one (false negatives are impossible)
+    "q_contamination_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curation.contamination(docs, docs.filter(col("doc_id") % 50 === 0),
+        n = 3, bloomFpp = Some(0.01))
+        .orderBy("doc_id")
+    }),
+
+    // the Morton interleave behind Z-order layout (scale/Layout) — pure
+    // bit arithmetic, replicated term-for-term by the DuckDB oracle; the
+    // layout transform itself only reorders rows, so proving the key is
+    // proving the operator
+    "q_zorder_key" -> ((s, dir) =>
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        graft.scale.Layout.interleaveBits(Seq(
+          pmod(col("l_partkey"), lit(256)),
+          pmod(col("l_suppkey"), lit(256))), bits = 8).as("zkey"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     "q_repetition" -> ((s, dir) =>
       Curation.repetitionStats(Tables.documents(s, dir)).orderBy("doc_id")),
 
@@ -561,6 +584,20 @@ object SparkEntry {
     // O(diameter) label propagation — identical result, chain-proof rounds
     "q_dedup_cluster_star" -> ((s, dir) =>
       Curation.clusterComponents(Tables.documents(s, dir), star = true)
+        .orderBy("doc_id")),
+
+    // fixed-size deterministic per-source draw (window top-k over the
+    // scrambled-id order — WindowGroupLimit, no global sort)
+    "q_sample_exact" -> ((s, dir) =>
+      Curation.sampleExactPerSource(Tables.documents(s, dir), k = 20)
+        .select("doc_id", "source").orderBy("doc_id")),
+
+    // contiguous 0..N-1 ids via range partitioning + partition-count
+    // offsets (scale/Ids) — row_number() semantics without the
+    // single-partition window
+    "q_assign_ids" -> ((s, dir) =>
+      graft.scale.Ids.assign(
+        Tables.documents(s, dir).select("doc_id", "source"), Seq("doc_id"))
         .orderBy("doc_id")),
 
     "q_sample_mix" -> ((s, dir) =>
@@ -630,6 +667,18 @@ object SparkEntry {
       val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_idx"
       pipeline.IvfPqIndex.build(emb, nlist = 10, m = 4, ksub = 16).save(idxDir)
       pipeline.IvfPqIndex.load(s, idxDir)
+        .search(emb.filter(col("vec_id") < 10), nprobe = 3, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // incremental add: drop half the codes, re-encode that half through
+    // append() against the FROZEN quantizer/codebook — search must be
+    // bit-identical to the monolithic index (same oracle)
+    "q_embed_ann_ivfpq_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = pipeline.IvfPqIndex.build(emb, nlist = 10, m = 4, ksub = 16)
+      idx.copy(codes = idx.codes.filter(col("vec_id") % 2 === 0))
+        .append(emb.filter(col("vec_id") % 2 === 1))
         .search(emb.filter(col("vec_id") < 10), nprobe = 3, k = 10)
         .orderBy("query_id", "rank")
     }),
@@ -959,6 +1008,10 @@ object SparkEntry {
     ("q_dedup_cluster_star" -> baseOracles("q_dedup_cluster")) +
     // persisted-index search must equal the monolithic IVF-PQ — same oracle
     ("q_embed_ann_ivfpq_idx" -> baseOracles("q_embed_ann_ivfpq")) +
+    // bloom prune → exact join must equal the un-pruned contamination
+    ("q_contamination_bloom" -> baseOracles("q_contamination")) +
+    // frozen-table append must search exactly like the monolithic index
+    ("q_embed_ann_ivfpq_append" -> baseOracles("q_embed_ann_ivfpq")) +
     // incremental two-batch ingest reproduces the batch candidate set
     ("q_minhash_incremental" -> baseOracles("q_minhash_candidates")) +
     // recall@10 of probe-limited IVF vs brute-force ground truth — pure
@@ -2025,6 +2078,18 @@ object SparkEntry {
          |FROM ds d JOIN bs USING (shingle)
          |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin,
 
+    // same Morton interleave, spelled as arithmetic DuckDB can run:
+    // bit b of column i lands at position b*ncols + i
+    "q_zorder_key" -> {
+      val terms = (0 until 8).flatMap { b =>
+        Seq(s"(((l_partkey % 256) // ${1L << b}) % 2) * ${1L << (2 * b)}",
+            s"(((l_suppkey % 256) // ${1L << b}) % 2) * ${1L << (2 * b + 1)}")
+      }
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CAST(${terms.mkString(" + ")} AS BIGINT) AS zkey
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
+
     "q_repetition" ->
       s"""WITH t AS (
          |  SELECT doc_id, $toksSql AS toks FROM documents
@@ -2130,6 +2195,21 @@ object SparkEntry {
          |  CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 250000
          |              WHEN 'src2' THEN 500000 ELSE 1000000 END
          |ORDER BY doc_id""".stripMargin,
+
+    // same scrambled-id LCG draw as the Spark window (idScramble)
+    "q_sample_exact" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+         |    ORDER BY (doc_id % 1048576 * 2654435761 + 40503) % 1048576 ASC,
+         |             doc_id ASC) AS rk
+         |  FROM documents)
+         |WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
+
+    // the distributed id assignment must equal the canonical window form
+    "q_assign_ids" ->
+      s"""SELECT doc_id, source,
+         |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // composed pipeline: repetition filter -> cluster dedup -> decontam ->
     // mixing -> chunking, each stage the SQL twin of its Curation operator

@@ -23,8 +23,18 @@ object Curation {
     * overlap count: explode doc shingles → broadcast-join the distinct
     * benchmark shingle set → per-doc count. Eval sets are MBs against a
     * 100 TB corpus, so the benchmark side is always the broadcast side;
-    * the corpus side stays a linear explode + one hash aggregate. */
-  def contamination(docs: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
+    * the corpus side stays a linear explode + one hash aggregate.
+    *
+    * `bloomFpp` puts a [[graft.scale.Bloom]] probe in front of the join:
+    * each corpus shingle pays one codegen'd xxhash64 + bit-probe, and
+    * only the hits (matches + the fpp fraction) reach the broadcast hash
+    * relation. False negatives are impossible, so the result is exactly
+    * the un-pruned one (q_contamination_bloom shares q_contamination's
+    * oracle). Worth it when the eval set is large enough that hash-
+    * relation probes miss cache; mandatory if the bench side ever
+    * outgrows broadcast and the join must shuffle. */
+  def contamination(docs: DataFrame, benchmark: DataFrame, n: Int,
+                    bloomFpp: Option[Double] = None): DataFrame = {
     val docShingles = docs.select(col("doc_id"),
       explode(graft.expressions.TextExpressions
         .wordShingles(col("text"), n, distinct = true)).as("shingle"))
@@ -32,7 +42,12 @@ object Curation {
       explode(graft.expressions.TextExpressions
         .wordShingles(col("text"), n, distinct = true)).as("shingle"))
       .distinct()
-    docShingles.join(broadcast(benchShingles), Seq("shingle"))
+    val pruned = bloomFpp.fold(docShingles) { fpp =>
+      docShingles.filter(graft.scale.Bloom.mightContain(
+        graft.scale.Bloom.build(benchShingles, col("shingle"), fpp = fpp),
+        col("shingle")))
+    }
+    pruned.join(broadcast(benchShingles), Seq("shingle"))
       .groupBy("doc_id").agg(count(lit(1)).as("overlap_ngrams"))
   }
 
@@ -441,4 +456,20 @@ object Curation {
     (pmod(TextFunctions.fingerprint(
       concat(lit(s"$salt:"), col("doc_id").cast("string"))), lit(1048576L))
       * 2654435761L + 40503L) % 1000000L
+
+  /** EXACTLY `k` documents per source (fewer only when a source is
+    * smaller than k), drawn by the deterministic scrambled-id order —
+    * the fixed-size counterpart of [[sampleBySource]]'s rate form, for
+    * eval-set carving and per-source caps where "about k" isn't good
+    * enough. The window partitions by source, so Spark plans a per-group
+    * partial top-k (WindowGroupLimit) instead of any global sort, and
+    * the draw replays identically across runs and engines
+    * (q_sample_exact runs the same arithmetic in DuckDB). */
+  def sampleExactPerSource(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(Similarity.idScramble(col("doc_id")).asc,
+            col("doc_id").asc)))
+      .filter(col("__rk") <= k).drop("__rk")
 }

@@ -65,6 +65,106 @@ class ScaleSpec extends SparkSpec {
       ndPlain.count() > 0)
   }
 
+  test("bloom prune: no false negatives, codegen'd probe, real pruning") {
+    import graft.scale.Bloom
+    val small = (0L until 500L).map(i => i * 7 + 3).toDF("k")
+    // range source, not a LocalRelation — ConvertToLocalRelation would
+    // constant-fold the probe out of a Seq-backed frame's plan
+    val large = spark.range(20000L).toDF("key")
+    val pruned = Bloom.prune(large, col("key"), small, col("k"))
+    // the probe is the native Catalyst expression, evaluated in the plan
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("might_contain"))
+    val exact = large.join(small.withColumnRenamed("k", "key"),
+      Seq("key"), "left_semi")
+    // superset (no false negatives) …
+    assert(exact.exceptAll(pruned).isEmpty)
+    // … and genuinely pruning: ~500 matches + fpp·20000 stragglers
+    val n = pruned.count()
+    assert(n >= 500 && n < 2000, s"pruned to $n rows")
+  }
+
+  test("bloom semi/anti joins equal the plain joins exactly") {
+    import graft.scale.Bloom
+    val small = ((0L until 300L).map(i => i * 3) :+ 5L).toDF("k")
+    val large = (0L until 5000L).map(i => (i, s"p$i")).toDF("key", "payload")
+    val semi = Bloom.semiJoin(large, small, "key", "k")
+    val semiRef = large.join(small.withColumnRenamed("k", "key"),
+      Seq("key"), "left_semi")
+    assert(semi.exceptAll(semiRef).isEmpty && semiRef.exceptAll(semi).isEmpty)
+    val anti = Bloom.antiJoin(large, small, "key", "k")
+    val antiRef = large.join(small.withColumnRenamed("k", "key"),
+      Seq("key"), "left_anti")
+    assert(anti.exceptAll(antiRef).isEmpty && antiRef.exceptAll(anti).isEmpty)
+    assert(semi.count() + anti.count() == 5000)
+  }
+
+  test("interleaveBits matches a bit-for-bit reference") {
+    import graft.scale.Layout
+    def ref(xs: Seq[Long], bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, b) =>
+        xs.zipWithIndex.foldLeft(acc) { case (a, (x, i)) =>
+          a | (((x >> b) & 1L) << (b * xs.size + i))
+        }
+      }
+    val rows = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    val out = rows.toDF("x", "y")
+      .withColumn("z", Layout.interleaveBits(Seq(col("x"), col("y")), 4))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    for ((x, y) <- rows)
+      assert(out((x, y)) == ref(Seq(x, y), 4), s"($x,$y)")
+    // three columns, wider keys
+    val z3 = Seq((1000L, 65535L, 12345L)).toDF("a", "b", "c")
+      .select(Layout.interleaveBits(Seq(col("a"), col("b"), col("c")), 16))
+      .head.getLong(0)
+    assert(z3 == ref(Seq(1000L, 65535L, 12345L), 16))
+  }
+
+  test("zorder clusters both dimensions; rows are untouched") {
+    import graft.scale.Layout
+    // uniform 2-d grid, shuffled arrival order
+    val rows = (0 until 4096).map { i =>
+      val x = (i * 2654435761L) % 1024
+      val y = (i * 40503L) % 1024
+      (i.toLong, x, y)
+    }
+    val df = rows.toDF("id", "x", "y").repartition(16)
+    val z = Layout.zorder(df, Seq("x", "y"), partitions = 16, bits = 10)
+    // pure layout: same multiset of rows
+    assert(z.exceptAll(df).isEmpty && df.exceptAll(z).isEmpty)
+    // skipping power: count partitions whose [min,max] box intersects a
+    // small query box, for z-order vs linear sort on id (append order)
+    def touched(frame: org.apache.spark.sql.DataFrame): Long =
+      Layout.partitionBoxes(frame, Seq("x", "y"))
+        .filter(col("min_x") <= 256 && col("max_x") >= 0 &&
+          col("min_y") <= 256 && col("max_y") >= 0)
+        .count()
+    val zTouched = touched(z)
+    val linear = df.repartitionByRange(16, col("id"))
+    val linTouched = touched(linear)
+    assert(linTouched >= 14, s"append-order layout should touch ~all: $linTouched")
+    assert(zTouched <= linTouched / 2,
+      s"z-order should skip most partitions: $zTouched vs $linTouched")
+  }
+
+  test("Ids.assign: contiguous row_number semantics, no single-partition window") {
+    import graft.scale.Ids
+    // ids arrive scrambled and skewed across partitions
+    val df = (0 until 5000).map(i => ((i * 2654435761L) % 100000L, s"p$i"))
+      .toDF("key", "payload").repartition(16)
+    val out = Ids.assign(df, Seq("key"), partitions = 8)
+    val rows = out.orderBy("row_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.map(_._2).toSeq == (0L until 5000L), "ids not contiguous")
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq,
+      "ids not in key order")
+    // the plan must not contain a window (the single-partition trap)
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"))
+    // deterministic across runs
+    val again = Ids.assign(df, Seq("key"), partitions = 8)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = java.nio.file.Paths.get("spark-warehouse")
     try {
