@@ -41,7 +41,9 @@ object CurateApp {
       defaultPpm: Long = 1000000L,
       chunkSize: Int = 64, stride: Int = 48,
       compactStore: Option[String] = None,
-      maxBucket: Long = 0L)
+      maxBucket: Long = 0L,
+      zorder: Seq[String] = Nil, // multi-dim layout of the output
+      zorderBits: Int = 16)
 
   /** Build the curation pipeline frame (lazy — callers choose the sink),
     * or run a compaction increment when `--compact-store` is set (eager
@@ -86,16 +88,29 @@ object CurateApp {
       case "--compact-store" :: v :: t =>
         loop(t, c.copy(compactStore = Some(v)))
       case "--max-bucket" :: v :: t => loop(t, c.copy(maxBucket = v.toLong))
+      case "--zorder" :: v :: t =>
+        loop(t, c.copy(zorder = v.split(",").filter(_.nonEmpty).toSeq))
+      case "--zorder-bits" :: v :: t => loop(t, c.copy(zorderBits = v.toInt))
       case Nil => c
       case other :: _ => throw new IllegalArgumentException(s"unknown arg $other")
     }
     loop(args.toList, Config())
   }
 
+  /** Optional multi-dimensional layout pass before the write: z-order
+    * the output on `--zorder c1,c2,…` so downstream scans filtering on
+    * those columns prune files by min-max stats ([[graft.scale.Layout]]).
+    * Pure reordering — row content is identical. */
+  def laidOut(spark: SparkSession, c: Config, df: DataFrame): DataFrame =
+    if (c.zorder.isEmpty) df
+    else graft.scale.Layout.zorder(df, c.zorder,
+      partitions = spark.sessionState.conf.numShufflePartitions,
+      bits = c.zorderBits)
+
   def main(args: Array[String]): Unit = {
     val c = parse(args)
     val spark = Graft.session("graft-curate")
-    run(spark, c).write.mode("overwrite").parquet(c.output)
+    laidOut(spark, c, run(spark, c)).write.mode("overwrite").parquet(c.output)
     spark.stop()
   }
 }

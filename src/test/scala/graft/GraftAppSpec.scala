@@ -71,6 +71,13 @@ class GraftAppSpec extends SparkSpec {
       "--input", in, "--max-dup-word-frac", "0.4")))
     assert(noBench.select("doc_id").distinct().as[Long].collect().toSet
       == Set(1L, 4L, 5L))
+    // --zorder is a pure layout pass: identical rows out
+    val zc = CurateApp.parse(Array("--input", in,
+      "--max-dup-word-frac", "0.4", "--zorder", "doc_id,chunk_id",
+      "--zorder-bits", "8"))
+    assert(zc.zorder == Seq("doc_id", "chunk_id") && zc.zorderBits == 8)
+    val z = CurateApp.laidOut(spark, zc, noBench)
+    assert(z.exceptAll(noBench).isEmpty && noBench.exceptAll(z).isEmpty)
   }
 
   test("CurateApp --compact-store: two increments reproduce the batch candidate set") {
