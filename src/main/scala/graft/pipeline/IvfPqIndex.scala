@@ -47,6 +47,25 @@ final case class IvfPqIndex(centroids: DataFrame, codebook: DataFrame,
     codes.write.mode("overwrite").partitionBy("cid").parquet(s"$dir/codes")
   }
 
+  /** Index grown by `newEmbeddings`, encoded against the FROZEN
+    * quantizer and codebook (FAISS `add` semantics — appending never
+    * retrains, so existing codes, and every result over them, are
+    * untouched). Encoding a batch costs one pass over the batch only;
+    * spec-pinned: build(A) + append(B) searches exactly like an index
+    * whose codes were all encoded against the same tables. */
+  def append(newEmbeddings: DataFrame): IvfPqIndex =
+    copy(codes = codes.unionByName(
+      IvfPqIndex.encode(newEmbeddings, centroids, codebook, m)))
+
+  /** Append a batch to a SAVED index: new code files land inside the
+    * existing cid-partitioned layout (parquet append touches only the
+    * new files), so a reload sees old + new vectors and probe-limited
+    * partition pruning keeps working. The incremental-ingestion twin of
+    * [[IncrementalDedup]], for the vector side. */
+  def appendTo(dir: String, newEmbeddings: DataFrame): Unit =
+    IvfPqIndex.encode(newEmbeddings, centroids, codebook, m)
+      .write.mode("append").partitionBy("cid").parquet(s"$dir/codes")
+
   /** Probe-limited ADC search over the prebuilt index — same output
     * contract as [[Similarity.annIvfPq]]: (query_id, nbr_id, approx_d2,
     * rank ≤ k). */
@@ -97,19 +116,29 @@ object IvfPqIndex {
     // (same derivation as annIvfPq — prefix property keeps them equal)
     val sample = Similarity.collectedSample(e, math.max(nlist, ksub))
     val cents = sample.limit(nlist)
+    val codebook = Similarity.pqCodebook(sample.limit(ksub), m)
+    IvfPqIndex(cents, codebook, encode(embeddings, cents, codebook, m),
+      nlist, m, ksub)
+  }
+
+  /** The corpus-sized encode pass, shared by [[build]] and
+    * [[IvfPqIndex#append]]: coarse assignment against the broadcast
+    * quantizer + PQ code assignment against the broadcast codebook,
+    * packed to one (vec_id, codes, cid) row per vector. */
+  private def encode(embeddings: DataFrame, cents: DataFrame,
+                     codebook: DataFrame, m: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("vec"))
     val coarse = e.crossJoin(broadcast(cents))
       .withColumn("csim", round(Vec.cosine(col("vec"), col("cvec")), 6))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"))
-    val (codebook, assignment) =
-      Similarity.pqAssign(e, m, ksub, Some(sample.limit(ksub)))
-    val packed = assignment
+    Similarity.pqAssignment(e, codebook, m)
       .groupBy("vec_id")
       .agg(transform(
         array_sort(collect_list(struct(col("sub"), col("code")))),
         s => s.getField("code")).as("codes"))
-    IvfPqIndex(cents, codebook, packed.join(coarse, Seq("vec_id")),
-      nlist, m, ksub)
+      .join(coarse, Seq("vec_id"))
   }
 
   /** Read an index written by [[IvfPqIndex#save]]. */

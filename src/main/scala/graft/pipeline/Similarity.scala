@@ -204,17 +204,33 @@ object Similarity {
     * orders. */
   private[pipeline] def pqAssign(e: DataFrame, m: Int, ksub: Int,
                        sample: Option[DataFrame] = None) = {
-    val subIdx = explode(sequence(lit(0), lit(m - 1))).as("sub")
     val cents = sample.getOrElse(
-        e.orderBy(idScramble(col("vec_id")).asc, col("vec_id").asc)
-          .limit(ksub)
-          .select(col("vec_id").as("cid"), col("vec").as("cvec")))
+      e.orderBy(idScramble(col("vec_id")).asc, col("vec_id").asc)
+        .limit(ksub)
+        .select(col("vec_id").as("cid"), col("vec").as("cvec")))
+    val codebook = pqCodebook(cents, m)
+    (codebook, pqAssignment(e, codebook, m))
+  }
+
+  /** Codebook table (sub, code, csubvec) from (cid, cvec) centroid rows:
+    * codes are 0-based ranks of cid, each centroid sliced into its m
+    * subvectors. */
+  private[pipeline] def pqCodebook(cents: DataFrame, m: Int): DataFrame =
+    cents
       .withColumn("code",
         (row_number().over(Window.orderBy(col("cid"))) - 1).cast("int"))
-    val codebook = cents.select(col("code"), col("cvec"), subIdx)
+      .select(col("code"), col("cvec"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
       .withColumn("csubvec", subSlice(col("cvec"), col("sub"), m))
       .select("sub", "code", "csubvec")
-    val assignment = e.select(col("vec_id"), col("vec"), subIdx)
+
+  /** Per-(vector, subspace) nearest-code assignment against a FROZEN
+    * codebook — the encode pass, shared by one-shot ANN search and the
+    * persisted index's build/append (appending must not retrain). */
+  private[pipeline] def pqAssignment(e: DataFrame, codebook: DataFrame,
+                       m: Int): DataFrame =
+    e.select(col("vec_id"), col("vec"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
       .withColumn("subvec", subSlice(col("vec"), col("sub"), m))
       .join(broadcast(codebook), Seq("sub"))
       .withColumn("d2u",
@@ -222,8 +238,6 @@ object Similarity {
           .cast("long"))
       .groupBy(col("vec_id"), col("sub"))
       .agg(min_by(col("code"), struct(col("d2u"), col("code"))).as("code"))
-    (codebook, assignment)
-  }
 
   /** PQ compression: each vector → `m` codebook indices ('-'-joined).
     * With m=4, ksub=16 a 64-dim float vector (256 B) compresses to 4

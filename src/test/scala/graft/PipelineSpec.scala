@@ -514,6 +514,34 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"))
   }
 
+  test("IvfPqIndex: append encodes against frozen tables — equals monolithic; appendTo grows a saved index") {
+    import graft.pipeline.{IvfPqIndex, Similarity}
+    val emb = (0L until 120L).map { i =>
+      (i, (0 until 16).map(d => ((i * 31 + d * 7) % 13 - 6).toFloat / 6f))
+    }.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 5)
+    val direct = Similarity.annIvfPq(emb, queries,
+      nlist = 8, nprobe = 3, m = 4, ksub = 8, k = 5)
+    val idx = IvfPqIndex.build(emb, nlist = 8, m = 4, ksub = 8)
+    // drop a half, re-add it via append: codes re-derive bit-identically
+    // because the quantizer/codebook are frozen, so search == monolithic
+    val grown = idx.copy(codes = idx.codes.filter(col("vec_id") % 2 === 0))
+      .append(emb.filter(col("vec_id") % 2 === 1))
+    val viaAppend = grown.search(queries, nprobe = 3, k = 5)
+    assert(viaAppend.exceptAll(direct).isEmpty &&
+      direct.exceptAll(viaAppend).isEmpty)
+
+    // on-disk twin: save the half index, appendTo the rest, reload
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_app").toString
+    idx.copy(codes = idx.codes.filter(col("vec_id") % 2 === 0)).save(dir)
+    idx.appendTo(dir, emb.filter(col("vec_id") % 2 === 1))
+    val reloaded = IvfPqIndex.load(spark, dir)
+    assert(reloaded.codes.count() == 120)
+    val viaDisk = reloaded.search(queries, nprobe = 3, k = 5)
+    assert(viaDisk.exceptAll(direct).isEmpty &&
+      direct.exceptAll(viaDisk).isEmpty)
+  }
+
   test("connectedComponentsStar: long path converges in O(log) rounds where label prop cannot") {
     import graft.pipeline.Curation
     // a 100-node path has diameter 99: label propagation inside its
@@ -632,6 +660,24 @@ class PipelineSpec extends SparkSpec {
     assert((0L until 60L).filter(_ % 3 == 2).forall(once.contains)) // default ppm keeps src2
     val src1Kept = once.count(_ % 3 == 1)
     assert(src1Kept > 0 && src1Kept < 20) // genuinely downsampled
+  }
+
+  test("sampleExactPerSource: exactly k per source, deterministic, WindowGroupLimit planned") {
+    import graft.pipeline.Curation
+    val docs = (0L until 300L).map(i =>
+      (i, s"src${i % 3}", s"text $i")).toDF("doc_id", "source", "text")
+    val out = Curation.sampleExactPerSource(docs, k = 10)
+    val bySource = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource == Map("src0" -> 10L, "src1" -> 10L, "src2" -> 10L))
+    // a source smaller than k is kept whole, never padded
+    val tiny = docs.filter(col("doc_id") < 5)
+    assert(Curation.sampleExactPerSource(tiny, k = 10).count() == 5)
+    // deterministic draw
+    val again = Curation.sampleExactPerSource(docs, k = 10)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    // per-group partial top-k in the plan, not a global sort
+    assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
 
   test("tfidf: corpus-wide tokens score zero, rare tokens rank first") {
