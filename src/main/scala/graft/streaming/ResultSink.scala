@@ -46,4 +46,34 @@ object ResultSink {
   def foreachBatch(df: DataFrame, trigger: Trigger = Trigger.ProcessingTime("5 seconds"))(
       f: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     df.writeStream.trigger(trigger).foreachBatch(f)
+
+  /** Idempotent micro-batch parquet write: `foreachBatch` replays the
+    * LAST batch after a restart (its at-least-once contract), so a naive
+    * append sink duplicates it. Each batch lands in its own
+    * `batch_id=<id>` partition directory with overwrite semantics and a
+    * commit marker: a replayed id finds its marker and is skipped; a
+    * half-written batch (no marker) is overwritten whole. Readers take
+    * `spark.read.parquet(path)` and get exactly-once data; batch_id is
+    * partition-pruned like any other column. Works on any filesystem
+    * with atomic file create — no table format required. */
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long,
+                           path: String): Boolean = {
+    val spark = batch.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(s"$path/batch_id=$batchId")
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$path/_committed_$batchId")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) false // replay of a committed batch: skip
+    else {
+      batch.write.mode("overwrite").parquet(dir.toString)
+      fs.create(marker, false).close()
+      true
+    }
+  }
+
+  /** Streaming face of [[writeBatchIdempotent]]: exactly-once parquet via
+    * foreachBatch + per-batch commit markers. */
+  def parquetIdempotent(df: DataFrame, path: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): DataStreamWriter[Row] =
+    foreachBatch(df, trigger)((b, id) => { writeBatchIdempotent(b, id, path); () })
 }

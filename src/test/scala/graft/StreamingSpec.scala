@@ -603,6 +603,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("idempotent batch sink: replayed and half-written batches never duplicate") {
+    import graft.streaming.ResultSink
+    val dir = java.nio.file.Files.createTempDirectory("idem_sink").toString
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(ResultSink.writeBatchIdempotent(b0, 0L, dir))
+    // restart replay delivers batch 0 again (possibly recomputed
+    // differently) — the commit marker must make it a no-op
+    val replay = Seq((1L, "a"), (2L, "b"), (99L, "dup")).toDF("id", "v")
+    assert(!ResultSink.writeBatchIdempotent(replay, 0L, dir))
+    assert(spark.read.parquet(dir).count() == 2)
+    // a crash AFTER data, BEFORE marker: next attempt overwrites whole
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_committed_1"), false)
+    val b1 = Seq((3L, "c")).toDF("id", "v")
+    b1.write.mode("overwrite").parquet(s"$dir/batch_id=1") // torn write
+    assert(ResultSink.writeBatchIdempotent(b1, 1L, dir))
+    val all = spark.read.parquet(dir)
+    assert(all.count() == 3)
+    assert(all.filter(col("batch_id") === 1).count() == 1)
+
+    // streaming face: MemoryStream through parquetIdempotent
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val sdir = java.nio.file.Files.createTempDirectory("idem_stream").toString
+    val q = ResultSink.parquetIdempotent(mem.toDF().toDF("id", "v"), sdir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("idem_ckpt").toString)
+      .start()
+    try {
+      mem.addData((10L, "x"), (11L, "y")); q.processAllAvailable()
+      mem.addData((12L, "z")); q.processAllAvailable()
+      val got = spark.read.parquet(sdir).select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(10L, 11L, 12L))
+    } finally q.stop()
+  }
+
   test("streaming near-dup compaction: foreachBatch ingest equals batch candidates") {
     // the compaction path curateStream documents: per micro-batch,
     // IncrementalDedup.ingest emits each candidate pair exactly once
