@@ -586,6 +586,25 @@ object SparkEntry {
       Curation.clusterComponents(Tables.documents(s, dir), star = true)
         .orderBy("doc_id")),
 
+    // CCNet-style unigram LM quality scoring: even docs train the LM,
+    // every doc is scored (odd docs can hit smoothed OOV mass)
+    "q_unigram_nll" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curation.unigramNll(docs, docs.filter(col("doc_id") % 2 === 0))
+        .orderBy("doc_id")
+    }),
+
+    // C4 line-level cleaning over deterministically synthesized line
+    // structure (the corpus text is flat, so the query manufactures
+    // lines the same way in both engines — q_redact's trick)
+    "q_c4_lines" -> ((s, dir) =>
+      Curation.c4LineFilter(
+        Tables.documents(s, dir).withColumn("text",
+          concat(regexp_replace(col("text"), " table", ".\ntable"),
+            lit("."))),
+        minWords = 3, banned = Seq("slow"), minLines = 1)
+        .orderBy("doc_id")),
+
     // fixed-size deterministic per-source draw (window top-k over the
     // scrambled-id order — WindowGroupLimit, no global sort)
     "q_sample_exact" -> ((s, dir) =>
@@ -2194,6 +2213,52 @@ object SparkEntry {
          |WHERE ${ppmSql("mix")} <
          |  CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 250000
          |              WHEN 'src2' THEN 500000 ELSE 1000000 END
+         |ORDER BY doc_id""".stripMargin,
+
+    // unigram LM scoring: per-token NLL snapped to integer micro-units
+    // (same fixed-point discipline as the PQ distances), exact integer
+    // mean per document
+    "q_unigram_nll" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), w AS (
+         |  SELECT doc_id, unnest(toks) AS token FROM t
+         |), lm AS (
+         |  SELECT token, count(*) AS cnt FROM w WHERE doc_id % 2 = 0
+         |  GROUP BY token
+         |), tot AS (
+         |  SELECT sum(cnt) AS total, count(*) AS vocab FROM lm
+         |)
+         |SELECT w.doc_id,
+         |  round(sum(CAST(round(-ln((COALESCE(lm.cnt, 0) + 1)
+         |      / (tot.total + tot.vocab + 1)) * 1000000.0) AS BIGINT))
+         |    * 1.0 / count(*) / 1000000.0, 6) AS avg_nll,
+         |  count(*) AS n_tokens
+         |FROM w LEFT JOIN lm USING (token) CROSS JOIN tot
+         |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin,
+
+    // C4 line rules inside one list_filter — the SQL twin of the
+    // higher-order-function form (no explode/re-group)
+    "q_c4_lines" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    regexp_replace(text, ' table', '.' || chr(10) || 'table', 'g')
+         |      || '.' AS text
+         |  FROM documents
+         |), ls AS (
+         |  SELECT doc_id, string_split(text, chr(10)) AS lines FROM aug
+         |), k AS (
+         |  SELECT doc_id, lines,
+         |    list_filter(lines, x -> regexp_matches(trim(x), '[.!?"]$$')
+         |      AND len(list_filter(string_split(trim(x), ' '),
+         |            w -> length(w) > 0)) >= 3
+         |      AND NOT contains(lower(trim(x)), 'slow')) AS kept
+         |  FROM ls
+         |)
+         |SELECT doc_id, array_to_string(kept, chr(10)) AS text_clean,
+         |  CAST(len(kept) AS INT) AS n_kept,
+         |  CAST(len(lines) - len(kept) AS INT) AS n_dropped
+         |FROM k WHERE len(kept) >= 1
          |ORDER BY doc_id""".stripMargin,
 
     // same scrambled-id LCG draw as the Spark window (idScramble)

@@ -457,6 +457,71 @@ object Curation {
       concat(lit(s"$salt:"), col("doc_id").cast("string"))), lit(1048576L))
       * 2654435761L + 40503L) % 1000000L
 
+  // ----- model-based quality signals --------------------------------------
+
+  /** Per-document mean negative log-likelihood under a unigram language
+    * model trained on `reference` — the CCNet-style quality signal
+    * (score against a trusted corpus; low NLL ≈ fluent, high ≈ junk),
+    * with the LM reduced to unigrams so the whole thing stays
+    * relational. Laplace smoothing keeps out-of-vocabulary tokens
+    * finite: p(t) = (cnt(t)+1) / (total+|V|+1).
+    *
+    * Shuffle discipline: the LM is token-keyed and joined on token (the
+    * vocabulary is unbounded, so it is NOT forced broadcast — same
+    * reasoning as TF-IDF); the two LM totals are one broadcast row.
+    * Per-token NLL is snapped to integer micro-units before the per-doc
+    * mean, so the aggregate is exact integer math — reproducible across
+    * engines and partition orders (q_unigram_nll replays it in DuckDB). */
+  def unigramNll(docs: DataFrame, reference: DataFrame): DataFrame = {
+    val lm = reference
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val totals = lm.agg(sum("cnt").as("total"), count(lit(1)).as("vocab"))
+    docs
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("token"))
+      .join(lm, Seq("token"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .crossJoin(broadcast(totals))
+      .withColumn("nll_u", round(-log(
+        (col("cnt") + 1).cast("double") / (col("total") + col("vocab") + 1))
+        * 1000000.0d).cast("long"))
+      .groupBy("doc_id")
+      .agg(round((sum("nll_u") / count(lit(1))) / 1000000.0d, 6).as("avg_nll"),
+        count(lit(1)).as("n_tokens"))
+  }
+
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2, restated):
+    * keep a line only if it ends in terminal punctuation, has at least
+    * `minWords` words, and mentions no banned phrase; drop the whole
+    * document when `{` appears (code) or fewer than `minLines` lines
+    * survive. Line rules run inside ONE higher-order filter over the
+    * split array — no explode/re-group shuffle, the document never
+    * leaves its partition (the explode form would shuffle every line of
+    * a 100 TB corpus just to reassemble it). */
+  def c4LineFilter(docs: DataFrame, minWords: Int = 5,
+                   banned: Seq[String] = Seq("javascript", "cookie",
+                     "lorem ipsum", "terms of use"),
+                   minLines: Int = 1, dropBraces: Boolean = true): DataFrame = {
+    def keep(l: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val t = trim(l)
+      val words = size(filter(split(t, " "), w => length(w) > 0))
+      banned.map(b => !lower(t).contains(b))
+        .foldLeft(t.rlike("[.!?\"]$") && words >= minWords)(_ && _)
+    }
+    val kept = filter(split(col("text"), "\n"), keep(_))
+    docs
+      .withColumn("__kept", kept)
+      .withColumn("n_kept", size(col("__kept")))
+      .withColumn("n_dropped",
+        size(split(col("text"), "\n")) - col("n_kept"))
+      .filter(col("n_kept") >= minLines &&
+        (if (dropBraces) !col("text").contains("{") else lit(true)))
+      .select(col("doc_id"),
+        array_join(col("__kept"), "\n").as("text_clean"),
+        col("n_kept"), col("n_dropped"))
+  }
+
   /** EXACTLY `k` documents per source (fewer only when a source is
     * smaller than k), drawn by the deterministic scrambled-id order —
     * the fixed-size counterpart of [[sampleBySource]]'s rate form, for

@@ -662,6 +662,47 @@ class PipelineSpec extends SparkSpec {
     assert(src1Kept > 0 && src1Kept < 20) // genuinely downsampled
   }
 
+  test("unigramNll: common tokens score low, OOV scores the smoothed ceiling") {
+    import graft.pipeline.Curation
+    val ref = Seq((0L, "the the the cat"), (2L, "the dog"))
+      .toDF("doc_id", "text")
+    val docs = Seq((1L, "the"), (3L, "unseen"), (5L, "the unseen"))
+      .toDF("doc_id", "text")
+    val out = Curation.unigramNll(docs, ref)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // LM: the=4, cat=1, dog=1 → total=6, vocab=3; p(the)=(4+1)/10,
+    // p(unseen)=(0+1)/10
+    val pThe = -math.log(5.0 / 10.0)
+    val pOov = -math.log(1.0 / 10.0)
+    def u(x: Double) = math.round(x * 1e6)
+    assert(out(1L)._1 == u(pThe) / 1e6 && out(1L)._2 == 1L)
+    assert(out(3L)._1 == u(pOov) / 1e6 && out(3L)._2 == 1L)
+    assert(out(5L)._1 ==
+      BigDecimal((u(pThe) + u(pOov)) / 2.0 / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(1L)._1 < out(3L)._1, "junk must score above fluent text")
+  }
+
+  test("c4LineFilter: line rules, doc-level brace and min-line drops, order kept") {
+    import graft.pipeline.Curation
+    val docs = Seq(
+      (1L, "Good first sentence here.\nshort.\nno terminal punct line\n" +
+        "this one mentions javascript today.\nAnother good line stays!"),
+      (2L, "function() { return 1; } is code."),
+      (3L, "only fragments\nno punct"),
+      (4L, "Single fine sentence survives alone.")
+    ).toDF("doc_id", "text")
+    val out = Curation.c4LineFilter(docs, minWords = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    // doc 2 has braces, doc 3 keeps zero lines: both dropped whole
+    assert(out.keySet == Set(1L, 4L))
+    assert(out(1L)._1 ==
+      "Good first sentence here.\nAnother good line stays!")
+    assert(out(1L)._2 == 2 && out(1L)._3 == 3)
+    assert(out(4L) == ("Single fine sentence survives alone.", 1, 0))
+  }
+
   test("sampleExactPerSource: exactly k per source, deterministic, WindowGroupLimit planned") {
     import graft.pipeline.Curation
     val docs = (0L until 300L).map(i =>
