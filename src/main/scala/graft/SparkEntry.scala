@@ -586,6 +586,17 @@ object SparkEntry {
       Curation.clusterComponents(Tables.documents(s, dir), star = true)
         .orderBy("doc_id")),
 
+    // exact duplicate-span inventory (Lee et al. 2022 restated): every
+    // (doc, pos) whose 3-token gram repeats anywhere in the corpus
+    "q_dup_spans" -> ((s, dir) =>
+      TextPipeline.dupSpans(Tables.documents(s, dir), k = 3)
+        .orderBy("doc_id", "pos")),
+
+    // the removal half: canonical-first span dedup over the same grams
+    "q_remove_dup_spans" -> ((s, dir) =>
+      TextPipeline.removeDupSpans(Tables.documents(s, dir), k = 3)
+        .orderBy("doc_id")),
+
     // CCNet-style unigram LM quality scoring: even docs train the LM,
     // every doc is scored (odd docs can hit smoothed OOV mass)
     "q_unigram_nll" -> ((s, dir) => {
@@ -2213,6 +2224,70 @@ object SparkEntry {
          |WHERE ${ppmSql("mix")} <
          |  CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 250000
          |              WHEN 'src2' THEN 500000 ELSE 1000000 END
+         |ORDER BY doc_id""".stripMargin,
+
+    // ordered (non-distinct) trigrams, zipped unnest for positions, the
+    // same 47-bit hash twin the minhash oracle uses
+    "q_dup_spans" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), sh AS (
+         |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN []
+         |    ELSE list_transform(range(1, len(toks) - 1),
+         |           i -> array_to_string(toks[i:i+2], ' ')) END AS grams
+         |  FROM t
+         |), g0 AS (
+         |  SELECT doc_id, unnest(range(0, len(grams))) AS pos0,
+         |         unnest(list_transform(grams, w -> ${fpSql("w")})) AS h
+         |  FROM sh WHERE len(grams) > 0
+         |), g AS (
+         |  SELECT doc_id, CAST(pos0 AS INT) AS pos, h FROM g0
+         |), d AS (
+         |  SELECT h, count(*) AS occurrences FROM g GROUP BY h
+         |  HAVING count(*) > 1
+         |)
+         |SELECT g.doc_id, g.pos, d.occurrences FROM g JOIN d USING (h)
+         |ORDER BY doc_id, pos""".stripMargin,
+
+    // span removal: same gram/hash CTEs, min-okey canonical, covered
+    // positions cut by one index filter over the token list
+    "q_remove_dup_spans" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), sh AS (
+         |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN []
+         |    ELSE list_transform(range(1, len(toks) - 1),
+         |           i -> array_to_string(toks[i:i+2], ' ')) END AS grams
+         |  FROM t
+         |), g0 AS (
+         |  SELECT doc_id, unnest(range(0, len(grams))) AS pos0,
+         |         unnest(list_transform(grams, w -> ${fpSql("w")})) AS h
+         |  FROM sh WHERE len(grams) > 0
+         |), g AS (
+         |  SELECT doc_id, pos0 AS pos, h, doc_id * 1048576 + pos0 AS okey
+         |  FROM g0
+         |), d AS (
+         |  SELECT h, min(okey) AS firstkey FROM g GROUP BY h
+         |  HAVING count(*) > 1
+         |), v AS (
+         |  SELECT g.doc_id, g.pos FROM g JOIN d USING (h)
+         |  WHERE g.okey != d.firstkey
+         |), rp AS (
+         |  SELECT DISTINCT doc_id, tp FROM (
+         |    SELECT doc_id, unnest(range(pos, pos + 3)) AS tp FROM v)
+         |), rl AS (
+         |  SELECT doc_id, list_sort(list(tp)) AS rm FROM rp GROUP BY doc_id
+         |)
+         |SELECT t.doc_id,
+         |  -- COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
+         |  -- array_join([]) is '' (all-tokens-removed documents)
+         |  COALESCE(CASE WHEN len(toks) = 0 THEN '' ELSE
+         |    array_to_string(list_transform(
+         |      list_filter(range(0, len(toks)),
+         |        i -> NOT list_contains(COALESCE(rm, []), i)),
+         |      i -> toks[CAST(i + 1 AS INT)]), ' ') END, '') AS text_clean,
+         |  CAST(COALESCE(len(rm), 0) AS INT) AS n_removed
+         |FROM t LEFT JOIN rl USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
     // unigram LM scoring: per-token NLL snapped to integer micro-units

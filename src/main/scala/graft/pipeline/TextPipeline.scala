@@ -36,6 +36,75 @@ object TextPipeline {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
       .select("doc_id", "dup_count")
 
+  /** Exact duplicate-SPAN inventory (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", restated at k-token
+    * span granularity): every (doc, position) whose k-token gram occurs
+    * more than once in the corpus — in another document or elsewhere in
+    * the same one. Downstream removal can cut or mask exactly these
+    * positions instead of dropping whole documents.
+    *
+    * Ordered (non-distinct) shingles via the codegen'd expression, keyed
+    * by their 47-bit polynomial hash so 8-byte keys move through the
+    * shuffle instead of k-word strings; the count aggregate combines
+    * map-side, and the join back to positions is on the same hash key —
+    * the shuffle it needs, nothing more. A 2⁻⁴⁷ hash collision can merge
+    * two distinct spans (the same trade Lee et al.'s suffix automaton
+    * sidesteps at far higher constant cost; acceptable for span REMOVAL,
+    * which only ever drops repeated-looking text). */
+  def dupSpans(docs: DataFrame, k: Int = 3): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      posexplode(graft.expressions.TextExpressions.polyHash47(
+        graft.expressions.TextExpressions.wordShingles(col("text"), k)))
+        .as(Seq("pos", "h")))
+    val dups = grams.groupBy("h").agg(count(lit(1)).as("occurrences"))
+      .filter(col("occurrences") > 1)
+    grams.join(dups, Seq("h")).select("doc_id", "pos", "occurrences")
+  }
+
+  /** Span-level dedup — the removal half of [[dupSpans]]: for every
+    * duplicated k-gram, the occurrence with the smallest (doc_id, pos)
+    * stays canonical; token positions covered by any OTHER occurrence
+    * are cut, and the surviving token stream is re-joined (lower-cased
+    * whitespace-normalized — the training-stream contract, matching
+    * `TextFunctions.tokens`). Overlapping spans compose by union of
+    * covered positions, so a canonical occurrence can still lose tokens
+    * to a different gram's victim — deterministic, order-free semantics.
+    *
+    * Scale shape: only the (doc_id, position) removal inventory ever
+    * shuffles (grams travel as 8-byte hashes); documents themselves stay
+    * put and are trimmed by one higher-order filter against their own
+    * per-doc removal array. The per-token `array_contains` probe costs
+    * O(|rm|) — acceptable because rm holds only DUPLICATED positions,
+    * a small fraction of any healthy corpus. */
+  def removeDupSpans(docs: DataFrame, k: Int = 3): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      posexplode(graft.expressions.TextExpressions.polyHash47(
+        graft.expressions.TextExpressions.wordShingles(col("text"), k)))
+        .as(Seq("pos", "h")))
+      .withColumn("okey", col("doc_id") * 1048576L + col("pos"))
+    val dups = grams.groupBy("h")
+      .agg(min("okey").as("firstkey"), count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+    val rm = grams.join(dups, Seq("h"))
+      .filter(col("okey") =!= col("firstkey"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("tp"))
+      .distinct()
+      .groupBy("doc_id").agg(sort_array(collect_set("tp")).as("rm"))
+    docs.join(rm, Seq("doc_id"), "left")
+      .withColumn("__toks", TextFunctions.tokens(col("text")))
+      .withColumn("__rm", coalesce(col("rm"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        when(size(col("__toks")) === 0, lit("")).otherwise(
+          array_join(transform(
+            filter(zip_with(col("__toks"),
+              sequence(lit(0), size(col("__toks")) - 1),
+              (t, i) => struct(t.as("t"), i.as("i"))),
+              s => !array_contains(col("__rm"), s.getField("i"))),
+            s => s.getField("t")), " ")).as("text_clean"),
+        size(col("__rm")).as("n_removed"))
+  }
+
   /** Streaming exact dedup: the first-seen document per md5 digest within
     * the watermark horizon passes; later duplicates are dropped.
     * `dropDuplicates` keeps one 16-byte key per distinct document in the

@@ -662,6 +662,37 @@ class PipelineSpec extends SparkSpec {
     assert(src1Kept > 0 && src1Kept < 20) // genuinely downsampled
   }
 
+  test("dupSpans: cross-doc and within-doc repeated trigrams located by position") {
+    import graft.pipeline.TextPipeline
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),        // grams at pos 0,1
+      (2L, "zz alpha beta gamma yy"),        // shares "alpha beta gamma" (pos 1)
+      (3L, "one two three one two three"),   // within-doc repeat at pos 0 and 3
+      (4L, "totally unique words here")
+    ).toDF("doc_id", "text")
+    val out = TextPipeline.dupSpans(docs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(out == Set(
+      (1L, 0, 2L), (2L, 1, 2L),              // the shared trigram
+      (3L, 0, 2L), (3L, 3, 2L)))             // the self-repeat
+  }
+
+  test("removeDupSpans: canonical occurrence survives, later ones are cut") {
+    import graft.pipeline.TextPipeline
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),      // canonical "alpha beta gamma"
+      (2L, "zz alpha beta gamma yy"),      // victim: tokens 1..3 cut
+      (3L, "one two three one two three"), // self-repeat: pos 3..5 cut
+      (4L, "all unique content here")
+    ).toDF("doc_id", "text")
+    val out = TextPipeline.removeDupSpans(docs, k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out(1L) == ("alpha beta gamma delta", 0))
+    assert(out(2L) == ("zz yy", 3))
+    assert(out(3L) == ("one two three", 3))
+    assert(out(4L) == ("all unique content here", 0))
+  }
+
   test("unigramNll: common tokens score low, OOV scores the smoothed ceiling") {
     import graft.pipeline.Curation
     val ref = Seq((0L, "the the the cat"), (2L, "the dog"))
