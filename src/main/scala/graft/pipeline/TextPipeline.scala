@@ -51,15 +51,27 @@ object TextPipeline {
     * two distinct spans (the same trade Lee et al.'s suffix automaton
     * sidesteps at far higher constant cost; acceptable for span REMOVAL,
     * which only ever drops repeated-looking text). */
-  def dupSpans(docs: DataFrame, k: Int = 3): DataFrame = {
-    val grams = docs.select(col("doc_id"),
+  def dupSpans(docs: DataFrame, k: Int = 3): DataFrame =
+    dupSpansCached(docs, k).result
+
+  /** [[dupSpans]] with the release handle for the persisted gram frame
+    * (read twice: the occurrence count and the join back). */
+  def dupSpansCached(docs: DataFrame, k: Int = 3): graft.core.Cached[DataFrame] = {
+    val grams = spanGrams(docs, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dups = grams.groupBy("h").agg(count(lit(1)).as("occurrences"))
+      .filter(col("occurrences") > 1)
+    graft.core.Cached(
+      grams.join(dups, Seq("h")).select("doc_id", "pos", "occurrences"),
+      grams)
+  }
+
+  /** Positional k-gram hashes of every document: (doc_id, pos, h). */
+  private def spanGrams(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
       posexplode(graft.expressions.TextExpressions.polyHash47(
         graft.expressions.TextExpressions.wordShingles(col("text"), k)))
         .as(Seq("pos", "h")))
-    val dups = grams.groupBy("h").agg(count(lit(1)).as("occurrences"))
-      .filter(col("occurrences") > 1)
-    grams.join(dups, Seq("h")).select("doc_id", "pos", "occurrences")
-  }
 
   /** Span-level dedup — the removal half of [[dupSpans]]: for every
     * duplicated k-gram, the occurrence with the smallest (doc_id, pos)
@@ -76,12 +88,17 @@ object TextPipeline {
     * per-doc removal array. The per-token `array_contains` probe costs
     * O(|rm|) — acceptable because rm holds only DUPLICATED positions,
     * a small fraction of any healthy corpus. */
-  def removeDupSpans(docs: DataFrame, k: Int = 3): DataFrame = {
-    val grams = docs.select(col("doc_id"),
-      posexplode(graft.expressions.TextExpressions.polyHash47(
-        graft.expressions.TextExpressions.wordShingles(col("text"), k)))
-        .as(Seq("pos", "h")))
+  def removeDupSpans(docs: DataFrame, k: Int = 3): DataFrame =
+    removeDupSpansCached(docs, k).result
+
+  /** [[removeDupSpans]] with the release handle for the persisted gram
+    * frame (read by the canonical-occurrence aggregate and the victim
+    * join). */
+  def removeDupSpansCached(docs: DataFrame,
+                           k: Int = 3): graft.core.Cached[DataFrame] = {
+    val grams = spanGrams(docs, k)
       .withColumn("okey", col("doc_id") * 1048576L + col("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dups = grams.groupBy("h")
       .agg(min("okey").as("firstkey"), count(lit(1)).as("c"))
       .filter(col("c") > 1)
@@ -91,18 +108,20 @@ object TextPipeline {
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("tp"))
       .distinct()
       .groupBy("doc_id").agg(sort_array(collect_set("tp")).as("rm"))
-    docs.join(rm, Seq("doc_id"), "left")
-      .withColumn("__toks", TextFunctions.tokens(col("text")))
-      .withColumn("__rm", coalesce(col("rm"), array().cast("array<int>")))
-      .select(col("doc_id"),
-        when(size(col("__toks")) === 0, lit("")).otherwise(
-          array_join(transform(
-            filter(zip_with(col("__toks"),
-              sequence(lit(0), size(col("__toks")) - 1),
-              (t, i) => struct(t.as("t"), i.as("i"))),
-              s => !array_contains(col("__rm"), s.getField("i"))),
-            s => s.getField("t")), " ")).as("text_clean"),
-        size(col("__rm")).as("n_removed"))
+    graft.core.Cached(
+      docs.join(rm, Seq("doc_id"), "left")
+        .withColumn("__toks", TextFunctions.tokens(col("text")))
+        .withColumn("__rm", coalesce(col("rm"), array().cast("array<int>")))
+        .select(col("doc_id"),
+          when(size(col("__toks")) === 0, lit("")).otherwise(
+            array_join(transform(
+              filter(zip_with(col("__toks"),
+                sequence(lit(0), size(col("__toks")) - 1),
+                (t, i) => struct(t.as("t"), i.as("i"))),
+                s => !array_contains(col("__rm"), s.getField("i"))),
+              s => s.getField("t")), " ")).as("text_clean"),
+          size(col("__rm")).as("n_removed")),
+      grams)
   }
 
   /** Streaming exact dedup: the first-seen document per md5 digest within

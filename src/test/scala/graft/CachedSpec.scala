@@ -27,16 +27,17 @@ class CachedSpec extends SparkSpec {
     * session). */
   private def persisted: Int = spark.sparkContext.getPersistentRDDs.size
 
-  private def checkRelease(mk: => graft.core.Cached[org.apache.spark.sql.DataFrame]): Unit = {
+  private def checkRelease(mk: => graft.core.Cached[org.apache.spark.sql.DataFrame],
+      force: org.apache.spark.sql.DataFrame => Long = _.count()): Unit = {
     val before = persisted
     val h = mk
     assert(h.isCached, "backing index should be marked persistent at build time")
-    val n1 = h.result.count()
+    val n1 = force(h.result)
     assert(persisted > before, "materializing the result should register the index RDD")
     h.unpersist(blocking = true)
     assert(!h.isCached, "handle must report released")
     assert(persisted == before, "unpersist must drop the index RDD from the context")
-    assert(h.result.count() == n1, "result must recompute identically after release")
+    assert(force(h.result) == n1, "result must recompute identically after release")
   }
 
   test("nearDupJaccardCached releases its inverted index") {
@@ -57,6 +58,19 @@ class CachedSpec extends SparkSpec {
 
   test("annLshBandedCached releases its bucket frame") {
     checkRelease(Similarity.annLshBandedCached(emb, planes = 8, bands = 4, minCosine = 0.9))
+  }
+
+  test("dupSpansCached releases its gram frame") {
+    checkRelease(TextPipeline.dupSpansCached(docs, k = 3))
+  }
+
+  test("removeDupSpansCached releases its gram frame") {
+    // plain count() would let Catalyst eliminate the outer join (unique
+    // right keys, no right columns referenced) and never touch the gram
+    // frame — force text_clean so the measured path actually runs
+    checkRelease(TextPipeline.removeDupSpansCached(docs, k = 3),
+      _.filter(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text_clean")) >= 0).count())
   }
 
   test("plain variants still return the same rows as the cached result") {
