@@ -605,6 +605,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // per-source LM-quality gate: keep the best 80% by unigram NLL
+    "q_quality_gate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curation.qualityGate(docs, docs.filter(col("doc_id") % 2 === 0),
+        keepFrac = 0.8)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+
     // C4 line-level cleaning over deterministically synthesized line
     // structure (the corpus text is flat, so the query manufactures
     // lines the same way in both engines — q_redact's trick)
@@ -817,7 +825,10 @@ object SparkEntry {
     "q_dedup_cluster_star",
     // capped twin of q_simhash_candidates: tracks what the hot-bucket
     // skew guard saves (the 100 TB configuration)
-    "q_simhash_candidates_capped")
+    "q_simhash_candidates_capped",
+    // round-9 tier: span-level dedup (inventory + removal) and the
+    // unigram-LM quality scan — the corpus-linear text passes
+    "q_dup_spans", "q_remove_dup_spans", "q_unigram_nll")
 
   // ---------------------------------------------------------------------
   // DuckDB oracles. `flows` CTE = FlowSynth.cteSql (identical mapping).
@@ -1042,6 +1053,17 @@ object SparkEntry {
     ("q_contamination_bloom" -> baseOracles("q_contamination")) +
     // frozen-table append must search exactly like the monolithic index
     ("q_embed_ann_ivfpq_append" -> baseOracles("q_embed_ann_ivfpq")) +
+    // quality gate = percent_rank cut over the unigram-NLL sub-oracle
+    ("q_quality_gate" ->
+      s"""WITH nll AS (
+         |${baseOracles("q_unigram_nll")}
+         |)
+         |SELECT doc_id, source FROM (
+         |  SELECT d.doc_id, d.source, percent_rank() OVER (
+         |    PARTITION BY d.source
+         |    ORDER BY nll.avg_nll ASC, d.doc_id ASC) AS pr
+         |  FROM documents d JOIN nll USING (doc_id))
+         |WHERE pr <= 0.8 ORDER BY doc_id""".stripMargin) +
     // incremental two-batch ingest reproduces the batch candidate set
     ("q_minhash_incremental" -> baseOracles("q_minhash_candidates")) +
     // recall@10 of probe-limited IVF vs brute-force ground truth — pure

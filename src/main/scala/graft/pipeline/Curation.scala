@@ -447,6 +447,43 @@ object Curation {
     docs.filter(ppmHash("mix") < rate)
   }
 
+  /** Per-source keep-rates (ppm, for [[sampleBySource]]) that hit a
+    * total token budget at a target mix: water-filling over the
+    * (driver-sized) per-source token counts from [[corpusReport]].
+    * Each round gives every unsaturated source its weight-share of the
+    * remaining budget; a source whose share exceeds its actual tokens
+    * saturates at rate 1.0 and its unused share flows back into the
+    * pool — the standard correction naive `budget·w/tokens` rates miss
+    * (they strand budget on small sources and under-fill the rest).
+    * Pure driver arithmetic on a map with one entry per source. */
+  def ratesForTokenBudget(tokensBySource: Map[String, Long], budget: Long,
+      weights: Map[String, Double] = Map.empty): Map[String, Long] = {
+    require(budget >= 0, "budget must be non-negative")
+    val w = if (weights.isEmpty) tokensBySource.map { case (s, _) => s -> 1.0 }
+            else weights
+    @annotation.tailrec
+    def fill(remaining: Double, active: Set[String],
+             acc: Map[String, Double]): Map[String, Double] = {
+      val wsum = active.toSeq.map(w.getOrElse(_, 0.0)).sum
+      if (remaining <= 0 || active.isEmpty || wsum <= 0) acc
+      else {
+        val saturated = active.filter(s =>
+          tokensBySource(s) <= remaining * (w.getOrElse(s, 0.0) / wsum))
+        if (saturated.isEmpty)
+          acc ++ active.map(s => s ->
+            remaining * (w.getOrElse(s, 0.0) / wsum) / tokensBySource(s))
+        else
+          fill(remaining - saturated.toSeq.map(tokensBySource(_).toDouble).sum,
+            active -- saturated, acc ++ saturated.map(_ -> 1.0))
+      }
+    }
+    val rates = fill(budget.toDouble,
+      tokensBySource.filter(_._2 > 0).keySet, Map.empty)
+    tokensBySource.map { case (s, _) =>
+      s -> math.min(1000000L, math.round(rates.getOrElse(s, 0.0) * 1000000L))
+    }
+  }
+
   /** Salted id → uniform [0, 1e6) ppm value, SQL-portable. The raw
     * polynomial fingerprint clusters for short consecutive keys (doc ids
     * differ only in trailing chars), so an LCG avalanche step — bounded
@@ -490,6 +527,30 @@ object Curation {
       .agg(round((sum("nll_u") / count(lit(1))) / 1000000.0d, 6).as("avg_nll"),
         count(lit(1)).as("n_tokens"))
   }
+
+  /** Quality gate on [[unigramNll]]: keep the best `keepFrac` fraction
+    * of each source's documents by LM score (lowest NLL first, doc_id
+    * tie-break). CCNet's per-bucket perplexity cut, as a composable
+    * filter; token-less documents have no score and are dropped.
+    *
+    * The exact form ranks with `percent_rank` per source — a per-source
+    * total order, fine while each source fits a task spill but the
+    * WRONG shape for 3 sources × 100 TB. The documented scale swap: one
+    * `percentile_approx(avg_nll, keepFrac)` aggregate per source
+    * (map-side combinable, no ordering), then `avg_nll <= threshold` —
+    * same cut up to sketch error, no oracle (approx sketches are not
+    * engine-portable), which is why the exact form is the checked one
+    * (same trade as corpusQuantiles). */
+  def qualityGate(docs: DataFrame, reference: DataFrame,
+                  keepFrac: Double = 0.9): DataFrame =
+    docs
+      .join(unigramNll(docs, reference).select("doc_id", "avg_nll"),
+        Seq("doc_id"))
+      .withColumn("__pr", percent_rank().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("avg_nll").asc, col("doc_id").asc)))
+      .filter(col("__pr") <= keepFrac)
+      .drop("__pr", "avg_nll")
 
   /** C4-style line-level cleaning (Raffel et al. 2020 §2.2, restated):
     * keep a line only if it ends in terminal punctuation, has at least

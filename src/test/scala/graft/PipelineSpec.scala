@@ -714,6 +714,48 @@ class PipelineSpec extends SparkSpec {
     assert(out(1L)._1 < out(3L)._1, "junk must score above fluent text")
   }
 
+  test("ratesForTokenBudget: water-filling saturates small sources, redistributes") {
+    import graft.pipeline.Curation
+    val tokens = Map("big" -> 1000000L, "mid" -> 100000L, "tiny" -> 1000L)
+    // equal weights, budget 300k: naive shares are 100k each — tiny
+    // saturates (1k) and its leftover flows to the others
+    val r = Curation.ratesForTokenBudget(tokens, 300000L)
+    assert(r("tiny") == 1000000L)
+    // remaining 299k split between big and mid: mid's share 149.5k > 100k
+    // -> mid saturates too; big gets the rest: 199k / 1M = 0.199
+    assert(r("mid") == 1000000L)
+    assert(r("big") == 199000L)
+    // expected kept tokens == budget (up to ppm rounding)
+    val kept = tokens.map { case (s, t) => t * r(s) / 1000000L }.sum
+    assert(math.abs(kept - 300000L) <= 1L)
+    // zero budget keeps nothing; over-budget keeps everything
+    assert(Curation.ratesForTokenBudget(tokens, 0L).values.forall(_ == 0L))
+    assert(Curation.ratesForTokenBudget(tokens, 10000000L)
+      .values.forall(_ == 1000000L))
+    // weighted: all budget to 'big' when others weigh zero
+    val wr = Curation.ratesForTokenBudget(tokens, 500000L,
+      Map("big" -> 1.0, "mid" -> 0.0, "tiny" -> 0.0))
+    assert(wr("big") == 500000L && wr("mid") == 0L && wr("tiny") == 0L)
+  }
+
+  test("qualityGate: keeps the lowest-NLL fraction per source, drops token-less docs") {
+    import graft.pipeline.Curation
+    // source A: 5 docs — 4 fluent (reference tokens), 1 junk; gate at
+    // 0.8 must cut exactly the junk one. B: junk-only stays (best of
+    // its own source). Empty doc has no score and disappears.
+    val ref = Seq((100L, "aa bb cc dd aa bb cc dd")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "aa bb cc dd", "A"), (2L, "bb cc dd aa", "A"),
+      (3L, "cc dd aa bb", "A"), (4L, "dd aa bb cc", "A"),
+      (5L, "zz qq ww ee", "A"),  // OOV junk
+      (6L, "xx yy zz ww", "B"),
+      (7L, "", "B")
+    ).toDF("doc_id", "text", "source")
+    val kept = Curation.qualityGate(docs, ref, keepFrac = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 4L, 6L))
+  }
+
   test("c4LineFilter: line rules, doc-level brace and min-line drops, order kept") {
     import graft.pipeline.Curation
     val docs = Seq(
