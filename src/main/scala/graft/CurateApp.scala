@@ -43,14 +43,26 @@ object CurateApp {
       compactStore: Option[String] = None,
       maxBucket: Long = 0L,
       zorder: Seq[String] = Nil, // multi-dim layout of the output
-      zorderBits: Int = 16)
+      zorderBits: Int = 16,
+      c4MinWords: Int = 0) // >0 = C4 line cleaning before the pipeline
 
   /** Build the curation pipeline frame (lazy — callers choose the sink),
     * or run a compaction increment when `--compact-store` is set (eager
     * by nature: the store append happens here). */
   def run(spark: SparkSession, c: Config): DataFrame = {
     require(c.input.nonEmpty, "need --input <documents parquet>")
-    val docs = spark.read.parquet(c.input)
+    val raw = spark.read.parquet(c.input)
+    // optional C4 line cleaning ahead of everything else: cheapest-first
+    // stage order — line rules are partition-local, so scrubbing before
+    // dedup/decontamination shrinks every later shuffle
+    val docs = if (c.c4MinWords <= 0) raw
+      else raw.join(
+        Curation.c4LineFilter(raw, minWords = c.c4MinWords)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("text_clean")),
+        Seq("doc_id"))
+        .drop("text")
+        .withColumnRenamed("text_clean", "text")
     c.compactStore match {
       case Some(store) =>
         graft.pipeline.IncrementalDedup.ingest(store, docs, c.n, c.k,
@@ -91,6 +103,7 @@ object CurateApp {
       case "--zorder" :: v :: t =>
         loop(t, c.copy(zorder = v.split(",").filter(_.nonEmpty).toSeq))
       case "--zorder-bits" :: v :: t => loop(t, c.copy(zorderBits = v.toInt))
+      case "--c4-min-words" :: v :: t => loop(t, c.copy(c4MinWords = v.toInt))
       case Nil => c
       case other :: _ => throw new IllegalArgumentException(s"unknown arg $other")
     }

@@ -78,6 +78,20 @@ class GraftAppSpec extends SparkSpec {
     assert(zc.zorder == Seq("doc_id", "chunk_id") && zc.zorderBits == 8)
     val z = CurateApp.laidOut(spark, zc, noBench)
     assert(z.exceptAll(noBench).isEmpty && noBench.exceptAll(z).isEmpty)
+    // --c4-min-words scrubs lines before the pipeline: noise lines are
+    // gone from the surviving doc's chunks, all-noise docs drop whole
+    val in2 = java.nio.file.Files.createTempDirectory("curc4").toString
+    Seq(
+      (1L, "Alpha beta gamma delta works fine here.\nbad noise", "srcA"),
+      (2L, "short.", "srcA"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite").parquet(in2)
+    val c4 = CurateApp.run(spark, CurateApp.parse(Array(
+      "--input", in2, "--max-dup-word-frac", "0.9", "--c4-min-words", "4",
+      "--chunk-size", "16", "--stride", "16")))
+    val chunks = c4.collect()
+    assert(chunks.map(_.getAs[Long]("doc_id")).toSet == Set(1L))
+    val texts = chunks.map(_.getAs[String]("chunk_text")).mkString(" ")
+    assert(!texts.contains("noise") && texts.contains("alpha"))
   }
 
   test("CurateApp --compact-store: two increments reproduce the batch candidate set") {
