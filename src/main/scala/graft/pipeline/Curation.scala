@@ -528,6 +528,39 @@ object Curation {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Streaming face of [[unigramNll]]: score each arriving document
+    * against a STATIC reference LM. Stream-static left join on the
+    * exploded tokens (the supported streaming join shape — the LM side
+    * is a plain batch frame, broadcast); the two LM totals are computed
+    * once at plan build, which is sound because reference corpora are
+    * static by nature (the same reason the batch form broadcasts them).
+    * Per-document scores aggregate under an event-time window +
+    * watermark, so state is bounded and append mode emits each doc's
+    * score exactly once. Same fixed-point micro-unit NLL as the batch
+    * scorer — parity is spec-pinned on identical input. */
+  def unigramNllStream(docs: DataFrame, reference: DataFrame,
+                       watermark: String = "1 hour",
+                       windowLen: String = "1 minute"): DataFrame = {
+    val lm = reference
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val t = lm.agg(sum("cnt").as("total"), count(lit(1)).as("vocab")).head()
+    val denom = (t.getAs[Long]("total") + t.getAs[Long]("vocab") + 1L).toDouble
+    docs
+      .withWatermark("event_time", watermark)
+      .select(col("doc_id"), col("event_time"),
+        explode(TextFunctions.tokens(col("text"))).as("token"))
+      .join(broadcast(lm), Seq("token"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .withColumn("nll_u",
+        round(-log((col("cnt") + 1).cast("double") / denom) * 1000000.0d)
+          .cast("long"))
+      .groupBy(window(col("event_time"), windowLen), col("doc_id"))
+      .agg(round((sum("nll_u") / count(lit(1))) / 1000000.0d, 6).as("avg_nll"),
+        count(lit(1)).as("n_tokens"))
+      .select("doc_id", "avg_nll", "n_tokens")
+  }
+
   /** Quality gate on [[unigramNll]]: keep the best `keepFrac` fraction
     * of each source's documents by LM score (lowest NLL first, doc_id
     * tie-break). CCNet's per-bucket perplexity cut, as a composable

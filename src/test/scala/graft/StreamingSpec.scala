@@ -464,6 +464,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming unigram NLL == batch scorer on the same docs (stream-static LM join)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq((100L, "aa bb cc dd aa bb cc dd"), (101L, "aa bb ee"))
+      .toDF("doc_id", "text")
+    val batchDocs = Seq((1L, "aa bb cc"), (2L, "zz aa qq"), (3L, "zz zz"))
+      .toDF("doc_id", "text")
+    val expected = graft.pipeline.Curation.unigramNll(batchDocs, ref)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = graft.pipeline.Curation.unigramNllStream(
+      mem.toDF().toDF("doc_id", "text", "event_time"), ref,
+      watermark = "10 seconds", windowLen = "1 minute")
+    val q = out.writeStream.format("memory").queryName("nll_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val t0 = new java.sql.Timestamp(60000L)
+      mem.addData((1L, "aa bb cc", t0), (2L, "zz aa qq", t0),
+        (3L, "zz zz", t0))
+      q.processAllAvailable()
+      // advance the watermark past the first window so append emits
+      mem.addData((99L, "aa", new java.sql.Timestamp(600000L)))
+      q.processAllAvailable()
+      val got = spark.table("nll_stream")
+        .filter(col("doc_id") < 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("RocksDB state store: keyed dedup state runs under the RocksDB provider") {
     implicit val sqlCtx = spark.sqlContext
     graft.core.Graft.useRocksDbState(spark)
