@@ -30,9 +30,8 @@ object Bench {
       Map("q_remove_dup_spans" -> (df => df.filter(
         org.apache.spark.sql.functions.length(
           org.apache.spark.sql.functions.col("text_clean")) >= 0)))
-    val results = names.map { name =>
-      val t0 = System.nanoTime()
-      val err = try {
+    def run(name: String): Option[String] =
+      try {
         forced.getOrElse(name, identity[org.apache.spark.sql.DataFrame] _)
           .apply(all(name)(spark, sfDir)).count(); None
       } catch {
@@ -40,6 +39,18 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: $e")
           Some(e.getClass.getSimpleName)
       }
+    // Steady-state measurement: run every query once untimed first
+    // (JIT/codegen warm — the 100 TB-relevant number, since per-query
+    // JIT amortizes over hours there; cold-vs-warm swings on the heavy
+    // tier are ±3×, swamping real deltas). SPARK_GRAFT_COLD=1 restores
+    // the old single-pass timing. The JSON line carries which mode ran.
+    val warm = !sys.env.get("SPARK_GRAFT_COLD").contains("1")
+    if (warm) names.distinct.foreach { n =>
+      run(n); spark.catalog.clearCache() // caches stay cold, JIT stays warm
+    }
+    val results = names.map { name =>
+      val t0 = System.nanoTime()
+      val err = run(name)
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
     // a crashed query must not read as a fast success: its timing is -1
@@ -50,7 +61,7 @@ object Bench {
     val errors = results.collect { case (k, _, Some(e)) => s"\"$k:$e\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"warmup":$warm,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.nonEmpty)) sys.exit(1)
   }
