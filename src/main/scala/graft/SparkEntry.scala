@@ -545,16 +545,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // the Morton interleave behind Z-order layout (scale/Layout) — pure
-    // bit arithmetic, replicated term-for-term by the DuckDB oracle; the
-    // layout transform itself only reorders rows, so proving the key is
-    // proving the operator
+    // the Morton interleave behind Z-order layout — the NATIVE z_key
+    // expression (the form zorderKey runs), replicated term-for-term by
+    // the DuckDB oracle's bit arithmetic; the layout transform itself
+    // only reorders rows, so proving the key is proving the operator
     "q_zorder_key" -> ((s, dir) =>
       Tables.lineitem(s, dir).select(
         col("l_orderkey"), col("l_linenumber"),
-        graft.scale.Layout.interleaveBits(Seq(
-          pmod(col("l_partkey"), lit(256)),
-          pmod(col("l_suppkey"), lit(256))), bits = 8).as("zkey"))
+        graft.expressions.LayoutExpressions.zKey(Seq(
+          pmod(col("l_partkey"), lit(256)).cast("long"),
+          pmod(col("l_suppkey"), lit(256)).cast("long")), bits = 8)
+          .as("zkey"))
         .orderBy("l_orderkey", "l_linenumber")),
 
     "q_repetition" -> ((s, dir) =>

@@ -166,7 +166,10 @@ object GraftFunctions {
       (e: Seq[Expression]) => MinhashSig(e.head, intArg(e(1), "minhash_sig"))),
     (FunctionIdentifier("char_entropy"),
       new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy"),
-      (e: Seq[Expression]) => CharEntropy(e.head)))
+      (e: Seq[Expression]) => CharEntropy(e.head)),
+    (FunctionIdentifier("z_key"),
+      new ExpressionInfo(classOf[InterleaveBits].getName, "z_key"),
+      (e: Seq[Expression]) => InterleaveBits(e.tail, intArg(e.head, "z_key"))))
 
   /** Register on a live session (the no-extensions path). */
   def register(spark: SparkSession): Unit = {

@@ -58,7 +58,10 @@ object Layout {
         floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * span)
           .cast("long"))
     }
-    df.withColumn("zkey", interleaveBits(scaled, bits))
+    // hot path: the native z_key expression (one node, tight codegen
+    // loop) — spec-pinned equal to the composed interleaveBits
+    df.withColumn("zkey",
+      graft.expressions.LayoutExpressions.zKey(scaled, bits))
   }
 
   /** Rows re-clustered on the Morton key over `cols`: range-partitioned

@@ -164,6 +164,34 @@ class ExpressionsSpec extends SparkSpec {
     assert(sigNative == sigRef, "minhashSig")
   }
 
+  test("native z_key equals the composed interleave; nulls and SQL registration") {
+    import graft.expressions.LayoutExpressions
+    import graft.scale.Layout
+    val rows = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y))
+      .toDF("x", "y")
+    val both = rows.select(
+      LayoutExpressions.zKey(Seq(col("x"), col("y")), 5).as("native"),
+      Layout.interleaveBits(Seq(col("x"), col("y")), 5).as("composed"))
+    assert(both.filter(col("native") =!= col("composed")).count() == 0)
+    // three columns, wider keys
+    val wide = Seq((1000L, 65535L, 12345L)).toDF("a", "b", "c").select(
+      LayoutExpressions.zKey(Seq(col("a"), col("b"), col("c")), 16).as("n"),
+      Layout.interleaveBits(Seq(col("a"), col("b"), col("c")), 16).as("m"))
+      .head
+    assert(wide.getLong(0) == wide.getLong(1))
+    // NULL in any child nulls the key
+    val withNull = Seq((Some(3L), Option.empty[Long]), (Some(3L), Some(1L)))
+      .toDF("x", "y")
+      .select(LayoutExpressions.zKey(Seq(col("x"), col("y")), 4).as("z"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(withNull.toSeq == Seq(None, Some(0b111L)))
+    // SQL face: z_key(bits, c0, c1)
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT z_key(4, CAST(12 AS BIGINT), CAST(10 AS BIGINT)) AS z").head
+    assert(viaSql.getLong(0) == 216L)
+  }
+
   test("/0 matches everything; /32 matches only itself") {
     GraftFunctions.register(spark)
     val r = spark.sql(
