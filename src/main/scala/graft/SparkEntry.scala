@@ -587,6 +587,12 @@ object SparkEntry {
       Curation.clusterComponents(Tables.documents(s, dir), star = true)
         .orderBy("doc_id")),
 
+    // n-gram LM frequency table with the count floor applied at the
+    // aggregate (singleton tail never materializes)
+    "q_ngram_counts" -> ((s, dir) =>
+      TextPipeline.ngramCounts(Tables.documents(s, dir), n = 2, minCount = 3L)
+        .orderBy("ngram")),
+
     // exact duplicate-span inventory (Lee et al. 2022 restated): every
     // (doc, pos) whose 3-token gram repeats anywhere in the corpus
     "q_dup_spans" -> ((s, dir) =>
@@ -2248,6 +2254,18 @@ object SparkEntry {
          |  CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 250000
          |              WHEN 'src2' THEN 500000 ELSE 1000000 END
          |ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_counts" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), g AS (
+         |  SELECT unnest(CASE WHEN len(toks) < 2 THEN []
+         |    ELSE list_transform(range(1, len(toks)),
+         |           i -> array_to_string(toks[i:i+1], ' ')) END) AS ngram
+         |  FROM t
+         |)
+         |SELECT ngram, count(*) AS cnt FROM g GROUP BY ngram
+         |HAVING count(*) >= 3 ORDER BY ngram""".stripMargin,
 
     // ordered (non-distinct) trigrams, zipped unnest for positions, the
     // same 47-bit hash twin the minhash oracle uses

@@ -418,6 +418,19 @@ object TextPipeline {
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token").asc).limit(topK)
 
+  /** Corpus n-gram frequency table with a count floor — the [[vocab]]
+    * generalization an n-gram LM (or the KenLM-style filtering stage of
+    * one) trains from. `minCount` prunes the long tail AT THE AGGREGATE
+    * (the standard count-of-counts cliff: singleton n-grams dominate the
+    * table but carry no LM mass), so the full unpruned table never
+    * materializes beyond the partial-aggregate buffers. One explode of
+    * the codegen'd shingles + one map-side-combinable hash aggregate. */
+  def ngramCounts(docs: DataFrame, n: Int = 2, minCount: Long = 2L): DataFrame =
+    docs.select(explode(graft.expressions.TextExpressions
+        .wordShingles(col("text"), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+
   /** Sketch form of [[vocab]] for unbounded vocabularies: approx_top_k
     * keeps a bounded per-partition summary instead of the full token
     * table (counts approximate, tie order sketch-dependent — never

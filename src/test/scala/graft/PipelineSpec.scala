@@ -662,6 +662,18 @@ class PipelineSpec extends SparkSpec {
     assert(src1Kept > 0 && src1Kept < 20) // genuinely downsampled
   }
 
+  test("ngramCounts: bigram table with count floor, tail pruned") {
+    import graft.pipeline.TextPipeline
+    val docs = Seq(
+      (1L, "a b a b a b"),   // "a b" x3, "b a" x2
+      (2L, "a b c"),         // "a b" x1, "b c" x1
+      (3L, "x")              // no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextPipeline.ngramCounts(docs, n = 2, minCount = 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a b" -> 4L, "b a" -> 2L)) // "b c" pruned at 1
+  }
+
   test("dupSpans: cross-doc and within-doc repeated trigrams located by position") {
     import graft.pipeline.TextPipeline
     val docs = Seq(

@@ -33,6 +33,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: native z_key matches the scalar reference on random values") {
+    import graft.expressions.LayoutExpressions
+    import spark.implicits._
+    def ref(xs: Seq[Long], bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, b) =>
+        xs.zipWithIndex.foldLeft(acc) { case (a, (x, i)) =>
+          a | (((x >> b) & 1L) << (b * xs.size + i))
+        }
+      }
+    val gen = for {
+      n <- Gen.choose(1, 4)
+      bits <- Gen.choose(1, 63 / n)
+      xs <- Gen.listOfN(n, Gen.choose(0L, (1L << bits) - 1))
+    } yield (bits, xs)
+    forAll(gen, 40) { case (bits, xs) =>
+      val got = Seq(Tuple1(0))
+        .toDF("dummy")
+        .select(LayoutExpressions.zKey(xs.map(lit(_)).map(_.cast("long")), bits))
+        .head.getLong(0)
+      assert(got == ref(xs, bits), s"bits=$bits xs=$xs")
+    }
+  }
+
+  test("property: zorder preserves random multisets; Ids.assign is a permutation") {
+    import spark.implicits._
+    val gen = Gen.listOfN(300,
+      Gen.zip(Gen.choose(-1000L, 1000L), Gen.choose(-5L, 5L)))
+    forAll(gen, 5) { rows =>
+      val df = rows.toDF("x", "y")
+      val z = graft.scale.Layout.zorder(df, Seq("x", "y"),
+        partitions = 4, bits = 8)
+      assert(z.exceptAll(df).isEmpty && df.exceptAll(z).isEmpty)
+      // unique-key id assignment is a 0..N-1 permutation in key order
+      val keyed = rows.zipWithIndex
+        .map { case ((x, y), i) => (x * 10000 + i, y) }.toDF("k", "y")
+      val ids = graft.scale.Ids.assign(keyed, Seq("k"), partitions = 4)
+        .orderBy("row_id").select("k", "row_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(ids.map(_._2).toSeq == (0L until rows.size.toLong))
+      assert(ids.map(_._1).toSeq == ids.map(_._1).sorted.toSeq)
+    }
+  }
+
   test("property: HostStats is invariant under input row order") {
     val rows = (0 until 40).map { i =>
       Fx(flow_id = i, src_ip4 = s"10.0.0.${i % 5}", dst_ip = s"192.0.2.${i % 7}",
