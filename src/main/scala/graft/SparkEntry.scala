@@ -519,6 +519,14 @@ object SparkEntry {
         planes = 16, minCosine = 0.9, bands = 4)
         .orderBy("vec_id")),
 
+    // int8-quantized exact search: integer dot products over 1-byte
+    // codes, cosine of the quantized vectors
+    "q_embed_knn_int8" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnInt8(emb, emb.filter(col("vec_id") < 10), k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "q_embed_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.annIvf(emb, emb.filter(col("vec_id") < 10),
@@ -2087,6 +2095,43 @@ object SparkEntry {
          |    ORDER BY cosine DESC, nbr_id ASC) AS rank
          |  FROM cand) WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
+
+    // int8 twin: quantize per vector (scale = max|v|/127, round half
+    // away from zero in both engines), integer dots, float only at the
+    // final ratio
+    "q_embed_knn_int8" ->
+      """WITH e0 AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), z AS (
+        |  SELECT vec_id,
+        |    CASE WHEN list_max(list_transform(v, y -> abs(y))) = 0 THEN
+        |      list_transform(v, x -> CAST(0 AS BIGINT))
+        |    ELSE list_transform(v, x -> CAST(round(
+        |      x / (list_max(list_transform(v, y -> abs(y))) / 127.0))
+        |      AS BIGINT)) END AS q
+        |  FROM e0
+        |), p AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, len(a.q) + 1),
+        |        i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])), (x, y) -> x + y) AS d,
+        |    sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, len(a.q) + 1),
+        |        i -> a.q[CAST(i AS INT)] * a.q[CAST(i AS INT)])), (x, y) -> x + y) AS DOUBLE)) AS na,
+        |    sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, len(b.q) + 1),
+        |        i -> b.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])), (x, y) -> x + y) AS DOUBLE)) AS nb
+        |  FROM z a, z b WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+        |), sc AS (
+        |  SELECT query_id, nbr_id,
+        |    round(CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END, 4) AS cosine
+        |  FROM p
+        |)
+        |SELECT query_id, nbr_id, cosine, CAST(rank AS INT) AS rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rank
+        |  FROM sc) WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
 
     "q_embed_knn" ->
       """WITH q AS (

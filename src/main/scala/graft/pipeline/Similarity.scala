@@ -40,6 +40,52 @@ object Similarity {
       .select("query_id", "nbr_id", "cosine", "rank")
   }
 
+  /** Symmetric per-vector int8 quantization: `scale = max|v| / 127`,
+    * `code[i] = round(v[i] / scale)` — 1 byte per dimension instead of
+    * 4, the standard compression tier between full-precision and PQ
+    * (codes stay per-dimension, so integer dot products replace float
+    * ones exactly; PQ goes further but needs a codebook). Zero vectors
+    * quantize to all-zero codes with scale 0. Codes are emitted as
+    * array<int> for engine portability — a production store casts them
+    * to tinyint on write. */
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("scale", array_max(transform(col("v"), abs(_))) / 127.0d)
+      .select(col("vec_id"), col("scale"),
+        transform(col("v"), x =>
+          when(col("scale") === 0.0d, lit(0))
+            .otherwise(round(x / col("scale")).cast("int"))).as("codes"))
+
+  /** Brute-force top-k cosine over int8-quantized vectors: the dot
+    * product is EXACT integer arithmetic over the codes (≤ 127²·dims,
+    * nowhere near long overflow), norms derive from the same integer
+    * dots, and only the final ratio touches floating point — so the
+    * ranking is reproducible across engines and partition orders, like
+    * the PQ tier's fixed-point ADC. Same output contract as
+    * [[knnBruteForce]]; cosine here is cosine of the QUANTIZED vectors
+    * (the quantization error is the operator's accuracy trade). */
+  def knnInt8(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    def quant(df: DataFrame, id: String, qc: String) =
+      quantizeInt8(df).select(col("vec_id").as(id),
+        transform(col("codes"), _.cast("long")).as(qc))
+    def idot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+    val base = quant(embeddings, "nbr_id", "nq")
+    val q = quant(queries, "query_id", "qq")
+    base.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      .withColumn("d", idot(col("qq"), col("nq")))
+      .withColumn("na", sqrt(idot(col("qq"), col("qq")).cast("double")))
+      .withColumn("nb", sqrt(idot(col("nq"), col("nq")).cast("double")))
+      .withColumn("cosine", round(
+        when(col("na") * col("nb") === 0.0d, 0.0d)
+          .otherwise(col("d") / (col("na") * col("nb"))), 4))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("nbr_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "cosine", "rank")
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * a fixed integer hash mapped to [-1, 1). Portable arithmetic (same
     * formula is SQL-expressible for oracles). */

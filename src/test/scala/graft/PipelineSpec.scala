@@ -104,6 +104,33 @@ class PipelineSpec extends SparkSpec {
     assert(out.find(_("rank") == 2).get("nbr_id") == 2L)
   }
 
+  test("quantizeInt8/knnInt8: bounded reconstruction error, duplicate ranks first") {
+    import graft.pipeline.Similarity
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.5f)),
+      (1L, Array(1.0f, 0.0f, 0.5f)),   // duplicate of 0
+      (2L, Array(0.0f, 1.0f, -0.25f)),
+      (3L, Array(-0.6f, 0.3f, 0.9f)),
+      (4L, Array(0.0f, 0.0f, 0.0f))    // zero vector
+    ).toDF("vec_id", "embedding")
+    // reconstruction: |code*scale - v| <= scale/2 for every component
+    val qz = Similarity.quantizeInt8(emb).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getSeq[Int](2))).toMap
+    val orig = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    for ((id, (scale, codes)) <- qz; (c, v) <- codes.zip(orig(id))) {
+      assert(math.abs(c * scale - v) <= scale / 2 + 1e-9, s"vec $id")
+      assert(math.abs(c) <= 127)
+    }
+    assert(qz(4L)._1 == 0.0 && qz(4L)._2.forall(_ == 0))
+    // search: the exact duplicate is rank 1 with cosine 1
+    val top = Similarity.knnInt8(emb, emb.filter(col("vec_id") === 0), k = 2)
+      .orderBy("rank").collect()
+    assert(top(0).getLong(1) == 1L && top(0).getDouble(2) == 1.0)
+    assert(top(0).getInt(3) == 1)
+  }
+
   test("annIvf: probes nearest centroid lists, ranks like brute force there") {
     // nlist=2 picks the two smallest scrambled ids of {0,1,2,3,5} — ids 0
     // and 5 — so the data puts those on the two axes; two clear clusters
