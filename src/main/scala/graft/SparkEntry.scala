@@ -486,6 +486,15 @@ object SparkEntry {
           col("f.byte_sum").as("byte_sum"), col("thumb_md5"))
         .orderBy("media_id")),
 
+    // media dedup on 16-byte digests: blobs never shuffle. The modded
+    // doc_id text stands in for duplicated content (real corpora carry
+    // re-posts of identical bytes)
+    "q_media_dedup" -> ((s, dir) =>
+      Multimodal.dedupMedia(Multimodal.mediaTable(
+        Tables.documents(s, dir)
+          .withColumn("text", pmod(col("doc_id"), lit(100)).cast("string"))))
+        .orderBy("media_id")),
+
     "q_media_frames" -> ((s, dir) =>
       Multimodal.frameSample(
         Multimodal.mediaTable(Tables.documents(s, dir)),
@@ -1975,6 +1984,16 @@ object SparkEntry {
          |  CASE WHEN s_de >= s_en AND s_de >= s_fr THEN 'de'
          |       WHEN s_en >= s_fr THEN 'en' ELSE 'fr' END AS lang_guess
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_media_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, CAST(doc_id % 100 AS VARCHAR) AS media
+        |  FROM documents
+        |)
+        |SELECT media_id, dup_count FROM (
+        |  SELECT min(media_id) AS media_id, count(*) AS dup_count
+        |  FROM m GROUP BY md5(media))
+        |ORDER BY media_id""".stripMargin,
 
     "q_media_features" ->
       """WITH m AS (

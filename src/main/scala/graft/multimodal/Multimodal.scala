@@ -40,6 +40,16 @@ object Multimodal {
         (lit(16) + col("doc_id") % 48).cast("int").as("height"))
         .as("meta"))
 
+  /** Exact media dedup by content digest — [[graft.pipeline.TextPipeline
+    * .dedupExactByHash]] for the binary tier: the blobs themselves never
+    * move, only their 16-byte md5 keys shuffle (at 100 TB of media that
+    * is the whole ballgame; collision probability is negligible at any
+    * corpus size). Keeps the smallest media_id per distinct content. */
+  def dedupMedia(mediaDf: DataFrame): DataFrame =
+    mediaDf.groupBy(md5(col("media")).as("media_md5"))
+      .agg(min("media_id").as("media_id"), count(lit(1)).as("dup_count"))
+      .select("media_id", "dup_count")
+
   /** Byte values of a blob as array<long> via its hex dump. The hex string
     * is referenced once (argument position, not inside a per-element
     * lambda — see TextFunctions.tokens for why that matters). */

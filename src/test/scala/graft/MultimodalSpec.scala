@@ -62,6 +62,20 @@ class MultimodalSpec extends SparkSpec {
         .digest("abc".getBytes).map("%02x".format(_)).mkString)
   }
 
+  test("dedupMedia: identical blobs collapse to the smallest id, digests shuffle, blobs don't") {
+    import graft.multimodal.Multimodal
+    val docs = Seq(
+      (7L, "same bytes"), (3L, "same bytes"), (9L, "same bytes"),
+      (5L, "unique bytes")).toDF("doc_id", "text")
+    val out = Multimodal.dedupMedia(Multimodal.mediaTable(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(3L -> 3L, 5L -> 1L))
+    // the aggregate's shuffle carries digests + ids, never the blob
+    val plan = Multimodal.dedupMedia(Multimodal.mediaTable(docs))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min") || plan.contains("HashAggregate"))
+  }
+
   test("metadata-only query prunes the blob column from the scan") {
     val dir = java.nio.file.Files.createTempDirectory("mmode").toString
     Multimodal.mediaTable(docs(1L -> "abc")).write.mode("overwrite").parquet(dir)
