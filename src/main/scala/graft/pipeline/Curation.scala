@@ -513,7 +513,10 @@ object Curation {
     val lm = reference
       .select(explode(TextFunctions.tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
-    val totals = lm.agg(sum("cnt").as("total"), count(lit(1)).as("vocab"))
+    // coalesce: sum over an EMPTY reference is null, and a null total
+    // would silently null every score instead of degrading to uniform
+    val totals = lm.agg(coalesce(sum("cnt"), lit(0L)).as("total"),
+      count(lit(1)).as("vocab"))
     docs
       .select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("token"))
@@ -544,7 +547,8 @@ object Curation {
     val lm = reference
       .select(explode(TextFunctions.tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
-    val t = lm.agg(sum("cnt").as("total"), count(lit(1)).as("vocab")).head()
+    val t = lm.agg(coalesce(sum("cnt"), lit(0L)).as("total"),
+      count(lit(1)).as("vocab")).head()
     val denom = (t.getAs[Long]("total") + t.getAs[Long]("vocab") + 1L).toDouble
     docs
       .withWatermark("event_time", watermark)

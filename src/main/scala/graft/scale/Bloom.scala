@@ -44,12 +44,22 @@ object Bloom {
   }
 
   /** Build the filter over `df`'s `key` values and return the serialized
-    * blob. `expectedItems <= 0` counts the (small) side first. */
+    * blob. `expectedItems <= 0` counts the (small) side first. An EMPTY
+    * `df` yields a valid contains-nothing filter — the aggregate alone
+    * would return NULL there, and a null blob nulls every probe, which
+    * silently empties antiJoin (everything should pass) as well as
+    * semiJoin. */
   def build(df: DataFrame, key: Column, expectedItems: Long = 0L,
             fpp: Double = 0.01): Array[Byte] = {
     val n = if (expectedItems > 0L) expectedItems else df.count()
-    df.agg(bloomAgg(key, math.max(n, 1L), fpp).as("bf"))
+    val blob = df.agg(bloomAgg(key, math.max(n, 1L), fpp).as("bf"))
       .head.getAs[Array[Byte]]("bf")
+    if (blob != null) blob
+    else {
+      val bos = new java.io.ByteArrayOutputStream()
+      BloomFilter.create(1L, fpp).writeTo(bos)
+      bos.toByteArray
+    }
   }
 
   /** Codegen'd membership probe of `key` against a built filter. True for
@@ -81,7 +91,13 @@ object Bloom {
   /** Exact left-anti join where only the bloom-POSITIVE rows pay the
     * exact check: a definite bloom miss proves absence from `small`, so
     * those rows pass straight through; the positives (matches + fpp)
-    * are confirmed by the real anti-join. */
+    * are confirmed by the real anti-join.
+    *
+    * Cost shape: `large` is SCANNED twice (once per branch of the
+    * union) but SHUFFLED at most once and only for the positive
+    * fraction — the right trade at scale, where a columnar scan is
+    * cheap and the exchange is the cost. Persist `large` first if its
+    * upstream is expensive to recompute. */
   def antiJoin(large: DataFrame, small: DataFrame, largeKey: String,
                smallKey: String, fpp: Double = 0.01): DataFrame = {
     val bloom = build(small, col(smallKey), fpp = fpp)

@@ -777,6 +777,16 @@ class PipelineSpec extends SparkSpec {
     assert(wr("big") == 500000L && wr("mid") == 0L && wr("tiny") == 0L)
   }
 
+  test("unigramNll: empty reference scores every token at the uniform ceiling") {
+    import graft.pipeline.Curation
+    val ref = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val docs = Seq((1L, "aa bb"), (2L, "cc")).toDF("doc_id", "text")
+    // total=0, vocab=0 -> denom=1 -> every token NLL = -ln(1/1) = 0
+    val out = Curation.unigramNll(docs, ref)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 0.0, 2L), (2L, 0.0, 1L)))
+  }
+
   test("qualityGate: keeps the lowest-NLL fraction per source, drops token-less docs") {
     import graft.pipeline.Curation
     // source A: 5 docs — 4 fluent (reference tokens), 1 junk; gate at

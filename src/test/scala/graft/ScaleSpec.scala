@@ -147,6 +147,20 @@ class ScaleSpec extends SparkSpec {
       s"z-order should skip most partitions: $zTouched vs $linTouched")
   }
 
+  test("bloom edge cases: empty small side, zorder constant column") {
+    import graft.scale.{Bloom, Layout}
+    val large = (0L until 100L).map(i => (i, s"p$i")).toDF("key", "payload")
+    val empty = Seq.empty[Long].toDF("k")
+    // empty membership set: semi keeps nothing, anti keeps everything
+    assert(Bloom.semiJoin(large, empty, "key", "k").count() == 0)
+    assert(Bloom.antiJoin(large, empty, "key", "k").count() == 100)
+    // a constant z-order column scales to 0 and the key degrades to the
+    // remaining dimension's interleave — rows still all preserved
+    val const = (0L until 64L).map(i => (i, 7L)).toDF("x", "c")
+    val z = Layout.zorder(const, Seq("x", "c"), partitions = 4, bits = 6)
+    assert(z.exceptAll(const).isEmpty && const.exceptAll(z).isEmpty)
+  }
+
   test("Ids.assign: contiguous row_number semantics, no single-partition window") {
     import graft.scale.Ids
     // ids arrive scrambled and skewed across partitions
