@@ -51,8 +51,13 @@ object Layout {
       max(col(c)).cast("double").as(s"__hi_$c")))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     val scaled = cols.map { c =>
-      val lo = r.getAs[Double](s"__lo_$c")
-      val hi = r.getAs[Double](s"__hi_$c")
+      // boxed reads: min/max over an EMPTY frame are null, and a
+      // primitive getAs would NPE instead of degrading to zkey=0
+      val lo0 = r.getAs[java.lang.Double](s"__lo_$c")
+      val hi0 = r.getAs[java.lang.Double](s"__hi_$c")
+      val (lo, hi) =
+        (if (lo0 == null) 0.0 else lo0.doubleValue,
+          if (hi0 == null) 0.0 else hi0.doubleValue)
       if (hi <= lo) lit(0L)
       else least(lit(span),
         floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * span)

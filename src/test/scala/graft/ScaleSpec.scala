@@ -159,6 +159,9 @@ class ScaleSpec extends SparkSpec {
     val const = (0L until 64L).map(i => (i, 7L)).toDF("x", "c")
     val z = Layout.zorder(const, Seq("x", "c"), partitions = 4, bits = 6)
     assert(z.exceptAll(const).isEmpty && const.exceptAll(z).isEmpty)
+    // empty frame: min/max are null — must degrade, not NPE
+    assert(Layout.zorder(const.limit(0), Seq("x", "c"),
+      partitions = 2, bits = 6).count() == 0)
   }
 
   test("Ids.assign: contiguous row_number semantics, no single-partition window") {
