@@ -536,6 +536,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF-flat-SQ8: full-precision probes, int8 inverted lists
+    "q_embed_ann_ivf_int8" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.annIvfInt8(emb, emb.filter(col("vec_id") < 10),
+        nlist = 10, nprobe = 3, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "q_embed_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.annIvf(emb, emb.filter(col("vec_id") < 10),
@@ -2113,6 +2121,64 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, nbr_id ASC) AS rank
          |  FROM cand) WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // IVF-flat-SQ8: annIvf's probe CTEs + the int8 z CTE, in-list
+    // ranking by integer dots
+    "q_embed_ann_ivf_int8" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), c AS (
+         |  SELECT vec_id AS cid, v AS cv FROM e
+         |  ORDER BY (vec_id % 1048576 * 2654435761 + 40503) % 1048576, vec_id
+         |  LIMIT 10
+         |), z AS (
+         |  SELECT vec_id,
+         |    CASE WHEN list_max(list_transform(v, y -> abs(y))) = 0 THEN
+         |      list_transform(v, x -> CAST(0 AS BIGINT))
+         |    ELSE list_transform(v, x -> CAST(round(
+         |      x / (list_max(list_transform(v, y -> abs(y))) / 127.0))
+         |      AS BIGINT)) END AS q
+         |  FROM e
+         |), asg AS (
+         |  SELECT vec_id AS nbr_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosSql("e.v", "c.cv")}, 6) DESC, c.cid ASC) AS crn
+         |    FROM e CROSS JOIN c) WHERE crn = 1
+         |), q AS (
+         |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+         |), probes AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT q.query_id, c.cid,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY round(${cosSql("q.qv", "c.cv")}, 6) DESC, c.cid ASC) AS crn
+         |    FROM q CROSS JOIN c) WHERE crn <= 3
+         |), cand AS (
+         |  SELECT p.query_id, a.nbr_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, len(zq.q) + 1),
+         |        i -> zq.q[CAST(i AS INT)] * zn.q[CAST(i AS INT)])), (x, y) -> x + y) AS d,
+         |    sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, len(zq.q) + 1),
+         |        i -> zq.q[CAST(i AS INT)] * zq.q[CAST(i AS INT)])), (x, y) -> x + y) AS DOUBLE)) AS na,
+         |    sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, len(zn.q) + 1),
+         |        i -> zn.q[CAST(i AS INT)] * zn.q[CAST(i AS INT)])), (x, y) -> x + y) AS DOUBLE)) AS nb
+         |  FROM probes p
+         |  JOIN asg a USING (cid)
+         |  JOIN z zq ON zq.vec_id = p.query_id
+         |  JOIN z zn ON zn.vec_id = a.nbr_id
+         |  WHERE p.query_id <> a.nbr_id
+         |), sc AS (
+         |  SELECT query_id, nbr_id,
+         |    round(CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END, 4) AS cosine
+         |  FROM cand
+         |)
+         |SELECT query_id, nbr_id, cosine, CAST(rank AS INT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, nbr_id ASC) AS rank
+         |  FROM sc) WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
 
     // int8 twin: quantize per vector (scale = max|v|/127, round half

@@ -181,6 +181,59 @@ object Similarity {
       .select("query_id", "nbr_id", "cosine", "rank")
   }
 
+  /** IVF over int8-compressed inverted lists — the FAISS IVF-flat-SQ8
+    * shape: coarse quantization and probing stay FULL precision (the
+    * quantizer is nlist vectors, too small to be worth compressing, and
+    * probe quality decides recall), while the corpus-sized lists carry
+    * only 1 B/dim codes + one scale; in-list ranking is [[knnInt8]]'s
+    * exact integer arithmetic. Composes [[annIvf]]'s probe plan with
+    * [[quantizeInt8]]'s code tables — candidate join on the list id,
+    * float touched only at the final cosine ratio. */
+  def annIvfInt8(embeddings: DataFrame, queries: DataFrame, nlist: Int,
+                 nprobe: Int, k: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val cents = e.orderBy(idScramble(col("vec_id")).asc, col("vec_id").asc)
+      .limit(nlist)
+      .select(col("vec_id").as("cid"), col("vec").as("cvec"))
+    def idot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+    val codes = quantizeInt8(embeddings)
+      .select(col("vec_id"), transform(col("codes"), _.cast("long")).as("q"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("csim", round(Vec.cosine(col("vec"), col("cvec")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"))
+      .join(codes, Seq("vec_id"))
+      .select(col("vec_id").as("nbr_id"), col("q").as("nq"), col("cid"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"),
+        asDouble(col("embedding")).as("query_vec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", round(Vec.cosine(col("query_vec"), col("cvec")), 6))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid").asc)))
+      .filter(col("crn") <= nprobe)
+      .select(col("query_id"), col("cid"))
+      // query codes from the QUERIES frame (per-vector scales, so codes
+      // are identical to the corpus entries) — broadcasting the full
+      // corpus codes table here would ship N·dims bytes for a k-row join
+      .join(broadcast(quantizeInt8(queries)
+        .select(col("vec_id").as("query_id"),
+          transform(col("codes"), _.cast("long")).as("qq"))), Seq("query_id"))
+    probes.join(assigned, Seq("cid"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("d", idot(col("qq"), col("nq")))
+      .withColumn("na", sqrt(idot(col("qq"), col("qq")).cast("double")))
+      .withColumn("nb", sqrt(idot(col("nq"), col("nq")).cast("double")))
+      .withColumn("cosine", round(
+        when(col("na") * col("nb") === 0.0d, 0.0d)
+          .otherwise(col("d") / (col("na") * col("nb"))), 4))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("nbr_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "cosine", "rank")
+  }
+
   /** IVF with a TRAINED coarse quantizer (MLlib k-means) — the production
     * form of [[annIvf]] (which uses a deterministic corpus sample so the
     * oracle can replay it). Same plan shape: broadcast assignment pass,

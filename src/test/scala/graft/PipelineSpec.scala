@@ -131,6 +131,19 @@ class PipelineSpec extends SparkSpec {
     assert(top(0).getInt(3) == 1)
   }
 
+  test("annIvfInt8 with all lists probed == knnInt8 (coarse stage prunes, never re-ranks)") {
+    import graft.pipeline.Similarity
+    val emb = (0L until 60L).map { i =>
+      (i, (0 until 12).map(d => ((i * 31 + d * 7) % 13 - 6).toFloat / 6f))
+    }.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 5)
+    val full = Similarity.annIvfInt8(emb, queries,
+      nlist = 6, nprobe = 6, k = 5)
+    val flat = Similarity.knnInt8(emb, queries, k = 5)
+    assert(full.exceptAll(flat).isEmpty && flat.exceptAll(full).isEmpty)
+    assert(flat.count() == 25)
+  }
+
   test("annIvf: probes nearest centroid lists, ranks like brute force there") {
     // nlist=2 picks the two smallest scrambled ids of {0,1,2,3,5} — ids 0
     // and 5 — so the data puts those on the two axes; two clear clusters
