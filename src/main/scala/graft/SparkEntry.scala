@@ -624,6 +624,22 @@ object SparkEntry {
       TextPipeline.dupSpans(Tables.documents(s, dir), k = 3)
         .orderBy("doc_id", "pos")),
 
+    // incremental span ingest (two batches against the append-only gram
+    // store) must reproduce the batch inventory's position set exactly
+    "q_dup_spans_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val storeDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_span_store"
+      val p = new org.apache.hadoop.fs.Path(storeDir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true) // fresh store per run
+      pipeline.IncrementalDedup
+        .ingestSpans(storeDir, docs.filter(col("doc_id") < 250))
+        .union(pipeline.IncrementalDedup
+          .ingestSpans(storeDir, docs.filter(col("doc_id") >= 250)))
+        .orderBy("doc_id", "pos")
+    }),
+
     // the removal half: canonical-first span dedup over the same grams
     "q_remove_dup_spans" -> ((s, dir) =>
       TextPipeline.removeDupSpans(Tables.documents(s, dir), k = 3)
@@ -1098,6 +1114,11 @@ object SparkEntry {
          |WHERE pr <= 0.8 ORDER BY doc_id""".stripMargin) +
     // incremental two-batch ingest reproduces the batch candidate set
     ("q_minhash_incremental" -> baseOracles("q_minhash_candidates")) +
+    // incremental span ingest reproduces the batch position inventory
+    ("q_dup_spans_incremental" ->
+      s"""SELECT doc_id, pos FROM (
+         |${baseOracles("q_dup_spans")}
+         |) ORDER BY doc_id, pos""".stripMargin) +
     // recall@10 of probe-limited IVF vs brute-force ground truth — pure
     // composition of the two sub-oracles (full WITH queries are legal
     // derived tables in DuckDB)

@@ -143,6 +143,57 @@ object IncrementalDedup {
     result
   }
 
+  // ----- span scheme (duplicate k-gram positions) -------------------------
+
+  /** Span-dedup ingest — the incremental face of
+    * [[TextPipeline.dupSpans]]: emit every (doc_id, pos) whose k-gram
+    * becomes duplicated AT THIS INGEST, exactly once across increments,
+    * so the union of all increments' outputs equals the batch
+    * operator's position set over the union of all batches
+    * (spec-pinned and oracle-checked).
+    *
+    * Two append-only tables make that cheap against a 100 TB history:
+    * `grams` (doc_id, pos, h) and `hcounts` (h, cnt) — per-batch
+    * PARTIAL counts whose sum is the store count, so the ingest's
+    * count lookup aggregates the compact counts table (join-pruned to
+    * the batch's hashes, broadcast), never the gram inventory. Emission
+    * rule per batch hash with store count s and batch count b:
+    * batch occurrences emit when s + b > 1; the store's occurrence
+    * emits only when s == 1 (its gram was unique until now — s ≥ 2
+    * means earlier ingests already emitted it), fetched from `grams`
+    * by the (rare by definition) singles hash set. Hot boilerplate
+    * grams therefore cost b rows per batch and one counts row —
+    * never a store-wide scan. */
+  def ingestSpans(dir: String, docs: DataFrame, k: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val newGrams = TextPipeline.spanGramsOf(docs, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchCounts = newGrams.groupBy("h").agg(count(lit(1)).as("b"))
+    val hcountSchema = StructType(Seq(
+      StructField("h", LongType), StructField("cnt", LongType)))
+    val storeCounts = snapshot(spark, dir, "hcounts", hcountSchema)
+      .join(broadcast(batchCounts.select("h")), Seq("h"))
+      .groupBy("h").agg(sum("cnt").as("s"))
+    val j = batchCounts.join(storeCounts, Seq("h"), "left")
+      .na.fill(0L, Seq("s"))
+    val emitBatch = newGrams
+      .join(broadcast(j.filter(col("s") + col("b") > 1).select("h")), Seq("h"))
+      .select("doc_id", "pos")
+    val gramSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("pos", org.apache.spark.sql.types.IntegerType),
+      StructField("h", LongType)))
+    val singles = snapshot(spark, dir, "grams", gramSchema)
+      .join(broadcast(j.filter(col("s") === 1).select("h")), Seq("h"))
+      .select("doc_id", "pos")
+    val result = emitBatch.union(singles).localCheckpoint(true)
+    newGrams.write.mode("append").parquet(s"$dir/grams")
+    batchCounts.select(col("h"), col("b").as("cnt"))
+      .write.mode("append").parquet(s"$dir/hcounts")
+    newGrams.unpersist()
+    result
+  }
+
   // ----- embedding scheme (cosine-confirmed sign-LSH candidates) ----------
 
   /** Embedding ingest: banded sign-LSH candidate pairing plus the exact

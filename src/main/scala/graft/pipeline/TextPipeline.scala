@@ -57,7 +57,7 @@ object TextPipeline {
   /** [[dupSpans]] with the release handle for the persisted gram frame
     * (read twice: the occurrence count and the join back). */
   def dupSpansCached(docs: DataFrame, k: Int = 3): graft.core.Cached[DataFrame] = {
-    val grams = spanGrams(docs, k)
+    val grams = spanGramsOf(docs, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dups = grams.groupBy("h").agg(count(lit(1)).as("occurrences"))
       .filter(col("occurrences") > 1)
@@ -67,7 +67,7 @@ object TextPipeline {
   }
 
   /** Positional k-gram hashes of every document: (doc_id, pos, h). */
-  private def spanGrams(docs: DataFrame, k: Int): DataFrame =
+  private[pipeline] def spanGramsOf(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"),
       posexplode(graft.expressions.TextExpressions.polyHash47(
         graft.expressions.TextExpressions.wordShingles(col("text"), k)))
@@ -96,7 +96,7 @@ object TextPipeline {
     * join). */
   def removeDupSpansCached(docs: DataFrame,
                            k: Int = 3): graft.core.Cached[DataFrame] = {
-    val grams = spanGrams(docs, k)
+    val grams = spanGramsOf(docs, k)
       .withColumn("okey", col("doc_id") * 1048576L + col("pos"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dups = grams.groupBy("h")

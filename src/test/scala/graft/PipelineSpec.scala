@@ -729,6 +729,36 @@ class PipelineSpec extends SparkSpec {
       (3L, 0, 2L), (3L, 3, 2L)))             // the self-repeat
   }
 
+  test("ingestSpans: batched ingest reproduces batch dupSpans positions exactly once") {
+    import graft.pipeline.{IncrementalDedup, TextPipeline}
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "zz alpha beta gamma yy"),       // dup vs 1 (cross-batch)
+      (3L, "one two three one two three"),  // self-repeat within batch 1
+      (4L, "totally unique words here"),    // unique until batch 3
+      (5L, "alpha beta gamma prime"),       // third copy, later batch
+      (6L, "totally unique words extended"),// duplicates doc 4's gram
+      (7L, "one two three again right now") // dup vs 3, last batch
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("span_store").toString
+    val batches = Seq(
+      docs.filter(col("doc_id") <= 3),
+      docs.filter(col("doc_id") === 4 || col("doc_id") === 5),
+      docs.filter(col("doc_id") >= 6))
+    val all = batches.map(IncrementalDedup.ingestSpans(dir, _, k = 3))
+      .reduce(_ union _)
+    // exactly-once: no position emitted twice
+    assert(all.count() == all.distinct().count())
+    val batch = TextPipeline.dupSpans(docs, k = 3).select("doc_id", "pos")
+    assert(all.exceptAll(batch).isEmpty && batch.exceptAll(all).isEmpty)
+    assert(batch.count() > 0) // parity must not be vacuous
+    // the cross-batch single: doc 4's gram was unique at its own ingest
+    // (batch 2) and must surface exactly once, at the batch-3 ingest
+    // that duplicated it (the s == 1 store-side emission path)
+    assert(all.filter(col("doc_id") === 4).count() == 1)
+    assert(all.filter(col("doc_id") === 1).count() == 1)
+  }
+
   test("removeDupSpans: canonical occurrence survives, later ones are cut") {
     import graft.pipeline.TextPipeline
     val docs = Seq(
