@@ -41,6 +41,7 @@ object CurateApp {
       defaultPpm: Long = 1000000L,
       chunkSize: Int = 64, stride: Int = 48,
       compactStore: Option[String] = None,
+      spanStore: Option[String] = None, // span-level incremental dedup
       maxBucket: Long = 0L,
       zorder: Seq[String] = Nil, // multi-dim layout of the output
       zorderBits: Int = 16,
@@ -63,11 +64,13 @@ object CurateApp {
         Seq("doc_id"))
         .drop("text")
         .withColumnRenamed("text_clean", "text")
-    c.compactStore match {
-      case Some(store) =>
+    (c.compactStore, c.spanStore) match {
+      case (Some(store), _) =>
         graft.pipeline.IncrementalDedup.ingest(store, docs, c.n, c.k,
           c.bands, c.maxBucket)
-      case None =>
+      case (None, Some(store)) =>
+        graft.pipeline.IncrementalDedup.ingestSpans(store, docs, c.n)
+      case _ =>
         val bench = c.benchmark.map(spark.read.parquet(_))
           // no benchmark -> empty eval set -> decontamination is a no-op
           .getOrElse(docs.limit(0))
@@ -99,6 +102,8 @@ object CurateApp {
       case "--stride" :: v :: t    => loop(t, c.copy(stride = v.toInt))
       case "--compact-store" :: v :: t =>
         loop(t, c.copy(compactStore = Some(v)))
+      case "--span-store" :: v :: t =>
+        loop(t, c.copy(spanStore = Some(v)))
       case "--max-bucket" :: v :: t => loop(t, c.copy(maxBucket = v.toLong))
       case "--zorder" :: v :: t =>
         loop(t, c.copy(zorder = v.split(",").filter(_.nonEmpty).toSeq))

@@ -94,6 +94,27 @@ class GraftAppSpec extends SparkSpec {
     assert(!texts.contains("noise") && texts.contains("alpha"))
   }
 
+  test("CurateApp --span-store: two increments reproduce the batch span inventory") {
+    import spark.implicits._
+    val in1 = java.nio.file.Files.createTempDirectory("spanin1").toString
+    val in2 = java.nio.file.Files.createTempDirectory("spanin2").toString
+    val store = java.nio.file.Files.createTempDirectory("spanstore").toString
+    val b1 = Seq((1L, "alpha beta gamma delta", "s"),
+      (2L, "unique text one here", "s"))
+    val b2 = Seq((3L, "zz alpha beta gamma", "s"))
+    b1.toDF("doc_id", "text", "source").write.mode("overwrite").parquet(in1)
+    b2.toDF("doc_id", "text", "source").write.mode("overwrite").parquet(in2)
+    val out = Seq(in1, in2).map { in =>
+      CurateApp.run(spark, CurateApp.parse(Array(
+        "--input", in, "--span-store", store, "--shingle-n", "3")))
+    }.reduce(_ union _)
+    val batch = graft.pipeline.TextPipeline.dupSpans(
+      (b1 ++ b2).toDF("doc_id", "text", "source"), k = 3)
+      .select("doc_id", "pos")
+    assert(out.exceptAll(batch).isEmpty && batch.exceptAll(out).isEmpty)
+    assert(batch.count() == 2) // doc 1 pos 0, doc 3 pos 1
+  }
+
   test("CurateApp --compact-store: two increments reproduce the batch candidate set") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
