@@ -45,7 +45,9 @@ object CurateApp {
       maxBucket: Long = 0L,
       zorder: Seq[String] = Nil, // multi-dim layout of the output
       zorderBits: Int = 16,
-      c4MinWords: Int = 0) // >0 = C4 line cleaning before the pipeline
+      c4MinWords: Int = 0, // >0 = C4 line cleaning before the pipeline
+      qualityKeepFrac: Double = 0.0, // >0 = LM quality gate before the pipeline
+      qualityReference: Option[String] = None) // LM corpus (default: the input)
 
   /** Build the curation pipeline frame (lazy — callers choose the sink),
     * or run a compaction increment when `--compact-store` is set (eager
@@ -56,7 +58,7 @@ object CurateApp {
     // optional C4 line cleaning ahead of everything else: cheapest-first
     // stage order — line rules are partition-local, so scrubbing before
     // dedup/decontamination shrinks every later shuffle
-    val docs = if (c.c4MinWords <= 0) raw
+    val lined = if (c.c4MinWords <= 0) raw
       else raw.join(
         Curation.c4LineFilter(raw, minWords = c.c4MinWords)
           .select(org.apache.spark.sql.functions.col("doc_id"),
@@ -64,6 +66,13 @@ object CurateApp {
         Seq("doc_id"))
         .drop("text")
         .withColumnRenamed("text_clean", "text")
+    // optional LM quality gate after line cleaning (scores should see
+    // the cleaned text): keep the best keepFrac per source by unigram
+    // NLL against --quality-reference (or the corpus itself)
+    val docs = if (c.qualityKeepFrac <= 0.0) lined
+      else Curation.qualityGate(lined,
+        c.qualityReference.map(spark.read.parquet(_)).getOrElse(lined),
+        c.qualityKeepFrac)
     (c.compactStore, c.spanStore) match {
       case (Some(store), _) =>
         graft.pipeline.IncrementalDedup.ingest(store, docs, c.n, c.k,
@@ -109,6 +118,10 @@ object CurateApp {
         loop(t, c.copy(zorder = v.split(",").filter(_.nonEmpty).toSeq))
       case "--zorder-bits" :: v :: t => loop(t, c.copy(zorderBits = v.toInt))
       case "--c4-min-words" :: v :: t => loop(t, c.copy(c4MinWords = v.toInt))
+      case "--quality-keep-frac" :: v :: t =>
+        loop(t, c.copy(qualityKeepFrac = v.toDouble))
+      case "--quality-reference" :: v :: t =>
+        loop(t, c.copy(qualityReference = Some(v)))
       case Nil => c
       case other :: _ => throw new IllegalArgumentException(s"unknown arg $other")
     }

@@ -94,6 +94,26 @@ class GraftAppSpec extends SparkSpec {
     assert(!texts.contains("noise") && texts.contains("alpha"))
   }
 
+  test("CurateApp --quality-keep-frac: junk docs gated out before the pipeline") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("qgin").toString
+    val ref = java.nio.file.Files.createTempDirectory("qgref").toString
+    Seq( // shingle-disjoint permutations (same NLL, no near-dup pairs)
+      (1L, "alpha beta gamma delta epsilon", "s"),
+      (2L, "epsilon delta gamma beta alpha", "s"),
+      (3L, "alpha gamma epsilon beta delta", "s"),
+      (4L, "qq ww ee rr tt", "s")) // all-OOV junk
+      .toDF("doc_id", "text", "source").write.mode("overwrite").parquet(in)
+    Seq((9L, "alpha beta gamma delta epsilon", "ref"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite").parquet(ref)
+    val out = CurateApp.run(spark, CurateApp.parse(Array(
+      "--input", in, "--quality-keep-frac", "0.75",
+      "--quality-reference", ref, "--max-dup-word-frac", "0.9",
+      "--chunk-size", "16", "--stride", "16")))
+    assert(out.select("doc_id").distinct().as[Long].collect().toSet
+      == Set(1L, 2L, 3L))
+  }
+
   test("CurateApp --span-store: two increments reproduce the batch span inventory") {
     import spark.implicits._
     val in1 = java.nio.file.Files.createTempDirectory("spanin1").toString
