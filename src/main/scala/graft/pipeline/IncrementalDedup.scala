@@ -36,10 +36,18 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * and results are pinned with an eager localCheckpoint, so a
   * lazily-held candidates frame never sees later appends.
   *
-  * `maxBucket` caps the STORE-side bucket size at each ingest (hot
-  * boilerplate buckets would otherwise make every future increment pay
-  * d pairs per new member); unlike the batch cap it cannot
-  * retroactively drop pairs emitted before a bucket crossed the cap.
+  * `maxBucket` caps bucket size on BOTH pair branches at each ingest:
+  * the store side (hot boilerplate buckets would otherwise make every
+  * future increment pay d pairs per new member) and the within-batch
+  * new×new self-join (one boilerplate-heavy increment would otherwise
+  * owe d² pairs through the single reducer owning that bucket — the
+  * same failure [[TextPipeline.capBuckets]] guards in the batch
+  * twins). Unlike the batch cap it cannot retroactively drop pairs
+  * emitted before a bucket crossed the cap, and the APPENDED keys are
+  * always uncapped (the store keeps everything; caps apply at read).
+  * `tileTarget` is the recall-lossless alternative for the
+  * within-batch branch: hot batch buckets are 2-D tiled over the
+  * cluster ([[graft.scale.Skew.tiledPairs]]) instead of dropped.
   */
 object IncrementalDedup {
 
@@ -71,15 +79,30 @@ object IncrementalDedup {
 
   /** Core exactly-once pair emission: (new × new) ∪ (capped store × new,
     * new side broadcast), oriented a < b. Caller appends the keys AFTER
-    * materializing its result. */
+    * materializing its result.
+    *
+    * The within-batch self-join honors the same hot-bucket guards as
+    * the batch operators: `maxBucket` drops over-cap batch buckets
+    * before pairing (lossy, cheap); `tileTarget` tiles them instead
+    * (lossless, spreads the d² output over the cluster). `tileTarget`
+    * wins when both are set. The store×new branch needs neither — it
+    * is a broadcast join whose output explosion is spread over the
+    * store's scan partitions, and the store side is already capped. */
   private def keyedPairs(store: DataFrame, newKeys: DataFrame,
                          idCol: String, outA: String, outB: String,
-                         maxBucket: Long): DataFrame = {
+                         maxBucket: Long, tileTarget: Long): DataFrame = {
     val capped = TextPipeline.capBuckets(store, maxBucket)
-    val within = newKeys.as("a").join(newKeys.as("b"),
-        col(s"a.bucket") === col(s"b.bucket") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as(outA), col(s"b.$idCol").as(outB))
+    val within =
+      if (tileTarget > 0L)
+        graft.scale.Skew.tiledPairs(newKeys, idCol, "bucket", tileTarget)
+          .select(col("a").as(outA), col("b").as(outB))
+      else {
+        val nw = TextPipeline.capBuckets(newKeys, maxBucket)
+        nw.as("a").join(nw.as("b"),
+            col(s"a.bucket") === col(s"b.bucket") &&
+              col(s"a.$idCol") < col(s"b.$idCol"))
+          .select(col(s"a.$idCol").as(outA), col(s"b.$idCol").as(outB))
+      }
     val cross = capped.as("s").join(broadcast(newKeys.as("nw")),
         col(s"s.bucket") === col(s"nw.bucket") &&
           col(s"s.$idCol") =!= col(s"nw.$idCol"))
@@ -95,13 +118,15 @@ object IncrementalDedup {
     * batch's band keys to the store. Batch twin:
     * [[TextPipeline.minhashCandidates]]. */
   def ingest(dir: String, docs: DataFrame, n: Int = 3, k: Int = 16,
-             bands: Int = 4, maxBucket: Long = 0L): DataFrame = {
+             bands: Int = 4, maxBucket: Long = 0L,
+             tileTarget: Long = 0L): DataFrame = {
     val spark = docs.sparkSession
     val newKeys = index(docs, n, k, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val store = snapshot(spark, dir, "keys", keySchema("doc_id"))
     val result =
-      keyedPairs(store, newKeys, "doc_id", "doc_a", "doc_b", maxBucket)
+      keyedPairs(store, newKeys, "doc_id", "doc_a", "doc_b", maxBucket,
+        tileTarget)
         .localCheckpoint(true) // pin results before the store grows
     newKeys.write.mode("append").parquet(s"$dir/keys")
     newKeys.unpersist()
@@ -115,7 +140,8 @@ object IncrementalDedup {
     * the payload store). Output (doc_a, doc_b, hamming) — batch twin:
     * [[TextPipeline.simhashCandidates]]. */
   def ingestSimhash(dir: String, docs: DataFrame, bands: Int = 4,
-                    maxHamming: Int = 3, maxBucket: Long = 0L): DataFrame = {
+                    maxHamming: Int = 3, maxBucket: Long = 0L,
+                    tileTarget: Long = 0L): DataFrame = {
     val spark = docs.sparkSession
     val newSigs = TextPipeline.simhash(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -123,7 +149,8 @@ object IncrementalDedup {
       explode(TextPipeline.simhashBandKeys(col("simhash"), bands)).as("bucket"))
     val storeKeys = snapshot(spark, dir, "keys", keySchema("doc_id"))
     val pairs =
-      keyedPairs(storeKeys, newKeys, "doc_id", "doc_a", "doc_b", maxBucket)
+      keyedPairs(storeKeys, newKeys, "doc_id", "doc_a", "doc_b", maxBucket,
+        tileTarget)
     val sigs = snapshot(spark, dir, "sigs", StructType(Seq(
         StructField("doc_id", LongType), StructField("simhash", LongType))))
       .union(newSigs)
@@ -202,7 +229,8 @@ object IncrementalDedup {
     * [[Similarity.annLshBanded]]. */
   def ingestEmbeddings(dir: String, embeddings: DataFrame, planes: Int,
                        bands: Int, minCosine: Double,
-                       maxBucket: Long = 0L): DataFrame = {
+                       maxBucket: Long = 0L,
+                       tileTarget: Long = 0L): DataFrame = {
     val spark = embeddings.sparkSession
     val newVecs = embeddings
       .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("vec"))
@@ -213,7 +241,8 @@ object IncrementalDedup {
         explode(Similarity.lshBandKeys(col("signs"), planes, bands)).as("bucket"))
     val storeKeys = snapshot(spark, dir, "keys", keySchema("vec_id"))
     val pairs =
-      keyedPairs(storeKeys, newKeys, "vec_id", "vec_a", "vec_b", maxBucket)
+      keyedPairs(storeKeys, newKeys, "vec_id", "vec_a", "vec_b", maxBucket,
+        tileTarget)
     val vecs = snapshot(spark, dir, "vecs", StructType(Seq(
         StructField("vec_id", LongType),
         StructField("vec",

@@ -531,6 +531,36 @@ class PipelineSpec extends SparkSpec {
     assert(batch.count() > 0) // parity must not be vacuous
   }
 
+  test("IncrementalDedup: degenerate batch — within-batch hot bucket capped or tiled") {
+    import graft.pipeline.{IncrementalDedup, TextPipeline}
+    // a boilerplate-heavy increment: every doc shares the same shingles,
+    // so the whole batch lands in one LSH bucket (d² within-batch pairs)
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val hot = (0L until 40L).map(i => (i, boiler)).toDF("doc_id", "text")
+    // uncapped reference (fresh store)
+    val refDir = java.nio.file.Files.createTempDirectory("inc_deg_ref").toString
+    val uncapped = IncrementalDedup.ingest(refDir, hot)
+    assert(uncapped.count() == 40L * 39L / 2) // the d² batch really is degenerate
+    // maxBucket: the over-cap batch bucket is dropped from the within branch
+    val capDir = java.nio.file.Files.createTempDirectory("inc_deg_cap").toString
+    assert(IncrementalDedup.ingest(capDir, hot, maxBucket = 8L).count() == 0)
+    // a later small increment: its 3-row bucket is under cap so its own
+    // 3 within-pairs emit, but the 40-row store bucket stays capped out
+    val more = (40L until 43L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val second = IncrementalDedup.ingest(capDir, more, maxBucket = 8L)
+    assert(second.filter(col("doc_a") < 40).count() == 0) // no store-cross pairs
+    assert(second.count() == 3L * 2L / 2)                 // within-batch under cap
+    // tileTarget: recall-lossless — equals the uncapped result exactly
+    val tileDir = java.nio.file.Files.createTempDirectory("inc_deg_tile").toString
+    val tiled = IncrementalDedup.ingest(tileDir, hot, tileTarget = 8L)
+    assert(tiled.exceptAll(uncapped).isEmpty && uncapped.exceptAll(tiled).isEmpty)
+    // and a follow-up tiled ingest still matches the batch operator overall
+    val tiled2 = IncrementalDedup.ingest(tileDir, more, tileTarget = 8L)
+    val batch = TextPipeline.minhashCandidates(hot.union(more))
+    val all = tiled.union(tiled2)
+    assert(all.exceptAll(batch).isEmpty && batch.exceptAll(all).isEmpty)
+  }
+
   test("IvfPqIndex: build/search equals monolithic annIvfPq; save/load round-trips") {
     import graft.pipeline.{IvfPqIndex, Similarity}
     val emb = (0L until 120L).map { i =>
