@@ -122,24 +122,16 @@ object IvfPqIndex {
   }
 
   /** The corpus-sized encode pass, shared by [[build]] and
-    * [[IvfPqIndex#append]]: coarse assignment against the broadcast
-    * quantizer + PQ code assignment against the broadcast codebook,
-    * packed to one (vec_id, codes, cid) row per vector. */
+    * [[IvfPqIndex#append]]: ONE scan computing both the coarse
+    * assignment and the PQ codes ([[Similarity.fusedEncode]] — the
+    * unfused form read every vector twice and joined the halves on
+    * vec_id), packed to one (vec_id, codes, cid) row per vector. */
   private def encode(embeddings: DataFrame, cents: DataFrame,
-                     codebook: DataFrame, m: Int): DataFrame = {
-    val e = embeddings.select(col("vec_id"),
-      Similarity.asDouble(col("embedding")).as("vec"))
-    val coarse = e.crossJoin(broadcast(cents))
-      .withColumn("csim", round(Vec.cosine(col("vec"), col("cvec")), 6))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"))
-    Similarity.pqAssignment(e, codebook, m)
-      .groupBy("vec_id")
-      .agg(transform(
-        array_sort(collect_list(struct(col("sub"), col("code")))),
-        s => s.getField("code")).as("codes"))
-      .join(coarse, Seq("vec_id"))
-  }
+                     codebook: DataFrame, m: Int): DataFrame =
+    Similarity.fusedEncode(
+      embeddings.select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("vec")),
+      cents, codebook, m)
 
   /** Read an index written by [[IvfPqIndex#save]]. */
   def load(spark: SparkSession, dir: String): IvfPqIndex = {

@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
 import graft.expressions.{VectorExpressions => Vec}
 import graft.functions.VectorFunctions
 
@@ -149,9 +150,7 @@ object Similarity {
   def annIvf(embeddings: DataFrame, queries: DataFrame, nlist: Int,
              nprobe: Int, k: Int): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
-    val cents = e.orderBy(idScramble(col("vec_id")).asc, col("vec_id").asc)
-      .limit(nlist)
-      .select(col("vec_id").as("cid"), col("vec").as("cvec"))
+    val cents = collectedSample(e, nlist) // local relation: broadcasts build task-free
     // argmax via max_by hash aggregate (partial agg + no sort), not a
     // row_number window: the assignment pass touches the whole corpus.
     // Ordering struct (csim, -cid) = highest similarity, then lowest cid —
@@ -192,9 +191,7 @@ object Similarity {
   def annIvfInt8(embeddings: DataFrame, queries: DataFrame, nlist: Int,
                  nprobe: Int, k: Int): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
-    val cents = e.orderBy(idScramble(col("vec_id")).asc, col("vec_id").asc)
-      .limit(nlist)
-      .select(col("vec_id").as("cid"), col("vec").as("cvec"))
+    val cents = collectedSample(e, nlist) // local relation: broadcasts build task-free
     def idot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
     val codes = quantizeInt8(embeddings)
@@ -303,25 +300,93 @@ object Similarity {
     * orders. */
   private[pipeline] def pqAssign(e: DataFrame, m: Int, ksub: Int,
                        sample: Option[DataFrame] = None) = {
-    val cents = sample.getOrElse(
-      e.orderBy(idScramble(col("vec_id")).asc, col("vec_id").asc)
-        .limit(ksub)
-        .select(col("vec_id").as("cid"), col("vec").as("cvec")))
+    // default sample via collectedSample: ONE corpus TakeOrderedAndProject
+    // instead of re-running the sample subquery inside every broadcast
+    // build that references the codebook
+    val cents = sample.getOrElse(collectedSample(e, ksub))
     val codebook = pqCodebook(cents, m)
     (codebook, pqAssignment(e, codebook, m))
   }
 
   /** Codebook table (sub, code, csubvec) from (cid, cvec) centroid rows:
     * codes are 0-based ranks of cid, each centroid sliced into its m
-    * subvectors. */
-  private[pipeline] def pqCodebook(cents: DataFrame, m: Int): DataFrame =
-    cents
-      .withColumn("code",
-        (row_number().over(Window.orderBy(col("cid"))) - 1).cast("int"))
-      .select(col("code"), col("cvec"),
-        explode(sequence(lit(0), lit(m - 1))).as("sub"))
-      .withColumn("csubvec", subSlice(col("cvec"), col("sub"), m))
-      .select("sub", "code", "csubvec")
+    * subvectors.
+    *
+    * The ranking and slicing run DRIVER-SIDE over the collected rows and
+    * the result is re-injected as a local relation: the codebook is
+    * metadata by construction (≤ ksub centroid rows — every caller
+    * passes a `limit`ed frame), so a distributed
+    * `row_number().over(Window.orderBy(...))` here would only (a) fire
+    * the single-partition WindowExec warning that must stay meaningful
+    * for real corpus-sized plans, and (b) cost a scheduled job per
+    * broadcast build that references the codebook. As a local relation
+    * it broadcasts without launching tasks. Slicing matches [[subSlice]]
+    * exactly: even w = dim/m split, last subspace absorbs the
+    * remainder. */
+  private[pipeline] def pqCodebook(cents: DataFrame, m: Int): DataFrame = {
+    val spark = cents.sparkSession
+    val rows = cents.select(col("cid").cast("long"), col("cvec")).collect()
+      .sortBy(_.getLong(0))
+    val entries = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    rows.zipWithIndex.foreach { case (r, code) =>
+      val cvec = r.getSeq[Double](1)
+      val w = cvec.length / m
+      (0 until m).foreach { sub =>
+        val len = if (sub == m - 1) cvec.length - w * (m - 1) else w
+        entries.add(org.apache.spark.sql.Row(
+          sub, code, cvec.slice(sub * w, sub * w + len)))
+      }
+    }
+    spark.createDataFrame(entries, StructType(Seq(
+      StructField("sub", IntegerType),
+      StructField("code", IntegerType),
+      StructField("csubvec", ArrayType(DoubleType)))))
+  }
+
+  /** Fused one-scan IVF-PQ encode: coarse centroid assignment AND
+    * per-subspace PQ code assignment in a SINGLE pass over the corpus —
+    * (vec_id, codes, cid), codes ordered by subspace.
+    *
+    * The naive composition ([[annIvfPq]] pre-fusion, and FAISS's
+    * assign-then-encode) reads every corpus vector twice and joins the
+    * two results on vec_id — at 100 TB that is a second full scan plus
+    * a corpus-sized shuffle join. Here the coarse search rides the PQ
+    * explode as pseudo-subspace `sub = -1`: the combined broadcast
+    * table is codebook rows (sub 0..m-1, argmin fixed-point L2) plus
+    * centroid rows (sub = -1, argmax rounded cosine, encoded as
+    * min_by of the NEGATED similarity so one aggregate serves both),
+    * and a second groupBy packs codes and cid into one row. Scores are
+    * only ever compared within one (vec_id, sub) group, so the two
+    * metrics never meet; tie-breaks (lowest code / lowest cid) match
+    * the unfused operators exactly — output is bit-identical
+    * (spec-pinned, oracle-checked). */
+  private[pipeline] def fusedEncode(e: DataFrame, cents: DataFrame,
+                       codebook: DataFrame, m: Int): DataFrame = {
+    val combined = codebook
+      .select(col("sub"), col("code").cast("long").as("code"), col("csubvec"))
+      .unionByName(cents.select(lit(-1).as("sub"), col("cid").as("code"),
+        col("cvec").as("csubvec")))
+    val perSub = e.select(col("vec_id"), col("vec"),
+        explode(sequence(lit(-1), lit(m - 1))).as("sub"))
+      .withColumn("subvec",
+        when(col("sub") >= 0, subSlice(col("vec"), col("sub"), m))
+          .otherwise(col("vec")))
+      .join(broadcast(combined), Seq("sub"))
+      .withColumn("score",
+        when(col("sub") >= 0,
+          round(Vec.l2Squared(col("subvec"), col("csubvec")) * 1000000.0d))
+          .otherwise(-round(Vec.cosine(col("subvec"), col("csubvec")), 6)))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("score"), col("code"))).as("code"))
+    perSub.groupBy(col("vec_id"))
+      .agg(
+        transform(
+          array_sort(collect_list(
+            when(col("sub") >= 0, struct(col("sub"), col("code"))))),
+          s => s.getField("code").cast("int")).as("codes"),
+        max(when(col("sub") === -1, col("code"))).as("cid"))
+      .select("vec_id", "codes", "cid")
+  }
 
   /** Per-(vector, subspace) nearest-code assignment against a FROZEN
     * codebook — the encode pass, shared by one-shot ANN search and the
@@ -406,10 +471,7 @@ object Similarity {
     // [[annIvfKmeans]] ships its trained centers in.
     val sample = collectedSample(e, math.max(nlist, ksub))
     val cents = sample.limit(nlist)
-    val coarse = e.crossJoin(broadcast(cents))
-      .withColumn("csim", round(Vec.cosine(col("vec"), col("cvec")), 6))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"))
+    val codebook = pqCodebook(sample.limit(ksub), m)
     val probes = queries
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qvec"))
       .crossJoin(broadcast(cents))
@@ -418,9 +480,6 @@ object Similarity {
         Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid").asc)))
       .filter(col("crn") <= nprobe)
       .select(col("query_id"), col("cid"))
-    // fine ranking: ADC over the probed lists only (codebook sample =
-    // first ksub rows of the shared collected sample)
-    val (codebook, assignment) = pqAssign(e, m, ksub, Some(sample.limit(ksub)))
     val qtable = queries
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qvec"))
       .select(col("query_id"), col("qvec"),
@@ -431,9 +490,14 @@ object Similarity {
         round(Vec.l2Squared(col("qsubvec"), col("csubvec")) * 1000000.0d)
           .cast("long"))
       .select("query_id", "sub", "code", "qd2u")
-    assignment.withColumnRenamed("vec_id", "nbr_id")
-      .join(coarse.withColumnRenamed("vec_id", "nbr_id"), Seq("nbr_id"))
+    // fine ranking: ADC over the probed lists only; the corpus is read
+    // ONCE (fused coarse + PQ encode), probes prune lists before the
+    // per-subspace explode
+    fusedEncode(e, cents, codebook, m)
+      .withColumnRenamed("vec_id", "nbr_id")
       .join(broadcast(probes), Seq("cid"))
+      .select(col("query_id"), col("nbr_id"), posexplode(col("codes")))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "code")
       .join(broadcast(qtable), Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("nbr_id"))
       .agg(sum("qd2u").as("d2u"))
@@ -457,9 +521,7 @@ object Similarity {
                        nlist: Int, nprobe: Int, m: Int = 4, ksub: Int = 16,
                        k: Int = 10): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
-    val cents = e.orderBy(idScramble(col("vec_id")).asc, col("vec_id").asc)
-      .limit(nlist)
-      .select(col("vec_id").as("cid"), col("vec").as("cvec"))
+    val cents = collectedSample(e, nlist) // local relation: broadcasts build task-free
     val coarse = e.crossJoin(broadcast(cents))
       .withColumn("csim", round(Vec.cosine(col("vec"), col("cvec")), 6))
       .groupBy(col("vec_id"))

@@ -33,8 +33,11 @@ object StageProbe {
         val si = sc.stageInfo
         val ms = (for (s <- si.submissionTime; c <- si.completionTime)
           yield c - s).getOrElse(-1L)
+        // AQE query-stage names are all "withThreadLocalCaptured…"; the
+        // RDD callsites inside the stage carry the operator names
+        val ops = si.rddInfos.map(_.name).distinct.mkString(",")
         stages.synchronized {
-          stages += ((si.stageId, si.name.takeWhile(_ != '\n'), ms, si.numTasks))
+          stages += ((si.stageId, ops, ms, si.numTasks))
         }
       }
     }
