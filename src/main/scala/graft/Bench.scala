@@ -61,7 +61,43 @@ object Bench {
     val errors = results.collect { case (k, _, Some(e)) => s"\"$k:$e\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"warmup":$warm,"sf":"$sfDir"}""")
+    // Run the SAME oracle SQL through the single-node DuckDB comparator
+    // (scripts/duck_bench.py) and emit per-query comparator seconds +
+    // spark/duck ratios, so the 2×-of-comparator bar is machine-checked
+    // in every BENCH file instead of hand-maintained tables. ON by
+    // default (SPARK_GRAFT_DUCK=0 opts out for pure-Spark timing runs).
+    // Comparator failure (no python/duckdb, dialect gap) degrades to
+    // "duck":null — it must never fail the bench itself.
+    val duck: Option[Map[String, Double]] =
+      if (sys.env.get("SPARK_GRAFT_DUCK").contains("0")) None
+      else try {
+        val oraclePath = java.nio.file.Files.createTempFile("graft_oracle", ".json")
+        java.nio.file.Files.writeString(oraclePath, Verify.oracleJson(spark, sfDir))
+        val cmd = Array("python3", "scripts/duck_bench.py", sfDir,
+          oraclePath.toString, names.distinct.mkString(","))
+        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
+        val out = new String(p.getInputStream.readAllBytes())
+        p.waitFor()
+        java.nio.file.Files.deleteIfExists(oraclePath)
+        // duck_bench prints {"sf":..,"queries":{"name":{"sec":S,"rows":N}|{"err":..}|null}}
+        val secRe = """"([A-Za-z0-9_]+)":\s*\{"sec":\s*([0-9.eE+-]+)""".r
+        Some(secRe.findAllMatchIn(out)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] duck comparator failed: $e"); None
+      }
+    val duckJson = duck.map { d =>
+      val ds = names.distinct.map(n =>
+        "\"" + n + "\":" + d.get(n).map(_.toString).getOrElse("null"))
+        .mkString("{", ",", "}")
+      val rs = results.map { case (k, v, err) =>
+        val r = for (dv <- d.get(k) if err.isEmpty && dv > 0)
+          yield (math.round(v / dv * 1000.0) / 1000.0).toString
+        "\"" + k + "\":" + r.getOrElse("null")
+      }.mkString("{", ",", "}")
+      s""","duck":$ds,"ratio":$rs"""
+    }.getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"warmup":$warm$duckJson,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.nonEmpty)) sys.exit(1)
   }

@@ -23,6 +23,17 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      Verify.oracleJson(spark, sfDir))
+    spark.stop()
+  }
+
+  /** Full oracle map as a JSON object string: static oracles + the
+    * data-dependent ones (BPE merges learned from the corpus via the
+    * independent RefBpe trainer); a fixture failure must not zero every
+    * other oracle. Shared by the Verify dump and Bench's comparator
+    * mode. */
+  def oracleJson(spark: SparkSession, sfDir: String): String = {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -35,18 +46,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // static oracles + data-dependent ones (BPE merges learned from the
-    // corpus via the independent RefBpe trainer); a fixture failure must
-    // not zero every other oracle
     val dynamic =
       try SparkEntry.dataOracles(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[verify] dataOracles failed: ${e.getMessage}")
         Map.empty[String, String]
       }
-    val json = (SparkEntry.oracleSql ++ dynamic)
+    (SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }
