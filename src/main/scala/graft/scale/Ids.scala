@@ -1,8 +1,8 @@
 package graft.scale
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Contiguous global row ids at corpus scale.
   *
@@ -10,11 +10,21 @@ import org.apache.spark.sql.types.LongType
   * window with an empty partition spec: Spark moves EVERY row through one
   * task (it even logs the "moving all data to a single partition"
   * warning), which is the first thing to die at 100 TB. The distributed
-  * form is the one `RDD.zipWithIndex` implements: cluster-wide range
-  * partitioning (each partition owns a contiguous key range), a local
-  * sort inside each partition, then per-partition id offsets computed
-  * from partition COUNTS — a numPartitions-long array on the driver,
-  * metadata-sized, never the data.
+  * form splits the order into contiguous key ranges, ranks WITHIN each
+  * range (a partitioned window — parallel), and adds per-range start
+  * offsets computed from range COUNTS — a numRanges-long array on the
+  * driver, metadata-sized, never the data.
+  *
+  * The ranges are NOT `repartitionByRange`'s: Spark's RangePartitioner
+  * samples its boundaries with an RDD-instance-derived seed, so two
+  * actions over the same frame can see DIFFERENT boundaries — counts
+  * collected in one job would misalign with ranks computed in the next
+  * (`RDD.zipWithIndex` only dodges this by running both jobs over one
+  * pinned RDD instance, at the price of leaving Tungsten). Here the
+  * boundaries are data-deterministic — quantiles of the rows whose key
+  * xxhash64 falls in a 1/s slice, a fixed-size order-independent sample
+  * — so every job derives identical buckets by construction, and the
+  * whole pipeline stays in codegen with lineage intact for AQE.
   *
   * Training pipelines need this for stable example numbering (shard
   * assignment, resumable epoch order) after every shuffle-heavy curation
@@ -22,28 +32,82 @@ import org.apache.spark.sql.types.LongType
   */
 object Ids {
 
+  /** Driver-side candidate ordering: field-wise Comparable compare,
+    * nulls first. Only bucket BALANCE depends on this matching Spark's
+    * ordering exactly; bucket membership (and therefore id correctness)
+    * is monotone in the engine's own `>=` — see [[assign]]. */
+  private val rowOrd: Ordering[Row] = (a: Row, b: Row) => {
+    var i = 0
+    var c = 0
+    while (i < a.length && c == 0) {
+      c = (a.get(i), b.get(i)) match {
+        case (null, null) => 0
+        case (null, _)    => -1
+        case (_, null)    => 1
+        case (x: Comparable[_], y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
+        case _ => 0
+      }
+      i += 1
+    }
+    c
+  }
+
   /** `df` plus `idCol` = 0..N-1 assigned in ascending `order` — exactly
     * `row_number() OVER (ORDER BY order) - 1` (the q_assign_ids oracle
-    * runs precisely that SQL), without the single-partition window.
+    * runs precisely that SQL), without the single-partition window and
+    * without leaving Tungsten.
     *
     * `order` must be a UNIQUE key (include a tiebreaker column if not):
-    * range boundaries may split equal keys across partitions, so ties
-    * would get nondeterministic ids. One extra pass over the data (the
-    * count job `zipWithIndex` runs) plus the range-exchange — both
-    * corpus-linear, neither funneling rows through one task. */
+    * ties straddling a range boundary would get nondeterministic ids.
+    *
+    * Three metadata-sized passes: (1) count, (2) boundary candidates —
+    * every row whose key hash lands in a 1/s slice, s sized so ~64·n
+    * rows reach the driver regardless of corpus size, (3) per-bucket
+    * counts → prefix-sum offsets. Then one shuffle on the bucket column
+    * ranks each range in parallel and a literal-array lookup adds the
+    * offset. Correctness never depends on the boundary sample quality:
+    * `bucket(r) = #{b : key(r) >= b}` is monotone in the engine's struct
+    * ordering — the same ordering the window's ORDER BY uses — so
+    * concatenating buckets in bucket order IS the global order; a skewed
+    * sample only skews bucket sizes. */
   def assign(df: DataFrame, order: Seq[String],
              idCol: String = "row_id", partitions: Int = 0): DataFrame = {
     require(order.nonEmpty, "Ids.assign needs at least one order column")
     val spark = df.sparkSession
+    import spark.implicits._
     val n = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
     val cols = order.map(col)
-    val sorted = df.repartitionByRange(n, cols: _*)
-      .sortWithinPartitions(cols: _*)
-    val schema = sorted.schema.add(idCol, LongType, nullable = false)
-    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ i)
-    }
-    spark.createDataFrame(rows, schema)
+    val key = struct(cols: _*)
+
+    val total = df.count()
+    val bounds: Seq[Row] =
+      if (total == 0L) Seq.empty
+      else {
+        val s = math.max(1L, total / (n.toLong * 64L))
+        val cands = df
+          .filter(pmod(xxhash64(cols: _*), lit(s)) === 0)
+          .select(cols: _*).collect().sorted(rowOrd)
+        if (cands.isEmpty) Seq.empty
+        else (1 until n)
+          .map(i => cands(((i.toLong * cands.length) / n).toInt))
+          .distinct
+      }
+    def boundLit(r: Row): Column = struct(r.toSeq.map(lit): _*)
+    val bucketExpr =
+      if (bounds.isEmpty) lit(0)
+      else bounds.map(b => when(key >= boundLit(b), 1).otherwise(0))
+        .reduce(_ + _)
+    val bucketed = df.withColumn("__graft_bucket", bucketExpr)
+    val counts = bucketed.groupBy("__graft_bucket").count()
+      .as[(Int, Long)].collect().toMap
+    val offsets = (0 to bounds.length).scanLeft(0L)((acc, b) =>
+      acc + counts.getOrElse(b, 0L)).take(bounds.length + 1).toArray
+    val rank = row_number().over(
+      Window.partitionBy("__graft_bucket").orderBy(cols: _*))
+    bucketed
+      .withColumn(idCol,
+        element_at(lit(offsets), col("__graft_bucket") + 1) + rank - 1)
+      .select(df.columns.map(col).toSeq :+ col(idCol): _*)
   }
 }

@@ -175,8 +175,18 @@ class ScaleSpec extends SparkSpec {
     assert(rows.map(_._2).toSeq == (0L until 5000L), "ids not contiguous")
     assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq,
       "ids not in key order")
-    // the plan must not contain a window (the single-partition trap)
-    assert(!out.queryExecution.executedPlan.toString.contains("Window"))
+    // windows in the plan must all be PARTITIONED (the trap is the
+    // empty partition spec that funnels the corpus through one task)
+    val wins = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "Ids.assign must rank via a partitioned window")
+    // ...and must stay in Tungsten: no RDD round-trip (row re-encoding,
+    // broken lineage for AQE) anywhere in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD") && !plan.contains("Scan RDD"),
+      "Ids.assign left Tungsten via an RDD scan")
     // deterministic across runs
     val again = Ids.assign(df, Seq("key"), partitions = 8)
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
