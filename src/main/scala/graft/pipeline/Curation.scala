@@ -589,6 +589,29 @@ object Curation {
       .filter(col("__pr") <= keepFrac)
       .drop("__pr", "avg_nll")
 
+  /** The 100 TB form of [[qualityGate]]: one
+    * `percentile_approx(avg_nll, keepFrac)` aggregate per source
+    * (map-side combinable, t-digest-style sketch, no per-source total
+    * order) yields the NLL threshold, then a broadcast join applies
+    * `avg_nll <= threshold`. Same cut as the exact gate up to sketch
+    * error at the boundary — keep-set agreement vs the exact form is
+    * spec-pinned at sf0.01. Not oracle-checked (approx sketches are not
+    * engine-portable), which is why [[qualityGate]] stays the checked
+    * twin. `accuracy` is percentile_approx's inverse-error knob. */
+  def qualityGateApprox(docs: DataFrame, reference: DataFrame,
+                        keepFrac: Double = 0.9,
+                        accuracy: Int = 10000): DataFrame = {
+    val scored = docs
+      .join(unigramNll(docs, reference).select("doc_id", "avg_nll"),
+        Seq("doc_id"))
+    val thresholds = scored.groupBy("source")
+      .agg(percentile_approx(col("avg_nll"), lit(keepFrac),
+        lit(accuracy)).as("__thr"))
+    scored.join(broadcast(thresholds), Seq("source"))
+      .filter(col("avg_nll") <= col("__thr"))
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** C4-style line-level cleaning (Raffel et al. 2020 §2.2, restated):
     * keep a line only if it ends in terminal punctuation, has at least
     * `minWords` words, and mentions no banned phrase; drop the whole

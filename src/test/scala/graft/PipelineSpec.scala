@@ -878,6 +878,28 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 3L, 4L, 6L))
   }
 
+  test("qualityGateApprox: sf0.01 keep-set agrees with the exact gate") {
+    import graft.pipeline.Curation
+    // the documented 100 TB swap (percentile_approx threshold instead of
+    // a per-source percent_rank total order) must make the SAME cut up
+    // to sketch error at the boundary — pinned here, since the approx
+    // sketch has no engine-portable oracle
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = ids(Curation.qualityGate(docs, ref, keepFrac = 0.8))
+    val approx = ids(Curation.qualityGateApprox(docs, ref, keepFrac = 0.8))
+    val jaccard =
+      (exact & approx).size.toDouble / (exact | approx).size.toDouble
+    assert(jaccard >= 0.98, s"approx/exact keep-set Jaccard = $jaccard")
+    // the approx keep-rate must sit at the requested fraction, not
+    // collapse or pass-through
+    val total = docs.count().toDouble
+    val rate = approx.size / total
+    assert(rate >= 0.7 && rate <= 0.9, s"approx keep-rate = $rate")
+  }
+
   test("c4LineFilter: line rules, doc-level brace and min-line drops, order kept") {
     import graft.pipeline.Curation
     val docs = Seq(
