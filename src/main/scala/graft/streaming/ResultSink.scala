@@ -52,10 +52,15 @@ object ResultSink {
     * append sink duplicates it. Each batch lands in its own
     * `batch_id=<id>` partition directory with overwrite semantics and a
     * commit marker: a replayed id finds its marker and is skipped; a
-    * half-written batch (no marker) is overwritten whole. Readers take
-    * `spark.read.parquet(path)` and get exactly-once data; batch_id is
-    * partition-pruned like any other column. Works on any filesystem
-    * with atomic file create — no table format required. */
+    * half-written batch (no marker) is overwritten whole.
+    *
+    * Read-side contract: [[readCommitted]] sees exactly-once data on
+    * EVERY read — it lists only marker-committed batch dirs. A bare
+    * `spark.read.parquet(path)` is exactly-once only eventually: after
+    * a crash that wrote data but no marker, it sees the torn batch (and
+    * mid-overwrite state during the retry) until the replay rewrites
+    * it. Works on any filesystem with atomic file create — no table
+    * format required. */
   def writeBatchIdempotent(batch: DataFrame, batchId: Long,
                            path: String): Boolean = {
     val spark = batch.sparkSession
@@ -69,6 +74,27 @@ object ResultSink {
       fs.create(marker, false).close()
       true
     }
+  }
+
+  /** Exactly-once read of a [[writeBatchIdempotent]] store: only batch
+    * directories with a `_committed_<id>` marker are listed, so a torn
+    * batch (data written, crash before its marker) and mid-overwrite
+    * replay state are invisible — every read sees committed batches
+    * only, not just reads that happen after recovery. The explicit dir
+    * list IS the pruning (uncommitted dirs are never even scanned);
+    * `batch_id` stays a partition column via basePath. Empty store →
+    * empty frame. */
+  def readCommitted(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs =
+      if (!fs.exists(root)) Array.empty[String]
+      else fs.listStatus(root).map(_.getPath.getName)
+        .collect { case n if n.startsWith("_committed_") =>
+          s"$path/batch_id=${n.stripPrefix("_committed_")}" }
+    if (dirs.isEmpty) spark.emptyDataFrame
+    else spark.read.option("basePath", path).parquet(dirs.toIndexedSeq: _*)
   }
 
   /** Streaming face of [[writeBatchIdempotent]]: exactly-once parquet via

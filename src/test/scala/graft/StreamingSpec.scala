@@ -654,6 +654,20 @@ class StreamingSpec extends SparkSpec {
     assert(all.count() == 3)
     assert(all.filter(col("batch_id") === 1).count() == 1)
 
+    // readCommitted: a torn batch (data, no marker) is INVISIBLE to
+    // readers until its marker lands — every read is exactly-once, not
+    // just reads after recovery
+    val b2 = Seq((4L, "d"), (5L, "e")).toDF("id", "v")
+    b2.write.mode("overwrite").parquet(s"$dir/batch_id=2") // torn write
+    assert(spark.read.parquet(dir).count() == 5) // bare read sees the tear
+    val committed = ResultSink.readCommitted(spark, dir)
+    assert(committed.count() == 3, "torn batch leaked into readCommitted")
+    assert(committed.columns.contains("batch_id"))
+    assert(ResultSink.writeBatchIdempotent(b2, 2L, dir)) // marker lands
+    assert(ResultSink.readCommitted(spark, dir).count() == 5)
+    // empty / nonexistent store degrades to an empty frame
+    assert(ResultSink.readCommitted(spark, s"$dir/_nope").count() == 0)
+
     // streaming face: MemoryStream through parquetIdempotent
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
