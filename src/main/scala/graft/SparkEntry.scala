@@ -48,6 +48,14 @@ object SparkEntry {
   private val suiteCodes = Seq("002f", "0035", "0033", "0039", "009c", "1301", "c02f", "cca8")
   private def swap4(g: String) = g.substring(2, 4) + g.substring(0, 2)
 
+  /** Per-run scratch dir for queries that exercise persisted stores
+    * (incremental ingest, saved indexes): keyed by the Spark app id so
+    * two concurrent harness/bench invocations on one machine never
+    * delete or append to each other's store mid-query. */
+  private def runScratch(s: SparkSession, name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_" +
+      s.sparkContext.applicationId
+
   /** TLS dictionary: covers ~2/3 of suite combos so the Unknown path is
     * exercised; same data feeds the Spark broadcast join and the oracle's
     * VALUES list. */
@@ -64,10 +72,10 @@ object SparkEntry {
     "fr" -> Seq("le", "la", "et", "les", "des", "de", "un", "une", "du", "en"),
     "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "im", "ein"))
 
-  private val patterns = Seq(
+  private[graft] val patterns = Seq(
     PatternFinder.Pattern("bulk", Seq(2500.0, 25.0, 5000.0, 26.0, 10000.0)),
     PatternFinder.Pattern("tiny", Seq(100.0, 5.0, 500.0, 6.0, 1000.0)))
-  private val binThresholds = Seq(1.0, 2.0, 4.0, 8.0)
+  private[graft] val binThresholds = Seq(1.0, 2.0, 4.0, 8.0)
 
   /** Distribution config for the pattern_finder report document — the
     * reference configuration.yml shape (intervals/weights/limit) sized to
@@ -96,7 +104,7 @@ object SparkEntry {
   /** Request flows + synthetic paired responses for the biflow self-join:
     * swapped endpoints, +flow_id%400 ms start offset (within the 500 ms
     * pairing tolerance). */
-  private def withBiflowEcho(f: DataFrame): DataFrame = {
+  private[graft] def withBiflowEcho(f: DataFrame): DataFrame = {
     val base = f.filter(col("src_ip4").isNotNull)
       .select("flow_id", "src_ip4", "dst_ip", "src_port", "dst_port",
         "start_ms", "end_ms", "packets", "bytes")
@@ -628,8 +636,7 @@ object SparkEntry {
     // store) must reproduce the batch inventory's position set exactly
     "q_dup_spans_incremental" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val storeDir =
-        s"${System.getProperty("java.io.tmpdir")}/graft_span_store"
+      val storeDir = runScratch(s, "span_store")
       val p = new org.apache.hadoop.fs.Path(storeDir)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true) // fresh store per run
@@ -663,12 +670,16 @@ object SparkEntry {
 
     // C4 line-level cleaning over deterministically synthesized line
     // structure (the corpus text is flat, so the query manufactures
-    // lines the same way in both engines — q_redact's trick)
+    // lines the same way in both engines — q_redact's trick; braces are
+    // injected into every 7th doc so the code-drop rule actually fires
+    // under the oracle instead of passing vacuously)
     "q_c4_lines" -> ((s, dir) =>
       Curation.c4LineFilter(
         Tables.documents(s, dir).withColumn("text",
           concat(regexp_replace(col("text"), " table", ".\ntable"),
-            lit("."))),
+            lit("."),
+            when(col("doc_id") % 7 === 0, lit(" {code}"))
+              .otherwise(lit("")))),
         minWords = 3, banned = Seq("slow"), minLines = 1)
         .orderBy("doc_id")),
 
@@ -710,8 +721,7 @@ object SparkEntry {
     // store) must reproduce the batch candidate set exactly
     "q_minhash_incremental" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val storeDir =
-        s"${System.getProperty("java.io.tmpdir")}/graft_inc_dedup"
+      val storeDir = runScratch(s, "inc_dedup")
       val p = new org.apache.hadoop.fs.Path(storeDir)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true) // fresh store per run
@@ -750,7 +760,7 @@ object SparkEntry {
     // reload it, search — must equal the monolithic annIvfPq exactly
     "q_embed_ann_ivfpq_idx" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_idx"
+      val idxDir = runScratch(s, "ivfpq_idx")
       pipeline.IvfPqIndex.build(emb, nlist = 10, m = 4, ksub = 16).save(idxDir)
       pipeline.IvfPqIndex.load(s, idxDir)
         .search(emb.filter(col("vec_id") < 10), nprobe = 3, k = 10)
@@ -2505,17 +2515,19 @@ object SparkEntry {
          |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin,
 
     // C4 line rules inside one list_filter — the SQL twin of the
-    // higher-order-function form (no explode/re-group)
+    // higher-order-function form (no explode/re-group); the brace
+    // document-drop predicate mirrors dropBraces over the injected '{'
     "q_c4_lines" ->
       s"""WITH aug AS (
          |  SELECT doc_id,
          |    regexp_replace(text, ' table', '.' || chr(10) || 'table', 'g')
-         |      || '.' AS text
+         |      || '.'
+         |      || CASE WHEN doc_id % 7 = 0 THEN ' {code}' ELSE '' END AS text
          |  FROM documents
          |), ls AS (
-         |  SELECT doc_id, string_split(text, chr(10)) AS lines FROM aug
+         |  SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM aug
          |), k AS (
-         |  SELECT doc_id, lines,
+         |  SELECT doc_id, text, lines,
          |    list_filter(lines, x -> regexp_matches(trim(x), '[.!?"]$$')
          |      AND len(list_filter(string_split(trim(x), ' '),
          |            w -> length(w) > 0)) >= 3
@@ -2525,7 +2537,7 @@ object SparkEntry {
          |SELECT doc_id, array_to_string(kept, chr(10)) AS text_clean,
          |  CAST(len(kept) AS INT) AS n_kept,
          |  CAST(len(lines) - len(kept) AS INT) AS n_dropped
-         |FROM k WHERE len(kept) >= 1
+         |FROM k WHERE len(kept) >= 1 AND NOT contains(text, '{')
          |ORDER BY doc_id""".stripMargin,
 
     // same scrambled-id LCG draw as the Spark window (idScramble)

@@ -48,10 +48,30 @@ object Bloom {
     * `df` yields a valid contains-nothing filter — the aggregate alone
     * would return NULL there, and a null blob nulls every probe, which
     * silently empties antiJoin (everything should pass) as well as
-    * semiJoin. */
+    * semiJoin.
+    *
+    * `BloomFilterAggregate` SILENTLY clamps its capacity to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` / `maxNumBits`
+    * (defaults 4M items / 8 MB): past the clamp there are still no false
+    * negatives, but the realized fpp degrades far above the requested one
+    * and pruning can collapse — exactly where the bloom path matters
+    * (a small side that outgrew broadcast). Fail loudly instead: raise
+    * the two confs for genuinely large builds. */
   def build(df: DataFrame, key: Column, expectedItems: Long = 0L,
             fpp: Double = 0.01): Array[Byte] = {
     val n = if (expectedItems > 0L) expectedItems else df.count()
+    val conf = df.sparkSession.conf
+    val maxItems = conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000")
+      .toLong
+    val maxBits = conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864")
+      .toLong
+    val wantBits = BloomFilter.optimalNumOfBits(math.max(n, 1L), fpp)
+    require(n <= maxItems && wantBits <= maxBits,
+      s"bloom build of $n items / $wantBits bits would be silently clamped " +
+        s"to $maxItems items / $maxBits bits (realized fpp >> $fpp); raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems / maxNumBits")
     val blob = df.agg(bloomAgg(key, math.max(n, 1L), fpp).as("bf"))
       .head.getAs[Array[Byte]]("bf")
     if (blob != null) blob
@@ -97,7 +117,16 @@ object Bloom {
     * union) but SHUFFLED at most once and only for the positive
     * fraction — the right trade at scale, where a columnar scan is
     * cheap and the exchange is the cost. Persist `large` first if its
-    * upstream is expensive to recompute. */
+    * upstream is expensive to recompute.
+    *
+    * CORRECTNESS requires `large` to be DETERMINISTIC under
+    * re-evaluation (same requirement IncrementalDedup's snapshot note
+    * states for its stores): the two branches evaluate `large`
+    * independently, so a nondeterministic upstream (rand/sample without
+    * a pinned seed+partitioning, a source appended to mid-query) can
+    * disagree between branches and silently drop or duplicate rows.
+    * For such inputs, `persist`/`localCheckpoint` `large` before
+    * calling. */
   def antiJoin(large: DataFrame, small: DataFrame, largeKey: String,
                smallKey: String, fpp: Double = 0.01): DataFrame = {
     val bloom = build(small, col(smallKey), fpp = fpp)
