@@ -65,37 +65,41 @@ object Curation {
 
   // ----- repetition metrics (Gopher rules 4-8 analogue) ------------------
 
-  private def gramStats(grams: DataFrame, prefix: String): DataFrame =
-    grams
-      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(
-        sum("c").as(s"${prefix}_total"),
-        count(lit(1)).as(s"${prefix}_uniq"),
-        max("c").as(s"${prefix}_top"))
-
   /** Per-document repetition signals (the word-level analogue of Gopher's
     * repetition filters): duplicate-word fraction, duplicate-2-gram
     * fraction, and the fraction held by the single most frequent 2-gram.
-    * Two explode → two-level hash-aggregate chains (map-side partial on
-    * (doc_id, gram)), left-joined back so gram-less documents keep zeros.
-    * No per-element lambda touches the token array.
     *
-    * Cache lifetime: the tokenized frame is persisted (both gram paths
-    * read it) and stays cached for the session — callers looping over
-    * corpora should `spark.catalog.clearCache()` between corpora (same
-    * contract as TextPipeline.nearDupJaccard). */
+    * ONE tokenize → explode → two-level hash-aggregate chain carries
+    * BOTH gram families: a token never contains whitespace (they are
+    * split on `\s+`) and a 2-gram always does (space-joined), so the
+    * family is recoverable from the gram itself and both stat sets ride
+    * a single (doc_id, gram) partial-agg shuffle as conditional sums.
+    * The earlier two-path form read and re-tokenized the corpus twice —
+    * and because the paths differed, nothing in the plan could be
+    * reused, so a caller referencing this frame from two branches (as
+    * [[curate]] does) paid tokenization 4×, racing the cache when AQE
+    * launched the leaf stages concurrently. The single-path form needs
+    * no persist at all, and identical twin subtrees dedupe via exchange
+    * reuse. Left join back so gram-less documents keep zeros. */
   def repetitionStats(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val words = toks.select(col("doc_id"), explode(col("toks")).as("gram"))
-    val grams2 = toks.select(col("doc_id"),
-      explode(TextFunctions.shinglesFromTokens(col("toks"), 2)).as("gram"))
+    val grams = toks.select(col("doc_id"),
+      explode(concat(col("toks"),
+        TextFunctions.shinglesFromTokens(col("toks"), 2))).as("gram"))
+    val stats = grams
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .withColumn("is2", col("gram").contains(" "))
+      .groupBy(col("doc_id")).agg(
+        sum(when(!col("is2"), col("c"))).as("w_total"),
+        sum(when(!col("is2"), 1L)).as("w_uniq"),
+        sum(when(col("is2"), col("c"))).as("g2_total"),
+        sum(when(col("is2"), 1L)).as("g2_uniq"),
+        max(when(col("is2"), col("c"))).as("g2_top"))
     val frac = (num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =>
       round(when(den > 0, num.cast("double") / den).otherwise(0.0), 6)
     docs.select(col("doc_id"))
-      .join(gramStats(words, "w"), Seq("doc_id"), "left")
-      .join(gramStats(grams2, "g2"), Seq("doc_id"), "left")
+      .join(stats, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         frac(coalesce(col("w_total"), lit(0L)) - coalesce(col("w_uniq"), lit(0L)),
@@ -419,8 +423,16 @@ object Curation {
              defaultPpm: Long = 1000000L,
              chunkSize: Int = 64, stride: Int = 48,
              star: Boolean = false): DataFrame = {
+    // keptIds is referenced from TWO branches (the dedup subtree and the
+    // final re-join); persisting the id column makes the repetition
+    // tokenize+gram chain run once instead of once per branch. Cache
+    // lifetime is the session (callers looping over corpora should
+    // clearCache between corpora — the same contract the index-building
+    // operators document); an id frame is the smallest thing worth
+    // pinning here, not the token arrays.
     val keptIds = repetitionStats(docs)
       .filter(col("dup_word_frac") <= maxDupWordFrac).select("doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val kept = docs.join(keptIds, Seq("doc_id"))
     val survivors = clusterComponents(kept, n, k, bands, star)
       .filter(col("doc_id") === col("component")).select("doc_id")
