@@ -702,6 +702,18 @@ object SparkEntry {
         Map("src0" -> 0L, "src1" -> 250000L, "src2" -> 500000L))
         .select("doc_id", "source").orderBy("doc_id")),
 
+    // concat-and-cut sequence packing: global token offsets via the
+    // distributed exclusive prefix sum (scale/Ids.prefixSum) — the
+    // oracle runs the canonical single-partition running-sum window SQL
+    "q_pack_sequences" -> ((s, dir) =>
+      Curation.packSequences(Tables.documents(s, dir), seqLen = 256)
+        .orderBy("doc_id")),
+
+    // the loader-facing explode: per-(sequence, doc) token slices
+    "q_pack_spans" -> ((s, dir) =>
+      Curation.packSpans(Tables.documents(s, dir), seqLen = 256)
+        .orderBy("seq_id", "doc_id")),
+
     "q_curate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Curation.curate(docs, docs.filter(col("doc_id") % 50 === 0),
@@ -886,7 +898,9 @@ object SparkEntry {
     "q_simhash_candidates_capped",
     // round-9 tier: span-level dedup (inventory + removal) and the
     // unigram-LM quality scan — the corpus-linear text passes
-    "q_dup_spans", "q_remove_dup_spans", "q_unigram_nll")
+    "q_dup_spans", "q_remove_dup_spans", "q_unigram_nll",
+    // round-10: sequence packing — the distributed prefix sum + explode
+    "q_pack_spans")
 
   // ---------------------------------------------------------------------
   // DuckDB oracles. `flows` CTE = FlowSynth.cteSql (identical mapping).
@@ -2539,6 +2553,46 @@ object SparkEntry {
          |  CAST(len(lines) - len(kept) AS INT) AS n_dropped
          |FROM k WHERE len(kept) >= 1 AND NOT contains(text, '{')
          |ORDER BY doc_id""".stripMargin,
+
+    // the distributed exclusive prefix sum must equal the canonical
+    // running-sum window form (token counting matches toksSql)
+    "q_pack_sequences" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks
+         |  FROM documents
+         |), p AS (
+         |  SELECT doc_id, n_toks,
+         |    CAST(COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS BIGINT) AS tok_start
+         |  FROM c
+         |)
+         |SELECT doc_id, n_toks, tok_start,
+         |  tok_start // 256 AS seq_first,
+         |  (tok_start + greatest(n_toks, 1) - 1) // 256 AS seq_last
+         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_pack_spans" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks
+         |  FROM documents
+         |), p AS (
+         |  SELECT doc_id, n_toks,
+         |    CAST(COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS BIGINT) AS tok_start
+         |  FROM c
+         |), e AS (
+         |  SELECT doc_id, n_toks, tok_start,
+         |    unnest(generate_series(tok_start // 256,
+         |      (tok_start + n_toks - 1) // 256)) AS seq_id
+         |  FROM p WHERE n_toks > 0
+         |)
+         |SELECT seq_id, doc_id,
+         |  greatest(seq_id * 256 - tok_start, 0) AS take_from,
+         |  least((seq_id + 1) * 256, tok_start + n_toks)
+         |    - greatest(seq_id * 256, tok_start) AS take_len
+         |FROM e ORDER BY seq_id, doc_id""".stripMargin,
 
     // same scrambled-id LCG draw as the Spark window (idScramble)
     "q_sample_exact" ->

@@ -163,6 +163,57 @@ object Curation {
           .as("chunk_text"))
   }
 
+  // ----- sequence packing ------------------------------------------------
+
+  /** Concat-and-cut sequence packing — the training-data step AFTER
+    * [[chunk]]-style per-document windows stop being enough: the whole
+    * corpus is (conceptually) concatenated in `doc_id` order and cut
+    * into fixed `seqLen`-token training sequences, so short documents
+    * pack together and long ones straddle — zero padding waste.
+    *
+    * The global token offset of every document is a corpus-wide EXCLUSIVE
+    * prefix sum — the canonical single-partition-window trap, computed
+    * here distributedly by [[graft.scale.Ids.prefixSum]] (data-
+    * deterministic range buckets + per-bucket running sums + driver
+    * offsets; metadata-sized driver state). Output: one row per document
+    * with `n_toks`, its global `tok_start`, and the first/last sequence
+    * ids it touches (an empty document sits at its boundary, touching
+    * exactly the sequence it would have started).
+    *
+    * Token counting matches [[graft.functions.TextFunctions.tokens]]
+    * (lowercase, split on whitespace, drop empties) so the result is
+    * engine-portable and oracle-checked (q_pack_sequences). */
+  def packSequences(docs: DataFrame, seqLen: Int): DataFrame = {
+    require(seqLen > 0, "packSequences needs a positive seqLen")
+    val counted = docs.select(col("doc_id"),
+      size(TextFunctions.tokens(col("text"))).cast("long").as("n_toks"))
+    graft.scale.Ids.prefixSum(counted, Seq("doc_id"), col("n_toks"),
+        "tok_start")
+      .withColumn("seq_first", expr(s"tok_start div $seqLen"))
+      .withColumn("seq_last",
+        expr(s"(tok_start + greatest(n_toks, 1L) - 1L) div $seqLen"))
+  }
+
+  /** Loader-facing face of [[packSequences]]: one row per
+    * (sequence, document) pair with the half-open token slice
+    * [take_from, take_from + take_len) of the document that lands in
+    * that sequence. Empty documents are dropped (they contribute no
+    * tokens to any sequence). The explode is output-linear — a document
+    * touching k sequences emits k rows, and Σ take_len over a sequence
+    * is exactly `seqLen` (except the corpus tail), which the spec pins. */
+  def packSpans(docs: DataFrame, seqLen: Int): DataFrame =
+    packSequences(docs, seqLen)
+      .filter(col("n_toks") > 0)
+      .select(col("doc_id"), col("n_toks"), col("tok_start"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq_id"))
+      .select(
+        col("seq_id"),
+        col("doc_id"),
+        greatest(col("seq_id") * seqLen - col("tok_start"), lit(0L))
+          .as("take_from"),
+        (least((col("seq_id") + 1) * seqLen, col("tok_start") + col("n_toks"))
+          - greatest(col("seq_id") * seqLen, col("tok_start"))).as("take_len"))
+
   // ----- connected components / cluster dedup ----------------------------
 
   /** Connected components over an undirected candidate-pair graph

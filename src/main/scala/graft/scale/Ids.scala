@@ -55,24 +55,44 @@ object Ids {
   /** `df` plus `idCol` = 0..N-1 assigned in ascending `order` — exactly
     * `row_number() OVER (ORDER BY order) - 1` (the q_assign_ids oracle
     * runs precisely that SQL), without the single-partition window and
-    * without leaving Tungsten.
+    * without leaving Tungsten. The special case of [[prefixSum]] with
+    * unit weights: the exclusive running count of earlier rows IS the
+    * 0-based rank. */
+  def assign(df: DataFrame, order: Seq[String],
+             idCol: String = "row_id", partitions: Int = 0): DataFrame =
+    prefixSum(df, order, lit(1L), idCol, partitions)
+
+  /** `df` plus `outCol` = the EXCLUSIVE running sum of `weight` in
+    * ascending `order` — exactly `coalesce(sum(weight) OVER (ORDER BY
+    * order ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)` —
+    * without the single-partition window that spelling costs (Spark
+    * funnels EVERY row through one task for an empty partition spec;
+    * first thing to die at 100 TB). The workhorse behind contiguous id
+    * assignment ([[assign]]) and sequence packing
+    * (Curation.packSequences), and generally any "where does my row
+    * start in the global order" question.
     *
     * `order` must be a UNIQUE key (include a tiebreaker column if not):
-    * ties straddling a range boundary would get nondeterministic ids.
+    * ties straddling a range boundary would get nondeterministic sums.
+    * `weight` must be integral and non-negative.
     *
     * Three metadata-sized passes: (1) count, (2) boundary candidates —
     * every row whose key hash lands in a 1/s slice, s sized so ~64·n
     * rows reach the driver regardless of corpus size, (3) per-bucket
-    * counts → prefix-sum offsets. Then one shuffle on the bucket column
-    * ranks each range in parallel and a literal-array lookup adds the
-    * offset. Correctness never depends on the boundary sample quality:
-    * `bucket(r) = #{b : key(r) >= b}` is monotone in the engine's struct
-    * ordering — the same ordering the window's ORDER BY uses — so
-    * concatenating buckets in bucket order IS the global order; a skewed
-    * sample only skews bucket sizes. */
-  def assign(df: DataFrame, order: Seq[String],
-             idCol: String = "row_id", partitions: Int = 0): DataFrame = {
-    require(order.nonEmpty, "Ids.assign needs at least one order column")
+    * weight totals → driver prefix-sum offsets. Then one shuffle on the
+    * bucket column runs the running sum WITHIN each range in parallel
+    * and a literal-array lookup adds the range's start offset. The
+    * ranges are NOT `repartitionByRange`'s (see the object doc: those
+    * boundaries are instance-seeded, so separate actions would
+    * misalign); they are data-deterministic, so every pass derives
+    * identical buckets by construction. Correctness never depends on
+    * the boundary sample quality: `bucket(r) = #{b : key(r) >= b}` is
+    * monotone in the engine's struct ordering — the same ordering the
+    * window's ORDER BY uses — so concatenating buckets in bucket order
+    * IS the global order; a skewed sample only skews bucket sizes. */
+  def prefixSum(df: DataFrame, order: Seq[String], weight: Column,
+                outCol: String, partitions: Int = 0): DataFrame = {
+    require(order.nonEmpty, "Ids.prefixSum needs at least one order column")
     val spark = df.sparkSession
     import spark.implicits._
     val n = if (partitions > 0) partitions
@@ -99,15 +119,17 @@ object Ids {
       else bounds.map(b => when(key >= boundLit(b), 1).otherwise(0))
         .reduce(_ + _)
     val bucketed = df.withColumn("__graft_bucket", bucketExpr)
-    val counts = bucketed.groupBy("__graft_bucket").count()
+    val totals = bucketed.groupBy("__graft_bucket")
+      .agg(coalesce(sum(weight.cast("long")), lit(0L)).as("t"))
       .as[(Int, Long)].collect().toMap
     val offsets = (0 to bounds.length).scanLeft(0L)((acc, b) =>
-      acc + counts.getOrElse(b, 0L)).take(bounds.length + 1).toArray
-    val rank = row_number().over(
-      Window.partitionBy("__graft_bucket").orderBy(cols: _*))
+      acc + totals.getOrElse(b, 0L)).take(bounds.length + 1).toArray
+    val win = Window.partitionBy("__graft_bucket").orderBy(cols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
     bucketed
-      .withColumn(idCol,
-        element_at(lit(offsets), col("__graft_bucket") + 1) + rank - 1)
-      .select(df.columns.map(col).toSeq :+ col(idCol): _*)
+      .withColumn(outCol,
+        element_at(lit(offsets), col("__graft_bucket") + 1) +
+          coalesce(sum(weight.cast("long")).over(win), lit(0L)))
+      .select(df.columns.map(col).toSeq :+ col(outCol): _*)
   }
 }

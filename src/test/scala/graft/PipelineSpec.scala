@@ -900,6 +900,54 @@ class PipelineSpec extends SparkSpec {
     assert(rate >= 0.7 && rate <= 0.9, s"approx keep-rate = $rate")
   }
 
+  test("packSequences/packSpans: fixed-token sequences, straddles, full coverage") {
+    import graft.pipeline.Curation
+    // 10 docs with 0..18 tokens each around a seqLen of 8: empties,
+    // exact fits, multi-sequence straddlers
+    val docs = (0L until 10L).map { i =>
+      val n = (i * 7 % 19).toInt
+      (i, Seq.fill(n)(s"t$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val L = 8
+    val seqs = rowsOf(Curation.packSequences(docs, L))
+      .map(r => r("doc_id").asInstanceOf[Long] ->
+        ((r("n_toks").asInstanceOf[Long], r("tok_start").asInstanceOf[Long],
+          r("seq_first").asInstanceOf[Long], r("seq_last").asInstanceOf[Long])))
+      .toMap
+    // offsets are the exclusive prefix sum in doc order
+    val nt = (0L until 10L).map(i => (i * 7 % 19))
+    val starts = nt.scanLeft(0L)(_ + _)
+    (0 until 10).foreach { i =>
+      val (n, st, sf, sl) = seqs(i.toLong)
+      assert(n == nt(i) && st == starts(i))
+      assert(sf == st / L && sl == (st + math.max(n, 1) - 1) / L)
+    }
+    val spans = rowsOf(Curation.packSpans(docs, L)).map(r =>
+      (r("seq_id").asInstanceOf[Long], r("doc_id").asInstanceOf[Long],
+        r("take_from").asInstanceOf[Long], r("take_len").asInstanceOf[Long]))
+    // every sequence is exactly seqLen tokens, except the corpus tail
+    val total = nt.sum
+    val bySeq = spans.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val lastSeq = (total - 1) / L
+    bySeq.foreach { case (s, len) =>
+      if (s < lastSeq) assert(len == L, s"seq $s has $len tokens")
+      else assert(len == total - lastSeq * L)
+    }
+    // and every non-empty doc's slices are contiguous and cover it fully
+    spans.groupBy(_._2).foreach { case (d, ss) =>
+      val sorted = ss.sortBy(_._3)
+      assert(sorted.head._3 == 0L)
+      assert(sorted.map(_._4).sum == seqs(d)._1)
+      sorted.sliding(2).foreach {
+        case scala.collection.immutable.Seq((_, _, f1, l1), (_, _, f2, _)) =>
+          assert(f2 == f1 + l1)
+        case _ =>
+      }
+    }
+    // empty docs appear in packSequences but never in packSpans
+    assert(seqs.contains(0L) && !spans.exists(_._2 == 0L))
+  }
+
   test("c4LineFilter: line rules, doc-level brace and min-line drops, order kept") {
     import graft.pipeline.Curation
     val docs = Seq(

@@ -192,6 +192,31 @@ class ScaleSpec extends SparkSpec {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  test("Ids.prefixSum: exclusive running sum equals the window oracle") {
+    import graft.scale.Ids
+    // scrambled order, skewed weights (incl. zeros), unique key
+    val df = (0 until 3000).map { i =>
+      val key = (i * 2654435761L) % 1000000L
+      (key, (key % 7) * (key % 13), s"p$i")
+    }.toDF("key", "w", "payload").repartition(16)
+    val out = Ids.prefixSum(df, Seq("key"), col("w"), "off", partitions = 8)
+    // in-test oracle: the single-partition window form on collected rows
+    val rows = df.select("key", "w").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val expect = rows.zip(rows.scanLeft(0L)(_ + _._2)).map {
+      case ((k, _), off) => k -> off
+    }.toMap
+    val got = out.select("key", "off").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    // same partitioned-window / in-Tungsten guarantees as assign
+    val wins = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty))
+    assert(!out.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = java.nio.file.Paths.get("spark-warehouse")
     try {
