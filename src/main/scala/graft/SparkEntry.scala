@@ -714,6 +714,18 @@ object SparkEntry {
       Curation.packSpans(Tables.documents(s, dir), seqLen = 256)
         .orderBy("seq_id", "doc_id")),
 
+    // token-balanced shard manifest: same prefix-sum pass, grand total
+    // from driver metadata (no second corpus scan)
+    "q_shard_tokens" -> ((s, dir) =>
+      Curation.shardByTokens(Tables.documents(s, dir), nShards = 16)
+        .orderBy("doc_id")),
+
+    // deterministic corpus shuffle: contiguous position in the
+    // scrambled-id permutation (resumable epoch order)
+    "q_shuffle_order" -> ((s, dir) =>
+      Curation.shuffleOrder(Tables.documents(s, dir)
+        .select("doc_id", "source")).orderBy("doc_id")),
+
     "q_curate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Curation.curate(docs, docs.filter(col("doc_id") % 50 === 0),
@@ -2593,6 +2605,33 @@ object SparkEntry {
          |  least((seq_id + 1) * 256, tok_start + n_toks)
          |    - greatest(seq_id * 256, tok_start) AS take_len
          |FROM e ORDER BY seq_id, doc_id""".stripMargin,
+
+    // same prefix-sum CTE + cross-joined grand total; 16 shards
+    "q_shard_tokens" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks
+         |  FROM documents
+         |), p AS (
+         |  SELECT doc_id, n_toks,
+         |    CAST(COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS BIGINT) AS tok_start
+         |  FROM c
+         |), t AS (
+         |  SELECT CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) AS total FROM c
+         |)
+         |SELECT doc_id, n_toks, tok_start,
+         |  CAST(least(tok_start * 16 // greatest(total, 1), 15) AS INT)
+         |    AS shard
+         |FROM p, t ORDER BY doc_id""".stripMargin,
+
+    // same scrambled-id LCG permutation as q_sample_exact, globally
+    "q_shuffle_order" ->
+      s"""SELECT doc_id, source,
+         |  CAST(row_number() OVER (
+         |    ORDER BY (doc_id % 1048576 * 2654435761 + 40503) % 1048576 ASC,
+         |             doc_id ASC) - 1 AS BIGINT) AS pos
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // same scrambled-id LCG draw as the Spark window (idScramble)
     "q_sample_exact" ->

@@ -214,6 +214,46 @@ object Curation {
         (least((col("seq_id") + 1) * seqLen, col("tok_start") + col("n_toks"))
           - greatest(col("seq_id") * seqLen, col("tok_start"))).as("take_len"))
 
+  /** Token-balanced shard manifest: every document gets
+    * `shard = ⌊tok_start · nShards / total⌋` — contiguous `doc_id`
+    * ranges whose token counts differ by at most one document, the
+    * assignment step before writing a corpus as N equal-weight training
+    * shards (shard files that finish together instead of one straggler
+    * holding the epoch). A document straddling a boundary goes whole to
+    * its floor shard — shards are document-atomic by construction.
+    *
+    * One corpus scan: the offsets come from the same
+    * [[graft.scale.Ids.prefixSumWithTotal]] pass as [[packSequences]],
+    * and the grand total is driver metadata from that pass — a separate
+    * `agg(sum)` would re-tokenize everything. (`tok_start · nShards`
+    * stays far inside Long: 100 TB ≈ 2.5e13 tokens × even 10⁴ shards
+    * ≈ 2.5e17 < 2⁶³.) Oracle-checked (q_shard_tokens) against the
+    * running-sum window + cross-joined total in SQL. */
+  def shardByTokens(docs: DataFrame, nShards: Int): DataFrame = {
+    require(nShards > 0, "shardByTokens needs a positive shard count")
+    val counted = docs.select(col("doc_id"),
+      size(TextFunctions.tokens(col("text"))).cast("long").as("n_toks"))
+    val (offs, total) = graft.scale.Ids.prefixSumWithTotal(
+      counted, Seq("doc_id"), col("n_toks"), "tok_start")
+    offs.withColumn("shard",
+      least(expr(s"tok_start * $nShards div ${math.max(total, 1L)}L"),
+        lit(nShards - 1L)).cast("int"))
+  }
+
+  /** Deterministic global training order: `pos` = the document's
+    * position in the scrambled-id permutation (same LCG draw as
+    * [[sampleExactPerSource]] — replays identically across runs and
+    * engines). The loader-facing "shuffle the corpus once per training
+    * run" step, as a contiguous 0..N-1 ordering so epochs are resumable
+    * from a position, computed by [[graft.scale.Ids.assign]] — no
+    * single-partition window, no RDD exit. */
+  def shuffleOrder(docs: DataFrame, posCol: String = "pos"): DataFrame =
+    graft.scale.Ids.assign(
+        docs.withColumn("__graft_shuffle_key",
+          Similarity.idScramble(col("doc_id"))),
+        Seq("__graft_shuffle_key", "doc_id"), posCol)
+      .drop("__graft_shuffle_key")
+
   // ----- connected components / cluster dedup ----------------------------
 
   /** Connected components over an undirected candidate-pair graph

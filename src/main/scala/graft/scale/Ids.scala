@@ -91,7 +91,16 @@ object Ids {
     * window's ORDER BY uses — so concatenating buckets in bucket order
     * IS the global order; a skewed sample only skews bucket sizes. */
   def prefixSum(df: DataFrame, order: Seq[String], weight: Column,
-                outCol: String, partitions: Int = 0): DataFrame = {
+                outCol: String, partitions: Int = 0): DataFrame =
+    prefixSumWithTotal(df, order, weight, outCol, partitions)._1
+
+  /** [[prefixSum]] plus the corpus-wide weight total — free for callers
+    * that need it (token-balanced sharding divides by it): the driver
+    * already holds every bucket total to build the offsets, so the grand
+    * total costs no extra job, where a separate `agg(sum)` would re-scan
+    * (and for token weights re-tokenize) the whole corpus. */
+  def prefixSumWithTotal(df: DataFrame, order: Seq[String], weight: Column,
+                         outCol: String, partitions: Int = 0): (DataFrame, Long) = {
     require(order.nonEmpty, "Ids.prefixSum needs at least one order column")
     val spark = df.sparkSession
     import spark.implicits._
@@ -126,10 +135,11 @@ object Ids {
       acc + totals.getOrElse(b, 0L)).take(bounds.length + 1).toArray
     val win = Window.partitionBy("__graft_bucket").orderBy(cols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    bucketed
+    val out = bucketed
       .withColumn(outCol,
         element_at(lit(offsets), col("__graft_bucket") + 1) +
           coalesce(sum(weight.cast("long")).over(win), lit(0L)))
       .select(df.columns.map(col).toSeq :+ col(outCol): _*)
+    (out, offsets.last + totals.getOrElse(bounds.length, 0L))
   }
 }

@@ -900,6 +900,60 @@ class PipelineSpec extends SparkSpec {
     assert(rate >= 0.7 && rate <= 0.9, s"approx keep-rate = $rate")
   }
 
+  test("shardByTokens: document-atomic, monotone, token-balanced shards") {
+    import graft.pipeline.Curation
+    val nt = (0 until 200).map(i => (i * 13 % 37))
+    val docs = nt.zipWithIndex.map { case (n, i) =>
+      (i.toLong, Seq.fill(n)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val S = 4
+    val out = rowsOf(Curation.shardByTokens(docs, S))
+      .map(r => r("doc_id").asInstanceOf[Long] ->
+        ((r("tok_start").asInstanceOf[Long], r("shard").asInstanceOf[Int])))
+      .toMap
+    // brute-force twin of the floor-division assignment
+    val total = nt.map(_.toLong).sum
+    val starts = nt.map(_.toLong).scanLeft(0L)(_ + _)
+    (0 until 200).foreach { i =>
+      val (st, sh) = out(i.toLong)
+      assert(st == starts(i))
+      assert(sh == math.min(st * S / total, S - 1L).toInt)
+    }
+    // shard ids are monotone in doc order, all S shards non-empty, and
+    // per-shard token totals are balanced within one max-document slack
+    val byDoc = (0 until 200).map(i => out(i.toLong)._2)
+    assert(byDoc.sliding(2).forall { case Seq(a, b) => a <= b; case _ => true })
+    val shardToks = (0 until 200).groupBy(i => out(i.toLong)._2)
+      .view.mapValues(_.map(nt(_).toLong).sum).toMap
+    assert(shardToks.keySet == (0 until S).toSet)
+    val ideal = total.toDouble / S
+    shardToks.values.foreach(t =>
+      assert(math.abs(t - ideal) <= nt.max + 1, s"shard toks $t vs $ideal"))
+    // all-empty corpus: everything lands in shard 0, no divide-by-zero
+    val empty = Seq((1L, ""), (2L, "")).toDF("doc_id", "text")
+    assert(rowsOf(Curation.shardByTokens(empty, 3))
+      .forall(_("shard").asInstanceOf[Int] == 0))
+  }
+
+  test("shuffleOrder: deterministic scrambled permutation, resumable positions") {
+    import graft.pipeline.Curation
+    val docs = (0L until 500L).map(i => (i, s"s${i % 3}"))
+      .toDF("doc_id", "source").repartition(8)
+    def lcg(id: Long) = (id % 1048576L * 2654435761L + 40503L) % 1048576L
+    val got = rowsOf(Curation.shuffleOrder(docs))
+      .map(r => r("doc_id").asInstanceOf[Long] -> r("pos").asInstanceOf[Long])
+      .toMap
+    // a permutation of 0..N-1, equal to the in-test LCG ordering
+    assert(got.values.toSeq.sorted == (0L until 500L))
+    val expect = (0L until 500L).sortBy(i => (lcg(i), i)).zipWithIndex
+      .map { case (id, p) => id -> p.toLong }.toMap
+    assert(got == expect)
+    // replays identically (data-deterministic buckets, not instance seeds)
+    assert(rowsOf(Curation.shuffleOrder(docs)).map(r =>
+      r("doc_id").asInstanceOf[Long] -> r("pos").asInstanceOf[Long]).toMap
+      == got)
+  }
+
   test("packSequences/packSpans: fixed-token sequences, straddles, full coverage") {
     import graft.pipeline.Curation
     // 10 docs with 0..18 tokens each around a seqLen of 8: empties,
