@@ -536,6 +536,11 @@ object SparkEntry {
         planes = 16, minCosine = 0.9, bands = 4)
         .orderBy("vec_id")),
 
+    // SemDeDup: cluster-then-compare semantic dedup (Abbas et al. 2023)
+    "q_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(Tables.embeddings(s, dir), nlist = 10,
+        minCosine = 0.4).orderBy("vec_id")),
+
     // int8-quantized exact search: integer dot products over 1-byte
     // codes, cosine of the quantized vectors
     "q_embed_knn_int8" -> ((s, dir) => {
@@ -912,7 +917,9 @@ object SparkEntry {
     // unigram-LM quality scan — the corpus-linear text passes
     "q_dup_spans", "q_remove_dup_spans", "q_unigram_nll",
     // round-10: sequence packing — the distributed prefix sum + explode
-    "q_pack_spans")
+    "q_pack_spans",
+    // round-10: SemDeDup — cluster-scoped embedding dedup
+    "q_semdedup")
 
   // ---------------------------------------------------------------------
   // DuckDB oracles. `flows` CTE = FlowSynth.cteSql (identical mapping).
@@ -2120,6 +2127,30 @@ object SparkEntry {
          |)
          |SELECT vec_id FROM embeddings
          |WHERE vec_id NOT IN (SELECT vec_id FROM dupes)
+         |ORDER BY vec_id""".stripMargin,
+
+    // SemDeDup: annIvf's centroid-sample + argmax-assignment CTEs,
+    // within-cluster pairs, drop the higher id of every pair >= 0.4
+    "q_semdedup" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), c AS (
+         |  SELECT vec_id AS cid, v AS cv FROM e
+         |  ORDER BY (vec_id % 1048576 * 2654435761 + 40503) % 1048576, vec_id
+         |  LIMIT 10
+         |), asg AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosSql("e.v", "c.cv")}, 6) DESC, c.cid ASC) AS crn
+         |    FROM e CROSS JOIN c) WHERE crn = 1
+         |), losers AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.4
+         |)
+         |SELECT vec_id, cid FROM asg
+         |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
          |ORDER BY vec_id""".stripMargin,
 
     "q_embed_ann_lsh" ->

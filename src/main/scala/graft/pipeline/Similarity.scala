@@ -605,6 +605,72 @@ object Similarity {
       .select("vec_id")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * near-duplicate removal via coarse clustering — assign every vector
+    * to its nearest centroid, compare pairs only WITHIN a cluster, drop
+    * the higher-id side of every pair with cosine ≥ `minCosine`, keep
+    * everything else. Complement of [[dedupByCosine]]: sign-LSH buckets
+    * trade recall for bucket size, while the cluster pass compares by
+    * actual embedding proximity — the published method's shape.
+    *
+    * The coarse quantizer is [[annIvf]]'s deterministic scrambled-id
+    * corpus sample (fixed `nlist`, TakeOrderedAndProject, task-free
+    * local relation) standing in for trained k-means: identical plan,
+    * oracle-checkable ([[annIvfKmeans]] shows the `model.transform`
+    * swap when trained centroids are wanted). Assignment is one
+    * broadcast O(N·nlist) max_by pass — no corpus-wide window. The
+    * paper keeps the group member LEAST similar to its centroid;
+    * lowest `vec_id` is this engine's deterministic, engine-portable
+    * keep rule (same as [[dedupByCosine]]).
+    *
+    * Scale: a cluster of d members owes d(d−1)/2 comparisons through
+    * the single reducer owning its `cid`. `maxCluster > 0` exempts
+    * degenerate clusters from comparison entirely — their members are
+    * all KEPT, so capping loses dedup recall, never data.
+    * `tileTarget > 0` keeps them and spreads the d² pair explosion
+    * over reducer tiles ([[graft.scale.Skew.tiledPairs]],
+    * recall-lossless). Each vector lives in exactly one cluster, so
+    * pairs are born unique — no distinct before the cosine confirm. */
+  def semDedup(embeddings: DataFrame, nlist: Int, minCosine: Double,
+               maxCluster: Long = 0L, tileTarget: Long = 0L): DataFrame =
+    semDedupCached(embeddings, nlist, minCosine, maxCluster, tileTarget)
+      .result
+
+  /** [[semDedup]] with an explicit release handle for the persisted
+    * assignment frame (read by the pair self-join's two sides, the two
+    * vector re-attach joins, and the final keep anti-join — five scans
+    * of the O(N·nlist) assignment pass without the persist). */
+  def semDedupCached(embeddings: DataFrame, nlist: Int, minCosine: Double,
+                     maxCluster: Long = 0L,
+                     tileTarget: Long = 0L): graft.core.Cached[DataFrame] = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val cents = collectedSample(e, nlist) // local relation: broadcasts build task-free
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("csim", round(Vec.cosine(col("vec"), col("cvec")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
+        first(col("vec")).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val slim = TextPipeline.capBuckets(
+      assigned.select(col("vec_id"), col("cid")), maxCluster, "cid")
+    val rawPairs =
+      if (tileTarget > 0L)
+        graft.scale.Skew.tiledPairs(slim, "vec_id", "cid", tileTarget)
+          .select(col("a").as("id_a"), col("b").as("id_b"))
+      else slim.as("a").join(slim.as("b"),
+          col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    val vecs = assigned.select(col("vec_id"), col("vec"))
+    val losers = rawPairs
+      .join(vecs.select(col("vec_id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(vecs.select(col("vec_id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
+      .filter(round(Vec.cosine(col("vec_a"), col("vec_b")), 6) >= minCosine)
+      .select(col("id_b").as("vec_id")).distinct()
+    val kept = assigned.select(col("vec_id"), col("cid"))
+      .join(losers, Seq("vec_id"), "left_anti")
+    graft.core.Cached(kept, assigned)
+  }
+
   /** Per-plane hyperplane sign bits as a '0'/'1' string (plane 0 first).
     * Scala-side plane loop: `vec` is referenced a constant number of
     * times, never inside a per-element lambda. */

@@ -935,6 +935,48 @@ class PipelineSpec extends SparkSpec {
       .forall(_("shard").asInstanceOf[Int] == 0))
   }
 
+  test("semDedup: cluster-scoped drops match brute force; tiles lossless, caps keep") {
+    // near-dup twin fixture: 12 twin pairs nudged by 1e-3 in one dim
+    val base = (0 until 12).map(c => Array.tabulate(8)(d => math.sin(c * 5 + d).toFloat))
+    val vecs = base.zipWithIndex.flatMap { case (v, c) =>
+      Seq((c * 2L, v), (c * 2L + 1L, v.updated(0, v(0) + 0.001f)))
+    }
+    val emb = vecs.toDF("vec_id", "embedding").repartition(4)
+    val nlist = 5
+    val minCos = 0.9
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // brute-force twin: scrambled-sample quantizer, argmax assignment
+    // (highest rounded cosine, then lowest cid), within-cluster drops
+    def scramble(id: Long) = (id % 1048576L * 2654435761L + 40503L) % 1048576L
+    val cents = vecs.sortBy { case (id, _) => (scramble(id), id) }.take(nlist)
+    val assignM = vecs.map { case (id, v) =>
+      id -> cents.maxBy { case (cid, cv) => (r6(cosine(v, cv)), -cid) }._1
+    }.toMap
+    val losers = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib && assignM(ia) == assignM(ib) && r6(cosine(va, vb)) >= minCos
+    } yield ib).toSet
+    assert(losers.nonEmpty) // the rule must fire, not pass vacuously
+    val expect = vecs.map(_._1).filterNot(losers)
+      .map(id => id -> assignM(id)).toMap
+    def keptOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      rowsOf(df).map(r => r("vec_id").asInstanceOf[Long] ->
+        r("cid").asInstanceOf[Long]).toMap
+    assert(keptOf(graft.pipeline.Similarity.semDedup(emb, nlist, minCos)) == expect)
+    // tiling is recall-lossless: identical keep set with tiny tiles
+    assert(keptOf(graft.pipeline.Similarity.semDedup(emb, nlist, minCos,
+      tileTarget = 2L)) == expect)
+    // capping exempts hot clusters from comparison — members are KEPT
+    assert(keptOf(graft.pipeline.Similarity.semDedup(emb, nlist, minCos,
+      maxCluster = 1L)).keySet == vecs.map(_._1).toSet)
+  }
+
   test("shuffleOrder: deterministic scrambled permutation, resumable positions") {
     import graft.pipeline.Curation
     val docs = (0L until 500L).map(i => (i, s"s${i % 3}"))
