@@ -48,7 +48,18 @@ object Bench {
     if (warm) names.distinct.foreach { n =>
       run(n); spark.catalog.clearCache() // caches stay cold, JIT stays warm
     }
+    // Isolation between TIMED queries, not just warmup ones: a
+    // predecessor's persisted frames, localCheckpoint blocks, and
+    // broadcast/shuffle debt otherwise bleed into the next timing
+    // (measured: q_curate 2.9 s isolated vs 15.9 s right after
+    // q_dedup_cluster + q_simhash_candidates). clearCache drops
+    // persisted frames; the GC lets ContextCleaner reclaim checkpoint
+    // blocks and broadcasts, and the pause gives its async thread a
+    // beat to run. The pause sits outside the timed window.
     val results = names.map { name =>
+      spark.catalog.clearCache() // each query pays for only its own caches
+      System.gc()
+      Thread.sleep(300)
       val t0 = System.nanoTime()
       val err = run(name)
       (name, (System.nanoTime() - t0) / 1e9, err)
