@@ -731,6 +731,11 @@ object SparkEntry {
       Curation.shuffleOrder(Tables.documents(s, dir)
         .select("doc_id", "source")).orderBy("doc_id")),
 
+    // epoch 3's permutation: the prime offset slides the LCG draw
+    "q_shuffle_epoch" -> ((s, dir) =>
+      Curation.shuffleOrder(Tables.documents(s, dir)
+        .select("doc_id", "source"), epoch = 3).orderBy("doc_id")),
+
     "q_curate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Curation.curate(docs, docs.filter(col("doc_id") % 50 === 0),
@@ -758,6 +763,22 @@ object SparkEntry {
         .union(
           pipeline.IncrementalDedup.ingest(storeDir, docs.filter(col("doc_id") >= 250)))
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // incremental SemDeDup: two-batch ingest against a quantizer FROZEN
+    // from the first batch; the union is every within-cluster confirmed
+    // pair over the full corpus, each emitted exactly once
+    "q_semdedup_incremental" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val storeDir = runScratch(s, "sem_dedup")
+      val p = new org.apache.hadoop.fs.Path(storeDir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true) // fresh store per run
+      pipeline.IncrementalDedup.ingestSemantic(storeDir,
+          emb.filter(col("vec_id") < 250), nlist = 10, minCosine = 0.4)
+        .union(pipeline.IncrementalDedup.ingestSemantic(storeDir,
+          emb.filter(col("vec_id") >= 250), nlist = 10, minCosine = 0.4))
+        .orderBy("vec_a", "vec_b")
     }),
 
     // skew guard engaged: at sf0.01 one band bucket holds ALL 500 docs
@@ -2153,6 +2174,28 @@ object SparkEntry {
          |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
          |ORDER BY vec_id""".stripMargin,
 
+    // incremental SemDeDup: same CTEs but the quantizer sample comes
+    // from the FIRST batch only (vec_id < 250) — the frozen store
+    "q_semdedup_incremental" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), c AS (
+         |  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 250
+         |  ORDER BY (vec_id % 1048576 * 2654435761 + 40503) % 1048576, vec_id
+         |  LIMIT 10
+         |), asg AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosSql("e.v", "c.cv")}, 6) DESC, c.cid ASC) AS crn
+         |    FROM e CROSS JOIN c) WHERE crn = 1
+         |)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(${cosSql("a.v", "b.v")}, 4) AS cosine
+         |FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |WHERE round(${cosSql("a.v", "b.v")}, 4) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
     "q_embed_ann_lsh" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -2661,6 +2704,15 @@ object SparkEntry {
       s"""SELECT doc_id, source,
          |  CAST(row_number() OVER (
          |    ORDER BY (doc_id % 1048576 * 2654435761 + 40503) % 1048576 ASC,
+         |             doc_id ASC) - 1 AS BIGINT) AS pos
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // epoch 3: ids slide by 3 * 7919 before the same scramble
+    "q_shuffle_epoch" ->
+      s"""SELECT doc_id, source,
+         |  CAST(row_number() OVER (
+         |    ORDER BY ((doc_id + 23757) % 1048576 * 2654435761 + 40503)
+         |               % 1048576 ASC,
          |             doc_id ASC) - 1 AS BIGINT) AS pos
          |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -246,11 +246,17 @@ object Curation {
     * engines). The loader-facing "shuffle the corpus once per training
     * run" step, as a contiguous 0..N-1 ordering so epochs are resumable
     * from a position, computed by [[graft.scale.Ids.assign]] — no
-    * single-partition window, no RDD exit. */
-  def shuffleOrder(docs: DataFrame, posCol: String = "pos"): DataFrame =
+    * single-partition window, no RDD exit.
+    *
+    * `epoch` offsets the id before the scramble (by a prime, so
+    * distinct epochs never alias modulo the LCG's 2²⁰ period), giving
+    * every training epoch its own permutation while keeping each one
+    * replayable: same data + same epoch = same order, on any engine. */
+  def shuffleOrder(docs: DataFrame, posCol: String = "pos",
+                   epoch: Int = 0): DataFrame =
     graft.scale.Ids.assign(
         docs.withColumn("__graft_shuffle_key",
-          Similarity.idScramble(col("doc_id"))),
+          Similarity.idScramble(col("doc_id") + lit(epoch * 7919L))),
         Seq("__graft_shuffle_key", "doc_id"), posCol)
       .drop("__graft_shuffle_key")
 

@@ -12,7 +12,8 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * require the historical band-key table, which is an append-only
   * parquet store, not streaming state.
   *
-  * Per increment ([[ingest]] / [[ingestSimhash]] / [[ingestEmbeddings]]):
+  * Per increment ([[ingest]] / [[ingestSimhash]] / [[ingestEmbeddings]] /
+  * [[ingestSemantic]]):
   *   1. band-key the new batch with the SAME key derivation as the
   *      corresponding batch operator ([[TextPipeline.minhashLsh]] /
   *      [[TextPipeline.simhashBandKeys]] / [[Similarity.lshBandKeys]]),
@@ -239,6 +240,80 @@ object IncrementalDedup {
       .withColumn("signs", Similarity.lshSignBits(col("vec"), planes))
       .select(col("vec_id"),
         explode(Similarity.lshBandKeys(col("signs"), planes, bands)).as("bucket"))
+    val storeKeys = snapshot(spark, dir, "keys", keySchema("vec_id"))
+    val pairs =
+      keyedPairs(storeKeys, newKeys, "vec_id", "vec_a", "vec_b", maxBucket,
+        tileTarget)
+    val vecs = snapshot(spark, dir, "vecs", StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("vec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+      .union(newVecs)
+    val result = pairs
+      .join(vecs.select(col("vec_id").as("vec_a"), col("vec").as("va")),
+        Seq("vec_a"))
+      .join(vecs.select(col("vec_id").as("vec_b"), col("vec").as("vb")),
+        Seq("vec_b"))
+      .withColumn("cosine",
+        round(graft.expressions.VectorExpressions.cosine(col("va"), col("vb")), 4))
+      .filter(col("cosine") >= minCosine)
+      .select("vec_a", "vec_b", "cosine")
+      .localCheckpoint(true)
+    newKeys.write.mode("append").parquet(s"$dir/keys")
+    newVecs.write.mode("append").parquet(s"$dir/vecs")
+    newVecs.unpersist()
+    result
+  }
+
+  // ----- semantic scheme (cluster-scoped cosine pairs, SemDeDup) ----------
+
+  /** Semantic ingest — the incremental face of [[Similarity.semDedup]]:
+    * cluster-key candidate pairing against a FROZEN coarse quantizer
+    * plus the exact cosine confirmation. The quantizer is derived from
+    * the FIRST batch ([[Similarity.collectedSample]]) and persisted in
+    * the store (`cents`), so every later increment assigns against the
+    * same centroids and buckets agree across increments by construction
+    * — the frozen-codebook posture of [[IvfPqIndex.append]] (batch
+    * semDedup instead re-derives centroids from the whole corpus; at
+    * 100 TB the quantizer is trained once and appended against).
+    *
+    * Output (vec_a, vec_b, cosine), each candidate pair exactly once
+    * across increments — the compaction input whose loser side
+    * (higher id, [[Similarity.semDedup]]'s keep rule) is dropped
+    * downstream. Here `maxBucket`/`tileTarget` guard hot CLUSTERS
+    * rather than hash buckets, on the same two branches as every other
+    * scheme (the cluster id is the bucket key). */
+  def ingestSemantic(dir: String, embeddings: DataFrame, nlist: Int,
+                     minCosine: Double, maxBucket: Long = 0L,
+                     tileTarget: Long = 0L): DataFrame = {
+    val spark = embeddings.sparkSession
+    val newVecs = embeddings
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centPath = new Path(s"$dir/cents")
+    val fs = centPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cents: DataFrame =
+      if (!fs.exists(centPath)) {
+        val c = Similarity.collectedSample(newVecs, nlist)
+        c.write.mode("overwrite").parquet(s"$dir/cents")
+        c
+      } else {
+        // re-inject as a local relation (tiny by construction) so the
+        // assignment broadcast builds task-free, same as first ingest
+        val loaded = spark.read.parquet(centPath.toString)
+        spark.createDataFrame(
+          java.util.Arrays.asList(loaded.collect(): _*), loaded.schema)
+      }
+    // same argmax as Similarity.semDedup: highest round-6 cosine, then
+    // lowest cid — assignments are identical given identical centroids
+    val newKeys = newVecs.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        round(graft.expressions.VectorExpressions.cosine(
+          col("vec"), col("cvec")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"))
+      .select(col("vec_id"), col("cid").cast("string").as("bucket"))
     val storeKeys = snapshot(spark, dir, "keys", keySchema("vec_id"))
     val pairs =
       keyedPairs(storeKeys, newKeys, "vec_id", "vec_a", "vec_b", maxBucket,

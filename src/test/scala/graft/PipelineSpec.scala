@@ -531,6 +531,49 @@ class PipelineSpec extends SparkSpec {
     assert(batch.count() > 0) // parity must not be vacuous
   }
 
+  test("IncrementalDedup.ingestSemantic: frozen-quantizer ingest equals full pairwise") {
+    import graft.pipeline.IncrementalDedup
+    // same nine near-identical families as the embeddings ingest test
+    val vecs = (0L until 90L).map { i =>
+      val seed = i % 9
+      (i, (0 until 12).map(d =>
+        (((seed * 31 + d * 7) % 13 - 6).toFloat / 6f) +
+          (i.toFloat / 10000f)))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("inc_sem").toString
+    val nlist = 5
+    val minCos = 0.9
+    val all = Seq(0L -> 30L, 30L -> 70L, 70L -> 90L).map { case (lo, hi) =>
+      IncrementalDedup.ingestSemantic(dir,
+        emb.filter(col("vec_id") >= lo && col("vec_id") < hi), nlist, minCos)
+    }.reduce(_ union _)
+    assert(all.count() == all.distinct().count()) // each pair exactly once
+    // brute-force twin: quantizer = FIRST batch's scrambled sample
+    // (frozen in the store), argmax assignment, full pairwise confirm
+    def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    def rd(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def scramble(id: Long) = (id % 1048576L * 2654435761L + 40503L) % 1048576L
+    val cents = vecs.filter(_._1 < 30L)
+      .sortBy { case (id, _) => (scramble(id), id) }.take(nlist)
+    val assignM = vecs.map { case (id, v) =>
+      id -> cents.maxBy { case (cid, cv) => (rd(cosine(v, cv), 6), -cid) }._1
+    }.toMap
+    val expect = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib && assignM(ia) == assignM(ib) && rd(cosine(va, vb), 4) >= minCos
+    } yield (ia, ib, rd(cosine(va, vb), 4))).toSet
+    assert(expect.nonEmpty) // parity must not be vacuous
+    val got = rowsOf(all).map(r => (r("vec_a").asInstanceOf[Long],
+      r("vec_b").asInstanceOf[Long], r("cosine").asInstanceOf[Double])).toSet
+    assert(got == expect)
+  }
+
   test("IncrementalDedup: degenerate batch — within-batch hot bucket capped or tiled") {
     import graft.pipeline.{IncrementalDedup, TextPipeline}
     // a boilerplate-heavy increment: every doc shares the same shingles,
@@ -994,6 +1037,16 @@ class PipelineSpec extends SparkSpec {
     assert(rowsOf(Curation.shuffleOrder(docs)).map(r =>
       r("doc_id").asInstanceOf[Long] -> r("pos").asInstanceOf[Long]).toMap
       == got)
+    // each epoch is its own replayable permutation of 0..N-1
+    def epochOrder(ep: Int) = rowsOf(Curation.shuffleOrder(docs, epoch = ep))
+      .map(r => r("doc_id").asInstanceOf[Long] -> r("pos").asInstanceOf[Long])
+      .toMap
+    val e1 = epochOrder(1)
+    assert(e1.values.toSeq.sorted == (0L until 500L))
+    assert(e1 != got) // the prime offset really moves the draw
+    assert(e1 == (0L until 500L).sortBy(i => (lcg(i + 7919L), i)).zipWithIndex
+      .map { case (id, p) => id -> p.toLong }.toMap)
+    assert(epochOrder(1) == e1) // replayable per epoch
   }
 
   test("packSequences/packSpans: fixed-token sequences, straddles, full coverage") {
