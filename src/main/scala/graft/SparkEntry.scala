@@ -673,6 +673,22 @@ object SparkEntry {
         .select("doc_id", "source").orderBy("doc_id")
     }),
 
+    // CCNet perplexity bucketing: head/middle/tail label per source by
+    // unigram NLL (0.25/0.5 cut fractions are exact binary doubles, so
+    // the percent_rank boundary compare is engine-portable)
+    "q_ppl_buckets" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curation.perplexityBuckets(docs, docs.filter(col("doc_id") % 2 === 0),
+        headFrac = 0.25, middleFrac = 0.5)
+        .orderBy("doc_id")
+    }),
+
+    // quality keep rule: per near-dup cluster keep the LONGEST member
+    // (ties → min id) instead of the arbitrary min-id survivor
+    "q_dedup_cluster_best" -> ((s, dir) =>
+      Curation.clusterDedupBest(Tables.documents(s, dir),
+        length(col("text"))).orderBy("doc_id")),
+
     // C4 line-level cleaning over deterministically synthesized line
     // structure (the corpus text is flat, so the query manufactures
     // lines the same way in both engines — q_redact's trick; braces are
@@ -1176,6 +1192,32 @@ object SparkEntry {
          |    ORDER BY nll.avg_nll ASC, d.doc_id ASC) AS pr
          |  FROM documents d JOIN nll USING (doc_id))
          |WHERE pr <= 0.8 ORDER BY doc_id""".stripMargin) +
+    // CCNet buckets = CASE over the same percent_rank + NLL sub-oracle
+    ("q_ppl_buckets" ->
+      s"""WITH nll AS (
+         |${baseOracles("q_unigram_nll")}
+         |)
+         |SELECT doc_id, source, avg_nll,
+         |  CASE WHEN pr <= 0.25 THEN 'head'
+         |       WHEN pr <= 0.75 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM (
+         |  SELECT d.doc_id, d.source, nll.avg_nll, percent_rank() OVER (
+         |    PARTITION BY d.source
+         |    ORDER BY nll.avg_nll ASC, d.doc_id ASC) AS pr
+         |  FROM documents d JOIN nll USING (doc_id))
+         |ORDER BY doc_id""".stripMargin) +
+    // longest-member keep rule over the same recursive-closure components
+    ("q_dedup_cluster_best" ->
+      s"""WITH comp AS (
+         |${baseOracles("q_dedup_cluster")}
+         |)
+         |SELECT doc_id FROM (
+         |  SELECT comp.doc_id, row_number() OVER (
+         |    PARTITION BY comp.component
+         |    ORDER BY length(d.text) DESC, comp.doc_id ASC) AS rn
+         |  FROM comp JOIN documents d USING (doc_id))
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin) +
     // incremental two-batch ingest reproduces the batch candidate set
     ("q_minhash_incremental" -> baseOracles("q_minhash_candidates")) +
     // incremental span ingest reproduces the batch position inventory

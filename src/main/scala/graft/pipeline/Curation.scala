@@ -423,6 +423,29 @@ object Curation {
       .filter(col("doc_id") === col("component"))
       .select("doc_id")
 
+  /** Survivors with a quality keep rule: per near-dup cluster, keep the
+    * document maximizing `score` (ties → min doc_id) instead of the
+    * arbitrary min-id member — "keep the canonical copy" (the longest /
+    * best-LM-scored version of a boilerplate family), the keep rule
+    * production dedup actually wants. `score` is any Column over the
+    * doc frame (length(text), a negated [[unigramNll]], …).
+    *
+    * One `max_by` hash aggregate over (component) — map-side
+    * combinable, single shuffle on the component id; no per-cluster
+    * window, no ordering. The component map itself is
+    * [[clusterComponents]] (candidate-edge CC), so the corpus-side cost
+    * is identical to [[clusterDedup]] plus one slim join to attach the
+    * score. */
+  def clusterDedupBest(docs: DataFrame, score: org.apache.spark.sql.Column,
+                       n: Int = 3, k: Int = 16, bands: Int = 4,
+                       star: Boolean = false): DataFrame =
+    clusterComponents(docs, n, k, bands, star)
+      .join(docs.select(col("doc_id"), score.as("__score")), Seq("doc_id"))
+      .groupBy("component")
+      .agg(max_by(col("doc_id"),
+        struct(col("__score"), -col("doc_id"))).as("doc_id"))
+      .select("doc_id")
+
   // ----- streaming ingestion ---------------------------------------------
 
   /** Streaming corpus ingestion: exact dedup within the watermark horizon
@@ -719,6 +742,62 @@ object Curation {
     scored.join(broadcast(thresholds), Seq("source"))
       .filter(col("avg_nll") <= col("__thr"))
       .select(docs.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** CCNet's perplexity bucketing (Wenzek et al. 2020 §4): per source,
+    * rank documents by [[unigramNll]] score and label the most-fluent
+    * `headFrac` fraction "head", the next `middleFrac` "middle", the
+    * rest "tail" — the three-way split CCNet feeds to downstream
+    * samplers (train mostly on head+middle, keep tail for diversity).
+    * Unlike [[qualityGate]] nothing is dropped: the bucket is a column,
+    * so mixing policy stays a separate, later decision.
+    *
+    * Exact form: `percent_rank` per source (avg_nll asc, doc_id
+    * tie-break) — the same per-source total order as the exact quality
+    * gate, and the same 100 TB caveat: at scale swap to
+    * [[perplexityBucketsApprox]], whose two `percentile_approx`
+    * thresholds per source are map-side combinable and never impose a
+    * per-source ordering. The exact form is the oracle-checked twin. */
+  def perplexityBuckets(docs: DataFrame, reference: DataFrame,
+                        headFrac: Double = 1.0 / 3,
+                        middleFrac: Double = 1.0 / 3): DataFrame =
+    docs
+      .join(unigramNll(docs, reference).select("doc_id", "avg_nll"),
+        Seq("doc_id"))
+      .withColumn("__pr", percent_rank().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("avg_nll").asc, col("doc_id").asc)))
+      .withColumn("bucket",
+        when(col("__pr") <= headFrac, "head")
+          .when(col("__pr") <= headFrac + middleFrac, "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("source"), col("avg_nll"), col("bucket"))
+
+  /** The 100 TB form of [[perplexityBuckets]]: per source, two
+    * `percentile_approx` thresholds (at `headFrac` and
+    * `headFrac + middleFrac`) replace the per-source total order; the
+    * label is two broadcast-joined comparisons. Same buckets as the
+    * exact form up to sketch error at the two boundaries — agreement is
+    * spec-pinned; not oracle-checked (sketches are not engine-portable),
+    * same trade as [[qualityGateApprox]]. */
+  def perplexityBucketsApprox(docs: DataFrame, reference: DataFrame,
+                              headFrac: Double = 1.0 / 3,
+                              middleFrac: Double = 1.0 / 3,
+                              accuracy: Int = 10000): DataFrame = {
+    val scored = docs
+      .join(unigramNll(docs, reference).select("doc_id", "avg_nll"),
+        Seq("doc_id"))
+    val thresholds = scored.groupBy("source")
+      .agg(percentile_approx(col("avg_nll"), lit(headFrac),
+             lit(accuracy)).as("__head_thr"),
+           percentile_approx(col("avg_nll"), lit(headFrac + middleFrac),
+             lit(accuracy)).as("__mid_thr"))
+    scored.join(broadcast(thresholds), Seq("source"))
+      .withColumn("bucket",
+        when(col("avg_nll") <= col("__head_thr"), "head")
+          .when(col("avg_nll") <= col("__mid_thr"), "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("source"), col("avg_nll"), col("bucket"))
   }
 
   /** C4-style line-level cleaning (Raffel et al. 2020 §2.2, restated):

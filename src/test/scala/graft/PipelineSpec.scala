@@ -943,6 +943,84 @@ class PipelineSpec extends SparkSpec {
     assert(rate >= 0.7 && rate <= 0.9, s"approx keep-rate = $rate")
   }
 
+  test("perplexityBuckets: per-source head/middle/tail split; approx twin agrees") {
+    import graft.pipeline.Curation
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val got = rowsOf(Curation.perplexityBuckets(docs, ref,
+      headFrac = 0.25, middleFrac = 0.5))
+      .map(r => r("doc_id").asInstanceOf[Long] ->
+        (r("source").asInstanceOf[String], r("bucket").asInstanceOf[String]))
+      .toMap
+    assert(got.size == docs.count()) // nothing dropped, one label each
+    // per source: proportions land on the requested cuts (percent_rank
+    // boundaries give ±1 doc slack per source)
+    got.values.groupBy(_._1).foreach { case (src, labels) =>
+      val n = labels.size.toDouble
+      val byB = labels.groupBy(_._2).view.mapValues(_.size).toMap
+      assert(math.abs(byB.getOrElse("head", 0) / n - 0.25) <= 2 / n,
+        s"$src head=${byB.get("head")} of $n")
+      assert(math.abs(byB.getOrElse("middle", 0) / n - 0.5) <= 2 / n,
+        s"$src middle=${byB.get("middle")} of $n")
+    }
+    // brute-force twin: rank by (avg_nll, doc_id) per source locally
+    val nll = rowsOf(Curation.unigramNll(docs, ref))
+      .map(r => r("doc_id").asInstanceOf[Long] ->
+        r("avg_nll").asInstanceOf[Double]).toMap
+    val expect = got.keys.toSeq.groupBy(id => got(id)._1).flatMap {
+      case (_, ids) =>
+        val ranked = ids.sortBy(id => (nll(id), id))
+        val n = ranked.size - 1.0
+        ranked.zipWithIndex.map { case (id, i) =>
+          val pr = if (n == 0) 0.0 else i / n
+          id -> (if (pr <= 0.25) "head"
+                 else if (pr <= 0.75) "middle" else "tail")
+        }
+    }
+    assert(got.map { case (id, (_, b)) => id -> b } == expect)
+    // the 100 TB twin (percentile_approx thresholds, no per-source total
+    // order) must agree up to sketch error at the two boundaries
+    val approx = rowsOf(Curation.perplexityBucketsApprox(docs, ref,
+      headFrac = 0.25, middleFrac = 0.5))
+      .map(r => r("doc_id").asInstanceOf[Long] ->
+        r("bucket").asInstanceOf[String]).toMap
+    val agree = got.count { case (id, (_, b)) => approx(id) == b }
+    assert(agree >= got.size * 0.98,
+      s"approx/exact bucket agreement = $agree/${got.size}")
+  }
+
+  test("clusterDedupBest: keeps the best-scoring member per cluster") {
+    import graft.pipeline.Curation
+    // two near-dup families with distinct lengths + one singleton; the
+    // survivor must be the LONGEST member (not the min id), ties → min id
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = docs(
+      1L -> a,
+      2L -> (a + " iota kappa"),          // longest of the family
+      3L -> (a + " iota"),
+      9L -> "totally different words only")
+    val comp = rowsOf(Curation.clusterComponents(corpus))
+      .map(r => r("doc_id").asInstanceOf[Long] ->
+        r("component").asInstanceOf[Long]).toMap
+    val lens = Map(1L -> a.length, 2L -> (a + " iota kappa").length,
+      3L -> (a + " iota").length, 9L -> 28)
+    // brute-force keep rule over whatever components LSH recalled
+    val expect = comp.groupBy(_._2).values.map(m =>
+      m.keys.minBy(id => (-lens(id), id))).toSet
+    val kept = rowsOf(Curation.clusterDedupBest(corpus, length(col("text"))))
+      .map(_("doc_id").asInstanceOf[Long]).toSet
+    assert(kept == expect)
+    assert(kept.contains(9L)) // singleton survives
+    if (comp(2L) == comp(1L) && comp(3L) == comp(1L))
+      assert(kept == Set(2L, 9L)) // longest member, not min id
+    // score ties fall back to min doc_id
+    val tied = docs(5L -> "same words here", 6L -> "same words here",
+      7L -> "unrelated other tokens entirely")
+    val keptTied = rowsOf(Curation.clusterDedupBest(tied,
+      length(col("text")))).map(_("doc_id").asInstanceOf[Long]).toSet
+    assert(keptTied.contains(5L) && !keptTied.contains(6L))
+  }
+
   test("shardByTokens: document-atomic, monotone, token-balanced shards") {
     import graft.pipeline.Curation
     val nt = (0 until 200).map(i => (i * 13 % 37))
