@@ -541,6 +541,12 @@ object SparkEntry {
       Similarity.semDedup(Tables.embeddings(s, dir), nlist = 10,
         minCosine = 0.4).orderBy("vec_id")),
 
+    // the paper's keep rule: per confirmed pair drop the member MORE
+    // similar to its centroid — keep the diversity-preserving outlier
+    "q_semdedup_outlier" -> ((s, dir) =>
+      Similarity.semDedup(Tables.embeddings(s, dir), nlist = 10,
+        minCosine = 0.4, keepOutlier = true).orderBy("vec_id")),
+
     // int8-quantized exact search: integer dot products over 1-byte
     // codes, cosine of the quantized vectors
     "q_embed_knn_int8" -> ((s, dir) => {
@@ -751,6 +757,13 @@ object SparkEntry {
     "q_shuffle_epoch" -> ((s, dir) =>
       Curation.shuffleOrder(Tables.documents(s, dir)
         .select("doc_id", "source"), epoch = 3).orderBy("doc_id")),
+
+    // short-to-long curriculum position (score = char length)
+    "q_curriculum" -> ((s, dir) =>
+      Curation.curriculumOrder(Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("text")),
+        length(col("text")).cast("long"))
+        .select("doc_id", "source", "pos").orderBy("doc_id")),
 
     "q_curate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -2216,6 +2229,33 @@ object SparkEntry {
          |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
          |ORDER BY vec_id""".stripMargin,
 
+    // paper keep rule: asg carries the winner's centroid similarity;
+    // per confirmed pair the row-value compare picks the more-central
+    // member as the loser
+    "q_semdedup_outlier" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), c AS (
+         |  SELECT vec_id AS cid, v AS cv FROM e
+         |  ORDER BY (vec_id % 1048576 * 2654435761 + 40503) % 1048576, vec_id
+         |  LIMIT 10
+         |), asg AS (
+         |  SELECT vec_id, v, cid, csim FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |      round(${cosSql("e.v", "c.cv")}, 6) AS csim,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosSql("e.v", "c.cv")}, 6) DESC, c.cid ASC) AS crn
+         |    FROM e CROSS JOIN c) WHERE crn = 1
+         |), losers AS (
+         |  SELECT DISTINCT CASE WHEN (a.csim, a.vec_id) > (b.csim, b.vec_id)
+         |    THEN a.vec_id ELSE b.vec_id END AS vec_id
+         |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.4
+         |)
+         |SELECT vec_id, cid FROM asg
+         |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+         |ORDER BY vec_id""".stripMargin,
+
     // incremental SemDeDup: same CTEs but the quantizer sample comes
     // from the FIRST batch only (vec_id < 250) — the frozen store
     "q_semdedup_incremental" ->
@@ -2747,6 +2787,14 @@ object SparkEntry {
          |  CAST(row_number() OVER (
          |    ORDER BY (doc_id % 1048576 * 2654435761 + 40503) % 1048576 ASC,
          |             doc_id ASC) - 1 AS BIGINT) AS pos
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the canonical single-partition window form of the curriculum
+    // position (the impl is range-exchange + prefix-sum offsets)
+    "q_curriculum" ->
+      s"""SELECT doc_id, source,
+         |  CAST(row_number() OVER (
+         |    ORDER BY length(text) ASC, doc_id ASC) - 1 AS BIGINT) AS pos
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     // epoch 3: ids slide by 3 * 7919 before the same scramble

@@ -260,6 +260,19 @@ object Curation {
         Seq("__graft_shuffle_key", "doc_id"), posCol)
       .drop("__graft_shuffle_key")
 
+  /** Curriculum ordering (Bengio et al. 2009 applied to corpus prep):
+    * contiguous 0..N-1 training position by an arbitrary difficulty
+    * `score` (ascending, doc_id tie-break) — short-to-long, easy-to-hard
+    * by LM NLL, any Column. The score-ordered twin of [[shuffleOrder]],
+    * on the same [[graft.scale.Ids.assign]] machinery: range-partitioned
+    * rank + prefix-sum offsets, no single-partition window, no RDD
+    * exit. */
+  def curriculumOrder(docs: DataFrame, score: org.apache.spark.sql.Column,
+                      posCol: String = "pos"): DataFrame =
+    graft.scale.Ids.assign(docs.withColumn("__graft_score", score),
+        Seq("__graft_score", "doc_id"), posCol)
+      .drop("__graft_score")
+
   // ----- connected components / cluster dedup ----------------------------
 
   /** Connected components over an undirected candidate-pair graph
@@ -614,6 +627,22 @@ object Curation {
     tokensBySource.map { case (s, _) =>
       s -> math.min(1000000L, math.round(rates.getOrElse(s, 0.0) * 1000000L))
     }
+  }
+
+  /** Temperature-scaled mixing rates (the multilingual sampling rule of
+    * Conneau & Lample 2019 / mT5): source weight ∝ tokens^(1/T), so
+    * T = 1 reproduces natural (proportional) sampling, larger T flattens
+    * toward uniform — upsampling small sources at the expense of large
+    * ones. Delegates to [[ratesForTokenBudget]]'s water-filling, which
+    * already handles the saturation case the closed-form rates miss
+    * (a small source asked for more tokens than it has). Pure driver
+    * arithmetic, feeds [[sampleBySource]]. */
+  def ratesForTemperature(tokensBySource: Map[String, Long], budget: Long,
+                          temperature: Double): Map[String, Long] = {
+    require(temperature > 0, "temperature must be positive")
+    ratesForTokenBudget(tokensBySource, budget,
+      tokensBySource.map { case (s, n) =>
+        s -> math.pow(n.toDouble, 1.0 / temperature) })
   }
 
   /** Salted id → uniform [0, 1e6) ppm value, SQL-portable. The raw

@@ -618,10 +618,14 @@ object Similarity {
     * local relation) standing in for trained k-means: identical plan,
     * oracle-checkable ([[annIvfKmeans]] shows the `model.transform`
     * swap when trained centroids are wanted). Assignment is one
-    * broadcast O(N·nlist) max_by pass — no corpus-wide window. The
-    * paper keeps the group member LEAST similar to its centroid;
-    * lowest `vec_id` is this engine's deterministic, engine-portable
-    * keep rule (same as [[dedupByCosine]]).
+    * broadcast O(N·nlist) max_by pass — no corpus-wide window.
+    *
+    * Keep rule: lowest `vec_id` per confirmed pair by default (the
+    * engine's deterministic, engine-portable convention, same as
+    * [[dedupByCosine]]). `keepOutlier = true` applies the PAPER's rule
+    * instead — per confirmed pair, drop the member MORE similar to its
+    * cluster centroid (ties → drop the higher id), keeping the
+    * diversity-preserving outlier examples the paper argues for.
     *
     * Scale: a cluster of d members owes d(d−1)/2 comparisons through
     * the single reducer owning its `cid`. `maxCluster > 0` exempts
@@ -632,24 +636,27 @@ object Similarity {
     * recall-lossless). Each vector lives in exactly one cluster, so
     * pairs are born unique — no distinct before the cosine confirm. */
   def semDedup(embeddings: DataFrame, nlist: Int, minCosine: Double,
-               maxCluster: Long = 0L, tileTarget: Long = 0L): DataFrame =
-    semDedupCached(embeddings, nlist, minCosine, maxCluster, tileTarget)
-      .result
+               maxCluster: Long = 0L, tileTarget: Long = 0L,
+               keepOutlier: Boolean = false): DataFrame =
+    semDedupCached(embeddings, nlist, minCosine, maxCluster, tileTarget,
+      keepOutlier).result
 
   /** [[semDedup]] with an explicit release handle for the persisted
     * assignment frame (read by the pair self-join's two sides, the two
     * vector re-attach joins, and the final keep anti-join — five scans
     * of the O(N·nlist) assignment pass without the persist). */
   def semDedupCached(embeddings: DataFrame, nlist: Int, minCosine: Double,
-                     maxCluster: Long = 0L,
-                     tileTarget: Long = 0L): graft.core.Cached[DataFrame] = {
+                     maxCluster: Long = 0L, tileTarget: Long = 0L,
+                     keepOutlier: Boolean = false): graft.core.Cached[DataFrame] = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
     val cents = collectedSample(e, nlist) // local relation: broadcasts build task-free
+    // the winner's centroid similarity is max(csim) by construction —
+    // carried for the keepOutlier rule at zero extra passes
     val assigned = e.crossJoin(broadcast(cents))
       .withColumn("csim", round(Vec.cosine(col("vec"), col("cvec")), 6))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
-        first(col("vec")).as("vec"))
+        first(col("vec")).as("vec"), max(col("csim")).as("csim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val slim = TextPipeline.capBuckets(
       assigned.select(col("vec_id"), col("cid")), maxCluster, "cid")
@@ -660,12 +667,21 @@ object Similarity {
       else slim.as("a").join(slim.as("b"),
           col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-    val vecs = assigned.select(col("vec_id"), col("vec"))
+    val vecs = assigned.select(col("vec_id"), col("vec"), col("csim"))
+    val loserId =
+      if (keepOutlier)
+        // drop the more-central member; ties → higher id (keeps min id)
+        when(struct(col("csim_a"), col("id_a")) >
+               struct(col("csim_b"), col("id_b")),
+          col("id_a")).otherwise(col("id_b"))
+      else col("id_b")
     val losers = rawPairs
-      .join(vecs.select(col("vec_id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
-      .join(vecs.select(col("vec_id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
+      .join(vecs.select(col("vec_id").as("id_a"), col("vec").as("vec_a"),
+        col("csim").as("csim_a")), Seq("id_a"))
+      .join(vecs.select(col("vec_id").as("id_b"), col("vec").as("vec_b"),
+        col("csim").as("csim_b")), Seq("id_b"))
       .filter(round(Vec.cosine(col("vec_a"), col("vec_b")), 6) >= minCosine)
-      .select(col("id_b").as("vec_id")).distinct()
+      .select(loserId.as("vec_id")).distinct()
     val kept = assigned.select(col("vec_id"), col("cid"))
       .join(losers, Seq("vec_id"), "left_anti")
     graft.core.Cached(kept, assigned)

@@ -1098,6 +1098,78 @@ class PipelineSpec extends SparkSpec {
       maxCluster = 1L)).keySet == vecs.map(_._1).toSet)
   }
 
+  test("semDedup keepOutlier: drops the more-central member of each pair") {
+    // same twin fixture as the base semDedup spec
+    val base = (0 until 12).map(c => Array.tabulate(8)(d => math.sin(c * 5 + d).toFloat))
+    val vecs = base.zipWithIndex.flatMap { case (v, c) =>
+      Seq((c * 2L, v), (c * 2L + 1L, v.updated(0, v(0) + 0.001f)))
+    }
+    val emb = vecs.toDF("vec_id", "embedding").repartition(4)
+    val nlist = 5
+    val minCos = 0.9
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def scramble(id: Long) = (id % 1048576L * 2654435761L + 40503L) % 1048576L
+    val cents = vecs.sortBy { case (id, _) => (scramble(id), id) }.take(nlist)
+    val assignM = vecs.map { case (id, v) =>
+      id -> cents.maxBy { case (cid, cv) => (r6(cosine(v, cv)), -cid) }._1
+    }.toMap
+    // winner-centroid similarity per vector, the paper rule's score
+    val csimM = vecs.map { case (id, v) =>
+      id -> r6(cosine(v, cents.find(_._1 == assignM(id)).get._2)) }.toMap
+    val ord = implicitly[Ordering[(Double, Long)]]
+    val losers = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib && assignM(ia) == assignM(ib) && r6(cosine(va, vb)) >= minCos
+    } yield if (ord.gt((csimM(ia), ia), (csimM(ib), ib))) ia else ib).toSet
+    assert(losers.nonEmpty) // rule must fire, not pass vacuously
+    val expect = vecs.map(_._1).filterNot(losers)
+      .map(id => id -> assignM(id)).toMap
+    val got = rowsOf(graft.pipeline.Similarity.semDedup(emb, nlist, minCos,
+        keepOutlier = true))
+      .map(r => r("vec_id").asInstanceOf[Long] ->
+        r("cid").asInstanceOf[Long]).toMap
+    assert(got == expect)
+  }
+
+  test("curriculumOrder: contiguous positions in score order, deterministic") {
+    import graft.pipeline.Curation
+    val docs = (0L until 300L).map(i =>
+      (i, "x" * ((i * 37 % 50) + 1).toInt, s"s${i % 3}"))
+      .toDF("doc_id", "text", "source").repartition(8)
+    def posOf() = rowsOf(Curation.curriculumOrder(docs, length(col("text"))))
+      .map(r => r("doc_id").asInstanceOf[Long] -> r("pos").asInstanceOf[Long])
+      .toMap
+    val got = posOf()
+    val expect = (0L until 300L).sortBy(i => ((i * 37 % 50) + 1, i))
+      .zipWithIndex.map { case (id, p) => id -> p.toLong }.toMap
+    assert(got == expect)
+    assert(posOf() == got) // replayable
+  }
+
+  test("ratesForTemperature: T=1 natural sampling, large T flattens") {
+    import graft.pipeline.Curation
+    val tokens = Map("big" -> 900000L, "small" -> 100000L)
+    // T = 1: weight ∝ tokens — every source keeps the same fraction
+    val nat = Curation.ratesForTemperature(tokens, 500000L, 1.0)
+    assert(nat("big") == 500000L && nat("small") == 500000L)
+    // T → ∞: equal token shares; small saturates, leftover flows to big
+    val flat = Curation.ratesForTemperature(tokens, 500000L, 1e9)
+    assert(flat("small") == 1000000L)
+    assert(math.abs(flat("big") - 444444L) <= 1L)
+    // monotone: higher T never lowers the small source's rate
+    val t2 = Curation.ratesForTemperature(tokens, 500000L, 2.0)
+    assert(t2("small") >= nat("small") && t2("small") <= flat("small"))
+    intercept[IllegalArgumentException] {
+      Curation.ratesForTemperature(tokens, 1L, 0.0)
+    }
+  }
+
   test("shuffleOrder: deterministic scrambled permutation, resumable positions") {
     import graft.pipeline.Curation
     val docs = (0L until 500L).map(i => (i, s"s${i % 3}"))
