@@ -19,7 +19,10 @@ import graft.pipeline.Curation
   * }}}
   *
   * Omitting --benchmark skips decontamination; omitting --rates keeps
-  * every source at full weight.
+  * every source at full weight. `--temperature T --token-budget B`
+  * derives the rates from the corpus instead (tokens^(1/T)
+  * water-filling); `--keep-longest` switches cluster dedup to keep the
+  * longest member of each near-dup cluster instead of the min-id one.
   *
   * `--compact-store <dir>` switches to the periodic COMPACTION job for a
   * streaming/incrementally-ingested corpus: the input batch is band-keyed
@@ -47,7 +50,10 @@ object CurateApp {
       zorderBits: Int = 16,
       c4MinWords: Int = 0, // >0 = C4 line cleaning before the pipeline
       qualityKeepFrac: Double = 0.0, // >0 = LM quality gate before the pipeline
-      qualityReference: Option[String] = None) // LM corpus (default: the input)
+      qualityReference: Option[String] = None, // LM corpus (default: the input)
+      keepLongest: Boolean = false, // dedup keeps the longest cluster member
+      temperature: Double = 0.0, // >0 = tokens^(1/T) mixing (needs budget)
+      tokenBudget: Long = 0L) // total-token target for temperature mixing
 
   /** Build the curation pipeline frame (lazy — callers choose the sink),
     * or run a compaction increment when `--compact-store` is set (eager
@@ -83,8 +89,24 @@ object CurateApp {
         val bench = c.benchmark.map(spark.read.parquet(_))
           // no benchmark -> empty eval set -> decontamination is a no-op
           .getOrElse(docs.limit(0))
+        // --temperature T --token-budget B derive per-source rates from
+        // the corpus itself (tokens^(1/T) water-filling) instead of
+        // hand-written --rates; the per-source token totals are one
+        // driver-sized aggregate
+        val rates =
+          if (c.temperature > 0.0 && c.tokenBudget > 0L) {
+            require(c.rates.isEmpty,
+              "--rates and --temperature are mutually exclusive")
+            val tokens = Curation.corpusReport(docs)
+              .select("source", "total_tokens").collect()
+              .map(r => r.getString(0) -> r.getLong(1)).toMap
+            Curation.ratesForTemperature(tokens, c.tokenBudget, c.temperature)
+          } else c.rates
         Curation.curate(docs, bench, c.maxDupWordFrac, c.n, c.k, c.bands,
-          c.rates, c.defaultPpm, c.chunkSize, c.stride)
+          rates, c.defaultPpm, c.chunkSize, c.stride,
+          keepBest = if (c.keepLongest)
+            Some(org.apache.spark.sql.functions.length(
+              org.apache.spark.sql.functions.col("text"))) else None)
     }
   }
 
@@ -122,6 +144,9 @@ object CurateApp {
         loop(t, c.copy(qualityKeepFrac = v.toDouble))
       case "--quality-reference" :: v :: t =>
         loop(t, c.copy(qualityReference = Some(v)))
+      case "--keep-longest" :: t => loop(t, c.copy(keepLongest = true))
+      case "--temperature" :: v :: t => loop(t, c.copy(temperature = v.toDouble))
+      case "--token-budget" :: v :: t => loop(t, c.copy(tokenBudget = v.toLong))
       case Nil => c
       case other :: _ => throw new IllegalArgumentException(s"unknown arg $other")
     }

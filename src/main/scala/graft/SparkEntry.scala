@@ -765,6 +765,19 @@ object SparkEntry {
         length(col("text")).cast("long"))
         .select("doc_id", "source", "pos").orderBy("doc_id")),
 
+    // proportional source interleave: doc k of n lands at (k+1)/(n+1)
+    "q_interleave" -> ((s, dir) =>
+      Curation.interleaveBySources(Tables.documents(s, dir)
+          .select("doc_id", "source"))
+        .select("doc_id", "source", "pos").orderBy("doc_id")),
+
+    // n-gram novelty vs the same reference slice contamination uses
+    "q_novelty" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curation.novelty(docs, docs.filter(col("doc_id") % 50 === 0), n = 3)
+        .orderBy("doc_id")
+    }),
+
     "q_curate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Curation.curate(docs, docs.filter(col("doc_id") % 50 === 0),
@@ -969,7 +982,10 @@ object SparkEntry {
     // round-10: sequence packing — the distributed prefix sum + explode
     "q_pack_spans",
     // round-10: SemDeDup — cluster-scoped embedding dedup
-    "q_semdedup")
+    "q_semdedup",
+    // round-10: CCNet buckets (NLL scan + per-source window) and the
+    // quality-keep cluster dedup (CC + max_by over components)
+    "q_ppl_buckets", "q_dedup_cluster_best")
 
   // ---------------------------------------------------------------------
   // DuckDB oracles. `flows` CTE = FlowSynth.cteSql (identical mapping).
@@ -2788,6 +2804,45 @@ object SparkEntry {
          |    ORDER BY (doc_id % 1048576 * 2654435761 + 40503) % 1048576 ASC,
          |             doc_id ASC) - 1 AS BIGINT) AS pos
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // per-source fractions + global row_number — the canonical window
+    // form of the proportional interleave
+    "q_interleave" ->
+      s"""WITH k AS (
+         |  SELECT doc_id, source,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY source ORDER BY doc_id) - 1 AS BIGINT) AS k,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM documents
+         |)
+         |SELECT doc_id, source,
+         |  CAST(row_number() OVER (
+         |    ORDER BY CAST(k + 1 AS DOUBLE) / (n + 1) ASC, source ASC, k ASC)
+         |    - 1 AS BIGINT) AS pos
+         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // novelty = left-join miss rate over the contamination shingle CTEs
+    "q_novelty" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) < 3 THEN []
+         |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+         |                i -> array_to_string(toks[i:i+2], ' '))) END AS shingles
+         |  FROM t
+         |), ds AS (
+         |  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+         |), bs AS (
+         |  SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 50 = 0
+         |)
+         |SELECT d.doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN bs.shingle IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  round(CAST(sum(CASE WHEN bs.shingle IS NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS novelty
+         |FROM ds d LEFT JOIN bs USING (shingle)
+         |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin,
 
     // the canonical single-partition window form of the curriculum
     // position (the impl is range-exchange + prefix-sum offsets)

@@ -51,6 +51,33 @@ object Curation {
       .groupBy("doc_id").agg(count(lit(1)).as("overlap_ngrams"))
   }
 
+  /** Per-document n-gram novelty against a reference corpus — the
+    * data-selection signal ("how much of this document is new
+    * material?") that complements [[contamination]]'s overlap count:
+    * the fraction of the doc's DISTINCT word n-grams absent from the
+    * reference's distinct n-gram set. High novelty ≈ fresh content
+    * worth keeping; near-zero ≈ boilerplate the reference already
+    * covers. Same shuffle posture as contamination: the reference side
+    * is broadcast (eval/reference sets are MBs against a 100 TB
+    * corpus), the corpus side is one explode + one hash aggregate.
+    * Documents shorter than n tokens have no n-grams and no row. */
+  def novelty(docs: DataFrame, reference: DataFrame, n: Int): DataFrame = {
+    val docShingles = docs.select(col("doc_id"),
+      explode(graft.expressions.TextExpressions
+        .wordShingles(col("text"), n, distinct = true)).as("shingle"))
+    val refShingles = reference.select(
+      explode(graft.expressions.TextExpressions
+        .wordShingles(col("text"), n, distinct = true)).as("shingle"))
+      .distinct()
+    docShingles
+      .join(broadcast(refShingles.withColumn("__seen", lit(1))),
+        Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", round(col("n_novel") / col("n_grams"), 6))
+  }
+
   /** Decontaminated corpus: drop documents whose benchmark n-gram overlap
     * exceeds `maxOverlap` (0 = any overlap removes). The anti-join
     * strategy is left to AQE: the contaminated set is usually tiny (eval
@@ -273,6 +300,34 @@ object Curation {
         Seq("__graft_score", "doc_id"), posCol)
       .drop("__graft_score")
 
+  /** Deterministic proportional interleave across sources — the
+    * loader-facing "don't feed a run of same-source batches" ordering:
+    * document k (0-based, doc_id order) of a source holding n docs
+    * lands at global fraction (k+1)/(n+1), so each source spreads
+    * evenly through the corpus and relative source order is stable
+    * across engines and runs. Contiguous 0..N-1 positions via
+    * [[graft.scale.Ids.assign]] over (fraction, source, k).
+    *
+    * The per-source index is a PARTITIONED window (row_number per
+    * source — each source's docs sort within their own partitions,
+    * never a single-partition total order); per-source counts are one
+    * broadcast-sized aggregate. At extreme per-source cardinality the
+    * double fraction loses ulps, which only perturbs WHICH of two
+    * almost-equal slots two docs take — the (source, k) tie-break keeps
+    * the result deterministic. */
+  def interleaveBySources(docs: DataFrame, posCol: String = "pos"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("__n"))
+    val keyed = docs
+      .withColumn("__k", row_number().over(w).cast("long") - 1L)
+      .join(broadcast(counts), Seq("source"))
+      .withColumn("__frac",
+        (col("__k") + 1).cast("double") / (col("__n") + 1).cast("double"))
+    graft.scale.Ids.assign(keyed, Seq("__frac", "source", "__k"), posCol)
+      .drop("__frac", "__n", "__k")
+  }
+
   // ----- connected components / cluster dedup ----------------------------
 
   /** Connected components over an undirected candidate-pair graph
@@ -452,7 +507,13 @@ object Curation {
   def clusterDedupBest(docs: DataFrame, score: org.apache.spark.sql.Column,
                        n: Int = 3, k: Int = 16, bands: Int = 4,
                        star: Boolean = false): DataFrame =
-    clusterComponents(docs, n, k, bands, star)
+    bestByComponent(clusterComponents(docs, n, k, bands, star), docs, score)
+
+  /** Max-`score` member (ties → min id) of every component — the shared
+    * keep rule of [[clusterDedupBest]] and [[curate]]'s `keepBest`. */
+  private def bestByComponent(comp: DataFrame, docs: DataFrame,
+      score: org.apache.spark.sql.Column): DataFrame =
+    comp
       .join(docs.select(col("doc_id"), score.as("__score")), Seq("doc_id"))
       .groupBy("component")
       .agg(max_by(col("doc_id"),
@@ -555,7 +616,8 @@ object Curation {
              ratesPpm: Map[String, Long] = Map.empty,
              defaultPpm: Long = 1000000L,
              chunkSize: Int = 64, stride: Int = 48,
-             star: Boolean = false): DataFrame = {
+             star: Boolean = false,
+             keepBest: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     // keptIds is referenced from TWO branches (the dedup subtree and the
     // final re-join); persisting the id column makes the repetition
     // tokenize+gram chain run once instead of once per branch. Cache
@@ -567,8 +629,15 @@ object Curation {
       .filter(col("dup_word_frac") <= maxDupWordFrac).select("doc_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val kept = docs.join(keptIds, Seq("doc_id"))
-    val survivors = clusterComponents(kept, n, k, bands, star)
-      .filter(col("doc_id") === col("component")).select("doc_id")
+    // keepBest swaps the min-id survivor rule for the max-score member
+    // of each cluster ("keep the canonical copy") at the cost of one
+    // extra slim join — the component map is computed either way
+    val comp = clusterComponents(kept, n, k, bands, star)
+    val survivors = keepBest match {
+      case None => comp.filter(col("doc_id") === col("component"))
+        .select("doc_id")
+      case Some(score) => bestByComponent(comp, kept, score)
+    }
     val deduped = kept.join(survivors, Seq("doc_id"))
     val clean = decontaminate(deduped, benchmark, n)
     val mixed = sampleBySource(clean, ratesPpm, defaultPpm)

@@ -114,6 +114,40 @@ class GraftAppSpec extends SparkSpec {
       == Set(1L, 2L, 3L))
   }
 
+  test("CurateApp --keep-longest and --temperature: keep rule + derived rates") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("klin").toString
+    val clean = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq(
+      (1L, clean, "srcA"),
+      (2L, clean + " lambda", "srcA"), // near-dup of 1, LONGER
+      (4L, "one two three four five six seven", "srcB"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite").parquet(in)
+    // default keep rule keeps min id (1); --keep-longest keeps 2
+    val cfg = CurateApp.parse(Array(
+      "--input", in, "--max-dup-word-frac", "0.9",
+      "--chunk-size", "16", "--stride", "16", "--keep-longest"))
+    assert(cfg.keepLongest)
+    val kept = CurateApp.run(spark, cfg)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(kept == Set(2L, 4L))
+    // temperature-derived rates: T=1 natural sampling keeps every
+    // source at the same fraction; a full-corpus budget keeps all docs
+    val tc = CurateApp.parse(Array(
+      "--input", in, "--max-dup-word-frac", "0.9",
+      "--chunk-size", "16", "--stride", "16",
+      "--temperature", "1.0", "--token-budget", "100"))
+    val tKept = CurateApp.run(spark, tc)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(tKept.subsetOf(Set(1L, 2L, 4L)) && tKept.nonEmpty)
+    // --rates and --temperature are mutually exclusive
+    intercept[IllegalArgumentException] {
+      CurateApp.run(spark, CurateApp.parse(Array(
+        "--input", in, "--rates", "srcA=1", "--temperature", "1.0",
+        "--token-budget", "10")))
+    }
+  }
+
   test("CurateApp --span-store: two increments reproduce the batch span inventory") {
     import spark.implicits._
     val in1 = java.nio.file.Files.createTempDirectory("spanin1").toString

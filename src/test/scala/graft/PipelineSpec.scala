@@ -1152,6 +1152,51 @@ class PipelineSpec extends SparkSpec {
     assert(posOf() == got) // replayable
   }
 
+  test("novelty: miss fraction vs reference n-grams; 0 when covered, 1 when disjoint") {
+    import graft.pipeline.Curation
+    val corpus = docs(
+      1L -> "alpha beta gamma delta epsilon",    // = reference doc → novelty 0
+      2L -> "one two three four five six",       // disjoint → novelty 1
+      3L -> "alpha beta gamma zeta eta theta",   // partial overlap
+      4L -> "ab cd")                             // < n tokens → no row
+    val ref = docs(10L -> "alpha beta gamma delta epsilon")
+    val got = rowsOf(Curation.novelty(corpus, ref, n = 3))
+      .map(r => r("doc_id").asInstanceOf[Long] ->
+        (r("n_grams").asInstanceOf[Long], r("n_novel").asInstanceOf[Long],
+         r("novelty").asInstanceOf[Double])).toMap
+    assert(!got.contains(4L))
+    assert(got(1L) == ((3L, 0L, 0.0)))
+    assert(got(2L) == ((4L, 4L, 1.0)))
+    // doc 3: grams = {abg, bgz, gze, zet}; only "alpha beta gamma" seen
+    assert(got(3L) == ((4L, 3L, 0.75)))
+  }
+
+  test("interleaveBySources: proportional spread, contiguous, deterministic") {
+    import graft.pipeline.Curation
+    // 4 docs of 'rare' among 12 of 'common' — rare docs must spread
+    val rows = (0L until 12L).map(i => (i, "common")) ++
+      (100L until 104L).map(i => (i, "rare"))
+    val d = rows.toDF("doc_id", "source").repartition(5)
+    def posOf() = rowsOf(Curation.interleaveBySources(d))
+      .map(r => r("doc_id").asInstanceOf[Long] -> r("pos").asInstanceOf[Long])
+      .toMap
+    val got = posOf()
+    assert(got.values.toSeq.sorted == (0L until 16L)) // contiguous 0..N-1
+    // brute-force twin: (k+1)/(n+1) fraction, (source, k) tie-break
+    val bySrc = rows.groupBy(_._2)
+    val expect = bySrc.flatMap { case (src, ds) =>
+      ds.map(_._1).sorted.zipWithIndex.map { case (id, k) =>
+        (id, ((k + 1).toDouble / (ds.size + 1), src, k))
+      }
+    }.toSeq.sortBy(_._2).map(_._1).zipWithIndex
+      .map { case (id, p) => id -> p.toLong }.toMap
+    assert(got == expect)
+    // the rare source never bunches: gaps between its positions ≈ N/(n+1)
+    val rarePos = (100L until 104L).map(got).sorted
+    assert(rarePos.zip(rarePos.tail).forall { case (a, b) => b - a >= 2 })
+    assert(posOf() == got) // replayable
+  }
+
   test("ratesForTemperature: T=1 natural sampling, large T flattens") {
     import graft.pipeline.Curation
     val tokens = Map("big" -> 900000L, "small" -> 100000L)
