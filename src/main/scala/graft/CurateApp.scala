@@ -53,7 +53,10 @@ object CurateApp {
       qualityReference: Option[String] = None, // LM corpus (default: the input)
       keepLongest: Boolean = false, // dedup keeps the longest cluster member
       temperature: Double = 0.0, // >0 = tokens^(1/T) mixing (needs budget)
-      tokenBudget: Long = 0L) // total-token target for temperature mixing
+      tokenBudget: Long = 0L, // total-token target for temperature mixing
+      dedupLines: Int = 0, // >0 = corpus-wide line dedup (min line chars)
+      dsirTarget: Option[String] = None, // DSIR target corpus
+      dsirKeepFrac: Double = 0.0) // >0 = keep top frac by DSIR weight
 
   /** Build the curation pipeline frame (lazy — callers choose the sink),
     * or run a compaction increment when `--compact-store` is set (eager
@@ -72,13 +75,35 @@ object CurateApp {
         Seq("doc_id"))
         .drop("text")
         .withColumnRenamed("text_clean", "text")
+    // optional corpus-wide line dedup after C4 cleaning (RefinedWeb
+    // stage order: line-quality rules first, then cross-doc line
+    // dedup); documents reduced to nothing are dropped here
+    val deduped = if (c.dedupLines <= 0) lined
+      else lined.join(
+        graft.pipeline.TextPipeline.removeDupLines(lined, c.dedupLines)
+          .filter(org.apache.spark.sql.functions.length(
+            org.apache.spark.sql.functions.col("text_clean")) > 0)
+          .select("doc_id", "text_clean"),
+        Seq("doc_id"))
+        .drop("text")
+        .withColumnRenamed("text_clean", "text")
     // optional LM quality gate after line cleaning (scores should see
     // the cleaned text): keep the best keepFrac per source by unigram
     // NLL against --quality-reference (or the corpus itself)
-    val docs = if (c.qualityKeepFrac <= 0.0) lined
-      else Curation.qualityGate(lined,
-        c.qualityReference.map(spark.read.parquet(_)).getOrElse(lined),
+    val gated = if (c.qualityKeepFrac <= 0.0) deduped
+      else Curation.qualityGate(deduped,
+        c.qualityReference.map(spark.read.parquet(_)).getOrElse(deduped),
         c.qualityKeepFrac)
+    // optional DSIR selection last of the pre-pipeline stages: the
+    // importance weights should see exactly the text the pipeline will
+    val docs = (c.dsirTarget, c.dsirKeepFrac) match {
+      case (Some(t), f) if f > 0.0 =>
+        Curation.dsirSelect(gated, spark.read.parquet(t), f)
+      case (None, f) if f > 0.0 =>
+        throw new IllegalArgumentException(
+          "--dsir-keep-frac needs --dsir-target")
+      case _ => gated
+    }
     (c.compactStore, c.spanStore) match {
       case (Some(store), _) =>
         graft.pipeline.IncrementalDedup.ingest(store, docs, c.n, c.k,
@@ -145,6 +170,11 @@ object CurateApp {
       case "--quality-reference" :: v :: t =>
         loop(t, c.copy(qualityReference = Some(v)))
       case "--keep-longest" :: t => loop(t, c.copy(keepLongest = true))
+      case "--dedup-lines" :: v :: t => loop(t, c.copy(dedupLines = v.toInt))
+      case "--dsir-target" :: v :: t =>
+        loop(t, c.copy(dsirTarget = Some(v)))
+      case "--dsir-keep-frac" :: v :: t =>
+        loop(t, c.copy(dsirKeepFrac = v.toDouble))
       case "--temperature" :: v :: t => loop(t, c.copy(temperature = v.toDouble))
       case "--token-budget" :: v :: t => loop(t, c.copy(tokenBudget = v.toLong))
       case Nil => c

@@ -710,6 +710,36 @@ object SparkEntry {
         minWords = 3, banned = Seq("slow"), minLines = 1)
         .orderBy("doc_id")),
 
+    // corpus-wide duplicate-line removal over manufactured line
+    // structure (q_c4_lines' trick); a boilerplate line is injected
+    // into every 3rd doc so the cross-doc first-occurrence rule
+    // demonstrably fires under the oracle
+    "q_dedup_lines" -> ((s, dir) =>
+      TextPipeline.removeDupLines(
+        Tables.documents(s, dir).withColumn("text",
+          concat(regexp_replace(col("text"), " table", "\ntable"),
+            when(col("doc_id") % 3 === 0,
+              lit("\nsubscribe to our newsletter for more updates"))
+              .otherwise(lit("")))),
+        minChars = 12)
+        .orderBy("doc_id")),
+
+    // DSIR importance weights: target = the same benchmark-ish slice
+    // contamination uses, raw = the full corpus
+    "q_dsir" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curation.dsirWeights(docs, docs.filter(col("doc_id") % 50 === 0),
+        docs, buckets = 1024).orderBy("doc_id")
+    }),
+
+    // DSIR top-fraction selection (rank via Ids.assign range exchange,
+    // no single-partition window; keep count is one broadcast row)
+    "q_dsir_select" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curation.dsirSelect(docs, docs.filter(col("doc_id") % 50 === 0),
+        keepFrac = 0.25).select("doc_id", "source").orderBy("doc_id")
+    }),
+
     // fixed-size deterministic per-source draw (window top-k over the
     // scrambled-id order — WindowGroupLimit, no global sort)
     "q_sample_exact" -> ((s, dir) =>
@@ -985,7 +1015,10 @@ object SparkEntry {
     "q_semdedup",
     // round-10: CCNet buckets (NLL scan + per-source window) and the
     // quality-keep cluster dedup (CC + max_by over components)
-    "q_ppl_buckets", "q_dedup_cluster_best")
+    "q_ppl_buckets", "q_dedup_cluster_best",
+    // round-10: corpus-wide line dedup (min-struct keeper + line-keyed
+    // join) and DSIR hashed-ngram importance weights
+    "q_dedup_lines", "q_dsir")
 
   // ---------------------------------------------------------------------
   // DuckDB oracles. `flows` CTE = FlowSynth.cteSql (identical mapping).
@@ -2737,6 +2770,122 @@ object SparkEntry {
          |  CAST(len(lines) - len(kept) AS INT) AS n_dropped
          |FROM k WHERE len(kept) >= 1 AND NOT contains(text, '{')
          |ORDER BY doc_id""".stripMargin,
+
+    // corpus-first line-occurrence rule as a window row_number; short
+    // lines exempt; zipped unnest gives the line index
+    "q_dedup_lines" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    regexp_replace(text, ' table', chr(10) || 'table', 'g')
+         |      || CASE WHEN doc_id % 3 = 0
+         |           THEN chr(10) || 'subscribe to our newsletter for more updates'
+         |           ELSE '' END AS text
+         |  FROM documents
+         |), ls AS (
+         |  SELECT doc_id, string_split(text, chr(10)) AS lines FROM aug
+         |), l AS (
+         |  SELECT doc_id, CAST(unnest(range(0, len(lines))) AS BIGINT) AS idx,
+         |         unnest(lines) AS line
+         |  FROM ls
+         |), k AS (
+         |  SELECT doc_id, idx, line,
+         |    CASE WHEN length(line) >= 12
+         |         THEN row_number() OVER (PARTITION BY line
+         |                ORDER BY doc_id, idx)
+         |         ELSE 1 END AS rn
+         |  FROM l
+         |)
+         |SELECT doc_id,
+         |  COALESCE(string_agg(line, chr(10) ORDER BY idx)
+         |    FILTER (WHERE rn = 1), '') AS text_clean,
+         |  CAST(count(*) FILTER (WHERE rn = 1) AS INT) AS n_kept,
+         |  CAST(count(*) FILTER (WHERE rn > 1) AS INT) AS n_dropped
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // DSIR: hashed unigram+bigram buckets, Laplace log-ratio snapped to
+    // micro-units (unigramNll's trick), per-doc integer sum
+    "q_dsir" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), g AS (
+         |  SELECT doc_id, unnest(list_concat(toks,
+         |    CASE WHEN len(toks) < 2 THEN []
+         |         ELSE list_transform(range(1, len(toks)),
+         |                i -> array_to_string(toks[i:i+1], ' ')) END)) AS gram
+         |  FROM t
+         |), b AS (
+         |  SELECT doc_id, ${fpSql("gram")} % 1024 AS bucket FROM g
+         |), tcs AS (
+         |  SELECT bucket, count(*) AS tc FROM b WHERE doc_id % 50 = 0
+         |  GROUP BY bucket
+         |), rcs AS (
+         |  SELECT bucket, count(*) AS rc FROM b GROUP BY bucket
+         |), tot AS (
+         |  SELECT (SELECT COALESCE(sum(tc), 0) FROM tcs) AS tt,
+         |         (SELECT COALESCE(sum(rc), 0) FROM rcs) AS rt
+         |), r AS (
+         |  SELECT ab.bucket,
+         |    CAST(round((ln(CAST(COALESCE(tcs.tc, 0) + 1 AS DOUBLE)
+         |                   / (tot.tt + 1024))
+         |              - ln(CAST(COALESCE(rcs.rc, 0) + 1 AS DOUBLE)
+         |                   / (tot.rt + 1024)))
+         |         * 1000000.0) AS BIGINT) AS ratio_u
+         |  FROM (SELECT unnest(range(0, 1024)) AS bucket) ab
+         |  CROSS JOIN tot
+         |  LEFT JOIN tcs ON ab.bucket = tcs.bucket
+         |  LEFT JOIN rcs ON ab.bucket = rcs.bucket
+         |)
+         |SELECT b.doc_id, count(*) AS n_feats,
+         |  round(CAST(sum(r.ratio_u) AS DOUBLE) / 1000000.0, 6) AS log_w
+         |FROM b JOIN r ON b.bucket = r.bucket
+         |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
+
+    // DSIR selection: same weight CTEs, then the canonical window form
+    // of the top-fraction cut (log_w desc, doc_id tie-break)
+    "q_dsir_select" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), g AS (
+         |  SELECT doc_id, unnest(list_concat(toks,
+         |    CASE WHEN len(toks) < 2 THEN []
+         |         ELSE list_transform(range(1, len(toks)),
+         |                i -> array_to_string(toks[i:i+1], ' ')) END)) AS gram
+         |  FROM t
+         |), b AS (
+         |  SELECT doc_id, ${fpSql("gram")} % 1024 AS bucket FROM g
+         |), tcs AS (
+         |  SELECT bucket, count(*) AS tc FROM b WHERE doc_id % 50 = 0
+         |  GROUP BY bucket
+         |), rcs AS (
+         |  SELECT bucket, count(*) AS rc FROM b GROUP BY bucket
+         |), tot AS (
+         |  SELECT (SELECT COALESCE(sum(tc), 0) FROM tcs) AS tt,
+         |         (SELECT COALESCE(sum(rc), 0) FROM rcs) AS rt
+         |), r AS (
+         |  SELECT ab.bucket,
+         |    CAST(round((ln(CAST(COALESCE(tcs.tc, 0) + 1 AS DOUBLE)
+         |                   / (tot.tt + 1024))
+         |              - ln(CAST(COALESCE(rcs.rc, 0) + 1 AS DOUBLE)
+         |                   / (tot.rt + 1024)))
+         |         * 1000000.0) AS BIGINT) AS ratio_u
+         |  FROM (SELECT unnest(range(0, 1024)) AS bucket) ab
+         |  CROSS JOIN tot
+         |  LEFT JOIN tcs ON ab.bucket = tcs.bucket
+         |  LEFT JOIN rcs ON ab.bucket = rcs.bucket
+         |), w AS (
+         |  SELECT b.doc_id,
+         |    round(CAST(sum(r.ratio_u) AS DOUBLE) / 1000000.0, 6) AS log_w
+         |  FROM b JOIN r ON b.bucket = r.bucket
+         |  GROUP BY b.doc_id
+         |), ranked AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY log_w DESC, doc_id ASC) AS rk,
+         |    (SELECT CAST(ceil(count(*) * 0.25) AS BIGINT) FROM w) AS keep
+         |  FROM w
+         |)
+         |SELECT d.doc_id, d.source FROM documents d
+         |JOIN ranked k ON d.doc_id = k.doc_id AND k.rk <= k.keep
+         |ORDER BY d.doc_id""".stripMargin,
 
     // the distributed exclusive prefix sum must equal the canonical
     // running-sum window form (token counting matches toksSql)

@@ -739,6 +739,88 @@ object Curation {
     * Per-token NLL is snapped to integer micro-units before the per-doc
     * mean, so the aggregate is exact integer math — reproducible across
     * engines and partition orders (q_unigram_nll replays it in DuckDB). */
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each document by
+    * how much more likely its hashed n-gram features are under a TARGET
+    * corpus (the distribution you want — wiki/books) than under the RAW
+    * corpus it came from. Features are the paper's unigrams + bigrams
+    * hashed into `buckets` slots via the portable 47-bit fingerprint;
+    * both feature distributions are Laplace-smoothed bucket frequencies,
+    * and a document's log-weight is the sum of its features' log
+    * probability ratios. Selection = keep the highest `log_w` (the
+    * deterministic variant of the paper's Gumbel resampling — see
+    * [[curriculumOrder]] to materialize that order).
+    *
+    * Shuffle discipline: both feature tables reduce to `buckets` rows
+    * (map-side combinable counts), every bucket 0..buckets-1 is
+    * materialized so out-of-corpus features hit the same Laplace
+    * formula, and the ratio table is broadcast against the corpus-side
+    * explode — one explode, one broadcast join, one aggregate. Per-
+    * bucket ratios are snapped to integer micro-units before the
+    * per-doc sum (the [[unigramNll]] trick), so the aggregate is exact
+    * integer math — reproducible across engines and partition orders.
+    * Token-less documents have no features and no row. */
+  def dsirWeights(docs: DataFrame, target: DataFrame, raw: DataFrame,
+                  buckets: Int = 1024): DataFrame = {
+    def grams(d: DataFrame) = {
+      val toks = TextFunctions.tokens(col("text"))
+      d.select(col("doc_id"),
+        explode(concat(toks, TextFunctions.shinglesFromTokens(toks, 2)))
+          .as("gram"))
+    }
+    def bucketed(d: DataFrame) = grams(d)
+      .select(pmod(TextFunctions.fingerprint(col("gram")), lit(buckets.toLong))
+        .as("bucket"))
+    val p = bucketed(target).groupBy("bucket").agg(count(lit(1)).as("tc"))
+    val q = bucketed(raw).groupBy("bucket").agg(count(lit(1)).as("rc"))
+    // every bucket exists in the ratio table, so corpus-side features
+    // never miss the join and the Laplace arithmetic is uniform
+    val totals = p.agg(coalesce(sum("tc"), lit(0L)).as("tt"))
+      .crossJoin(q.agg(coalesce(sum("rc"), lit(0L)).as("rt")))
+    val ratio = totals
+      .select(explode(sequence(lit(0L), lit(buckets - 1L))).as("bucket"),
+        col("tt"), col("rt"))
+      .join(p, Seq("bucket"), "left").join(q, Seq("bucket"), "left")
+      .na.fill(0L, Seq("tc", "rc"))
+      .withColumn("ratio_u", round(
+        (log((col("tc") + 1).cast("double") / (col("tt") + lit(buckets))) -
+          log((col("rc") + 1).cast("double") / (col("rt") + lit(buckets))))
+          * 1000000.0d).cast("long"))
+      .select("bucket", "ratio_u")
+    grams(docs)
+      .select(col("doc_id"),
+        pmod(TextFunctions.fingerprint(col("gram")), lit(buckets.toLong))
+          .as("bucket"))
+      .join(broadcast(ratio), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        round((sum("ratio_u") / 1000000.0d), 6).as("log_w"))
+  }
+
+  /** DSIR selection: keep the `keepFrac` fraction of the corpus with the
+    * highest [[dsirWeights]] log-weight against `target` (raw
+    * distribution = the corpus itself) — the deterministic variant of
+    * the paper's Gumbel-noise resampling (noise de-duplicates samples
+    * when drawing WITH replacement; selection without replacement is
+    * exactly top-k). Returns the surviving documents.
+    *
+    * Scale shape: the rank is [[curriculumOrder]]'s range-exchange +
+    * per-partition offsets over (-log_w, doc_id) — a total order
+    * WITHOUT a single-partition window; the keep count is one broadcast
+    * row. Token-less documents carry no weight and are dropped. */
+  def dsirSelect(docs: DataFrame, target: DataFrame, keepFrac: Double,
+                 buckets: Int = 1024): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0, s"keepFrac $keepFrac not in (0,1]")
+    val w = dsirWeights(docs, target, docs, buckets)
+    val ranked = curriculumOrder(
+      docs.join(w.select("doc_id", "log_w"), Seq("doc_id")),
+      -col("log_w"), "__pos")
+    val n = w.agg(ceil(count(lit(1)) * keepFrac).cast("long").as("__keep"))
+    ranked.crossJoin(broadcast(n))
+      .filter(col("__pos") < col("__keep"))
+      .drop("__pos", "__keep", "log_w")
+  }
+
   def unigramNll(docs: DataFrame, reference: DataFrame): DataFrame = {
     val lm = reference
       .select(explode(TextFunctions.tokens(col("text"))).as("token"))

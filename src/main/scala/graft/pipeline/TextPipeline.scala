@@ -124,6 +124,41 @@ object TextPipeline {
       grams)
   }
 
+  /** Corpus-wide duplicate-LINE removal — the line-granularity exact
+    * dedup of RefinedWeb (Penedo et al. 2023) and Dolma: boilerplate
+    * lines (navigation, cookie banners, signatures) repeat across
+    * millions of pages; only the corpus-FIRST occurrence (by doc_id,
+    * then line index) survives, every later copy is cut from its
+    * document. Lines shorter than `minChars` are exempt — dedup'ing
+    * "Yes." corpus-wide would shred ordinary prose.
+    *
+    * Scale shape: the keeper table is a map-side-combinable
+    * min(struct(doc_id, idx)) per line, so a billion-occurrence banner
+    * collapses to one row per map task before the shuffle and never
+    * serializes through a single reducer; the join back is line-keyed
+    * (AQE skew-split applies) and documents are rebuilt with one
+    * per-doc sort over the surviving (idx, line) pairs. Every input doc
+    * keeps its row — a fully-boilerplate document comes back with empty
+    * `text_clean`, so the caller decides whether to drop it. */
+  def removeDupLines(docs: DataFrame, minChars: Int = 30): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
+    val keepers = lines.filter(length(col("line")) >= minChars)
+      .groupBy("line")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("__first"))
+    lines.join(keepers, Seq("line"), "left")
+      .withColumn("__keep", col("__first").isNull ||
+        (col("__first").getField("doc_id") === col("doc_id") &&
+          col("__first").getField("idx") === col("idx")))
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(array_sort(collect_list(
+          when(col("__keep"), struct(col("idx"), col("line"))))),
+          s => s.getField("line")), "\n").as("text_clean"),
+        sum(when(col("__keep"), 1).otherwise(0)).cast("int").as("n_kept"),
+        sum(when(col("__keep"), 0).otherwise(1)).cast("int").as("n_dropped"))
+  }
+
   /** Streaming exact dedup: the first-seen document per md5 digest within
     * the watermark horizon passes; later duplicates are dropped.
     * `dropDuplicates` keeps one 16-byte key per distinct document in the

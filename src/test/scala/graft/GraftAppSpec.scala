@@ -148,6 +148,40 @@ class GraftAppSpec extends SparkSpec {
     }
   }
 
+  test("CurateApp --dedup-lines and --dsir: pre-pipeline stages wire through") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("dlin").toString
+    val tgt = java.nio.file.Files.createTempDirectory("dltgt").toString
+    val boiler = "subscribe to our newsletter today please"
+    Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta\n$boiler", "srcA"),
+      (2L, s"$boiler\none two three four five six", "srcA"),
+      (3L, boiler, "srcB")) // fully boilerplate → dropped by line dedup
+      .toDF("doc_id", "text", "source").write.mode("overwrite").parquet(in)
+    Seq((100L, "alpha beta gamma delta epsilon zeta", "t"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite").parquet(tgt)
+    val cfg = CurateApp.parse(Array(
+      "--input", in, "--max-dup-word-frac", "0.9",
+      "--chunk-size", "16", "--stride", "16", "--dedup-lines", "10"))
+    assert(cfg.dedupLines == 10)
+    val kept = CurateApp.run(spark, cfg)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(kept == Set(1L, 2L)) // doc 3 reduced to nothing → dropped
+    // DSIR on top: target favors doc 1's vocabulary; keep half
+    val dcfg = CurateApp.parse(Array(
+      "--input", in, "--max-dup-word-frac", "0.9",
+      "--chunk-size", "16", "--stride", "16", "--dedup-lines", "10",
+      "--dsir-target", tgt, "--dsir-keep-frac", "0.5"))
+    val dKept = CurateApp.run(spark, dcfg)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(dKept == Set(1L))
+    // --dsir-keep-frac without --dsir-target fails loudly
+    intercept[IllegalArgumentException] {
+      CurateApp.run(spark, CurateApp.parse(Array(
+        "--input", in, "--dsir-keep-frac", "0.5")))
+    }
+  }
+
   test("CurateApp --span-store: two increments reproduce the batch span inventory") {
     import spark.implicits._
     val in1 = java.nio.file.Files.createTempDirectory("spanin1").toString

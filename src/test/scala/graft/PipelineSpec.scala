@@ -1197,6 +1197,77 @@ class PipelineSpec extends SparkSpec {
     assert(posOf() == got) // replayable
   }
 
+  test("removeDupLines: corpus-first occurrence survives, short lines exempt") {
+    import graft.pipeline.TextPipeline
+    val boiler = "subscribe to our newsletter today"
+    val corpus = docs(
+      1L -> s"unique opening line one\n$boiler\nclosing words here",
+      2L -> s"$boiler\nanother unique line two",   // boiler dup → dropped
+      3L -> s"ok\n$boiler",                        // short line exempt, boiler dropped
+      4L -> boiler)                                // fully boilerplate → empty
+    val got = rowsOf(TextPipeline.removeDupLines(corpus, minChars = 10))
+      .map(r => r("doc_id").asInstanceOf[Long] ->
+        (r("text_clean").asInstanceOf[String], r("n_kept").asInstanceOf[Int],
+         r("n_dropped").asInstanceOf[Int])).toMap
+    // doc 1 holds the corpus-first occurrence (doc_id order) — untouched
+    assert(got(1L) ==
+      ((s"unique opening line one\n$boiler\nclosing words here", 3, 0)))
+    assert(got(2L) == (("another unique line two", 1, 1)))
+    assert(got(3L) == (("ok", 1, 1))) // "ok" < minChars → exempt, kept
+    assert(got(4L) == (("", 0, 1)))   // doc row survives, text empty
+    // within-doc repetition: later copy of the SAME doc's line also cut
+    val twice = rowsOf(TextPipeline.removeDupLines(docs(
+      7L -> "repeated interior line text\nmiddle\nrepeated interior line text"),
+      minChars = 10)).head
+    assert(twice("text_clean") == "repeated interior line text\nmiddle")
+    assert(twice("n_dropped") == 1)
+  }
+
+  test("dsirWeights: target-like docs outscore raw-like; exact replay") {
+    import graft.pipeline.Curation
+    // target = clean prose vocabulary; raw adds boilerplate junk
+    val target = docs(
+      100L -> "the quick brown fox jumps over the lazy dog",
+      101L -> "a quick brown fox runs through the green field")
+    val corpus = docs(
+      1L -> "quick brown fox jumps over the lazy dog",  // target-like
+      2L -> "click here buy now free offer click here",  // junk
+      3L -> "")                                          // token-less → no row
+    val raw = corpus
+    def run() = rowsOf(Curation.dsirWeights(corpus, target, raw, buckets = 256))
+      .map(r => r("doc_id").asInstanceOf[Long] ->
+        (r("n_feats").asInstanceOf[Long], r("log_w").asInstanceOf[Double]))
+      .toMap
+    val got = run()
+    assert(!got.contains(3L))
+    // n_feats = unigrams + bigrams = 2*len - 1
+    assert(got(1L)._1 == 15L && got(2L)._1 == 15L)
+    // the target-like doc carries the higher importance weight
+    assert(got(1L)._2 > got(2L)._2)
+    assert(run() == got) // integer micro-unit sums replay exactly
+  }
+
+  test("dsirSelect: keeps ceil(frac*N) highest-weight docs, drops token-less") {
+    import graft.pipeline.Curation
+    val target = docs(
+      100L -> "the quick brown fox jumps over the lazy dog",
+      101L -> "a quick brown fox runs through the green field")
+    val corpus = docs(
+      1L -> "quick brown fox jumps over the lazy dog", // target-like
+      2L -> "click here buy now free offer click here", // junk
+      3L -> "the quick brown fox over the lazy dog",    // target-like
+      4L -> "win big casino bonus spin now win big",    // junk
+      5L -> "")                                         // token-less
+    val kept = rowsOf(Curation.dsirSelect(corpus, target, keepFrac = 0.5,
+      buckets = 256)).map(_("doc_id").asInstanceOf[Long]).toSet
+    // 4 weighted docs (doc 5 has no features) → ceil(0.5*4) = 2 kept,
+    // and they must be the two target-like ones
+    assert(kept == Set(1L, 3L))
+    // keepFrac = 1 keeps every weighted doc (token-less still dropped)
+    assert(rowsOf(Curation.dsirSelect(corpus, target, 1.0, 256))
+      .map(_("doc_id").asInstanceOf[Long]).toSet == Set(1L, 2L, 3L, 4L))
+  }
+
   test("ratesForTemperature: T=1 natural sampling, large T flattens") {
     import graft.pipeline.Curation
     val tokens = Map("big" -> 900000L, "small" -> 100000L)
