@@ -2873,13 +2873,14 @@ object SparkEntry {
          |  LEFT JOIN tcs ON ab.bucket = tcs.bucket
          |  LEFT JOIN rcs ON ab.bucket = rcs.bucket
          |), w AS (
-         |  SELECT b.doc_id,
+         |  SELECT b.doc_id, count(*) AS n_feats,
          |    round(CAST(sum(r.ratio_u) AS DOUBLE) / 1000000.0, 6) AS log_w
          |  FROM b JOIN r ON b.bucket = r.bucket
          |  GROUP BY b.doc_id
          |), ranked AS (
          |  SELECT doc_id,
-         |    row_number() OVER (ORDER BY log_w DESC, doc_id ASC) AS rk,
+         |    row_number() OVER (
+         |      ORDER BY log_w / n_feats DESC, doc_id ASC) AS rk,
          |    (SELECT CAST(ceil(count(*) * 0.25) AS BIGINT) FROM w) AS keep
          |  FROM w
          |)

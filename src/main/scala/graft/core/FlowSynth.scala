@@ -18,17 +18,16 @@ import org.apache.spark.sql.functions._
   * tcp_flags the SYN-scan bitmask (ports_scan.py:176-177), dns_flags the
   * response/rcode bit ops (dns_statistics.py:184-207).
   *
-  * NOTE: `events.ts` is parquet TIMESTAMP(NANOS); Spark 4 reads it only with
-  * spark.sql.legacy.parquet.nanosAsLong=true (set by [[Graft.session]]), as
-  * epoch-nanos LongType. `ts div 1e6` below equals DuckDB's `epoch_ms(ts)`.
+  * NOTE: [[Tables.events]] normalizes `ts` to epoch-NANOS LongType whatever
+  * the parquet encoding (TIMESTAMP(NANOS) via nanosAsLong, or timestamp[us]
+  * via unix_micros — both set up by [[Graft.tune]]'s confs), so
+  * `ts div 1e6` below equals DuckDB's `epoch_ms(ts)` on every encoding.
   */
 object FlowSynth {
 
   /** Read `events` at sfDir and synthesize the flow view. */
-  def flows(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def flows(spark: SparkSession, sfDir: String): DataFrame =
     fromEvents(Tables.events(spark, sfDir))
-  }
 
   /** Pure transform: events DataFrame → flows DataFrame. */
   def fromEvents(events: DataFrame): DataFrame = {

@@ -1,6 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
@@ -23,7 +25,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  /** `events` with `ts` normalized to the engine contract: epoch-NANOS
+    * LongType. The driver's testdata has shipped this column both as
+    * parquet TIMESTAMP(NANOS) (readable only as long, via the
+    * `nanosAsLong` conf set in [[Graft.tune]]) and as `timestamp[us]`
+    * (Spark: TIMESTAMP / TIMESTAMP_NTZ); every downstream consumer
+    * (`FlowSynth`, `ts div 1000000` call sites) assumes int64 nanos, so
+    * dispatch on the read schema here — one place — instead of per query.
+    * NTZ wall-clock values are interpreted as UTC (session tz is pinned
+    * to UTC by [[Graft.tune]]), matching the DuckDB oracle's
+    * `epoch_ms(ts)` which also treats naive timestamps as UTC. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    raw.withColumn("ts", normalizeTsNanos(raw.schema("ts").dataType))
+  }
+
+  /** ts (of the given read dtype) → epoch-nanos LongType column. */
+  private def normalizeTsNanos(dt: DataType) = dt match {
+    case LongType => col("ts") // already epoch-nanos (nanosAsLong read)
+    case TimestampNTZType =>
+      // NTZ → timestamp uses the session tz (UTC per Graft.tune) → micros
+      unix_micros(col("ts").cast(TimestampType)) * 1000L
+    case _: TimestampType => unix_micros(col("ts")) * 1000L
+    case other => throw new IllegalArgumentException(
+      s"events.ts: unsupported parquet-read type $other " +
+        "(expected LongType nanos or a timestamp type)")
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -761,18 +761,44 @@ object Curation {
     * integer math — reproducible across engines and partition orders.
     * Token-less documents have no features and no row. */
   def dsirWeights(docs: DataFrame, target: DataFrame, raw: DataFrame,
-                  buckets: Int = 1024): DataFrame = {
+                  buckets: Int = 1024): DataFrame =
+    dsirWeightsCached(docs, target, raw, buckets).result
+
+  /** [[dsirWeights]] with the release handle for the persisted corpus
+    * feature frame. When `raw` is the SAME DataFrame instance as `docs`
+    * (the [[dsirSelect]] shape: score the corpus against itself), the
+    * bucketed-gram frame is computed ONCE, persisted, and read by both
+    * the raw-side bucket counts and the scoring aggregate — without it
+    * the full corpus is tokenized+exploded twice per action. Distinct
+    * frames keep the two independent passes (and persist nothing). */
+  def dsirWeightsCached(docs: DataFrame, target: DataFrame, raw: DataFrame,
+                        buckets: Int = 1024): graft.core.Cached[DataFrame] = {
+    val (w, backing) = dsirWeightsImpl(docs, target, raw, buckets)
+    graft.core.Cached(w, backing: _*)
+  }
+
+  private def dsirWeightsImpl(docs: DataFrame, target: DataFrame,
+                              raw: DataFrame, buckets: Int)
+      : (DataFrame, Seq[DataFrame]) = {
     def grams(d: DataFrame) = {
       val toks = TextFunctions.tokens(col("text"))
       d.select(col("doc_id"),
         explode(concat(toks, TextFunctions.shinglesFromTokens(toks, 2)))
           .as("gram"))
     }
-    def bucketed(d: DataFrame) = grams(d)
-      .select(pmod(TextFunctions.fingerprint(col("gram")), lit(buckets.toLong))
-        .as("bucket"))
-    val p = bucketed(target).groupBy("bucket").agg(count(lit(1)).as("tc"))
-    val q = bucketed(raw).groupBy("bucket").agg(count(lit(1)).as("rc"))
+    def docBuckets(d: DataFrame) = grams(d)
+      .select(col("doc_id"),
+        pmod(TextFunctions.fingerprint(col("gram")), lit(buckets.toLong))
+          .as("bucket"))
+    val shareCorpusPass = raw eq docs
+    val db =
+      if (shareCorpusPass)
+        docBuckets(docs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else docBuckets(docs)
+    val p = docBuckets(target).groupBy("bucket").agg(count(lit(1)).as("tc"))
+    val q = (if (shareCorpusPass) db else docBuckets(raw))
+      .groupBy("bucket").agg(count(lit(1)).as("rc"))
     // every bucket exists in the ratio table, so corpus-side features
     // never miss the join and the Laplace arithmetic is uniform
     val totals = p.agg(coalesce(sum("tc"), lit(0L)).as("tt"))
@@ -787,38 +813,60 @@ object Curation {
           log((col("rc") + 1).cast("double") / (col("rt") + lit(buckets))))
           * 1000000.0d).cast("long"))
       .select("bucket", "ratio_u")
-    grams(docs)
-      .select(col("doc_id"),
-        pmod(TextFunctions.fingerprint(col("gram")), lit(buckets.toLong))
-          .as("bucket"))
+    val w = db
       .join(broadcast(ratio), Seq("bucket"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"),
         round((sum("ratio_u") / 1000000.0d), 6).as("log_w"))
+    (w, if (shareCorpusPass) Seq(db) else Seq.empty)
   }
 
   /** DSIR selection: keep the `keepFrac` fraction of the corpus with the
-    * highest [[dsirWeights]] log-weight against `target` (raw
-    * distribution = the corpus itself) — the deterministic variant of
-    * the paper's Gumbel-noise resampling (noise de-duplicates samples
-    * when drawing WITH replacement; selection without replacement is
-    * exactly top-k). Returns the surviving documents.
+    * highest [[dsirWeights]] score against `target` (raw distribution =
+    * the corpus itself) — the deterministic variant of the paper's
+    * Gumbel-noise resampling (noise de-duplicates samples when drawing
+    * WITH replacement; selection without replacement is exactly top-k).
+    * Returns the surviving documents.
     *
-    * Scale shape: the rank is [[curriculumOrder]]'s range-exchange +
-    * per-partition offsets over (-log_w, doc_id) — a total order
-    * WITHOUT a single-partition window; the keep count is one broadcast
-    * row. Token-less documents carry no weight and are dropped. */
+    * The rank key is the LENGTH-NORMALIZED weight `log_w / n_feats`
+    * (mean per-feature log-ratio), not the raw sum: every feature absent
+    * from the target contributes a negative term, so the raw sum
+    * penalizes long documents regardless of match quality — a short
+    * all-miss document would outrank a long document that matches the
+    * target well plus some extra text. Normalizing by the feature count
+    * ranks on match DENSITY, which is the selection the paper's
+    * per-example importance weights intend.
+    *
+    * Scale shape: the corpus is tokenized ONCE ([[dsirWeightsCached]]
+    * with raw eq docs shares the bucketed-gram frame between the raw
+    * bucket counts and the scoring aggregate); the rank runs over the
+    * narrow persisted (doc_id, score) frame — [[curriculumOrder]]'s
+    * range-exchange needs several metadata passes and must not drag
+    * document text through them — and survivors come back as a semi
+    * join on doc_id. The keep count is one broadcast row. Token-less
+    * documents carry no weight and are dropped. */
   def dsirSelect(docs: DataFrame, target: DataFrame, keepFrac: Double,
-                 buckets: Int = 1024): DataFrame = {
+                 buckets: Int = 1024): DataFrame =
+    dsirSelectCached(docs, target, keepFrac, buckets).result
+
+  /** [[dsirSelect]] with the release handle for the persisted
+    * intermediates (the corpus feature frame and the per-doc scores). */
+  def dsirSelectCached(docs: DataFrame, target: DataFrame, keepFrac: Double,
+                       buckets: Int = 1024): graft.core.Cached[DataFrame] = {
     require(keepFrac > 0.0 && keepFrac <= 1.0, s"keepFrac $keepFrac not in (0,1]")
-    val w = dsirWeights(docs, target, docs, buckets)
-    val ranked = curriculumOrder(
-      docs.join(w.select("doc_id", "log_w"), Seq("doc_id")),
-      -col("log_w"), "__pos")
+    val (wRaw, backing) = dsirWeightsImpl(docs, target, docs, buckets)
+    val w = wRaw
+      .withColumn("__score", col("log_w") / col("n_feats"))
+      .select("doc_id", "__score")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = w.agg(ceil(count(lit(1)) * keepFrac).cast("long").as("__keep"))
-    ranked.crossJoin(broadcast(n))
+    val keepIds = curriculumOrder(w, -col("__score"), "__pos")
+      .crossJoin(broadcast(n))
       .filter(col("__pos") < col("__keep"))
-      .drop("__pos", "__keep", "log_w")
+      .select("doc_id")
+    graft.core.Cached(
+      docs.join(keepIds, Seq("doc_id"), "left_semi"),
+      (w +: backing): _*)
   }
 
   def unigramNll(docs: DataFrame, reference: DataFrame): DataFrame = {

@@ -1268,6 +1268,34 @@ class PipelineSpec extends SparkSpec {
       .map(_("doc_id").asInstanceOf[Long]).toSet == Set(1L, 2L, 3L, 4L))
   }
 
+  test("dsirSelect: long target match beats short all-miss (length-normalized rank)") {
+    import graft.pipeline.Curation
+    // The raw per-doc SUM of log-ratios penalizes length: every feature
+    // absent from the target is a negative term, so a LONG document that
+    // matches the target well plus extra text sums below a SHORT document
+    // that matches nothing. Selection must rank on match density
+    // (log_w / n_feats), keeping the long match.
+    val target = docs(
+      100L -> "the quick brown fox jumps over the lazy dog")
+    val corpus = docs(
+      // long: full target vocabulary twice + unrelated tail
+      1L -> ("the quick brown fox jumps over the lazy dog " +
+        "the quick brown fox jumps over the lazy dog " +
+        "unrelated appendix text follows here today"),
+      // short: nothing in common with the target
+      2L -> "win casino bonus")
+    val w = rowsOf(Curation.dsirWeights(corpus, target, corpus, buckets = 256))
+      .map(r => r("doc_id").asInstanceOf[Long] ->
+        (r("log_w").asInstanceOf[Double], r("n_feats").asInstanceOf[Long]))
+      .toMap
+    // the trap is real on this fixture: raw sums would keep the short miss
+    assert(w(1L)._1 < w(2L)._1)
+    assert(w(1L)._1 / w(1L)._2 > w(2L)._1 / w(2L)._2)
+    val kept = rowsOf(Curation.dsirSelect(corpus, target, keepFrac = 0.5,
+      buckets = 256)).map(_("doc_id").asInstanceOf[Long]).toSet
+    assert(kept == Set(1L))
+  }
+
   test("ratesForTemperature: T=1 natural sampling, large T flattens") {
     import graft.pipeline.Curation
     val tokens = Map("big" -> 900000L, "small" -> 100000L)
