@@ -19,6 +19,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.core.Graft.tune(spark)
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -26,8 +27,17 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = s"${e.getClass.getSimpleName}: " +
+          Option(e.getMessage).getOrElse("").take(500)
       }
     }
+    // Self-describing failure record: a query that errors out produces no
+    // parquet dir and would otherwise be silently ABSENT from the driver's
+    // per-query report (round 10: 34 queries vanished and the regression
+    // had to be reconstructed by diffing against the previous round).
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
+      failed.map { case (k, v) =>
+        s"${jsonStr(k)}: ${jsonStr(v)}" }.mkString("{", ",", "}"))
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       Verify.oracleJson(spark, sfDir))
     spark.stop()
@@ -38,19 +48,21 @@ object Verify {
     * independent RefBpe trainer); a fixture failure must not zero every
     * other oracle. Shared by the Verify dump and Bench's comparator
     * mode. */
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  private def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def oracleJson(spark: SparkSession, sfDir: String): String = {
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def q(s: String): String = jsonStr(s)
     val dynamic =
       try SparkEntry.dataOracles(spark, sfDir)
       catch { case e: Throwable =>

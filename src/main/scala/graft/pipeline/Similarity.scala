@@ -642,9 +642,20 @@ object Similarity {
       keepOutlier).result
 
   /** [[semDedup]] with an explicit release handle for the persisted
-    * assignment frame (read by the pair self-join's two sides, the two
-    * vector re-attach joins, and the final keep anti-join — five scans
-    * of the O(N·nlist) assignment pass without the persist). */
+    * assignment frame (read by the pair join's two sides and the final
+    * keep anti-join — repeated scans of the O(N·nlist) assignment pass
+    * without the persist).
+    *
+    * Shuffle budget: clusters pair each vector with its co-members
+    * exactly once, so pairs are born unique and the loser set needs NO
+    * distinct before the anti join (anti-join semantics absorb
+    * duplicates). The untiled path joins the vector-carrying frame on
+    * `cid` directly — both vectors arrive WITH the pair, no re-attach
+    * joins (cluster sizes are bounded by construction or `maxCluster`,
+    * so shuffling vectors by cid moves the same row count as ids).
+    * Only the tiled path — degenerate clusters spread over reducer
+    * tiles — pairs slim ids first and re-attaches vectors by id, where
+    * duplicating d² wide rows through tiles would defeat the tiling. */
   def semDedupCached(embeddings: DataFrame, nlist: Int, minCosine: Double,
                      maxCluster: Long = 0L, tileTarget: Long = 0L,
                      keepOutlier: Boolean = false): graft.core.Cached[DataFrame] = {
@@ -658,16 +669,29 @@ object Similarity {
       .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
         first(col("vec")).as("vec"), max(col("csim")).as("csim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val slim = TextPipeline.capBuckets(
-      assigned.select(col("vec_id"), col("cid")), maxCluster, "cid")
-    val rawPairs =
-      if (tileTarget > 0L)
-        graft.scale.Skew.tiledPairs(slim, "vec_id", "cid", tileTarget)
+    // csim only rides the pair shuffle when the keep rule reads it
+    val sideCols = Seq("vec_id", "vec") ++ (if (keepOutlier) Seq("csim") else Nil)
+    val pairs =
+      if (tileTarget > 0L) {
+        val slim = TextPipeline.capBuckets(
+          assigned.select(col("vec_id"), col("cid")), maxCluster, "cid")
+        val raw = graft.scale.Skew.tiledPairs(slim, "vec_id", "cid", tileTarget)
           .select(col("a").as("id_a"), col("b").as("id_b"))
-      else slim.as("a").join(slim.as("b"),
-          col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-    val vecs = assigned.select(col("vec_id"), col("vec"), col("csim"))
+        val vecs = assigned.select((col("vec_id") +: sideCols.drop(1).map(col)): _*)
+        raw
+          .join(vecs.toDF(sideCols.map(_ + "_a"): _*)
+            .withColumnRenamed("vec_id_a", "id_a"), Seq("id_a"))
+          .join(vecs.toDF(sideCols.map(_ + "_b"): _*)
+            .withColumnRenamed("vec_id_b", "id_b"), Seq("id_b"))
+      } else {
+        val capped = TextPipeline.capBuckets(
+          assigned.select((col("cid") +: sideCols.map(col)): _*), maxCluster, "cid")
+        def side(suffix: String) = capped.select(
+          (col("cid") +: sideCols.map(c => col(c).as(s"${c}_$suffix"))): _*)
+        side("a").withColumnRenamed("vec_id_a", "id_a")
+          .join(side("b").withColumnRenamed("vec_id_b", "id_b"), Seq("cid"))
+          .filter(col("id_a") < col("id_b"))
+      }
     val loserId =
       if (keepOutlier)
         // drop the more-central member; ties → higher id (keeps min id)
@@ -675,13 +699,9 @@ object Similarity {
                struct(col("csim_b"), col("id_b")),
           col("id_a")).otherwise(col("id_b"))
       else col("id_b")
-    val losers = rawPairs
-      .join(vecs.select(col("vec_id").as("id_a"), col("vec").as("vec_a"),
-        col("csim").as("csim_a")), Seq("id_a"))
-      .join(vecs.select(col("vec_id").as("id_b"), col("vec").as("vec_b"),
-        col("csim").as("csim_b")), Seq("id_b"))
+    val losers = pairs
       .filter(round(Vec.cosine(col("vec_a"), col("vec_b")), 6) >= minCosine)
-      .select(loserId.as("vec_id")).distinct()
+      .select(loserId.as("vec_id"))
     val kept = assigned.select(col("vec_id"), col("cid"))
       .join(losers, Seq("vec_id"), "left_anti")
     graft.core.Cached(kept, assigned)

@@ -73,6 +73,22 @@ class CachedSpec extends SparkSpec {
         org.apache.spark.sql.functions.col("text_clean")) >= 0).count())
   }
 
+  test("semDedupCached releases its assignment frame") {
+    checkRelease(Similarity.semDedupCached(emb, nlist = 2, minCosine = 0.9))
+  }
+
+  test("dsirWeightsCached (raw = corpus) releases the shared gram frame") {
+    val corpus = docs
+    checkRelease(graft.pipeline.Curation.dsirWeightsCached(
+      corpus, corpus.limit(2), corpus, buckets = 64))
+  }
+
+  test("dsirSelectCached releases the gram frame and the score frame") {
+    val corpus = docs
+    checkRelease(graft.pipeline.Curation.dsirSelectCached(
+      corpus, corpus.limit(2), keepFrac = 0.5, buckets = 64))
+  }
+
   test("plain variants still return the same rows as the cached result") {
     val h = TextPipeline.minhashCandidatesCached(docs)
     val plainRows = rowsOf(TextPipeline.minhashCandidates(docs)).toSet
