@@ -95,7 +95,11 @@ object CurateApp {
         c.qualityReference.map(spark.read.parquet(_)).getOrElse(deduped),
         c.qualityKeepFrac)
     // optional DSIR selection last of the pre-pipeline stages: the
-    // importance weights should see exactly the text the pipeline will
+    // importance weights should see exactly the text the pipeline will.
+    // The plain dsirSelect persists its gram/score frames for the rest of
+    // this one-shot app run (MEMORY_AND_DISK — spills, never OOMs); a
+    // driver looping over many corpora should call dsirSelectCached and
+    // release the handle per corpus instead.
     val docs = (c.dsirTarget, c.dsirKeepFrac) match {
       case (Some(t), f) if f > 0.0 =>
         Curation.dsirSelect(gated, spark.read.parquet(t), f)

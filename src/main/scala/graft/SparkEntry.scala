@@ -2841,7 +2841,9 @@ object SparkEntry {
          |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
 
     // DSIR selection: same weight CTEs, then the canonical window form
-    // of the top-fraction cut (log_w desc, doc_id tie-break)
+    // of the top-fraction cut — ranked by the LENGTH-NORMALIZED score
+    // log_w / n_feats (match density; see Curation.dsirSelect), doc_id
+    // tie-break
     "q_dsir_select" ->
       s"""WITH t AS (
          |  SELECT doc_id, $toksSql AS toks FROM documents

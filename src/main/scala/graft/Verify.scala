@@ -30,6 +30,10 @@ object Verify {
         failed(name) = s"${e.getClass.getSimpleName}: " +
           Option(e.getMessage).getOrElse("").take(500)
       }
+      // index-building operators persist intermediates their lazy results
+      // re-read (Cached[_] contract); a 100+-query session must not let
+      // each query's MEMORY_AND_DISK residue accumulate against the next
+      spark.catalog.clearCache()
     }
     // Self-describing failure record: a query that errors out produces no
     // parquet dir and would otherwise be silently ABSENT from the driver's

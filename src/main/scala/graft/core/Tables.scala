@@ -44,9 +44,17 @@ object Tables {
   private def normalizeTsNanos(dt: DataType) = dt match {
     case LongType => col("ts") // already epoch-nanos (nanosAsLong read)
     case TimestampNTZType =>
-      // NTZ → timestamp uses the session tz (UTC per Graft.tune) → micros
-      unix_micros(col("ts").cast(TimestampType)) * 1000L
-    case _: TimestampType => unix_micros(col("ts")) * 1000L
+      // NTZ wall-clock is defined as UTC by the testdata contract. The
+      // cast's zone is PINNED to UTC at the expression (Cast.timeZoneId)
+      // instead of relying on spark.sql.session.timeZone: a session built
+      // without Graft.tune on a non-UTC machine must not silently shift
+      // every flow window by the local offset.
+      import org.apache.spark.sql.catalyst.expressions.Cast
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      unix_micros(ColumnBridge.column(Cast(
+        ColumnBridge.expression(col("ts")), TimestampType, Some("UTC")))) * 1000L
+    case _: TimestampType =>
+      unix_micros(col("ts")) * 1000L // instant-typed: tz-independent
     case other => throw new IllegalArgumentException(
       s"events.ts: unsupported parquet-read type $other " +
         "(expected LongType nanos or a timestamp type)")

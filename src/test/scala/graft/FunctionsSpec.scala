@@ -23,6 +23,21 @@ class FunctionsSpec extends SparkSpec {
     assert(r(0).getString(1) == "1:01:01")
     assert(r(1).getString(1) == "25:00:00")
   }
+
+  test("time: ISO8601 renders UTC regardless of session time zone (X15)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val key = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "America/New_York")
+      val iso = Seq(1700000000123L).toDF("ts_ms")
+        .select(TimeFunctions.isoTimestamp(col("ts_ms")).as("iso"))
+        .collect()(0).getString(0)
+      assert(iso == "2023-11-14T22:13:20.123Z",
+        s"isoTimestamp leaked the session tz: $iso")
+    } finally spark.conf.set(key, saved)
+  }
   import spark.implicits._
 
   private def eval1(c: org.apache.spark.sql.Column): Any =

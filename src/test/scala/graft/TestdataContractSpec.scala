@@ -77,6 +77,23 @@ class TestdataContractSpec extends SparkSpec {
         "changed (seconds? millis?); fix Tables.normalizeTsNanos")
   }
 
+  test("events: NTZ normalization is pinned to UTC, independent of session tz") {
+    // A session built WITHOUT Graft.tune on a non-UTC machine must read
+    // identical nanos — the Cast's zone is pinned at the expression, so a
+    // stray session.timeZone cannot silently shift every flow window.
+    val key = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(key)
+    val utc = Tables.events(spark, sfDir)
+      .agg(min("ts"), max("ts")).collect().head.toSeq
+    try {
+      spark.conf.set(key, "America/New_York")
+      val shifted = Tables.events(spark, sfDir)
+        .agg(min("ts"), max("ts")).collect().head.toSeq
+      assert(shifted == utc,
+        s"events.ts nanos drift with session tz: $shifted vs $utc")
+    } finally spark.conf.set(key, saved)
+  }
+
   test("events: an unsupported ts encoding fails loudly at read, not per query") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("badts").toString
