@@ -94,6 +94,24 @@ class TestdataContractSpec extends SparkSpec {
     } finally spark.conf.set(key, saved)
   }
 
+  test("events: normalization preserves column pruning and filter pushdown") {
+    // The ts projection must not widen the parquet scan or block
+    // predicate pushdown — at 100 TB the scan IS the query cost.
+    val q = Tables.events(spark, sfDir)
+      .select("ts", "event_type")
+      .filter(col("event_type") === "click")
+    val scan = q.queryExecution.executedPlan.toString
+    val read = scan.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail("no parquet scan in the events plan"))
+    assert(read.contains("ts") && read.contains("event_type") &&
+      !read.contains("user_id") && !read.contains("props"),
+      s"events scan reads more than the projected columns: $read")
+    assert(scan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]")
+        || scan.linesIterator.exists(l =>
+             l.contains("PushedFilters") && l.contains("EqualTo(event_type,click)")),
+      "event_type filter did not reach the parquet scan")
+  }
+
   test("events: an unsupported ts encoding fails loudly at read, not per query") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("badts").toString
