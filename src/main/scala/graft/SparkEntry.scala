@@ -547,6 +547,14 @@ object SparkEntry {
       Similarity.semDedup(Tables.embeddings(s, dir), nlist = 10,
         minCosine = 0.4, keepOutlier = true).orderBy("vec_id")),
 
+    // two-stage hybrid dedup: semantic clusters gate the candidate
+    // space (never all-pairs), distinct-bigram Jaccard confirms
+    // lexically; docs without an embedding pass the gate (cid null)
+    "q_hybrid_dedup" -> ((s, dir) =>
+      Similarity.hybridDedup(Tables.documents(s, dir),
+        Tables.embeddings(s, dir), nlist = 10, n = 2, minJaccard = 0.1)
+        .orderBy("doc_id")),
+
     // int8-quantized exact search: integer dot products over 1-byte
     // codes, cosine of the quantized vectors
     "q_embed_knn_int8" -> ((s, dir) => {
@@ -1018,7 +1026,10 @@ object SparkEntry {
     "q_ppl_buckets", "q_dedup_cluster_best",
     // round-10: corpus-wide line dedup (min-struct keeper + line-keyed
     // join) and DSIR hashed-ngram importance weights
-    "q_dedup_lines", "q_dsir")
+    "q_dedup_lines", "q_dsir",
+    // round-11: hybrid dedup — semantic clusters gate, n-gram Jaccard
+    // confirms (real pairwise volume through the cluster-scoped join)
+    "q_hybrid_dedup")
 
   // ---------------------------------------------------------------------
   // DuckDB oracles. `flows` CTE = FlowSynth.cteSql (identical mapping).
@@ -2304,6 +2315,51 @@ object SparkEntry {
          |SELECT vec_id, cid FROM asg
          |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
          |ORDER BY vec_id""".stripMargin,
+
+    // hybrid dedup: the q_semdedup assignment CTEs gate the candidate
+    // space; the q_doc_near_dup distinct-bigram Jaccard confirms within
+    // a cluster; docs without an embedding keep a NULL cid
+    "q_hybrid_dedup" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), c AS (
+         |  SELECT vec_id AS cid, v AS cv FROM e
+         |  ORDER BY (vec_id % 1048576 * 2654435761 + 40503) % 1048576, vec_id
+         |  LIMIT 10
+         |), asg AS (
+         |  SELECT vec_id AS doc_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosSql("e.v", "c.cv")}, 6) DESC, c.cid ASC) AS crn
+         |    FROM e CROSS JOIN c) WHERE crn = 1
+         |), t AS (
+         |  SELECT d.doc_id, a.cid, $toksSql AS toks
+         |  FROM documents d JOIN asg a ON d.doc_id = a.doc_id
+         |), sh AS (
+         |  SELECT doc_id, cid,
+         |    CASE WHEN len(toks) < 2 THEN []
+         |         ELSE list_distinct(list_transform(range(1, len(toks)),
+         |                i -> array_to_string(toks[i:i+1], ' '))) END AS shingles
+         |  FROM t
+         |), inv AS (
+         |  SELECT doc_id, cid, unnest(shingles) AS shingle FROM sh
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM inv GROUP BY 1
+         |), shared AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM inv a JOIN inv b ON a.cid = b.cid AND a.shingle = b.shingle
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), losers AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM shared
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 6) >= 0.1
+         |)
+         |SELECT d.doc_id, a.cid FROM documents d
+         |LEFT JOIN asg a ON d.doc_id = a.doc_id
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // incremental SemDeDup: same CTEs but the quantizer sample comes
     // from the FIRST batch only (vec_id < 250) — the frozen store

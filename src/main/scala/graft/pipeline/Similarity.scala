@@ -641,6 +641,22 @@ object Similarity {
     semDedupCached(embeddings, nlist, minCosine, maxCluster, tileTarget,
       keepOutlier).result
 
+  /** Nearest-centroid assignment over the deterministic scrambled-id
+    * sample quantizer: (vec_id, cid, vec, csim) — the SemDeDup coarse
+    * stage, shared by [[semDedupCached]] and [[hybridDedupCached]]. The
+    * winner's centroid similarity is max(csim) by construction — carried
+    * for the keepOutlier rule at zero extra passes. One broadcast
+    * O(N·nlist) max_by pass, no corpus-wide window. */
+  private def coarseAssigned(embeddings: DataFrame, nlist: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val cents = collectedSample(e, nlist) // local relation: broadcasts build task-free
+    e.crossJoin(broadcast(cents))
+      .withColumn("csim", round(Vec.cosine(col("vec"), col("cvec")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
+        first(col("vec")).as("vec"), max(col("csim")).as("csim"))
+  }
+
   /** [[semDedup]] with an explicit release handle for the persisted
     * assignment frame (read by the pair join's two sides and the final
     * keep anti-join — repeated scans of the O(N·nlist) assignment pass
@@ -659,15 +675,7 @@ object Similarity {
   def semDedupCached(embeddings: DataFrame, nlist: Int, minCosine: Double,
                      maxCluster: Long = 0L, tileTarget: Long = 0L,
                      keepOutlier: Boolean = false): graft.core.Cached[DataFrame] = {
-    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
-    val cents = collectedSample(e, nlist) // local relation: broadcasts build task-free
-    // the winner's centroid similarity is max(csim) by construction —
-    // carried for the keepOutlier rule at zero extra passes
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("csim", round(Vec.cosine(col("vec"), col("cvec")), 6))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
-        first(col("vec")).as("vec"), max(col("csim")).as("csim"))
+    val assigned = coarseAssigned(embeddings, nlist)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // csim only rides the pair shuffle when the keep rule reads it
     val sideCols = Seq("vec_id", "vec") ++ (if (keepOutlier) Seq("csim") else Nil)
@@ -705,6 +713,79 @@ object Similarity {
     val kept = assigned.select(col("vec_id"), col("cid"))
       .join(losers, Seq("vec_id"), "left_anti")
     graft.core.Cached(kept, assigned)
+  }
+
+  /** Two-stage hybrid deduplication: semantic coarse gate + lexical
+    * confirmation. Documents whose embedding (joined on doc_id = vec_id)
+    * lands in the same coarse cluster are compared by distinct word
+    * n-gram Jaccard; the higher-id side of every pair at >= `minJaccard`
+    * is dropped. The embedding stage bounds the candidate space to
+    * topical clusters (never all-pairs); the n-gram stage confirms with
+    * an interpretable symmetric measure — so a semantically-close pair
+    * with disjoint wording (a paraphrase worth KEEPING for training
+    * diversity) survives, where pure SemDeDup would drop it, and a
+    * lexical near-copy in a different cluster survives the gate (recall
+    * traded for the candidate bound, exactly like LSH banding).
+    * Documents WITHOUT an embedding row are kept untouched — the
+    * cluster stage is a gate, not a filter.
+    *
+    * Scale shape: the O(N·nlist) assignment is one broadcast max_by
+    * pass; the pairwise stage self-joins the per-cluster inverted index
+    * on (cid, shingle) so candidates never cross clusters; `maxCluster`
+    * exempts degenerate clusters (members all kept), `tileTarget`
+    * spreads their d² pairs over reducer tiles losslessly
+    * ([[graft.scale.Skew.tiledPairs]] keyed by the composite
+    * cluster+shingle bucket). Returns surviving (doc_id, cid) — cid
+    * null for unclustered documents. */
+  def hybridDedup(docs: DataFrame, embeddings: DataFrame, nlist: Int,
+                  n: Int = 2, minJaccard: Double = 0.5,
+                  maxCluster: Long = 0L, tileTarget: Long = 0L): DataFrame =
+    hybridDedupCached(docs, embeddings, nlist, n, minJaccard, maxCluster,
+      tileTarget).result
+
+  /** [[hybridDedup]] with the release handle for the persisted
+    * per-cluster inverted index (read by the pair join's two sides and
+    * the per-doc size aggregate). */
+  def hybridDedupCached(docs: DataFrame, embeddings: DataFrame, nlist: Int,
+                        n: Int = 2, minJaccard: Double = 0.5,
+                        maxCluster: Long = 0L, tileTarget: Long = 0L)
+      : graft.core.Cached[DataFrame] = {
+    val cids = coarseAssigned(embeddings, nlist)
+      .select(col("vec_id").as("doc_id"), col("cid"))
+    val clustered = TextPipeline.capBuckets(
+      docs.select("doc_id", "text").join(cids, Seq("doc_id")),
+      maxCluster, "cid")
+    val inv = clustered
+      .select(col("cid"), col("doc_id"),
+        explode(graft.expressions.TextExpressions
+          .wordShingles(col("text"), n, distinct = true)).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val shared = (
+      if (tileTarget > 0L)
+        graft.scale.Skew.tiledPairs(
+          inv.withColumn("ck",
+            concat_ws(" ", col("cid").cast("string"), col("shingle"))),
+          "doc_id", "ck", tileTarget)
+          .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
+      else inv.as("a").join(inv.as("b"),
+          col("a.cid") === col("b.cid") &&
+            col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      ).agg(count(lit(1)).as("shared"))
+    val losers = shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("size_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("size_b")),
+        Seq("doc_b"))
+      .filter(round(col("shared").cast("double") /
+        (col("size_a") + col("size_b") - col("shared")), 6) >= minJaccard)
+      .select(col("doc_b").as("doc_id"))
+    val kept = docs.select("doc_id")
+      .join(losers, Seq("doc_id"), "left_anti")
+      .join(cids, Seq("doc_id"), "left")
+    graft.core.Cached(kept, inv)
   }
 
   /** Per-plane hyperplane sign bits as a '0'/'1' string (plane 0 first).

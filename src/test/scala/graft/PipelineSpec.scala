@@ -1098,6 +1098,42 @@ class PipelineSpec extends SparkSpec {
       maxCluster = 1L)).keySet == vecs.map(_._1).toSet)
   }
 
+  test("hybridDedup: cluster gates, Jaccard confirms; no-embedding docs pass") {
+    import graft.pipeline.Similarity
+    // Two well-separated clusters (axis-aligned), nlist = 2 so the
+    // scrambled-id sample picks one centroid per cluster region.
+    val ex = Seq(
+      1L -> Array(1.0f, 0.0f, 0.01f),  // cluster A
+      2L -> Array(1.0f, 0.01f, 0.0f),  // cluster A
+      3L -> Array(0.99f, 0.0f, 0.02f), // cluster A (paraphrase text)
+      4L -> Array(0.0f, 1.0f, 0.01f),  // cluster B
+      5L -> Array(0.01f, 1.0f, 0.0f))  // cluster B
+      .toDF("vec_id", "embedding")
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon zeta",  // lexical copy of 1, same cluster -> dropped
+      3L -> "totally different phrasing same topic here", // same cluster, low jaccard -> kept
+      4L -> "alpha beta gamma delta epsilon zeta",  // lexical copy of 1, OTHER cluster -> kept
+      5L -> "one two three four five six",          // cluster B unique -> kept
+      9L -> "alpha beta gamma delta epsilon zeta")  // NO embedding -> kept, cid null
+    def kept(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+      rowsOf(df).map(r => r("doc_id").asInstanceOf[Long] ->
+        Option(r("cid")).map(_.asInstanceOf[Long])).toMap
+    val out = kept(Similarity.hybridDedup(d, ex, nlist = 2, n = 2,
+      minJaccard = 0.5))
+    assert(out.keySet == Set(1L, 3L, 4L, 5L, 9L),
+      s"hybrid keep set wrong: ${out.keySet}")
+    assert(out(9L).isEmpty, "doc without embedding must carry null cid")
+    assert(out(1L).isDefined && out(4L).isDefined &&
+      out(1L) != out(4L), "lexical copies must sit in different clusters")
+    // tiling is recall-lossless; capping exempts hot clusters (all kept)
+    assert(kept(Similarity.hybridDedup(d, ex, nlist = 2, n = 2,
+      minJaccard = 0.5, tileTarget = 2L)) == out)
+    assert(kept(Similarity.hybridDedup(d, ex, nlist = 2, n = 2,
+      minJaccard = 0.5, maxCluster = 1L)).keySet ==
+      Set(1L, 2L, 3L, 4L, 5L, 9L))
+  }
+
   test("semDedup keepOutlier: drops the more-central member of each pair") {
     // same twin fixture as the base semDedup spec
     val base = (0 until 12).map(c => Array.tabulate(8)(d => math.sin(c * 5 + d).toFloat))
