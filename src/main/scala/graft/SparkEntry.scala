@@ -8,7 +8,7 @@ import graft.core.{FlowSynth, Graft, Tables}
 import graft.analytics._
 import graft.functions.{DnsFunctions, NetFunctions, TextFunctions}
 import graft.multimodal.Multimodal
-import graft.pipeline.{Curation, Similarity, TextPipeline}
+import graft.pipeline.{Curation, Projection, Similarity, TextPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -529,6 +529,36 @@ object SparkEntry {
       Similarity.annLshBanded(Tables.embeddings(s, dir),
         planes = 16, bands = 4, minCosine = 0.2, maxBucket = 100L)
         .orderBy("vec_a", "vec_b")),
+
+    // Johnson–Lindenstrauss sign random projection: the ±1 matrix is
+    // DERIVED (portable fp47 + mod-2^31−1 avalanche), so executors and
+    // the SQL oracle reproduce it without shuffling a matrix; exploded
+    // to (vec_id, j, component) rows for the hash compare
+    "q_embed_rp" -> ((s, dir) =>
+      Projection.randomProject(Tables.embeddings(s, dir), dim = 64, outDim = 16)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "component")))
+        .orderBy("vec_id", "j")),
+
+    // one-pass scatter-matrix covariance: per-row outer product combined
+    // MAP-SIDE — the shuffle carries tasks × d² partial cells, not N·d²
+    "q_embed_cov" -> ((s, dir) =>
+      Projection.covarianceMatrix(Tables.embeddings(s, dir))
+        .orderBy("i", "j")),
+
+    // nearest-class-mean classifier (Rocchio): class means trained on
+    // vec_id % 5 != 0 in one aggregate pass, broadcast argmin scoring —
+    // train AND inference oracle-checked (closed form, no iterative fit)
+    "q_embed_centroid" -> ((s, dir) =>
+      Projection.centroidClassify(Tables.embeddings(s, dir), testMod = 5)
+        .orderBy("vec_id")),
+
+    // PCA to 8 components: one covariance pass + driver-side d×d Jacobi
+    // eigen + broadcast-literal projection. Eigendecomposition is not
+    // SQL-expressible → rows-only oracle; basis properties spec-pinned
+    "q_embed_pca" -> ((s, dir) =>
+      Projection.pcaProject(Tables.embeddings(s, dir), k = 8)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "component")))
+        .orderBy("vec_id", "j")),
 
     "q_embed_dedup" -> ((s, dir) =>
       // banded composition (the corpus-scale path; bands ≥ 4)
@@ -2564,6 +2594,55 @@ object SparkEntry {
         |    PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rank
         |  FROM sc) WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // JL sign random projection — the sign matrix is re-derived in SQL
+    // from the same fp47 + two squaring passes mod 2^31−1 (intermediates
+    // fit BIGINT; see Projection.mixSign for why the avalanche is load-
+    // bearing), then the same left-fold dot and √outDim scale
+    "q_embed_rp" ->
+      s"""WITH sm0 AS (
+         |  SELECT CAST(jj AS INT) AS j, CAST(ii AS INT) AS i,
+         |    ${fpSql("('rp:' || CAST(jj AS VARCHAR) || ':' || CAST(ii AS VARCHAR))")} % 2147483647 AS h0
+         |  FROM range(0, 16) t(jj), range(0, 64) u(ii)
+         |), sm1 AS (SELECT j, i, (h0 * h0 + 1) % 2147483647 AS h1 FROM sm0),
+         |sm2 AS (SELECT j, i,
+         |  CASE WHEN ((h1 * h1 + 1) % 2147483647) % 2 = 0
+         |       THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS sgn
+         |  FROM sm1),
+         |s AS (SELECT j, list(sgn ORDER BY i) AS srow FROM sm2 GROUP BY j),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT e.vec_id, s.j, round(${dotSql("srow", "v")} / sqrt(16.0), 6) AS component
+         |FROM e CROSS JOIN s ORDER BY vec_id, j""".stripMargin,
+
+    // sample covariance of the embedding columns — covar_samp is
+    // algebraically the engine's (Σxy − ΣxΣy/n)/(n−1); round(6) absorbs
+    // cross-row float-order noise on both sides
+    "q_embed_cov" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |u0 AS (SELECT vec_id, unnest(list_transform(range(1, len(v) + 1),
+        |    i -> struct_pack(i := CAST(i AS INT) - 1, x := v[CAST(i AS INT)]))) AS p FROM e),
+        |u AS (SELECT vec_id, p.i AS i, p.x AS x FROM u0)
+        |SELECT a.i AS i, b.i AS j, round(covar_samp(a.x, b.x), 6) AS cov
+        |FROM u a JOIN u b ON a.vec_id = b.vec_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // nearest-class-mean train + score: centroid components rounded to 6
+    // BEFORE the distance (both engines), so the argmin can't flip on
+    // cross-row avg ordering; ties break to the lowest label
+    "q_embed_centroid" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |u0 AS (SELECT vec_id, label, unnest(list_transform(range(1, len(v) + 1),
+         |    i -> struct_pack(i := CAST(i AS INT), x := v[CAST(i AS INT)]))) AS p FROM e),
+         |u AS (SELECT vec_id, label, p.i AS i, p.x AS x FROM u0),
+         |c AS (SELECT label AS clabel, i, round(avg(x), 6) AS cx
+         |      FROM u WHERE vec_id % 5 <> 0 GROUP BY 1, 2),
+         |cv AS (SELECT clabel, list(cx ORDER BY i) AS cvec FROM c GROUP BY 1),
+         |d AS (SELECT e.vec_id, e.label, cv.clabel, round(${l2Sql("v", "cvec")}, 6) AS d2
+         |      FROM e CROSS JOIN cv WHERE e.vec_id % 5 = 0),
+         |r AS (SELECT vec_id, label, clabel,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn FROM d)
+         |SELECT vec_id, label, clabel AS predicted FROM r WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
 
     // --- training-data curation -----------------------------------------
 

@@ -1,0 +1,265 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.expressions.{TextUtil, VectorExpressions => Vec}
+
+/** Embedding-space projection and classification for corpus curation.
+  *
+  * Three operators a 100 TB training-data pipeline runs over its embedding
+  * column before the expensive similarity passes:
+  *
+  *  - [[randomProject]] — Johnson–Lindenstrauss sign random projection
+  *    (Achlioptas 2003, JCSS 66(4)): d → k with pairwise distances
+  *    preserved within 1±ε. The projection matrix is DERIVED, not stored:
+  *    entry (j,i) is the engine's portable 47-bit fingerprint of
+  *    "seed:j:i" mod 2 → {+1,−1}, so the exact matrix is reproducible
+  *    driver-side, executor-side, and in ANSI SQL for the oracle — no
+  *    matrix shuffle, no random-state coordination across 1000 executors.
+  *  - [[covarianceMatrix]] / [[pcaProject]] — classical PCA, structured
+  *    for scale: ONE linear scan accumulates the d×d scatter matrix via
+  *    map-side partial aggregation (the shuffle carries `tasks × d²`
+  *    partial cells, never `N·d²`); the eigendecomposition runs on the
+  *    driver over the d×d result (metadata-sized, like the IVF centroid
+  *    and PQ codebook collects); the projection back over the corpus is a
+  *    broadcast literal — zero extra shuffles.
+  *  - [[centroidClassify]] — nearest-class-mean classification (Rocchio;
+  *    the closed-form cousin of the fastText-style quality filters used
+  *    by CCNet/DCLM corpus curation): class means in one aggregate pass
+  *    over the labeled split, broadcast, one map-side argmin to score the
+  *    corpus. Training is SQL-expressible, so train AND inference are
+  *    oracle-checked end-to-end — no iterative fit to replicate.
+  *
+  * All float paths keep the engine's pinned left-fold summation order
+  * (see VectorFunctions) and round emitted doubles to 6 places, so
+  * results hash-match the DuckDB oracle bit-for-bit.
+  */
+object Projection {
+
+  /** Driver-side twin of TextFunctions.fingerprint / TextUtil.polyHash47:
+    * fold (acc*31 + char) mod 2^47−115 over UTF-16 chars. */
+  private[pipeline] def fp47(s: String): Long = {
+    var acc = 0L
+    var j = 0
+    while (j < s.length) { acc = (acc * 31 + s.charAt(j)) % TextUtil.Mod47; j += 1 }
+    acc
+  }
+
+  /** The derived ±1 projection matrix, row-major (outDim rows × dim cols):
+    * sign(j,i) = +1 iff mix(fp47("seed:j:i")) is even. Deterministic and
+    * portable — DuckDB reproduces it from the same arithmetic.
+    *
+    * The avalanche step is REQUIRED, not decorative: the rolling fold is
+    * affine in the key's characters (h' = 31·h + c mod M), so any single
+    * bit of the raw fingerprint is a near-linear function of the digits
+    * of j and i — raw-parity sign rows come out mutually IDENTICAL up to
+    * global sign (measured: mean |row·row|/d = 1.0), which collapses the
+    * projection to rank ≤ 2 and destroys the JL guarantee. Two squaring
+    * passes modulo the Mersenne prime 2^31−1 are the cheapest nonlinear
+    * mix whose intermediates fit Int64 ((2^31)² + 1 < 2^63 — DuckDB
+    * BIGINT overflow is an error, not a wrap); measured sign statistics
+    * (row balance, pairwise row coherence) then match a seeded PRNG's. */
+  private[pipeline] def mixSign(h47: Long): Double = {
+    val p = 2147483647L // 2^31 − 1
+    var h = h47 % p
+    h = (h * h + 1L) % p
+    h = (h * h + 1L) % p
+    if (h % 2 == 0) 1.0d else -1.0d
+  }
+
+  private[pipeline] def rpSigns(dim: Int, outDim: Int, seed: String): Seq[Seq[Double]] =
+    (0 until outDim).map { j =>
+      (0 until dim).map(i => mixSign(fp47(s"$seed:$j:$i")))
+    }
+
+  /** Sign random projection of `embedding` (length `dim`) to `outDim`
+    * components: y_j = (Σ_i sign(j,i)·x_i) / √outDim, each component
+    * rounded to 6 places. Output: (vec_id, proj ARRAY<DOUBLE>).
+    *
+    * Per-row work is a k×d literal-matrix multiply in a narrow `select`
+    * — no shuffle, no UDF, fully pipelined with the scan. Use ahead of
+    * the ANN tier: distances survive within the JL distortion bound
+    * (spec-asserted), while every downstream pair comparison pays k
+    * instead of d multiplies.
+    */
+  def randomProject(embeddings: DataFrame, dim: Int, outDim: Int = 16,
+                    seed: String = "rp"): DataFrame = {
+    require(outDim >= 1 && dim >= 1, "dims must be >= 1")
+    val signs = typedLit(rpSigns(dim, outDim, seed))
+    val v = col("embedding").cast("array<double>")
+    val scale = math.sqrt(outDim.toDouble)
+    embeddings.select(
+      col("vec_id"),
+      transform(signs, row =>
+        round(Vec.dot(row, v) / lit(scale), 6)).as("proj"))
+  }
+
+  /** Sample covariance matrix of the embedding column, as (i, j, cov)
+    * rows — cov = (Σx_i·x_j − Σx_i·Σx_j/n) / (n−1), rounded to 6.
+    *
+    * Shape for scale: each row emits its flattened d×d outer product via
+    * `posexplode(flatten(...))` (pos = i·d + j), which the hash aggregate
+    * combines MAP-SIDE — the shuffle carries one partial d² vector per
+    * task, not N·d² cells. The per-dimension sums ride the same pass as
+    * d of those cells' marginals would, but are cheaper recomputed from a
+    * second slim posexplode of the (already pruned) vector column.
+    */
+  def covarianceMatrix(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.select(col("embedding").cast("array<double>").as("v"))
+    val d = size(col("v"))
+    val cells = e
+      .select(col("v"), posexplode(flatten(transform(sequence(lit(0), d - 1), i =>
+        transform(sequence(lit(0), size(col("v")) - 1), j =>
+          element_at(col("v"), i + 1) * element_at(col("v"), j + 1)))))
+        .as(Seq("pos", "xy")))
+      .groupBy(col("pos")).agg(sum(col("xy")).as("sxy"))
+    val dims = e
+      .select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+    val dAtMost = dims // d rows: broadcast twice onto the d² cells
+    val dimCount = dims.count() // metadata-sized: d (e.g. 64)
+    cells
+      .withColumn("i", (col("pos") / lit(dimCount)).cast("int"))
+      .withColumn("j", (col("pos") % lit(dimCount)).cast("int"))
+      .join(broadcast(dAtMost.select(col("i"), col("sx").as("sxi"), col("n"))), Seq("i"))
+      .join(broadcast(dAtMost.select(col("i").as("j"), col("sx").as("sxj"))), Seq("j"))
+      .select(col("i"), col("j"),
+        round((col("sxy") - col("sxi") * col("sxj") / col("n")) /
+          (col("n") - 1), 6).as("cov"))
+  }
+
+  /** PCA projection to the top-`k` principal components. One covariance
+    * pass ([[covarianceMatrix]]) → driver-side Jacobi eigendecomposition
+    * of the d×d matrix (metadata-sized — same discipline as the IVF
+    * centroid collect) → mean-centered projection through a broadcast
+    * literal basis. Output: (vec_id, proj ARRAY<DOUBLE>) with components
+    * in descending-eigenvalue order, rounded to 6.
+    *
+    * Eigenvector signs are canonicalized (largest-|component| entry made
+    * positive, ties to the earliest index) so the output is deterministic
+    * across runs — Jacobi is itself deterministic, but the sign of an
+    * eigenvector is not mathematically pinned.
+    */
+  def pcaProject(embeddings: DataFrame, k: Int): DataFrame = {
+    val stats = covarianceMatrix(embeddings).collect() // d² rows — metadata
+    val d = math.sqrt(stats.length.toDouble).round.toInt
+    val cov = Array.ofDim[Double](d, d)
+    stats.foreach(r => cov(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    val (vals, vecs) = Eigen.symmetric(cov) // descending eigenvalues
+    require(k >= 1 && k <= d, s"k must be in [1, $d]")
+    val mdims = embeddings
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(avg(col("x")).as("mu"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1)) // d rows — metadata
+    val basis = typedLit((0 until k).map(c => vecs(c).toSeq))
+    val mu = typedLit(mdims.toSeq)
+    val centered = zip_with(col("embedding").cast("array<double>"), mu,
+      (x, m) => x - m)
+    embeddings.select(
+      col("vec_id"),
+      transform(basis, w => round(Vec.dot(w, centered), 6)).as("proj"))
+  }
+
+  /** Nearest-class-mean classification over the labeled embedding table.
+    *
+    * Train split = rows with vec_id % `testMod` != 0; the class mean for
+    * each label is one posexplode → hash aggregate (map-side combinable),
+    * components rounded to 6 BEFORE distance so the argmin below is
+    * stable against cross-row float-sum ordering on either engine. The
+    * test split scores against the broadcast centroid table with the
+    * codegen'd L2 expression; prediction = lowest (distance, label) —
+    * fully deterministic, fully SQL-expressible, so training and
+    * inference are both oracle-checked. Output: (vec_id, label,
+    * predicted).
+    */
+  def centroidClassify(embeddings: DataFrame, testMod: Int = 5): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val cents = e.filter(col("vec_id") % testMod =!= 0)
+      .select(col("label").as("clabel"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("clabel"), col("i")).agg(round(avg(col("x")), 6).as("c"))
+      .groupBy(col("clabel"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        s => s.getField("c")).as("cvec"))
+    e.filter(col("vec_id") % testMod === 0)
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", round(Vec.l2Squared(col("v"), col("cvec")), 6))
+      .groupBy(col("vec_id"))
+      .agg(first(col("label")).as("label"),
+        min_by(col("clabel"), struct(col("d2"), col("clabel"))).as("predicted"))
+  }
+}
+
+/** Driver-side symmetric eigendecomposition (cyclic Jacobi) for the d×d
+  * matrices PCA collects — d is the embedding width (64 here), so this is
+  * O(d³) on metadata, never on corpus data. Deterministic: fixed sweep
+  * order, fixed convergence threshold, canonicalized eigenvector signs.
+  */
+private[pipeline] object Eigen {
+
+  /** Eigenvalues (descending) and matching eigenvectors (rows of the
+    * returned matrix) of a symmetric matrix. */
+  def symmetric(m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    while (sweep < 100 && offDiag(a) > 1e-12) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(a(p)(q)) > 1e-15) rotate(a, v, p, q)
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => (-a(i)(i), i))
+    val vals = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { c =>
+      val col = Array.tabulate(d)(r => v(r)(c))
+      // canonical sign: the largest-|x| component (earliest on ties) > 0
+      val pivot = col.indices.maxBy(i => (math.abs(col(i)), -i))
+      if (col(pivot) < 0) col.map(x => -x) else col
+    }.toArray
+    (vals, vecs)
+  }
+
+  private def offDiag(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    for (i <- a.indices; j <- a.indices if i != j) s += a(i)(j) * a(i)(j)
+    math.sqrt(s)
+  }
+
+  /** One Jacobi rotation zeroing a(p)(q), accumulating into v. */
+  private def rotate(a: Array[Array[Double]], v: Array[Array[Double]],
+                     p: Int, q: Int): Unit = {
+    val d = a.length
+    val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+    // t = sgn(θ)/(|θ|+√(θ²+1)), with θ=0 → t=1 (the 45° rotation)
+    val base = math.abs(theta) + math.sqrt(theta * theta + 1.0)
+    val t = if (theta >= 0) 1.0 / base else -1.0 / base
+    val c = 1.0 / math.sqrt(t * t + 1.0)
+    val s = t * c
+    val tau = s / (1.0 + c)
+    val apq = a(p)(q)
+    a(p)(p) -= t * apq
+    a(q)(q) += t * apq
+    a(p)(q) = 0.0
+    a(q)(p) = 0.0
+    var i = 0
+    while (i < d) {
+      if (i != p && i != q) {
+        val aip = a(i)(p); val aiq = a(i)(q)
+        a(i)(p) = aip - s * (aiq + tau * aip); a(p)(i) = a(i)(p)
+        a(i)(q) = aiq + s * (aip - tau * aiq); a(q)(i) = a(i)(q)
+      }
+      val vip = v(i)(p); val viq = v(i)(q)
+      v(i)(p) = vip - s * (viq + tau * vip)
+      v(i)(q) = viq + s * (vip - tau * viq)
+      i += 1
+    }
+  }
+}

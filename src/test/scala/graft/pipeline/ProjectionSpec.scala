@@ -1,0 +1,201 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Projection tier: JL random projection, one-pass covariance + PCA,
+  * nearest-class-mean classification. Oracle parity is covered by the
+  * Verify gate (q_embed_rp / q_embed_cov / q_embed_centroid); these specs
+  * pin the numeric semantics and the plan shapes.
+  */
+class ProjectionSpec extends SparkSpec {
+
+  /** Deterministic pseudo-noise in [-amp, amp] (LCG; no Random). */
+  private def noise(seed: Long, amp: Double): Double = {
+    val x = (seed * 6364136223846793005L + 1442695040888963407L) >>> 11
+    ((x % 100000L) / 100000.0 - 0.5) * 2.0 * amp
+  }
+
+  /** nPer points around each of three orthogonal-ish centers in R^dim. */
+  private def clusteredVecs(dim: Int, nPer: Int): DataFrame = {
+    import spark.implicits._
+    val centers = Seq(
+      Array.tabulate(dim)(i => if (i % 3 == 0) 1.0 else 0.0),
+      Array.tabulate(dim)(i => if (i % 3 == 1) 1.0 else 0.0),
+      Array.tabulate(dim)(i => if (i % 3 == 2) 1.0 else 0.0))
+    (0 until 3 * nPer).map { id =>
+      val c = centers(id % 3)
+      (id.toLong, id % 3,
+        Array.tabulate(dim)(i => (c(i) + noise(id * 97L + i, 0.1)).toFloat))
+    }.toDF("vec_id", "label", "embedding")
+  }
+
+  // --- sign matrix statistics -------------------------------------------
+
+  test("rpSigns: derived matrix is balanced and incoherent (random-like)") {
+    val s = Projection.rpSigns(dim = 64, outDim = 16, seed = "rp")
+    assert(s.forall(_.forall(x => x == 1.0 || x == -1.0)))
+    // per-row balance: a random ±1 row of length 64 has |mean| std 0.125
+    assert(s.forall(r => math.abs(r.sum / 64.0) < 0.5))
+    // pairwise coherence: raw fp parity gives 1.0 here (affine fold —
+    // see mixSign scaladoc); the avalanche must bring it to noise level
+    val dots = for (p <- 0 until 16; q <- p + 1 until 16)
+      yield math.abs(s(p).zip(s(q)).map { case (a, b) => a * b }.sum / 64.0)
+    assert(dots.max < 0.6, s"max row coherence ${dots.max}")
+    assert(dots.sum / dots.size < 0.2, s"mean row coherence ${dots.sum / dots.size}")
+  }
+
+  test("rpSigns: deterministic across calls and seeds differ") {
+    assert(Projection.rpSigns(32, 8, "rp") == Projection.rpSigns(32, 8, "rp"))
+    assert(Projection.rpSigns(32, 8, "rp") != Projection.rpSigns(32, 8, "rp2"))
+  }
+
+  // --- random projection ------------------------------------------------
+
+  test("randomProject: preserves pairwise distance structure (JL) and shuffles nothing") {
+    val e = clusteredVecs(dim = 64, nPer = 10)
+    val p = Projection.randomProject(e, dim = 64, outDim = 16)
+    // plan: a narrow map-side select — no Exchange anywhere
+    val plan = p.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+
+    val orig = e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val proj = p.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = orig.keys.toSeq.sorted
+    val pairs = for (a <- ids; b <- ids if a < b)
+      yield (d2(orig(a), orig(b)), d2(proj(a), proj(b)))
+    // same-cluster pairs must stay closer than cross-cluster pairs:
+    // compare the medians of the two pair populations after projection
+    val (near, far) = pairs.partition(_._1 < 1.0) // intra ≈ 0.1-0.3, inter ≈ 2
+    def median(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+    assert(near.nonEmpty && far.nonEmpty)
+    assert(median(near.map(_._2)) < median(far.map(_._2)),
+      "projection collapsed the cluster structure")
+    // and distances correlate strongly overall
+    val (xs, ys) = (pairs.map(_._1), pairs.map(_._2))
+    val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+    val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val r = cov / math.sqrt(
+      xs.map(x => (x - mx) * (x - mx)).sum * ys.map(y => (y - my) * (y - my)).sum)
+    assert(r > 0.8, s"distance correlation $r")
+  }
+
+  test("randomProject feeds the ANN tier: brute-force knn on projected vectors recalls the exact neighbors") {
+    val e = clusteredVecs(dim = 64, nPer = 10)
+    val asEmb = (df: DataFrame) => df.select(col("vec_id"), col("proj").as("embedding"))
+    val p = asEmb(Projection.randomProject(e, dim = 64, outDim = 16))
+    val exact = Similarity.knnBruteForce(e, e.filter(col("vec_id") < 5), k = 9)
+    val approx = Similarity.knnBruteForce(p, p.filter(col("vec_id") < 5), k = 9)
+    val rec = Similarity.recallAtK(approx, exact, k = 9)
+      .agg(avg("recall")).head.getDouble(0)
+    // k=9 ≈ the same-cluster cohort; 64→16 must keep most of it
+    assert(rec > 0.6, s"mean recall@9 after projection: $rec")
+  }
+
+  // --- covariance + PCA -------------------------------------------------
+
+  test("covarianceMatrix equals the textbook formula (small fixture, exact)") {
+    import spark.implicits._
+    val rows = Seq(
+      Array(1.0f, 2.0f, 3.0f), Array(2.0f, 1.0f, 5.0f),
+      Array(3.0f, 7.0f, 1.0f), Array(4.0f, 3.0f, 2.0f))
+    val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val got = Projection.covarianceMatrix(df).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val n = rows.size
+    val d = 3
+    for (i <- 0 until d; j <- 0 until d) {
+      val xi = rows.map(_(i).toDouble); val xj = rows.map(_(j).toDouble)
+      val exp = (xi.zip(xj).map { case (a, b) => a * b }.sum -
+        xi.sum * xj.sum / n) / (n - 1)
+      assert(math.abs(got((i, j)) - exp) < 1e-6, s"cov($i,$j)")
+    }
+    // symmetry comes free of the formula; assert it held through the plan
+    for (i <- 0 until d; j <- 0 until d)
+      assert(got((i, j)) == got((j, i)))
+  }
+
+  test("covarianceMatrix plan: cells combine map-side, dimension marginals broadcast") {
+    val plan = Projection.covarianceMatrix(clusteredVecs(16, 5))
+      .queryExecution.executedPlan.toString
+    // partial + final aggregate pair on the exploded cells
+    assert(plan.contains("partial_sum") || plan.contains("Partial"),
+      s"no map-side combine:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "marginals should broadcast")
+    assert(!plan.contains("SortMergeJoin"), "d-row joins must not sort-merge")
+  }
+
+  test("Eigen.symmetric: known 2x2 and orthonormal basis on a real scatter") {
+    val (vals, vecs) = Eigen.symmetric(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(vals(0) - 3.0) < 1e-9 && math.abs(vals(1) - 1.0) < 1e-9)
+    val inv = 1.0 / math.sqrt(2.0)
+    assert(vecs(0).zip(Array(inv, inv)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    assert(vecs(1).zip(Array(inv, -inv)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+
+    // a 5x5 scatter: eigenvectors orthonormal, eigenvalues descending,
+    // and A·v = λ·v for every pair
+    val a = Array.tabulate(5, 5)((i, j) => 1.0 / (1 + i + j)) // Hilbert: symmetric PD
+    val (ev, evec) = Eigen.symmetric(a)
+    assert(ev.zip(ev.tail).forall { case (x, y) => x >= y - 1e-12 })
+    for (p <- 0 until 5; q <- 0 until 5) {
+      val dot = evec(p).zip(evec(q)).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot - (if (p == q) 1.0 else 0.0)) < 1e-9, s"orthonormality $p,$q")
+    }
+    for (p <- 0 until 5; i <- 0 until 5) {
+      val av = (0 until 5).map(j => a(i)(j) * evec(p)(j)).sum
+      assert(math.abs(av - ev(p) * evec(p)(i)) < 1e-8, s"A·v=λv row $i vec $p")
+    }
+  }
+
+  test("pcaProject: top component separates the clusters; projected variance is ordered") {
+    val e = clusteredVecs(dim = 32, nPer = 15)
+    val p = Projection.pcaProject(e, k = 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // per-component variance across rows must be (weakly) descending —
+    // components come out in descending-eigenvalue order
+    val comps = (0 until 4).map(c => p.values.map(_(c)).toSeq)
+    val vars = comps.map { xs =>
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+    }
+    assert(vars.zip(vars.tail).forall { case (a, b) => a >= b - 1e-6 },
+      s"variances not ordered: $vars")
+    // the leading 2 components must already separate the three clusters:
+    // mean intra-cluster distance << mean inter-cluster distance
+    def lead(id: Long) = p(id).take(2)
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = p.keys.toSeq.sorted
+    val (intra, inter) = (for (a <- ids; b <- ids if a < b)
+      yield (a % 3 == b % 3, d2(lead(a), lead(b)))).partition(_._1)
+    val mi = intra.map(_._2).sum / intra.size
+    val mx = inter.map(_._2).sum / inter.size
+    assert(mi * 5 < mx, s"intra $mi vs inter $mx in the leading plane")
+  }
+
+  // --- nearest-class-mean classifier ------------------------------------
+
+  test("centroidClassify: geometric classes recover perfectly; split respected") {
+    val e = clusteredVecs(dim = 32, nPer = 20) // labels = true clusters
+    val out = Projection.centroidClassify(e, testMod = 5)
+    val rows = out.collect()
+    // only the held-out split is scored
+    assert(rows.forall(_.getLong(0) % 5 == 0))
+    assert(rows.length == e.filter(col("vec_id") % 5 === 0).count())
+    // well-separated clusters → the class mean wins every time
+    assert(rows.forall(r => r.getInt(1) == r.getInt(2)),
+      "misclassification on separated clusters")
+  }
+
+  test("centroidClassify plan: centroids broadcast to the scoring side") {
+    val plan = Projection.centroidClassify(clusteredVecs(16, 10), testMod = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"centroid table should broadcast:\n$plan")
+  }
+}
