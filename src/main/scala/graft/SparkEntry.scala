@@ -778,6 +778,14 @@ object SparkEntry {
         keepFrac = 0.25).select("doc_id", "source").orderBy("doc_id")
     }),
 
+    // hashed-ngram Naive Bayes source classifier (the closed-form
+    // fastText-filter stand-in): two count aggregates train the
+    // broadcast-sized model, one explode+join pass scores the held-out
+    // split; integer micro-unit log-liks make the argmax portable
+    "q_nb_classify" -> ((s, dir) =>
+      Curation.nbClassify(Tables.documents(s, dir), labelCol = "source",
+        testMod = 5, buckets = 1024).orderBy("doc_id")),
+
     // fixed-size deterministic per-source draw (window top-k over the
     // scrambled-id order — WindowGroupLimit, no global sort)
     "q_sample_exact" -> ((s, dir) =>
@@ -3024,6 +3032,57 @@ object SparkEntry {
          |SELECT d.doc_id, d.source FROM documents d
          |JOIN ranked k ON d.doc_id = k.doc_id AND k.rk <= k.keep
          |ORDER BY d.doc_id""".stripMargin,
+
+    // NB classifier — same gram/bucket/micro-unit recipe as q_dsir; the
+    // model grid is materialized per (class, bucket) so scoring never
+    // misses the Laplace cell
+    "q_nb_classify" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, $toksSql AS toks FROM documents
+         |), g AS (
+         |  SELECT doc_id, source, unnest(list_concat(toks,
+         |    CASE WHEN len(toks) < 2 THEN []
+         |         ELSE list_transform(range(1, len(toks)),
+         |                i -> array_to_string(toks[i:i+1], ' ')) END)) AS gram
+         |  FROM t
+         |), b AS (
+         |  SELECT doc_id, source, ${fpSql("gram")} % 1024 AS bucket FROM g
+         |), cls AS (
+         |  SELECT source AS label, count(*) AS ndocs FROM documents
+         |  WHERE doc_id % 5 <> 0 GROUP BY 1
+         |), pri AS (
+         |  SELECT label, CAST(round(ln(CAST(ndocs AS DOUBLE)
+         |    / (SELECT sum(ndocs) FROM cls)) * 1000000.0) AS BIGINT) AS prior_u
+         |  FROM cls
+         |), cnts AS (
+         |  SELECT source AS label, bucket, count(*) AS cnt FROM b
+         |  WHERE doc_id % 5 <> 0 GROUP BY 1, 2
+         |), tots AS (
+         |  SELECT label, sum(cnt) AS tot FROM cnts GROUP BY 1
+         |), th AS (
+         |  SELECT tots.label, ab.bucket,
+         |    CAST(round(ln(CAST(COALESCE(cnts.cnt, 0) + 1 AS DOUBLE)
+         |                  / (tots.tot + 1024)) * 1000000.0) AS BIGINT) AS theta_u
+         |  FROM tots
+         |  CROSS JOIN (SELECT unnest(range(0, 1024)) AS bucket) ab
+         |  LEFT JOIN cnts ON cnts.label = tots.label AND cnts.bucket = ab.bucket
+         |), te AS (
+         |  SELECT doc_id, source AS actual, bucket FROM b WHERE doc_id % 5 = 0
+         |), sc AS (
+         |  SELECT te.doc_id, th.label, min(te.actual) AS actual,
+         |         sum(th.theta_u) AS ll_u
+         |  FROM te JOIN th ON th.bucket = te.bucket GROUP BY 1, 2
+         |), fin AS (
+         |  SELECT sc.doc_id, sc.actual, sc.label,
+         |         sc.ll_u + pri.prior_u AS score_u
+         |  FROM sc JOIN pri USING (label)
+         |), r AS (
+         |  SELECT doc_id, actual, label, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score_u DESC, label ASC) AS rn
+         |  FROM fin
+         |)
+         |SELECT doc_id, actual AS source, label AS predicted FROM r
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // the distributed exclusive prefix sum must equal the canonical
     // running-sum window form (token counting matches toksSql)

@@ -1074,4 +1074,79 @@ object Curation {
           .orderBy(Similarity.idScramble(col("doc_id")).asc,
             col("doc_id").asc)))
       .filter(col("__rk") <= k).drop("__rk")
+
+  /** Multinomial Naive Bayes text classifier over hashed word n-gram
+    * features — the closed-form stand-in for the fastText-style linear
+    * quality/domain filters corpus pipelines train (CCNet, Joulin et al.
+    * 2017 arXiv:1607.01759; DCLM's fastText quality classifier): same
+    * bag-of-hashed-ngrams feature space, but NB's fit is two COUNT
+    * aggregates instead of SGD epochs, so training and inference are both
+    * single-pass, deterministic, and oracle-checkable in SQL.
+    *
+    * Features are the DSIR recipe's unigrams+bigrams hashed into
+    * `buckets` (portable fp47). Train split = doc_id % `testMod` != 0,
+    * classes = `labelCol` values. Per-class feature log-likelihoods are
+    * Laplace-smoothed over the FULL bucket space (every (bucket, class)
+    * cell exists, so scoring never misses the join) and snapped to
+    * integer micro-units — integers sum exactly under any aggregation
+    * order, which is what makes the argmax engine-portable. Prediction =
+    * highest Σ log-lik + log-prior; ties to the lexically-lowest class.
+    *
+    * Scale: the model is `buckets × classes` rows — broadcast-sized by
+    * construction (1024×20 here), independent of corpus size. Training
+    * is one explode → hash-aggregate over the train split (map-side
+    * combinable); scoring is one explode + broadcast join + hash
+    * aggregate over the test split. No windows, no iterations, no
+    * driver-side data.
+    *
+    * Output: (doc_id, <labelCol>, predicted) for the test split —
+    * token-less documents have no features and are dropped (same
+    * convention as [[unigramNll]]).
+    */
+  def nbClassify(docs: DataFrame, labelCol: String = "source",
+                 testMod: Int = 5, buckets: Int = 1024): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val feats = docs.select(col("doc_id"), col(labelCol).as("__label"),
+        explode(concat(toks, TextFunctions.shinglesFromTokens(toks, 2)))
+          .as("gram"))
+      .select(col("doc_id"), col("__label"),
+        pmod(TextFunctions.fingerprint(col("gram")), lit(buckets.toLong))
+          .as("bucket"))
+    val train = feats.filter(col("doc_id") % testMod =!= 0)
+
+    val classes = docs.filter(col("doc_id") % testMod =!= 0)
+      .groupBy(col(labelCol).as("__label"))
+      .agg(count(lit(1)).as("ndocs"))
+    val nTrain = classes.agg(coalesce(sum("ndocs"), lit(0L)).as("n"))
+    val priors = classes.crossJoin(nTrain)
+      .select(col("__label"),
+        round(log(col("ndocs").cast("double") / col("n")) * 1000000.0d)
+          .cast("long").as("prior_u"))
+
+    val counts = train.groupBy("__label", "bucket").agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy("__label").agg(sum("cnt").as("tot"))
+    // full bucket × class grid: Laplace cell exists even at count 0
+    val theta = totals
+      .select(col("__label"), col("tot"),
+        explode(sequence(lit(0L), lit(buckets - 1L))).as("bucket"))
+      .join(counts, Seq("__label", "bucket"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .withColumn("theta_u",
+        round(log((col("cnt") + 1).cast("double") / (col("tot") + lit(buckets)))
+          * 1000000.0d).cast("long"))
+      .select("__label", "bucket", "theta_u")
+
+    feats.filter(col("doc_id") % testMod === 0)
+      .select(col("doc_id"), col("__label").as("__actual"), col("bucket"))
+      .join(broadcast(theta), Seq("bucket")) // fans out ×classes
+      .groupBy(col("doc_id"), col("__label"))
+      .agg(first(col("__actual")).as("__actual"),
+        sum(col("theta_u")).as("ll_u"))
+      .join(broadcast(priors), Seq("__label"))
+      .withColumn("score_u", col("ll_u") + col("prior_u"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("__actual")).as(labelCol),
+        min_by(col("__label"), struct(-col("score_u"), col("__label")))
+          .as("predicted"))
+  }
 }

@@ -1493,6 +1493,60 @@ class PipelineSpec extends SparkSpec {
       Seq((0, "a a", 5L), (1, "a b", 2L), (2, "aa ab", 2L)))
   }
 
+  test("nbClassify: distinctive vocabularies recover their class; split respected") {
+    import graft.pipeline.Curation
+    import spark.implicits._
+    // three classes with disjoint content words + shared stop-ish noise
+    val vocab = Map("news" -> "election senate policy vote",
+      "code" -> "compile lambda pointer thread",
+      "recipe" -> "butter flour oven simmer")
+    val rows = (0 until 30).map { i =>
+      val cls = Seq("news", "code", "recipe")(i % 3)
+      (i.toLong, s"the and of ${vocab(cls)} ${vocab(cls)}", cls)
+    }
+    val df = rows.toDF("doc_id", "text", "source")
+    val out = Curation.nbClassify(df, labelCol = "source", testMod = 5)
+    val got = out.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // only the held-out split is scored, and every doc recovers its class
+    assert(got.nonEmpty && got.forall(_._1 % 5 == 0))
+    assert(got.length == rows.count(_._1 % 5 == 0))
+    assert(got.forall { case (_, actual, pred) => actual == pred },
+      s"misclassified: ${got.filterNot(g => g._2 == g._3).toSeq}")
+  }
+
+  test("nbClassify: model stays broadcast-sized and the plan has no window or sort-merge join") {
+    import graft.pipeline.Curation
+    import spark.implicits._
+    val df = (0 until 40).map(i =>
+      (i.toLong, s"w$i w${i % 7} shared tokens here", s"s${i % 4}"))
+      .toDF("doc_id", "text", "source")
+    val plan = Curation.nbClassify(df, testMod = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"model should broadcast:\n$plan")
+    assert(!plan.contains("Window"), "no window functions in train or score")
+    // the scoring join keys on bucket against the broadcast grid only
+    assert(!plan.toLowerCase.contains("sortmergejoin"),
+      "corpus-side sort-merge join would shuffle the exploded features")
+  }
+
+  test("nbClassify: empty-text documents drop; prior breaks feature ties toward the bigger class") {
+    import graft.pipeline.Curation
+    import spark.implicits._
+    val df = Seq(
+      (0L, "", "a"), // test split, no tokens → dropped
+      (5L, "zz", "a"), // test split: 'zz' unseen in training
+      (1L, "x", "a"), (2L, "x", "b"), (3L, "x", "b"), (4L, "x", "b"),
+      (6L, "x", "b"), (7L, "x", "b"), (8L, "x", "b"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.nbClassify(df, testMod = 5).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(!got.contains(0L), "token-less doc must drop")
+    // all-unseen features → per-class ll is the uniform Laplace floor
+    // scaled by tot_c; the larger class has more mass (higher prior,
+    // lower floor) — b trained on 6 docs of 1 token vs a's 1
+    assert(got.contains(5L))
+  }
+
   test("RefBpe fixture trainer matches the distributed bpeTrain") {
     // the Verify-time oracle fixture and the Spark path must learn the
     // same merges (count desc, pair asc tie-break, minPairCount stop) or
