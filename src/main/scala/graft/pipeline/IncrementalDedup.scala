@@ -89,7 +89,7 @@ object IncrementalDedup {
     * wins when both are set. The store×new branch needs neither — it
     * is a broadcast join whose output explosion is spread over the
     * store's scan partitions, and the store side is already capped. */
-  private def keyedPairs(store: DataFrame, newKeys: DataFrame,
+  private[graft] def keyedPairs(store: DataFrame, newKeys: DataFrame,
                          idCol: String, outA: String, outB: String,
                          maxBucket: Long, tileTarget: Long): DataFrame = {
     val capped = TextPipeline.capBuckets(store, maxBucket)

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import graft.pipeline.IncrementalDedup
+
+/** Streaming face of the incremental corpus-dedup tier: documents arrive
+  * on a stream (Kafka / file source), each micro-batch is checked for
+  * near-duplicate candidates against everything already ingested, and
+  * both the emitted pairs AND the band-key store advance exactly-once.
+  *
+  * The batch-side [[graft.pipeline.IncrementalDedup.ingest]] appends its
+  * keys with a bare parquet write — correct for a driver-invoked batch
+  * loop, but foreachBatch REPLAYS the last batch after a restart, so here
+  * both writes go through [[ResultSink.writeBatchIdempotent]] partitions
+  * and the store is read back with [[ResultSink.readCommitted]]:
+  *
+  *  - a replayed batch finds its pair partition committed → skipped;
+  *  - a torn key write (crash before marker) is invisible to readers and
+  *    is overwritten whole by the replay;
+  *  - the candidate join excludes the batch's OWN key partition by
+  *    batch_id, so a replay that already committed its keys still pairs
+  *    against exactly the pre-batch store — emission stays exactly-once
+  *    under every crash point, not just the happy path.
+  *
+  * Scale: identical to the batch ingest — the store side is never
+  * re-shingled (band keys only), the new side is broadcast into the
+  * store join, and the within-batch self-join honors the same
+  * maxBucket/tileTarget hot-bucket guards.
+  */
+object CurationStream {
+
+  /** One micro-batch: emit candidate pairs for `batch` against the
+    * committed store (and within the batch), then commit the batch's
+    * band keys. Idempotent per (batchId): safe under foreachBatch
+    * replay. Returns true when the batch did work (false = replay skip).
+    */
+  def ingestBatch(batch: DataFrame, batchId: Long, storeDir: String,
+                  pairsPath: String, n: Int = 3, k: Int = 16,
+                  bands: Int = 4, maxBucket: Long = 0L,
+                  tileTarget: Long = 0L): Boolean = {
+    val spark = batch.sparkSession
+    val keysPath = s"$storeDir/keys"
+    val newKeys = IncrementalDedup.index(batch, n, k, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val store = {
+        val committed = ResultSink.readCommitted(spark, keysPath)
+        if (committed.columns.isEmpty) committed // empty store, no schema
+        else committed.filter(col("batch_id") =!= batchId)
+          .select("doc_id", "bucket")
+      }
+      val storeOrEmpty =
+        if (store.columns.isEmpty)
+          newKeys.filter(lit(false)) // schema-shaped empty frame
+        else store
+      val pairs = IncrementalDedup.keyedPairs(storeOrEmpty, newKeys,
+        "doc_id", "doc_a", "doc_b", maxBucket, tileTarget)
+      val wrote = ResultSink.writeBatchIdempotent(pairs, batchId, pairsPath)
+      ResultSink.writeBatchIdempotent(newKeys, batchId, keysPath)
+      wrote
+    } finally newKeys.unpersist()
+  }
+
+  /** The streaming pipeline: wire a streaming `docs` frame (doc_id,
+    * text) through [[ingestBatch]]. Start with `.option(
+    * "checkpointLocation", …).start()`; read results any time with
+    * [[ResultSink.readCommitted]](spark, pairsPath). */
+  def minhashPairs(docs: DataFrame, storeDir: String, pairsPath: String,
+                   n: Int = 3, k: Int = 16, bands: Int = 4,
+                   maxBucket: Long = 0L, tileTarget: Long = 0L,
+                   trigger: Trigger = Trigger.ProcessingTime("5 seconds"))
+      : DataStreamWriter[Row] =
+    ResultSink.foreachBatch(docs, trigger) { (b, id) =>
+      ingestBatch(b, id, storeDir, pairsPath, n, k, bands, maxBucket,
+        tileTarget)
+      ()
+    }
+}

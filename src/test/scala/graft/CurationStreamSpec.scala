@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.pipeline.TextPipeline
+import graft.streaming.{CurationStream, ResultSink}
+
+/** CurationStream: the exactly-once streaming face of incremental
+  * corpus dedup — pairs and the band-key store both advance through
+  * writeBatchIdempotent partitions, so every foreachBatch replay and
+  * crash point lands on committed state. */
+class CurationStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  private def text(i: Long) =
+    if (i % 5 == 0) base
+    else if (i % 5 == 1) base.replace("kappa", s"mut$i")
+    else s"unique words only document number $i filler ${i * 31}"
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  test("streaming minhash pairs equal the batch candidates; stores advance exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    val storeDir = tmp("cs_store"); val pairsPath = tmp("cs_pairs")
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = CurationStream.minhashPairs(docs, storeDir, pairsPath)
+      .outputMode(OutputMode.Append()).start()
+    val corpus = (0L until 40L).map(i => (i, text(i)))
+    try {
+      val (b1, rest) = corpus.splitAt(13)
+      val (b2, b3) = rest.splitAt(14)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = ResultSink.readCommitted(spark, pairsPath)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // exactly-once even before the set-ification
+    assert(got.length == got.toSet.size, "duplicate pair emission")
+    val batchPairs = TextPipeline
+      .minhashCandidates(corpus.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.toSet == batchPairs)
+    // the key store holds each doc's band keys exactly once
+    val keys = ResultSink.readCommitted(spark, s"$storeDir/keys")
+    assert(keys.select("doc_id").distinct().count() == 40L)
+    assert(keys.groupBy("doc_id", "bucket").count()
+      .filter(col("count") > 1).count() == 0L)
+  }
+
+  test("a replayed batch id is a no-op: pairs and keys unchanged") {
+    val storeDir = tmp("cs_store2"); val pairsPath = tmp("cs_pairs2")
+    val b1 = (0L until 10L).map(i => (i, text(i))).toDF("doc_id", "text")
+    val b2 = (10L until 20L).map(i => (i, text(i))).toDF("doc_id", "text")
+    assert(CurationStream.ingestBatch(b1, 0L, storeDir, pairsPath))
+    assert(CurationStream.ingestBatch(b2, 1L, storeDir, pairsPath))
+    val pairsBefore = ResultSink.readCommitted(spark, pairsPath).count()
+    val keysBefore = ResultSink.readCommitted(spark, s"$storeDir/keys").count()
+    // foreachBatch replays the LAST batch after restart — same id again
+    assert(!CurationStream.ingestBatch(b2, 1L, storeDir, pairsPath))
+    assert(ResultSink.readCommitted(spark, pairsPath).count() == pairsBefore)
+    assert(ResultSink.readCommitted(spark, s"$storeDir/keys").count() == keysBefore)
+  }
+
+  test("crash between pair commit and key commit: replay completes the keys without re-pairing against itself") {
+    val storeDir = tmp("cs_store3"); val pairsPath = tmp("cs_pairs3")
+    val b1 = (0L until 10L).map(i => (i, text(i))).toDF("doc_id", "text")
+    val b2 = (10L until 20L).map(i => (i, text(i))).toDF("doc_id", "text")
+    assert(CurationStream.ingestBatch(b1, 0L, storeDir, pairsPath))
+    // simulate the inverse torn state too: batch 1's KEYS committed but
+    // its pairs never were (crash between the two writes is impossible
+    // in ingestBatch's order, but a custom caller could commit keys
+    // first) — the batch_id filter must keep the replay's store view
+    // identical to the pre-batch store
+    val keys2 = graft.pipeline.IncrementalDedup.index(b2)
+    ResultSink.writeBatchIdempotent(keys2, 1L, s"$storeDir/keys")
+    assert(CurationStream.ingestBatch(b2, 1L, storeDir, pairsPath),
+      "pairs for batch 1 must still commit")
+    val got = ResultSink.readCommitted(spark, pairsPath)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchPairs = TextPipeline
+      .minhashCandidates((0L until 20L).map(i => (i, text(i)))
+        .toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batchPairs, "replay with pre-committed keys double-paired")
+  }
+}
