@@ -681,6 +681,15 @@ object SparkEntry {
       TextPipeline.dupSpans(Tables.documents(s, dir), k = 3)
         .orderBy("doc_id", "pos")),
 
+    // EXACT duplicate spans via truncated prefix doubling (suffix-class
+    // route of Lee et al. 2021 ExactSubstr): collision-free, O(N) longs
+    // per round instead of O(N·len) shingle chars — the oracle groups by
+    // the literal gram STRING, so the check is exact on both sides
+    "q_exact_dup_spans" -> ((s, dir) =>
+      graft.pipeline.SuffixDedup.exactDupSpans(
+        Tables.documents(s, dir), minLen = 3)
+        .orderBy("doc_id", "pos")),
+
     // incremental span ingest (two batches against the append-only gram
     // store) must reproduce the batch inventory's position set exactly
     "q_dup_spans_incremental" -> ((s, dir) => {
@@ -2823,6 +2832,29 @@ object SparkEntry {
          |  HAVING count(*) > 1
          |)
          |SELECT g.doc_id, g.pos, d.occurrences FROM g JOIN d USING (h)
+         |ORDER BY doc_id, pos""".stripMargin,
+
+    // exact variant: group by the literal gram string — no hash anywhere,
+    // so this oracle checks SuffixDedup's suffix classes exactly
+    "q_exact_dup_spans" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), sh AS (
+         |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN []
+         |    ELSE list_transform(range(1, len(toks) - 1),
+         |           i -> array_to_string(toks[i:i+2], ' ')) END AS grams
+         |  FROM t
+         |), g0 AS (
+         |  SELECT doc_id, unnest(range(0, len(grams))) AS pos0,
+         |         unnest(grams) AS gram
+         |  FROM sh WHERE len(grams) > 0
+         |), g AS (
+         |  SELECT doc_id, CAST(pos0 AS INT) AS pos, gram FROM g0
+         |), d AS (
+         |  SELECT gram, count(*) AS occurrences FROM g GROUP BY gram
+         |  HAVING count(*) > 1
+         |)
+         |SELECT g.doc_id, g.pos, d.occurrences FROM g JOIN d USING (gram)
          |ORDER BY doc_id, pos""".stripMargin,
 
     // span removal: same gram/hash CTEs, min-okey canonical, covered
