@@ -1008,6 +1008,20 @@ object SparkEntry {
       TextPipeline.tfidfKeywords(Tables.documents(s, dir), k = 5)
         .orderBy("doc_id", "rank")),
 
+    "q_bm25" -> ((s, dir) =>
+      TextPipeline.bm25(Tables.documents(s, dir),
+        Seq("spark", "stream", "filter"), topK = 20)
+        .orderBy("rank")),
+
+    "q_winnow" -> ((s, dir) =>
+      TextPipeline.winnowFingerprints(Tables.documents(s, dir), k = 5, w = 4)
+        .orderBy("doc_id", "pos")),
+
+    "q_winnow_candidates" -> ((s, dir) =>
+      TextPipeline.winnowCandidates(Tables.documents(s, dir), k = 3, w = 4,
+        minShared = 2)
+        .orderBy("doc_a", "doc_b")),
+
     // BPE training is iterative (argmax per round) — not expressible as a
     // single static SQL string, so these two get DATA-DEPENDENT oracles:
     // Verify calls [[dataOracles]] at dump time, which re-learns the
@@ -1076,7 +1090,10 @@ object SparkEntry {
     "q_dedup_lines", "q_dsir",
     // round-11: hybrid dedup — semantic clusters gate, n-gram Jaccard
     // confirms (real pairwise volume through the cluster-scoped join)
-    "q_hybrid_dedup")
+    "q_hybrid_dedup",
+    // round-11: winnowing — per-doc window min over the posexploded
+    // gram stream (MOSS local fingerprinting), a corpus-linear pass
+    "q_winnow")
 
   // ---------------------------------------------------------------------
   // DuckDB oracles. `flows` CTE = FlowSynth.cteSql (identical mapping).
@@ -1110,6 +1127,31 @@ object SparkEntry {
     """list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0)"""
   private def fpSql(expr: String) =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length($expr) + 1), i -> CAST(ascii(substr($expr, CAST(i AS INT), 1)) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 140737488355213)"""
+  /** Winnowing fingerprint CTE chain (k-gram size, window w) — the SQL
+    * twin of [[TextPipeline.winnowFingerprints]], sharing its arithmetic
+    * rightmost-min encoding (hash·2¹⁶ + (2¹⁶-1-pos), plain window min). */
+  private def winnowFpSql(k: Int, w: Int): String =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, CASE WHEN len(toks) < $k THEN []
+       |    ELSE list_transform(range(1, len(toks) - ${k - 2}),
+       |           i -> array_to_string(toks[i:i+${k - 1}], ' ')) END AS grams
+       |  FROM t
+       |), g AS (
+       |  SELECT doc_id, unnest(range(0, len(grams))) AS gpos,
+       |         unnest(list_transform(grams, w -> ${fpSql("w")})) AS h
+       |  FROM sh WHERE len(grams) > 0
+       |), m AS (
+       |  SELECT doc_id, gpos,
+       |    min(h * 65536 + (65535 - gpos)) OVER (PARTITION BY doc_id
+       |      ORDER BY gpos ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS sel
+       |  FROM g
+       |), fp AS (
+       |  SELECT DISTINCT doc_id, CAST(65535 - (sel % 65536) AS INT) AS pos,
+       |    sel // 65536 AS fp
+       |  FROM m WHERE gpos >= ${w - 1}
+       |)""".stripMargin
+
   /** Left-fold dot product — same summation order as VectorFunctions. */
   private def dotSql(a: String, b: String) =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($a) + 1), i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)])), (x, y) -> x + y)"
@@ -3527,6 +3569,39 @@ object SparkEntry {
          |)
          |SELECT doc_id, token, tf, df, tfidf, rank FROM ranked
          |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "q_bm25" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |d AS (SELECT doc_id, len(toks) AS dl FROM t),
+         |stats AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM d),
+         |tf0 AS (
+         |  SELECT doc_id, unnest(list_filter(toks,
+         |    x -> list_contains(['spark','stream','filter'], x))) AS term
+         |  FROM t
+         |), tf AS (
+         |  SELECT tf0.doc_id, d.dl, term, count(*) AS tf
+         |  FROM tf0 JOIN d ON tf0.doc_id = d.doc_id GROUP BY 1, 2, 3
+         |), df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25,
+         |    count(*) AS n_terms
+         |  FROM tf JOIN df USING (term) CROSS JOIN stats GROUP BY 1)
+         |SELECT doc_id, bm25, n_terms,
+         |  row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+         |FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    "q_winnow" ->
+      s"""WITH ${winnowFpSql(5, 4)}
+         |SELECT doc_id, pos, fp FROM fp ORDER BY doc_id, pos""".stripMargin,
+
+    "q_winnow_candidates" ->
+      s"""WITH ${winnowFpSql(3, 4)},
+         |u AS (SELECT DISTINCT doc_id, fp FROM fp)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |FROM u a JOIN u b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_ts_anomaly" ->
       """WITH b AS (

@@ -585,4 +585,124 @@ object TextPipeline {
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         TextFunctions.langIdFromTokens(col("toks"), profiles).as("lang_guess"))
+
+  /** BM25 document ranking (Robertson & Zaragoza 2009, the Okapi
+    * formulation with the "plus-one" idf `ln(1 + (N - df + 0.5)/(df +
+    * 0.5))` so scores are always non-negative) against a small query-term
+    * set — the retrieval scorer a curation pipeline uses for targeted
+    * corpus slicing ("pull the documents most about X").
+    *
+    * Shape at scale: ONE tokenize pass; per-doc length comes from
+    * `size(toks)` in that same projection, and only tokens matching the
+    * (tiny, literal) query-term set are exploded — the fanout is bounded
+    * by matched occurrences, not corpus tokens. Per-(doc, term) tf is a
+    * map-side-combinable hash aggregate; the df table is |queryTerms|
+    * rows and broadcast; N and avgdl ride one 1-row broadcast aggregate.
+    * No window function anywhere except the final top-k cut, which Spark
+    * plans as WindowGroupLimit (partial top-k per partition). Scores are
+    * rounded to 6 dp with a doc_id tiebreak so the cut is deterministic
+    * and engine-portable. */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75, topK: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25: queryTerms must be non-empty")
+    val toks = docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val tf = toks
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("toks"),
+          t => t.isin(queryTerms.map(lit): _*))).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("contrib",
+        col("idf") * col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(round(sum("contrib"), 6).as("bm25"),
+        count(lit(1)).as("n_terms"))
+    // top-k FIRST (TakeOrderedAndProject — partial top-k per partition,
+    // no global window over the full corpus), then rank the k survivors
+    scored.orderBy(col("bm25").desc, col("doc_id").asc).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+      .select("doc_id", "bm25", "n_terms", "rank")
+  }
+
+  /** Winnowing fingerprints (Schleimer, Wilkes & Aiken 2003, SIGMOD —
+    * the MOSS algorithm) at word-k-gram granularity: hash every k-gram,
+    * slide a window of `w` consecutive hashes, and in each window select
+    * the minimum hash, rightmost occurrence on ties. Guarantee: any
+    * shared token run of length ≥ w + k - 1 between two documents shares
+    * at least one fingerprint, at an expected density of 2/(w+1) of the
+    * grams — the standard local, position-aware document fingerprint for
+    * plagiarism/overlap detection.
+    *
+    * The rightmost-min tie rule is encoded arithmetically so both Spark
+    * and the SQL oracle compute it with a plain `min` window: `combined =
+    * hash · 2¹⁶ + (2¹⁶ - 1 - pos)` is strictly decreasing in pos for
+    * equal hashes, so `min(combined)` over the trailing w-row window IS
+    * (min hash, rightmost pos). The 47-bit hash · 2¹⁶ fits in 63 bits;
+    * the encoding requires per-doc positions < 65 536 — chunk longer
+    * documents first ([[graft.pipeline.Curation.chunk]]), which a 100 TB
+    * pipeline does anyway. Violations fail loudly (filter + runtime
+    * check), never silently corrupt.
+    *
+    * Shape at scale: tokenize + shingle + hash in one codegen'd
+    * projection, a posexplode, and ONE per-doc window min over w rows —
+    * partitioned by doc_id, so it parallelizes across documents with no
+    * global ordering; the final `distinct` is a hash aggregate on
+    * (doc_id, pos, hash). */
+  def winnowFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "winnow: k and w must be >= 1")
+    val posCap = 1 << 16
+    val g = docs
+      .select(col("doc_id"), graft.expressions.TextExpressions
+        .polyHash47(graft.expressions.TextExpressions
+          .wordShingles(col("text"), k, distinct = false)).as("hashes"))
+      .select(col("doc_id"), posexplode(col("hashes")))
+      .withColumnRenamed("pos", "gpos").withColumnRenamed("col", "h")
+    val win = Window.partitionBy("doc_id").orderBy("gpos")
+      .rowsBetween(-(w - 1), Window.currentRow)
+    val overflow = raise_error(concat(lit("winnowFingerprints: document "),
+      col("doc_id").cast("string"),
+      lit(s" has >= $posCap k-grams; chunk documents before fingerprinting")))
+    g.withColumn("h",
+        when(col("gpos") >= posCap, overflow).otherwise(col("h")))
+      .withColumn("combined",
+        col("h") * posCap + (lit(posCap - 1) - col("gpos")))
+      .withColumn("sel", min(col("combined")).over(win))
+      .filter(col("gpos") >= w - 1) // only full windows select
+      .select(col("doc_id"),
+        (lit(posCap - 1) - (col("sel") % posCap)).cast("int").as("pos"),
+        // integer decode — a double divide would lose bits above 2^53
+        shiftrightunsigned(col("sel"), 16).as("fp"))
+      .distinct()
+  }
+
+  /** Document-overlap candidates from shared winnowing fingerprints:
+    * pairs of documents sharing at least `minShared` distinct fingerprint
+    * hashes — the MOSS-style plagiarism/boilerplate candidate generator.
+    * Inverted-index join on the fingerprint hash (cost scales with
+    * same-hash pairs, never N²), with the shared hot-bucket cap
+    * ([[capBuckets]]) as the skew guard: a fingerprint appearing in d
+    * documents contributes d² pairs, and the highest-df fingerprints are
+    * boilerplate by definition — dropping them loses only pairs whose
+    * ENTIRE overlap is boilerplate. `maxDocs <= 0` disables. */
+  def winnowCandidates(docs: DataFrame, k: Int = 5, w: Int = 4,
+                       minShared: Long = 2L, maxDocs: Long = 0L): DataFrame = {
+    val fp = winnowFingerprints(docs, k, w)
+      .select("doc_id", "fp").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped = capBuckets(fp, maxDocs, bucketCol = "fp")
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    pairs
+  }
 }

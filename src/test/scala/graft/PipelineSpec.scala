@@ -1559,4 +1559,80 @@ class PipelineSpec extends SparkSpec {
     val ref = RefBpe.train(texts, numMerges = 12, minPairCount = 2L)
     assert(spark_ == ref)
   }
+
+  test("bm25: matching docs ranked, tf saturates, longer docs penalized") {
+    val d = docs(
+      1L -> "spark spark spark noise noise",       // tf=3, dl=5
+      2L -> "spark noise noise noise noise",       // tf=1, dl=5
+      3L -> "spark noise noise noise noise noise noise noise noise noise", // tf=1, dl=10
+      4L -> "nothing relevant here at all")
+    val out = rowsOf(TextPipeline.bm25(d, Seq("spark"), topK = 10))
+    assert(out.size == 3, "non-matching doc must not appear")
+    val byId = out.map(r => r("doc_id") -> r).toMap
+    val s = (i: Long) => byId(i)("bm25").asInstanceOf[Double]
+    assert(s(1L) > s(2L), "higher tf ranks higher")
+    assert(s(2L) > s(3L), "same tf, longer doc ranks lower (b-normalization)")
+    assert(byId(1L)("rank") == 1)
+    // hand check doc 2: N=4, df=3, idf=ln(1+1.5/3.5); dl=5, avgdl=6.25
+    val idf = math.log(1 + 1.5 / 3.5)
+    val expect2 = idf * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 5 / 6.25))
+    assert(math.abs(s(2L) - math.rint(expect2 * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("bm25: tf saturation bounded by k1+1 — score ratio under tf ratio") {
+    val d = docs(1L -> Seq.fill(50)("spark").mkString(" "),
+                 2L -> ("spark " + Seq.fill(49)("pad").mkString(" ")))
+    val out = rowsOf(TextPipeline.bm25(d, Seq("spark"), topK = 10))
+    val byId = out.map(r => r("doc_id") -> r("bm25").asInstanceOf[Double]).toMap
+    assert(byId(1L) / byId(2L) < 3.0, "50x tf must not give 50x score")
+  }
+
+  test("winnowing guarantee: a shared run of w+k-1 tokens shares a fingerprint") {
+    val run = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens = w+k-1 for k=5,w=4
+    val d = docs(
+      1L -> s"one two $run three four",
+      2L -> s"nine ten eleven $run twelve",
+      3L -> "completely different words everywhere in this document body")
+    val fp = TextPipeline.winnowFingerprints(d, k = 5, w = 4)
+    val byDoc = fp.collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(2)).toSet }
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "shared run must share a fingerprint")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+  }
+
+  test("winnowing: fingerprints are a subset of gram hashes, one per window") {
+    val d = docs(1L -> "a b c d e f g h i j k l m n o p")
+    val fp = TextPipeline.winnowFingerprints(d, k = 3, w = 4).collect()
+    val grams = d.select(graft.expressions.TextExpressions.polyHash47(
+        graft.expressions.TextExpressions.wordShingles(col("text"), 3)))
+      .collect().head.getSeq[Long](0)
+    assert(fp.map(_.getLong(2)).toSet.subsetOf(grams.toSet))
+    assert(fp.forall(r => grams(r.getInt(1)) == r.getLong(2)),
+      "reported pos must point at the reported hash")
+    assert(fp.length <= grams.length - 4 + 1, "at most one selection per window")
+    // expected density ~2/(w+1): strictly fewer fingerprints than grams
+    assert(fp.length < grams.length)
+  }
+
+  test("winnowing tie rule: equal hashes select the rightmost position") {
+    val d = docs(1L -> Seq.fill(10)("same").mkString(" "))
+    val fp = TextPipeline.winnowFingerprints(d, k = 3, w = 4).collect()
+    // all 8 gram hashes are equal; every window picks its newest position
+    assert(fp.map(_.getInt(1)).sorted.toSeq == (3 to 7).toSeq)
+  }
+
+  test("winnowCandidates pairs overlapping docs, respects minShared and cap") {
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = docs(
+      1L -> s"one two $run three",
+      2L -> s"five six $run seven",
+      3L -> "unrelated content with no shared runs at all whatsoever")
+    val out = rowsOf(TextPipeline.winnowCandidates(d, k = 3, w = 4, minShared = 1))
+    assert(out.exists(r => r("doc_a") == 1L && r("doc_b") == 2L))
+    assert(!out.exists(r => r("doc_a") == 3L || r("doc_b") == 3L))
+    // a cap of 1 drops every shared fingerprint bucket (each appears in 2 docs)
+    val capped = rowsOf(TextPipeline.winnowCandidates(d, k = 3, w = 4,
+      minShared = 1, maxDocs = 1))
+    assert(capped.isEmpty)
+  }
 }
