@@ -1008,6 +1008,10 @@ object SparkEntry {
       TextPipeline.tfidfKeywords(Tables.documents(s, dir), k = 5)
         .orderBy("doc_id", "rank")),
 
+    "q_kmeans" -> ((s, dir) =>
+      Similarity.kmeansLloyd(Tables.embeddings(s, dir), k = 8, iters = 2)
+        .orderBy("vec_id")),
+
     "q_bm25" -> ((s, dir) =>
       TextPipeline.bm25(Tables.documents(s, dir),
         Seq("spark", "stream", "filter"), topK = 20)
@@ -1151,6 +1155,42 @@ object SparkEntry {
        |    sel // 65536 AS fp
        |  FROM m WHERE gpos >= ${w - 1}
        |)""".stripMargin
+
+  /** Lloyd k-means CTE chain — the SQL twin of
+    * [[graft.pipeline.Similarity.kmeansLloyd]]: deterministic lowest-id
+    * init, `iters` (assign → 6-dp-rounded dimension means) rounds, final
+    * assignment `af` with the left-fold L2². */
+  private def kmeansSql(k: Int, iters: Int): String = {
+    def assignCte(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, vec, cid, l2 FROM (
+         |    SELECT vec_id, vec, cid, l2, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY l2, cid) AS rn
+         |    FROM (SELECT e.vec_id, e.vec, c.cid,
+         |            ${l2Sql("e.vec", "c.vec")} AS l2
+         |          FROM e CROSS JOIN $cents c)
+         |  ) WHERE rn = 1
+         |)"""
+    def updateCte(name: String, assigned: String) =
+      s"""$name AS (
+         |  SELECT cid, list(m ORDER BY d) AS vec FROM (
+         |    SELECT cid, d, round(avg(v), 6) AS m FROM (
+         |      SELECT cid, unnest(vec) AS v,
+         |             generate_subscripts(vec, 1) AS d FROM $assigned
+         |    ) GROUP BY cid, d
+         |  ) GROUP BY cid
+         |)"""
+    val steps = (1 to iters).map { i =>
+      assignCte(s"a$i", s"c${i - 1}") + ",\n" + updateCte(s"c$i", s"a$i")
+    }.mkString(",\n")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, vec
+       |  FROM (SELECT vec_id, vec FROM e ORDER BY vec_id LIMIT $k)
+       |),
+       |$steps,
+       |${assignCte("af", s"c$iters")}""".stripMargin
+  }
 
   /** Left-fold dot product — same summation order as VectorFunctions. */
   private def dotSql(a: String, b: String) =
@@ -3569,6 +3609,11 @@ object SparkEntry {
          |)
          |SELECT doc_id, token, tf, df, tfidf, rank FROM ranked
          |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "q_kmeans" ->
+      s"""WITH ${kmeansSql(8, 2)}
+         |SELECT vec_id, cid, round(l2, 6) AS dist FROM af
+         |ORDER BY vec_id""".stripMargin,
 
     "q_bm25" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -274,6 +274,63 @@ object Similarity {
       .select("query_id", "nbr_id", "cosine", "rank")
   }
 
+  /** Distributed Lloyd k-means over the embedding column — pure
+    * DataFrame per iteration: one corpus pass assigns every vector to its
+    * nearest centroid (the k×d centroid table rides into the plan as
+    * broadcast literals), one posexplode + hash aggregate computes
+    * per-(cluster, dim) means, and only the k×d centroid table
+    * (metadata) ever reaches the driver — the scalar-per-round pattern
+    * of [[TextPipeline.bpeTrain]]. At 100 TB each iteration is one scan
+    * + one map-side-combinable aggregate; nothing per-row touches the
+    * driver.
+    *
+    * Init is the k lowest-vec_id vectors (deterministic and
+    * engine-portable, so a fixed-iteration run is oracle-checkable end
+    * to end; [[annIvfKmeans]]'s MLlib k-means|| is the production init —
+    * this is its replayable twin). Centroid dims are rounded to 6 dp
+    * after every update so cross-engine aggregation-order drift (~1e-13)
+    * dies against the rounding grid and assignments can't flip between
+    * engines. Distance is the portable left-fold L2²
+    * ([[VectorFunctions.l2Squared]]); ties break to the lowest cid. A
+    * cluster left empty by an update keeps its previous centroid.
+    *
+    * Returns (vec_id, cid, dist): the assignment under the final
+    * centroids, dist = L2² rounded to 6 dp. */
+  def kmeansLloyd(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 0, "kmeansLloyd: k >= 1, iters >= 0")
+    val e = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def assign(cents: Seq[(Int, Seq[Double])]): DataFrame = {
+      val scored = array(cents.map { case (cid, c) =>
+        struct(
+          VectorFunctions.l2Squared(col("vec"),
+            array(c.map(lit): _*)).as("d"),
+          lit(cid).as("cid"))
+      }: _*)
+      e.withColumn("sel", array_min(scored))
+        .select(col("vec_id"), col("vec"),
+          col("sel.cid").as("cid"), col("sel.d").as("d"))
+    }
+    var cents: Seq[(Int, Seq[Double])] =
+      e.orderBy("vec_id").limit(k).collect().zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](1)) }
+    for (_ <- 1 to iters) {
+      val upd = assign(cents)
+        .select(col("cid"), posexplode(col("vec")))
+        .groupBy("cid", "pos").agg(round(avg("col"), 6).as("m"))
+        .collect() // k×d rows — metadata, never the corpus
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+      cents = cents.map { case (cid, old) => (cid, upd.getOrElse(cid, old)) }
+    }
+    val out = assign(cents)
+      .select(col("vec_id"), col("cid"), round(col("d"), 6).as("dist"))
+    e.unpersist()
+    out
+  }
+
   // ----- product quantization -------------------------------------------
 
   /** Subvector `sub` (0-based) of `vec` under an m-way PQ split. The last

@@ -1560,6 +1560,45 @@ class PipelineSpec extends SparkSpec {
     assert(spark_ == ref)
   }
 
+  private def vecs(rows: (Long, Seq[Double])*) =
+    rows.toSeq.map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+
+  test("kmeansLloyd separates well-spaced blobs and reports nearest-centroid dist") {
+    val d = vecs(
+      0L -> Seq(0.0, 0.0), 1L -> Seq(10.0, 10.0),
+      2L -> Seq(0.1, 0.0), 3L -> Seq(0.0, 0.2), 4L -> Seq(0.1, 0.1),
+      5L -> Seq(10.1, 10.0), 6L -> Seq(9.9, 10.1), 7L -> Seq(10.0, 9.8))
+    val out = Similarity.kmeansLloyd(d, k = 2, iters = 3).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    val lowBlob = Set(0L, 2L, 3L, 4L).map(out(_)._1)
+    val hiBlob = Set(1L, 5L, 6L, 7L).map(out(_)._1)
+    assert(lowBlob.size == 1 && hiBlob.size == 1 && lowBlob != hiBlob,
+      "each blob lands in one cluster, blobs in different clusters")
+    assert(out.values.forall(_._2 < 1.0), "within-blob dists are small")
+  }
+
+  test("kmeansLloyd iters=0 assigns to the lowest-id init vectors") {
+    val d = vecs(0L -> Seq(0.0, 0.0), 1L -> Seq(4.0, 4.0),
+      2L -> Seq(0.4, 0.0), 3L -> Seq(4.4, 4.0))
+    val out = Similarity.kmeansLloyd(d, k = 2, iters = 0).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(out(0L) == (0, 0.0) && out(1L) == (1, 0.0),
+      "init vectors assign to themselves at distance 0")
+    assert(out(2L)._1 == 0 && out(3L)._1 == 1)
+  }
+
+  test("kmeansLloyd keeps the previous centroid for an emptied cluster") {
+    // init c0 = c1 = (0,0); every vector ties to c0 (lowest cid), so c1
+    // empties after the update and must keep (0,0) — the final
+    // assignment then splits on the KEPT centroid
+    val d = vecs(0L -> Seq(0.0, 0.0), 1L -> Seq(0.0, 0.0), 2L -> Seq(5.0, 5.0))
+    val out = Similarity.kmeansLloyd(d, k = 2, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(0L) == 1 && out(1L) == 1, "zeros go to the kept (0,0) centroid")
+    assert(out(2L) == 0, "far point stays with the updated mean centroid")
+  }
+
   test("bm25: matching docs ranked, tf saturates, longer docs penalized") {
     val d = docs(
       1L -> "spark spark spark noise noise",       // tf=3, dl=5
