@@ -1008,6 +1008,10 @@ object SparkEntry {
       TextPipeline.tfidfKeywords(Tables.documents(s, dir), k = 5)
         .orderBy("doc_id", "rank")),
 
+    "q_dedup_normalized" -> ((s, dir) =>
+      TextPipeline.dedupExactNormalized(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+
     "q_kmeans" -> ((s, dir) =>
       Similarity.kmeansLloyd(Tables.embeddings(s, dir), k = 8, iters = 2)
         .orderBy("vec_id")),
@@ -3609,6 +3613,13 @@ object SparkEntry {
          |)
          |SELECT doc_id, token, tf, df, tfidf, rank FROM ranked
          |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "q_dedup_normalized" ->
+      """SELECT doc_id, dup_count FROM (
+        |  SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+        |  FROM documents GROUP BY md5(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[!-/:-@\[-`{-~]', ' ', 'g'), '\s+', ' ', 'g')))
+        |) ORDER BY doc_id""".stripMargin,
 
     "q_kmeans" ->
       s"""WITH ${kmeansSql(8, 2)}

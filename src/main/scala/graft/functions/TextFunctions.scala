@@ -84,6 +84,16 @@ object TextFunctions {
       (acc, c) => (acc * 31 + c) % mod)
   }
 
+  /** Dedup-canonical form (the CCNet/RefinedWeb-style normalization
+    * applied before exact hashing): lowercase, ASCII punctuation →
+    * space (same class as [[punctRatio]]), whitespace collapsed,
+    * trimmed — so trivially-reformatted copies hash identically. Pure
+    * codegen'd built-ins; the same chain is expressible in DuckDB
+    * (`regexp_replace(…, 'g')`) for oracle checks. */
+  def normalizeForDedup(s: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(s), "[!-/:-@\\[-`{-~]", " "), "\\s+", " "))
+
   /** Word n-gram shingles from a token column.
     *
     * Built as a fold of `zip_with` over k-shifted copies of the array:

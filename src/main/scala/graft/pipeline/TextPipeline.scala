@@ -36,6 +36,16 @@ object TextPipeline {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
       .select("doc_id", "dup_count")
 
+  /** [[dedupExactByHash]] on the dedup-canonical form
+    * ([[TextFunctions.normalizeForDedup]]): catches copies that differ
+    * only in case, punctuation, or whitespace — the standard first rung
+    * of a web-corpus dedup ladder, same 16-byte-key shuffle shape. */
+  def dedupExactNormalized(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(TextFunctions.normalizeForDedup(col("text"))
+        .cast("binary")).as("norm_md5"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
+      .select("doc_id", "dup_count")
+
   /** Exact duplicate-SPAN inventory (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better", restated at k-token
     * span granularity): every (doc, position) whose k-token gram occurs

@@ -18,6 +18,15 @@ class PipelineSpec extends SparkSpec {
     assert(!out.exists(_("doc_id") == 2L))
   }
 
+  test("dedupExactNormalized merges case/punct/whitespace variants only") {
+    val out = rowsOf(TextPipeline.dedupExactNormalized(docs(
+      1L -> "Hello, World!", 2L -> "hello world", 3L -> "  hello   world. ",
+      4L -> "different entirely")))
+    assert(out.size == 2)
+    assert(out.find(_("doc_id") == 1L).get("dup_count") == 3L)
+    assert(out.exists(_("doc_id") == 4L))
+  }
+
   test("docStats fields") {
     val out = rowsOf(TextPipeline.docStats(docs(1L -> "the cat sat, on the mat!")))
     val r = out.head
@@ -1658,6 +1667,25 @@ class PipelineSpec extends SparkSpec {
     val fp = TextPipeline.winnowFingerprints(d, k = 3, w = 4).collect()
     // all 8 gram hashes are equal; every window picks its newest position
     assert(fp.map(_.getInt(1)).sorted.toSeq == (3 to 7).toSeq)
+  }
+
+  test("bm25/winnow plans: broadcast df join, doc-partitioned window, no corpus-wide window") {
+    val d = docs(1L -> "spark stream a b c d e f g h i j",
+                 2L -> "spark filter k l m n o p q r s t")
+    val bp = TextPipeline.bm25(d, Seq("spark", "filter"), topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(bp.contains("BroadcastHashJoin") || bp.contains("BroadcastNestedLoopJoin"),
+      s"df/stats sides must broadcast, not shuffle:\n$bp")
+    assert(bp.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrderedAndProject, not a global sort:\n$bp")
+    val wp = TextPipeline.winnowFingerprints(d, k = 3, w = 4)
+      .queryExecution.executedPlan.toString
+    // the window over the gram stream must be doc-partitioned — an
+    // empty partition spec (global window) would serialize the corpus
+    // through one task
+    assert(wp.contains("Window"), s"expected a Window node:\n$wp")
+    assert(!wp.contains(", [], [gpos"),
+      s"winnow window must be doc-partitioned, not global:\n$wp")
   }
 
   test("winnowCandidates pairs overlapping docs, respects minShared and cap") {
