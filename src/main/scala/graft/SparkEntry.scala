@@ -1025,6 +1025,10 @@ object SparkEntry {
       TextPipeline.winnowFingerprints(Tables.documents(s, dir), k = 5, w = 4)
         .orderBy("doc_id", "pos")),
 
+    "q_winnow_native" -> ((s, dir) =>
+      TextPipeline.winnowFingerprintsNative(Tables.documents(s, dir), k = 5, w = 4)
+        .orderBy("doc_id", "pos")),
+
     "q_winnow_candidates" -> ((s, dir) =>
       TextPipeline.winnowCandidates(Tables.documents(s, dir), k = 3, w = 4,
         minShared = 2)
@@ -1100,8 +1104,9 @@ object SparkEntry {
     // confirms (real pairwise volume through the cluster-scoped join)
     "q_hybrid_dedup",
     // round-11: winnowing — per-doc window min over the posexploded
-    // gram stream (MOSS local fingerprinting), a corpus-linear pass
-    "q_winnow")
+    // gram stream (MOSS local fingerprinting), a corpus-linear pass,
+    // and its zero-shuffle native-expression twin
+    "q_winnow", "q_winnow_native")
 
   // ---------------------------------------------------------------------
   // DuckDB oracles. `flows` CTE = FlowSynth.cteSql (identical mapping).
@@ -3649,6 +3654,12 @@ object SparkEntry {
          |FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
 
     "q_winnow" ->
+      s"""WITH ${winnowFpSql(5, 4)}
+         |SELECT doc_id, pos, fp FROM fp ORDER BY doc_id, pos""".stripMargin,
+
+    // native-expression twin — same oracle, so the zero-shuffle path is
+    // held to the identical row set as the explode+window reference tier
+    "q_winnow_native" ->
       s"""WITH ${winnowFpSql(5, 4)}
          |SELECT doc_id, pos, fp FROM fp ORDER BY doc_id, pos""".stripMargin,
 

@@ -175,6 +175,45 @@ object TextUtil {
     }
     new GenericArrayData(sig)
   }
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkes & Aiken 2003) in
+    * one per-row loop: tokenize → k-gram → 47-bit hash → sliding window-w
+    * rightmost-min, emitted as the same `hash·2¹⁶ + (2¹⁶−1−pos)` encoding
+    * [[graft.pipeline.TextPipeline.winnowFingerprints]] uses — so the
+    * explode+window reference tier, this native tier, and the SQL oracle
+    * are value-identical. Consecutive-dedup equals global dedup here: a
+    * superseded minimum is older than its successor, leaves the window
+    * first, and can never be re-selected. Documents need < 2¹⁶ grams
+    * (chunk first); violations throw, never corrupt. */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val grams = shingles(text, k, distinct = false)
+    val n = grams.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    if (n >= 65536)
+      throw new IllegalArgumentException(
+        "winnow_fp: document has >= 65536 k-grams; chunk documents first")
+    val comb = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = grams.getUTF8String(i).toString
+      var acc = 0L
+      var j = 0
+      while (j < s.length) { acc = (acc * 31 + s.charAt(j)) % Mod47; j += 1 }
+      comb(i) = acc * 65536L + (65535L - i)
+      i += 1
+    }
+    val out = new mutable.ArrayBuffer[Any]
+    var last = -1L
+    var e = w - 1
+    while (e < n) {
+      var m = comb(e - w + 1)
+      var p = e - w + 2
+      while (p <= e) { if (comb(p) < m) m = comb(p); p += 1 }
+      if (m != last) { out += m; last = m }
+      e += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 case class WordShingles(child: Expression, n: Int, distinct: Boolean)
@@ -286,6 +325,31 @@ case class BpeEncode(child: Expression, merges: Seq[String])
     copy(child = newChild)
 }
 
+/** `winnow_fp(text)`: winnowing fingerprints as encoded
+  * `hash·2¹⁶+(2¹⁶−1−pos)` longs — the whole
+  * tokenize→shingle→hash→window-min chain in one codegen'd call, so
+  * fingerprinting runs INSIDE the scan stage with zero shuffle (the
+  * explode+window reference tier shuffles the full gram stream). */
+case class WinnowFp(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fp"
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextUtil.winnow(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextUtil.winnow($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFp =
+    copy(child = newChild)
+}
+
 /** Column wrappers. */
 object TextExpressions {
   def wordShingles(text: Column, n: Int, distinct: Boolean = false): Column =
@@ -298,4 +362,6 @@ object TextExpressions {
     ColumnBridge.column(CharEntropy(ColumnBridge.expression(s)))
   def bpeEncode(text: Column, merges: Seq[String]): Column =
     ColumnBridge.column(BpeEncode(ColumnBridge.expression(text), merges))
+  def winnowFp(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFp(ColumnBridge.expression(text), k, w))
 }

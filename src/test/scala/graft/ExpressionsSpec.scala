@@ -164,6 +164,28 @@ class ExpressionsSpec extends SparkSpec {
     assert(sigNative == sigRef, "minhashSig")
   }
 
+  test("native winnow_fp equals the explode+window reference tier") {
+    import graft.pipeline.TextPipeline
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog again and again and again",
+      "same same same same same same same same",        // all-tie → rightmost rule
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      "short one", "",                                   // < w grams → empty
+      "one two three one two three one two three one two")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for ((k, w) <- Seq((3, 4), (5, 4), (2, 2), (1, 3))) {
+      val native = TextPipeline.winnowFingerprintsNative(docs, k, w)
+      val ref = TextPipeline.winnowFingerprints(docs, k, w)
+      assert(native.exceptAll(ref).count() == 0
+        && ref.exceptAll(native).count() == 0, s"winnow k=$k w=$w")
+    }
+    // zero-shuffle claim: the native plan has no Exchange and no Window
+    val plan = TextPipeline.winnowFingerprintsNative(docs, 3, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Window"),
+      s"native winnow must stay inside the scan stage:\n$plan")
+  }
+
   test("native z_key equals the composed interleave; nulls and SQL registration") {
     import graft.expressions.LayoutExpressions
     import graft.scale.Layout
