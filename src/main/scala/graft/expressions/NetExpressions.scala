@@ -169,7 +169,11 @@ object GraftFunctions {
       (e: Seq[Expression]) => CharEntropy(e.head)),
     (FunctionIdentifier("z_key"),
       new ExpressionInfo(classOf[InterleaveBits].getName, "z_key"),
-      (e: Seq[Expression]) => InterleaveBits(e.tail, intArg(e.head, "z_key"))))
+      (e: Seq[Expression]) => InterleaveBits(e.tail, intArg(e.head, "z_key"))),
+    (FunctionIdentifier("winnow_fp"),
+      new ExpressionInfo(classOf[WinnowFp].getName, "winnow_fp"),
+      (e: Seq[Expression]) => WinnowFp(e.head,
+        intArg(e(1), "winnow_fp"), intArg(e(2), "winnow_fp"))))
 
   /** Register on a live session (the no-extensions path). */
   def register(spark: SparkSession): Unit = {

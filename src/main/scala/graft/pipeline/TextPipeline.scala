@@ -721,7 +721,9 @@ object TextPipeline {
     * ENTIRE overlap is boilerplate. `maxDocs <= 0` disables. */
   def winnowCandidates(docs: DataFrame, k: Int = 5, w: Int = 4,
                        minShared: Long = 2L, maxDocs: Long = 0L): DataFrame = {
-    val fp = winnowFingerprints(docs, k, w)
+    // the native tier feeds the join: fingerprinting stays in the scan
+    // stage (parity with the window form is spec-pinned)
+    val fp = winnowFingerprintsNative(docs, k, w)
       .select("doc_id", "fp").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val capped = capBuckets(fp, maxDocs, bucketCol = "fp")

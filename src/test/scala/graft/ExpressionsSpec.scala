@@ -54,6 +54,11 @@ class ExpressionsSpec extends SparkSpec {
     assert(r.getSeq[Long](1) == Seq(expected))
     assert(r.getSeq[Long](2) == Seq(
       (expected + 7) % 140737488355213L, (expected * 3 + 38) % 140737488355213L))
+    // winnow_fp('a a a', 1, 2): 2 windows over 3 equal hashes, rightmost
+    // tie rule → positions 1 and 2 with the token hash of "a"
+    val ha = ('a'.toLong) % 140737488355213L
+    val wf = spark.sql("SELECT winnow_fp('a a a', 1, 2) AS f").head().getSeq[Long](0)
+    assert(wf == Seq(ha * 65536 + (65535 - 1), ha * 65536 + (65535 - 2)))
   }
 
   test("native char_entropy is bit-identical to the Column composite") {
