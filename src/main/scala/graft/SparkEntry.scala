@@ -1034,6 +1034,21 @@ object SparkEntry {
         minShared = 2)
         .orderBy("doc_a", "doc_b")),
 
+    // two-batch winnow ingest: the union of increments equals the batch
+    // candidates over the full corpus (shared-count exact at emission)
+    "q_winnow_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val storeDir = runScratch(s, "winnow_inc")
+      val p = new org.apache.hadoop.fs.Path(storeDir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true) // fresh store per run
+      pipeline.IncrementalDedup
+        .ingestWinnow(storeDir, docs.filter(col("doc_id") < 250), k = 3, w = 4)
+        .union(pipeline.IncrementalDedup
+          .ingestWinnow(storeDir, docs.filter(col("doc_id") >= 250), k = 3, w = 4))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // BPE training is iterative (argmax per round) — not expressible as a
     // single static SQL string, so these two get DATA-DEPENDENT oracles:
     // Verify calls [[dataOracles]] at dump time, which re-learns the
@@ -3664,6 +3679,15 @@ object SparkEntry {
          |SELECT doc_id, pos, fp FROM fp ORDER BY doc_id, pos""".stripMargin,
 
     "q_winnow_candidates" ->
+      s"""WITH ${winnowFpSql(3, 4)},
+         |u AS (SELECT DISTINCT doc_id, fp FROM fp)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |FROM u a JOIN u b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // incremental twin — union of the two ingests must equal the batch
+    // candidate set over the whole corpus, so the oracle is identical
+    "q_winnow_incremental" ->
       s"""WITH ${winnowFpSql(3, 4)},
          |u AS (SELECT DISTINCT doc_id, fp FROM fp)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared

@@ -171,6 +171,50 @@ object IncrementalDedup {
     result
   }
 
+  // ----- winnowing scheme (shared-fingerprint overlap candidates) ---------
+
+  /** Winnowing ingest — the incremental face of
+    * [[TextPipeline.winnowCandidates]]: document pairs sharing at least
+    * `minShared` winnowing fingerprints, each pair emitted exactly once
+    * (at the ingest of its later member). The shared COUNT is exact at
+    * emission time: the later member's full fingerprint set is in the
+    * batch and the earlier member's is in the append-only store, so
+    * every shared fingerprint appears as exactly one bucket-join match
+    * in exactly one branch (a pair is either both-in-batch or
+    * store×new — the store never contains batch members). Fingerprints
+    * come from the zero-shuffle native expression; the store grows by
+    * the batch's (doc_id, fp) rows only.
+    *
+    * `maxDocs` caps fingerprint document-frequency per branch at ingest
+    * time (the batch twin caps on corpus-wide df — same boilerplate
+    * rationale, visibility-scoped like every incremental cap here). */
+  def ingestWinnow(dir: String, docs: DataFrame, k: Int = 5, w: Int = 4,
+                   minShared: Long = 2L, maxDocs: Long = 0L): DataFrame = {
+    val spark = docs.sparkSession
+    val newKeys = TextPipeline.winnowFingerprintsNative(docs, k, w)
+      .select(col("doc_id"), col("fp").cast("string").as("bucket")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val store = snapshot(spark, dir, "winnow_keys", keySchema("doc_id"))
+    val cappedStore = TextPipeline.capBuckets(store, maxDocs)
+    val cappedNew = TextPipeline.capBuckets(newKeys, maxDocs)
+    val within = cappedNew.as("a").join(cappedNew.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cross = cappedStore.as("s").join(broadcast(cappedNew.as("nw")),
+        col("s.bucket") === col("nw.bucket") &&
+          col("s.doc_id") =!= col("nw.doc_id"))
+      .select(least(col("s.doc_id"), col("nw.doc_id")).as("doc_a"),
+        greatest(col("s.doc_id"), col("nw.doc_id")).as("doc_b"))
+    val result = within.union(cross)
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .localCheckpoint(true) // pin results before the store grows
+    newKeys.write.mode("append").parquet(s"$dir/winnow_keys")
+    newKeys.unpersist()
+    result
+  }
+
   // ----- span scheme (duplicate k-gram positions) -------------------------
 
   /** Span-dedup ingest — the incremental face of

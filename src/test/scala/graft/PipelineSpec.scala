@@ -1688,6 +1688,31 @@ class PipelineSpec extends SparkSpec {
       s"winnow window must be doc-partitioned, not global:\n$wp")
   }
 
+  test("ingestWinnow: two-batch union equals batch candidates, exactly once") {
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val all = docs(
+      1L -> s"one two $run three",
+      2L -> s"five six $run seven",          // overlaps 1 (same batch)
+      3L -> s"eight nine $run ten",          // overlaps 1 & 2 (later batch)
+      4L -> "unrelated content with no shared runs at all whatsoever")
+    val dir = java.nio.file.Files.createTempDirectory("winnow_inc").toString
+    val b1 = all.filter(col("doc_id") <= 2)
+    val b2 = all.filter(col("doc_id") > 2)
+    val out1 = rowsOf(graft.pipeline.IncrementalDedup
+      .ingestWinnow(dir, b1, k = 3, w = 4, minShared = 1))
+    val out2 = rowsOf(graft.pipeline.IncrementalDedup
+      .ingestWinnow(dir, b2, k = 3, w = 4, minShared = 1))
+    val batch = rowsOf(TextPipeline.winnowCandidates(all, k = 3, w = 4,
+      minShared = 1))
+    def key(r: Map[String, Any]) = s"${r("doc_a")}|${r("doc_b")}|${r("shared")}"
+    assert((out1 ++ out2).map(key).sorted == batch.map(key).sorted,
+      "union of increments == batch candidates (same shared counts)")
+    assert(out1.map(key).toSet.intersect(out2.map(key).toSet).isEmpty,
+      "no pair emitted twice across ingests")
+    assert(out2.exists(r => r("doc_a") == 1L && r("doc_b") == 3L),
+      "cross-batch pair emitted at the later member's ingest")
+  }
+
   test("winnowCandidates pairs overlapping docs, respects minShared and cap") {
     val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val d = docs(
