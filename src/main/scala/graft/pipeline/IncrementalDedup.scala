@@ -195,6 +195,20 @@ object IncrementalDedup {
       .select(col("doc_id"), col("fp").cast("string").as("bucket")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val store = snapshot(spark, dir, "winnow_keys", keySchema("doc_id"))
+    val result = winnowPairsCore(store, newKeys, minShared, maxDocs)
+      .localCheckpoint(true) // pin results before the store grows
+    newKeys.write.mode("append").parquet(s"$dir/winnow_keys")
+    newKeys.unpersist()
+    result
+  }
+
+  /** The winnow shared-count core shared by [[ingestWinnow]] and the
+    * streaming face ([[graft.streaming.CurationStream.winnowPairs]]):
+    * exact per-pair shared-fingerprint counts over (store × new) ∪
+    * (new × new). */
+  private[graft] def winnowPairsCore(store: DataFrame, newKeys: DataFrame,
+                                     minShared: Long,
+                                     maxDocs: Long): DataFrame = {
     val cappedStore = TextPipeline.capBuckets(store, maxDocs)
     val cappedNew = TextPipeline.capBuckets(newKeys, maxDocs)
     val within = cappedNew.as("a").join(cappedNew.as("b"),
@@ -206,13 +220,9 @@ object IncrementalDedup {
           col("s.doc_id") =!= col("nw.doc_id"))
       .select(least(col("s.doc_id"), col("nw.doc_id")).as("doc_a"),
         greatest(col("s.doc_id"), col("nw.doc_id")).as("doc_b"))
-    val result = within.union(cross)
+    within.union(cross)
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
-      .localCheckpoint(true) // pin results before the store grows
-    newKeys.write.mode("append").parquet(s"$dir/winnow_keys")
-    newKeys.unpersist()
-    result
   }
 
   // ----- span scheme (duplicate k-gram positions) -------------------------

@@ -63,6 +63,53 @@ object CurationStream {
     } finally newKeys.unpersist()
   }
 
+  /** One winnowing micro-batch — [[ingestBatch]]'s twin for the
+    * shared-fingerprint overlap scheme ([[IncrementalDedup.ingestWinnow]]):
+    * same exactly-once discipline (committed-store read with batch_id
+    * self-exclusion, idempotent pair + key commits), with the exact
+    * shared COUNT computed at emission via the shared
+    * [[IncrementalDedup.winnowPairsCore]]. Fingerprints come from the
+    * zero-shuffle native expression, so the per-batch cost is one scan
+    * of the batch plus the store bucket join. */
+  def ingestWinnowBatch(batch: DataFrame, batchId: Long, storeDir: String,
+                        pairsPath: String, k: Int = 5, w: Int = 4,
+                        minShared: Long = 2L, maxDocs: Long = 0L): Boolean = {
+    val spark = batch.sparkSession
+    val keysPath = s"$storeDir/winnow_keys"
+    val newKeys = graft.pipeline.TextPipeline
+      .winnowFingerprintsNative(batch, k, w)
+      .select(col("doc_id"), col("fp").cast("string").as("bucket")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val store = {
+        val committed = ResultSink.readCommitted(spark, keysPath)
+        if (committed.columns.isEmpty) committed
+        else committed.filter(col("batch_id") =!= batchId)
+          .select("doc_id", "bucket")
+      }
+      val storeOrEmpty =
+        if (store.columns.isEmpty) newKeys.filter(lit(false))
+        else store
+      val pairs = IncrementalDedup.winnowPairsCore(storeOrEmpty, newKeys,
+        minShared, maxDocs)
+      val wrote = ResultSink.writeBatchIdempotent(pairs, batchId, pairsPath)
+      ResultSink.writeBatchIdempotent(newKeys, batchId, keysPath)
+      wrote
+    } finally newKeys.unpersist()
+  }
+
+  /** Streaming winnow overlap pairs — wire a streaming docs frame
+    * through [[ingestWinnowBatch]]. */
+  def winnowPairs(docs: DataFrame, storeDir: String, pairsPath: String,
+                  k: Int = 5, w: Int = 4, minShared: Long = 2L,
+                  maxDocs: Long = 0L,
+                  trigger: Trigger = Trigger.ProcessingTime("5 seconds"))
+      : DataStreamWriter[Row] =
+    ResultSink.foreachBatch(docs, trigger) { (b, id) =>
+      ingestWinnowBatch(b, id, storeDir, pairsPath, k, w, minShared, maxDocs)
+      ()
+    }
+
   /** The streaming pipeline: wire a streaming `docs` frame (doc_id,
     * text) through [[ingestBatch]]. Start with `.option(
     * "checkpointLocation", …).start()`; read results any time with

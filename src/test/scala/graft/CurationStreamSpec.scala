@@ -52,6 +52,36 @@ class CurationStreamSpec extends SparkSpec {
       .filter(col("count") > 1).count() == 0L)
   }
 
+  test("streaming winnow pairs equal the batch candidates with exact shared counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val storeDir = tmp("cs_wstore"); val pairsPath = tmp("cs_wpairs")
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = CurationStream.winnowPairs(docs, storeDir, pairsPath,
+      k = 3, w = 4, minShared = 1)
+      .outputMode(OutputMode.Append()).start()
+    val corpus = (0L until 30L).map(i => (i, text(i)))
+    try {
+      val (b1, b2) = corpus.splitAt(11)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = ResultSink.readCommitted(spark, pairsPath)
+      .select("doc_a", "doc_b", "shared").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == got.toSet.size, "duplicate pair emission")
+    val batch = TextPipeline.winnowCandidates(corpus.toDF("doc_id", "text"),
+        k = 3, w = 4, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.toSet == batch, "streaming union != batch (counts included)")
+    // replay of the last batch id is a no-op
+    val before = ResultSink.readCommitted(spark, pairsPath).count()
+    val b2df = corpus.drop(11).toDF("doc_id", "text")
+    assert(!CurationStream.ingestWinnowBatch(b2df, 1L, storeDir, pairsPath,
+      k = 3, w = 4, minShared = 1))
+    assert(ResultSink.readCommitted(spark, pairsPath).count() == before)
+  }
+
   test("a replayed batch id is a no-op: pairs and keys unchanged") {
     val storeDir = tmp("cs_store2"); val pairsPath = tmp("cs_pairs2")
     val b1 = (0L until 10L).map(i => (i, text(i))).toDF("doc_id", "text")
