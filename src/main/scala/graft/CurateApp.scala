@@ -31,6 +31,9 @@ import graft.pipeline.Curation
   * candidate pairs (doc_a, doc_b), and the store grows by the batch's
   * keys. Scheduling one such run per ingest increment reproduces exactly
   * the batch operator's candidate set over the whole corpus.
+  * `--span-store` is the span-level (duplicate k-gram) analogue and
+  * `--winnow-store` the winnowing-overlap one (`--winnow-k/--winnow-w/
+  * --min-shared`; `--max-bucket` caps fingerprint df per branch).
   */
 object CurateApp {
 
@@ -45,6 +48,8 @@ object CurateApp {
       chunkSize: Int = 64, stride: Int = 48,
       compactStore: Option[String] = None,
       spanStore: Option[String] = None, // span-level incremental dedup
+      winnowStore: Option[String] = None, // winnow-overlap incremental dedup
+      winnowK: Int = 5, winnowW: Int = 4, minShared: Long = 2L,
       maxBucket: Long = 0L,
       zorder: Seq[String] = Nil, // multi-dim layout of the output
       zorderBits: Int = 16,
@@ -108,12 +113,15 @@ object CurateApp {
           "--dsir-keep-frac needs --dsir-target")
       case _ => gated
     }
-    (c.compactStore, c.spanStore) match {
-      case (Some(store), _) =>
+    (c.compactStore, c.spanStore, c.winnowStore) match {
+      case (Some(store), _, _) =>
         graft.pipeline.IncrementalDedup.ingest(store, docs, c.n, c.k,
           c.bands, c.maxBucket)
-      case (None, Some(store)) =>
+      case (None, Some(store), _) =>
         graft.pipeline.IncrementalDedup.ingestSpans(store, docs, c.n)
+      case (None, None, Some(store)) =>
+        graft.pipeline.IncrementalDedup.ingestWinnow(store, docs,
+          c.winnowK, c.winnowW, c.minShared, c.maxBucket)
       case _ =>
         val bench = c.benchmark.map(spark.read.parquet(_))
           // no benchmark -> empty eval set -> decontamination is a no-op
@@ -162,6 +170,11 @@ object CurateApp {
       case "--stride" :: v :: t    => loop(t, c.copy(stride = v.toInt))
       case "--compact-store" :: v :: t =>
         loop(t, c.copy(compactStore = Some(v)))
+      case "--winnow-store" :: v :: t =>
+        loop(t, c.copy(winnowStore = Some(v)))
+      case "--winnow-k" :: v :: t  => loop(t, c.copy(winnowK = v.toInt))
+      case "--winnow-w" :: v :: t  => loop(t, c.copy(winnowW = v.toInt))
+      case "--min-shared" :: v :: t => loop(t, c.copy(minShared = v.toLong))
       case "--span-store" :: v :: t =>
         loop(t, c.copy(spanStore = Some(v)))
       case "--max-bucket" :: v :: t => loop(t, c.copy(maxBucket = v.toLong))

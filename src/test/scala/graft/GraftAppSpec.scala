@@ -227,6 +227,30 @@ class GraftAppSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("CurateApp --winnow-store: two increments reproduce the batch overlap pairs") {
+    import spark.implicits._
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, s"one two $run three", "s"), (2L, s"five six $run seven", "s"),
+      (3L, s"eight nine $run ten", "s"), (4L, "nothing shared here at all whatsoever now", "s"))
+    val store = java.nio.file.Files.createTempDirectory("winstore").toString
+    def ingestVia(docs: Seq[(Long, String, String)]): Set[(Long, Long, Long)] = {
+      val in = java.nio.file.Files.createTempDirectory("winin").toString
+      docs.toDF("doc_id", "text", "source").write.mode("overwrite").parquet(in)
+      CurateApp.run(spark, CurateApp.parse(Array(
+          "--input", in, "--winnow-store", store,
+          "--winnow-k", "3", "--min-shared", "1")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val got = ingestVia(corpus.take(2)) ++ ingestVia(corpus.drop(2))
+    val batch = graft.pipeline.TextPipeline
+      .winnowCandidates(corpus.toDF("doc_id", "text", "source"),
+        k = 3, w = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == batch)
+    assert(batch.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("GraftApp end-to-end: dst_ip/flow_id-consuming analytic over wire JSON") {
     val in = java.nio.file.Files.createTempDirectory("appin2").toString
     val out = java.nio.file.Files.createTempDirectory("appout2").toString
