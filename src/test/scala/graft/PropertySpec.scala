@@ -215,4 +215,66 @@ class PropertySpec extends SparkSpec {
       assert(got.toSet == batch, s"cuts=$cuts")
     }
   }
+
+  test("property: native winnow_fp == window reference on random corpora") {
+    import spark.implicits._
+    import graft.pipeline.TextPipeline
+    val wordGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val docGen = Gen.choose(0, 30).flatMap(n =>
+      Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+    val gen = for {
+      texts <- Gen.listOfN(6, docGen)
+      k <- Gen.choose(1, 4); w <- Gen.choose(1, 5)
+    } yield (texts, k, w)
+    forAll(gen, 8) { case (texts, k, w) =>
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val native = TextPipeline.winnowFingerprintsNative(d, k, w)
+      val ref = TextPipeline.winnowFingerprints(d, k, w)
+      assert(native.exceptAll(ref).count() == 0
+        && ref.exceptAll(native).count() == 0, s"k=$k w=$w texts=$texts")
+    }
+  }
+
+  test("property: winnowing guarantee — shared (w+k-1)-token runs share a fingerprint") {
+    import spark.implicits._
+    import graft.pipeline.TextPipeline
+    val (k, w) = (3, 4)
+    val runVocab = Seq("r1", "r2", "r3", "r4", "r5", "r6")
+    val padVocabA = Seq("x1", "x2", "x3")
+    val padVocabB = Seq("y1", "y2", "y3")
+    val gen = for {
+      run <- Gen.listOfN(w + k - 1, Gen.oneOf(runVocab))
+      pa <- Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, Gen.oneOf(padVocabA)))
+      pb <- Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, Gen.oneOf(padVocabB)))
+    } yield (run, pa, pb)
+    forAll(gen, 8) { case (run, pa, pb) =>
+      val d = Seq(
+        1L -> (pa ++ run ++ pa).mkString(" "),
+        2L -> (pb ++ run ++ pb).mkString(" ")).toDF("doc_id", "text")
+      val byDoc = TextPipeline.winnowFingerprintsNative(d, k, w).collect()
+        .groupBy(_.getLong(0))
+        .map { case (id, rs) => id -> rs.map(_.getLong(2)).toSet }
+      assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+        s"run=$run pa=$pa pb=$pb must share a fingerprint")
+    }
+  }
+
+  test("property: kmeansLloyd cost is non-increasing in iterations") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    val vecGen = Gen.listOfN(2, Gen.choose(-50, 50).map(_ / 10.0))
+    val gen = Gen.listOfN(12, vecGen)
+    forAll(gen, 4) { vs =>
+      val d = vs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+        .toDF("vec_id", "embedding")
+      val cost = (t: Int) => Similarity.kmeansLloyd(d, k = 3, iters = t)
+        .agg(sum("dist")).collect().head.getDouble(0)
+      val (c0, c1, c2) = (cost(0), cost(1), cost(2))
+      // 6-dp centroid rounding can perturb by ~1e-5 per point — allow it
+      assert(c1 <= c0 + 1e-3, s"iter1 cost rose: $c0 -> $c1 vs=$vs")
+      assert(c2 <= c1 + 1e-3, s"iter2 cost rose: $c1 -> $c2 vs=$vs")
+    }
+  }
 }
