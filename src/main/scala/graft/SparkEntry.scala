@@ -1008,6 +1008,18 @@ object SparkEntry {
       TextPipeline.tfidfKeywords(Tables.documents(s, dir), k = 5)
         .orderBy("doc_id", "rank")),
 
+    // JSONL ingestion round trip: the documents table serialized to the
+    // crawl-dump interchange format and re-ingested through the explicit-
+    // schema reader must reproduce it exactly (ids carried, source kept)
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      val scratch = runScratch(s, "jsonl_rt")
+      Tables.documents(s, dir)
+        .select(to_json(struct(col("doc_id").as("id"), col("text"),
+          col("source"))).as("value"))
+        .write.mode("overwrite").text(scratch)
+      graft.core.CorpusSource.readJsonl(s, scratch).orderBy("doc_id")
+    }),
+
     "q_dedup_normalized" -> ((s, dir) =>
       TextPipeline.dedupExactNormalized(Tables.documents(s, dir))
         .orderBy("doc_id")),
@@ -3633,6 +3645,10 @@ object SparkEntry {
          |)
          |SELECT doc_id, token, tf, df, tfidf, rank FROM ranked
          |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "q_jsonl_roundtrip" ->
+      """SELECT doc_id, text, source FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_normalized" ->
       """SELECT doc_id, dup_count FROM (

@@ -1569,6 +1569,36 @@ class PipelineSpec extends SparkSpec {
     assert(spark_ == ref)
   }
 
+  test("CorpusSource.readJsonl: good rows in, rejects quarantined, ids derived") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
+    val lines = Seq(
+      """{"id": 1, "text": "carried id and source", "source": "dumpA"}""",
+      """{"text": "no id, no source", "extra": "ignored"}""",
+      """{"id": 3, "text": ""}""",              // empty text -> quarantine
+      """{"id": 4}""",                           // missing text -> quarantine
+      """not json at all {{{""",                 // malformed -> quarantine
+      """{"id": 5, "text": "ok", "source": "dumpB"}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part-0.jsonl"),
+      lines.mkString("\n").getBytes)
+    val good = graft.core.CorpusSource.readJsonl(spark, dir, "fallback")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(good.length == 3)
+    assert(good.contains((1L, "carried id and source", "dumpA")))
+    assert(good.contains((5L, "ok", "dumpB")))
+    val derived = good.find(_._2 == "no id, no source").get
+    assert(derived._3 == "fallback")
+    // content-derived id: the 47-bit fingerprint of source||text, stable
+    val expected = ("" + "no id, no source")
+      .foldLeft(0L)((a, c) => (a * 31 + c) % 140737488355213L)
+    assert(derived._1 == expected)
+    val q = graft.core.CorpusSource.quarantine(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(q.length == 3, s"quarantine: ${q.toSeq}")
+    assert(q.count(_._2 == "malformed_json") == 1)
+    assert(q.count(_._2 == "missing_text") == 2)
+    assert(good.length + q.length == lines.length, "exact split, nothing lost")
+  }
+
   private def vecs(rows: (Long, Seq[Double])*) =
     rows.toSeq.map { case (id, v) => (id, v.map(_.toFloat)) }
       .toDF("vec_id", "embedding")
