@@ -822,7 +822,7 @@ object Similarity {
       if (tileTarget > 0L)
         graft.scale.Skew.tiledPairs(
           inv.withColumn("ck",
-            concat_ws(" ", col("cid").cast("string"), col("shingle"))),
+            concat_ws("\u0000", col("cid").cast("string"), col("shingle"))),
           "doc_id", "ck", tileTarget)
           .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
       else inv.as("a").join(inv.as("b"),
