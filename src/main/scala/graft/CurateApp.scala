@@ -34,6 +34,11 @@ import graft.pipeline.Curation
   * `--span-store` is the span-level (duplicate k-gram) analogue and
   * `--winnow-store` the winnowing-overlap one (`--winnow-k/--winnow-w/
   * --min-shared`; `--max-bucket` caps fingerprint df per branch).
+  *
+  * `--jsonl` reads the input as a crawl-dump JSONL shard set instead of
+  * parquet ([[graft.core.CorpusSource.readJsonl]]); `--quarantine <dir>`
+  * writes the rejects (raw line + reason) as parquet before the
+  * pipeline runs — auditable ingestion, nothing silently dropped.
   */
 object CurateApp {
 
@@ -61,14 +66,24 @@ object CurateApp {
       tokenBudget: Long = 0L, // total-token target for temperature mixing
       dedupLines: Int = 0, // >0 = corpus-wide line dedup (min line chars)
       dsirTarget: Option[String] = None, // DSIR target corpus
-      dsirKeepFrac: Double = 0.0) // >0 = keep top frac by DSIR weight
+      dsirKeepFrac: Double = 0.0, // >0 = keep top frac by DSIR weight
+      jsonl: Boolean = false, // input is JSONL, not parquet
+      quarantine: Option[String] = None) // JSONL reject sink (parquet)
 
   /** Build the curation pipeline frame (lazy — callers choose the sink),
     * or run a compaction increment when `--compact-store` is set (eager
     * by nature: the store append happens here). */
   def run(spark: SparkSession, c: Config): DataFrame = {
     require(c.input.nonEmpty, "need --input <documents parquet>")
-    val raw = spark.read.parquet(c.input)
+    val raw =
+      if (!c.jsonl) spark.read.parquet(c.input)
+      else {
+        // crawl-dump ingestion: rejects are written eagerly (audited,
+        // never silently dropped), good rows flow into the pipeline
+        c.quarantine.foreach(q => graft.core.CorpusSource
+          .quarantine(spark, c.input).write.mode("overwrite").parquet(q))
+        graft.core.CorpusSource.readJsonl(spark, c.input)
+      }
     // optional C4 line cleaning ahead of everything else: cheapest-first
     // stage order — line rules are partition-local, so scrubbing before
     // dedup/decontamination shrinks every later shuffle
@@ -170,6 +185,8 @@ object CurateApp {
       case "--stride" :: v :: t    => loop(t, c.copy(stride = v.toInt))
       case "--compact-store" :: v :: t =>
         loop(t, c.copy(compactStore = Some(v)))
+      case "--jsonl" :: t          => loop(t, c.copy(jsonl = true))
+      case "--quarantine" :: v :: t => loop(t, c.copy(quarantine = Some(v)))
       case "--winnow-store" :: v :: t =>
         loop(t, c.copy(winnowStore = Some(v)))
       case "--winnow-k" :: v :: t  => loop(t, c.copy(winnowK = v.toInt))

@@ -227,6 +227,31 @@ class GraftAppSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("CurateApp --jsonl: crawl-dump ingestion with quarantined rejects") {
+    val in = java.nio.file.Files.createTempDirectory("jsonlin").toString
+    val out = java.nio.file.Files.createTempDirectory("jsonlout").toString
+    val quar = java.nio.file.Files.createTempDirectory("jsonlquar").toString
+    val lines = Seq(
+      """{"id": 1, "text": "alpha beta gamma delta epsilon zeta eta theta", "source": "web"}""",
+      """{"id": 2, "text": "one two three four five six seven eight nine", "source": "web"}""",
+      """garbage that is not json""",
+      """{"id": 3}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(in, "shard-0.jsonl"),
+      lines.mkString("\n").getBytes)
+    // run() rather than main(): main stops its session, which in-process
+    // would kill the shared spec session
+    CurateApp.run(spark, CurateApp.parse(Array("--input", in, "--jsonl",
+        "--quarantine", quar, "--chunk-size", "4", "--stride", "4")))
+      .write.mode("overwrite").parquet(s"$out/chunks")
+    val chunks = spark.read.parquet(s"$out/chunks")
+    assert(chunks.select("doc_id").distinct().count() == 2,
+      "both good docs survive to chunks")
+    val q = spark.read.parquet(quar).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(q == Set(("garbage that is not json", "malformed_json"),
+      ("""{"id": 3}""", "missing_text")))
+  }
+
   test("CurateApp --winnow-store: two increments reproduce the batch overlap pairs") {
     import spark.implicits._
     val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
