@@ -1028,6 +1028,16 @@ object SparkEntry {
       Similarity.kmeansLloyd(Tables.embeddings(s, dir), k = 8, iters = 2)
         .orderBy("vec_id")),
 
+    // margin-based cross-corpus mining: even-id vectors query the odd-id
+    // half — the bitext/aligned-pair miner with hub penalization
+    "q_margin_mine" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.marginNeighbors(
+        e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+        k = 4, minMargin = 1.0)
+        .orderBy("query_id")
+    }),
+
     "q_bm25" -> ((s, dir) =>
       TextPipeline.bm25(Tables.documents(s, dir),
         Seq("spark", "stream", "filter"), topK = 20)
@@ -3656,6 +3666,41 @@ object SparkEntry {
         |  FROM documents GROUP BY md5(trim(regexp_replace(regexp_replace(
         |    lower(text), '[!-/:-@\[-`{-~]', ' ', 'g'), '\s+', ' ', 'g')))
         |) ORDER BY doc_id""".stripMargin,
+
+    "q_margin_mine" ->
+      s"""WITH qa AS (
+         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id % 2 = 0
+         |), cb AS (
+         |  SELECT vec_id AS nbr_id, embedding::DOUBLE[] AS nv
+         |  FROM embeddings WHERE vec_id % 2 = 1
+         |), p AS (
+         |  SELECT query_id, nbr_id, round(${cosSql("qv", "nv")}, 6) AS cosine
+         |  FROM cb CROSS JOIN qa WHERE query_id <> nbr_id
+         |), r AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, nbr_id) AS rq,
+         |    row_number() OVER (PARTITION BY nbr_id
+         |      ORDER BY cosine DESC, query_id) AS rn
+         |  FROM p
+         |), m AS (
+         |  SELECT *,
+         |    avg(CASE WHEN rq <= 4 THEN cosine END)
+         |      OVER (PARTITION BY query_id) AS aq,
+         |    avg(CASE WHEN rn <= 4 THEN cosine END)
+         |      OVER (PARTITION BY nbr_id) AS an
+         |  FROM r
+         |), s AS (
+         |  SELECT query_id, nbr_id, cosine,
+         |    round(cosine / ((aq + an) / 2), 6) AS margin
+         |  FROM m
+         |), t AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY margin DESC, nbr_id) AS rm FROM s
+         |)
+         |SELECT query_id, nbr_id, cosine, margin FROM t
+         |WHERE rm = 1 AND margin >= 1.0 ORDER BY query_id""".stripMargin,
 
     "q_kmeans" ->
       s"""WITH ${kmeansSql(8, 2)}

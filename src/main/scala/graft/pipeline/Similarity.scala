@@ -274,6 +274,55 @@ object Similarity {
       .select("query_id", "nbr_id", "cosine", "rank")
   }
 
+  /** Margin-based cross-corpus pair mining (Artetxe & Schwenk 2019, the
+    * CCMatrix/LASER bitext-mining scorer): for every query vector in `a`
+    * find its best candidate in `b` by the RATIO margin
+    * `cos(x,y) / ((avgTopK(x→B) + avgTopK(y→A)) / 2)` — raw cosine
+    * over-selects "hub" vectors similar to everything; dividing by both
+    * sides' neighborhood density keeps only pairs that are mutually
+    * exceptional. The standard aligned-pair miner for parallel-corpus
+    * construction and cross-corpus dedup.
+    *
+    * Shape: one cross join with the SMALLER side (`a`, the query set)
+    * broadcast — the baseline exact form (at 100 TB, gate the candidate
+    * pairs with [[annIvf]]/[[annLshBanded]] buckets first and feed the
+    * same margin arithmetic; the windows below are unchanged). Both
+    * neighborhood averages are conditional window aggregates over the
+    * pair frame — partitioned by query resp. candidate id, never global.
+    * Cosines are rounded to 6 dp before ranking/averaging so margins are
+    * engine-stable; ties break to the lower id.
+    *
+    * Returns (query_id, nbr_id, cosine, margin) — the arg-max candidate
+    * per query with margin ≥ `minMargin`. */
+  def marginNeighbors(a: DataFrame, b: DataFrame, k: Int = 4,
+                      minMargin: Double = 1.0): DataFrame = {
+    val q = a.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("qv"))
+    val c = b.select(col("vec_id").as("nbr_id"),
+      asDouble(col("embedding")).as("nv"))
+    val perQ = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    val perN = Window.partitionBy("nbr_id")
+      .orderBy(col("cosine").desc, col("query_id").asc)
+    val pairs = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      .withColumn("cosine", round(Vec.cosine(col("qv"), col("nv")), 6))
+      .withColumn("rq", row_number().over(perQ))
+      .withColumn("rn", row_number().over(perN))
+    val avgQ = avg(when(col("rq") <= k, col("cosine")))
+      .over(Window.partitionBy("query_id"))
+    val avgN = avg(when(col("rn") <= k, col("cosine")))
+      .over(Window.partitionBy("nbr_id"))
+    pairs
+      .withColumn("margin",
+        round(col("cosine") / ((avgQ + avgN) / 2.0), 6))
+      // the paper's "max" strategy: per query keep the best candidate BY
+      // MARGIN (argmax cosine differs when candidate hubness varies)
+      .withColumn("rm", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("margin").desc, col("nbr_id").asc)))
+      .filter(col("rm") === 1 && col("margin") >= minMargin)
+      .select("query_id", "nbr_id", "cosine", "margin")
+  }
+
   /** Distributed Lloyd k-means over the embedding column — pure
     * DataFrame per iteration: one corpus pass assigns every vector to its
     * nearest centroid (the k×d centroid table rides into the plan as

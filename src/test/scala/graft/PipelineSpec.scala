@@ -1603,6 +1603,56 @@ class PipelineSpec extends SparkSpec {
     rows.toSeq.map { case (id, v) => (id, v.map(_.toFloat)) }
       .toDF("vec_id", "embedding")
 
+  test("marginNeighbors matches an independent reference; hub candidates penalized") {
+    val as = Seq(0L -> Seq(1.0, 0.1, 0.0), 2L -> Seq(0.0, 1.0, 0.2),
+      4L -> Seq(0.5, 0.5, 0.7), 6L -> Seq(0.2, 0.1, 1.0))
+    val bs = Seq(1L -> Seq(0.9, 0.2, 0.1), 3L -> Seq(0.1, 0.9, 0.3),
+      5L -> Seq(0.6, 0.6, 0.6), 7L -> Seq(0.1, 0.2, 0.9))
+    val k = 2
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val n = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      math.rint(d / n * 1e6) / 1e6
+    }
+    val cosMap = (for ((qi, qv) <- as; (ni, nv) <- bs)
+      yield (qi, ni) -> cos(qv, nv)).toMap
+    def topAvg(center: Long, others: Seq[Long], get: Long => Double) =
+      others.map(o => (get(o), o)).sortBy { case (c, o) => (-c, o) }
+        .take(k).map(_._1).sum / k
+    val ref = as.map { case (qi, _) =>
+      val aq = topAvg(qi, bs.map(_._1), o => cosMap((qi, o)))
+      val best = bs.map { case (ni, _) =>
+        val an = topAvg(ni, as.map(_._1), o => cosMap((o, ni)))
+        val m = math.rint(cosMap((qi, ni)) / ((aq + an) / 2) * 1e6) / 1e6
+        (m, ni)
+      }.sortBy { case (m, ni) => (-m, ni) }.head
+      (qi, best._2, best._1)
+    }.filter(_._3 >= 1.0).map { case (q, n, m) => (q, n) }.toSet
+    val got = Similarity.marginNeighbors(
+      as.map { case (i, v) => (i, v.map(_.toFloat)) }.toDF("vec_id", "embedding"),
+      bs.map { case (i, v) => (i, v.map(_.toFloat)) }.toDF("vec_id", "embedding"),
+      k = k, minMargin = 1.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == ref, s"got=$got ref=$ref")
+
+    // hub penalization: the hub is the TOP raw-cosine candidate for both
+    // queries (0.970 vs the dedicated twins' 0.922), but its high
+    // neighborhood average halves its margin — each query mines its
+    // dedicated twin, which argmax-cosine would never return
+    val qs = Seq(0L -> Seq(1.0, 0.25), 2L -> Seq(1.0, -0.25))
+    val cands = Seq(
+      1L -> Seq(1.0, 0.0),    // hub: cos ~0.970 with BOTH queries
+      3L -> Seq(0.8, 0.6),    // dedicated to q0: cos ~0.922 (< hub!)
+      5L -> Seq(0.8, -0.6))   // dedicated to q2: cos ~0.922 (< hub!)
+    val out = Similarity.marginNeighbors(
+      qs.map { case (i, v) => (i, v.map(_.toFloat)) }.toDF("vec_id", "embedding"),
+      cands.map { case (i, v) => (i, v.map(_.toFloat)) }.toDF("vec_id", "embedding"),
+      k = 2, minMargin = 0.0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 3L, 2L -> 5L),
+      s"each query must mine its dedicated twin, not the hub: $out")
+  }
+
   test("kmeansLloyd separates well-spaced blobs and reports nearest-centroid dist") {
     val d = vecs(
       0L -> Seq(0.0, 0.0), 1L -> Seq(10.0, 10.0),
