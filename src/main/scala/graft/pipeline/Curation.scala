@@ -777,19 +777,28 @@ object Curation {
     graft.core.Cached(w, backing: _*)
   }
 
+  /** (doc_id [, extras], bucket) rows of the hashed unigram+bigram DSIR
+    * feature space — the NATIVE tier: one codegen'd shingle+hash pass
+    * per document, and the explode fans out 8-byte hashes instead of
+    * gram strings. Values are identical to the
+    * `tokens`/`shinglesFromTokens`/`fingerprint` composite chain
+    * (wordShingles and polyHash47 are spec-pinned equal to the
+    * composites, and `fingerprint` IS the per-element polyHash47
+    * formula), so the DSIR/NB oracles are unchanged. */
+  private def hashedGramBuckets(d: DataFrame, buckets: Int,
+                                extra: Seq[String] = Nil): DataFrame = {
+    import graft.expressions.TextExpressions.{polyHash47, wordShingles}
+    val hashes = polyHash47(concat(
+      wordShingles(col("text"), 1), wordShingles(col("text"), 2)))
+    d.select(col("doc_id") +: extra.map(col) :+ explode(hashes).as("h"): _*)
+      .select(col("doc_id") +: extra.map(col) :+
+        pmod(col("h"), lit(buckets.toLong)).as("bucket"): _*)
+  }
+
   private def dsirWeightsImpl(docs: DataFrame, target: DataFrame,
                               raw: DataFrame, buckets: Int)
       : (DataFrame, Seq[DataFrame]) = {
-    def grams(d: DataFrame) = {
-      val toks = TextFunctions.tokens(col("text"))
-      d.select(col("doc_id"),
-        explode(concat(toks, TextFunctions.shinglesFromTokens(toks, 2)))
-          .as("gram"))
-    }
-    def docBuckets(d: DataFrame) = grams(d)
-      .select(col("doc_id"),
-        pmod(TextFunctions.fingerprint(col("gram")), lit(buckets.toLong))
-          .as("bucket"))
+    def docBuckets(d: DataFrame) = hashedGramBuckets(d, buckets)
     val shareCorpusPass = raw eq docs
     val db =
       if (shareCorpusPass)
@@ -1105,13 +1114,8 @@ object Curation {
     */
   def nbClassify(docs: DataFrame, labelCol: String = "source",
                  testMod: Int = 5, buckets: Int = 1024): DataFrame = {
-    val toks = TextFunctions.tokens(col("text"))
-    val feats = docs.select(col("doc_id"), col(labelCol).as("__label"),
-        explode(concat(toks, TextFunctions.shinglesFromTokens(toks, 2)))
-          .as("gram"))
-      .select(col("doc_id"), col("__label"),
-        pmod(TextFunctions.fingerprint(col("gram")), lit(buckets.toLong))
-          .as("bucket"))
+    val feats = hashedGramBuckets(
+      docs.withColumn("__label", col(labelCol)), buckets, Seq("__label"))
     val train = feats.filter(col("doc_id") % testMod =!= 0)
 
     val classes = docs.filter(col("doc_id") % testMod =!= 0)
