@@ -109,11 +109,14 @@ object Curation {
     * no persist at all, and identical twin subtrees dedupe via exchange
     * reuse. Left join back so gram-less documents keep zeros. */
   def repetitionStats(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-    val grams = toks.select(col("doc_id"),
-      explode(concat(col("toks"),
-        TextFunctions.shinglesFromTokens(col("toks"), 2))).as("gram"))
+    // native shingle production (values spec-pinned equal to the
+    // tokens/shinglesFromTokens composites); grams stay STRINGS — they
+    // are the group keys and the oracle groups the same strings
+    val grams = docs.select(col("doc_id"),
+      explode(concat(
+        graft.expressions.TextExpressions.wordShingles(col("text"), 1),
+        graft.expressions.TextExpressions.wordShingles(col("text"), 2)))
+        .as("gram"))
     val stats = grams
       .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
       .withColumn("is2", col("gram").contains(" "))
@@ -173,7 +176,7 @@ object Curation {
   def chunk(docs: DataFrame, chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize >= 1 && stride >= 1, "chunkSize and stride must be >= 1")
     val toks = docs
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), graft.expressions.TextExpressions.wordShingles(col("text"), 1).as("toks"))
       .filter(size(col("toks")) > 0)
     // integer chunk count: 1 + ceil(max(n - chunkSize, 0) / stride)
     val extra = greatest(size(col("toks")) - chunkSize, lit(0))
@@ -213,7 +216,7 @@ object Curation {
   def packSequences(docs: DataFrame, seqLen: Int): DataFrame = {
     require(seqLen > 0, "packSequences needs a positive seqLen")
     val counted = docs.select(col("doc_id"),
-      size(TextFunctions.tokens(col("text"))).cast("long").as("n_toks"))
+      size(graft.expressions.TextExpressions.wordShingles(col("text"), 1)).cast("long").as("n_toks"))
     graft.scale.Ids.prefixSum(counted, Seq("doc_id"), col("n_toks"),
         "tok_start")
       .withColumn("seq_first", expr(s"tok_start div $seqLen"))
@@ -259,7 +262,7 @@ object Curation {
   def shardByTokens(docs: DataFrame, nShards: Int): DataFrame = {
     require(nShards > 0, "shardByTokens needs a positive shard count")
     val counted = docs.select(col("doc_id"),
-      size(TextFunctions.tokens(col("text"))).cast("long").as("n_toks"))
+      size(graft.expressions.TextExpressions.wordShingles(col("text"), 1)).cast("long").as("n_toks"))
     val (offs, total) = graft.scale.Ids.prefixSumWithTotal(
       counted, Seq("doc_id"), col("n_toks"), "tok_start")
     offs.withColumn("shard",
@@ -880,7 +883,7 @@ object Curation {
 
   def unigramNll(docs: DataFrame, reference: DataFrame): DataFrame = {
     val lm = reference
-      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .select(explode(graft.expressions.TextExpressions.wordShingles(col("text"), 1)).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
     // coalesce: sum over an EMPTY reference is null, and a null total
     // would silently null every score instead of degrading to uniform
@@ -888,7 +891,7 @@ object Curation {
       count(lit(1)).as("vocab"))
     docs
       .select(col("doc_id"),
-        explode(TextFunctions.tokens(col("text"))).as("token"))
+        explode(graft.expressions.TextExpressions.wordShingles(col("text"), 1)).as("token"))
       .join(lm, Seq("token"), "left")
       .na.fill(0L, Seq("cnt"))
       .crossJoin(broadcast(totals))
@@ -914,7 +917,7 @@ object Curation {
                        watermark: String = "1 hour",
                        windowLen: String = "1 minute"): DataFrame = {
     val lm = reference
-      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .select(explode(graft.expressions.TextExpressions.wordShingles(col("text"), 1)).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
     val t = lm.agg(coalesce(sum("cnt"), lit(0L)).as("total"),
       count(lit(1)).as("vocab")).head()
@@ -922,7 +925,7 @@ object Curation {
     docs
       .withWatermark("event_time", watermark)
       .select(col("doc_id"), col("event_time"),
-        explode(TextFunctions.tokens(col("text"))).as("token"))
+        explode(graft.expressions.TextExpressions.wordShingles(col("text"), 1)).as("token"))
       .join(broadcast(lm), Seq("token"), "left")
       .na.fill(0L, Seq("cnt"))
       .withColumn("nll_u",
