@@ -120,7 +120,7 @@ object TextPipeline {
       .groupBy("doc_id").agg(sort_array(collect_set("tp")).as("rm"))
     graft.core.Cached(
       docs.join(rm, Seq("doc_id"), "left")
-        .withColumn("__toks", TextFunctions.tokens(col("text")))
+        .withColumn("__toks", graft.expressions.TextExpressions.wordShingles(col("text"), 1))
         .withColumn("__rm", coalesce(col("rm"), array().cast("array<int>")))
         .select(col("doc_id"),
           when(size(col("__toks")) === 0, lit("")).otherwise(
@@ -186,7 +186,7 @@ object TextPipeline {
   def docStats(docs: DataFrame, stopwords: Seq[String] = defaultStopwords): DataFrame =
     docs
       .select(col("doc_id"), col("text"),
-        TextFunctions.tokens(col("text")).as("toks"),
+        graft.expressions.TextExpressions.wordShingles(col("text"), 1).as("toks"),
         TextFunctions.punctRatio(col("text")).as("punct_raw"))
       .withColumn("stop_raw",
         TextFunctions.stopwordRatioFromTokens(col("toks"), stopwords))
@@ -459,7 +459,7 @@ object TextPipeline {
     * vocabularies at 100 TB use the approx_top_k sketch path
     * (DnsStatistics.applyApprox shows the swap). */
   def vocab(docs: DataFrame, topK: Int = 100): DataFrame =
-    docs.select(explode(TextFunctions.tokens(col("text"))).as("token"))
+    docs.select(explode(graft.expressions.TextExpressions.wordShingles(col("text"), 1)).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token").asc).limit(topK)
 
@@ -481,7 +481,7 @@ object TextPipeline {
     * table (counts approximate, tie order sketch-dependent — never
     * assert a cut against the exact path). */
   def vocabApprox(docs: DataFrame, topK: Int = 100): DataFrame =
-    docs.select(explode(TextFunctions.tokens(col("text"))).as("token"))
+    docs.select(explode(graft.expressions.TextExpressions.wordShingles(col("text"), 1)).as("token"))
       .agg(expr(s"approx_top_k(token, $topK)").as("top"))
       .select(explode(col("top")).as("e"))
       .select(col("e.item").as("token"), col("e.count").as("cnt"))
@@ -501,7 +501,7 @@ object TextPipeline {
     * `minDf` drops hapax noise before the join when > 1. */
   def tfidfKeywords(docs: DataFrame, k: Int = 5, minDf: Long = 1L): DataFrame = {
     val tf = docs.select(col("doc_id"),
-        explode(TextFunctions.tokens(col("text"))).as("token"))
+        explode(graft.expressions.TextExpressions.wordShingles(col("text"), 1)).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
@@ -526,7 +526,7 @@ object TextPipeline {
     val pairs = when(length(col("w")) < 2, array())
       .otherwise(transform(sequence(lit(1), length(col("w")) - 1),
         i => col("w").substr(i, lit(2))))
-    docs.select(explode(TextFunctions.tokens(col("text"))).as("w"))
+    docs.select(explode(graft.expressions.TextExpressions.wordShingles(col("text"), 1)).as("w"))
       .select(explode(pairs).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("pair").asc).limit(topK)
@@ -554,7 +554,7 @@ object TextPipeline {
   def bpeTrain(docs: DataFrame, numMerges: Int,
                minPairCount: Long = 2L): Seq[(String, Long)] = {
     val words = docs
-      .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+      .select(explode(graft.expressions.TextExpressions.wordShingles(col("text"), 1)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
@@ -592,7 +592,7 @@ object TextPipeline {
   /** Heuristic language ID over the text column (tokens materialized). */
   def langId(docs: DataFrame, profiles: Map[String, Seq[String]]): DataFrame =
     docs
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), graft.expressions.TextExpressions.wordShingles(col("text"), 1).as("toks"))
       .select(col("doc_id"),
         TextFunctions.langIdFromTokens(col("toks"), profiles).as("lang_guess"))
 
@@ -615,7 +615,7 @@ object TextPipeline {
   def bm25(docs: DataFrame, queryTerms: Seq[String], k1: Double = 1.2,
            b: Double = 0.75, topK: Int = 20): DataFrame = {
     require(queryTerms.nonEmpty, "bm25: queryTerms must be non-empty")
-    val toks = docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val toks = docs.select(col("doc_id"), graft.expressions.TextExpressions.wordShingles(col("text"), 1).as("toks"))
       .withColumn("dl", size(col("toks")))
     val stats = toks.agg(count(lit(1)).as("n_docs"),
       avg(col("dl").cast("double")).as("avgdl"))
