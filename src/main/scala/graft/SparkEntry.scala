@@ -944,6 +944,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // two-stage refined search: ADC ranks 10 candidates, exact cosine
+    // over full vectors re-ranks the candidate set to the final top-5
+    "q_embed_ann_refine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      pipeline.IvfPqIndex.build(emb, nlist = 10, m = 4, ksub = 16)
+        .searchRefined(emb.filter(col("vec_id") < 10), emb,
+          nprobe = 3, kCandidates = 10, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // incremental add: drop half the codes, re-encode that half through
     // append() against the FROZEN quantizer/codebook — search must be
     // bit-identical to the monolithic index (same oracle)
@@ -1201,6 +1211,46 @@ object SparkEntry {
        |    sel // 65536 AS fp
        |  FROM m WHERE gpos >= ${w - 1}
        |)""".stripMargin
+
+  /** The IVF-PQ ADC candidate CTE chain (deterministic sample quantizer,
+    * coarse assignment, probes, per-sub query tables, fixed-point ADC) —
+    * shared by the plain, index, append, and REFINED ivfpq oracles. Ends
+    * with the `adc(query_id, nbr_id, d2u)` CTE. */
+  private def adcCtes(): String =
+    s"""$eCte, ${pqAsgCtes()}, c2 AS (
+         |  SELECT vec_id AS cid, v AS cv FROM e
+         |  ORDER BY (vec_id % 1048576 * 2654435761 + 40503) % 1048576, vec_id
+         |  LIMIT 10
+         |), coarse AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c2.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosSql("e.v", "c2.cv")}, 6) DESC, c2.cid ASC) AS rn
+         |    FROM e, c2) WHERE rn = 1
+         |), probes AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT e.vec_id AS query_id, c2.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosSql("e.v", "c2.cv")}, 6) DESC, c2.cid ASC) AS crn
+         |    FROM e, c2 WHERE e.vec_id < 10) WHERE crn <= 3
+         |), qs AS (
+         |  SELECT e.vec_id AS query_id, CAST(s.sub AS BIGINT) AS sub,
+         |    v[CAST(s.sub * (len(v) // 4) + 1 AS INT):CAST(CASE WHEN s.sub = 3 THEN len(v) ELSE (s.sub + 1) * (len(v) // 4) END AS INT)] AS sv
+         |  FROM e, (SELECT unnest(range(0, 4)) AS sub) s
+         |  WHERE e.vec_id < 10
+         |), qt AS (
+         |  SELECT qs.query_id, qs.sub, cb.code,
+         |    CAST(round(${l2Sql("qs.sv", "cb.csv")} * 1000000.0) AS BIGINT) AS qd2u
+         |  FROM qs JOIN cb ON cb.sub = qs.sub
+         |), adc AS (
+         |  SELECT qt.query_id, asg.vec_id AS nbr_id, sum(qt.qd2u) AS d2u
+         |  FROM asg
+         |  JOIN coarse ON coarse.vec_id = asg.vec_id
+         |  JOIN probes ON probes.cid = coarse.cid
+         |  JOIN qt ON qt.query_id = probes.query_id
+         |         AND qt.sub = asg.sub AND qt.code = asg.code
+         |  GROUP BY qt.query_id, asg.vec_id
+         |)""".stripMargin
 
   /** Lloyd k-means CTE chain — the SQL twin of
     * [[graft.pipeline.Similarity.kmeansLloyd]]: deterministic lowest-id
@@ -3481,40 +3531,7 @@ object SparkEntry {
          |ORDER BY query_id, rank""".stripMargin,
 
     "q_embed_ann_ivfpq" ->
-      s"""WITH $eCte, ${pqAsgCtes()}, c2 AS (
-         |  SELECT vec_id AS cid, v AS cv FROM e
-         |  ORDER BY (vec_id % 1048576 * 2654435761 + 40503) % 1048576, vec_id
-         |  LIMIT 10
-         |), coarse AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT e.vec_id, c2.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY round(${cosSql("e.v", "c2.cv")}, 6) DESC, c2.cid ASC) AS rn
-         |    FROM e, c2) WHERE rn = 1
-         |), probes AS (
-         |  SELECT query_id, cid FROM (
-         |    SELECT e.vec_id AS query_id, c2.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY round(${cosSql("e.v", "c2.cv")}, 6) DESC, c2.cid ASC) AS crn
-         |    FROM e, c2 WHERE e.vec_id < 10) WHERE crn <= 3
-         |), qs AS (
-         |  SELECT e.vec_id AS query_id, CAST(s.sub AS BIGINT) AS sub,
-         |    v[CAST(s.sub * (len(v) // 4) + 1 AS INT):CAST(CASE WHEN s.sub = 3 THEN len(v) ELSE (s.sub + 1) * (len(v) // 4) END AS INT)] AS sv
-         |  FROM e, (SELECT unnest(range(0, 4)) AS sub) s
-         |  WHERE e.vec_id < 10
-         |), qt AS (
-         |  SELECT qs.query_id, qs.sub, cb.code,
-         |    CAST(round(${l2Sql("qs.sv", "cb.csv")} * 1000000.0) AS BIGINT) AS qd2u
-         |  FROM qs JOIN cb ON cb.sub = qs.sub
-         |), adc AS (
-         |  SELECT qt.query_id, asg.vec_id AS nbr_id, sum(qt.qd2u) AS d2u
-         |  FROM asg
-         |  JOIN coarse ON coarse.vec_id = asg.vec_id
-         |  JOIN probes ON probes.cid = coarse.cid
-         |  JOIN qt ON qt.query_id = probes.query_id
-         |         AND qt.sub = asg.sub AND qt.code = asg.code
-         |  GROUP BY qt.query_id, asg.vec_id
-         |)
+      s"""WITH ${adcCtes()}
          |SELECT query_id, nbr_id, round(d2u / 1000000.0, 6) AS approx_d2,
          |  CAST(rank AS INT) AS rank
          |FROM (
@@ -3522,6 +3539,28 @@ object SparkEntry {
          |    PARTITION BY query_id ORDER BY d2u ASC, nbr_id ASC) AS rank
          |  FROM adc WHERE query_id <> nbr_id)
          |WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // two-stage: ADC ranks kCandidates=10 cheaply, the candidate set is
+    // re-ranked by EXACT cosine over the full vectors (FAISS refine)
+    "q_embed_ann_refine" ->
+      s"""WITH ${adcCtes()}, cand AS (
+         |  SELECT query_id, nbr_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY d2u ASC, nbr_id ASC) AS rank
+         |    FROM adc WHERE query_id <> nbr_id)
+         |  WHERE rank <= 10
+         |), refined AS (
+         |  SELECT cand.query_id, cand.nbr_id,
+         |    round(${cosSql("qe.v", "ne.v")}, 4) AS cosine
+         |  FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+         |            JOIN e ne ON ne.vec_id = cand.nbr_id
+         |)
+         |SELECT query_id, nbr_id, cosine, CAST(rank AS INT) AS rank FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rank
+         |  FROM refined)
+         |WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
 
     "q_embed_ann_ivfpq_res" ->

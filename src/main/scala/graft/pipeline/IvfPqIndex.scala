@@ -101,6 +101,33 @@ final case class IvfPqIndex(centroids: DataFrame, codebook: DataFrame,
       .filter(col("rank") <= k)
       .select("query_id", "nbr_id", "approx_d2", "rank")
   }
+
+  /** Two-stage search (the FAISS refine pattern, IndexRefineFlat): the
+    * probe-limited ADC pass ranks `kCandidates` per query cheaply over
+    * the compressed codes, then ONLY that candidate set — Q·kCandidates
+    * id pairs, never the corpus — joins back to the full-precision
+    * vectors for exact-cosine re-ranking. Compression error can still
+    * cost RECALL (a true neighbor the ADC pass never surfaces stays
+    * lost), but the returned order and scores are exact. The candidate
+    * frame (with query vectors attached) broadcasts into the embedding
+    * scan, so the refine stage adds no shuffle of the corpus. */
+  def searchRefined(queries: DataFrame, embeddings: DataFrame,
+                    nprobe: Int, kCandidates: Int, k: Int): DataFrame = {
+    val cand = search(queries, nprobe, kCandidates)
+      .select("query_id", "nbr_id")
+    val q = queries.select(col("vec_id").as("query_id"),
+      Similarity.asDouble(col("embedding")).as("qvec"))
+    val full = embeddings.select(col("vec_id").as("nbr_id"),
+      Similarity.asDouble(col("embedding")).as("nvec"))
+    full.join(broadcast(cand.join(broadcast(q), Seq("query_id"))),
+        Seq("nbr_id"))
+      .withColumn("cosine", round(Vec.cosine(col("qvec"), col("nvec")), 4))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("nbr_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "cosine", "rank")
+  }
 }
 
 object IvfPqIndex {

@@ -636,6 +636,35 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"))
   }
 
+  test("searchRefined: exact order over the ADC candidate set; exhaustive candidates == brute force") {
+    import graft.pipeline.{IvfPqIndex, Similarity}
+    val emb = (0L until 120L).map { i =>
+      (i, (0 until 16).map(d => ((i * 31 + d * 7) % 13 - 6).toFloat / 6f))
+    }.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 5)
+    val idx = IvfPqIndex.build(emb, nlist = 8, m = 4, ksub = 8)
+    // refined top-k == exact-cosine re-rank of the ADC candidate list
+    val cand = idx.search(queries, nprobe = 3, k = 10)
+      .select("query_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refined = idx.searchRefined(queries, emb,
+      nprobe = 3, kCandidates = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(refined.forall { case (q, n, _, _) => cand((q, n)) },
+      "refined results must come from the candidate set")
+    val exact = Similarity.knnBruteForce(emb, queries, k = 119).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(refined.forall { case (q, n, c, _) => exact((q, n)) == c },
+      "refined scores are the EXACT cosines, not ADC approximations")
+    // with every list probed and candidates covering the corpus, the
+    // refine stage IS brute-force knn
+    val fullRefine = idx.searchRefined(queries, emb,
+      nprobe = 8, kCandidates = 119, k = 5)
+    val brute = Similarity.knnBruteForce(emb, queries, k = 5)
+    assert(fullRefine.exceptAll(brute).isEmpty &&
+      brute.exceptAll(fullRefine).isEmpty)
+  }
+
   test("IvfPqIndex: append encodes against frozen tables — equals monolithic; appendTo grows a saved index") {
     import graft.pipeline.{IvfPqIndex, Similarity}
     val emb = (0L until 120L).map { i =>
