@@ -539,6 +539,13 @@ object SparkEntry {
         .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "component")))
         .orderBy("vec_id", "j")),
 
+    // chunk->document pooling stand-in: dimension-wise mean embedding
+    // per label class, emitted in long form for the oracle
+    "q_embed_meanpool" -> ((s, dir) =>
+      Projection.meanPool(Tables.embeddings(s, dir), groupCol = "label")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .orderBy("label", "pos")),
+
     // one-pass scatter-matrix covariance: per-row outer product combined
     // MAP-SIDE — the shuffle carries tasks × d² partial cells, not N·d²
     "q_embed_cov" -> ((s, dir) =>
@@ -2808,6 +2815,15 @@ object SparkEntry {
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
          |SELECT e.vec_id, s.j, round(${dotSql("srow", "v")} / sqrt(16.0), 6) AS component
          |FROM e CROSS JOIN s ORDER BY vec_id, j""".stripMargin,
+
+    "q_embed_meanpool" ->
+      """WITH x AS (
+        |  SELECT label, unnest(embedding::DOUBLE[]) AS v,
+        |    generate_subscripts(embedding, 1) - 1 AS pos
+        |  FROM embeddings
+        |)
+        |SELECT label, CAST(pos AS INT) AS pos, round(avg(v), 6) AS v
+        |FROM x GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
 
     // sample covariance of the embedding columns — covar_samp is
     // algebraically the engine's (Σxy − ΣxΣy/n)/(n−1); round(6) absorbs

@@ -104,6 +104,21 @@ object Projection {
     * d of those cells' marginals would, but are cheaper recomputed from a
     * second slim posexplode of the (already pruned) vector column.
     */
+  /** Dimension-wise mean pooling of embeddings by a group column — the
+    * chunk→document (or doc→source/label) embedding aggregation step: a
+    * long document is embedded per chunk, and retrieval/dedup over whole
+    * documents wants one pooled vector. One posexplode + (group, dim)
+    * hash aggregate (map-side combinable — a million-chunk group
+    * collapses per task) and a per-group sorted re-assembly; means are
+    * rounded to 6 dp so re-assembled vectors are engine-stable. */
+  def meanPool(vecs: DataFrame, groupCol: String = "doc_id"): DataFrame =
+    vecs.select(col(groupCol), posexplode(col("embedding").cast("array<double>")))
+      .groupBy(col(groupCol), col("pos")).agg(round(avg("col"), 6).as("m"))
+      .groupBy(col(groupCol)).agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("embedding"),
+        count(lit(1)).as("dims"))
+
   def covarianceMatrix(embeddings: DataFrame): DataFrame = {
     val e = embeddings.select(col("embedding").cast("array<double>").as("v"))
     val d = size(col("v"))

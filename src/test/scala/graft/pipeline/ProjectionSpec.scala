@@ -198,4 +198,16 @@ class ProjectionSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"centroid table should broadcast:\n$plan")
   }
+
+  test("meanPool: dimension-wise group means, groups independent") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f), "a"), (2L, Seq(3.0f, 4.0f, 7.0f), "a"),
+      (3L, Seq(10.0f, 0.0f, -2.0f), "b"))
+      .toDF("vec_id", "embedding", "label")
+    val out = Projection.meanPool(d, groupCol = "label").collect()
+      .map(r => r.getString(0) -> (r.getSeq[Double](1), r.getLong(2))).toMap
+    assert(out("a")._1 == Seq(2.0, 3.0, 5.0) && out("a")._2 == 3L)
+    assert(out("b")._1 == Seq(10.0, 0.0, -2.0))
+  }
 }
