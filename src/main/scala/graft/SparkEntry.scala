@@ -1045,6 +1045,16 @@ object SparkEntry {
       Similarity.kmeansLloyd(Tables.embeddings(s, dir), k = 8, iters = 2)
         .orderBy("vec_id")),
 
+    // LSH-gated margin mining — the at-scale form: candidates from the
+    // band-bucket equi-join, identical margin arithmetic over them
+    "q_margin_mine_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.marginNeighborsLsh(
+        e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+        planes = 16, bands = 4, k = 4, minMargin = 1.0)
+        .orderBy("query_id")
+    }),
+
     // margin-based cross-corpus mining: even-id vectors query the odd-id
     // half — the bitext/aligned-pair miner with hub penalization
     "q_margin_mine" -> ((s, dir) => {
@@ -1364,11 +1374,12 @@ object SparkEntry {
 
   /** q_embed_ann_lsh_banded oracle, optionally with the bucket cap
     * engaged — one builder for both rows so they can't drift. */
-  private def lshBandedOracle(maxBucket: Long): String = {
-    val (capCte, bkt) =
-      if (maxBucket <= 0L) ("", "bk")
-      else (", " + capBucketsSql("bk", "vec_id", maxBucket), "bkc")
-    s"""WITH e AS (
+  /** Sign-LSH bucket CTE chain (16 planes, 4 bands — the lshBucket
+    * derivation in SQL): `e` (id, v) → `s` (sign string) → `bk`
+    * (id, bucket). Shared by the banded-ANN and the LSH-gated margin
+    * oracles. */
+  private val lshBucketCtes: String =
+    s"""e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |), s AS (
        |  SELECT vec_id, list_reduce(list_transform(range(0, 16), pl ->
@@ -1384,7 +1395,13 @@ object SparkEntry {
        |    CAST(b AS VARCHAR) || '_' || substr(signs, CAST(b * 4 + 1 AS INT), 4)))
        |    AS bucket
        |  FROM s
-       |)$capCte, pairs AS (
+       |)""".stripMargin
+
+  private def lshBandedOracle(maxBucket: Long): String = {
+    val (capCte, bkt) =
+      if (maxBucket <= 0L) ("", "bk")
+      else (", " + capBucketsSql("bk", "vec_id", maxBucket), "bkc")
+    s"""WITH $lshBucketCtes$capCte, pairs AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
        |  FROM $bkt a JOIN $bkt c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
        |)
@@ -3722,6 +3739,41 @@ object SparkEntry {
         |    lower(text), '[!-/:-@\[-`{-~]', ' ', 'g'), '\s+', ' ', 'g')))
         |) ORDER BY doc_id""".stripMargin,
 
+    "q_margin_mine_lsh" ->
+      s"""WITH $lshBucketCtes, cand AS (
+         |  SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS nbr_id
+         |  FROM bk a JOIN bk c ON a.bucket = c.bucket
+         |  WHERE a.vec_id % 2 = 0 AND c.vec_id % 2 = 1
+         |), p0 AS (
+         |  SELECT cand.query_id, cand.nbr_id,
+         |    round(${cosSql("qe.v", "ne.v")}, 6) AS cosine
+         |  FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+         |            JOIN e ne ON ne.vec_id = cand.nbr_id
+         |), p AS (SELECT * FROM p0 WHERE cosine > 0), r AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, nbr_id) AS rq,
+         |    row_number() OVER (PARTITION BY nbr_id
+         |      ORDER BY cosine DESC, query_id) AS rn
+         |  FROM p
+         |), m AS (
+         |  SELECT *,
+         |    avg(CASE WHEN rq <= 4 THEN cosine END)
+         |      OVER (PARTITION BY query_id) AS aq,
+         |    avg(CASE WHEN rn <= 4 THEN cosine END)
+         |      OVER (PARTITION BY nbr_id) AS an
+         |  FROM r
+         |), sm AS (
+         |  SELECT query_id, nbr_id, cosine,
+         |    round(cosine / ((aq + an) / 2), 6) AS margin
+         |  FROM m
+         |), t AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY margin DESC, nbr_id) AS rm FROM sm
+         |)
+         |SELECT query_id, nbr_id, cosine, margin FROM t
+         |WHERE rm = 1 AND margin >= 1.0 ORDER BY query_id""".stripMargin,
+
     "q_margin_mine" ->
       s"""WITH qa AS (
          |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -3729,10 +3781,10 @@ object SparkEntry {
          |), cb AS (
          |  SELECT vec_id AS nbr_id, embedding::DOUBLE[] AS nv
          |  FROM embeddings WHERE vec_id % 2 = 1
-         |), p AS (
+         |), p0 AS (
          |  SELECT query_id, nbr_id, round(${cosSql("qv", "nv")}, 6) AS cosine
          |  FROM cb CROSS JOIN qa WHERE query_id <> nbr_id
-         |), r AS (
+         |), p AS (SELECT * FROM p0 WHERE cosine > 0), r AS (
          |  SELECT *,
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY cosine DESC, nbr_id) AS rq,

@@ -300,12 +300,29 @@ object Similarity {
       asDouble(col("embedding")).as("qv"))
     val c = b.select(col("vec_id").as("nbr_id"),
       asDouble(col("embedding")).as("nv"))
+    marginOver(c.join(broadcast(q), col("query_id") =!= col("nbr_id")),
+      k, minMargin)
+  }
+
+  /** The margin arithmetic over an arbitrary candidate-pair frame
+    * (query_id, nbr_id, qv, nv) — shared by the exact cross join
+    * ([[marginNeighbors]]) and the LSH-gated form
+    * ([[marginNeighborsLsh]]). Neighborhood averages are over each id's
+    * pairs IN THE FRAME, so gated callers approximate avgTopK by the
+    * surfaced candidates — the practical trade every production miner
+    * makes. */
+  private def marginOver(cand: DataFrame, k: Int,
+                         minMargin: Double): DataFrame = {
     val perQ = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("nbr_id").asc)
     val perN = Window.partitionBy("nbr_id")
       .orderBy(col("cosine").desc, col("query_id").asc)
-    val pairs = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+    val pairs = cand
       .withColumn("cosine", round(Vec.cosine(col("qv"), col("nv")), 6))
+      // anti-correlated pairs are not neighbors, and a negative cosine
+      // over a negative neighborhood average would flip the ratio's
+      // sign into a spuriously LARGE margin — cut them before ranking
+      .filter(col("cosine") > 0)
       .withColumn("rq", row_number().over(perQ))
       .withColumn("rn", row_number().over(perN))
     val avgQ = avg(when(col("rq") <= k, col("cosine")))
@@ -321,6 +338,40 @@ object Similarity {
         .orderBy(col("margin").desc, col("nbr_id").asc)))
       .filter(col("rm") === 1 && col("margin") >= minMargin)
       .select("query_id", "nbr_id", "cosine", "margin")
+  }
+
+  /** [[marginNeighbors]] at corpus scale: candidate pairs come from the
+    * random-hyperplane band-bucket equi-join — both corpora keyed by the
+    * SAME [[lshBandKeys]] derivation, so cost scales with shared-bucket
+    * pairs, never |A|·|B| — and the identical margin arithmetic runs
+    * over the surfaced pairs. Identical vectors land in identical
+    * buckets in every band (recall 1 for exact duplicates); near pairs
+    * are recalled with the usual banded-LSH probability. `maxBucket`
+    * caps hot buckets on both sides before pairing (the standard d²
+    * guard). Neighborhood averages are over surfaced candidates, so
+    * margins can differ from the exact form where coverage is partial —
+    * the approximation every ANN-gated miner makes. */
+  def marginNeighborsLsh(a: DataFrame, b: DataFrame, planes: Int = 16,
+                         bands: Int = 4, k: Int = 4,
+                         minMargin: Double = 1.0,
+                         maxBucket: Long = 0L): DataFrame = {
+    val qa = a.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("qv"))
+    val cb = b.select(col("vec_id").as("nbr_id"),
+      asDouble(col("embedding")).as("nv"))
+    def keys(df: DataFrame, idc: String, vc: String) = {
+      val signed = df.withColumn("signs", lshSignBits(col(vc), planes))
+      val raw = signed.select(col(idc),
+        explode(lshBandKeys(col("signs"), planes, bands)).as("bucket"))
+      TextPipeline.capBuckets(raw, maxBucket)
+    }
+    val cand = keys(qa, "query_id", "qv")
+      .join(keys(cb, "nbr_id", "nv"), Seq("bucket"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .select("query_id", "nbr_id").distinct()
+    marginOver(
+      cand.join(broadcast(qa), Seq("query_id")).join(cb, Seq("nbr_id")),
+      k, minMargin)
   }
 
   /** Distributed Lloyd k-means over the embedding column — pure

@@ -1643,19 +1643,27 @@ class PipelineSpec extends SparkSpec {
       val n = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
       math.rint(d / n * 1e6) / 1e6
     }
-    val cosMap = (for ((qi, qv) <- as; (ni, nv) <- bs)
-      yield (qi, ni) -> cos(qv, nv)).toMap
-    def topAvg(center: Long, others: Seq[Long], get: Long => Double) =
-      others.map(o => (get(o), o)).sortBy { case (c, o) => (-c, o) }
-        .take(k).map(_._1).sum / k
-    val ref = as.map { case (qi, _) =>
-      val aq = topAvg(qi, bs.map(_._1), o => cosMap((qi, o)))
-      val best = bs.map { case (ni, _) =>
-        val an = topAvg(ni, as.map(_._1), o => cosMap((o, ni)))
-        val m = math.rint(cosMap((qi, ni)) / ((aq + an) / 2) * 1e6) / 1e6
-        (m, ni)
-      }.sortBy { case (m, ni) => (-m, ni) }.head
-      (qi, best._2, best._1)
+    // positive-cosine pairs only — the operator cuts anti-correlated
+    // candidates before the margin stage
+    val cosMap = (for ((qi, qv) <- as; (ni, nv) <- bs;
+        c = cos(qv, nv) if c > 0) yield (qi, ni) -> c).toMap
+    def topAvg(pairsOf: Seq[(Long, Long)], get: ((Long, Long)) => Double) = {
+      val cs = pairsOf.map(p => (get(p), p)).sortBy { case (c, p) => (-c, p._2) }
+        .take(k).map(_._1)
+      cs.sum / cs.size
+    }
+    val ref = as.map(_._1).flatMap { qi =>
+      val qPairs = bs.map(_._1).map(ni => (qi, ni)).filter(cosMap.contains)
+      if (qPairs.isEmpty) None else {
+        val aq = topAvg(qPairs, cosMap)
+        val best = qPairs.map { case (_, ni) =>
+          val nPairs = as.map(_._1).map(q2 => (q2, ni)).filter(cosMap.contains)
+          val an = topAvg(nPairs, cosMap)
+          val m = math.rint(cosMap((qi, ni)) / ((aq + an) / 2) * 1e6) / 1e6
+          (m, ni)
+        }.sortBy { case (m, ni) => (-m, ni) }.head
+        Some((qi, best._2, best._1))
+      }
     }.filter(_._3 >= 1.0).map { case (q, n, m) => (q, n) }.toSet
     val got = Similarity.marginNeighbors(
       as.map { case (i, v) => (i, v.map(_.toFloat)) }.toDF("vec_id", "embedding"),
@@ -1680,6 +1688,33 @@ class PipelineSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(0L -> 3L, 2L -> 5L),
       s"each query must mine its dedicated twin, not the hub: $out")
+  }
+
+  test("marginNeighborsLsh: exact duplicates always recalled; hot-bucket cap engages") {
+    // an identical vector on both sides shares every band bucket —
+    // banded LSH recalls exact duplicates with probability 1
+    val dup = Seq(0.4, -0.7, 0.2, 0.9)
+    val as = Seq(0L -> dup, 2L -> Seq(0.9, 0.8, -0.5, 0.1))
+    val bs = Seq(1L -> dup, 3L -> Seq(-0.8, 0.3, 0.6, -0.9))
+    def df(rows: Seq[(Long, Seq[Double])]) =
+      rows.map { case (i, v) => (i, v.map(_.toFloat)) }.toDF("vec_id", "embedding")
+    val out = Similarity.marginNeighborsLsh(df(as), df(bs),
+      planes = 16, bands = 4, k = 2, minMargin = 0.0).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.contains(0L) && out(0L)._1 == 1L && out(0L)._2 == 1.0,
+      s"duplicate pair must be mined with cosine 1.0: $out")
+    // the cap is PER-SIDE membership (pair volume per bucket is
+    // |A∩bucket|·|B∩bucket| ≤ cap²): three identical a-vectors make a
+    // 3-member a-side bucket, so maxBucket = 2 drops it and the
+    // duplicate pairing vanishes
+    val hotA = df(Seq(0L -> dup, 2L -> dup, 4L -> dup))
+    val uncapped = Similarity.marginNeighborsLsh(hotA, df(bs),
+      planes = 16, bands = 4, k = 2, minMargin = 0.0)
+    assert(uncapped.collect().exists(r => r.getLong(1) == 1L))
+    val capped = Similarity.marginNeighborsLsh(hotA, df(bs),
+      planes = 16, bands = 4, k = 2, minMargin = 0.0, maxBucket = 2L)
+    assert(!capped.collect().exists(r => r.getLong(1) == 1L),
+      "over-cap a-side bucket must stop pairing against the duplicate")
   }
 
   test("kmeansLloyd separates well-spaced blobs and reports nearest-centroid dist") {
