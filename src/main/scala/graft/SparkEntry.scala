@@ -509,6 +509,19 @@ object SparkEntry {
         frameBytes = 32, stride = 16)
         .orderBy("media_id", "frame_idx")),
 
+    // content-defined chunking (LBFS/FastCDC pattern): the chunk
+    // inventory, the deduped chunk store, and the storage report
+    "q_media_cdc" -> ((s, dir) =>
+      Multimodal.cdcChunkFrame(Multimodal.mediaTable(Tables.documents(s, dir)))
+        .orderBy("media_id", "chunk_idx")),
+
+    "q_media_cdc_dedup" -> ((s, dir) =>
+      Multimodal.cdcDedup(Multimodal.mediaTable(Tables.documents(s, dir)))
+        .orderBy("chunk_md5")),
+
+    "q_media_cdc_stats" -> ((s, dir) =>
+      Multimodal.cdcStats(Multimodal.mediaTable(Tables.documents(s, dir)))),
+
     "q_embed_knn" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.knnBruteForce(emb, emb.filter(col("vec_id") < 10), 10)
@@ -1227,6 +1240,37 @@ object SparkEntry {
        |  SELECT DISTINCT doc_id, CAST(65535 - (sel % 65536) AS INT) AS pos,
        |    sel // 65536 AS fp
        |  FROM m WHERE gpos >= ${w - 1}
+       |)""".stripMargin
+
+  /** Content-defined chunking CTE chain — the SQL twin of
+    * [[graft.multimodal.Multimodal.cdcChunkFrame]] (w=8, divisor=32):
+    * boundary after char position `ep` when the poly-47 hash of the
+    * 8-char gram ending there is ≡ 0 mod 32; final cut at end-of-string;
+    * chunks between consecutive cuts. Ends with the
+    * `chunks(media_id, chunk_idx, off, len, chunk_md5)` CTE. */
+  private def cdcChunksSql: String =
+    s"""m AS (SELECT doc_id AS media_id, text FROM documents),
+       |cpos AS (
+       |  SELECT media_id, text, unnest(range(8, length(text) + 1)) AS ep FROM m
+       |), cb AS (
+       |  SELECT media_id, ep FROM cpos
+       |  WHERE ${fpSql("substr(text, CAST(ep - 7 AS INT), 8)")} % 32 = 0
+       |), cuts AS (
+       |  SELECT DISTINCT media_id, ep FROM (
+       |    SELECT media_id, ep FROM cb
+       |    UNION ALL SELECT media_id, length(text) AS ep FROM m WHERE length(text) > 0)
+       |), ch AS (
+       |  SELECT media_id, ep AS end_pos,
+       |    coalesce(lag(ep) OVER (PARTITION BY media_id ORDER BY ep), 0) AS start_pos,
+       |    row_number() OVER (PARTITION BY media_id ORDER BY ep) - 1 AS chunk_idx
+       |  FROM cuts
+       |), chunks AS (
+       |  SELECT ch.media_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       |    CAST(start_pos + 1 AS INT) AS off,
+       |    CAST(end_pos - start_pos AS INT) AS len,
+       |    md5(substr(m.text, CAST(start_pos + 1 AS INT),
+       |        CAST(end_pos - start_pos AS INT))) AS chunk_md5
+       |  FROM ch JOIN m USING (media_id)
        |)""".stripMargin
 
   /** The IVF-PQ ADC candidate CTE chain (deterministic sample quantizer,
@@ -2482,6 +2526,34 @@ object SparkEntry {
         |  CAST(length(substring(media, CAST(frame_idx * 16 + 1 AS INT), 32)) AS INT) AS frame_len,
         |  md5(substring(media, CAST(frame_idx * 16 + 1 AS INT), 32)) AS frame_md5
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+
+    "q_media_cdc" ->
+      s"""WITH $cdcChunksSql
+         |SELECT media_id, chunk_idx, off, len, chunk_md5
+         |FROM chunks ORDER BY media_id, chunk_idx""".stripMargin,
+
+    "q_media_cdc_dedup" ->
+      s"""WITH $cdcChunksSql,
+         |u AS (
+         |  SELECT chunk_md5, media_id, off,
+         |    row_number() OVER (PARTITION BY chunk_md5 ORDER BY media_id, off) AS rn,
+         |    count(*) OVER (PARTITION BY chunk_md5) AS ref_count,
+         |    min(len) OVER (PARTITION BY chunk_md5) AS len
+         |  FROM chunks
+         |)
+         |SELECT chunk_md5, len, ref_count, media_id, off
+         |FROM u WHERE rn = 1 ORDER BY chunk_md5""".stripMargin,
+
+    "q_media_cdc_stats" ->
+      s"""WITH $cdcChunksSql,
+         |store AS (
+         |  SELECT chunk_md5, min(len) AS len, count(*) AS ref_count
+         |  FROM chunks GROUP BY chunk_md5
+         |)
+         |SELECT count(*) AS unique_chunks, sum(ref_count) AS total_chunks,
+         |  sum(len * ref_count) AS logical_bytes, sum(len) AS stored_bytes,
+         |  round(sum(len * ref_count) / CAST(sum(len) AS DOUBLE), 4) AS dedup_ratio
+         |FROM store""".stripMargin,
 
     "q_embed_dedup" ->
       s"""WITH e AS (

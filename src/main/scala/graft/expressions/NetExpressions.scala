@@ -173,7 +173,11 @@ object GraftFunctions {
     (FunctionIdentifier("winnow_fp"),
       new ExpressionInfo(classOf[WinnowFp].getName, "winnow_fp"),
       (e: Seq[Expression]) => WinnowFp(e.head,
-        intArg(e(1), "winnow_fp"), intArg(e(2), "winnow_fp"))))
+        intArg(e(1), "winnow_fp"), intArg(e(2), "winnow_fp"))),
+    (FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
+      (e: Seq[Expression]) => CdcChunks(e.head,
+        intArg(e(1), "cdc_chunks"), intArg(e(2), "cdc_chunks").toLong)))
 
   /** Register on a live session (the no-extensions path). */
   def register(spark: SparkSession): Unit = {

@@ -176,6 +176,45 @@ object TextUtil {
     new GenericArrayData(sig)
   }
 
+  /** Content-defined chunk boundaries (Rabin/gear-style CDC restated over
+    * the corpus 47-bit polynomial hash — Muthitacharoen et al. 2001 LBFS;
+    * Xia et al. 2016 FastCDC): a chunk closes after character i (1-based)
+    * when the poly-47 hash of the w-char gram ending at i is ≡ 0 mod
+    * `divisor`; the final chunk closes at end-of-string. Boundaries depend
+    * ONLY on the local w-char window, so an insertion near the front of a
+    * blob shifts every byte yet re-synchronizes after at most one chunk —
+    * the shift-invariance whole-blob digests lack. Returns
+    * array<struct<off:int,len:int>> of 1-based (offset, length) chunks.
+    * The per-position hash is recomputed fresh (O(n·w), same per-char
+    * `(acc*31+c) % M` fold as [[polyHash47]] / the fpSql oracle twin) —
+    * an O(1) rolling update would need 128-bit modular products, and w is
+    * small by construction. */
+  def cdcChunks(text: UTF8String, w: Int, divisor: Long): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val cuts = new mutable.ArrayBuffer[Int]
+    var i = w - 1 // 0-based end of the first full gram
+    while (i < n) {
+      var acc = 0L
+      var j = i - w + 1
+      while (j <= i) { acc = (acc * 31 + s.charAt(j)) % Mod47; j += 1 }
+      if (acc % divisor == 0L) cuts += (i + 1)
+      i += 1
+    }
+    if (cuts.isEmpty || cuts.last != n) cuts += n
+    val out = new Array[Any](cuts.length)
+    var prev = 0
+    var c = 0
+    while (c < cuts.length) {
+      val end = cuts(c)
+      out(c) = org.apache.spark.sql.catalyst.InternalRow(prev + 1, end - prev)
+      prev = end
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Winnowing fingerprint selection (Schleimer, Wilkes & Aiken 2003) in
     * one per-row loop: tokenize → k-gram → 47-bit hash → sliding window-w
     * rightmost-min, emitted as the same `hash·2¹⁶ + (2¹⁶−1−pos)` encoding
@@ -350,6 +389,37 @@ case class WinnowFp(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** `cdc_chunks(text)`: content-defined chunk (offset, length) pairs —
+  * the whole boundary scan in one codegen'd call, so chunking runs INSIDE
+  * the scan stage; only the chunk inventory (not the blob bytes) flows to
+  * the dedup aggregate downstream. */
+case class CdcChunks(child: Expression, w: Int, divisor: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!child.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+    else if (w < 2 || divisor < 2)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: need w >= 2 and divisor >= 2")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("off", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("len", org.apache.spark.sql.types.IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextUtil.cdcChunks(input.asInstanceOf[UTF8String], w, divisor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextUtil.cdcChunks($c, $w, ${divisor}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}
+
 /** Column wrappers. */
 object TextExpressions {
   def wordShingles(text: Column, n: Int, distinct: Boolean = false): Column =
@@ -364,4 +434,6 @@ object TextExpressions {
     ColumnBridge.column(BpeEncode(ColumnBridge.expression(text), merges))
   def winnowFp(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFp(ColumnBridge.expression(text), k, w))
+  def cdcChunks(text: Column, w: Int, divisor: Long): Column =
+    ColumnBridge.column(CdcChunks(ColumnBridge.expression(text), w, divisor))
 }

@@ -105,6 +105,61 @@ object Multimodal {
         md5(col("frame")).as("frame_md5"))
   }
 
+  // --- content-defined chunking (storage-dedup tier) --------------------
+
+  /** Content-defined chunk inventory of each blob: one row per chunk with
+    * its 1-based offset, length, and content digest. Boundaries come from
+    * [[graft.expressions.TextExpressions.cdcChunks]] (local-window rolling
+    * hash — LBFS/FastCDC pattern), so inserting bytes into a blob shifts
+    * every byte yet re-synchronizes the chunk stream after at most one
+    * chunk; chunk-level dedup then reclaims the shared tail that
+    * [[dedupMedia]]'s whole-blob digests cannot see. The boundary scan is
+    * a codegen'd expression inside the scan stage; only (id, off, len,
+    * md5) rows — never blob bytes — reach the shuffle. */
+  def cdcChunkFrame(mediaDf: DataFrame, w: Int = 8, divisor: Long = 32): DataFrame = {
+    val text = col("media").cast("string")
+    mediaDf
+      .select(col("media_id"),
+        posexplode(graft.expressions.TextExpressions.cdcChunks(text, w, divisor))
+          .as(Seq("chunk_idx", "c")),
+        text.as("t"))
+      .select(col("media_id"), col("chunk_idx"),
+        col("c.off").as("off"), col("c.len").as("len"),
+        md5(col("t").substr(col("c.off"), col("c.len"))).as("chunk_md5"))
+  }
+
+  /** Chunk store after dedup: each distinct chunk content once, with its
+    * reference count and the lowest (media_id, off) holding it — the
+    * storage-side dedup table (ref_count × len is the reclaimed volume).
+    * One hash aggregate on the 16-byte digest; map-side combine collapses
+    * popular chunks before the exchange. The lexicographic argmin is
+    * packed into one long (`media_id·2³² + off`) so every aggregate
+    * buffer field stays a mutable primitive and the plan keeps
+    * HashAggregate — min(struct(...)) / min_by(struct) fall back to
+    * SortAggregate. Requires media_id < 2³¹ (contiguous ids from
+    * [[graft.scale.Ids.assign]] satisfy this) and off < 2³². */
+  def cdcDedup(mediaDf: DataFrame, w: Int = 8, divisor: Long = 32): DataFrame =
+    cdcChunkFrame(mediaDf, w, divisor)
+      .groupBy("chunk_md5")
+      .agg(min("len").as("len"),
+        count(lit(1)).as("ref_count"),
+        min(col("media_id") * (1L << 32) + col("off")).as("packed"))
+      .select(col("chunk_md5"), col("len"), col("ref_count"),
+        shiftright(col("packed"), 32).as("media_id"),
+        col("packed").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("off"))
+
+  /** One-row storage report over the chunk store: logical vs stored bytes
+    * and the dedup ratio a capacity planner reads. */
+  def cdcStats(mediaDf: DataFrame, w: Int = 8, divisor: Long = 32): DataFrame =
+    cdcDedup(mediaDf, w, divisor)
+      .agg(count(lit(1)).as("unique_chunks"),
+        sum("ref_count").as("total_chunks"),
+        sum(col("len") * col("ref_count")).as("logical_bytes"),
+        sum("len").as("stored_bytes"))
+      .select(col("unique_chunks"), col("total_chunks"),
+        col("logical_bytes"), col("stored_bytes"),
+        round(col("logical_bytes") / col("stored_bytes"), 4).as("dedup_ratio"))
+
   // --- batched decode path (mapPartitions tier) -------------------------
 
   /** One media row for the typed batch-decode path. */

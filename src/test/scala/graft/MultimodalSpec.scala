@@ -76,6 +76,76 @@ class MultimodalSpec extends SparkSpec {
     assert(plan.contains("partial_min") || plan.contains("HashAggregate"))
   }
 
+  test("cdcChunks: chunks tile the string; boundaries match a by-hand rolling hash") {
+    val text = (0 until 200).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    val out = rowsOf(Multimodal.cdcChunkFrame(
+        Multimodal.mediaTable(docs(1L -> text)), w = 8, divisor = 32))
+      .sortBy(_("chunk_idx").asInstanceOf[Int])
+    // chunks are contiguous, 1-based, and cover the whole string
+    assert(out.head("off") == 1)
+    out.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(b("off").asInstanceOf[Int] ==
+          a("off").asInstanceOf[Int] + a("len").asInstanceOf[Int])
+      case _ =>
+    }
+    assert(out.map(_("len").asInstanceOf[Int]).sum == text.length)
+    // by-hand boundary scan with the same fold
+    val M = 140737488355213L
+    val cuts = (7 until text.length).filter { i =>
+      val h = (i - 7 to i).foldLeft(0L)((a, j) => (a * 31 + text.charAt(j)) % M)
+      h % 32 == 0
+    }.map(_ + 1)
+    val expectEnds = if (cuts.isEmpty || cuts.last != text.length) cuts :+ text.length else cuts
+    assert(out.map(r => r("off").asInstanceOf[Int] + r("len").asInstanceOf[Int] - 1) ==
+      expectEnds)
+    // chunk digests are the substring md5s
+    val first = out.head
+    val expectMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.substring(0, first("len").asInstanceOf[Int]).getBytes)
+      .map("%02x".format(_)).mkString
+    assert(first("chunk_md5") == expectMd5)
+  }
+
+  test("cdcChunks shift-invariance: a front insertion re-synchronizes the chunk stream") {
+    val base = (0 until 600).map(i => ('a' + (i * 11 + i / 13) % 26).toChar).mkString
+    val shifted = "INSERTED-PREFIX " + base
+    def md5s(t: String) = rowsOf(Multimodal.cdcChunkFrame(
+        Multimodal.mediaTable(docs(1L -> t)), 8, 32))
+      .map(_("chunk_md5").asInstanceOf[String]).toSet
+    val a = md5s(base)
+    val b = md5s(shifted)
+    // whole-blob digests share nothing; CDC chunk digests mostly survive
+    val shared = a.intersect(b).size
+    assert(shared >= a.size - 2,
+      s"expected all but the first chunk shared, got $shared of ${a.size}")
+    // and chunk-level dedup sees the overlap across the two blobs
+    val both = Multimodal.cdcDedup(Multimodal.mediaTable(
+      docs(1L -> base, 2L -> shifted)), 8, 32)
+    assert(rowsOf(both).count(_("ref_count").asInstanceOf[Long] >= 2L) >= shared)
+  }
+
+  test("cdcStats: logical/stored bytes and ratio over a known duplicate pair") {
+    val t = (0 until 300).map(i => ('a' + (i * 11 + i / 13) % 26).toChar).mkString
+    val stats = rowsOf(Multimodal.cdcStats(
+      Multimodal.mediaTable(docs(1L -> t, 2L -> t)), 8, 32)).head
+    assert(stats("logical_bytes") == 2L * t.length)
+    // identical blobs: at least a 2.0 ratio (within-blob repeats can exceed it)
+    assert(stats("stored_bytes").asInstanceOf[Long] <= t.length.toLong)
+    assert(stats("dedup_ratio").asInstanceOf[Double] >= 2.0)
+  }
+
+  test("cdc chunking shuffles the inventory, never the blob bytes") {
+    val m = Multimodal.mediaTable(docs(1L -> ("q" * 500)))
+    val plan = Multimodal.cdcDedup(m).queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"))
+    // the post-shuffle side (printed above the Exchange) must not
+    // reference the blob column; only digests + inventory cross
+    val aboveExchange = plan.split("Exchange").head
+    assert(!aboveExchange.contains("media#"),
+      "blob column crossed the exchange")
+  }
+
   test("metadata-only query prunes the blob column from the scan") {
     val dir = java.nio.file.Files.createTempDirectory("mmode").toString
     Multimodal.mediaTable(docs(1L -> "abc")).write.mode("overwrite").parquet(dir)
