@@ -197,6 +197,35 @@ object SparkEntry {
           count_distinct(col("user_id")).as("n_users")))
         .orderBy("bucket_ms", "event_type")),
 
+    // Q12 at scale: per-(event_type, day) HLL sketch layer, rolled up to
+    // event_type by sketch union — the persisted-layer answer to the
+    // distinct-count dashboards. Emits the union-path estimate, the
+    // direct single-sketch estimate (must agree: union is register-wise
+    // max), and the exact count. No DuckDB oracle: DataSketches binary
+    // sketches aren't SQL-replicable — the driver's rows-check plus the
+    // self-describing est/exact columns and ScaleSpec cover it.
+    "q_hll_distinct" -> ((s, dir) => {
+      val e = eventsMs(s, dir)
+      val layer = graft.scale.Sketches.buildLayer(e,
+        Seq(col("event_type"), expr("ts_ms div 86400000").as("day")),
+        col("user_id"))
+      val unioned = graft.queries.ReadSide.distinctCountSketched(
+        layer, col("event_type"))
+        .withColumnRenamed("key", "event_type")
+        .withColumnRenamed("value", "est_union")
+      val direct = graft.scale.Sketches.rollup(
+        graft.scale.Sketches.buildLayer(e, Seq(col("event_type")), col("user_id")),
+        Seq(col("event_type")))
+        .withColumnRenamed("distinct_est", "est_direct")
+      val exact = e.groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("distinct_exact"))
+      unioned.join(direct, Seq("event_type")).join(exact, Seq("event_type"))
+        .select(col("event_type"), col("est_union"), col("est_direct"),
+          col("distinct_exact"),
+          (col("est_union") === col("est_direct")).as("merge_consistent"))
+        .orderBy("event_type")
+    }),
+
     "q_read_top_contributor" -> ((s, dir) => {
       // Q7 shape: terms + sum totals + top-contributing sub-bucket
       val e = eventsMs(s, dir)

@@ -77,4 +77,13 @@ object ReadSide {
   /** Q12: distinct-count of one column per group key. */
   def distinctCount(df: DataFrame, key: Column, counted: Column): DataFrame =
     df.groupBy(key.as("key")).agg(count_distinct(counted).as("value"))
+
+  /** Q12 from a persisted sketch layer (see [[graft.scale.Sketches]]):
+    * the same per-key distinct count answered by unioning pre-built HLL
+    * sketches — no raw-row rescan. `layer` is a
+    * [[graft.scale.Sketches.buildLayer]] output whose keys include
+    * `key`. */
+  def distinctCountSketched(layer: DataFrame, key: Column): DataFrame =
+    graft.scale.Sketches.rollup(layer, Seq(key.as("key")))
+      .withColumnRenamed("distinct_est", "value")
 }

@@ -246,4 +246,126 @@ class ScaleSpec extends SparkSpec {
       }
     }
   }
+
+  test("Sketches: rollup of a fine layer equals exact distincts at coupon-mode cardinality") {
+    import graft.scale.Sketches
+    import org.apache.spark.sql.functions._
+    // 3 keys × 10 days, ~200 distinct users per key — well inside the
+    // sketch's exact (coupon) regime at lgK=12
+    val df = (0 until 6000).map { i =>
+      (s"k${i % 3}", (i / 600).toLong, (i * 7919L) % 200 + (i % 3) * 1000L)
+    }.toDF("key", "day", "user")
+    val layer = Sketches.buildLayer(df, Seq(col("key"), col("day")), col("user"))
+    val est = rowsOf(Sketches.rollup(layer, Seq(col("key"))))
+      .map(r => r("key") -> r("distinct_est")).toMap
+    val exact = rowsOf(df.groupBy("key").agg(count_distinct(col("user")).as("v")))
+      .map(r => r("key") -> r("v")).toMap
+    assert(est == exact)
+    // two-level rollup kept as sketches, then estimated — same answer
+    val l2 = Sketches.rollupSketches(layer, Seq(col("key")))
+    val est2 = rowsOf(l2.select(col("key"),
+        Sketches.estimate(col("sketch")).as("v")))
+      .map(r => r("key") -> r("v")).toMap
+    assert(est2 == exact)
+  }
+
+  test("Sketches: estimate stays within HLL error at large cardinality") {
+    import graft.scale.Sketches
+    import org.apache.spark.sql.functions._
+    val n = 60000
+    val df = (0 until n).map(i => ("k", i.toLong)).toDF("key", "user")
+    val layer = Sketches.buildLayer(df, Seq(col("key")), col("user"))
+    val est = rowsOf(Sketches.rollup(layer, Seq(col("key"))))
+      .head("distinct_est").asInstanceOf[Long]
+    // 1.04/sqrt(2^12) ≈ 1.6% std error; allow 5%
+    assert(math.abs(est - n.toDouble) / n < 0.05, s"est=$est exact=$n")
+  }
+
+  test("Sketches: persisted layer survives parquet and appends commute") {
+    import graft.scale.Sketches
+    import org.apache.spark.sql.functions._
+    val a = (0 until 3000).map(i => ("k", (i * 13L) % 250)).toDF("key", "user")
+    val b = (0 until 3000).map(i => ("k", (i * 17L) % 300)).toDF("key", "user")
+    val dir = java.nio.file.Files.createTempDirectory("sketch").toString
+    // day-1 and day-2 layers written separately (the incremental path)
+    Sketches.buildLayer(a, Seq(col("key")), col("user"))
+      .withColumn("day", lit(1L)).write.mode("overwrite").parquet(s"$dir/d1")
+    Sketches.buildLayer(b, Seq(col("key")), col("user"))
+      .withColumn("day", lit(2L)).write.mode("overwrite").parquet(s"$dir/d2")
+    val layer = spark.read.parquet(s"$dir/d1").unionByName(
+      spark.read.parquet(s"$dir/d2"))
+    val est = rowsOf(Sketches.rollup(layer, Seq(col("key"))))
+      .head("distinct_est")
+    val exact = rowsOf(a.unionByName(b).groupBy("key")
+      .agg(count_distinct(col("user")).as("v"))).head("v")
+    assert(est == exact) // 300 distinct: still coupon-exact (the sketch
+    // promotes to estimating HLL mode near 3/4 * 2^(lgK-3) ~ 384 at
+    // lgK=12), and the union over two independently persisted sketches
+    // loses nothing
+  }
+
+  test("Sketches incremental store: appends accumulate, replays are idempotent, compact is value-neutral") {
+    import graft.scale.Sketches
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("sketchstore").toString + "/layer"
+    val b1 = (0 until 2000).map(i => (s"k${i % 2}", (i * 13L) % 150)).toDF("key", "user")
+    val b2 = (0 until 2000).map(i => (s"k${i % 2}", (i * 7L) % 260)).toDF("key", "user")
+    Sketches.ingest(dir, b1, Seq(col("key")), col("user"))
+    Sketches.ingest(dir, b2, Seq(col("key")), col("user"))
+    def est() = rowsOf(Sketches.rollup(Sketches.readLayer(spark, dir), Seq(col("key"))))
+      .map(r => r("key") -> r("distinct_est")).toMap
+    val exact = rowsOf(b1.unionByName(b2).groupBy("key")
+      .agg(count_distinct(col("user")).as("v")))
+      .map(r => r("key") -> r("v")).toMap
+    assert(est() == exact) // 260 distinct per key: coupon-exact
+    // replayed batch (at-least-once delivery) changes nothing
+    Sketches.ingest(dir, b2, Seq(col("key")), col("user"))
+    assert(est() == exact)
+    // compaction rewrites to one sketch per bucket, same answers
+    Sketches.compact(spark, dir)
+    assert(est() == exact)
+    assert(rowsOf(spark.read.parquet(dir).groupBy("key")
+      .agg(count(lit(1)).as("n"))).forall(_("n") == 1L))
+  }
+
+  test("Observe: gate in/out metrics ride one job, values exact") {
+    import graft.scale.Observe
+    val df = (0 until 5000).map(i => (i.toLong, i % 10)).toDF("id", "score")
+    val gated = Observe.counted(df, "gate_in")
+      .filter(col("score") >= 7)
+    val instrumented = Observe.metrics(gated, "gate_out",
+      count(lit(1)).as("rows"), sum("score").as("score_sum"))
+    val (n, m) = Observe.collect(spark, expected = 2) {
+      instrumented.write.mode("overwrite")
+        .parquet(java.nio.file.Files.createTempDirectory("obs").toString + "/out")
+      ()
+    }
+    assert(m.contains("gate_in") && m.contains("gate_out"), m.keys.toSeq)
+    assert(m("gate_in").getAs[Long]("rows") == 5000L)
+    assert(m("gate_out").getAs[Long]("rows") == 1500L)
+    assert(m("gate_out").getAs[Long]("score_sum") == (7L + 8L + 9L) * 500L)
+    // streaming face: the same observe surfaces in progress.observedMetrics
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    val ms = MemoryStream[Long]
+    ms.addData(1L to 100L: _*)
+    val q = Observe.counted(ms.toDF(), "stream_in")
+      .writeStream.format("noop").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(30000)
+    val prog = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get("stream_in")))
+    assert(prog.exists(_.getAs[Long]("rows") == 100L), prog.toSeq)
+  }
+
+  test("Sketches: layer build is one hash aggregate with map-side partials") {
+    import graft.scale.Sketches
+    import org.apache.spark.sql.functions._
+    val df = (0 until 1000).map(i => (s"k${i % 4}", i.toLong)).toDF("key", "user")
+    val plan = Sketches.buildLayer(df, Seq(col("key")), col("user"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_hll_sketch_agg"), plan)
+  }
 }
