@@ -226,6 +226,41 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // frequency sibling of q_hll_distinct: per-(event_type, day) CMS
+    // layer, merged (exact counter addition) and probed for the global
+    // heavy hitters seeded by per-bucket exact top-N. No DuckDB oracle
+    // (CMS binaries aren't SQL-replicable); rows-check + ScaleSpec
+    // (bit-identical merge, one-sided error, store round-trip).
+    "q_cms_topk" -> ((s, dir) => {
+      val e = eventsMs(s, dir)
+      val bucketKeys = Seq(col("event_type"), expr("ts_ms div 86400000").as("day"))
+      val layer = graft.scale.FreqSketches.buildLayer(e, bucketKeys, col("user_id"))
+      graft.scale.FreqSketches.heavyHitters(layer, e,
+        Seq(col("event_type"), expr("ts_ms div 86400000")), col("user_id"),
+        k = 20, perBucket = 32)
+    }),
+
+    // quantile member of the sketch family: per-(event_type, day) GK
+    // summaries, merged per event_type, probed at p50/p90/p99 next to
+    // the exact percentiles. No DuckDB oracle (the summary's answers are
+    // merge-order-dependent within the rank bound); rows-check +
+    // ScaleSpec rank-bound assertions.
+    "q_quantile_sketch" -> ((s, dir) => {
+      val e = eventsMs(s, dir)
+      val layer = graft.scale.QuantileSketches.buildLayer(e,
+        Seq(col("event_type"), expr("ts_ms div 86400000").as("day")),
+        col("value"), relativeError = 0.01)
+      val merged = graft.scale.QuantileSketches.rollupSketches(
+        layer, Seq(col("event_type")))
+      val approx = graft.scale.QuantileSketches.percentiles(
+        merged, Seq(0.5, 0.9, 0.99))
+      val exact = e.groupBy("event_type").agg(
+        expr("percentile(value, 0.5)").as("exact_p50"),
+        expr("percentile(value, 0.9)").as("exact_p90"),
+        expr("percentile(value, 0.99)").as("exact_p99"))
+      approx.join(exact, Seq("event_type")).orderBy("event_type")
+    }),
+
     "q_read_top_contributor" -> ((s, dir) => {
       // Q7 shape: terms + sum totals + top-contributing sub-bucket
       val e = eventsMs(s, dir)
@@ -1212,7 +1247,10 @@ object SparkEntry {
     // round-11: winnowing — per-doc window min over the posexploded
     // gram stream (MOSS local fingerprinting), a corpus-linear pass,
     // and its zero-shuffle native-expression twin
-    "q_winnow", "q_winnow_native")
+    "q_winnow", "q_winnow_native",
+    // round-12: content-defined chunking — the native boundary scan vs
+    // DuckDB's per-position explode (the CDC storage-dedup pass)
+    "q_media_cdc")
 
   // ---------------------------------------------------------------------
   // DuckDB oracles. `flows` CTE = FlowSynth.cteSql (identical mapping).
@@ -2692,12 +2730,17 @@ object SparkEntry {
          |                i -> array_to_string(toks[i:i+1], ' '))) END AS shingles
          |  FROM t
          |), inv AS (
-         |  SELECT doc_id, cid, unnest(shingles) AS shingle FROM sh
+         |  -- the engine joins on 8-byte poly-47 gram keys, not strings;
+         |  -- apply the IDENTICAL hash so collisions (kept, not papered
+         |  -- over) produce identical results on both sides
+         |  SELECT doc_id, cid,
+         |    unnest(list_transform(shingles, w -> ${fpSql("w")})) AS h
+         |  FROM sh
          |), sizes AS (
          |  SELECT doc_id, count(*) AS n FROM inv GROUP BY 1
          |), shared AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-         |  FROM inv a JOIN inv b ON a.cid = b.cid AND a.shingle = b.shingle
+         |  FROM inv a JOIN inv b ON a.cid = b.cid AND a.h = b.h
          |    AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2
          |), losers AS (

@@ -145,6 +145,16 @@ object GraftFunctions {
     case _ => throw new IllegalArgumentException(s"$fn expects a literal int")
   }
 
+  private def doubleArg(e: Expression, fn: String): Double = e match {
+    case lit if lit.foldable => lit.eval() match {
+      case d: Double => d
+      case i: Int => i.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a literal double, got $other")
+    }
+    case _ => throw new IllegalArgumentException(s"$fn expects a literal double")
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
     (FunctionIdentifier("ip4_to_long"),
       new ExpressionInfo(classOf[Ipv4ToLong].getName, "ip4_to_long"),
@@ -177,7 +187,27 @@ object GraftFunctions {
     (FunctionIdentifier("cdc_chunks"),
       new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
       (e: Seq[Expression]) => CdcChunks(e.head,
-        intArg(e(1), "cdc_chunks"), intArg(e(2), "cdc_chunks").toLong)))
+        intArg(e(1), "cdc_chunks"), intArg(e(2), "cdc_chunks").toLong)),
+    (FunctionIdentifier("cms_merge"),
+      new ExpressionInfo(classOf[CmsMergeAgg].getName, "cms_merge"),
+      (e: Seq[Expression]) => CmsMergeAgg(e.head).toAggregateExpression()),
+    (FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (e: Seq[Expression]) => CmsEstimate(e(0), e(1))),
+    (FunctionIdentifier("quantile_sketch"),
+      new ExpressionInfo(classOf[QuantileSketchAgg].getName, "quantile_sketch"),
+      (e: Seq[Expression]) => QuantileSketchAgg(e.head,
+        if (e.size > 1) doubleArg(e(1), "quantile_sketch") else 0.01)
+        .toAggregateExpression()),
+    (FunctionIdentifier("quantile_sketch_merge"),
+      new ExpressionInfo(classOf[QuantileSketchMergeAgg].getName,
+        "quantile_sketch_merge"),
+      (e: Seq[Expression]) => QuantileSketchMergeAgg(e.head)
+        .toAggregateExpression()),
+    (FunctionIdentifier("quantile_sketch_query"),
+      new ExpressionInfo(classOf[QuantileSketchQuery].getName,
+        "quantile_sketch_query"),
+      (e: Seq[Expression]) => QuantileSketchQuery(e(0), e(1))))
 
   /** Register on a live session (the no-extensions path). */
   def register(spark: SparkSession): Unit = {

@@ -901,33 +901,49 @@ object Similarity {
       tileTarget).result
 
   /** [[hybridDedup]] with the release handle for the persisted
-    * per-cluster inverted index (read by the pair join's two sides and
-    * the per-doc size aggregate). */
+    * per-doc hashed-gram frame (read by the pair join's two sides; the
+    * per-doc sizes are a map-side projection of the same cached frame)
+    * and the slim (doc_id, cid) assignment. */
   def hybridDedupCached(docs: DataFrame, embeddings: DataFrame, nlist: Int,
                         n: Int = 2, minJaccard: Double = 0.5,
                         maxCluster: Long = 0L, tileTarget: Long = 0L)
       : graft.core.Cached[DataFrame] = {
+    // the (doc_id, cid) assignment feeds BOTH the clustering join and the
+    // final attach — persist the slim frame (2 longs/row) so the
+    // O(N·nlist) assignment pass runs once, as semDedupCached does
     val cids = coarseAssigned(embeddings, nlist)
       .select(col("vec_id").as("doc_id"), col("cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val clustered = TextPipeline.capBuckets(
       docs.select("doc_id", "text").join(cids, Seq("doc_id")),
       maxCluster, "cid")
-    val inv = clustered
+    // 8-byte poly-47 gram keys instead of shingle strings: the self-join
+    // compares and shuffles longs (the span-dedup key discipline), and
+    // the per-doc sizes are a map-side projection of the cached
+    // pre-explode frame, not an aggregate over the exploded index.
+    // Collisions between DISTINCT shingles are kept, not papered over:
+    // n_sh counts distinct strings, `shared` counts colliding key
+    // matches, and the DuckDB oracle applies the identical hash, so
+    // results stay value-identical by construction.
+    val hashed = clustered
       .select(col("cid"), col("doc_id"),
-        explode(graft.expressions.TextExpressions
-          .wordShingles(col("text"), n, distinct = true)).as("shingle"))
+        graft.expressions.TextExpressions.polyHash47(
+          graft.expressions.TextExpressions
+            .wordShingles(col("text"), n, distinct = true)).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val sizes = hashed.select(col("doc_id"), size(col("hs")).as("n_sh"))
+    val inv = hashed.select(col("cid"), col("doc_id"), explode(col("hs")).as("h"))
     val shared = (
       if (tileTarget > 0L)
         graft.scale.Skew.tiledPairs(
           inv.withColumn("ck",
-            concat_ws("\u0000", col("cid").cast("string"), col("shingle"))),
+            concat_ws("\u0000", col("cid").cast("string"),
+              col("h").cast("string"))),
           "doc_id", "ck", tileTarget)
           .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
       else inv.as("a").join(inv.as("b"),
           col("a.cid") === col("b.cid") &&
-            col("a.shingle") === col("b.shingle") &&
+            col("a.h") === col("b.h") &&
             col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       ).agg(count(lit(1)).as("shared"))
@@ -942,7 +958,7 @@ object Similarity {
     val kept = docs.select("doc_id")
       .join(losers, Seq("doc_id"), "left_anti")
       .join(cids, Seq("doc_id"), "left")
-    graft.core.Cached(kept, inv)
+    graft.core.Cached(kept, hashed, cids)
   }
 
   /** Per-plane hyperplane sign bits as a '0'/'1' string (plane 0 first).

@@ -328,6 +328,151 @@ class ScaleSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"))).forall(_("n") == 1L))
   }
 
+  test("FreqSketches: rollup of per-bucket sketches is bit-identical to the direct sketch") {
+    import graft.scale.FreqSketches
+    val df = (0 until 8000).map { i =>
+      (s"k${i % 4}", (i / 2000).toLong, s"item${(i * 7919) % 97}")
+    }.toDF("key", "day", "item")
+    val fine = FreqSketches.buildLayer(df,
+      Seq(col("key"), col("day")), col("item"), eps = 0.005)
+    val rolled = rowsOf(FreqSketches.rollupSketches(fine, Seq(col("key"))))
+      .map(r => r("key") -> r("sketch").asInstanceOf[Array[Byte]]).toMap
+    val direct = rowsOf(FreqSketches.buildLayer(df, Seq(col("key")), col("item"),
+        eps = 0.005))
+      .map(r => r("key") -> r("sketch").asInstanceOf[Array[Byte]]).toMap
+    assert(rolled.keySet == direct.keySet)
+    rolled.keySet.foreach { k =>
+      assert(java.util.Arrays.equals(rolled(k), direct(k)),
+        s"merged sketch differs from direct for $k")
+    }
+  }
+
+  test("FreqSketches: estimates never under-count and match exactly at low collision load") {
+    import graft.scale.FreqSketches
+    val df = (0 until 10000).map(i => ("g", s"item${(i * 13) % 200}"))
+      .toDF("key", "item")
+    val layer = FreqSketches.buildLayer(df, Seq(col("key")), col("item"))
+    val probes = (0 until 200).map(i => s"item$i").toDF("item")
+    val est = rowsOf(probes.crossJoin(broadcast(layer.select("sketch")))
+        .select(col("item"), FreqSketches.estimate(col("sketch"), col("item"))
+          .as("est")))
+      .map(r => r("item") -> r("est").asInstanceOf[Long]).toMap
+    val exact = rowsOf(df.groupBy("item").agg(count(lit(1)).as("n")))
+      .map(r => r("item") -> r("n").asInstanceOf[Long]).toMap
+    exact.foreach { case (item, n) =>
+      assert(est(item) >= n, s"$item undercounted")
+    }
+    // width 2000 ≫ 200 distinct: exact with overwhelming probability
+    assert(est == exact)
+    // long items go through the same path
+    val dl = (0L until 500L).map(i => ("g", i % 50)).toDF("key", "item")
+    val ll = FreqSketches.buildLayer(dl, Seq(col("key")), col("item"))
+    val le = rowsOf(ll.select(
+      FreqSketches.estimate(col("sketch"), lit(7L)).as("e"))).head("e")
+    assert(le == 10L)
+  }
+
+  test("FreqSketches: heavy hitters recover the true top-k; store round-trips") {
+    import graft.scale.FreqSketches
+    // zipf-ish: item j appears ~ 4000/j times within each of 3 buckets
+    val rows = for {
+      b <- 0 until 3
+      j <- 1 to 40
+      _ <- 0 until (120 / j)
+    } yield (s"b$b", s"item$j")
+    val df = rows.toDF("key", "item")
+    val dir = java.nio.file.Files.createTempDirectory("cms").toString + "/layer"
+    FreqSketches.ingest(dir, df, Seq(col("key")), col("item"))
+    val layer = FreqSketches.readLayer(spark, dir)
+    val top = rowsOf(FreqSketches.heavyHitters(layer, df, Seq(col("key")),
+      col("item"), k = 5, perBucket = 10))
+    assert(top.map(_("item")) == (1 to 5).map(i => s"item$i"))
+    assert(top.head("est_count") == 3L * 120L)
+    FreqSketches.compact(spark, dir)
+    val top2 = rowsOf(FreqSketches.heavyHitters(FreqSketches.readLayer(spark, dir),
+      df, Seq(col("key")), col("item"), k = 5, perBucket = 10))
+    assert(top2 == top)
+    // mixed geometry must throw (IncompatibleMergeException), not corrupt
+    // — read the store fresh: `layer` still points at pre-compact files
+    val fresh = FreqSketches.readLayer(spark, dir)
+    val other = FreqSketches.buildLayer(df, Seq(col("key")), col("item"),
+      eps = 0.01)
+    val ex = intercept[org.apache.spark.SparkException] {
+      FreqSketches.rollupSketches(
+        fresh.select("sketch").unionByName(other.select("sketch")),
+        Seq(lit(1))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(
+      _.isInstanceOf[org.apache.spark.util.sketch.IncompatibleMergeException]),
+      ex.toString)
+  }
+
+  test("QuantileSketches: rank-bounded answers, rollup matches whole-data sketch bound, store round-trips") {
+    import graft.scale.QuantileSketches
+    // 3 buckets × 4000 values with different scales per bucket
+    val df = (0 until 12000).map { i =>
+      val day = i % 3
+      (day.toLong, ((i * 7919) % 4000).toDouble * (day + 1))
+    }.toDF("day", "x")
+    val layer = QuantileSketches.buildLayer(df, Seq(col("day")), col("x"),
+      relativeError = 0.01)
+    // per-bucket p50 within rank bound: value's true rank within 1%+slack
+    val p = rowsOf(QuantileSketches.percentiles(layer, Seq(0.5)))
+      .map(r => r("day") -> r("p50").asInstanceOf[Double]).toMap
+    val sorted = (0 until 3).map { d =>
+      d.toLong -> (0 until 12000).collect {
+        case i if i % 3 == d => ((i * 7919) % 4000).toDouble * (d + 1)
+      }.sorted
+    }.toMap
+    p.foreach { case (d, v) =>
+      val vs = sorted(d.asInstanceOf[Long])
+      val rank = vs.count(_ <= v).toDouble / vs.size
+      assert(math.abs(rank - 0.5) <= 0.02, s"day $d p50=$v rank=$rank")
+    }
+    // global rollup answers within the (additive) bound too
+    val global = QuantileSketches.rollupSketches(layer, Seq(lit(1).as("g")))
+    val g50 = rowsOf(QuantileSketches.percentiles(global, Seq(0.5)))
+      .head("p50").asInstanceOf[Double]
+    val all = sorted.values.flatten.toSeq.sorted
+    val gRank = all.count(_ <= g50).toDouble / all.size
+    assert(math.abs(gRank - 0.5) <= 0.04, s"global p50=$g50 rank=$gRank")
+    // store: ingest two batches, read, compact — answers stay rank-bounded
+    val dir = java.nio.file.Files.createTempDirectory("qsk").toString + "/layer"
+    val (b1, b2) = (df.filter(col("x") < 4000), df.filter(col("x") >= 4000))
+    QuantileSketches.ingest(dir, b1, Seq(col("day")), col("x"))
+    QuantileSketches.ingest(dir, b2, Seq(col("day")), col("x"))
+    QuantileSketches.compact(spark, dir)
+    val p2 = rowsOf(QuantileSketches.percentiles(
+        QuantileSketches.readLayer(spark, dir), Seq(0.5)))
+      .map(r => r("day") -> r("p50").asInstanceOf[Double]).toMap
+    p2.foreach { case (d, v) =>
+      val vs = sorted(d.asInstanceOf[Long])
+      val rank = vs.count(_ <= v).toDouble / vs.size
+      assert(math.abs(rank - 0.5) <= 0.04, s"store day $d p50=$v rank=$rank")
+    }
+    // codec: explicit format survives a write/read cycle bit-for-bit
+    val bytes = rowsOf(layer.limit(1)).head("sketch").asInstanceOf[Array[Byte]]
+    val rt = graft.expressions.QuantileCodec.write(
+      graft.expressions.QuantileCodec.read(bytes))
+    assert(java.util.Arrays.equals(bytes, rt))
+  }
+
+  test("QuantileSketches: SQL-registered functions answer from a persisted layer") {
+    import graft.scale.QuantileSketches
+    graft.expressions.GraftFunctions.register(spark)
+    val df = (0 until 5000).map(i => ("g", (i % 1000).toDouble)).toDF("key", "x")
+    QuantileSketches.buildLayer(df, Seq(col("key")), col("x"))
+      .createOrReplaceTempView("qlayer")
+    val r = spark.sql(
+      """SELECT key, quantile_sketch_query(
+        |  quantile_sketch_merge(sketch), CAST(0.9 AS DOUBLE)) AS p90
+        |FROM qlayer GROUP BY key""".stripMargin).collect()
+    assert(r.length == 1)
+    assert(math.abs(r.head.getDouble(1) - 900.0) <= 20.0, r.head.getDouble(1))
+  }
+
   test("Observe: gate in/out metrics ride one job, values exact") {
     import graft.scale.Observe
     val df = (0 until 5000).map(i => (i.toLong, i % 10)).toDF("id", "score")
