@@ -68,7 +68,8 @@ object CurateApp {
       dsirTarget: Option[String] = None, // DSIR target corpus
       dsirKeepFrac: Double = 0.0, // >0 = keep top frac by DSIR weight
       jsonl: Boolean = false, // input is JSONL, not parquet
-      quarantine: Option[String] = None) // JSONL reject sink (parquet)
+      quarantine: Option[String] = None, // JSONL reject sink (parquet)
+      observe: Boolean = false) // print output-rows/tokens metrics (one job)
 
   /** Build the curation pipeline frame (lazy — callers choose the sink),
     * or run a compaction increment when `--compact-store` is set (eager
@@ -187,6 +188,7 @@ object CurateApp {
         loop(t, c.copy(compactStore = Some(v)))
       case "--jsonl" :: t          => loop(t, c.copy(jsonl = true))
       case "--quarantine" :: v :: t => loop(t, c.copy(quarantine = Some(v)))
+      case "--observe" :: t        => loop(t, c.copy(observe = true))
       case "--winnow-store" :: v :: t =>
         loop(t, c.copy(winnowStore = Some(v)))
       case "--winnow-k" :: v :: t  => loop(t, c.copy(winnowK = v.toInt))
@@ -227,10 +229,32 @@ object CurateApp {
       partitions = spark.sessionState.conf.numShufflePartitions,
       bits = c.zorderBits)
 
+  /** Write the curated frame to `c.output`. With `--observe`, row/char
+    * counters ride the write job itself (graft.scale.Observe — one job,
+    * no second pass over the output) and the metrics row is returned. */
+  def write(spark: SparkSession, c: Config,
+            out: DataFrame): Option[org.apache.spark.sql.Row] =
+    if (!c.observe) {
+      out.write.mode("overwrite").parquet(c.output); None
+    } else {
+      import org.apache.spark.sql.functions.{col, count, length, lit, sum}
+      val textCol = out.columns.find(_ == "chunk_text")
+        .orElse(out.columns.find(_ == "text")).map(col).getOrElse(lit(""))
+      val sized = out.observe("curate_out",
+        count(lit(1)).as("rows"), sum(length(textCol)).as("chars"))
+      val ((), m) = graft.scale.Observe.collect(spark) {
+        sized.write.mode("overwrite").parquet(c.output)
+      }
+      m.get("curate_out")
+    }
+
   def main(args: Array[String]): Unit = {
     val c = parse(args)
     val spark = Graft.session("graft-curate")
-    laidOut(spark, c, run(spark, c)).write.mode("overwrite").parquet(c.output)
+    write(spark, c, laidOut(spark, c, run(spark, c))).foreach { row =>
+      System.err.println(s"[curate] rows=${row.getAs[Long]("rows")} " +
+        s"chars=${Option(row.get(row.fieldIndex("chars"))).getOrElse(0L)}")
+    }
     spark.stop()
   }
 }

@@ -226,6 +226,32 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // retention from the sketch layer ALONE (inclusion-exclusion over
+    // HLL unions — no raw-row rescan), with the exact self-join twin
+    // alongside. Rows-check only, like the other sketch queries.
+    "q_hll_retention" -> ((s, dir) => {
+      val e = eventsMs(s, dir)
+      val layer = graft.scale.Sketches.buildLayer(e,
+        Seq(col("event_type"), expr("ts_ms div 86400000").as("day")),
+        col("user_id"))
+      val approx = graft.scale.Sketches.retention(
+          layer, col("event_type"), col("day"))
+        .withColumnRenamed("key", "event_type")
+        .withColumnRenamed("bucket", "day")
+      val days = e.select(col("event_type"),
+        expr("ts_ms div 86400000").as("day"), col("user_id")).distinct()
+      val exact = days.as("a")
+        .join(days.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.day") + 1 === col("b.day") &&
+            col("a.user_id") === col("b.user_id"))
+        .groupBy(col("a.event_type").as("event_type"), col("a.day").as("day"))
+        .agg(count(lit(1)).as("exact_returning"))
+      approx.join(exact, Seq("event_type", "day"), "left")
+        .withColumn("exact_returning", coalesce(col("exact_returning"), lit(0L)))
+        .orderBy("event_type", "day")
+    }),
+
     // frequency sibling of q_hll_distinct: per-(event_type, day) CMS
     // layer, merged (exact counter addition) and probed for the global
     // heavy hitters seeded by per-bucket exact top-N. No DuckDB oracle
@@ -343,6 +369,22 @@ object SparkEntry {
 
     // --- flow synthesis parity (the CTE itself) ------------------------
     "q_flows_synth" -> ((s, dir) => flows(s, dir).orderBy("flow_id")),
+
+    // PageRank over the host-communication graph (src talks-to dst):
+    // the host-profile tier's "who matters" centrality, and the same
+    // operator a crawl pipeline runs over its domain link graph as a
+    // quality prior. 3 synchronous iterations in integer nano-units
+    // (floor division) so the unrolled-CTE oracle is exact by
+    // construction on any engine.
+    "q_host_rank" -> ((s, dir) => {
+      val f = flows(s, dir)
+      val edges = f.select(
+        graft.functions.NetFunctions.ipCoalesce(
+          col("src_ip4"), col("src_ip6")).as("src"),
+        col("dst_ip").as("dst"))
+      graft.scale.Graphs.pageRank(edges, iters = 3, dampingPct = 85)
+        .orderBy("node")
+    }),
 
     // --- Stream4Flow analytics (SURVEY §2) -----------------------------
     "q_protocols_statistics" -> ((s, dir) =>
@@ -1837,6 +1879,43 @@ object SparkEntry {
         |ORDER BY a_id, b_id""".stripMargin,
 
     "q_flows_synth" -> FlowSynth.oracle("SELECT * FROM flows ORDER BY flow_id"),
+
+    // PageRank unrolled to 3 iterations in integer nano-units with
+    // floor division (// in DuckDB, div in Spark) — exact cross-engine
+    // parity by construction, no float-summation-order risk.
+    "q_host_rank" -> FlowSynth.oracle {
+      def iter(prev: String, cur: String) =
+        s"""c$cur AS (
+           |  SELECT e.dst AS node, sum(r$prev.rank_u // od.outdeg) AS in_mass
+           |  FROM r$prev JOIN od ON od.src = r$prev.node
+           |  JOIN e ON e.src = r$prev.node
+           |  GROUP BY 1
+           |), r$cur AS (
+           |  SELECT nodes.node,
+           |    (SELECT base_u FROM nn) + COALESCE(c$cur.in_mass, 0) * 85 // 100
+           |      AS rank_u
+           |  FROM nodes LEFT JOIN c$cur USING (node)
+           |)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT DISTINCT COALESCE(src_ip4, src_ip6) AS src, dst_ip AS dst
+         |  FROM flows
+         |), nodes AS (
+         |  SELECT src AS node FROM e UNION SELECT dst FROM e
+         |), nn AS (
+         |  SELECT count(*) AS n,
+         |    (CAST(1000000000 AS BIGINT) * 15 // 100) // count(*) AS base_u,
+         |    CAST(1000000000 AS BIGINT) // count(*) AS r0_u
+         |  FROM nodes
+         |),
+         |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |r0 AS (SELECT node, (SELECT r0_u FROM nn) AS rank_u FROM nodes),
+         |${iter("0", "1")},
+         |${iter("1", "2")},
+         |${iter("2", "3")}
+         |SELECT node, rank_u,
+         |  CAST(rank_u AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS rank
+         |FROM r3 ORDER BY node""".stripMargin
+    },
 
     "q_protocols_statistics" -> FlowSynth.oracle(
       s"""SELECT start_ms - (start_ms % 3600000) AS window_start_ms,

@@ -53,11 +53,15 @@ object FreqSketches {
   def heavyHitters(layer: DataFrame, df: DataFrame, keys: Seq[Column],
                    counted: Column, k: Int, perBucket: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byBucket = df.groupBy(keys :+ counted.as("item"): _*)
+    // alias bucket keys internally: expression keys (e.g. `ts div X`)
+    // can't be re-referenced by the window after the aggregate
+    val keyed = keys.zipWithIndex.map { case (k, i) => k.as(s"__k$i") }
+    val keyRefs = keys.indices.map(i => col(s"__k$i"))
+    val byBucket = df.groupBy(keyed :+ counted.as("item"): _*)
       .agg(count(lit(1)).as("bucket_count"))
     val candidates = byBucket
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(keys: _*)
+        Window.partitionBy(keyRefs: _*)
           .orderBy(col("bucket_count").desc, col("item").asc)))
       .filter(col("__rn") <= perBucket)
       .select("item").distinct()

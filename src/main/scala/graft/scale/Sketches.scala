@@ -57,6 +57,34 @@ object Sketches {
     * kept as sketches). */
   def estimate(sketch: Column): Column = hll_sketch_estimate(sketch)
 
+  /** Estimated |A ∩ B| from two sketches via inclusion–exclusion
+    * (HLL unions exactly but cannot intersect; the difference of three
+    * estimates inherits their error, so intersections much smaller than
+    * the union are noise — fine for retention-sized overlaps, wrong for
+    * needle-in-haystack ones). */
+  def intersectEstimate(a: Column, b: Column): Column =
+    greatest(lit(0L),
+      hll_sketch_estimate(a) + hll_sketch_estimate(b) -
+        hll_sketch_estimate(hll_union(a, b, allowDifferentLgConfigK = true)))
+
+  /** Day-over-day retention from a persisted sketch layer alone: for
+    * each consecutive (bucket, next-bucket) pair per key, the estimated
+    * returning count |A ∩ B| and the bases — no raw-row rescan. `layer`
+    * is a [[buildLayer]] output with `key` and an orderable `bucket`
+    * column. */
+  def retention(layer: DataFrame, key: Column, bucket: Column): DataFrame = {
+    val cur = layer.select(key.as("key"), bucket.as("bucket"),
+      col("sketch").as("cur_sketch"))
+    val nxt = layer.select(key.as("key"), (bucket - 1).as("bucket"),
+      col("sketch").as("next_sketch"))
+    cur.join(nxt, Seq("key", "bucket"))
+      .select(col("key"), col("bucket"),
+        hll_sketch_estimate(col("cur_sketch")).as("base"),
+        hll_sketch_estimate(col("next_sketch")).as("next_base"),
+        intersectEstimate(col("cur_sketch"), col("next_sketch"))
+          .as("returning"))
+  }
+
   // ----- incremental store (LSM-style: append deltas, union at read) ----
 
   /** Append one batch's fine-bucket sketches to a parquet store. No

@@ -114,6 +114,26 @@ class GraftAppSpec extends SparkSpec {
       == Set(1L, 2L, 3L))
   }
 
+  test("CurateApp --observe: write job reports exact output rows/chars, no extra pass") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("obsin").toString
+    val outDir = java.nio.file.Files.createTempDirectory("obsout").toString + "/o"
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "s"),
+      (2L, "one two three four five six seven eight nine ten", "s"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite").parquet(in)
+    val c = CurateApp.parse(Array(
+      "--input", in, "--output", outDir, "--observe",
+      "--chunk-size", "16", "--stride", "16", "--max-dup-word-frac", "0.9"))
+    val frame = CurateApp.run(spark, c)
+    val metrics = CurateApp.write(spark, c, frame)
+    assert(metrics.isDefined)
+    val written = spark.read.parquet(outDir)
+    assert(metrics.get.getAs[Long]("rows") == written.count())
+    val chars = written.agg(sum(length(col("chunk_text")))).head.getLong(0)
+    assert(metrics.get.getAs[Long]("chars") == chars)
+  }
+
   test("CurateApp --keep-longest and --temperature: keep rule + derived rates") {
     import spark.implicits._
     val in = java.nio.file.Files.createTempDirectory("klin").toString

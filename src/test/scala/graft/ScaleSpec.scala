@@ -328,6 +328,83 @@ class ScaleSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"))).forall(_("n") == 1L))
   }
 
+  test("Graphs.pageRank: nano-unit iterations match an in-memory reference; plan stays bounded") {
+    import graft.scale.Graphs
+    // star into 0 plus a 2-cycle and a dangling sink
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (0L, 1L), (1L, 2L), (4L, 5L))
+      .toDF("src", "dst")
+    val out = rowsOf(Graphs.pageRank(edges, iters = 3, dampingPct = 85))
+      .map(r => r("node") -> r("rank_u").asInstanceOf[Long]).toMap
+    // reference: same integer floor arithmetic
+    val e = Seq((1L, 0L), (2L, 0L), (3L, 0L), (0L, 1L), (1L, 2L), (4L, 5L))
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val outdeg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val baseU = (1000000000L * 15L / 100L) / n
+    var r = nodes.map(_ -> 1000000000L / n).toMap
+    for (_ <- 0 until 3) {
+      val mass = e.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => r(u) / outdeg(u) }.sum).toMap
+      r = nodes.map(v => v -> (baseU + mass.getOrElse(v, 0L) * 85L / 100L)).toMap
+    }
+    assert(out == r, s"$out vs $r")
+    // the hub received the star's mass; the dangling sink only base
+    assert(out(0L) > out(5L) * 2)
+    // lineage is cut per iteration: a 12-iteration run must not blow up
+    val deep = Graphs.pageRank(edges, iters = 12)
+    assert(deep.queryExecution.executedPlan.toString.linesIterator.size < 60)
+  }
+
+  test("Sketches: intersection estimate and retention from the layer alone") {
+    import graft.scale.Sketches
+    // day d users: [100d, 100d + 180) — overlap of 80 between days
+    val df = (0 until 3).flatMap { d =>
+      (0 until 180).map(u => ("k", d.toLong, (100 * d + u).toLong))
+    }.toDF("key", "day", "user")
+    val layer = Sketches.buildLayer(df, Seq(col("key"), col("day")), col("user"))
+    val ret = rowsOf(Sketches.retention(layer, col("key"), col("day")))
+      .map(r => r("bucket") -> (r("base"), r("next_base"), r("returning"))).toMap
+    // coupon-exact regime: inclusion-exclusion is exact here
+    assert(ret(0L) == ((180L, 180L, 80L)), ret)
+    assert(ret(1L) == ((180L, 180L, 80L)), ret)
+    // disjoint sets intersect to zero (greatest() clamps small negatives)
+    val d0 = layer.filter(col("day") === 0).select(col("sketch").as("a"))
+    val far = Sketches.buildLayer(
+      (0 until 100).map(u => ("k", (90000 + u).toLong)).toDF("key", "user"),
+      Seq(col("key")), col("user")).select(col("sketch").as("b"))
+    val z = rowsOf(d0.crossJoin(far)
+      .select(Sketches.intersectEstimate(col("a"), col("b")).as("i")))
+      .head("i").asInstanceOf[Long]
+    assert(z == 0L)
+  }
+
+  test("Sketches: streaming foreachBatch maintains the store, estimates exact") {
+    import graft.scale.Sketches
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sksink").toString + "/layer"
+    val ms = MemoryStream[(String, Long)]
+    ms.addData((0 until 200).map(i => (s"k${i % 2}", (i * 3L) % 120)): _*)
+    ms.addData((0 until 200).map(i => (s"k${i % 2}", (i * 7L) % 200)): _*)
+    val q = ms.toDF().toDF("key", "user")
+      .writeStream
+      .foreachBatch(Sketches.streamIngest(dir, Seq(col("key")), col("user")))
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("skck").toString)
+      .start()
+    q.awaitTermination(60000)
+    val est = rowsOf(Sketches.rollup(Sketches.readLayer(spark, dir),
+        Seq(col("key"))))
+      .map(r => r("key") -> r("distinct_est")).toMap
+    val exact = ((0 until 200).map(i => (s"k${i % 2}", (i * 3L) % 120)) ++
+      (0 until 200).map(i => (s"k${i % 2}", (i * 7L) % 200)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+    assert(est == exact, s"$est vs $exact")
+  }
+
   test("FreqSketches: rollup of per-bucket sketches is bit-identical to the direct sketch") {
     import graft.scale.FreqSketches
     val df = (0 until 8000).map { i =>

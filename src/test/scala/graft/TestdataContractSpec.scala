@@ -57,6 +57,22 @@ class TestdataContractSpec extends SparkSpec {
       "embedding" -> ArrayType(FloatType), "label" -> IntegerType)
   }
 
+  test("documents.text is BMP-safe: the char-level hash oracles depend on it") {
+    // The winnow / fingerprint / cdc oracle twins compute per-char
+    // poly-47 hashes as DuckDB `ascii(substr(...))` vs the engine's
+    // UTF-16 charAt — identical for Basic-Multilingual-Plane text,
+    // divergent for supplementary characters (surrogate pairs). If a
+    // testdata regeneration introduces astral chars, THIS spec fails
+    // with a message instead of N query hash mismatches at Verify time.
+    import org.apache.spark.sql.functions._
+    val astral = Tables.documents(spark, sfDir)
+      .filter(col("text").rlike("[\\x{10000}-\\x{10FFFF}]"))
+      .count()
+    assert(astral == 0L,
+      s"$astral documents contain supplementary-plane characters; " +
+        "the ascii()/charAt oracle parity for winnow/cdc/fingerprint breaks")
+  }
+
   test("events: Tables.events normalizes ts to epoch-nanos LongType on the current encoding") {
     assertCols("events", "event_id" -> LongType, "user_id" -> LongType,
       "event_type" -> StringType, "value" -> DoubleType)
