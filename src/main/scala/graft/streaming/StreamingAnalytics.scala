@@ -74,6 +74,28 @@ object StreamingAnalytics {
         col("packets"), col("bytes"), col("flows"),
         hour(col("window.start")).as("hour_slot"))
 
+  /** Windowed per-host distinct-peer SKETCHES — the streaming face of
+    * [[graft.scale.Sketches.buildLayer]]. Each emitted row carries the
+    * window, the host, the DataSketches HLL binary AND its estimate: a
+    * `foreachBatch` parquet append of the binary column IS the persisted
+    * sketch layer, so any later rollup (per day, per host group, global,
+    * arbitrary window ranges) unions sketches without touching the flow
+    * stream again — where [[hostStats]]'s `approx_count_distinct`
+    * emits only the number, unusable for re-aggregation. */
+  def hostCardinality(flows: DataFrame, window: String = "1 hour",
+                      watermark: String = "30 seconds",
+                      lgK: Int = 12): DataFrame =
+    flows
+      .filter(coalesce(col("src_ip4"), col("src_ip6")).isNotNull &&
+        col("dst_ip").isNotNull)
+      .withWatermark("event_time", watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("event_time"), window),
+        NetFunctions.ipCoalesce(col("src_ip4"), col("src_ip6")).as("src_ip"))
+      .agg(hll_sketch_agg(col("dst_ip"), lit(lgK)).as("sketch"))
+      .select(col("window.start").as("window_start"), col("src_ip"),
+        col("sketch"), hll_sketch_estimate(col("sketch")).as("peer_est"))
+
   /** S5/J7/A15 streaming: TLS suite normalization → broadcast dictionary
     * join → 3-way stat fanout → windowed counts (tls_classification.py
     * :142-221). Broadcast joins work unchanged on streaming frames. */

@@ -59,6 +59,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hostCardinality: streaming sketches match exact distincts; binaries persist as a layer") {
+    implicit val sqlCtx = spark.sqlContext
+    val flows = (0 until 60).map(i => Fx(flow_id = i, protocol = 6,
+      src_ip4 = s"10.0.0.${i % 3}", dst_ip = s"192.0.2.${i % 17}",
+      start_ms = 1000L * i, packets = 1, bytes = 10))
+    val mem = MemoryStream[Fx]
+    val streamed = StreamingAnalytics.hostCardinality(
+      FlowSource.withEventTime(mem.toDF()), window = "1 hour")
+    val q = streamed.writeStream.format("memory").queryName("card_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val (a, b) = flows.splitAt(25)
+      mem.addData(a: _*); q.processAllAvailable()
+      mem.addData(b: _*); q.processAllAvailable()
+      val got = spark.table("card_out")
+        .select(col("src_ip"), col("peer_est")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // 17 distinct dsts spread over 3 srcs by congruence: exact in the
+      // sketch's coupon regime
+      val exact = flows.groupBy(_.src_ip4)
+        .view.mapValues(_.map(_.dst_ip).distinct.size.toLong).toMap
+      assert(got == exact, s"$got vs $exact")
+      // the emitted binaries union like any layer (global rollup == exact)
+      val layer = spark.table("card_out")
+        .select(col("src_ip").as("key"), col("sketch"))
+      val global = rowsOf(graft.scale.Sketches.rollup(
+          layer, Seq(org.apache.spark.sql.functions.lit(1).as("g"))))
+        .head("distinct_est")
+      assert(global == flows.map(_.dst_ip).distinct.size.toLong)
+    } finally q.stop()
+  }
+
   test("ReportDedup: increment semantics + report throttling (ports_scan.py:109-141)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[ReportDedup.Observation]
