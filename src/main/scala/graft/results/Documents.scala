@@ -225,4 +225,42 @@ object Documents {
                 fromDay: String, toDay: String): DataFrame =
     spark.read.parquet(path)
       .filter(col("day") >= fromDay && col("day") <= toDay)
+
+  /** Upsert into the date-partitioned store: a row in `updates` replaces
+    * any stored row with the same `key` in the same day partition; rows
+    * with new keys append. ONLY the day partitions present in `updates`
+    * are read (partition-pruned scan) and rewritten (dynamic partition
+    * overwrite) — at 100 TB an incremental refresh touches a handful of
+    * recent days, never the archive, and untouched partitions keep their
+    * files byte-for-byte (spec-asserted on the file listing). The merged
+    * frame is pinned with `localCheckpoint` before the overwrite so the
+    * write never reads the files it is replacing. */
+  def upsertDaily(spark: org.apache.spark.sql.SparkSession, path: String,
+                  updates: DataFrame, key: String): Unit = {
+    val up = updates
+      .withColumn("day", date_format(col("@timestamp"), "yyyy-MM-dd"))
+    val exists = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    if (!exists) {
+      up.write.mode("append").partitionBy("day").parquet(path)
+    } else {
+      val days = up.select("day").distinct()
+        .collect().map(_.getString(0)).toSeq // metadata-sized
+      val existing = spark.read.parquet(path)
+        // partition inference types day as DATE; pin the store contract
+        // back to the yyyy-MM-dd string writeDaily produces
+        .withColumn("day", col("day").cast("string"))
+        .filter(col("day").isin(days: _*)) // pruned: only affected days
+      val merged = existing
+        .join(up.select(col(key), col("day")).distinct(),
+          Seq(key, "day"), "left_anti")
+        .unionByName(up)
+        .localCheckpoint(true)
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day").parquet(path)
+    }
+  }
 }

@@ -51,6 +51,42 @@ class ResultsSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("day"))
   }
 
+  test("upsertDaily: same-key rows replaced per day, untouched partitions keep their files") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("upsert").toString + "/store"
+    def doc(key: String, v: Long, tsMs: Long) =
+      Seq((key, v)).toDF("key", "value")
+        .withColumn("@timestamp",
+          org.apache.spark.sql.functions.timestamp_millis(lit(tsMs)))
+    val day1 = 1700000000000L // 2023-11-14
+    val day2 = 1700100000000L // 2023-11-16
+    Documents.writeDaily(doc("a", 1L, day1).unionByName(doc("b", 2L, day1)), dir)
+    Documents.writeDaily(doc("a", 3L, day2), dir)
+    def files(day: String) = {
+      val d = new java.io.File(s"$dir/day=$day")
+      if (!d.exists) Set.empty[String] else d.listFiles.map(_.getName).toSet
+    }
+    val day1Files = files("2023-11-14")
+    // replace key "a" on day 2, add new key "c" on day 2 and a new day 3
+    val updates = doc("a", 30L, day2)
+      .unionByName(doc("c", 5L, day2))
+      .unionByName(doc("d", 7L, day2 + 200000000L)) // 2023-11-18
+    Documents.upsertDaily(spark, dir, updates, key = "key")
+    val got = spark.read.parquet(dir)
+      .select(col("key"), col("value"), col("day").cast("string")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("a", 1L, "2023-11-14"), ("b", 2L, "2023-11-14"), // untouched day
+      ("a", 30L, "2023-11-16"), ("c", 5L, "2023-11-16"), // replaced + added
+      ("d", 7L, "2023-11-18"))) // new partition
+    // the untouched day partition was not rewritten: identical file names
+    assert(files("2023-11-14") == day1Files)
+    // fresh-store path: upsert into a nonexistent dir just writes
+    val dir2 = java.nio.file.Files.createTempDirectory("upsert2").toString + "/s2"
+    Documents.upsertDaily(spark, dir2, doc("z", 9L, day1), key = "key")
+    assert(spark.read.parquet(dir2).count() == 1)
+  }
+
   test("dailyProfileDoc: dense 24-slot array, zero-filled silent hours") {
     val profile = Seq(
       ("10.0.0.1", 0L, 3, 100L, 1000L, 2L),
