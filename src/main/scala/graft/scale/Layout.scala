@@ -90,4 +90,74 @@ object Layout {
     df.withColumn("__pid", spark_partition_id())
       .groupBy("__pid").agg(aggs.head, aggs.tail: _*)
   }
+
+  /** One row per data file of a parquet table (recursive, skips
+    * metadata): path, parent partition dir, bytes. Driver-side listing —
+    * file metadata, not data. */
+  def fileInventory(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new Path(dir))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+      if (st.isDirectory) walk(st.getPath)
+      else if (st.getPath.getName.endsWith(".parquet"))
+        out += ((st.getPath.toString,
+          st.getPath.getParent.toString.stripPrefix(root.toString)
+            .stripPrefix("/"), st.getLen))
+    }
+    walk(root)
+    import spark.implicits._
+    out.toSeq.toDF("path", "partition", "bytes")
+  }
+
+  /** Small-file report per partition dir: how many files sit under
+    * `smallBytes`, their total volume, and the target file count a
+    * compaction to `targetBytes` would produce. The operational trigger
+    * for [[compactPartitions]] — a store that accumulates streaming
+    * micro-batch or upsert output degrades scan throughput long before
+    * it degrades correctness. */
+  def compactionReport(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       smallBytes: Long = 32L << 20,
+                       targetBytes: Long = 128L << 20): DataFrame = {
+    val inv = fileInventory(spark, dir)
+    inv.groupBy("partition")
+      .agg(count(lit(1)).as("files"),
+        sum(when(col("bytes") < smallBytes, 1L).otherwise(0L)).as("small_files"),
+        sum("bytes").as("total_bytes"),
+        greatest(lit(1L), ceil(sum("bytes") / targetBytes.toDouble))
+          .as("target_files"))
+      .filter(col("small_files") > 1)
+  }
+
+  /** Rewrite the listed partition dirs with ~`targetBytes` files each:
+    * read ONLY those partitions' files, coalesce to the target count,
+    * write to a temp sibling, then swap atomically per partition (rename
+    * away, rename in, delete). Value-neutral; partitions not listed are
+    * untouched. Pair with [[compactionReport]] for the candidate list. */
+  def compactPartitions(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        partitions: Seq[String],
+                        targetBytes: Long = 128L << 20): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    partitions.foreach { part =>
+      val pdir = if (part.isEmpty) root else new Path(root, part)
+      val files = fs.listStatus(pdir).filter(s =>
+        !s.isDirectory && s.getPath.getName.endsWith(".parquet"))
+      if (files.length > 1) {
+        val n = math.max(1L,
+          math.ceil(files.map(_.getLen).sum / targetBytes.toDouble).toLong).toInt
+        val tmp = new Path(pdir.getParent, s".compact_${pdir.getName}")
+        spark.read.parquet(files.map(_.getPath.toString): _*)
+          .coalesce(n)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val old = new Path(pdir.getParent, s".old_${pdir.getName}")
+        fs.rename(pdir, old)
+        fs.rename(tmp, pdir)
+        fs.delete(old, true)
+      }
+    }
+  }
 }

@@ -328,6 +328,32 @@ class ScaleSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"))).forall(_("n") == 1L))
   }
 
+  test("Layout compaction: report finds small-file partitions; rewrite is value-neutral and scoped") {
+    import graft.scale.Layout
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    // day=a written in 8 tiny files, day=b in 1 — only a needs compaction
+    (0 until 800).map(i => (i.toLong, s"p$i", "a")).toDF("id", "v", "day")
+      .repartition(8).write.partitionBy("day").mode("overwrite").parquet(dir)
+    (0 until 100).map(i => (1000L + i, s"q$i", "b")).toDF("id", "v", "day")
+      .coalesce(1).write.partitionBy("day").mode("append").parquet(dir)
+    val report = rowsOf(Layout.compactionReport(spark, dir,
+      smallBytes = 1L << 20, targetBytes = 1L << 20))
+    assert(report.map(_("partition")) == Seq("day=a"))
+    assert(report.head("files") == 8L && report.head("target_files") == 1L)
+    val before = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    def bFiles = new java.io.File(s"$dir/day=b").listFiles.map(_.getName).toSet
+    val bBefore = bFiles
+    Layout.compactPartitions(spark, dir, Seq("day=a"), targetBytes = 1L << 20)
+    // value-neutral, day=a now one file, day=b untouched
+    val after = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(after == before)
+    assert(new java.io.File(s"$dir/day=a").listFiles
+      .count(_.getName.endsWith(".parquet")) == 1)
+    assert(bFiles == bBefore)
+  }
+
   test("Graphs.pageRank: nano-unit iterations match an in-memory reference; plan stays bounded") {
     import graft.scale.Graphs
     // star into 0 plus a 2-cycle and a dangling sink
