@@ -95,12 +95,17 @@ object GraftApp {
       StreamingAnalytics.reflectDdos(_, c.dnsServers,
         ratioThreshold = c.reflectRatio, minReplies = c.minReplies,
         window = c.window, watermark = c.watermark)
+    case "host_cardinality" =>
+      // emits the HLL sketch binary next to the estimate — the sink's
+      // dated parquet IS a persisted sketch layer (graft.scale.Sketches)
+      StreamingAnalytics.hostCardinality(_, c.window, c.watermark)
     case other =>
       throw new IllegalArgumentException(
         s"unknown analytic '$other'; known: protocol_statistics host_stats " +
           "host_daily_profile top_n_host_stats dns_statistics " +
           "dns_external_resolvers dns_open_resolvers tls_classification " +
-          "biflow_pairs ports_scan ssh_auth pattern_finder ddos reflect_ddos")
+          "biflow_pairs ports_scan ssh_auth pattern_finder ddos " +
+          "reflect_ddos host_cardinality")
   }
 
   /** Build (not start) the full source → analytic → sink query. */

@@ -406,6 +406,41 @@ class GraftAppSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("GraftApp end-to-end: host_cardinality sketches land as a queryable layer") {
+    val in = java.nio.file.Files.createTempDirectory("cardin").toString
+    val out = java.nio.file.Files.createTempDirectory("cardout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cardckpt").toString
+    def write(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        lines.mkString("\n").getBytes)
+    // host .1 talks to 7 distinct peers, host .2 to 3, inside one window
+    write("b1.json",
+      (0 until 14).map(i =>
+        flowJson2("10.5.0.1", s"192.0.2.${i % 7}", 6, 40000 + i, 80, 11000L + i, 1, 10)) ++
+      (0 until 6).map(i =>
+        flowJson2("10.5.0.2", s"192.0.3.${i % 3}", 6, 41000 + i, 80, 12000L + i, 1, 10)))
+    val q = GraftApp.build(spark, GraftApp.Config(
+      analytic = "host_cardinality", inputJson = Some(in), output = out,
+      checkpoint = ckpt, window = "10 seconds"))
+    try {
+      q.processAllAvailable()
+      // close the window by advancing the watermark
+      write("b2.json", Seq(
+        flowJson2("10.5.0.9", "192.0.2.9", 6, 42000, 80, 300000L, 1, 10)))
+      q.processAllAvailable()
+      val layer = spark.read.parquet(out)
+      val est = layer.select(col("src_ip"), col("peer_est")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(est.get("10.5.0.1").contains(7L) && est.get("10.5.0.2").contains(3L), est)
+      // the stored binaries are a real sketch layer: global rollup
+      val global = graft.scale.Sketches.rollup(
+          layer.select(col("src_ip"), col("sketch")),
+          Seq(org.apache.spark.sql.functions.lit(1).as("g")))
+        .collect().head.getLong(1)
+      assert(global == 10L) // 7 + 3 disjoint peer sets
+    } finally q.stop()
+  }
+
   test("GraftApp end-to-end: reflect_ddos windowed analytic file -> parquet") {
     val in = java.nio.file.Files.createTempDirectory("reflappin").toString
     val out = java.nio.file.Files.createTempDirectory("reflappout").toString
