@@ -1189,6 +1189,21 @@ object SparkEntry {
         Seq("spark", "stream", "filter"), topK = 20)
         .orderBy("rank")),
 
+    // single-scan Deequ-style corpus gate: every constraint's metric in
+    // one agg pass; the oracle replicates the whole report in ANSI SQL
+    "q_quality_checks" -> ((s, dir) => {
+      import graft.scale.Checks
+      Checks.report(s, Tables.documents(s, dir), Seq(
+        Checks.size(100),
+        Checks.completeness("text", 0.99),
+        Checks.uniqueness(0.999, "doc_id"),
+        Checks.meanOf("n_chars", 100.0, 500.0),
+        Checks.minOf("n_chars", 1.0),
+        Checks.patternFraction("text", "[0-9]", 0.05),
+        Checks.inSetFraction("lang", Seq("en", "de", "fr"), 0.5)))
+        .orderBy("check")
+    }),
+
     "q_winnow" -> ((s, dir) =>
       TextPipeline.winnowFingerprints(Tables.documents(s, dir), k = 5, w = 4)
         .orderBy("doc_id", "pos")),
@@ -4058,6 +4073,30 @@ object SparkEntry {
          |SELECT doc_id, bm25, n_terms,
          |  row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
          |FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    "q_quality_checks" ->
+      """WITH m AS (
+        |  SELECT
+        |    round(CAST(count(*) AS DOUBLE), 6) AS size_v,
+        |    round(avg(CASE WHEN text IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS comp_v,
+        |    round(CAST(count(DISTINCT doc_id) AS DOUBLE) / count(*), 6) AS uniq_v,
+        |    round(avg(CAST(n_chars AS DOUBLE)), 6) AS mean_v,
+        |    round(CAST(min(n_chars) AS DOUBLE), 6) AS min_v,
+        |    round(avg(CASE WHEN regexp_matches(text, '[0-9]') THEN 1.0 ELSE 0.0 END), 6) AS pat_v,
+        |    round(avg(CASE WHEN lang IN ('en','de','fr') THEN 1.0 ELSE 0.0 END), 6) AS set_v
+        |  FROM documents),
+        |r AS (
+        |  SELECT 'size' AS chk, size_v AS value, 100.0 AS lo,
+        |         CAST(9223372036854775807 AS DOUBLE) AS hi FROM m
+        |  UNION ALL SELECT 'completeness(text)', comp_v, 0.99, 1.0 FROM m
+        |  UNION ALL SELECT 'uniqueness(doc_id)', uniq_v, 0.999, 1.0 FROM m
+        |  UNION ALL SELECT 'mean(n_chars)', mean_v, 100.0, 500.0 FROM m
+        |  UNION ALL SELECT 'min(n_chars)', min_v, 1.0, CAST('infinity' AS DOUBLE) FROM m
+        |  UNION ALL SELECT 'pattern(text)', pat_v, 0.05, 1.0 FROM m
+        |  UNION ALL SELECT 'in_set(lang)', set_v, 0.5, 1.0 FROM m)
+        |SELECT chk AS "check", value, lo, hi,
+        |       value >= lo AND value <= hi AS passed
+        |FROM r ORDER BY chk""".stripMargin,
 
     "q_winnow" ->
       s"""WITH ${winnowFpSql(5, 4)}

@@ -616,4 +616,48 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan)
     assert(plan.contains("partial_hll_sketch_agg"), plan)
   }
+
+  test("Checks: report values, verdicts, and the failing-constraint path") {
+    import graft.scale.Checks
+    // 10 rows: one null text, one duplicate id, lengths 10..100
+    val df = ((1 to 9).map(i => (i.toLong, "x" * (i * 10), i * 10)) :+
+      (9L, null.asInstanceOf[String], 100)).toDF("doc_id", "text", "n")
+    val rep = Checks.report(spark, df, Seq(
+      Checks.size(10, 10),
+      Checks.completeness("text", 0.95),      // 0.9 → FAIL
+      Checks.uniqueness(0.95, "doc_id"),      // 0.9 → FAIL
+      Checks.meanOf("n", 50.0, 60.0),         // 55.0 → pass
+      Checks.minOf("n", 10.0),
+      Checks.patternFraction("text", "x{50}", 0.4), // 5/10 = 0.5 → pass
+      Checks.inSetFraction("text", Seq("xxxxxxxxxx"), 0.05)))
+    val byName = rep.collect().map(r =>
+      r.getString(0) -> ((r.getDouble(1), r.getBoolean(4)))).toMap
+    assert(byName("size") == ((10.0, true)))
+    assert(byName("completeness(text)") == ((0.9, false)))
+    assert(byName("uniqueness(doc_id)") == ((0.9, false)))
+    assert(byName("mean(n)") == ((55.0, true)))
+    assert(byName("min(n)") == ((10.0, true)))
+    assert(byName("pattern(text)") == ((0.5, true)))
+    assert(byName("in_set(text)") == ((0.1, true)))
+    assert(!Checks.allPassed(rep))
+    assert(Checks.allPassed(Checks.report(spark, df, Seq(Checks.size(1)))))
+  }
+
+  test("Checks: every metric rides ONE scan; approx uniqueness avoids Expand") {
+    import graft.scale.Checks
+    val df = (0 until 100).map(i => (i.toLong, s"t$i")).toDF("doc_id", "text")
+    val all = Seq(Checks.size(1), Checks.completeness("text", 0.5),
+      Checks.uniqueness(0.5, "doc_id"), Checks.meanOf("doc_id", 0.0, 1e9))
+    val plan = Checks.metricsRow(df, all).queryExecution.executedPlan.toString
+    // one scan feeds every metric (Expand widens rows but reads once)
+    assert(plan.linesIterator.count(_.contains("LocalTableScan")) == 1, plan)
+    // HLL twin keeps the plan Expand-free and value-close to exact
+    val approxPlan = Checks.metricsRow(df,
+      Seq(Checks.uniquenessApprox(0.5, 0.01, "doc_id"), Checks.size(1)))
+      .queryExecution.executedPlan.toString
+    assert(!approxPlan.contains("Expand"), approxPlan)
+    val v = Checks.metricsRow(df,
+      Seq(Checks.uniquenessApprox(0.5, 0.01, "doc_id"))).collect().head.getDouble(0)
+    assert(math.abs(v - 1.0) < 0.05, v)
+  }
 }
