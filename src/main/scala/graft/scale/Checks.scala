@@ -123,4 +123,30 @@ object Checks {
     * calls before committing to a run. Collects #checks rows. */
   def allPassed(reportDf: DataFrame): Boolean =
     reportDf.agg(min(col("passed"))).collect().head.getBoolean(0)
+
+  /** Zero-extra-pass variant: the same constraints ride a job that is
+    * ALREADY running, via `Dataset.observe` (CollectMetrics — see
+    * [[Observe]]). Batch: the metrics row arrives on the listener after
+    * the action ([[Observe.collect]]); streaming: per micro-batch in
+    * `StreamingQueryProgress.observedMetrics` under `name`. Feed either
+    * row to [[evaluate]] for verdicts. Even the [[report]]'s one scan
+    * disappears — the corpus write job itself carries the gate.
+    *
+    * Constraint: observed metrics must be accumulator-mergeable, so
+    * Spark's analyzer REJECTS exact-distinct aggregates here — use
+    * [[uniquenessApprox]] (HLL partials merge), not [[uniqueness]]. */
+  def observed(df: DataFrame, name: String, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "Checks: at least one check required")
+    val cols = checks.map(c => round(c.metric.cast("double"), 6).as(c.name))
+    df.observe(name, cols.head, cols.tail: _*)
+  }
+
+  /** Verdicts from an observed metrics row: `(check, value, passed)`
+    * per constraint, same pass rule as [[report]]. */
+  def evaluate(row: Row, checks: Seq[Check]): Seq[(String, Double, Boolean)] =
+    checks.map { c =>
+      val i = row.fieldIndex(c.name)
+      val v = if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
+      (c.name, v, v >= c.lo && v <= c.hi)
+    }
 }

@@ -660,4 +660,37 @@ class ScaleSpec extends SparkSpec {
       Seq(Checks.uniquenessApprox(0.5, 0.01, "doc_id"))).collect().head.getDouble(0)
     assert(math.abs(v - 1.0) < 0.05, v)
   }
+
+  test("Checks.observed: constraints ride the running job, batch and streaming") {
+    import graft.scale.{Checks, Observe}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    val checks = Seq(Checks.size(5, 5), Checks.completeness("text", 0.5),
+      Checks.uniquenessApprox(0.9, 0.01, "doc_id"))
+    val df = (1 to 5).map(i => (i.toLong, s"t$i")).toDF("doc_id", "text")
+    val (_, rows) = Observe.collect(spark) {
+      Checks.observed(df, "gate", checks).write.format("noop")
+        .mode("append").save()
+    }
+    assert(Checks.evaluate(rows("gate"), checks).forall(_._3))
+    // exact-distinct constraints are analyzer-rejected in observed mode
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Checks.observed(df, "bad", Seq(Checks.uniqueness(0.5, "doc_id"))).collect()
+    }
+    // streaming: verdicts per micro-batch from observedMetrics
+    val sChecks = Seq(Checks.size(3, 3), Checks.completeness("text", 0.9))
+    val ms = MemoryStream[(Long, String)]
+    ms.addData((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]))
+    val q = Checks.observed(ms.toDF().toDF("doc_id", "text"), "sgate", sChecks)
+      .writeStream.format("noop").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(30000)
+    val prog = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get("sgate")))
+    assert(prog.nonEmpty)
+    val verdicts = Checks.evaluate(prog.last, sChecks)
+    assert(verdicts == Seq(("size", 3.0, true),
+      ("completeness(text)", 0.666667, false)), verdicts)
+  }
 }
