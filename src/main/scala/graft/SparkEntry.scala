@@ -1204,6 +1204,20 @@ object SparkEntry {
         .orderBy("check")
     }),
 
+    // run-over-run drift screen: "previous run" = the even-id half of
+    // the corpus, "current" = all of it → size doubles (anomalous at
+    // maxRelChange 0.5), mean/pattern stay put (not anomalous)
+    "q_quality_anomaly" -> ((s, dir) => {
+      import graft.scale.Checks
+      val docs = Tables.documents(s, dir)
+      val checks = Seq(Checks.size(1), Checks.meanOf("n_chars", 0.0, 1e9),
+        Checks.patternFraction("text", "[0-9]", 0.0))
+      val prev = Checks.report(s, docs.filter(col("doc_id") % 2 === 0), checks)
+        .select(lit("r1").as("run_id"), col("check"), col("value"))
+      Checks.anomalies(Checks.report(s, docs, checks), prev, maxRelChange = 0.5)
+        .orderBy("check")
+    }),
+
     "q_winnow" -> ((s, dir) =>
       TextPipeline.winnowFingerprints(Tables.documents(s, dir), k = 5, w = 4)
         .orderBy("doc_id", "pos")),
@@ -4097,6 +4111,33 @@ object SparkEntry {
         |SELECT chk AS "check", value, lo, hi,
         |       value >= lo AND value <= hi AS passed
         |FROM r ORDER BY chk""".stripMargin,
+
+    "q_quality_anomaly" ->
+      """WITH prevm AS (
+        |  SELECT round(CAST(count(*) AS DOUBLE), 6) AS s,
+        |         round(avg(CAST(n_chars AS DOUBLE)), 6) AS m,
+        |         round(avg(CASE WHEN regexp_matches(text, '[0-9]')
+        |                   THEN 1.0 ELSE 0.0 END), 6) AS p
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |curm AS (
+        |  SELECT round(CAST(count(*) AS DOUBLE), 6) AS s,
+        |         round(avg(CAST(n_chars AS DOUBLE)), 6) AS m,
+        |         round(avg(CASE WHEN regexp_matches(text, '[0-9]')
+        |                   THEN 1.0 ELSE 0.0 END), 6) AS p
+        |  FROM documents),
+        |r AS (
+        |  SELECT 'size' AS chk, curm.s AS cur, prevm.s AS prev FROM curm, prevm
+        |  UNION ALL SELECT 'mean(n_chars)', curm.m, prevm.m FROM curm, prevm
+        |  UNION ALL SELECT 'pattern(text)', curm.p, prevm.p FROM curm, prevm),
+        |a AS (
+        |  SELECT chk, cur, prev,
+        |    CASE WHEN prev = 0.0 AND cur = 0.0 THEN 0.0
+        |         WHEN prev = 0.0 THEN CAST('infinity' AS DOUBLE)
+        |         ELSE round(abs(cur / prev - 1.0), 6) END AS rel_change
+        |  FROM r)
+        |SELECT chk AS "check", cur, prev, rel_change,
+        |       coalesce(rel_change > 0.5, FALSE) AS anomalous
+        |FROM a ORDER BY chk""".stripMargin,
 
     "q_winnow" ->
       s"""WITH ${winnowFpSql(5, 4)}

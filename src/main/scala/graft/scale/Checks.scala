@@ -149,4 +149,42 @@ object Checks {
       val v = if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
       (c.name, v, v >= c.lo && v <= c.hi)
     }
+
+  /** Append a [[report]] (or any `(check, value)`-shaped frame) to the
+    * run-over-run metric history at `dir`, tagged with `runId` — the
+    * metric layer the anomaly gate reads. Parquet append of #checks
+    * rows; the history stays metadata-sized forever (runs × checks). */
+  def historyAppend(reportDf: DataFrame, dir: String, runId: String): Unit =
+    reportDf.select(lit(runId).as("run_id"), col("check"), col("value"))
+      .coalesce(1).write.mode("append").parquet(dir)
+
+  /** Run-over-run anomaly screen (the Deequ anomaly-detection model,
+    * relative-rate-of-change strategy): compare `current` metrics
+    * against the SAME check's value in the latest prior run and flag
+    * `|cur/prev - 1| > maxRelChange`. Fixed absolute bounds catch
+    * corruption; this catches DRIFT — the corpus that silently shrank
+    * 40% between crawls while every static constraint still passed.
+    *
+    * All frames are metadata-sized (runs × checks); the one window is
+    * PARTITIONED by check. A check with no prior run is emitted with
+    * null `prev`/`rel_change` and `anomalous=false` (first run passes).
+    * `prev = 0` with `cur != 0` flags anomalous (division guarded). */
+  def anomalies(current: DataFrame, history: DataFrame,
+                maxRelChange: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val latestPrev = history
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("check")).orderBy(col("run_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("check"), col("value").as("prev"))
+    current.select(col("check"), col("value").as("cur"))
+      .join(latestPrev, Seq("check"), "left")
+      .withColumn("rel_change",
+        when(col("prev").isNull, lit(null).cast("double"))
+          .when(col("prev") === 0.0 && col("cur") === 0.0, lit(0.0))
+          .when(col("prev") === 0.0, lit(Inf))
+          .otherwise(round(abs(col("cur") / col("prev") - 1.0), 6)))
+      .withColumn("anomalous",
+        coalesce(col("rel_change") > maxRelChange, lit(false)))
+  }
 }

@@ -693,4 +693,29 @@ class ScaleSpec extends SparkSpec {
     assert(verdicts == Seq(("size", 3.0, true),
       ("completeness(text)", 0.666667, false)), verdicts)
   }
+
+  test("Checks: history layer + run-over-run anomaly screen") {
+    import graft.scale.Checks
+    val checks = Seq(Checks.size(1), Checks.meanOf("v", 0.0, 1e9))
+    val dir = java.nio.file.Files.createTempDirectory("qhist").toString + "/h"
+    val prevRun = Checks.report(spark, (1 to 100).toDF("v"), checks)
+    Checks.historyAppend(prevRun, dir, "2026-02-01")
+    // an older, wilder run that must NOT win latest-prior selection
+    Checks.historyAppend(
+      prevRun.withColumn("value", col("value") * lit(100.0)), dir, "2026-01-01")
+    // current run shrank 70%; also carries a check with no history
+    val cur = Checks.report(spark, (1 to 30).toDF("v"),
+      checks :+ Checks.minOf("v", 0.0))
+    val out = Checks.anomalies(cur, spark.read.parquet(dir), maxRelChange = 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(4)))).toMap
+    assert(out("size") == ((Some(100.0), true)))        // 30 vs 100 → 0.7
+    assert(out("mean(v)") == ((Some(50.5), true)))      // 15.5 vs 50.5 → 0.69
+    assert(out("min(v)") == ((None, false)))            // first run: passes
+    // prev = 0 with nonzero current flags (guarded division)
+    val z = Checks.anomalies(
+      Seq(("size", 5.0)).toDF("check", "value"),
+      Seq(("r1", "size", 0.0)).toDF("run_id", "check", "value"), 0.5).collect().head
+    assert(z.getDouble(3).isPosInfinity && z.getBoolean(4), z)
+  }
 }
