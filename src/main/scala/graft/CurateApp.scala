@@ -69,7 +69,8 @@ object CurateApp {
       dsirKeepFrac: Double = 0.0, // >0 = keep top frac by DSIR weight
       jsonl: Boolean = false, // input is JSONL, not parquet
       quarantine: Option[String] = None, // JSONL reject sink (parquet)
-      observe: Boolean = false) // print output-rows/tokens metrics (one job)
+      observe: Boolean = false, // print output-rows/tokens metrics (one job)
+      gate: Seq[String] = Nil) // ';'-separated output constraints (see parseGate)
 
   /** Build the curation pipeline frame (lazy — callers choose the sink),
     * or run a compaction increment when `--compact-store` is set (eager
@@ -189,6 +190,8 @@ object CurateApp {
       case "--jsonl" :: t          => loop(t, c.copy(jsonl = true))
       case "--quarantine" :: v :: t => loop(t, c.copy(quarantine = Some(v)))
       case "--observe" :: t        => loop(t, c.copy(observe = true))
+      case "--gate" :: v :: t =>
+        loop(t, c.copy(gate = v.split(';').toSeq.filter(_.nonEmpty)))
       case "--winnow-store" :: v :: t =>
         loop(t, c.copy(winnowStore = Some(v)))
       case "--winnow-k" :: v :: t  => loop(t, c.copy(winnowK = v.toInt))
@@ -229,24 +232,71 @@ object CurateApp {
       partitions = spark.sessionState.conf.numShufflePartitions,
       bits = c.zorderBits)
 
+  /** `--gate` spec → [[graft.scale.Checks]] constraints, one per
+    * ';'-separated term:
+    *  - `size:LO[:HI]`        row count bounds
+    *  - `complete:COL:FRAC`   non-null fraction ≥ FRAC
+    *  - `unique:COLS:RATIO`   approx distinct ratio ≥ RATIO (HLL — the
+    *                          gate rides the write job as observed
+    *                          metrics, where exact distinct is
+    *                          analyzer-rejected; COLS comma-separated)
+    *  - `mean:COL:LO:HI`      mean bounds
+    * e.g. `--gate "size:1000;complete:text:0.99;unique:doc_id:0.98"`. */
+  def parseGate(specs: Seq[String]): Seq[graft.scale.Checks.Check] = {
+    import graft.scale.Checks
+    specs.map(s => s.split(':') match {
+      case Array("size", lo)         => Checks.size(lo.toLong)
+      case Array("size", lo, hi)     => Checks.size(lo.toLong, hi.toLong)
+      case Array("complete", c, f)   => Checks.completeness(c, f.toDouble)
+      case Array("unique", cols, r)  =>
+        Checks.uniquenessApprox(r.toDouble, 0.02,
+          cols.split(',').toIndexedSeq: _*)
+      case Array("mean", c, lo, hi)  => Checks.meanOf(c, lo.toDouble, hi.toDouble)
+      case other => throw new IllegalArgumentException(
+        s"--gate: unrecognized constraint '$s' " +
+          "(size:LO[:HI] | complete:COL:FRAC | unique:COLS:RATIO | mean:COL:LO:HI)")
+    })
+  }
+
   /** Write the curated frame to `c.output`. With `--observe`, row/char
     * counters ride the write job itself (graft.scale.Observe — one job,
-    * no second pass over the output) and the metrics row is returned. */
+    * no second pass over the output) and the metrics row is returned.
+    * With `--gate`, [[parseGate]] constraints ride the SAME job as
+    * observed metrics; a violated constraint throws after the write
+    * (nonzero exit — the orchestrator's signal that `c.output` exists
+    * but is NOT certified). */
   def write(spark: SparkSession, c: Config,
-            out: DataFrame): Option[org.apache.spark.sql.Row] =
-    if (!c.observe) {
-      out.write.mode("overwrite").parquet(c.output); None
-    } else {
-      import org.apache.spark.sql.functions.{col, count, length, lit, sum}
+            out: DataFrame): Option[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions.{col, count, length, lit, sum}
+    import graft.scale.{Checks, Observe}
+    val gateChecks = parseGate(c.gate)
+    val gated = if (gateChecks.isEmpty) out
+      else Checks.observed(out, "curate_gate", gateChecks)
+    val sized = if (!c.observe) gated else {
       val textCol = out.columns.find(_ == "chunk_text")
         .orElse(out.columns.find(_ == "text")).map(col).getOrElse(lit(""))
-      val sized = out.observe("curate_out",
+      gated.observe("curate_out",
         count(lit(1)).as("rows"), sum(length(textCol)).as("chars"))
-      val ((), m) = graft.scale.Observe.collect(spark) {
+    }
+    if (gateChecks.isEmpty && !c.observe) {
+      sized.write.mode("overwrite").parquet(c.output); None
+    } else {
+      val expected = (if (gateChecks.nonEmpty) 1 else 0) +
+        (if (c.observe) 1 else 0)
+      val ((), m) = Observe.collect(spark, expected = expected) {
         sized.write.mode("overwrite").parquet(c.output)
+      }
+      if (gateChecks.nonEmpty) {
+        val bad = Checks.evaluate(m("curate_gate"), gateChecks).filterNot(_._3)
+        bad.foreach { case (n, v, _) =>
+          System.err.println(s"[gate] FAILED $n = $v") }
+        if (bad.nonEmpty) throw new IllegalStateException(
+          s"--gate: ${bad.size} constraint(s) violated; " +
+            s"output at ${c.output} is NOT certified")
       }
       m.get("curate_out")
     }
+  }
 
   def main(args: Array[String]): Unit = {
     val c = parse(args)

@@ -134,6 +134,38 @@ class GraftAppSpec extends SparkSpec {
     assert(metrics.get.getAs[Long]("chars") == chars)
   }
 
+  test("CurateApp --gate: constraints ride the write job; violation exits nonzero") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("gatein").toString
+    val outDir = java.nio.file.Files.createTempDirectory("gateout").toString + "/o"
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "s"),
+      (2L, "one two three four five six seven eight nine ten", "s"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite").parquet(in)
+    // passing gate, combined with --observe on the SAME write job
+    val ok = CurateApp.parse(Array(
+      "--input", in, "--output", outDir, "--observe",
+      "--chunk-size", "16", "--stride", "16", "--max-dup-word-frac", "0.9",
+      "--gate", "size:1;complete:chunk_text:0.99;unique:doc_id,chunk_id:0.9"))
+    val frame = CurateApp.run(spark, ok)
+    val metrics = CurateApp.write(spark, ok, frame)
+    assert(metrics.isDefined &&
+      metrics.get.getAs[Long]("rows") == spark.read.parquet(outDir).count())
+    // violated gate: output written but the run throws (rc != 0)
+    val bad = ok.copy(gate = Seq("size:100000", "mean:chunk_id:0.0:1000.0"),
+      observe = false)
+    val e = intercept[IllegalStateException] {
+      CurateApp.write(spark, bad, CurateApp.run(spark, bad))
+    }
+    assert(e.getMessage.contains("1 constraint(s) violated"))
+    assert(spark.read.parquet(outDir).count() > 0) // exists, uncertified
+    // unknown constraint named in the error
+    val pe = intercept[IllegalArgumentException] {
+      CurateApp.parseGate(Seq("median:x:1"))
+    }
+    assert(pe.getMessage.contains("median:x:1"))
+  }
+
   test("CurateApp --keep-longest and --temperature: keep rule + derived rates") {
     import spark.implicits._
     val in = java.nio.file.Files.createTempDirectory("klin").toString
