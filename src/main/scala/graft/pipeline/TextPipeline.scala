@@ -171,14 +171,21 @@ object TextPipeline {
 
   /** Streaming exact dedup: the first-seen document per md5 digest within
     * the watermark horizon passes; later duplicates are dropped.
-    * `dropDuplicates` keeps one 16-byte key per distinct document in the
-    * state store and the watermark evicts expired keys — bounded state,
-    * no full-corpus shuffle (the streaming face of [[dedupExactByHash]]).
-    * Input must carry an `event_time` timestamp column. */
+    * `dropDuplicatesWithinWatermark` keeps one 16-byte key per distinct
+    * in-horizon document in the state store and EVICTS it once the
+    * watermark passes — bounded state, no full-corpus shuffle (the
+    * streaming face of [[dedupExactByHash]]). Plain `dropDuplicates` on
+    * a non-event-time key would keep every digest ever seen: on an
+    * unbounded corpus stream the state store itself becomes the scale
+    * bug, which is exactly what this operator exists to avoid. A
+    * duplicate arriving after its key expired re-emits — "exact dedup
+    * within the horizon" is the contract, corpus-lifetime dedup belongs
+    * to the batch/incremental tier. Input must carry an `event_time`
+    * timestamp column. */
   def dedupStreaming(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
     docs.withColumn("text_md5", md5(col("text").cast("binary")))
       .withWatermark("event_time", watermark)
-      .dropDuplicates("text_md5")
+      .dropDuplicatesWithinWatermark("text_md5")
 
   /** Per-document analysis: token counts, punctuation ratio, stopword
     * ratio, quality score, fingerprint, heuristic language guess.

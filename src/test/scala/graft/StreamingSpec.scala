@@ -662,6 +662,21 @@ class StreamingSpec extends SparkSpec {
         .map(_.getAs[Long]("doc_id")).toSet
       // duplicates of "alpha" (ids 3, 4) dropped, including across batches
       assert(ids == Set(1L, 2L, 5L))
+      // bounded state: the operator is the watermark-evicting one
+      assert(q.lastProgress.stateOperators.exists(
+        _.operatorName == "dedupeWithinWatermark"),
+        q.lastProgress.stateOperators.map(_.operatorName).toSeq)
+      // push the watermark far past alpha's horizon (default 1 h), then
+      // send alpha again: its key was EVICTED, so it re-emits — the
+      // proof state does not grow with corpus lifetime (plain
+      // dropDuplicates would still be holding the digest and drop it)
+      mem.addData((6L, "mover", ts(100000)))
+      q.processAllAvailable()
+      mem.addData((7L, "alpha", ts(99999)))
+      q.processAllAvailable()
+      val after = spark.table("dedup_stream").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(after == Set(1L, 2L, 5L, 6L, 7L), after)
     } finally q.stop()
   }
 
