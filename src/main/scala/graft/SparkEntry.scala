@@ -1204,6 +1204,18 @@ object SparkEntry {
         .orderBy("check")
     }),
 
+    // snapshot diff: prev = %5!=0 ids with %7==0 texts modified,
+    // cur = %11!=0 ids → added/removed/changed partitions are disjoint
+    // deterministic id classes; unchanged rows must NOT appear
+    "q_corpus_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val prev = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(lit("MOD "), col("text"))).otherwise(col("text")))
+      val cur = docs.filter(col("doc_id") % 11 =!= 0)
+      Curation.corpusDiff(prev, cur).orderBy("doc_id")
+    }),
+
     // run-over-run drift screen: "previous run" = the even-id half of
     // the corpus, "current" = all of it → size doubles (anomalous at
     // maxRelChange 0.5), mean/pattern stay put (not anomalous)
@@ -4111,6 +4123,21 @@ object SparkEntry {
         |SELECT chk AS "check", value, lo, hi,
         |       value >= lo AND value <= hi AS passed
         |FROM r ORDER BY chk""".stripMargin,
+
+    "q_corpus_diff" ->
+      """WITH prev AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'MOD ' || text ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |cur AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0),
+        |j AS (
+        |  SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+        |    CASE WHEN p.doc_id IS NULL THEN 'added'
+        |         WHEN c.doc_id IS NULL THEN 'removed'
+        |         WHEN p.text <> c.text THEN 'changed' END AS status
+        |  FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id)
+        |SELECT doc_id, status FROM j WHERE status IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
 
     "q_quality_anomaly" ->
       """WITH prevm AS (

@@ -1087,6 +1087,32 @@ object Curation {
             col("doc_id").asc)))
       .filter(col("__rk") <= k).drop("__rk")
 
+  /** Snapshot diff for incremental corpus refresh: which documents were
+    * added, removed, or changed between two corpus versions — the
+    * work-list that lets a recrawl re-curate the DELTA instead of the
+    * world (re-score/re-chunk `added`+`changed`, retire `removed` from
+    * the stores via the incremental-dedup/upsert tier).
+    *
+    * Scale: each side is reduced map-side to (doc_id, 16-byte md5) — the
+    * text column never reaches the shuffle — then one full-outer
+    * hash-join on doc_id (both sides corpus-sized, so a shuffle join is
+    * the right plan; AQE handles skew). Unchanged rows are filtered out,
+    * so the output is DELTA-sized. Content identity = digest equality,
+    * the same convention as [[TextPipeline.dedupExactByHash]]. */
+  def corpusDiff(prev: DataFrame, cur: DataFrame): DataFrame = {
+    val p = prev.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("__prev_md5"))
+    val c = cur.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("__cur_md5"))
+    p.join(c, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("__prev_md5").isNull, lit("added"))
+          .when(col("__cur_md5").isNull, lit("removed"))
+          .when(col("__prev_md5") =!= col("__cur_md5"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col("doc_id"), col("status"))
+  }
+
   /** Multinomial Naive Bayes text classifier over hashed word n-gram
     * features — the closed-form stand-in for the fastText-style linear
     * quality/domain filters corpus pipelines train (CCNet, Joulin et al.

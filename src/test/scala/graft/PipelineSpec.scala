@@ -1871,4 +1871,20 @@ class PipelineSpec extends SparkSpec {
       minShared = 1, maxDocs = 1))
     assert(capped.isEmpty)
   }
+
+  test("corpusDiff: added/removed/changed only — unchanged rows dropped") {
+    import graft.pipeline.Curation
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val cur = Seq((1L, "a"), (2L, "B2"), (4L, "d")).toDF("doc_id", "text")
+    val out = Curation.corpusDiff(prev, cur).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+    // delta-sized shuffle contract: only (doc_id, digest) reach the join
+    val plan = Curation.corpusDiff(prev, cur).queryExecution.optimizedPlan
+    val joinIn = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.children.flatMap(_.output.map(_.name))
+    }.flatten
+    assert(joinIn.nonEmpty && !joinIn.contains("text"), joinIn)
+  }
 }
