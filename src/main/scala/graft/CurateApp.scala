@@ -70,7 +70,9 @@ object CurateApp {
       jsonl: Boolean = false, // input is JSONL, not parquet
       quarantine: Option[String] = None, // JSONL reject sink (parquet)
       observe: Boolean = false, // print output-rows/tokens metrics (one job)
-      gate: Seq[String] = Nil) // ';'-separated output constraints (see parseGate)
+      gate: Seq[String] = Nil, // ';'-separated output constraints (see parseGate)
+      diffPrev: Option[String] = None, // previous corpus snapshot (parquet)
+      retired: Option[String] = None) // removed-doc_id sink for --diff-prev
 
   /** Build the curation pipeline frame (lazy — callers choose the sink),
     * or run a compaction increment when `--compact-store` is set (eager
@@ -86,12 +88,31 @@ object CurateApp {
           .quarantine(spark, c.input).write.mode("overwrite").parquet(q))
         graft.core.CorpusSource.readJsonl(spark, c.input)
       }
+    // optional incremental mode FIRST: with --diff-prev, the input is
+    // cut to the snapshot delta (added + changed vs the previous corpus
+    // version — Curation.corpusDiff) before any other stage, so every
+    // downstream scan/shuffle is delta-sized instead of corpus-sized;
+    // removed doc_ids go to --retired for the store owner to apply
+    // (Documents.upsertDaily / incremental-dedup key retirement)
+    val base = c.diffPrev match {
+      case None => raw
+      case Some(prevPath) =>
+        val diff = Curation.corpusDiff(spark.read.parquet(prevPath), raw)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        c.retired.foreach(rp => diff
+          .filter(org.apache.spark.sql.functions.col("status") === "removed")
+          .select("doc_id").write.mode("overwrite").parquet(rp))
+        raw.join(
+          diff.filter(org.apache.spark.sql.functions
+            .col("status") =!= "removed").select("doc_id"),
+          Seq("doc_id"), "left_semi")
+    }
     // optional C4 line cleaning ahead of everything else: cheapest-first
     // stage order — line rules are partition-local, so scrubbing before
     // dedup/decontamination shrinks every later shuffle
-    val lined = if (c.c4MinWords <= 0) raw
-      else raw.join(
-        Curation.c4LineFilter(raw, minWords = c.c4MinWords)
+    val lined = if (c.c4MinWords <= 0) base
+      else base.join(
+        Curation.c4LineFilter(base, minWords = c.c4MinWords)
           .select(org.apache.spark.sql.functions.col("doc_id"),
             org.apache.spark.sql.functions.col("text_clean")),
         Seq("doc_id"))
@@ -192,6 +213,8 @@ object CurateApp {
       case "--observe" :: t        => loop(t, c.copy(observe = true))
       case "--gate" :: v :: t =>
         loop(t, c.copy(gate = v.split(';').toSeq.filter(_.nonEmpty)))
+      case "--diff-prev" :: v :: t => loop(t, c.copy(diffPrev = Some(v)))
+      case "--retired" :: v :: t   => loop(t, c.copy(retired = Some(v)))
       case "--winnow-store" :: v :: t =>
         loop(t, c.copy(winnowStore = Some(v)))
       case "--winnow-k" :: v :: t  => loop(t, c.copy(winnowK = v.toInt))

@@ -166,6 +166,31 @@ class GraftAppSpec extends SparkSpec {
     assert(pe.getMessage.contains("median:x:1"))
   }
 
+  test("CurateApp --diff-prev: delta-only curation + retired-id sink") {
+    import spark.implicits._
+    val prevDir = java.nio.file.Files.createTempDirectory("dprev").toString
+    val curDir = java.nio.file.Files.createTempDirectory("dcur").toString
+    val retDir = java.nio.file.Files.createTempDirectory("dret").toString + "/r"
+    val outDir = java.nio.file.Files.createTempDirectory("dout").toString + "/o"
+    val same = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq((1L, same, "s"), (2L, "old text version here now", "s"),
+        (3L, "retired document text body", "s"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite").parquet(prevDir)
+    Seq((1L, same, "s"), // unchanged -> NOT recurated
+        (2L, "one two three four five six seven eight", "s"), // changed
+        (4L, "nine ten eleven twelve thirteen fourteen", "s")) // added
+      .toDF("doc_id", "text", "source").write.mode("overwrite").parquet(curDir)
+    val c = CurateApp.parse(Array(
+      "--input", curDir, "--output", outDir,
+      "--diff-prev", prevDir, "--retired", retDir,
+      "--chunk-size", "16", "--stride", "16", "--max-dup-word-frac", "0.9"))
+    val out = CurateApp.run(spark, c)
+    assert(out.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(2L, 4L))
+    assert(spark.read.parquet(retDir).collect()
+      .map(_.getLong(0)).toSet == Set(3L))
+  }
+
   test("CurateApp --keep-longest and --temperature: keep rule + derived rates") {
     import spark.implicits._
     val in = java.nio.file.Files.createTempDirectory("klin").toString
