@@ -263,4 +263,40 @@ object Documents {
         .partitionBy("day").parquet(path)
     }
   }
+
+  /** Partition-scoped retirement — [[upsertDaily]]'s delete twin, the
+    * store-side consumer of a snapshot diff's `removed` list
+    * (`CurateApp --retired`): drop every stored row whose `key` appears
+    * in `retired`. Day discovery is ONE column-pruned scan of
+    * (key, day) semi-joined against the retired keys (the rest of the
+    * row never leaves the files); only day partitions that actually
+    * hold a retired key are read in full and rewritten (dynamic
+    * partition overwrite, `localCheckpoint`-pinned like upsert).
+    * A day whose every row is retired produces NO output partition —
+    * dynamic overwrite would silently leave its files in place, so
+    * those directories are removed explicitly. Untouched partitions
+    * keep their files byte-for-byte. */
+  def deleteDaily(spark: org.apache.spark.sql.SparkSession, path: String,
+                  retired: DataFrame, key: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val keys = retired.select(col(key)).distinct()
+    val store = spark.read.parquet(path)
+      .withColumn("day", col("day").cast("string"))
+    val days = store.select(col(key), col("day"))
+      .join(keys, Seq(key), "left_semi")
+      .select("day").distinct().collect().map(_.getString(0)).toSeq
+    if (days.isEmpty) return // nothing stored for these keys
+    val kept = store.filter(col("day").isin(days: _*))
+      .join(keys, Seq(key), "left_anti")
+      .localCheckpoint(true)
+    val keptDays = kept.select("day").distinct()
+      .collect().map(_.getString(0)).toSet // metadata-sized
+    kept.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(path)
+    days.filterNot(keptDays).foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"day=$d"), true))
+  }
 }

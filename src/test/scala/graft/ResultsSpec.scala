@@ -87,6 +87,41 @@ class ResultsSpec extends SparkSpec {
     assert(spark.read.parquet(dir2).count() == 1)
   }
 
+  test("deleteDaily: scoped retirement, fully-retired day removed, others untouched") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("retire").toString + "/store"
+    def doc(key: String, v: Long, tsMs: Long) =
+      Seq((key, v)).toDF("key", "value")
+        .withColumn("@timestamp",
+          org.apache.spark.sql.functions.timestamp_millis(lit(tsMs)))
+    val day1 = 1700000000000L // 2023-11-14
+    val day2 = 1700100000000L // 2023-11-16
+    val day3 = 1700300000000L // 2023-11-18
+    Documents.writeDaily(doc("a", 1L, day1).unionByName(doc("b", 2L, day1)), dir)
+    Documents.writeDaily(doc("a", 3L, day2).unionByName(doc("c", 4L, day2)), dir)
+    Documents.writeDaily(doc("d", 5L, day3), dir) // untouched by the retire
+    def files(day: String) = {
+      val d = new java.io.File(s"$dir/day=$day")
+      if (!d.exists) Set.empty[String] else d.listFiles.map(_.getName).toSet
+    }
+    val day3Files = files("2023-11-18")
+    // retire "a" (present on day1 and day2) and "c" — day2 loses ALL rows
+    Documents.deleteDaily(spark, dir,
+      Seq("a", "c").toDF("key"), key = "key")
+    val got = spark.read.parquet(dir)
+      .select(col("key"), col("value"), col("day").cast("string")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set(("b", 2L, "2023-11-14"), ("d", 5L, "2023-11-18")), got)
+    // day2 held only retired keys -> its partition directory is GONE
+    assert(files("2023-11-16").isEmpty)
+    // day3 had no retired key -> not rewritten, identical file names
+    assert(files("2023-11-18") == day3Files)
+    // retiring absent keys is a no-op
+    Documents.deleteDaily(spark, dir, Seq("zz").toDF("key"), key = "key")
+    assert(files("2023-11-18") == day3Files &&
+      spark.read.parquet(dir).count() == 2)
+  }
+
   test("dailyProfileDoc: dense 24-slot array, zero-filled silent hours") {
     val profile = Seq(
       ("10.0.0.1", 0L, 3, 100L, 1000L, 2L),
