@@ -39,7 +39,8 @@ object GraftApp {
       minPackets: Long = 100000L,     // ddos minimal_incoming (:187)
       stateTtlMs: Long = 86400000L,   // ddos profile GC horizon (1 day)
       reflectRatio: Double = 3.0,     // reflect_ddos threshold_change (reflectdos_main.py:186)
-      minReplies: Long = 10L)         // reflect_ddos minimal_replies (:185)
+      minReplies: Long = 10L,         // reflect_ddos minimal_replies (:185)
+      observe: Boolean = false)       // per-batch in/out counters on the stream
 
   /** Load the reference-format classifier CSV:
     * suites;device;os;application;browser (tls_classification.py:44-83). */
@@ -115,8 +116,18 @@ object GraftApp {
       case (_, Some((bootstrap, topic))) => FlowSource.kafka(spark, bootstrap, topic)
       case _ => throw new IllegalArgumentException("need --input-json or --kafka")
     }
-    val result = analytic(c)(FlowSource.withEventTime(flows))
-    ResultSink.parquet(ResultSink.tagged(result, c.analytic),
+    // --observe: flow-in / report-out counters ride the micro-batch as
+    // CollectMetrics (graft.scale.Observe model — zero extra jobs; the
+    // reference logged the same numbers with a per-batch driver count),
+    // surfaced in StreamingQueryProgress.observedMetrics
+    import org.apache.spark.sql.functions.{count, lit}
+    val src = FlowSource.withEventTime(flows)
+    val srcObs = if (!c.observe) src
+      else src.observe("flows_in", count(lit(1)).as("rows"))
+    val result = analytic(c)(srcObs)
+    val resObs = if (!c.observe) result
+      else result.observe("reports_out", count(lit(1)).as("rows"))
+    ResultSink.parquet(ResultSink.tagged(resObs, c.analytic),
       c.output, c.checkpoint).start()
   }
 
@@ -140,6 +151,7 @@ object GraftApp {
       case "--state-ttl-ms" :: v :: t => loop(t, c.copy(stateTtlMs = v.toLong))
       case "--reflect-ratio" :: v :: t => loop(t, c.copy(reflectRatio = v.toDouble))
       case "--min-replies" :: v :: t => loop(t, c.copy(minReplies = v.toLong))
+      case "--observe" :: t          => loop(t, c.copy(observe = true))
       case Nil => c
       case other :: _ => throw new IllegalArgumentException(s"unknown arg $other")
     }
@@ -149,6 +161,19 @@ object GraftApp {
   def main(args: Array[String]): Unit = {
     val c = parse(args)
     val spark = Graft.session(s"graft-${c.analytic}")
+    if (c.observe) spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val m = e.progress.observedMetrics
+          val shown = Seq("flows_in", "reports_out").flatMap(k =>
+            Option(m.get(k)).map(r => s"$k=${r.getAs[Long]("rows")}"))
+          if (shown.nonEmpty) System.err.println(
+            s"[observe] batch=${e.progress.batchId} ${shown.mkString(" ")}")
+        }
+      })
     build(spark, c).awaitTermination()
   }
 }

@@ -41,6 +41,35 @@ class GraftAppSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("GraftApp --observe: per-batch in/out counters ride the stream") {
+    val in = java.nio.file.Files.createTempDirectory("obsappin").toString
+    val out = java.nio.file.Files.createTempDirectory("obsappout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("obsappckpt").toString
+    def write(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        lines.mkString("\n").getBytes)
+    write("b1.json",
+      flowJson(6, 11000L, 2, 100),
+      flowJson(6, 12000L, 3, 200))
+    val q = GraftApp.build(spark, GraftApp.Config(
+      analytic = "protocol_statistics", inputJson = Some(in),
+      output = out, checkpoint = ckpt, window = "10 seconds",
+      observe = true))
+    try {
+      q.processAllAvailable()
+      write("b2.json", flowJson(17, 100000L, 1, 50)) // closes the window
+      q.processAllAvailable()
+      val metrics = q.recentProgress.toSeq
+        .flatMap(p => Seq("flows_in", "reports_out").flatMap(k =>
+          Option(p.observedMetrics.get(k)).map(r =>
+            k -> r.getAs[Long]("rows"))))
+      // all 3 input flows counted on the way in, and the closed tcp
+      // window's report counted on the way out — with zero extra jobs
+      assert(metrics.filter(_._1 == "flows_in").map(_._2).sum == 3L, metrics)
+      assert(metrics.filter(_._1 == "reports_out").map(_._2).sum >= 1L, metrics)
+    } finally q.stop()
+  }
+
   test("CurateApp end-to-end: parquet corpus -> curated chunks parquet") {
     import spark.implicits._
     val in = java.nio.file.Files.createTempDirectory("curin").toString
