@@ -311,24 +311,42 @@ object Curation {
     * across engines and runs. Contiguous 0..N-1 positions via
     * [[graft.scale.Ids.assign]] over (fraction, source, k).
     *
-    * The per-source index is a PARTITIONED window (row_number per
-    * source — each source's docs sort within their own partitions,
-    * never a single-partition total order); per-source counts are one
-    * broadcast-sized aggregate. At extreme per-source cardinality the
-    * double fraction loses ulps, which only perturbs WHICH of two
-    * almost-equal slots two docs take — the (source, k) tie-break keeps
-    * the result deterministic. */
+    * The per-source index is NOT a `partitionBy(source)` window — that
+    * spelling funnels every row of a source through ONE task (a corpus
+    * has few sources, each huge: the hot-source sort is the first thing
+    * to die at 100 TB). Instead [[graft.scale.Ids.assign]] computes the
+    * global rank in (source, doc_id) order — range-partitioned, so a
+    * big source SPLITS across tasks — and the per-source index is that
+    * rank minus the source's exclusive offset, derived driver-side from
+    * the per-source counts (#sources rows, collected in Spark's own
+    * sort order so string collation matches the rank's). At extreme
+    * per-source cardinality the double fraction loses ulps, which only
+    * perturbs WHICH of two almost-equal slots two docs take — the
+    * (source, k) tie-break keeps the result deterministic. */
   def interleaveBySources(docs: DataFrame, posCol: String = "pos"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy("doc_id")
-    val counts = docs.groupBy("source").agg(count(lit(1)).as("__n"))
-    val keyed = docs
-      .withColumn("__k", row_number().over(w).cast("long") - 1L)
-      .join(broadcast(counts), Seq("source"))
+    val spark = docs.sparkSession
+    val cs = docs.groupBy("source").agg(count(lit(1)).as("__n"))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    var off = 0L
+    val metaRows = cs.map { case (s, n) =>
+      val r = org.apache.spark.sql.Row(s, n, off); off += n; r }
+    val meta = spark.createDataFrame(
+      java.util.Arrays.asList(metaRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("__n",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val keyed = graft.scale.Ids.assign(docs, Seq("source", "doc_id"), "__gpos")
+      .join(broadcast(meta), Seq("source"))
+      .withColumn("__k", col("__gpos") - col("__off"))
       .withColumn("__frac",
         (col("__k") + 1).cast("double") / (col("__n") + 1).cast("double"))
     graft.scale.Ids.assign(keyed, Seq("__frac", "source", "__k"), posCol)
-      .drop("__frac", "__n", "__k")
+      .drop("__frac", "__n", "__k", "__gpos", "__off")
   }
 
   // ----- connected components / cluster dedup ----------------------------
