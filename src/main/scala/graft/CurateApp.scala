@@ -72,7 +72,8 @@ object CurateApp {
       observe: Boolean = false, // print output-rows/tokens metrics (one job)
       gate: Seq[String] = Nil, // ';'-separated output constraints (see parseGate)
       diffPrev: Option[String] = None, // previous corpus snapshot (parquet)
-      retired: Option[String] = None) // removed-doc_id sink for --diff-prev
+      retired: Option[String] = None, // removed-doc_id sink for --diff-prev
+      audit: Boolean = false) // static plan-audit before running (PlanAudit)
 
   /** Build the curation pipeline frame (lazy — callers choose the sink),
     * or run a compaction increment when `--compact-store` is set (eager
@@ -215,6 +216,7 @@ object CurateApp {
         loop(t, c.copy(gate = v.split(';').toSeq.filter(_.nonEmpty)))
       case "--diff-prev" :: v :: t => loop(t, c.copy(diffPrev = Some(v)))
       case "--retired" :: v :: t   => loop(t, c.copy(retired = Some(v)))
+      case "--audit" :: t          => loop(t, c.copy(audit = true))
       case "--winnow-store" :: v :: t =>
         loop(t, c.copy(winnowStore = Some(v)))
       case "--winnow-k" :: v :: t  => loop(t, c.copy(winnowK = v.toInt))
@@ -324,7 +326,17 @@ object CurateApp {
   def main(args: Array[String]): Unit = {
     val c = parse(args)
     val spark = Graft.session("graft-curate")
-    write(spark, c, laidOut(spark, c, run(spark, c))).foreach { row =>
+    val frame = laidOut(spark, c, run(spark, c))
+    if (c.audit) {
+      // static scale-smell check of THIS configuration's composed plan
+      // (a user-supplied rate map / store path can change the shape):
+      // refuse to launch a cartesian or global-window plan at 100 TB
+      val findings = graft.tools.PlanAudit.audit(frame)
+      findings.foreach(f => System.err.println(s"[audit] $f"))
+      if (findings.nonEmpty) throw new IllegalStateException(
+        s"--audit: ${findings.size} scale anti-pattern(s) in the plan; not running")
+    }
+    write(spark, c, frame).foreach { row =>
       System.err.println(s"[curate] rows=${row.getAs[Long]("rows")} " +
         s"chars=${Option(row.get(row.fieldIndex("chars"))).getOrElse(0L)}")
     }

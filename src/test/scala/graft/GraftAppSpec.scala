@@ -220,6 +220,18 @@ class GraftAppSpec extends SparkSpec {
       .map(_.getLong(0)).toSet == Set(3L))
   }
 
+  test("CurateApp --audit: flag parses and the composed pipeline plan is clean") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("auditin").toString
+    Seq((1L, "alpha beta gamma delta epsilon zeta eta theta", "s"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite").parquet(in)
+    val c = CurateApp.parse(Array("--input", in, "--audit",
+      "--chunk-size", "16", "--stride", "16", "--max-dup-word-frac", "0.9"))
+    assert(c.audit)
+    val frame = CurateApp.laidOut(spark, c, CurateApp.run(spark, c))
+    assert(graft.tools.PlanAudit.audit(frame).isEmpty)
+  }
+
   test("CurateApp --keep-longest and --temperature: keep rule + derived rates") {
     import spark.implicits._
     val in = java.nio.file.Files.createTempDirectory("klin").toString
