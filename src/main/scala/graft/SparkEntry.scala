@@ -954,6 +954,11 @@ object SparkEntry {
 
     // token-balanced shard manifest: same prefix-sum pass, grand total
     // from driver metadata (no second corpus scan)
+    // export-integrity manifest: per-shard docs/tokens + order-
+    // independent bit_xor content checksum over the portable fp47
+    "q_shard_manifest" -> ((s, dir) =>
+      Curation.shardManifest(Tables.documents(s, dir), nShards = 16)),
+
     "q_shard_tokens" -> ((s, dir) =>
       Curation.shardByTokens(Tables.documents(s, dir), nShards = 16)
         .orderBy("doc_id")),
@@ -3632,6 +3637,34 @@ object SparkEntry {
          |FROM e ORDER BY seq_id, doc_id""".stripMargin,
 
     // same prefix-sum CTE + cross-joined grand total; 16 shards
+    "q_shard_manifest" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks
+         |  FROM documents
+         |), p AS (
+         |  SELECT doc_id, n_toks,
+         |    CAST(COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS BIGINT) AS tok_start
+         |  FROM c
+         |), t AS (
+         |  SELECT CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) AS total FROM c
+         |), s AS (
+         |  SELECT doc_id, n_toks,
+         |    CAST(least(tok_start * 16 // greatest(total, 1), 15) AS INT)
+         |      AS shard
+         |  FROM p, t
+         |), h AS (
+         |  SELECT doc_id,
+         |    ${fpSql("(CAST(doc_id AS VARCHAR) || ':' || text)")} AS h
+         |  FROM documents
+         |)
+         |SELECT shard, count(*) AS docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS tokens,
+         |  bit_xor(h) AS checksum
+         |FROM s JOIN h USING (doc_id)
+         |GROUP BY shard ORDER BY shard""".stripMargin,
+
     "q_shard_tokens" ->
       s"""WITH c AS (
          |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks

@@ -270,6 +270,29 @@ object Curation {
         lit(nShards - 1L)).cast("int"))
   }
 
+  /** Export-integrity manifest over [[shardByTokens]]'s assignment:
+    * per shard, document count, token total, and an ORDER-INDEPENDENT
+    * content checksum — `bit_xor` of the portable poly-47 hash of
+    * `"doc_id:text"` — so a consumer can re-derive the manifest from
+    * the delivered shard files in any row order, on any engine (the
+    * q_shard_manifest oracle recomputes identical checksums in SQL),
+    * and a silently truncated / duplicated / bit-flipped shard fails
+    * the comparison by name. One extra corpus scan beyond the shard
+    * assignment (the text must be read to be checksummed), all
+    * map-side-combinable aggregates, output = nShards rows. */
+  def shardManifest(docs: DataFrame, nShards: Int): DataFrame = {
+    val shards = shardByTokens(docs, nShards).select("doc_id", "n_toks", "shard")
+    docs.select(col("doc_id"),
+        element_at(graft.expressions.TextExpressions.polyHash47(
+          array(concat(col("doc_id").cast("string"), lit(":"), col("text")))),
+          1).as("__h"))
+      .join(shards, Seq("doc_id"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("docs"), sum("n_toks").as("tokens"),
+        expr("bit_xor(__h)").as("checksum"))
+      .orderBy("shard")
+  }
+
   /** Deterministic global training order: `pos` = the document's
     * position in the scrambled-id permutation (same LCG draw as
     * [[sampleExactPerSource]] — replays identically across runs and

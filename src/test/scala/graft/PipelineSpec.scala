@@ -1872,6 +1872,29 @@ class PipelineSpec extends SparkSpec {
     assert(capped.isEmpty)
   }
 
+  test("shardManifest: per-shard integrity, mutation pinpointed to its shard") {
+    import graft.pipeline.Curation
+    val docs = (1L to 40L).map(i => (i, s"alpha beta gamma w$i", "s"))
+      .toDF("doc_id", "text", "source")
+    val m = Curation.shardManifest(docs, 4).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(m.keySet == Set(0, 1, 2, 3))
+    assert(m.values.map(_._1).sum == 40L) // every doc in exactly one shard
+    // same-token-count tamper of doc 7: docs/tokens identical everywhere,
+    // checksum differs in EXACTLY the shard holding doc 7
+    val tampered = docs.withColumn("text",
+      when(col("doc_id") === 7L, lit("alpha beta gamma zz"))
+        .otherwise(col("text")))
+    val mt = Curation.shardManifest(tampered, 4).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(m.keySet == mt.keySet)
+    assert(m.forall { case (s, (d, t, _)) => mt(s)._1 == d && mt(s)._2 == t })
+    val changed = m.keySet.filter(s => m(s)._3 != mt(s)._3)
+    assert(changed.size == 1, s"checksum diff in shards $changed")
+  }
+
   test("corpusDiff: added/removed/changed only — unchanged rows dropped") {
     import graft.pipeline.Curation
     val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
