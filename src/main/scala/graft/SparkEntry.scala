@@ -1209,6 +1209,11 @@ object SparkEntry {
         .orderBy("check")
     }),
 
+    // cross-source contamination matrix over trigram fp47 sets
+    "q_source_overlap" -> ((s, dir) =>
+      Curation.sourceOverlap(Tables.documents(s, dir), n = 3)
+        .orderBy("source_a", "source_b")),
+
     // snapshot diff: prev = %5!=0 ids with %7==0 texts modified,
     // cur = %11!=0 ids → added/removed/changed partitions are disjoint
     // deterministic id classes; unchanged rows must NOT appear
@@ -4156,6 +4161,30 @@ object SparkEntry {
         |SELECT chk AS "check", value, lo, hi,
         |       value >= lo AND value <= hi AS passed
         |FROM r ORDER BY chk""".stripMargin,
+
+    "q_source_overlap" ->
+      s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+         |g0 AS (
+         |  SELECT source, CASE WHEN len(toks) < 3 THEN []
+         |    ELSE list_transform(range(1, len(toks) - 1),
+         |           i -> array_to_string(toks[i:i+2], ' ')) END AS grams
+         |  FROM t),
+         |gs AS (
+         |  SELECT DISTINCT source, ${fpSql("w")} AS g
+         |  FROM (SELECT source, unnest(grams) AS w FROM g0)),
+         |tot AS (SELECT source, count(*) AS total FROM gs GROUP BY source),
+         |pairs AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |         count(*) AS shared_grams
+         |  FROM gs a JOIN gs b ON a.g = b.g AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, shared_grams,
+         |  round(CAST(shared_grams AS DOUBLE) /
+         |    (ta.total + tb.total - shared_grams), 6) AS jaccard
+         |FROM pairs
+         |JOIN tot ta ON ta.source = pairs.source_a
+         |JOIN tot tb ON tb.source = pairs.source_b
+         |ORDER BY source_a, source_b""".stripMargin,
 
     "q_corpus_diff" ->
       """WITH prev AS (

@@ -1128,6 +1128,48 @@ object Curation {
             col("doc_id").asc)))
       .filter(col("__rk") <= k).drop("__rk")
 
+  /** Cross-source contamination matrix: for every source pair, how many
+    * distinct word `n`-grams they share, plus the gram-set Jaccard —
+    * the "is src_web a superset of src_books" / "did two crawls ingest
+    * the same mirror" diagnostic that decides whether per-source mixing
+    * rates double-count content.
+    *
+    * Shape at scale: one explode → distinct (gram-fp47, source) hash
+    * aggregate (map-side combinable, 8-byte keys) → per-gram source
+    * SET (`collect_set`, bounded by #sources — a corpus has tens of
+    * sources, so the hottest gram fans out to at most
+    * C(#sources, 2) pairs, NOT d² in documents) → one pair-count
+    * aggregate. Per-source gram totals ride the same distinct frame;
+    * the output is #source-pairs rows. Never joins documents against
+    * documents. */
+  def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
+    val grams = docs
+      .select(col("source"), explode(
+        graft.expressions.TextExpressions.polyHash47(
+          graft.expressions.TextExpressions.wordShingles(col("text"), n)))
+        .as("g"))
+      .distinct() // (gram, source) — 8-byte gram keys
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = grams.groupBy("source").agg(count(lit(1)).as("__total"))
+    val pairs = grams
+      .groupBy("g").agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ss, (a, i) ->
+          |  transform(slice(ss, i + 2, size(ss)), b -> struct(a, b))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.a").as("source_a"), col("p.b").as("source_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    pairs
+      .join(broadcast(totals.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("__total", "__ta")), Seq("source_a"))
+      .join(broadcast(totals.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("__total", "__tb")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("shared_grams"),
+        round(col("shared_grams").cast("double") /
+          (col("__ta") + col("__tb") - col("shared_grams")), 6).as("jaccard"))
+  }
+
   /** Snapshot diff for incremental corpus refresh: which documents were
     * added, removed, or changed between two corpus versions — the
     * work-list that lets a recrawl re-curate the DELTA instead of the

@@ -1895,6 +1895,22 @@ class PipelineSpec extends SparkSpec {
     assert(changed.size == 1, s"checksum diff in shards $changed")
   }
 
+  test("sourceOverlap: pairwise shared grams + jaccard against hand counts") {
+    import graft.pipeline.Curation
+    // A and B share the trigram run "x y z w" (2 shared 3-grams),
+    // C shares nothing with anyone
+    val docs = Seq(
+      (1L, "x y z w a b", "A"),   // grams: xyz yzw zwa wab
+      (2L, "x y z w c", "B"),     // grams: xyz yzw zwc
+      (3L, "p q r s t", "C"))     // grams: pqr qrs rst
+      .toDF("doc_id", "text", "source")
+    val out = Curation.sourceOverlap(docs, n = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // shared {xyz, yzw}; totals A=4, B=3 → jaccard 2/(4+3-2)=0.4
+    assert(out == Map(("A", "B") -> ((2L, 0.4))), out)
+  }
+
   test("corpusDiff: added/removed/changed only — unchanged rows dropped") {
     import graft.pipeline.Curation
     val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
