@@ -1209,6 +1209,14 @@ object SparkEntry {
         .orderBy("check")
     }),
 
+    // Gopher-family compression-ratio quality signal (native deflate
+    // expression; rows-only — zlib is not replicable in DuckDB SQL)
+    "q_compression_ratio" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        graft.expressions.TextExpressions.deflateRatio(col("text"))
+          .as("deflate_ratio"))
+        .orderBy("doc_id")),
+
     // cross-source contamination matrix over trigram fp47 sets
     "q_source_overlap" -> ((s, dir) =>
       Curation.sourceOverlap(Tables.documents(s, dir), n = 3)

@@ -177,6 +177,9 @@ object GraftFunctions {
     (FunctionIdentifier("char_entropy"),
       new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy"),
       (e: Seq[Expression]) => CharEntropy(e.head)),
+    (FunctionIdentifier("deflate_ratio"),
+      new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
+      (e: Seq[Expression]) => DeflateRatio(e.head)),
     (FunctionIdentifier("z_key"),
       new ExpressionInfo(classOf[InterleaveBits].getName, "z_key"),
       (e: Seq[Expression]) => InterleaveBits(e.tail, intArg(e.head, "z_key"))),

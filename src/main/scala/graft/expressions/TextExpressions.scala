@@ -97,6 +97,26 @@ object TextUtil {
     -acc
   }
 
+  /** Deflate (zlib level 6, raw) compressed-bytes / raw-bytes of the
+    * UTF-8 text, rounded to 6 dp — the Gopher-family quality signal
+    * (Rae et al. 2021 arXiv:2112.11446 repetition heuristics):
+    * boilerplate and templated spam compress far below natural prose.
+    * Empty input → 0.0; short inputs can exceed 1.0 (deflate overhead),
+    * which is itself the "too short to judge" signal. */
+  def deflateRatio(s: UTF8String): Double = {
+    val raw = s.getBytes
+    if (raw.isEmpty) return 0.0d
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    try {
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      StrictMath.rint(total.toDouble / raw.length * 1000000.0d) / 1000000.0d
+    } finally d.end()
+  }
+
   /** Greedy BPE apply: lower-cased whitespace words, each exploded to
     * single-character symbols, then the lowest-rank applicable merge is
     * applied (all occurrences, left-to-right) until none applies — the
@@ -314,6 +334,25 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class DeflateRatio(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "deflate_ratio"
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextUtil.deflateRatio(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextUtil.deflateRatio($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
+    copy(child = newChild)
+}
+
 case class MinhashSig(child: Expression, k: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -430,6 +469,8 @@ object TextExpressions {
     ColumnBridge.column(MinhashSig(ColumnBridge.expression(hashes), k))
   def charEntropy(s: Column): Column =
     ColumnBridge.column(CharEntropy(ColumnBridge.expression(s)))
+  def deflateRatio(s: Column): Column =
+    ColumnBridge.column(DeflateRatio(ColumnBridge.expression(s)))
   def bpeEncode(text: Column, merges: Seq[String]): Column =
     ColumnBridge.column(BpeEncode(ColumnBridge.expression(text), merges))
   def winnowFp(text: Column, k: Int, w: Int): Column =

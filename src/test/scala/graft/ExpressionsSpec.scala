@@ -77,6 +77,29 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("deflate_ratio: repetition compresses, prose doesn't, SQL face registered") {
+    import graft.expressions.TextExpressions
+    val rnd = new scala.util.Random(11)
+    val boiler = "click here to subscribe now " * 40
+    val prose = Seq.fill(200)(rnd.alphanumeric.take(5).mkString).mkString(" ")
+    val df = Seq((1, boiler), (2, prose), (3, ""), (4, "hi"))
+      .toDF("id", "s")
+    val r = df.select(col("id"),
+        TextExpressions.deflateRatio(col("s")).as("ratio"))
+      .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    assert(r(1) < 0.1, s"boilerplate ratio ${r(1)}") // 40x repetition
+    assert(r(2) > 0.5, s"prose ratio ${r(2)}")       // high-entropy text
+    assert(r(3) == 0.0)                              // empty → 0
+    assert(r(4) > 1.0)                               // overhead beats 2 bytes
+    // deterministic and SQL-registered
+    graft.expressions.GraftFunctions.register(spark)
+    val sql = spark.sql(
+      s"SELECT deflate_ratio('${"ab " * 50}') AS x").head().getDouble(0)
+    val col2 = df.filter(col("id") === 1).select(
+      TextExpressions.deflateRatio(lit("ab " * 50))).head().getDouble(0)
+    assert(sql == col2)
+  }
+
   test("native vector distances are bit-identical to the Column composites") {
     import graft.expressions.VectorExpressions
     import graft.functions.VectorFunctions
