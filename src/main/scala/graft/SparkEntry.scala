@@ -1351,7 +1351,10 @@ object SparkEntry {
     "q_winnow", "q_winnow_native",
     // round-12: content-defined chunking — the native boundary scan vs
     // DuckDB's per-position explode (the CDC storage-dedup pass)
-    "q_media_cdc")
+    "q_media_cdc",
+    // round-12: cross-source contamination matrix — distinct-gram agg
+    // on 8-byte keys with C(#sources,2)-bounded pair fanout
+    "q_source_overlap")
 
   // ---------------------------------------------------------------------
   // DuckDB oracles. `flows` CTE = FlowSynth.cteSql (identical mapping).
