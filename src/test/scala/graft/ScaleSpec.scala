@@ -694,6 +694,21 @@ class ScaleSpec extends SparkSpec {
       ("completeness(text)", 0.666667, false)), verdicts)
   }
 
+  test("Checks: empty corpus fails loudly — zero size, NaN extremes") {
+    import graft.scale.Checks
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val rep = Checks.report(spark, empty, Seq(
+      Checks.size(1), Checks.completeness("text", 0.5),
+      Checks.minOf("doc_id", 0.0)))
+    val byName = rep.collect().map(r =>
+      r.getString(0) -> ((r.getDouble(1), r.getBoolean(4)))).toMap
+    assert(byName("size") == ((0.0, false)))
+    assert(byName("completeness(text)") == ((0.0, false)))
+    val (mv, mp) = byName("min(doc_id)")
+    assert(mv.isNaN && !mp) // no rows -> no min -> NaN, never passes
+    assert(!Checks.allPassed(rep))
+  }
+
   test("Checks: history layer + run-over-run anomaly screen") {
     import graft.scale.Checks
     val checks = Seq(Checks.size(1), Checks.meanOf("v", 0.0, 1e9))
