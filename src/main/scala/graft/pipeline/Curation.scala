@@ -1134,25 +1134,27 @@ object Curation {
     * the same mirror" diagnostic that decides whether per-source mixing
     * rates double-count content.
     *
-    * Shape at scale: one explode → distinct (gram-fp47, source) hash
-    * aggregate (map-side combinable, 8-byte keys) → per-gram source
-    * SET (`collect_set`, bounded by #sources — a corpus has tens of
-    * sources, so the hottest gram fans out to at most
-    * C(#sources, 2) pairs, NOT d² in documents) → one pair-count
-    * aggregate. Per-source gram totals ride the same distinct frame;
-    * the output is #source-pairs rows. Never joins documents against
-    * documents. */
+    * Shape at scale: ONE shuffle — explode → `groupBy(gram-fp47)` with
+    * `collect_set(source)` (the set dedups (gram, source) occurrences
+    * map-side AND builds the per-gram source list in the same
+    * aggregate; a separate `.distinct()` first would be a second
+    * full-gram shuffle for nothing). The set is bounded by #sources —
+    * a corpus has tens of sources, so the hottest gram fans out to at
+    * most C(#sources, 2) pairs, NOT d² in documents. Per-source gram
+    * totals and the pair counts both read the (distinct-gram-sized)
+    * grouped frame; the output is #source-pairs rows. Never joins
+    * documents against documents. */
   def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
-    val grams = docs
+    val perGram = docs
       .select(col("source"), explode(
         graft.expressions.TextExpressions.polyHash47(
           graft.expressions.TextExpressions.wordShingles(col("text"), n)))
         .as("g"))
-      .distinct() // (gram, source) — 8-byte gram keys
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totals = grams.groupBy("source").agg(count(lit(1)).as("__total"))
-    val pairs = grams
       .groupBy("g").agg(sort_array(collect_set(col("source"))).as("ss"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = perGram.select(explode(col("ss")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("__total"))
+    val pairs = perGram
       .filter(size(col("ss")) > 1)
       .select(explode(expr(
         """flatten(transform(ss, (a, i) ->
