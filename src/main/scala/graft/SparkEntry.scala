@@ -145,6 +145,24 @@ object SparkEntry {
         .orderBy("r_name", "n_name")
     }),
 
+    // supplier-side volume per nation: lineitem fact joined to the
+    // supplier dim (broadcast) chained to nation (broadcast) — the
+    // classic snowflake probe from the supply side
+    "q_supplier_nation_volume" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0d) - col("l_discount"))),
+            2).as("volume"),
+          countDistinct(col("s_suppkey")).as("n_suppliers"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
     "q_part_type_share" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .join(broadcast(Tables.part(s, dir).filter(col("p_size") < 20)),
@@ -1816,6 +1834,16 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_supplier_nation_volume" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS volume,
+        |  count(DISTINCT s_suppkey) AS n_suppliers,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_part_type_share" ->
       """SELECT p_type,
