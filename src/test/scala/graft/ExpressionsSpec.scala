@@ -100,6 +100,40 @@ class ExpressionsSpec extends SparkSpec {
     assert(sql == col2)
   }
 
+  test("spark.sql.extensions install path: functions, rewrite rule, strategy all active") {
+    import org.apache.spark.sql.classic.{SparkSession => CSparkSession}
+    val shared = spark // force-init the spec session BEFORE creating s2
+    val prevDefault = CSparkSession.getDefaultSession
+    val prevActive = CSparkSession.getActiveSession
+    try {
+      // fresh session state over the SAME SparkContext with the
+      // extensions object applied exactly as the production
+      // `--conf spark.sql.extensions=graft.expressions.GraftExtensions`
+      // path instantiates it (the conf string itself can't be tested
+      // in-JVM: it's a STATIC conf, read only at SparkContext start —
+      // withExtensions injects the same class instance). Builder.create,
+      // not getOrCreate, so the shared spec session is never returned.
+      val s2 = CSparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.expressions.GraftExtensions()(_))
+        .create()
+      assert(s2 ne shared)
+      // injected SQL function
+      assert(s2.sql("SELECT cidr_match('10.1.2.3', '10.0.0.0/8') AS m")
+        .head().getBoolean(0))
+      // injected optimizer rule (flag-gated count_distinct -> HLL)
+      s2.conf.set("spark.graft.approxDistinct", "true")
+      s2.range(100).toDF("id").createOrReplaceTempView("ext_t")
+      val plan = s2.sql("SELECT count(DISTINCT id) FROM ext_t")
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("approx_count_distinct"), plan)
+      s2.conf.set("spark.graft.approxDistinct", "false")
+    } finally {
+      prevDefault.foreach(CSparkSession.setDefaultSession)
+      prevActive.foreach(CSparkSession.setActiveSession)
+    }
+  }
+
   test("native vector distances are bit-identical to the Column composites") {
     import graft.expressions.VectorExpressions
     import graft.functions.VectorFunctions
