@@ -160,7 +160,9 @@ object Checks {
 
   /** Run-over-run anomaly screen (the Deequ anomaly-detection model,
     * relative-rate-of-change strategy): compare `current` metrics
-    * against the SAME check's value in the latest prior run and flag
+    * against the SAME check's value in the latest prior run (run ids
+    * compare lexicographically — use sortable ids like ISO dates, as
+    * the spec fixtures do) and flag
     * `|cur/prev - 1| > maxRelChange`. Fixed absolute bounds catch
     * corruption; this catches DRIFT — the corpus that silently shrank
     * 40% between crawls while every static constraint still passed.
