@@ -277,4 +277,34 @@ class PropertySpec extends SparkSpec {
       assert(c2 <= c1 + 1e-3, s"iter2 cost rose: $c1 -> $c2 vs=$vs")
     }
   }
+
+  test("property: corpusDiff exactly reconstructs the new snapshot from the old") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    val gen = Gen.zip(
+      Gen.listOfN(40, Gen.choose(1L, 25L)).map(_.distinct),
+      Gen.listOfN(40, Gen.choose(1L, 25L)).map(_.distinct),
+      Gen.choose(1, 6)) // every m-th shared doc mutates
+    forAll(gen, 8) { case (pIds, cIds, m) =>
+      def row(i: Long, v: Int) = (i, s"doc $i version $v", "s")
+      val prevRows = pIds.map(row(_, 0))
+      val curRows = cIds.map(i => row(i, if (i % m == 0) 1 else 0))
+      val diff = Curation.corpusDiff(
+          prevRows.toDF("doc_id", "text", "source"),
+          curRows.toDF("doc_id", "text", "source"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val (pSet, cSet) = (pIds.toSet, cIds.toSet)
+      // statuses equal ground truth
+      assert(diff.filter(_._2 == "removed").keySet == (pSet -- cSet))
+      assert(diff.filter(_._2 == "added").keySet == (cSet -- pSet))
+      assert(diff.filter(_._2 == "changed").keySet ==
+        (pSet & cSet).filter(_ % m == 0))
+      // applying the diff to the old snapshot reproduces the new one:
+      // keep unchanged prev rows, take added+changed rows from cur
+      val take = diff.filter(v => v._2 != "removed").keySet
+      val rebuilt = prevRows.filterNot(r => diff.contains(r._1)) ++
+        curRows.filter(r => take(r._1))
+      assert(rebuilt.toSet == curRows.toSet)
+    }
+  }
 }
