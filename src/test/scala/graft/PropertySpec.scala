@@ -307,4 +307,20 @@ class PropertySpec extends SparkSpec {
       assert(rebuilt.toSet == curRows.toSet)
     }
   }
+
+  test("property: shard manifest is invariant under input row order") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    val rows = (1L to 60L).map(i =>
+      (i, s"alpha w$i beta ${"x " * (i % 7).toInt}gamma", "s"))
+    def manifest(rs: Seq[(Long, String, String)]) =
+      Curation.shardManifest(rs.toDF("doc_id", "text", "source"), 5)
+        .collect().map(r =>
+          (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val base = manifest(rows)
+    forAll(Gen.choose(1L, Long.MaxValue), 6) { seed =>
+      val shuffled = new scala.util.Random(seed).shuffle(rows)
+      assert(manifest(shuffled) == base)
+    }
+  }
 }
