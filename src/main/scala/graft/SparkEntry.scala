@@ -324,6 +324,13 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ordered-conversion funnel: step k counts only users whose step-k
+    // event came strictly after their step-(k-1) completion
+    "q_funnel" -> ((s, dir) =>
+      graft.queries.Funnel.report(
+        eventsMs(s, dir).select("user_id", "event_type", "ts_ms"),
+        Seq("view", "click", "purchase"))),
+
     "q_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
       eventsMs(s, dir)
@@ -1906,6 +1913,35 @@ object SparkEntry {
         |)
         |SELECT event_type, total_value, n_events, user_id, user_value, user_events
         |FROM top JOIN tot USING (event_type) ORDER BY event_type""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+        |), per AS (
+        |  SELECT user_id,
+        |    list_sort(list_filter(list(CASE WHEN event_type = 'view'
+        |      THEN ts_ms END), x -> x IS NOT NULL)) AS l0,
+        |    list_sort(list_filter(list(CASE WHEN event_type = 'click'
+        |      THEN ts_ms END), x -> x IS NOT NULL)) AS l1,
+        |    list_sort(list_filter(list(CASE WHEN event_type = 'purchase'
+        |      THEN ts_ms END), x -> x IS NOT NULL)) AS l2
+        |  FROM e GROUP BY user_id
+        |), s0 AS (
+        |  SELECT user_id, list_aggregate(l0, 'min') AS t0, l1, l2 FROM per
+        |), s1 AS (
+        |  SELECT user_id, t0,
+        |    list_aggregate(list_filter(l1, x -> x > t0), 'min') AS t1, l2
+        |  FROM s0
+        |), s2 AS (
+        |  SELECT user_id, t0, t1,
+        |    list_aggregate(list_filter(l2, x -> x > t1), 'min') AS t2
+        |  FROM s1
+        |)
+        |SELECT * FROM (
+        |  SELECT 0 AS step_idx, 'view' AS step, count(t0) AS users FROM s2
+        |  UNION ALL SELECT 1, 'click', count(t1) FROM s2
+        |  UNION ALL SELECT 2, 'purchase', count(t2) FROM s2)
+        |ORDER BY step_idx""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (

@@ -161,4 +161,30 @@ class OperatorsSpec extends SparkSpec {
       bucketWidth = 8L, key = Seq("user"))
     assert(out.select("user").collect().map(_.getString(0)).toSeq == Seq("u1"))
   }
+
+  test("Funnel: step order enforced, null propagation, report counts") {
+    import spark.implicits._
+    import graft.queries.Funnel
+    val events = Seq(
+      // u1 completes all three in order
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // u2 purchased BEFORE clicking: purchase must not count
+      (2L, "view", 10L), (2L, "purchase", 15L), (2L, "click", 20L),
+      // u3 clicked before viewing: only the view counts
+      (3L, "click", 5L), (3L, "view", 10L),
+      // u4 never viewed: nothing counts, even with click+purchase
+      (4L, "click", 10L), (4L, "purchase", 20L))
+      .toDF("user_id", "event_type", "ts_ms")
+    val steps = Seq("view", "click", "purchase")
+    val times = Funnel.stepTimes(events, steps).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3))))).toMap
+    assert(times(1L) == ((Some(10L), Some(20L), Some(30L))))
+    assert(times(2L) == ((Some(10L), Some(20L), None))) // purchase too early
+    assert(times(3L) == ((Some(10L), None, None)))
+    assert(times(4L) == ((None, None, None)))
+    val rep = Funnel.report(events, steps).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rep == Seq((0, "view", 3L), (1, "click", 2L), (2, "purchase", 1L)))
+  }
 }
