@@ -331,6 +331,12 @@ object SparkEntry {
         eventsMs(s, dir).select("user_id", "event_type", "ts_ms"),
         Seq("view", "click", "purchase"))),
 
+    // daily cohort retention triangle over the events table
+    "q_cohorts" -> ((s, dir) =>
+      graft.queries.Funnel.cohorts(
+        eventsMs(s, dir).select("user_id", "ts_ms"),
+        periodMs = 86400000L)),
+
     "q_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
       eventsMs(s, dir)
@@ -1942,6 +1948,21 @@ object SparkEntry {
         |  UNION ALL SELECT 1, 'click', count(t1) FROM s2
         |  UNION ALL SELECT 2, 'purchase', count(t2) FROM s2)
         |ORDER BY step_idx""".stripMargin,
+
+    "q_cohorts" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+        |), f AS (
+        |  SELECT user_id,
+        |    CAST(floor(min(ts_ms) / 86400000.0) AS BIGINT) AS cohort_period
+        |  FROM e GROUP BY user_id
+        |)
+        |SELECT cohort_period,
+        |  CAST(floor(ts_ms / 86400000.0) AS BIGINT) - cohort_period
+        |    AS period_offset,
+        |  count(DISTINCT e.user_id) AS active_users
+        |FROM e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (

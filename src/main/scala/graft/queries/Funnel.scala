@@ -61,4 +61,30 @@ object Funnel {
         col("s.users").as("users"))
       .orderBy("step_idx")
   }
+
+  /** Cohort retention matrix: users grouped by the period of their
+    * FIRST event (the cohort), each later period counting the distinct
+    * cohort members still active — `(cohort_period, period_offset,
+    * active_users)`, the classic retention triangle.
+    *
+    * Two aggregates and one equi-join, all keyed on user/cohort: first
+    * event per user is a map-side-combinable `min`; the join back is
+    * user-keyed (broadcast when the user dimension is small, AQE
+    * decides); the final distinct count is per (cohort, offset) —
+    * cardinality bounded by periods², rows by user-periods. No windows,
+    * no self-join of events against events. */
+  def cohorts(events: DataFrame, periodMs: Long,
+              tsCol: String = "ts_ms", userCol: String = "user_id")
+      : DataFrame = {
+    require(periodMs > 0, "cohorts needs a positive period")
+    val first = events.groupBy(col(userCol).as("user_id"))
+      .agg(floor(min(col(tsCol)) / periodMs).as("cohort_period"))
+    events.select(col(userCol).as("user_id"),
+        floor(col(tsCol) / periodMs).as("__p"))
+      .join(first, Seq("user_id"))
+      .groupBy(col("cohort_period"),
+        (col("__p") - col("cohort_period")).as("period_offset"))
+      .agg(count_distinct(col("user_id")).as("active_users"))
+      .orderBy("cohort_period", "period_offset")
+  }
 }

@@ -187,4 +187,18 @@ class OperatorsSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
     assert(rep == Seq((0, "view", 3L), (1, "click", 2L), (2, "purchase", 1L)))
   }
+
+  test("Funnel.cohorts: retention triangle on a hand fixture") {
+    import spark.implicits._
+    import graft.queries.Funnel
+    def d(n: Long) = n * 100L // period 100 ms = one "day"
+    val events = Seq(
+      (1L, d(0)), (1L, d(0) + 5), (1L, d(1)), // cohort 0, active d0+d1
+      (2L, d(0) + 9),                          // cohort 0, d0 only
+      (3L, d(1)), (3L, d(3)))                  // cohort 1, d1+d3
+      .toDF("user_id", "ts_ms")
+    val out = Funnel.cohorts(events, periodMs = 100L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((0L, 0L, 2L), (0L, 1L, 1L), (1L, 0L, 1L), (1L, 2L, 1L)))
+  }
 }
