@@ -62,6 +62,81 @@ object Funnel {
       .orderBy("step_idx")
   }
 
+  /** Per-user event buffer for the streaming funnel (kept only within
+    * the finalization horizon — watermark-bounded state). */
+  final case class FunnelBuffer(pairs: Seq[(Long, Int)], maxTs: Long)
+
+  /** One resolved funnel step for a finalized user. */
+  final case class FunnelStep(user_id: Long, step_idx: Int, ts_ms: Long)
+
+  /** The batch semantics as a fold over time-ordered events: step k's
+    * time = the earliest step-k event strictly after step k-1's — a
+    * single forward pass over the sorted buffer is equivalent to the
+    * chained `array_min(filter(...))` spelling (spec-pinned parity). */
+  private[queries] def resolve(pairs: Seq[(Long, Int)], n: Int): Seq[Option[Long]] = {
+    val t = Array.fill[Option[Long]](n)(None)
+    pairs.sortBy(identity).foreach { case (ts, s) =>
+      if (t(s).isEmpty && (s == 0 || t(s - 1).exists(_ < ts))) t(s) = Some(ts)
+    }
+    t.toSeq
+  }
+
+  private[queries] def streamUpdate(nSteps: Int, horizonMs: Long)(
+      user: Long, rows: Iterator[(Long, java.sql.Timestamp, Int)],
+      state: org.apache.spark.sql.streaming.GroupState[FunnelBuffer])
+      : Iterator[FunnelStep] = {
+    if (state.hasTimedOut) {
+      // watermark passed the horizon after the user's last event: the
+      // buffer is complete — resolve once, emit, drop the state
+      val out = resolve(state.get.pairs, nSteps).zipWithIndex
+        .collect { case (Some(ts), i) => FunnelStep(user, i, ts) }
+      state.remove()
+      out.iterator
+    } else {
+      val fresh = rows.map(r => (r._2.getTime, r._3)).toSeq
+      val prev = state.getOption.getOrElse(FunnelBuffer(Nil, Long.MinValue))
+      val all = FunnelBuffer(prev.pairs ++ fresh,
+        math.max(prev.maxTs, fresh.map(_._1).max))
+      state.update(all)
+      state.setTimeoutTimestamp(
+        math.max(all.maxTs + horizonMs, state.getCurrentWatermarkMs() + 1))
+      Iterator.empty
+    }
+  }
+
+  /** Streaming twin of [[stepTimes]]: per-user event buffers as keyed
+    * state, finalized by EVENT-TIME timeout once the watermark passes
+    * `horizonMs` beyond the user's last buffered event — so a late
+    * step-0 event that re-orders the chain still lands before
+    * resolution (parity with the batch operator over the same data,
+    * spec-pinned), and emission is exactly-once per user in Append
+    * mode. State per user = that user's funnel-relevant events within
+    * the horizon (the sessionization envelope), evicted at emission.
+    * The price of correctness under late data is latency: conversions
+    * surface `horizonMs` of event time after the user goes quiet. */
+  def stream(events: DataFrame, steps: Seq[String],
+             horizonMs: Long = 1800000L, watermark: String = "10 minutes",
+             tsCol: String = "event_time", userCol: String = "user_id",
+             typeCol: String = "event_type")
+      : org.apache.spark.sql.Dataset[FunnelStep] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val idx = typedLit(steps.zipWithIndex.toMap)
+    events
+      .withWatermark(tsCol, watermark)
+      .filter(col(typeCol).isin(steps.map(lit): _*))
+      // the watermarked timestamp column rides intact into the stateful
+      // op (converting to long here would strip the watermark tag)
+      .select(col(userCol).cast("long").as[Long],
+        col(tsCol).as[java.sql.Timestamp],
+        element_at(idx, col(typeCol)).as[Int])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelBuffer, FunnelStep](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        streamUpdate(steps.size, horizonMs))
+  }
+
   /** Cohort retention matrix: users grouped by the period of their
     * FIRST event (the cohort), each later period counting the distinct
     * cohort members still active — `(cohort_period, period_offset,

@@ -645,6 +645,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel: event-time finalization matches the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.Funnel
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val events = mem.toDF().toDF("user_id", "event_type", "event_time")
+    val steps = Seq("view", "click", "purchase")
+    val q = Funnel.stream(events, steps, horizonMs = 1000L,
+        watermark = "10 seconds")
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode(OutputMode.Append()).start()
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val batch1 = Seq(
+      (1L, "view", 1000L), (1L, "click", 2000L), (1L, "purchase", 3000L),
+      (2L, "view", 1000L), (2L, "purchase", 1500L), (2L, "click", 2000L),
+      (3L, "click", 2000L))
+    val late3 = (3L, "view", 1200L) // out-of-order, inside the watermark
+    try {
+      mem.addData(batch1.map { case (u, t, m) => (u, t, ts(m)) }: _*)
+      q.processAllAvailable()
+      mem.addData((late3._1, late3._2, ts(late3._3)))
+      q.processAllAvailable()
+      // two more batches: first lifts the watermark past every horizon,
+      // second triggers the timed-out finalizations under it
+      mem.addData((9L, "view", ts(500000L)))
+      q.processAllAvailable()
+      mem.addData((9L, "click", ts(900000L)))
+      q.processAllAvailable()
+      val got = spark.table("funnel_stream").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      // batch parity over the same finalized users' events
+      import spark.implicits._
+      val expected = Funnel.stepTimes(
+        (batch1 :+ late3).toDF("user_id", "event_type", "ts_ms"), steps)
+        .collect().flatMap(r => steps.indices.flatMap(i =>
+          if (r.isNullAt(i + 1)) None
+          else Some((r.getLong(0), i, r.getLong(i + 1))))).toSet
+      assert(got == expected, s"got $got expected $expected")
+      // the order-violating purchase (u2 @1500 before click) not counted
+      assert(!got.exists(s => s._1 == 2L && s._2 == 2))
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first-seen doc per digest across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
