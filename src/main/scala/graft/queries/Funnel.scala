@@ -73,7 +73,7 @@ object Funnel {
     * time = the earliest step-k event strictly after step k-1's — a
     * single forward pass over the sorted buffer is equivalent to the
     * chained `array_min(filter(...))` spelling (spec-pinned parity). */
-  private[queries] def resolve(pairs: Seq[(Long, Int)], n: Int): Seq[Option[Long]] = {
+  private[graft] def resolve(pairs: Seq[(Long, Int)], n: Int): Seq[Option[Long]] = {
     val t = Array.fill[Option[Long]](n)(None)
     pairs.sortBy(identity).foreach { case (ts, s) =>
       if (t(s).isEmpty && (s == 0 || t(s - 1).exists(_ < ts))) t(s) = Some(ts)
@@ -81,7 +81,7 @@ object Funnel {
     t.toSeq
   }
 
-  private[queries] def streamUpdate(nSteps: Int, horizonMs: Long)(
+  private[graft] def streamUpdate(nSteps: Int, horizonMs: Long)(
       user: Long, rows: Iterator[(Long, java.sql.Timestamp, Int)],
       state: org.apache.spark.sql.streaming.GroupState[FunnelBuffer])
       : Iterator[FunnelStep] = {

@@ -308,6 +308,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: streaming funnel resolve == batch step times on random streams") {
+    import spark.implicits._
+    import graft.queries.Funnel
+    val steps = Seq("s0", "s1", "s2", "s3")
+    // ties, duplicates, and out-of-order arrivals all included
+    val gen = Gen.listOfN(60, Gen.zip(
+      Gen.choose(1L, 6L), Gen.choose(0, 3), Gen.choose(1L, 20L)))
+    forAll(gen, 8) { events =>
+      val df = events.map { case (u, s, t) => (u, steps(s), t) }
+        .toDF("user_id", "event_type", "ts_ms")
+      val batch = Funnel.stepTimes(df, steps).collect().map(r =>
+        r.getLong(0) -> steps.indices.map(i =>
+          if (r.isNullAt(i + 1)) None else Some(r.getLong(i + 1)))).toMap
+      val streamed = events.groupBy(_._1).map { case (u, es) =>
+        u -> Funnel.resolve(es.map(e => (e._3, e._2)), steps.size)
+      }
+      streamed.foreach { case (u, times) =>
+        assert(times == batch(u), s"user $u: fold $times vs batch ${batch(u)}")
+      }
+    }
+  }
+
   test("property: shard manifest is invariant under input row order") {
     import spark.implicits._
     import graft.pipeline.Curation
