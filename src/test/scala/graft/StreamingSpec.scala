@@ -687,6 +687,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel buffers survive a checkpoint restart") {
+    import graft.queries.Funnel
+    val ckpt = java.nio.file.Files.createTempDirectory("fnckpt").toString
+    val in = java.nio.file.Files.createTempDirectory("fnin").toString
+    val outDir = java.nio.file.Files.createTempDirectory("fnout").toString
+    def addFile(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        lines.mkString("\n").getBytes)
+    def start() = {
+      val events = spark.readStream
+        .schema("user_id BIGINT, event_type STRING, ts BIGINT").json(in)
+        .withColumn("event_time",
+          org.apache.spark.sql.functions.timestamp_millis(col("ts")))
+      Funnel.stream(events, Seq("view", "click"), horizonMs = 1000L,
+          watermark = "10 seconds")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+    }
+    val q1 = start()
+    try {
+      addFile("b1.json", """{"user_id":1,"event_type":"view","ts":1000}""")
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // the click arrives AFTER the restart: the buffered view must have
+    // survived the checkpoint for the chain to resolve
+    val q2 = start()
+    try {
+      addFile("b2.json", """{"user_id":1,"event_type":"click","ts":2000}""")
+      q2.processAllAvailable()
+      addFile("b3.json", """{"user_id":9,"event_type":"view","ts":500000}""")
+      q2.processAllAvailable()
+      addFile("b4.json", """{"user_id":9,"event_type":"click","ts":900000}""")
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(rows == Set((1L, 0, 1000L), (1L, 1, 2000L)), rows)
+    } finally q2.stop()
+  }
+
   test("streaming dedup keeps first-seen doc per digest across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
