@@ -659,6 +659,17 @@ object SparkEntry {
     "q_media_cdc_stats" -> ((s, dir) =>
       Multimodal.cdcStats(Multimodal.mediaTable(Tables.documents(s, dir)))),
 
+    // 64-block perceptual hash halves per blob (codegen'd in-scan)
+    "q_media_phash" -> ((s, dir) =>
+      Multimodal.phashFrame(Multimodal.mediaTable(Tables.documents(s, dir)))
+        .orderBy("media_id")),
+
+    // banded near-dup candidates over the hash + Hamming confirm
+    "q_media_phash_candidates" -> ((s, dir) =>
+      Multimodal.phashCandidates(
+        Multimodal.mediaTable(Tables.documents(s, dir)), maxHamming = 6)
+        .orderBy("media_a", "media_b")),
+
     "q_embed_knn" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.knnBruteForce(emb, emb.filter(col("vec_id") < 10), 10)
@@ -1450,6 +1461,39 @@ object SparkEntry {
     * 8-char gram ending there is ≡ 0 mod 32; final cut at end-of-string;
     * chunks between consecutive cuts. Ends with the
     * `chunks(media_id, chunk_idx, off, len, chunk_md5)` CTE. */
+  /** CTE chain → (media_id, ph_hi, ph_lo): the 64-block perceptual hash
+    * (`TextUtil.mediaPhash`) replayed over the blob's hex dump — block
+    * boundaries ⌊i·n/64⌋, bit i = blockSum·64 > totalSum, bits packed
+    * into two 32-bit halves so no BIGINT ever overflows. */
+  private def mediaPhashCtes: String =
+    """m AS (SELECT doc_id AS media_id, text AS media FROM documents),
+      |bb AS (
+      |  SELECT media_id,
+      |    list_transform(regexp_extract_all(hex(media::BLOB), '..'),
+      |      p -> (CASE WHEN ascii(p[1]) >= 65 THEN ascii(p[1]) - 55
+      |            ELSE ascii(p[1]) - 48 END) * 16
+      |         + (CASE WHEN ascii(p[2]) >= 65 THEN ascii(p[2]) - 55
+      |            ELSE ascii(p[2]) - 48 END)) AS bytes
+      |  FROM m),
+      |ss AS (
+      |  SELECT media_id,
+      |    list_transform(range(0, 64), i ->
+      |      COALESCE(list_sum(bytes[i * len(bytes) // 64 + 1
+      |                            : (i + 1) * len(bytes) // 64]), 0)) AS sums
+      |  FROM bb),
+      |hh AS (SELECT media_id, sums, list_sum(sums) AS total FROM ss),
+      |ph AS (
+      |  SELECT media_id,
+      |    CAST(COALESCE(list_sum(list_transform(range(0, 32), i ->
+      |      CASE WHEN sums[CAST(i + 1 AS INT)] * 64 > total
+      |           THEN 1::BIGINT << CAST(31 - i AS INT) ELSE 0::BIGINT END)),
+      |      0) AS BIGINT) AS ph_hi,
+      |    CAST(COALESCE(list_sum(list_transform(range(32, 64), i ->
+      |      CASE WHEN sums[CAST(i + 1 AS INT)] * 64 > total
+      |           THEN 1::BIGINT << CAST(63 - i AS INT) ELSE 0::BIGINT END)),
+      |      0) AS BIGINT) AS ph_lo
+      |  FROM hh)""".stripMargin
+
   private def cdcChunksSql: String =
     s"""m AS (SELECT doc_id AS media_id, text FROM documents),
        |cpos AS (
@@ -2824,6 +2868,32 @@ object SparkEntry {
       s"""WITH $cdcChunksSql
          |SELECT media_id, chunk_idx, off, len, chunk_md5
          |FROM chunks ORDER BY media_id, chunk_idx""".stripMargin,
+
+    "q_media_phash" ->
+      s"""WITH $mediaPhashCtes
+         |SELECT media_id, ph_hi, ph_lo FROM ph ORDER BY media_id""".stripMargin,
+
+    "q_media_phash_candidates" ->
+      s"""WITH $mediaPhashCtes,
+         |bands AS (
+         |  SELECT media_id, i AS band_idx,
+         |    CASE i WHEN 0 THEN ph_hi >> 16 WHEN 1 THEN ph_hi & 65535
+         |           WHEN 2 THEN ph_lo >> 16 ELSE ph_lo & 65535 END AS band_val
+         |  FROM ph, range(0, 4) t(i)),
+         |pairs AS (
+         |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |   AND a.media_id < b.media_id),
+         |scored AS (
+         |  SELECT media_a, media_b,
+         |    CAST(bit_count(xor(pa.ph_hi, pb.ph_hi))
+         |       + bit_count(xor(pa.ph_lo, pb.ph_lo)) AS BIGINT) AS hamming
+         |  FROM pairs
+         |  JOIN ph pa ON pa.media_id = media_a
+         |  JOIN ph pb ON pb.media_id = media_b)
+         |SELECT media_a, media_b, hamming FROM scored
+         |WHERE hamming <= 6 ORDER BY media_a, media_b""".stripMargin,
 
     "q_media_cdc_dedup" ->
       s"""WITH $cdcChunksSql,

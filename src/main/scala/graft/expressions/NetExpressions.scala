@@ -180,6 +180,9 @@ object GraftFunctions {
     (FunctionIdentifier("deflate_ratio"),
       new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
       (e: Seq[Expression]) => DeflateRatio(e.head)),
+    (FunctionIdentifier("media_phash"),
+      new ExpressionInfo(classOf[MediaPhash].getName, "media_phash"),
+      (e: Seq[Expression]) => MediaPhash(e.head)),
     (FunctionIdentifier("z_key"),
       new ExpressionInfo(classOf[InterleaveBits].getName, "z_key"),
       (e: Seq[Expression]) => InterleaveBits(e.tail, intArg(e.head, "z_key"))),

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native expressions for the corpus-pipeline hot path.
@@ -115,6 +115,37 @@ object TextUtil {
       while (!d.finished()) total += d.deflate(buf)
       StrictMath.rint(total.toDouble / raw.length * 1000000.0d) / 1000000.0d
     } finally d.end()
+  }
+
+  /** 64-block perceptual-style blob hash as [hi, lo] 32-bit halves:
+    * split the byte array into 64 equal ranges (boundaries
+    * `⌊i·n/64⌋`), bit i set iff that block's byte-sum × 64 strictly
+    * exceeds the total byte-sum — the aHash recipe (block intensity vs
+    * global mean) on raw bytes, so the STUBBED decode stays
+    * deterministic and the whole hash is exact integer arithmetic an
+    * oracle can replicate. Two 32-bit halves rather than one 64-bit
+    * word so SQL engines without wrapping BIGINT arithmetic can build
+    * it without overflow. Empty input → [0, 0]. */
+  def mediaPhash(b: Array[Byte]): ArrayData = {
+    val n = b.length
+    val sums = new Array[Long](64)
+    var i = 0
+    while (i < 64) {
+      var j = ((i.toLong * n) / 64).toInt
+      val end = (((i + 1).toLong * n) / 64).toInt
+      var s = 0L
+      while (j < end) { s += (b(j) & 0xFF); j += 1 }
+      sums(i) = s
+      i += 1
+    }
+    var total = 0L
+    i = 0; while (i < 64) { total += sums(i); i += 1 }
+    var hi = 0L
+    var lo = 0L
+    i = 0
+    while (i < 32) { if (sums(i) * 64 > total) hi |= 1L << (31 - i); i += 1 }
+    while (i < 64) { if (sums(i) * 64 > total) lo |= 1L << (63 - i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(hi, lo))
   }
 
   /** Greedy BPE apply: lower-cased whitespace words, each exploded to
@@ -334,6 +365,30 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `media_phash(media)`: the 64-block blob hash ([[TextUtil.mediaPhash]])
+  * as a codegen'd call — hashing runs INSIDE the scan stage; only the
+  * two 8-byte halves (never the blob) flow to the banded near-dup join
+  * downstream. */
+case class MediaPhash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires binary")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "media_phash"
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextUtil.mediaPhash(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextUtil.mediaPhash($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): MediaPhash =
+    copy(child = newChild)
+}
+
 case class DeflateRatio(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -471,6 +526,8 @@ object TextExpressions {
     ColumnBridge.column(CharEntropy(ColumnBridge.expression(s)))
   def deflateRatio(s: Column): Column =
     ColumnBridge.column(DeflateRatio(ColumnBridge.expression(s)))
+  def mediaPhash(media: Column): Column =
+    ColumnBridge.column(MediaPhash(ColumnBridge.expression(media)))
   def bpeEncode(text: Column, merges: Seq[String]): Column =
     ColumnBridge.column(BpeEncode(ColumnBridge.expression(text), merges))
   def winnowFp(text: Column, k: Int, w: Int): Column =

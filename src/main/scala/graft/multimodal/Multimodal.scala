@@ -50,6 +50,61 @@ object Multimodal {
       .agg(min("media_id").as("media_id"), count(lit(1)).as("dup_count"))
       .select("media_id", "dup_count")
 
+  /** Perceptual-hash halves per media row: `(media_id, ph_hi, ph_lo)` —
+    * the codegen'd 64-block hash computed inside the scan, so only two
+    * 8-byte values per blob leave the stage. */
+  def phashFrame(mediaDf: DataFrame): DataFrame =
+    mediaDf
+      .select(col("media_id"),
+        graft.expressions.TextExpressions.mediaPhash(col("media")).as("__ph"))
+      .select(col("media_id"),
+        element_at(col("__ph"), 1).as("ph_hi"),
+        element_at(col("__ph"), 2).as("ph_lo"))
+
+  /** NEAR-dup media candidates — the simhash discipline on the binary
+    * tier ([[dedupMedia]] only catches bit-exact copies; a re-encoded
+    * thumbnail or a padded variant needs distance): band the 64-bit
+    * hash into four exact-match 16-bit keys, self-join per band,
+    * confirm by Hamming distance (`bit_count(xor)` on the halves).
+    * Pigeonhole guarantee: any pair with Hamming ≤ 3 shares at least
+    * one exact band — full recall there; larger `maxHamming` has the
+    * standard banded-LSH partial recall. Blobs never join: only
+    * (band, id) pairs shuffle, and `maxBucket > 0` drops degenerate
+    * band buckets (the d² guard every candidate generator here
+    * carries). */
+  def phashCandidates(mediaDf: DataFrame, maxHamming: Int = 3,
+                      maxBucket: Long = 0L): DataFrame = {
+    val ph = phashFrame(mediaDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = ph.select(col("media_id"), posexplode(array(
+      shiftright(col("ph_hi"), 16), col("ph_hi").bitwiseAND(lit(65535L)),
+      shiftright(col("ph_lo"), 16), col("ph_lo").bitwiseAND(lit(65535L))))
+      .as(Seq("band_idx", "band_val")))
+    val kept =
+      if (maxBucket <= 0L) bands
+      else bands.join(
+        bands.groupBy("band_idx", "band_val")
+          .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucket)
+          .select("band_idx", "band_val"),
+        Seq("band_idx", "band_val"), "left_semi")
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"),
+        col("b.media_id").as("media_b"))
+      .distinct()
+    val a = ph.select(col("media_id").as("media_a"),
+      col("ph_hi").as("__ha"), col("ph_lo").as("__la"))
+    val b = ph.select(col("media_id").as("media_b"),
+      col("ph_hi").as("__hb"), col("ph_lo").as("__lb"))
+    pairs.join(a, Seq("media_a")).join(b, Seq("media_b"))
+      .withColumn("hamming",
+        expr("cast(bit_count(__ha ^ __hb) + bit_count(__la ^ __lb) as bigint)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("media_a", "media_b", "hamming")
+  }
+
   /** Byte values of a blob as array<long> via its hex dump. The hex string
     * is referenced once (argument position, not inside a per-element
     * lambda — see TextFunctions.tokens for why that matters). */

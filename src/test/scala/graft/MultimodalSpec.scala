@@ -154,4 +154,32 @@ class MultimodalSpec extends SparkSpec {
     assert(plan.contains("ReadSchema"))
     assert(!plan.contains("media#") || !plan.split("ReadSchema")(1).contains("binary"))
   }
+
+  test("phash: scalar parity, near-dup pairing, opposite blobs excluded") {
+    val base = "a" * 128 + "z" * 128       // hi blocks low, lo blocks high
+    val tweak = "b" + "a" * 127 + "z" * 128 // one byte off: tiny hamming
+    val opposite = "z" * 128 + "a" * 128    // mirrored: hamming 64
+    val media = Seq((1L, base), (2L, tweak), (3L, opposite))
+      .toDF("media_id", "text")
+      .select(col("media_id"), col("text").cast("binary").as("media"))
+    // Column expression == scalar reference
+    val fromCol = Multimodal.phashFrame(media).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    Seq((1L, base), (2L, tweak), (3L, opposite)).foreach { case (id, s) =>
+      val arr = graft.expressions.TextUtil
+        .mediaPhash(s.getBytes("UTF-8")).toLongArray()
+      assert(fromCol(id) == ((arr(0), arr(1))), s"id $id")
+    }
+    // the mirrored pair is maximally distant, the tweaked pair adjacent
+    val cands = Multimodal.phashCandidates(media, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cands.keySet == Set((1L, 2L)), cands)
+    assert(cands((1L, 2L)) <= 2L)
+    // degenerate-bucket cap drops everything when every band collides
+    val same = Seq((1L, base), (2L, base), (3L, base), (4L, base))
+      .toDF("media_id", "text")
+      .select(col("media_id"), col("text").cast("binary").as("media"))
+    assert(Multimodal.phashCandidates(same, maxHamming = 6,
+      maxBucket = 3L).count() == 0L)
+  }
 }
