@@ -1396,7 +1396,10 @@ object SparkEntry {
     "q_media_cdc",
     // round-12: cross-source contamination matrix — distinct-gram agg
     // on 8-byte keys with C(#sources,2)-bounded pair fanout
-    "q_source_overlap")
+    "q_source_overlap",
+    // round-12: media perceptual near-dup — in-scan codegen block hash,
+    // banded pairs, bit_count confirm
+    "q_media_phash_candidates")
 
   // ---------------------------------------------------------------------
   // DuckDB oracles. `flows` CTE = FlowSynth.cteSql (identical mapping).
