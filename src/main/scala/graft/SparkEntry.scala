@@ -2080,13 +2080,15 @@ object SparkEntry {
     "q_host_rank" -> FlowSynth.oracle {
       def iter(prev: String, cur: String) =
         s"""c$cur AS (
-           |  SELECT e.dst AS node, sum(r$prev.rank_u // od.outdeg) AS in_mass
+           |  SELECT e.dst AS node,
+           |    CAST(sum(r$prev.rank_u // od.outdeg) AS BIGINT) AS in_mass
            |  FROM r$prev JOIN od ON od.src = r$prev.node
            |  JOIN e ON e.src = r$prev.node
            |  GROUP BY 1
            |), r$cur AS (
            |  SELECT nodes.node,
-           |    (SELECT base_u FROM nn) + COALESCE(c$cur.in_mass, 0) * 85 // 100
+           |    CAST((SELECT base_u FROM nn)
+           |      + COALESCE(c$cur.in_mass, 0) * 85 // 100 AS BIGINT)
            |      AS rank_u
            |  FROM nodes LEFT JOIN c$cur USING (node)
            |)""".stripMargin
@@ -2916,8 +2918,10 @@ object SparkEntry {
          |  SELECT chunk_md5, min(len) AS len, count(*) AS ref_count
          |  FROM chunks GROUP BY chunk_md5
          |)
-         |SELECT count(*) AS unique_chunks, sum(ref_count) AS total_chunks,
-         |  sum(len * ref_count) AS logical_bytes, sum(len) AS stored_bytes,
+         |SELECT count(*) AS unique_chunks,
+         |  CAST(sum(ref_count) AS BIGINT) AS total_chunks,
+         |  CAST(sum(len * ref_count) AS BIGINT) AS logical_bytes,
+         |  CAST(sum(len) AS BIGINT) AS stored_bytes,
          |  round(sum(len * ref_count) / CAST(sum(len) AS DOUBLE), 4) AS dedup_ratio
          |FROM store""".stripMargin,
 
@@ -3293,7 +3297,7 @@ object SparkEntry {
         |u0 AS (SELECT vec_id, unnest(list_transform(range(1, len(v) + 1),
         |    i -> struct_pack(i := CAST(i AS INT) - 1, x := v[CAST(i AS INT)]))) AS p FROM e),
         |u AS (SELECT vec_id, p.i AS i, p.x AS x FROM u0)
-        |SELECT a.i AS i, b.i AS j, round(covar_samp(a.x, b.x), 6) AS cov
+        |SELECT a.i AS i, b.i AS j, round(covar_samp(a.x, b.x), 6) + 0.0 AS cov
         |FROM u a JOIN u b ON a.vec_id = b.vec_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 

@@ -1134,16 +1134,20 @@ object Curation {
     * the same mirror" diagnostic that decides whether per-source mixing
     * rates double-count content.
     *
-    * Shape at scale: ONE shuffle — explode → `groupBy(gram-fp47)` with
-    * `collect_set(source)` (the set dedups (gram, source) occurrences
-    * map-side AND builds the per-gram source list in the same
-    * aggregate; a separate `.distinct()` first would be a second
-    * full-gram shuffle for nothing). The set is bounded by #sources —
-    * a corpus has tens of sources, so the hottest gram fans out to at
-    * most C(#sources, 2) pairs, NOT d² in documents. Per-source gram
-    * totals and the pair counts both read the (distinct-gram-sized)
-    * grouped frame; the output is #source-pairs rows. Never joins
-    * documents against documents. */
+    * Shape at scale: ONE pass over the gram space — explode →
+    * `groupBy(gram-fp47)` with `collect_set(source)` (the set dedups
+    * (gram, source) occurrences map-side AND builds the per-gram source
+    * list in the same aggregate; a separate `.distinct()` first would be
+    * a second full-gram shuffle for nothing), then each gram's set fans
+    * out to its source PAIRS and its SINGLETONS in the same explode, so
+    * one tiny `groupBy(a, b)` yields both the pair counts (a ≠ b) and
+    * the per-source gram totals (a = b) — no second scan of the
+    * distinct-gram frame and nothing gram-sized is ever persisted. The
+    * set is bounded by #sources — a corpus has tens of sources, so the
+    * hottest gram fans out to at most #sources + C(#sources, 2) cells,
+    * NOT d² in documents. Only the #sources²-row cell frame is cached;
+    * the output is #source-pairs rows. Never joins documents against
+    * documents. */
   def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
     val perGram = docs
       .select(col("source"), explode(
@@ -1151,17 +1155,20 @@ object Curation {
           graft.expressions.TextExpressions.wordShingles(col("text"), n)))
         .as("g"))
       .groupBy("g").agg(sort_array(collect_set(col("source"))).as("ss"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totals = perGram.select(explode(col("ss")).as("source"))
-      .groupBy("source").agg(count(lit(1)).as("__total"))
-    val pairs = perGram
-      .filter(size(col("ss")) > 1)
+    val cells = perGram
       .select(explode(expr(
-        """flatten(transform(ss, (a, i) ->
-          |  transform(slice(ss, i + 2, size(ss)), b -> struct(a, b))))"""
+        """flatten(transform(ss, (a, i) -> concat(
+          |  array(named_struct('a', a, 'b', a)),
+          |  transform(slice(ss, i + 2, size(ss)),
+          |    b -> named_struct('a', a, 'b', b)))))"""
           .stripMargin)).as("p"))
       .groupBy(col("p.a").as("source_a"), col("p.b").as("source_b"))
-      .agg(count(lit(1)).as("shared_grams"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = cells.filter(col("source_a") === col("source_b"))
+      .select(col("source_a").as("source"), col("cnt").as("__total"))
+    val pairs = cells.filter(col("source_a") =!= col("source_b"))
+      .withColumnRenamed("cnt", "shared_grams")
     pairs
       .join(broadcast(totals.withColumnRenamed("source", "source_a")
         .withColumnRenamed("__total", "__ta")), Seq("source_a"))

@@ -139,8 +139,10 @@ object Projection {
       .join(broadcast(dAtMost.select(col("i"), col("sx").as("sxi"), col("n"))), Seq("i"))
       .join(broadcast(dAtMost.select(col("i").as("j"), col("sx").as("sxj"))), Seq("j"))
       .select(col("i"), col("j"),
-        round((col("sxy") - col("sxi") * col("sxj") / col("n")) /
-          (col("n") - 1), 6).as("cov"))
+        // + 0.0 normalizes IEEE -0.0 to +0.0 so the serialized sign bit
+        // matches the oracle's (which applies the same normalization)
+        (round((col("sxy") - col("sxi") * col("sxj") / col("n")) /
+          (col("n") - 1), 6) + lit(0.0)).as("cov"))
   }
 
   /** PCA projection to the top-`k` principal components. One covariance
