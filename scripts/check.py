@@ -33,8 +33,29 @@ def main(sfdir, outdir):
             print(f"MISSING  {name}: no spark result parquet"); n_bad += 1; continue
         try:
             duck_df = con.execute(sql).fetchdf()
+            # canonicalization gate: the driver's hasher serializes
+            # dtypes, and Spark never emits int128/decimal — an oracle
+            # typing a column HUGEINT (uncast integer sum) or DECIMAL
+            # (bare decimal literal) hash-mismatches even when every
+            # value is equal (the r12 q_host_rank class)
+            for cname, ctype, *_ in con.execute(f"DESCRIBE {sql}").fetchall():
+                if "HUGEINT" in ctype or "DECIMAL" in ctype:
+                    print(f"DTYPE    {name}.{cname}: oracle types it {ctype}; "
+                          f"CAST it (AS BIGINT / AS DOUBLE)")
+                    n_bad += 1
         except Exception as e:
             print(f"SQLERR   {name}: {e}"); n_bad += 1; continue
+        # -0.0 leaks through round() and hashes differently from +0.0:
+        # both engines must normalize (x + 0.0) before emitting
+        for side, df in (("spark", spark_df), ("duck", duck_df)):
+            for c in df.columns:
+                if df[c].dtype.kind == "f":
+                    v = df[c].values
+                    negz = (v == 0.0) & np.signbit(v)
+                    if negz.any():
+                        print(f"NEGZERO  {name}.{c} ({side}): {int(negz.sum())} "
+                              f"-0.0 values; normalize with + 0.0")
+                        n_bad += 1
         a, b = canon(spark_df), canon(duck_df)
         if list(a.columns) != list(b.columns):
             print(f"SCHEMA   {name}: spark={list(a.columns)} duck={list(b.columns)}"); n_bad += 1; continue

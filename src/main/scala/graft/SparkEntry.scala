@@ -4323,7 +4323,7 @@ object SparkEntry {
         |    round(avg(CASE WHEN lang IN ('en','de','fr') THEN 1.0 ELSE 0.0 END), 6) AS set_v
         |  FROM documents),
         |r AS (
-        |  SELECT 'size' AS chk, size_v AS value, 100.0 AS lo,
+        |  SELECT 'size' AS chk, size_v AS value, CAST(100.0 AS DOUBLE) AS lo,
         |         CAST(9223372036854775807 AS DOUBLE) AS hi FROM m
         |  UNION ALL SELECT 'completeness(text)', comp_v, 0.99, 1.0 FROM m
         |  UNION ALL SELECT 'uniqueness(doc_id)', uniq_v, 0.999, 1.0 FROM m
