@@ -1497,6 +1497,13 @@ object SparkEntry {
       |      0) AS BIGINT) AS ph_lo
       |  FROM hh)""".stripMargin
 
+  // Unit note: the engine-side q_media_cdc* run the BYTE-level path on
+  // the binary media column (no UTF-8 assumption — the production blob
+  // semantics); this SQL twin chunks the same content in code-point
+  // units over `text`. The corpus is ASCII (spec-asserted in
+  // TestdataContractSpec), where byte and code-point units coincide, so
+  // the twin is exact here; a non-ASCII corpus would compare the
+  // string-path (cast to string) engine query instead.
   private def cdcChunksSql: String =
     s"""m AS (SELECT doc_id AS media_id, text FROM documents),
        |cpos AS (

@@ -241,15 +241,31 @@ object TextUtil {
     * an O(1) rolling update would need 128-bit modular products, and w is
     * small by construction. */
   def cdcChunks(text: UTF8String, w: Int, divisor: Long): ArrayData = {
-    val s = text.toString
-    val n = s.length
+    // CODE POINTS, not UTF-16 chars: Spark's substr counts code points,
+    // and the DuckDB oracle twin hashes per character via ascii(...) —
+    // charAt would split supplementary characters into surrogate halves,
+    // shifting both the hash values and the (off, len) units the
+    // downstream substr applies
+    val cps = text.toString.codePoints().toArray
+    cdcChunksImpl(cps.length, i => cps(i), w, divisor)
+  }
+
+  /** Byte-level CDC boundaries for arbitrary binary media — no UTF-8
+    * validity assumption; offsets/lengths are BYTE units, matching
+    * `substr` on a BinaryType column. Same rolling-hash fold over
+    * unsigned byte values. */
+  def cdcChunksBytes(media: Array[Byte], w: Int, divisor: Long): ArrayData =
+    cdcChunksImpl(media.length, i => media(i) & 0xFF, w, divisor)
+
+  private def cdcChunksImpl(n: Int, at: Int => Int, w: Int,
+                            divisor: Long): ArrayData = {
     if (n == 0) return new GenericArrayData(Array.empty[Any])
     val cuts = new mutable.ArrayBuffer[Int]
     var i = w - 1 // 0-based end of the first full gram
     while (i < n) {
       var acc = 0L
       var j = i - w + 1
-      while (j <= i) { acc = (acc * 31 + s.charAt(j)) % Mod47; j += 1 }
+      while (j <= i) { acc = (acc * 31 + at(j)) % Mod47; j += 1 }
       if (acc % divisor == 0L) cuts += (i + 1)
       i += 1
     }
@@ -483,16 +499,21 @@ case class WinnowFp(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
-/** `cdc_chunks(text)`: content-defined chunk (offset, length) pairs —
-  * the whole boundary scan in one codegen'd call, so chunking runs INSIDE
-  * the scan stage; only the chunk inventory (not the blob bytes) flows to
-  * the dedup aggregate downstream. */
+/** `cdc_chunks(text | binary)`: content-defined chunk (offset, length)
+  * pairs — the whole boundary scan in one codegen'd call, so chunking
+  * runs INSIDE the scan stage; only the chunk inventory (not the blob
+  * bytes) flows to the dedup aggregate downstream. A StringType child
+  * chunks in CODE-POINT units (consistent with `substr` on strings); a
+  * BinaryType child chunks arbitrary bytes in BYTE units (consistent
+  * with `substr` on binary) with no UTF-8 validity assumption. */
 case class CdcChunks(child: Expression, w: Int, divisor: Long)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (!child.dataType.isInstanceOf[StringType])
-      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+    if (!child.dataType.isInstanceOf[StringType] &&
+        child.dataType != org.apache.spark.sql.types.BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string or binary argument")
     else if (w < 2 || divisor < 2)
       TypeCheckResult.TypeCheckFailure(s"$prettyName: need w >= 2 and divisor >= 2")
     else TypeCheckResult.TypeCheckSuccess
@@ -503,12 +524,18 @@ case class CdcChunks(child: Expression, w: Int, divisor: Long)
     containsNull = false)
   override def prettyName: String = "cdc_chunks"
 
-  protected override def nullSafeEval(input: Any): Any =
-    TextUtil.cdcChunks(input.asInstanceOf[UTF8String], w, divisor)
+  private def byteLevel: Boolean =
+    child.dataType == org.apache.spark.sql.types.BinaryType
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  protected override def nullSafeEval(input: Any): Any =
+    if (byteLevel) TextUtil.cdcChunksBytes(input.asInstanceOf[Array[Byte]], w, divisor)
+    else TextUtil.cdcChunks(input.asInstanceOf[UTF8String], w, divisor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (byteLevel) "cdcChunksBytes" else "cdcChunks"
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.expressions.TextUtil.cdcChunks($c, $w, ${divisor}L);")
+      s"${ev.value} = graft.expressions.TextUtil.$fn($c, $w, ${divisor}L);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): CdcChunks =
     copy(child = newChild)

@@ -170,14 +170,22 @@ object Multimodal {
     * chunk; chunk-level dedup then reclaims the shared tail that
     * [[dedupMedia]]'s whole-blob digests cannot see. The boundary scan is
     * a codegen'd expression inside the scan stage; only (id, off, len,
-    * md5) rows — never blob bytes — reach the shuffle. */
+    * md5) rows — never blob bytes — reach the shuffle.
+    *
+    * Unit discipline: a BinaryType `media` column chunks in BYTE units
+    * with no UTF-8 assumption (the production path for real blobs); a
+    * StringType column chunks in CODE-POINT units. Both compute
+    * boundaries and extract chunks in the SAME unit — the boundary scan
+    * and `substr` agree for all of Unicode, not just the BMP. A caller
+    * holding UTF-8 TEXT media that wants code-point (oracle-portable)
+    * chunking casts to string explicitly. */
   def cdcChunkFrame(mediaDf: DataFrame, w: Int = 8, divisor: Long = 32): DataFrame = {
-    val text = col("media").cast("string")
+    val blob = col("media")
     mediaDf
       .select(col("media_id"),
-        posexplode(graft.expressions.TextExpressions.cdcChunks(text, w, divisor))
+        posexplode(graft.expressions.TextExpressions.cdcChunks(blob, w, divisor))
           .as(Seq("chunk_idx", "c")),
-        text.as("t"))
+        blob.as("t"))
       .select(col("media_id"), col("chunk_idx"),
         col("c.off").as("off"), col("c.len").as("len"),
         md5(col("t").substr(col("c.off"), col("c.len"))).as("chunk_md5"))

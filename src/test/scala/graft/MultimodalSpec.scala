@@ -107,6 +107,74 @@ class MultimodalSpec extends SparkSpec {
     assert(first("chunk_md5") == expectMd5)
   }
 
+  test("cdcChunks unit discipline: code points for strings, bytes for binary") {
+    import spark.implicits._
+    // supplementary (non-BMP) characters: 𝕏 = U+1D54F (2 UTF-16 chars,
+    // 4 UTF-8 bytes) — boundaries and extraction must agree in ONE unit
+    val text = ("ab𝕏cd" * 40) + "tail"
+    val cpLen = text.codePointCount(0, text.length)
+    val strDf = Seq((1L, text)).toDF("media_id", "media") // StringType path
+    val strOut = rowsOf(Multimodal.cdcChunkFrame(strDf, 8, 4))
+      .sortBy(_("chunk_idx").asInstanceOf[Int])
+    assert(strOut.map(_("len").asInstanceOf[Int]).sum == cpLen,
+      "string path must tile the CODE-POINT length")
+    // every chunk digest equals the md5 of the code-point substring
+    val cps = text.codePoints().toArray
+    strOut.foreach { r =>
+      val off = r("off").asInstanceOf[Int] - 1
+      val len = r("len").asInstanceOf[Int]
+      val sub = new String(cps, off, len)
+      val exp = java.security.MessageDigest.getInstance("MD5")
+        .digest(sub.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r("chunk_md5") == exp, s"chunk at off=$off")
+    }
+    // byte path on the same content: tiles the BYTE length with
+    // byte-slice digests
+    val bytes = text.getBytes("UTF-8")
+    val binDf = Seq((1L, bytes)).toDF("media_id", "media") // BinaryType path
+    val binOut = rowsOf(Multimodal.cdcChunkFrame(binDf, 8, 4))
+      .sortBy(_("chunk_idx").asInstanceOf[Int])
+    assert(binOut.map(_("len").asInstanceOf[Int]).sum == bytes.length,
+      "binary path must tile the BYTE length")
+    binOut.foreach { r =>
+      val off = r("off").asInstanceOf[Int] - 1
+      val len = r("len").asInstanceOf[Int]
+      val exp = java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes.slice(off, off + len)).map("%02x".format(_)).mkString
+      assert(r("chunk_md5") == exp, s"chunk at byte off=$off")
+    }
+  }
+
+  test("cdcChunks binary path: arbitrary non-UTF8 bytes chunk losslessly") {
+    import spark.implicits._
+    // 0xFF/0xFE runs are invalid UTF-8 — the old cast-to-string path
+    // would mangle them through replacement characters
+    val blob = Array.tabulate[Byte](512)(i => ((i * 37 + 251) % 256).toByte)
+    val out = rowsOf(Multimodal.cdcChunkFrame(
+        Seq((7L, blob)).toDF("media_id", "media"), 8, 16))
+      .sortBy(_("chunk_idx").asInstanceOf[Int])
+    assert(out.map(_("len").asInstanceOf[Int]).sum == blob.length)
+    val whole = java.security.MessageDigest.getInstance("MD5")
+      .digest(blob).map("%02x".format(_)).mkString
+    // reassembling the chunks yields the original blob
+    val reasm = out.flatMap { r =>
+      blob.slice(r("off").asInstanceOf[Int] - 1,
+        r("off").asInstanceOf[Int] - 1 + r("len").asInstanceOf[Int])
+    }.toArray
+    assert(java.security.MessageDigest.getInstance("MD5")
+      .digest(reasm).map("%02x".format(_)).mkString == whole)
+  }
+
+  test("cdcChunks: byte and code-point paths agree on ASCII content") {
+    import spark.implicits._
+    val t = (0 until 400).map(i => ('a' + (i * 13 + i / 7) % 26).toChar).mkString
+    val bin = rowsOf(Multimodal.cdcChunkFrame(
+      Seq((1L, t.getBytes("UTF-8"))).toDF("media_id", "media"), 8, 32))
+    val str = rowsOf(Multimodal.cdcChunkFrame(
+      Seq((1L, t)).toDF("media_id", "media"), 8, 32))
+    assert(bin.toSet == str.toSet)
+  }
+
   test("cdcChunks shift-invariance: a front insertion re-synchronizes the chunk stream") {
     val base = (0 until 600).map(i => ('a' + (i * 11 + i / 13) % 26).toChar).mkString
     val shifted = "INSERTED-PREFIX " + base

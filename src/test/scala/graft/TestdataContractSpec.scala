@@ -57,20 +57,24 @@ class TestdataContractSpec extends SparkSpec {
       "embedding" -> ArrayType(FloatType), "label" -> IntegerType)
   }
 
-  test("documents.text is BMP-safe: the char-level hash oracles depend on it") {
-    // The winnow / fingerprint / cdc oracle twins compute per-char
-    // poly-47 hashes as DuckDB `ascii(substr(...))` vs the engine's
-    // UTF-16 charAt — identical for Basic-Multilingual-Plane text,
-    // divergent for supplementary characters (surrogate pairs). If a
-    // testdata regeneration introduces astral chars, THIS spec fails
-    // with a message instead of N query hash mismatches at Verify time.
+  test("documents.text is ASCII: byte/char-level hash oracle parity depends on it") {
+    // Two oracle-parity contracts ride this: (a) the winnow /
+    // fingerprint twins compute per-char poly-47 hashes as DuckDB
+    // `ascii(substr(...))` vs the engine's UTF-16 charAt — identical
+    // for BMP text; (b) q_media_cdc* chunk the BINARY media column in
+    // BYTE units while the SQL twin chunks `text` in code-point units —
+    // identical only for ASCII (any multi-byte UTF-8 char shifts byte
+    // offsets off code-point offsets). ASCII subsumes BMP, so assert
+    // the stronger contract: if a testdata regeneration introduces
+    // non-ASCII text, THIS spec fails with a message instead of N query
+    // hash mismatches at Verify time.
     import org.apache.spark.sql.functions._
-    val astral = Tables.documents(spark, sfDir)
-      .filter(col("text").rlike("[\\x{10000}-\\x{10FFFF}]"))
+    val nonAscii = Tables.documents(spark, sfDir)
+      .filter(col("text").rlike("[^\\x00-\\x7F]"))
       .count()
-    assert(astral == 0L,
-      s"$astral documents contain supplementary-plane characters; " +
-        "the ascii()/charAt oracle parity for winnow/cdc/fingerprint breaks")
+    assert(nonAscii == 0L,
+      s"$nonAscii documents contain non-ASCII characters; byte-unit " +
+        "(q_media_cdc*) and char-unit (winnow/fingerprint) oracle parity breaks")
   }
 
   test("events: Tables.events normalizes ts to epoch-nanos LongType on the current encoding") {
