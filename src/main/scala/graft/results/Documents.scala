@@ -229,21 +229,22 @@ object Documents {
   /** Upsert into the date-partitioned store: a row in `updates` replaces
     * any stored row with the same `key` in the same day partition; rows
     * with new keys append. ONLY the day partitions present in `updates`
-    * are read (partition-pruned scan) and rewritten (dynamic partition
-    * overwrite) — at 100 TB an incremental refresh touches a handful of
-    * recent days, never the archive, and untouched partitions keep their
-    * files byte-for-byte (spec-asserted on the file listing). The merged
-    * frame is pinned with `localCheckpoint` before the overwrite so the
-    * write never reads the files it is replacing. */
+    * are read (partition-pruned scan) and rewritten — at 100 TB an
+    * incremental refresh touches a handful of recent days, never the
+    * archive, and untouched partitions keep their files byte-for-byte
+    * (spec-asserted on the file listing). The merged frame is written
+    * to a TEMP SIBLING and swapped in per day
+    * ([[graft.scale.Stores.swapPartition]]) — the write reads the
+    * still-intact current files, so an executor loss mid-write can
+    * always recompute; the in-place dynamic-overwrite + localCheckpoint
+    * shape could not. */
   def upsertDaily(spark: org.apache.spark.sql.SparkSession, path: String,
                   updates: DataFrame, key: String): Unit = {
     val up = updates
       .withColumn("day", date_format(col("@timestamp"), "yyyy-MM-dd"))
-    val exists = {
-      val p = new org.apache.hadoop.fs.Path(path)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    }
-    if (!exists) {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) {
       up.write.mode("append").partitionBy("day").parquet(path)
     } else {
       val days = up.select("day").distinct()
@@ -257,10 +258,17 @@ object Documents {
         .join(up.select(col(key), col("day")).distinct(),
           Seq(key, "day"), "left_anti")
         .unionByName(up)
-        .localCheckpoint(true)
-      merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("day").parquet(path)
+      val tmp = new org.apache.hadoop.fs.Path(
+        root.getParent, s".upsert_${root.getName}")
+      fs.delete(tmp, true)
+      merged.write.mode("overwrite").partitionBy("day").parquet(tmp.toString)
+      days.foreach { d =>
+        val src = new org.apache.hadoop.fs.Path(tmp, s"day=$d")
+        if (fs.exists(src))
+          graft.scale.Stores.swapPartition(fs,
+            new org.apache.hadoop.fs.Path(root, s"day=$d"), src)
+      }
+      fs.delete(tmp, true)
     }
   }
 
@@ -270,17 +278,17 @@ object Documents {
     * in `retired`. Day discovery is ONE column-pruned scan of
     * (key, day) semi-joined against the retired keys (the rest of the
     * row never leaves the files); only day partitions that actually
-    * hold a retired key are read in full and rewritten (dynamic
-    * partition overwrite, `localCheckpoint`-pinned like upsert).
-    * A day whose every row is retired produces NO output partition —
-    * dynamic overwrite would silently leave its files in place, so
-    * those directories are removed explicitly. Untouched partitions
-    * keep their files byte-for-byte. */
+    * hold a retired key are read in full and rewritten via the same
+    * temp-sibling + per-day swap as [[upsertDaily]] (crash-safe: the
+    * write reads the still-intact current files). A day whose every
+    * row is retired produces NO temp partition and its store directory
+    * is removed outright. Untouched partitions keep their files
+    * byte-for-byte. */
   def deleteDaily(spark: org.apache.spark.sql.SparkSession, path: String,
                   retired: DataFrame, key: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
     val keys = retired.select(col(key)).distinct()
     val store = spark.read.parquet(path)
       .withColumn("day", col("day").cast("string"))
@@ -290,13 +298,16 @@ object Documents {
     if (days.isEmpty) return // nothing stored for these keys
     val kept = store.filter(col("day").isin(days: _*))
       .join(keys, Seq(key), "left_anti")
-      .localCheckpoint(true)
-    val keptDays = kept.select("day").distinct()
-      .collect().map(_.getString(0)).toSet // metadata-sized
-    kept.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("day").parquet(path)
-    days.filterNot(keptDays).foreach(d =>
-      fs.delete(new org.apache.hadoop.fs.Path(path, s"day=$d"), true))
+    val tmp = new org.apache.hadoop.fs.Path(
+      root.getParent, s".delete_${root.getName}")
+    fs.delete(tmp, true)
+    kept.write.mode("overwrite").partitionBy("day").parquet(tmp.toString)
+    days.foreach { d =>
+      val src = new org.apache.hadoop.fs.Path(tmp, s"day=$d")
+      val dst = new org.apache.hadoop.fs.Path(root, s"day=$d")
+      if (fs.exists(src)) graft.scale.Stores.swapPartition(fs, dst, src)
+      else fs.delete(dst, true) // every row of the day was retired
+    }
+    fs.delete(tmp, true)
   }
 }

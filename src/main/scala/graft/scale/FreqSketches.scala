@@ -91,9 +91,8 @@ object FreqSketches {
     rollupSketches(raw, keyCols.toSeq)
   }
 
-  /** Rewrite the store with one sketch per bucket (value-neutral). */
-  def compact(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    val compacted = readLayer(spark, dir).localCheckpoint(true)
-    compacted.write.mode("overwrite").parquet(dir)
-  }
+  /** Rewrite the store with one sketch per bucket (value-neutral;
+    * crash-safe via [[Stores.rewriteAtomically]]). */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    Stores.rewriteAtomically(spark, dir, readLayer(spark, dir))
 }

@@ -61,9 +61,8 @@ object QuantileSketches {
     rollupSketches(raw, keyCols.toSeq)
   }
 
-  /** Rewrite the store with one summary per bucket (rank-bound neutral). */
-  def compact(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    val compacted = readLayer(spark, dir).localCheckpoint(true)
-    compacted.write.mode("overwrite").parquet(dir)
-  }
+  /** Rewrite the store with one summary per bucket (rank-bound neutral;
+    * crash-safe via [[Stores.rewriteAtomically]]). */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    Stores.rewriteAtomically(spark, dir, readLayer(spark, dir))
 }

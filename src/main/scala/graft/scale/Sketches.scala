@@ -107,11 +107,12 @@ object Sketches {
   }
 
   /** Rewrite the store with one sketch per bucket. Value-neutral
-    * ([[readLayer]] before == after); run when delta files accumulate. */
-  def compact(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    val compacted = readLayer(spark, dir).localCheckpoint(true)
-    compacted.write.mode("overwrite").parquet(dir)
-  }
+    * ([[readLayer]] before == after); run when delta files accumulate.
+    * Temp-sibling + atomic swap ([[Stores.rewriteAtomically]]) — an
+    * executor loss mid-compact can always recompute from the still-
+    * intact source files. */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    Stores.rewriteAtomically(spark, dir, readLayer(spark, dir))
 
   /** `foreachBatch` face for a streaming source: maintain the sketch
     * store from micro-batches. Pair with

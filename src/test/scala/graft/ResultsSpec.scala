@@ -81,6 +81,10 @@ class ResultsSpec extends SparkSpec {
       ("d", 7L, "2023-11-18"))) // new partition
     // the untouched day partition was not rewritten: identical file names
     assert(files("2023-11-14") == day1Files)
+    // crash-safe rewrite hygiene: no temp sibling or .old_ leftovers
+    val parent = new java.io.File(dir).getParentFile
+    assert(!parent.listFiles.exists(_.getName.startsWith(".upsert_")))
+    assert(!new java.io.File(dir).listFiles.exists(_.getName.startsWith(".old_")))
     // fresh-store path: upsert into a nonexistent dir just writes
     val dir2 = java.nio.file.Files.createTempDirectory("upsert2").toString + "/s2"
     Documents.upsertDaily(spark, dir2, doc("z", 9L, day1), key = "key")
@@ -120,6 +124,10 @@ class ResultsSpec extends SparkSpec {
     Documents.deleteDaily(spark, dir, Seq("zz").toDF("key"), key = "key")
     assert(files("2023-11-18") == day3Files &&
       spark.read.parquet(dir).count() == 2)
+    // crash-safe rewrite hygiene: no temp sibling or .old_ leftovers
+    val parent = new java.io.File(dir).getParentFile
+    assert(!parent.listFiles.exists(_.getName.startsWith(".delete_")))
+    assert(!new java.io.File(dir).listFiles.exists(_.getName.startsWith(".old_")))
   }
 
   test("dailyProfileDoc: dense 24-slot array, zero-filled silent hours") {

@@ -326,6 +326,10 @@ class ScaleSpec extends SparkSpec {
     assert(est() == exact)
     assert(rowsOf(spark.read.parquet(dir).groupBy("key")
       .agg(count(lit(1)).as("n"))).forall(_("n") == 1L))
+    // crash-safe rewrite hygiene: temp sibling swapped in, no leftovers
+    val parent = new java.io.File(dir).getParentFile
+    assert(!parent.listFiles.exists(f =>
+      f.getName.startsWith(".rewrite_") || f.getName.startsWith(".old_")))
   }
 
   test("Layout compaction: report finds small-file partitions; rewrite is value-neutral and scoped") {
