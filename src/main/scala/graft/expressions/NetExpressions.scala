@@ -148,7 +148,12 @@ object GraftFunctions {
   private def doubleArg(e: Expression, fn: String): Double = e match {
     case lit if lit.foldable => lit.eval() match {
       case d: Double => d
+      case f: Float => f.toDouble
       case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      // SQL parses 0.01 as a DECIMAL literal — the natural spelling
+      case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+      case dec: java.math.BigDecimal => dec.doubleValue
       case other => throw new IllegalArgumentException(
         s"$fn expects a literal double, got $other")
     }

@@ -572,12 +572,26 @@ class ScaleSpec extends SparkSpec {
     val df = (0 until 5000).map(i => ("g", (i % 1000).toDouble)).toDF("key", "x")
     QuantileSketches.buildLayer(df, Seq(col("key")), col("x"))
       .createOrReplaceTempView("qlayer")
+    df.createOrReplaceTempView("qlayer_raw")
+    // natural literal spelling: 0.9 parses as DECIMAL and must coerce
+    // (ImplicitCastInputTypes), no CAST workaround
     val r = spark.sql(
       """SELECT key, quantile_sketch_query(
-        |  quantile_sketch_merge(sketch), CAST(0.9 AS DOUBLE)) AS p90
+        |  quantile_sketch_merge(sketch), 0.9) AS p90
         |FROM qlayer GROUP BY key""".stripMargin).collect()
     assert(r.length == 1)
     assert(math.abs(r.head.getDouble(1) - 900.0) <= 20.0, r.head.getDouble(1))
+    // quantile_sketch's relative-error arg likewise takes 0.01 as written
+    val agg = spark.sql(
+      "SELECT quantile_sketch_query(quantile_sketch(x, 0.01), 0.5) FROM qlayer_raw")
+    assert(math.abs(agg.collect().head.getDouble(0) - 500.0) <= 20.0)
+    // cms_estimate accepts an INT item literal (widens to bigint)
+    val cms = spark.sql(
+      """SELECT cms_estimate(cms_merge(sk), 42) AS est FROM (
+        |  SELECT count_min_sketch(v, 0.001d, 0.99d, 1) AS sk
+        |  FROM (SELECT CAST(42 AS BIGINT) AS v FROM range(100)))"""
+        .stripMargin).collect()
+    assert(cms.head.getLong(0) == 100L, cms.head.getLong(0))
   }
 
   test("Observe: gate in/out metrics ride one job, values exact") {
