@@ -2885,13 +2885,18 @@ object SparkEntry {
       s"""WITH $mediaPhashCtes
          |SELECT media_id, ph_hi, ph_lo FROM ph ORDER BY media_id""".stripMargin,
 
+    // the engine default caps degenerate band buckets at 4096 members;
+    // the twin applies the identical cap (QUALIFY on the bucket size)
     "q_media_phash_candidates" ->
       s"""WITH $mediaPhashCtes,
-         |bands AS (
+         |bands0 AS (
          |  SELECT media_id, i AS band_idx,
          |    CASE i WHEN 0 THEN ph_hi >> 16 WHEN 1 THEN ph_hi & 65535
          |           WHEN 2 THEN ph_lo >> 16 ELSE ph_lo & 65535 END AS band_val
          |  FROM ph, range(0, 4) t(i)),
+         |bands AS (
+         |  SELECT media_id, band_idx, band_val FROM bands0
+         |  QUALIFY count(*) OVER (PARTITION BY band_idx, band_val) <= 4096),
          |pairs AS (
          |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
          |  FROM bands a JOIN bands b

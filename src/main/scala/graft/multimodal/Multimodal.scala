@@ -69,11 +69,26 @@ object Multimodal {
     * Pigeonhole guarantee: any pair with Hamming ≤ 3 shares at least
     * one exact band — full recall there; larger `maxHamming` has the
     * standard banded-LSH partial recall. Blobs never join: only
-    * (band, id) pairs shuffle, and `maxBucket > 0` drops degenerate
-    * band buckets (the d² guard every candidate generator here
-    * carries). */
+    * (band, id) pairs shuffle, and `maxBucket` drops degenerate band
+    * buckets (the d² guard every candidate generator here carries).
+    * The cap defaults FINITE: a corpus of constant-intensity or empty
+    * blobs hashes every one of them to the same signature, and an
+    * uncapped run would explode that bucket quadratically. Dropping a
+    * degenerate bucket loses a pair only when EVERY band the pair
+    * shares is degenerate — for bit-identical blobs (all four bands
+    * shared) that is [[dedupMedia]]'s job, not a near-dup miss. Pass
+    * `maxBucket = 0` to disable explicitly. */
   def phashCandidates(mediaDf: DataFrame, maxHamming: Int = 3,
-                      maxBucket: Long = 0L): DataFrame = {
+                      maxBucket: Long = 4096L): DataFrame =
+    phashCandidatesCached(mediaDf, maxHamming, maxBucket).result
+
+  /** [[phashCandidates]] with the release handle for the persisted
+    * phash frame (read by the band explode and both confirm-join
+    * sides) — the [[graft.core.Cached]] contract every other candidate
+    * generator follows, so a long session can unpersist it. */
+  def phashCandidatesCached(mediaDf: DataFrame, maxHamming: Int = 3,
+                            maxBucket: Long = 4096L)
+      : graft.core.Cached[DataFrame] = {
     val ph = phashFrame(mediaDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = ph.select(col("media_id"), posexplode(array(
@@ -98,11 +113,12 @@ object Multimodal {
       col("ph_hi").as("__ha"), col("ph_lo").as("__la"))
     val b = ph.select(col("media_id").as("media_b"),
       col("ph_hi").as("__hb"), col("ph_lo").as("__lb"))
-    pairs.join(a, Seq("media_a")).join(b, Seq("media_b"))
+    val confirmed = pairs.join(a, Seq("media_a")).join(b, Seq("media_b"))
       .withColumn("hamming",
         expr("cast(bit_count(__ha ^ __hb) + bit_count(__la ^ __lb) as bigint)"))
       .filter(col("hamming") <= maxHamming)
       .select("media_a", "media_b", "hamming")
+    graft.core.Cached(confirmed, ph)
   }
 
   /** Byte values of a blob as array<long> via its hex dump. The hex string
