@@ -109,11 +109,24 @@ object Funnel {
     * `horizonMs` beyond the user's last buffered event — so a late
     * step-0 event that re-orders the chain still lands before
     * resolution (parity with the batch operator over the same data,
-    * spec-pinned), and emission is exactly-once per user in Append
-    * mode. State per user = that user's funnel-relevant events within
-    * the horizon (the sessionization envelope), evicted at emission.
-    * The price of correctness under late data is latency: conversions
-    * surface `horizonMs` of event time after the user goes quiet. */
+    * spec-pinned).
+    *
+    * Emission contract: exactly-once per user PER QUIET PERIOD
+    * (session-scoped, spec-pinned). A user whose events all fall within
+    * one horizon emits once, matching batch [[stepTimes]] over the same
+    * data. A user who REAPPEARS after `horizonMs`+watermark of silence
+    * starts a fresh funnel session and emits again, resolved from the
+    * new session's events only — by design: the alternative (a
+    * per-user emitted tombstone held forever) grows state with the
+    * all-time user dimension, which is exactly what watermark-bounded
+    * state exists to avoid. Downstream consumers wanting all-time
+    * once-per-user semantics dedup on user_id in the sink (the
+    * ReportDedup pattern); batch parity over an unbounded history is
+    * [[stepTimes]]'s job. State per user = that user's funnel-relevant
+    * events within the horizon (the sessionization envelope), evicted
+    * at emission. The price of correctness under late data is latency:
+    * conversions surface `horizonMs` of event time after the user goes
+    * quiet. */
   def stream(events: DataFrame, steps: Seq[String],
              horizonMs: Long = 1800000L, watermark: String = "10 minutes",
              tsCol: String = "event_time", userCol: String = "user_id",

@@ -687,6 +687,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel: per-quiet-period sessions — a reappearing user emits again") {
+    // The documented contract: emission is exactly-once per user PER
+    // QUIET PERIOD, not per all-time user — a user returning after
+    // horizon+watermark of silence starts a FRESH funnel session whose
+    // chain resolves from the new session's events only (state is
+    // watermark-bounded; no forever tombstone).
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.Funnel
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val events = mem.toDF().toDF("user_id", "event_type", "event_time")
+    val steps = Seq("view", "click")
+    val q = Funnel.stream(events, steps, horizonMs = 1000L,
+        watermark = "10 seconds")
+      .writeStream.format("memory").queryName("funnel_sessions")
+      .outputMode(OutputMode.Append()).start()
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    try {
+      // session 1: full view->click chain
+      mem.addData((1L, "view", ts(1000L)), (1L, "click", ts(2000L)))
+      q.processAllAvailable()
+      // advance the watermark far past user 1's horizon -> finalize
+      mem.addData((8L, "view", ts(500000L)))
+      q.processAllAvailable()
+      mem.addData((8L, "click", ts(500100L)))
+      q.processAllAvailable()
+      val s1 = spark.table("funnel_sessions").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(s1 == Set((1L, 0, 1000L), (1L, 1, 2000L)), s1)
+      // session 2: the SAME user reappears long after — only a view
+      mem.addData((1L, "view", ts(600000L)))
+      q.processAllAvailable()
+      mem.addData((9L, "view", ts(1200000L)))
+      q.processAllAvailable()
+      mem.addData((9L, "click", ts(1300000L)))
+      q.processAllAvailable()
+      val s2 = spark.table("funnel_sessions").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      // user 1 emitted AGAIN (new session), resolved from the new
+      // session's events only: step 0 at its new time, no click carried
+      // over from session 1
+      assert(s2.contains((1L, 0, 600000L)), s2)
+      assert(!s2.exists(r => r._1 == 1L && r._2 == 1 && r._3 > 2000L), s2)
+    } finally q.stop()
+  }
+
   test("streaming funnel buffers survive a checkpoint restart") {
     import graft.queries.Funnel
     val ckpt = java.nio.file.Files.createTempDirectory("fnckpt").toString
