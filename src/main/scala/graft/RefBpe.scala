@@ -82,6 +82,51 @@ object RefBpe {
     merges.toSeq
   }
 
+  /** Independent twin of
+    * [[graft.pipeline.TextPipeline.bpeTrainBatched]]: per round, count
+    * pairs once, truncate to the top 4·k candidates (count desc, pair
+    * asc — the truncation is part of the algorithm contract), greedily
+    * adopt up to k pairs with mutually disjoint symbols. */
+  def trainBatched(texts: Seq[String], numMerges: Int, batchSize: Int,
+                   minPairCount: Long = 2L): Seq[(String, Long)] = {
+    require(batchSize >= 1, "trainBatched: batchSize must be >= 1")
+    val wc = mutable.HashMap.empty[String, Long]
+    texts.foreach(t => tokens(t).foreach(w => wc.update(w, wc.getOrElse(w, 0L) + 1L)))
+    val merges = mutable.ArrayBuffer.empty[(String, Long)]
+    var ranks = Map.empty[String, Int]
+    var go = true
+    while (go && merges.length < numMerges) {
+      val k = math.min(batchSize, numMerges - merges.length)
+      val pc = mutable.HashMap.empty[String, Long]
+      wc.foreach { case (w, c) =>
+        val syms = encodeWord(w, ranks)
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = syms(i) + " " + syms(i + 1)
+          pc.update(p, pc.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      val top = pc.toSeq.filter(_._2 >= minPairCount)
+        .sortBy { case (p, c) => (-c, p) }.take(4 * k)
+      if (top.isEmpty) go = false
+      else {
+        val used = mutable.Set.empty[String]
+        var taken = 0
+        top.iterator.takeWhile(_ => taken < k).foreach { case (pair, cnt) =>
+          val syms = pair.split(" ")
+          if (!syms.exists(used)) {
+            merges += ((pair, cnt))
+            ranks = ranks + (pair -> ranks.size)
+            used ++= syms
+            taken += 1
+          }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
   /** Pinned (rank, pair, cnt) literal table for the q_bpe_train oracle. */

@@ -1328,6 +1328,17 @@ object SparkEntry {
       TextPipeline.bpeMerges(Tables.documents(s, dir), numMerges = 24)
         .orderBy("rank")),
 
+    // production-vocab path: up to 8 mutually-disjoint merges adopted
+    // per job (ceil(24/8) = 3 pair-count jobs instead of 24); oracle =
+    // the independent RefBpe.trainBatched twin, embedded at dump time
+    "q_bpe_train_batched" -> ((s, dir) => {
+      import s.implicits._
+      TextPipeline.bpeTrainBatched(Tables.documents(s, dir),
+          numMerges = 24, batchSize = 8)
+        .zipWithIndex.map { case ((p, c), i) => (i, p, c) }
+        .toDF("rank", "pair", "cnt").orderBy("rank")
+    }),
+
     "q_bpe_encode" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val merges = TextPipeline.bpeTrain(docs, numMerges = 24).map(_._1)
@@ -1878,8 +1889,11 @@ object SparkEntry {
     val texts = Tables.documents(spark, dir)
       .select(col("text")).collect().map(_.getString(0)).toSeq
     val merges = RefBpe.train(texts, numMerges = 24, minPairCount = 2L)
+    val batched = RefBpe.trainBatched(texts, numMerges = 24, batchSize = 8,
+      minPairCount = 2L)
     Map(
       "q_bpe_train" -> RefBpe.trainOracleSql(merges),
+      "q_bpe_train_batched" -> RefBpe.trainOracleSql(batched),
       "q_bpe_encode" -> RefBpe.encodeOracleSql(merges))
   }
 

@@ -585,6 +585,67 @@ object TextPipeline {
     merges.toSeq
   }
 
+  /** [[bpeTrain]] at production vocab scale: up to `batchSize` merges
+    * adopted per Spark job instead of one — the standard batched-BPE
+    * trick (used by every fast trainer), which makes a 30k-merge vocab
+    * ~30k/batch jobs instead of 30k. Per round, ONE pair-count job runs
+    * over the word table; the top `4·k` (count desc, pair asc) rows come
+    * back (metadata-sized), and a greedy in-order sweep adopts up to `k`
+    * pairs whose symbols are MUTUALLY DISJOINT — disjointness guarantees
+    * the adopted merges cannot interact (no adopted pair's count is
+    * changed by applying another), so applying them together is
+    * order-independent. The approximation vs sequential BPE: a pair
+    * CREATED by an earlier merge in the same batch (e.g. "x ab" right
+    * after "a b") cannot be adopted until the next round — rank order
+    * can differ from one-at-a-time training, which is the documented,
+    * universally-accepted trade. `batchSize = 1` reproduces [[bpeTrain]]
+    * exactly (spec-pinned), as does the independent in-memory
+    * [[graft.RefBpe.trainBatched]] twin for any batch (oracle-checked
+    * via q_bpe_train_batched). The 4·k candidate truncation is part of
+    * the algorithm contract (both implementations apply it), keeping
+    * the driver exchange bounded. */
+  def bpeTrainBatched(docs: DataFrame, numMerges: Int, batchSize: Int = 64,
+                      minPairCount: Long = 2L): Seq[(String, Long)] = {
+    require(batchSize >= 1, "bpeTrainBatched: batchSize must be >= 1")
+    val words = docs
+      .select(explode(graft.expressions.TextExpressions.wordShingles(col("text"), 1)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var go = true
+    while (go && merges.length < numMerges) {
+      val k = math.min(batchSize, numMerges - merges.length)
+      val pairCol = transform(sequence(lit(1), size(col("syms")) - 1),
+        i => concat_ws(" ", element_at(col("syms"), i),
+          element_at(col("syms"), i + 1)))
+      val top = words
+        .withColumn("syms", graft.expressions.TextExpressions
+          .bpeEncode(col("word"), merges.map(_._1).toSeq))
+        .filter(size(col("syms")) > 1)
+        .select(col("cnt"), explode(pairCol).as("pair"))
+        .groupBy("pair").agg(sum("cnt").as("pcnt"))
+        .filter(col("pcnt") >= minPairCount)
+        .orderBy(col("pcnt").desc, col("pair").asc).limit(4 * k)
+        .collect()
+      if (top.isEmpty) go = false
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        var taken = 0
+        top.iterator.takeWhile(_ => taken < k).foreach { r =>
+          val pair = r.getString(0)
+          val syms = pair.split(" ")
+          if (!syms.exists(used)) {
+            merges += ((pair, r.getLong(1)))
+            used ++= syms
+            taken += 1
+          }
+        }
+      }
+    }
+    words.unpersist()
+    merges.toSeq
+  }
+
   /** [[bpeTrain]] as a (rank, pair, cnt) table — the artifact a tokenizer
     * build persists. */
   def bpeMerges(docs: DataFrame, numMerges: Int,

@@ -1598,6 +1598,27 @@ class PipelineSpec extends SparkSpec {
     assert(spark_ == ref)
   }
 
+  test("bpeTrainBatched: batch=1 reproduces sequential; any batch matches RefBpe twin") {
+    val texts = Seq(
+      "the merge rate of the merge table", "rate the table the merge",
+      "aaab aaab aab zz zz zzz", "singleton words here only once",
+      "interleave the rate of merge tables with more words")
+    val d = docs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+    // batch=1 is EXACTLY the one-at-a-time algorithm
+    assert(TextPipeline.bpeTrainBatched(d, numMerges = 10, batchSize = 1) ==
+      TextPipeline.bpeTrain(d, numMerges = 10))
+    // larger batches: distributed == independent in-memory twin (the
+    // q_bpe_train_batched oracle contract), full vocab still learned
+    for (b <- Seq(4, 8)) {
+      val got = TextPipeline.bpeTrainBatched(d, numMerges = 12, batchSize = b)
+      assert(got == RefBpe.trainBatched(texts, numMerges = 12, batchSize = b),
+        s"batchSize=$b diverged from RefBpe twin")
+      // adopted pairs within a round have disjoint symbols by
+      // construction — every merge must still clear minPairCount
+      assert(got.forall(_._2 >= 2L))
+    }
+  }
+
   test("CorpusSource.readJsonl: good rows in, rejects quarantined, ids derived") {
     val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
     val lines = Seq(
