@@ -1,5 +1,7 @@
 package graft.pipeline
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -134,6 +136,64 @@ object Similarity {
       java.util.Arrays.asList(top.collect(): _*), top.schema)
   }
 
+  /** `(cid, cvec)` local relation from driver-side centroid values —
+    * the broadcast side for probe/top-k stages that genuinely need a
+    * relation (per-query rank over centroids). */
+  private[pipeline] def centroidRelation(
+      spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[(Long, Seq[Double])]): DataFrame =
+    spark.createDataFrame(
+      cents.map { case (cid, v) => org.apache.spark.sql.Row(cid, v) }.asJava,
+      StructType(Seq(
+        StructField("cid", org.apache.spark.sql.types.LongType, nullable = false),
+        StructField("cvec", ArrayType(DoubleType), nullable = false))))
+
+  /** The same deterministic sample as driver-side values — for
+    * operators that bake the centroids into the projection itself
+    * ([[assignByCentroids]]) instead of joining a local relation. */
+  private[graft] def collectedSampleVals(e: DataFrame, n: Int): Seq[(Long, Seq[Double])] =
+    e.orderBy(idScramble(col("vec_id")).asc, col("vec_id").asc).limit(n)
+      .select(col("vec_id"), col("vec")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+  /** MAP-ONLY nearest-centroid assignment: `(vec_id, vec, cid, csim)`
+    * with the winner computed inside one projection — a codegen'd
+    * cosine per centroid literal and a lexicographic `greatest` over
+    * `struct(csim, -cid)` (highest similarity, then lowest cid — the
+    * exact tie-break of the crossJoin + `max_by` formulation it
+    * replaces, and of the oracle's row_number spelling). The centroid
+    * set is metadata-sized by construction (nlist), so baking it into
+    * the expression tree removes BOTH the broadcast crossJoin fanout
+    * (N·nlist intermediate rows) and the `groupBy(vec_id)` shuffle the
+    * re-aggregation needed — the whole coarse stage becomes one narrow
+    * pass that fuses into the scan. Above `maxExprCentroids` the
+    * expression tree would bloat codegen, so the classic
+    * crossJoin + max_by plan takes over (same result, spec-pinned). */
+  private[graft] def assignByCentroids(
+      e: DataFrame, cents: Seq[(Long, Seq[Double])],
+      maxExprCentroids: Int = 128): DataFrame = {
+    if (cents.isEmpty)
+      return e.filter(lit(false)).select(col("vec_id"), col("vec"),
+        lit(0L).as("cid"), lit(0.0d).as("csim"))
+    if (cents.size > maxExprCentroids) {
+      return e.crossJoin(broadcast(centroidRelation(e.sparkSession, cents)))
+        .withColumn("csim", round(Vec.cosine(col("vec"), col("cvec")), 6))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
+          first(col("vec")).as("vec"), max(col("csim")).as("csim"))
+        .select("vec_id", "vec", "cid", "csim")
+    }
+    val scored = cents.map { case (cid, cvec) =>
+      struct(
+        round(Vec.cosine(col("vec"), typedLit(cvec)), 6).as("csim"),
+        lit(-cid).as("ncid"))
+    }
+    val win = if (scored.size == 1) scored.head else greatest(scored: _*)
+    e.select(col("vec_id"), col("vec"), win.as("__w"))
+      .select(col("vec_id"), col("vec"),
+        (-col("__w.ncid")).as("cid"), col("__w.csim").as("csim"))
+  }
+
   /** IVF-style ANN: coarse quantizer → inverted lists → probe-limited
     * search (the FAISS IVF-flat shape, relationally).
     *
@@ -150,18 +210,14 @@ object Similarity {
   def annIvf(embeddings: DataFrame, queries: DataFrame, nlist: Int,
              nprobe: Int, k: Int): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
-    val cents = collectedSample(e, nlist) // local relation: broadcasts build task-free
-    // argmax via max_by hash aggregate (partial agg + no sort), not a
-    // row_number window: the assignment pass touches the whole corpus.
-    // Ordering struct (csim, -cid) = highest similarity, then lowest cid —
-    // identical tie-break to the oracle's row_number formulation.
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("csim", round(Vec.cosine(col("vec"), col("cvec")), 6))
-      .groupBy(col("vec_id").as("nbr_id"))
-      .agg(
-        max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
-        first(col("vec")).as("nbr_vec"))
-      .select(col("nbr_id"), col("nbr_vec"), col("cid"))
+    val centVals = collectedSampleVals(e, nlist) // driver-side: nlist rows
+    // corpus-side assignment is the map-only argmax projection
+    // ([[assignByCentroids]] — same (csim, -cid) tie-break as the
+    // oracle's row_number formulation); only the query-side probe rank
+    // still joins the (tiny) centroid relation.
+    val assigned = assignByCentroids(e, centVals)
+      .select(col("vec_id").as("nbr_id"), col("vec").as("nbr_vec"), col("cid"))
+    val cents = centroidRelation(e.sparkSession, centVals)
     val probes = queries
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("query_vec"))
       .crossJoin(broadcast(cents))
@@ -799,19 +855,16 @@ object Similarity {
       keepOutlier).result
 
   /** Nearest-centroid assignment over the deterministic scrambled-id
-    * sample quantizer: (vec_id, cid, vec, csim) — the SemDeDup coarse
+    * sample quantizer: (vec_id, vec, cid, csim) — the SemDeDup coarse
     * stage, shared by [[semDedupCached]] and [[hybridDedupCached]]. The
-    * winner's centroid similarity is max(csim) by construction — carried
-    * for the keepOutlier rule at zero extra passes. One broadcast
-    * O(N·nlist) max_by pass, no corpus-wide window. */
+    * winner's centroid similarity is csim by construction — carried
+    * for the keepOutlier rule at zero extra passes. MAP-ONLY via
+    * [[assignByCentroids]] (centroids baked into the projection): no
+    * crossJoin fanout, no groupBy shuffle — one narrow pass fused into
+    * the scan. */
   private def coarseAssigned(embeddings: DataFrame, nlist: Int): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
-    val cents = collectedSample(e, nlist) // local relation: broadcasts build task-free
-    e.crossJoin(broadcast(cents))
-      .withColumn("csim", round(Vec.cosine(col("vec"), col("cvec")), 6))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
-        first(col("vec")).as("vec"), max(col("csim")).as("csim"))
+    assignByCentroids(e, collectedSampleVals(e, nlist))
   }
 
   /** [[semDedup]] with an explicit release handle for the persisted

@@ -1136,6 +1136,34 @@ class PipelineSpec extends SparkSpec {
       maxCluster = 1L)).keySet == vecs.map(_._1).toSet)
   }
 
+  test("assignByCentroids: expression path == crossJoin fallback, tie to lowest cid") {
+    import graft.pipeline.Similarity
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Seq.tabulate(6)(d => math.cos(i * 3 + d))))
+    val e = vecs.toDF("vec_id", "vec")
+    val cents = Similarity.collectedSampleVals(e, 7)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      rowsOf(df.select("vec_id", "cid", "csim"))
+        .map(r => (r("vec_id"), r("cid"), r("csim"))).toSet
+    // the map-only expression path and the crossJoin+max_by fallback
+    // (forced via maxExprCentroids = 0) must agree exactly
+    val fast = rows(Similarity.assignByCentroids(e, cents))
+    val slow = rows(Similarity.assignByCentroids(e, cents, maxExprCentroids = 0))
+    assert(fast == slow)
+    // a centroid vector IS in the corpus: assigns to itself (csim 1.0),
+    // and duplicate-similarity ties break to the LOWEST cid
+    val (cid0, cv0) = cents.head
+    assert(fast.contains((cid0, cid0, 1.0d)))
+    val dup = Seq((100L, cv0), (101L, cv0)).toDF("vec_id", "vec")
+    val dupAssign = rows(Similarity.assignByCentroids(
+      dup, Seq((5L, cv0), (3L, cv0), (9L, cv0))))
+    assert(dupAssign == Set((100L, 3L, 1.0d), (101L, 3L, 1.0d)))
+    // map-only claim: the expression path plans no exchange
+    val plan = Similarity.assignByCentroids(e, cents)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("hybridDedup: cluster gates, Jaccard confirms; no-embedding docs pass") {
     import graft.pipeline.Similarity
     // Two well-separated clusters (axis-aligned), nlist = 2 so the
