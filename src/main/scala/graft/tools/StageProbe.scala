@@ -15,18 +15,20 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.tools.StageProbe <queryName> [sfDir]
   */
 object StageProbe {
-  def main(args: Array[String]): Unit = {
-    val name = args(0)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    graft.core.Graft.tune(spark)
 
+  /** One probed run: warm wall time, result rows, and per-stage
+    * (stageId, ops, ms, tasks) sorted slowest-first. */
+  final case class Probe(name: String, rows: Long, wallMs: Double,
+                         stages: Seq[(Int, String, Long, Int)]) {
+    def stageSumMs: Long = stages.map(_._3).sum
+    def floorMs: Double = wallMs - stageSumMs
+  }
+
+  /** Run `name` cold (codegen + footer reads, unmeasured) then warm
+    * under a stage listener. The (wall − stageSum) gap is scheduler /
+    * AQE-orchestration floor: fixed per stage count, amortizes to
+    * nothing at scale. */
+  def probe(spark: SparkSession, name: String, sfDir: String): Probe = {
     val stages = ArrayBuffer.empty[(Int, String, Long, Int)]
     val listener = new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
@@ -41,7 +43,6 @@ object StageProbe {
         }
       }
     }
-
     val fn = graft.SparkEntry.queries(name)
     fn(spark, sfDir).count() // cold: codegen + footer reads, not measured
     spark.sparkContext.addSparkListener(listener)
@@ -50,11 +51,24 @@ object StageProbe {
     val wallMs = (System.nanoTime() - t0) / 1e6
     spark.sparkContext.removeSparkListener(listener)
     Thread.sleep(200) // listener bus drain
+    Probe(name, n, wallMs, stages.synchronized(stages.toSeq).sortBy(-_._3))
+  }
 
-    val snap = stages.synchronized(stages.toSeq).sortBy(-_._3)
-    println(f"query=$name rows=$n wall=${wallMs}%.0fms stages=${snap.size} " +
-      f"stageSum=${snap.map(_._3).sum}ms")
-    snap.foreach { case (id, nm, ms, tasks) =>
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.core.Graft.tune(spark)
+    val p = probe(spark, name, sfDir)
+    println(f"query=$name rows=${p.rows} wall=${p.wallMs}%.0fms " +
+      f"stages=${p.stages.size} stageSum=${p.stageSumMs}ms")
+    p.stages.foreach { case (id, nm, ms, tasks) =>
       println(f"  stage $id%4d ${ms}%6dms tasks=$tasks%3d  $nm")
     }
     spark.stop()
