@@ -74,6 +74,51 @@ object VectorUtil {
     val nn = math.sqrt(na) * math.sqrt(nb)
     java.lang.Double.valueOf(if (nn == 0.0d) 0.0d else d / nn)
   }
+
+  /** [[cosine]] against a plain driver-side array (the baked-in centroid
+    * form): same op order, same null/length semantics. */
+  def cosineVs(a: ArrayData, b: Array[Double]): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.length) return null
+    var d = 0.0d
+    var na = 0.0d
+    var nb = 0.0d
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = a.getDouble(i)
+      val y = b(i)
+      d += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val nn = math.sqrt(na) * math.sqrt(nb)
+    java.lang.Double.valueOf(if (nn == 0.0d) 0.0d else d / nn)
+  }
+
+  /** [[l2Squared]] of `a[off, off+len)` against a plain array — the PQ
+    * subvector distance without materializing the slice. */
+  def l2SliceVs(a: ArrayData, off: Int, len: Int,
+                b: Array[Double]): java.lang.Double = {
+    if (len != b.length) return null
+    var acc = 0.0d
+    var i = 0
+    while (i < len) {
+      if (a.isNullAt(off + i)) return null
+      val d = a.getDouble(off + i) - b(i)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  /** Spark `round(x, scale)` for doubles — java BigDecimal HALF_UP, the
+    * exact arithmetic Catalyst's Round emits (oracle parity depends on
+    * it; `Math.round` would differ on .5 boundaries and negatives). */
+  def roundHalfUp(x: Double, scale: Int): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue
 }
 
 /** Sign-of-projection LSH kernels shared by [[LshSignBits]] and
@@ -218,6 +263,148 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `nearest_centroid(vec)` against a BAKED-IN centroid table —
+  * `struct(cid, csim)` of the argmax rounded cosine, ties to the lowest
+  * cid (the crossJoin + `max_by(cid, struct(csim, -cid))` tie-break).
+  * The table rides the expression as data and the argmax is ONE tight
+  * loop: an unrolled `greatest(struct(...))` chain over per-centroid
+  * cosine columns blows the 64 KB codegen method limit at nlist ≥ ~10
+  * and falls back to interpreted eval — this stays inside whole-stage
+  * codegen at any nlist. Rounding is HALF_UP to 6 dp, matching the
+  * `round(cosine, 6)` the relational spelling applies. Candidates with
+  * a null cosine (length mismatch / null element) are skipped; null out
+  * when none is valid. */
+case class NearestCentroid(child: Expression,
+                           centIds: Seq[Long], centVecs: Seq[Seq[Double]])
+    extends UnaryExpression {
+  require(centIds.length == centVecs.length && centIds.nonEmpty,
+    "nearest_centroid needs a non-empty centroid table")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cid", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("csim", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+
+  @transient private lazy val ids: Array[Long] = centIds.toArray
+  @transient private lazy val vecs: Array[Array[Double]] =
+    centVecs.map(_.toArray).toArray
+
+  /** Shared by interpreted eval and generated code (reference object). */
+  def assign(vec: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    var found = false
+    var bestSim = 0.0d
+    var bestCid = 0L
+    var c = 0
+    while (c < vecs.length) {
+      val s0 = VectorUtil.cosineVs(vec, vecs(c))
+      if (s0 != null) {
+        val s = VectorUtil.roundHalfUp(s0.doubleValue, 6)
+        if (!found || s > bestSim || (s == bestSim && ids(c) < bestCid)) {
+          found = true; bestSim = s; bestCid = ids(c)
+        }
+      }
+      c += 1
+    }
+    if (!found) null
+    else org.apache.spark.sql.catalyst.InternalRow(bestCid, bestSim)
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    assign(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroid", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = $ref.assign($c);
+         |${ev.isNull} = (${ev.value} == null);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+/** `pq_nearest_codes(vec)` against a BAKED-IN per-subspace codebook —
+  * the PQ encode as one loop-based codegen call: for each subspace
+  * (even `dim/m` split, last absorbs the remainder — [[graft.pipeline
+  * .Similarity.subSlice]] semantics) the argmin fixed-point L2
+  * (`round(d²·1e6)` HALF_UP, ties to the lowest code), returned as the
+  * m-length code array. Same 64 KB-limit rationale as
+  * [[NearestCentroid]]. Null when any subspace has no valid candidate
+  * (length mismatch / null element). */
+case class PqNearestCodes(child: Expression, m: Int,
+                          subCodes: Seq[Seq[Int]],
+                          subVecs: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+  require(m >= 1 && subCodes.length == m && subVecs.length == m &&
+    subCodes.indices.forall(s =>
+      subCodes(s).nonEmpty && subCodes(s).length == subVecs(s).length),
+    "pq_nearest_codes needs a non-empty codebook for every subspace")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_nearest_codes"
+
+  @transient private lazy val codes: Array[Array[Int]] =
+    subCodes.map(_.toArray).toArray
+  @transient private lazy val vecs: Array[Array[Array[Double]]] =
+    subVecs.map(_.map(_.toArray).toArray).toArray
+
+  /** Shared by interpreted eval and generated code (reference object). */
+  def encode(vec: ArrayData): ArrayData = {
+    val n = vec.numElements()
+    val w = n / m
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val off = s * w
+      val len = if (s == m - 1) n - w * (m - 1) else w
+      var found = false
+      var bestD = 0.0d
+      var bestCode = 0
+      var c = 0
+      while (c < vecs(s).length) {
+        val d0 = VectorUtil.l2SliceVs(vec, off, len, vecs(s)(c))
+        if (d0 != null) {
+          val d = VectorUtil.roundHalfUp(d0.doubleValue * 1000000.0d, 0)
+          if (!found || d < bestD || (d == bestD && codes(s)(c) < bestCode)) {
+            found = true; bestD = d; bestCode = codes(s)(c)
+          }
+        }
+        c += 1
+      }
+      if (!found) return null
+      out(s) = bestCode
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    encode(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqNearestCodes", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = $ref.encode($c);
+         |${ev.isNull} = (${ev.value} == null);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqNearestCodes =
+    copy(child = newChild)
+}
+
 /** Column wrappers. */
 object VectorExpressions {
   def dot(a: Column, b: Column): Column =
@@ -226,6 +413,13 @@ object VectorExpressions {
     ColumnBridge.column(L2SquaredDistance(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def cosine(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def nearestCentroid(vec: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(vec),
+      cents.map(_._1), cents.map(_._2)))
+  def pqNearestCodes(vec: Column, m: Int,
+                     perSub: Seq[Seq[(Int, Seq[Double])]]): Column =
+    ColumnBridge.column(PqNearestCodes(ColumnBridge.expression(vec), m,
+      perSub.map(_.map(_._1)), perSub.map(_.map(_._2))))
   def lshSignBits(vec: Column, planes: Int): Column =
     ColumnBridge.column(LshSignBits(ColumnBridge.expression(vec), planes))
   def lshBucketKey(vec: Column, planes: Int): Column =

@@ -157,21 +157,23 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
 
   /** MAP-ONLY nearest-centroid assignment: `(vec_id, vec, cid, csim)`
-    * with the winner computed inside one projection — a codegen'd
-    * cosine per centroid literal and a lexicographic `greatest` over
-    * `struct(csim, -cid)` (highest similarity, then lowest cid — the
-    * exact tie-break of the crossJoin + `max_by` formulation it
-    * replaces, and of the oracle's row_number spelling). The centroid
-    * set is metadata-sized by construction (nlist), so baking it into
-    * the expression tree removes BOTH the broadcast crossJoin fanout
-    * (N·nlist intermediate rows) and the `groupBy(vec_id)` shuffle the
-    * re-aggregation needed — the whole coarse stage becomes one narrow
-    * pass that fuses into the scan. Above `maxExprCentroids` the
-    * expression tree would bloat codegen, so the classic
+    * with the winner computed inside one projection by the native
+    * [[graft.expressions.NearestCentroid]] loop expression (centroid
+    * table baked in as data; highest rounded cosine, ties to the
+    * lowest cid — the exact tie-break of the crossJoin + `max_by`
+    * formulation it replaces, and of the oracle's row_number
+    * spelling). The centroid set is metadata-sized by construction
+    * (nlist), so the coarse stage loses BOTH the broadcast crossJoin
+    * fanout (N·nlist intermediate rows) and the `groupBy(vec_id)`
+    * shuffle — one narrow pass fused into the scan. (A `greatest` over
+    * per-centroid struct columns was measured first: it blows the
+    * 64 KB codegen method limit at nlist ≥ ~10 and falls back to
+    * interpreted eval, 2× SLOWER than the join — hence the loop
+    * expression.) Above `maxExprCentroids` the classic
     * crossJoin + max_by plan takes over (same result, spec-pinned). */
   private[graft] def assignByCentroids(
       e: DataFrame, cents: Seq[(Long, Seq[Double])],
-      maxExprCentroids: Int = 128): DataFrame = {
+      maxExprCentroids: Int = 4096): DataFrame = {
     if (cents.isEmpty)
       return e.filter(lit(false)).select(col("vec_id"), col("vec"),
         lit(0L).as("cid"), lit(0.0d).as("csim"))
@@ -183,15 +185,10 @@ object Similarity {
           first(col("vec")).as("vec"), max(col("csim")).as("csim"))
         .select("vec_id", "vec", "cid", "csim")
     }
-    val scored = cents.map { case (cid, cvec) =>
-      struct(
-        round(Vec.cosine(col("vec"), typedLit(cvec)), 6).as("csim"),
-        lit(-cid).as("ncid"))
-    }
-    val win = if (scored.size == 1) scored.head else greatest(scored: _*)
-    e.select(col("vec_id"), col("vec"), win.as("__w"))
+    e.select(col("vec_id"), col("vec"),
+        Vec.nearestCentroid(col("vec"), cents).as("__w"))
       .select(col("vec_id"), col("vec"),
-        (-col("__w.ncid")).as("cid"), col("__w.csim").as("csim"))
+        col("__w.cid").as("cid"), col("__w.csim").as("csim"))
   }
 
   /** IVF-style ANN: coarse quantizer → inverted lists → probe-limited
@@ -247,15 +244,15 @@ object Similarity {
   def annIvfInt8(embeddings: DataFrame, queries: DataFrame, nlist: Int,
                  nprobe: Int, k: Int): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
-    val cents = collectedSample(e, nlist) // local relation: broadcasts build task-free
+    val centVals = collectedSampleVals(e, nlist) // driver-side: nlist rows
+    val cents = centroidRelation(e.sparkSession, centVals)
     def idot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
     val codes = quantizeInt8(embeddings)
       .select(col("vec_id"), transform(col("codes"), _.cast("long")).as("q"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("csim", round(Vec.cosine(col("vec"), col("cvec")), 6))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"))
+    // corpus-side assignment: map-only argmax projection, no shuffle
+    val assigned = assignByCentroids(e, centVals)
+      .select(col("vec_id"), col("cid"))
       .join(codes, Seq("vec_id"))
       .select(col("vec_id").as("nbr_id"), col("q").as("nq"), col("cid"))
     val probes = queries
@@ -575,6 +572,36 @@ object Similarity {
     * (spec-pinned, oracle-checked). */
   private[pipeline] def fusedEncode(e: DataFrame, cents: DataFrame,
                        codebook: DataFrame, m: Int): DataFrame = {
+    // both sides are metadata-sized local relations by construction —
+    // collect them and bake the whole encode into ONE map-only
+    // projection via the native loop expressions (PqNearestCodes for
+    // the per-subspace argmins, NearestCentroid for the coarse argmax;
+    // tie-breaks identical to the min_by spellings). Zero shuffles; the
+    // exploded two-aggregate form survives as the fallback for
+    // oversized codebooks.
+    val centVals = cents.select(col("cid").cast("long"), col("cvec"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val cbVals = codebook
+      .select(col("sub"), col("code"), col("csubvec"))
+      .collect().toSeq.map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val bySub = cbVals.groupBy(_._1)
+    val exprOk = centVals.nonEmpty &&
+      centVals.size + cbVals.size <= 8192 &&
+      (0 until m).forall(s => bySub.get(s).exists(_.nonEmpty))
+    if (!exprOk) return fusedEncodeExploded(e, cents, codebook, m)
+    val perSub = (0 until m).map(s =>
+      bySub(s).sortBy(_._2).map { case (_, code, csv) => (code, csv) })
+    e.select(col("vec_id"),
+      Vec.pqNearestCodes(col("vec"), m, perSub).as("codes"),
+      Vec.nearestCentroid(col("vec"), centVals).getField("cid").as("cid"))
+  }
+
+  /** The pre-fusion exploded form of [[fusedEncode]] — two aggregates
+    * over an (m+1)-way explode joined to the broadcast codebook∪centroid
+    * table. Identical output (spec-pinned); used when the codebook is
+    * too large to bake into the projection. */
+  private[pipeline] def fusedEncodeExploded(e: DataFrame, cents: DataFrame,
+                       codebook: DataFrame, m: Int): DataFrame = {
     val combined = codebook
       .select(col("sub"), col("code").cast("long").as("code"), col("csubvec"))
       .unionByName(cents.select(lit(-1).as("sub"), col("cid").as("code"),
@@ -603,8 +630,29 @@ object Similarity {
 
   /** Per-(vector, subspace) nearest-code assignment against a FROZEN
     * codebook — the encode pass, shared by one-shot ANN search and the
-    * persisted index's build/append (appending must not retrain). */
+    * persisted index's build/append (appending must not retrain).
+    * Map-only like [[fusedEncode]]: the codebook is metadata-sized, so
+    * each subspace's argmin is a `least` over code literals inside one
+    * projection and the (vec_id, sub, code) rows come from a
+    * posexplode — no broadcast join, no re-aggregation shuffle. */
   private[pipeline] def pqAssignment(e: DataFrame, codebook: DataFrame,
+                       m: Int): DataFrame = {
+    val cbVals = codebook.select(col("sub"), col("code"), col("csubvec"))
+      .collect().toSeq.map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val bySub = cbVals.groupBy(_._1)
+    val exprOk = cbVals.size <= 8192 &&
+      (0 until m).forall(s => bySub.get(s).exists(_.nonEmpty))
+    if (!exprOk) return pqAssignmentExploded(e, codebook, m)
+    val perSub = (0 until m).map(s =>
+      bySub(s).sortBy(_._2).map { case (_, code, csv) => (code, csv) })
+    e.select(col("vec_id"),
+      posexplode(Vec.pqNearestCodes(col("vec"), m, perSub))
+        .as(Seq("sub", "code")))
+  }
+
+  /** The exploded fallback form of [[pqAssignment]] for oversized
+    * codebooks — identical output. */
+  private[pipeline] def pqAssignmentExploded(e: DataFrame, codebook: DataFrame,
                        m: Int): DataFrame =
     e.select(col("vec_id"), col("vec"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"))
@@ -734,12 +782,11 @@ object Similarity {
                        nlist: Int, nprobe: Int, m: Int = 4, ksub: Int = 16,
                        k: Int = 10): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
-    val cents = collectedSample(e, nlist) // local relation: broadcasts build task-free
-    val coarse = e.crossJoin(broadcast(cents))
-      .withColumn("csim", round(Vec.cosine(col("vec"), col("cvec")), 6))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
-        first(col("vec")).as("vec"))
+    val centVals = collectedSampleVals(e, nlist) // driver-side: nlist rows
+    val cents = centroidRelation(e.sparkSession, centVals)
+    // corpus-side assignment: map-only argmax projection, no shuffle
+    val coarse = assignByCentroids(e, centVals)
+      .select(col("vec_id"), col("cid"), col("vec"))
     // residual vectors: vec - assigned centroid (arrays referenced once)
     val resid = coarse.join(broadcast(cents), Seq("cid"))
       .withColumn("vec", zip_with(col("vec"), col("cvec"), (a, b) => a - b))
