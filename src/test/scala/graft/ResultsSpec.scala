@@ -67,6 +67,9 @@ class ResultsSpec extends SparkSpec {
       if (!d.exists) Set.empty[String] else d.listFiles.map(_.getName).toSet
     }
     val day1Files = files("2023-11-14")
+    // a crashed prior upsert leaves a stale temp sibling — cleared, not fatal
+    new java.io.File(new java.io.File(dir).getParentFile,
+      ".upsert_store/day=2023-11-16").mkdirs()
     // replace key "a" on day 2, add new key "c" on day 2 and a new day 3
     val updates = doc("a", 30L, day2)
       .unionByName(doc("c", 5L, day2))

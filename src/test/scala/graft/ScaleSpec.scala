@@ -321,6 +321,11 @@ class ScaleSpec extends SparkSpec {
     // replayed batch (at-least-once delivery) changes nothing
     Sketches.ingest(dir, b2, Seq(col("key")), col("user"))
     assert(est() == exact)
+    // a crashed prior rewrite leaves stale temp/old siblings — the next
+    // compact must clear them and still succeed
+    val parentDir = new java.io.File(dir).getParentFile
+    new java.io.File(parentDir, ".rewrite_layer/garbage").mkdirs()
+    new java.io.File(parentDir, ".old_layer/garbage").mkdirs()
     // compaction rewrites to one sketch per bucket, same answers
     Sketches.compact(spark, dir)
     assert(est() == exact)
