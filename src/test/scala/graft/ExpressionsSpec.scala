@@ -320,4 +320,64 @@ class ExpressionsSpec extends SparkSpec {
       minPairCount = 2L)
     assert(merges == Seq(("a a", 5L), ("a b", 2L), ("aa ab", 2L)))
   }
+
+  test("nearest_centroid: argmax rounded cosine, lowest-cid ties, null semantics") {
+    import spark.implicits._
+    import graft.expressions.VectorExpressions
+    val cents = Seq(
+      (7L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (9L, Seq(0.0, 1.0, 0.0, 0.0))) // duplicate of cid 3: tie fodder
+    val rows = Seq(
+      (1L, Seq(2.0, 0.0, 0.0, 0.0)),   // scaled copy of cid 7 -> csim 1.0
+      (2L, Seq(0.0, 5.0, 0.0, 0.0)),   // ties cids 3 and 9 -> lowest (3)
+      (3L, Seq(0.0, 0.0, 0.0, 0.0)),   // zero vector: cosine 0 everywhere -> lowest cid
+      (4L, Seq(1.0, 1.0, 0.0, 0.0)))   // equal 45-degree tie across all -> lowest cid
+    val out = rows.toDF("vec_id", "vec")
+      .select(col("vec_id"),
+        VectorExpressions.nearestCentroid(col("vec"), cents).as("w"))
+      .select(col("vec_id"), col("w.cid"), col("w.csim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, 7L, 1.0), (2L, 3L, 1.0), (3L, 3L, 0.0),
+      (4L, 3L, 0.707107)))
+    // length mismatch with EVERY centroid -> null output row
+    val bad = Seq((9L, Seq(1.0, 2.0))).toDF("vec_id", "vec")
+      .select(VectorExpressions.nearestCentroid(col("vec"), cents).as("w"))
+      .collect()
+    assert(bad.head.isNullAt(0))
+    // interpreted eval agrees with codegen (factory disabled via conf)
+    val prev = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = rows.toDF("vec_id", "vec")
+        .select(col("vec_id"),
+          VectorExpressions.nearestCentroid(col("vec"), cents).as("w"))
+        .select(col("vec_id"), col("w.cid"), col("w.csim"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(interp == out)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
+  }
+
+  test("pq_nearest_codes: per-subspace argmin, lowest-code ties, subSlice split") {
+    import spark.implicits._
+    import graft.expressions.VectorExpressions
+    // m=2 over dim 5: w=2, sub 0 = [0,2), sub 1 = [2,5) (last absorbs)
+    val perSub = Seq(
+      Seq((0, Seq(0.0, 0.0)), (1, Seq(1.0, 1.0))),
+      Seq((0, Seq(0.0, 0.0, 0.0)), (1, Seq(2.0, 2.0, 2.0))))
+    val out = Seq(
+      (1L, Seq(0.9, 0.9, 2.0, 2.0, 2.0)),  // sub0 nearer code 1; sub1 nearer code 1
+      (2L, Seq(0.0, 0.1, 0.1, 0.0, 0.0)),  // sub0 code 0; sub1 code 0
+      (3L, Seq(0.5, 0.5, 1.0, 1.0, 1.0)))  // sub0 EXACT tie -> code 0; sub1 tie -> 0
+    .toDF("vec_id", "vec")
+      .select(col("vec_id"),
+        VectorExpressions.pqNearestCodes(col("vec"), 2, perSub).as("codes"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq)).toSeq
+    assert(out == Seq((1L, Seq(1, 1)), (2L, Seq(0, 0)), (3L, Seq(0, 0))))
+    // wrong dimensionality (no valid candidate in some subspace) -> null
+    val bad = Seq((9L, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "vec")
+      .select(VectorExpressions.pqNearestCodes(col("vec"), 2, perSub).as("c"))
+      .collect()
+    assert(bad.head.isNullAt(0))
+  }
 }
