@@ -76,6 +76,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: prefixSum equals the single-partition window oracle") {
+    import spark.implicits._
+    val gen = Gen.listOfN(200, Gen.choose(0L, 50L))
+    forAll(gen, 5) { weights =>
+      val rows = weights.zipWithIndex.map { case (w, i) =>
+        // scrambled unique key so bucket boundaries cut mid-stream
+        ((i * 2654435761L) % 100000L, w)
+      }
+      val df = rows.toDF("k", "w")
+      val (got, total) = graft.scale.Ids.prefixSumWithTotal(
+        df, Seq("k"), col("w"), "off", partitions = 4)
+      val expect = rows.sortBy(_._1)
+        .scanLeft((0L, 0L, 0L)) { case ((_, _, acc), (k, w)) => (k, w, acc + w) }
+        .drop(1).map { case (k, w, cum) => (k, cum - w) }.toMap
+      val gotMap = got.select("k", "off").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(gotMap == expect)
+      assert(total == weights.sum)
+    }
+  }
+
+  test("property: bpeTrainBatched matches RefBpe twin on random corpora") {
+    import spark.implicits._
+    val word = Gen.choose(1, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val text = Gen.choose(3, 12).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpus = Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, text))
+    forAll(corpus, 4) { texts =>
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      for (b <- Seq(1, 4)) {
+        val got = graft.pipeline.TextPipeline.bpeTrainBatched(
+          d, numMerges = 8, batchSize = b)
+        val ref = RefBpe.trainBatched(texts, numMerges = 8, batchSize = b)
+        assert(got == ref, s"batchSize=$b corpus=$texts")
+      }
+    }
+  }
+
   test("property: HostStats is invariant under input row order") {
     val rows = (0 until 40).map { i =>
       Fx(flow_id = i, src_ip4 = s"10.0.0.${i % 5}", dst_ip = s"192.0.2.${i % 7}",
