@@ -925,6 +925,17 @@ object SparkEntry {
         minWords = 3, banned = Seq("slow"), minLines = 1)
         .orderBy("doc_id")),
 
+    // Unicode normalization + control strip + whitespace collapse over
+    // text decorated with the interesting cases (the corpus itself is
+    // ASCII): a decomposed e-acute that NFC composes, the U+212B
+    // ANGSTROM singleton that maps to U+00C5, a BEL control, a tab and
+    // doubled spaces — so the oracle exercises real normalization work
+    "q_text_normalize" -> ((s, dir) =>
+      TextPipeline.normalizeText(
+        Tables.documents(s, dir).withColumn("text",
+          concat(col("text"), lit(normalizeDecoration))))
+        .orderBy("doc_id")),
+
     // corpus-wide duplicate-line removal over manufactured line
     // structure (q_c4_lines' trick); a boilerplate line is injected
     // into every 3rd doc so the cross-doc first-occurrence rule
@@ -1438,6 +1449,14 @@ object SparkEntry {
   private val tlsDictValues = tlsDict.map(e =>
     s"('${e.suites}','${e.device_type}','${e.operating_system}','${e.application}','${e.browser}')")
     .mkString(",\n    ")
+
+  /** q_text_normalize's decoration: decomposed e + U+0301 (NFC composes),
+    * U+212B ANGSTROM (NFC singleton → U+00C5), BEL control, tab, doubled
+    * spaces — appended to every (ASCII) document so the normalization
+    * oracle does real work. Shared verbatim by the query and the SQL
+    * twin's literal. */
+  private val normalizeDecoration =
+    " Cafe\u0301  \u212B x\u0007y\tz"
 
   /** SQL twins of TextFunctions (DuckDB list-lambda dialect). */
   private val toksSql =
@@ -3629,6 +3648,22 @@ object SparkEntry {
          |  CAST(len(lines) - len(kept) AS INT) AS n_dropped
          |FROM k WHERE len(kept) >= 1 AND NOT contains(text, '{')
          |ORDER BY doc_id""".stripMargin,
+
+    // NFC + control strip + whitespace collapse; the decoration literal
+    // (shared with the query) carries the raw bytes — decomposed
+    // e-acute, U+212B, BEL, tab — straight into the DuckDB string
+    "q_text_normalize" ->
+      raw"""WITH t AS (
+         |  SELECT doc_id, text || '$normalizeDecoration' AS text
+         |  FROM documents
+         |), n AS (
+         |  SELECT doc_id, text,
+         |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+         |      '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+         |      '[ \t]+', ' ', 'g')) AS text_norm
+         |  FROM t)
+         |SELECT doc_id, text_norm, text_norm <> text AS changed
+         |FROM n ORDER BY doc_id""".stripMargin,
 
     // corpus-first line-occurrence rule as a window row_number; short
     // lines exempt; zipped unnest gives the line index

@@ -145,6 +145,15 @@ object GraftFunctions {
     case _ => throw new IllegalArgumentException(s"$fn expects a literal int")
   }
 
+  private def stringArg(e: Expression, fn: String): String = e match {
+    case lit if lit.foldable => lit.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a literal string, got $other")
+    }
+    case _ => throw new IllegalArgumentException(s"$fn expects a literal string")
+  }
+
   private def doubleArg(e: Expression, fn: String): Double = e match {
     case lit if lit.foldable => lit.eval() match {
       case d: Double => d
@@ -199,6 +208,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
       (e: Seq[Expression]) => CdcChunks(e.head,
         intArg(e(1), "cdc_chunks"), intArg(e(2), "cdc_chunks").toLong)),
+    (FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+      (e: Seq[Expression]) => UnicodeNormalize(e.head,
+        if (e.size > 1) stringArg(e(1), "unicode_normalize") else "NFC")),
     (FunctionIdentifier("cms_merge"),
       new ExpressionInfo(classOf[CmsMergeAgg].getName, "cms_merge"),
       (e: Seq[Expression]) => CmsMergeAgg(e.head).toAggregateExpression()),

@@ -240,6 +240,22 @@ object TextUtil {
     * `(acc*31+c) % M` fold as [[polyHash47]] / the fpSql oracle twin) —
     * an O(1) rolling update would need 128-bit modular products, and w is
     * small by construction. */
+  /** Supported normalization forms (name → java.text.Normalizer form). */
+  val normalizerForms: Map[String, java.text.Normalizer.Form] = Map(
+    "NFC" -> java.text.Normalizer.Form.NFC,
+    "NFD" -> java.text.Normalizer.Form.NFD,
+    "NFKC" -> java.text.Normalizer.Form.NFKC,
+    "NFKD" -> java.text.Normalizer.Form.NFKD)
+
+  /** Unicode-normalize one value; already-normal input (the common
+    * ASCII case) returns without re-encoding. */
+  def unicodeNormalize(text: UTF8String, form: String): UTF8String = {
+    val f = normalizerForms(form)
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, f)) text
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, f))
+  }
+
   def cdcChunks(text: UTF8String, w: Int, divisor: Long): ArrayData = {
     // CODE POINTS, not UTF-16 chars: Spark's substr counts code points,
     // and the DuckDB oracle twin hashes per character via ascii(...) —
@@ -359,6 +375,41 @@ case class PolyHash47(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.expressions.TextUtil.polyHash47($c);")
 
   override protected def withNewChildInternal(newChild: Expression): PolyHash47 =
+    copy(child = newChild)
+}
+
+/** `unicode_normalize(text, form)` — java.text.Normalizer in one
+  * codegen'd call. NFC is the production-corpus default (composes
+  * combining sequences, maps singleton compatibility points like
+  * U+212B ANGSTROM SIGN → U+00C5); NFKC additionally folds
+  * compatibility variants (full-width forms, ligatures). Spark ships NO
+  * normalization built-in, so every byte-level dedup/hash upstream of
+  * this treats "Café" (composed) and "Café" (decomposed) as
+  * different documents — the canonical silent-duplicate source in
+  * scraped corpora. DuckDB's `nfc_normalize` is the oracle twin for the
+  * NFC form. Fast path: `Normalizer.isNormalized` is O(n) with no
+  * allocation, so already-normal ASCII corpora pay no copy. */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!child.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+    else if (!TextUtil.normalizerForms.contains(form))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName form must be one of ${TextUtil.normalizerForms.keys.mkString(", ")}")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "unicode_normalize"
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextUtil.unicodeNormalize(input.asInstanceOf[UTF8String], form)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.expressions.TextUtil.unicodeNormalize($c, "$form");""")
+
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
     copy(child = newChild)
 }
 
@@ -561,4 +612,6 @@ object TextExpressions {
     ColumnBridge.column(WinnowFp(ColumnBridge.expression(text), k, w))
   def cdcChunks(text: Column, w: Int, divisor: Long): Column =
     ColumnBridge.column(CdcChunks(ColumnBridge.expression(text), w, divisor))
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    ColumnBridge.column(UnicodeNormalize(ColumnBridge.expression(text), form))
 }

@@ -657,6 +657,30 @@ object TextPipeline {
       .toDF("rank", "pair", "cnt")
   }
 
+  /** Corpus text normalization — the pass every scraped corpus runs
+    * BEFORE byte-level dedup/fingerprinting: Unicode normalization
+    * (NFC default — composed and decomposed spellings of the same text
+    * are the canonical silent-duplicate source; NFKC additionally folds
+    * full-width/ligature compatibility variants), C0 control strip
+    * (except \t and \n; \t then folds into the whitespace collapse) and
+    * horizontal-whitespace collapse + trim.
+    *
+    * Composition discipline: the ONLY native piece is the normalizer
+    * ([[graft.expressions.UnicodeNormalize]] — Spark has no built-in),
+    * everything else is Catalyst `regexp_replace`/`trim`, so the whole
+    * pass is one narrow codegen projection fused into the scan — no
+    * shuffle, no UDF. `changed` flags the rows the pass touched, so an
+    * incremental pipeline re-hashes only those. Oracle twin: DuckDB
+    * `nfc_normalize` + the same RE2 classes (q_text_normalize). */
+  def normalizeText(docs: DataFrame, form: String = "NFC"): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(
+      graft.expressions.TextExpressions.unicodeNormalize(col("text"), form),
+      "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""),
+      "[ \\t]+", " "))
+    docs.select(col("doc_id"), norm.as("text_norm"),
+      (norm =!= col("text")).as("changed"))
+  }
+
   /** Heuristic language ID over the text column (tokens materialized). */
   def langId(docs: DataFrame, profiles: Map[String, Seq[String]]): DataFrame =
     docs

@@ -311,6 +311,40 @@ class ExpressionsSpec extends SparkSpec {
     assert(n1.zip(n3).forall { case (a, b) => b <= a })
   }
 
+  test("unicode_normalize: forms, identity fast path, SQL registration") {
+    import spark.implicits._
+    import graft.expressions.TextExpressions
+    val decomposed = "Café" // e + COMBINING ACUTE
+    val composed = "Café"
+    val angstrom = "Å"       // NFC singleton -> U+00C5
+    val fullwidth = "ＡＢ" // NFKC folds to AB; NFC keeps
+    val rows = Seq(decomposed, composed, angstrom, fullwidth, "plain")
+      .toDF("text")
+    val nfc = rows.select(
+      TextExpressions.unicodeNormalize(col("text"), "NFC").as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(nfc == Seq(composed, composed, "Å", fullwidth, "plain"))
+    val nfkc = rows.select(
+      TextExpressions.unicodeNormalize(col("text"), "NFKC").as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(nfkc == Seq(composed, composed, "Å", "AB", "plain"))
+    // idempotence: normalizing a normalized value is identity
+    assert(rows.select(TextExpressions.unicodeNormalize(
+        TextExpressions.unicodeNormalize(col("text"), "NFC"), "NFC").as("n"))
+      .collect().map(_.getString(0)).toSeq == nfc)
+    // SQL face, default form NFC + explicit form
+    graft.expressions.GraftFunctions.register(spark)
+    rows.createOrReplaceTempView("unorm_t")
+    val viaSql = spark.sql(
+      "SELECT unicode_normalize(text), unicode_normalize(text, 'NFKC') FROM unorm_t")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(viaSql.map(_._1) == nfc && viaSql.map(_._2) == nfkc)
+    // unknown form is an analysis-time error, not a runtime surprise
+    intercept[Exception] {
+      spark.sql("SELECT unicode_normalize(text, 'NFX') FROM unorm_t").collect()
+    }
+  }
+
   test("bpeTrain learns the hand-computed merge sequence") {
     import spark.implicits._
     // counts: aaab x2, aab x1 -> "a a" 5; then "a b" ties "aa a" at 2 and

@@ -1626,6 +1626,37 @@ class PipelineSpec extends SparkSpec {
     assert(spark_ == ref)
   }
 
+  test("normalizeText: NFC convergence, control strip, whitespace collapse, changed flag") {
+    import spark.implicits._
+    import graft.pipeline.TextPipeline
+    val decomposed = "Café menu"
+    val composed = "Café menu"
+    val messy = "ab\tc  d "   // BEL stripped, tab+doubles collapse, trim
+    val clean = "already clean"
+    val docs = Seq((1L, decomposed), (2L, composed), (3L, messy), (4L, clean))
+      .toDF("doc_id", "text")
+    val out = rowsOf(TextPipeline.normalizeText(docs))
+      .map(r => (r("doc_id").asInstanceOf[Long],
+        r("text_norm").asInstanceOf[String],
+        r("changed").asInstanceOf[Boolean])).sortBy(_._1)
+    // composed and decomposed spellings converge to ONE byte form —
+    // the property that makes downstream hash-dedup see them as equal
+    assert(out(0)._2 == out(1)._2 && out(0)._2 == composed)
+    assert(out(0)._3 && !out(1)._3) // only the decomposed row changed
+    assert(out(2) == ((3L, "ab c d", true)))
+    assert(out(3) == ((4L, clean, false)))
+    // idempotence: a second pass changes nothing
+    val again = TextPipeline.normalizeText(
+      TextPipeline.normalizeText(docs)
+        .select(col("doc_id"), col("text_norm").as("text")))
+    assert(rowsOf(again).forall(!_("changed").asInstanceOf[Boolean]))
+    // dedupExactByHash sees the converged pair as duplicates
+    val deduped = graft.pipeline.TextPipeline.dedupExactByHash(
+      TextPipeline.normalizeText(docs)
+        .select(col("doc_id"), col("text_norm").as("text")))
+    assert(deduped.count() == 3)
+  }
+
   test("bpeTrainBatched: batch=1 reproduces sequential; any batch matches RefBpe twin") {
     val texts = Seq(
       "the merge rate of the merge table", "rate the table the merge",
