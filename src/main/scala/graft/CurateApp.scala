@@ -58,6 +58,7 @@ object CurateApp {
       maxBucket: Long = 0L,
       zorder: Seq[String] = Nil, // multi-dim layout of the output
       zorderBits: Int = 16,
+      normalize: Option[String] = None, // NFC/NFD/NFKC/NFKD pre-pass
       c4MinWords: Int = 0, // >0 = C4 line cleaning before the pipeline
       qualityKeepFrac: Double = 0.0, // >0 = LM quality gate before the pipeline
       qualityReference: Option[String] = None, // LM corpus (default: the input)
@@ -109,11 +110,29 @@ object CurateApp {
           Seq("doc_id"), "left_semi")
     }
     // optional C4 line cleaning ahead of everything else: cheapest-first
+    // normalization FIRST among the text stages: every downstream line
+    // rule, hash, fingerprint and LM score must see the byte-canonical
+    // form, or composed/decomposed spellings of identical text defeat
+    // the dedup they feed (one narrow projection — no join needed, the
+    // non-text columns ride through)
+    val normed = c.normalize match {
+      case None => base
+      case Some(form) =>
+        base.withColumn("text",
+          org.apache.spark.sql.functions.trim(
+            org.apache.spark.sql.functions.regexp_replace(
+              org.apache.spark.sql.functions.regexp_replace(
+                graft.expressions.TextExpressions
+                  .unicodeNormalize(
+                    org.apache.spark.sql.functions.col("text"), form),
+                "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""),
+              "[ \\t]+", " ")))
+    }
     // stage order — line rules are partition-local, so scrubbing before
     // dedup/decontamination shrinks every later shuffle
-    val lined = if (c.c4MinWords <= 0) base
-      else base.join(
-        Curation.c4LineFilter(base, minWords = c.c4MinWords)
+    val lined = if (c.c4MinWords <= 0) normed
+      else normed.join(
+        Curation.c4LineFilter(normed, minWords = c.c4MinWords)
           .select(org.apache.spark.sql.functions.col("doc_id"),
             org.apache.spark.sql.functions.col("text_clean")),
         Seq("doc_id"))
@@ -228,6 +247,7 @@ object CurateApp {
       case "--zorder" :: v :: t =>
         loop(t, c.copy(zorder = v.split(",").filter(_.nonEmpty).toSeq))
       case "--zorder-bits" :: v :: t => loop(t, c.copy(zorderBits = v.toInt))
+      case "--normalize" :: v :: t => loop(t, c.copy(normalize = Some(v)))
       case "--c4-min-words" :: v :: t => loop(t, c.copy(c4MinWords = v.toInt))
       case "--quality-keep-frac" :: v :: t =>
         loop(t, c.copy(qualityKeepFrac = v.toDouble))

@@ -107,6 +107,22 @@ class GraftAppSpec extends SparkSpec {
     assert(zc.zorder == Seq("doc_id", "chunk_id") && zc.zorderBits == 8)
     val z = CurateApp.laidOut(spark, zc, noBench)
     assert(z.exceptAll(noBench).isEmpty && noBench.exceptAll(z).isEmpty)
+    // --normalize NFC: composed and decomposed spellings of the SAME
+    // text become byte-identical before dedup, so the pair collapses
+    val inN = java.nio.file.Files.createTempDirectory("curnfc").toString
+    Seq(
+      (1L, "the café menu lists nine core dishes today", "srcA"),
+      (2L, "the cafe\u0301 menu lists nine core dishes today", "srcA"), // decomposed twin
+      (3L, "a wholly different document about other topics", "srcA"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite").parquet(inN)
+    val normed = CurateApp.run(spark, CurateApp.parse(Array(
+      "--input", inN, "--normalize", "NFC", "--max-dup-word-frac", "0.9")))
+    assert(normed.select("doc_id").distinct().as[Long].collect().toSet
+      == Set(1L, 3L)) // 2 deduped against 1 only because NFC converged them
+    val unnormed = CurateApp.run(spark, CurateApp.parse(Array(
+      "--input", inN, "--max-dup-word-frac", "0.9")))
+    assert(unnormed.select("doc_id").distinct().as[Long].collect().toSet
+      == Set(1L, 2L, 3L)) // without the pass the twin survives dedup
     // --c4-min-words scrubs lines before the pipeline: noise lines are
     // gone from the surviving doc's chunks, all-noise docs drop whole
     val in2 = java.nio.file.Files.createTempDirectory("curc4").toString
