@@ -1421,7 +1421,11 @@ object SparkEntry {
     "q_source_overlap",
     // round-12: media perceptual near-dup — in-scan codegen block hash,
     // banded pairs, bit_count confirm
-    "q_media_phash_candidates")
+    "q_media_phash_candidates",
+    // round-13: corpus text normalization — native unicode_normalize +
+    // control strip + whitespace collapse as one narrow projection vs
+    // DuckDB nfc_normalize + the same RE2 classes
+    "q_text_normalize")
 
   // ---------------------------------------------------------------------
   // DuckDB oracles. `flows` CTE = FlowSynth.cteSql (identical mapping).
