@@ -118,15 +118,8 @@ object CurateApp {
     val normed = c.normalize match {
       case None => base
       case Some(form) =>
-        base.withColumn("text",
-          org.apache.spark.sql.functions.trim(
-            org.apache.spark.sql.functions.regexp_replace(
-              org.apache.spark.sql.functions.regexp_replace(
-                graft.expressions.TextExpressions
-                  .unicodeNormalize(
-                    org.apache.spark.sql.functions.col("text"), form),
-                "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""),
-              "[ \\t]+", " ")))
+        base.withColumn("text", graft.pipeline.TextPipeline.normalizeTextCol(
+          org.apache.spark.sql.functions.col("text"), form))
     }
     // stage order — line rules are partition-local, so scrubbing before
     // dedup/decontamination shrinks every later shuffle

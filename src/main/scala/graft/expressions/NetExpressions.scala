@@ -145,6 +145,32 @@ object GraftFunctions {
     case _ => throw new IllegalArgumentException(s"$fn expects a literal int")
   }
 
+  /** Widen a resolved numeric argument to double/long at build time —
+    * the natural-literal UX (`quantile_sketch_query(s, 0.9)` parses 0.9
+    * as DECIMAL, `cms_estimate(s, 42)` as INT) without opening the
+    * expression to ImplicitCastInputTypes, whose rules would ALSO admit
+    * a string posing as the binary sketch. Non-numeric or unresolved
+    * arguments pass through for the expression's strict check to
+    * reject. */
+  private def widenToDouble(e: Expression): Expression =
+    if (e.resolved && e.dataType != org.apache.spark.sql.types.DoubleType &&
+        e.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        e, org.apache.spark.sql.types.DoubleType)
+    else e
+
+  private def widenToLong(e: Expression): Expression = e match {
+    case _ if !e.resolved => e
+    case _ => e.dataType match {
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType =>
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          e, org.apache.spark.sql.types.LongType)
+      case _ => e
+    }
+  }
+
   private def stringArg(e: Expression, fn: String): String = e match {
     case lit if lit.foldable => lit.eval() match {
       case s: org.apache.spark.unsafe.types.UTF8String => s.toString
@@ -217,7 +243,7 @@ object GraftFunctions {
       (e: Seq[Expression]) => CmsMergeAgg(e.head).toAggregateExpression()),
     (FunctionIdentifier("cms_estimate"),
       new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
-      (e: Seq[Expression]) => CmsEstimate(e(0), e(1))),
+      (e: Seq[Expression]) => CmsEstimate(e(0), widenToLong(e(1)))),
     (FunctionIdentifier("quantile_sketch"),
       new ExpressionInfo(classOf[QuantileSketchAgg].getName, "quantile_sketch"),
       (e: Seq[Expression]) => QuantileSketchAgg(e.head,
@@ -231,7 +257,7 @@ object GraftFunctions {
     (FunctionIdentifier("quantile_sketch_query"),
       new ExpressionInfo(classOf[QuantileSketchQuery].getName,
         "quantile_sketch_query"),
-      (e: Seq[Expression]) => QuantileSketchQuery(e(0), e(1))))
+      (e: Seq[Expression]) => QuantileSketchQuery(e(0), widenToDouble(e(1)))))
 
   /** Register on a live session (the no-extensions path). */
   def register(spark: SparkSession): Unit = {

@@ -2,11 +2,10 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.graftbridge.TypeBridge
-import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.CountMinSketch
 
@@ -87,17 +86,26 @@ case class CmsMergeAgg(child: Expression,
   * binary value is reference-equal — the common "one merged sketch
   * probed for many items" shape deserializes once, not per row. */
 case class CmsEstimate(left: Expression, right: Expression)
-    extends BinaryExpression with ImplicitCastInputTypes {
+    extends BinaryExpression {
 
   override def nullable: Boolean = true
   override def dataType: DataType = LongType
   override def prettyName: String = "cms_estimate"
 
-  // ImplicitCastInputTypes so natural SQL literals coerce: an INT item
-  // (cms_estimate(s, 42)) widens to LongType instead of failing the
-  // type check
-  override def inputTypes: Seq[TypeBridge.AbstractType] =
-    Seq(BinaryType, TypeBridge.oneOf(LongType, StringType))
+  // Strict check, NOT ImplicitCastInputTypes: the implicit-cast rules
+  // would also accept a STRING first argument (String→Binary is an
+  // allowed implicit cast), turning a clean analysis-time error into
+  // runtime garbage deserialization. Natural integer literals coerce in
+  // the SQL registration builder instead (GraftFunctions.widenToLong).
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a binary sketch as its first argument")
+    else right.dataType match {
+      case LongType | _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName item must be bigint or string, got $other")
+    }
 
   @transient private var cachedBytes: AnyRef = _
   @transient private var cachedCms: CountMinSketch = _
@@ -305,18 +313,25 @@ case class QuantileSketchMergeAgg(child: Expression,
   * within ε·n of ⌈q·n⌉). Caches the deserialized summary per partition
   * while the binary is reference-equal, like [[CmsEstimate]]. */
 case class QuantileSketchQuery(left: Expression, right: Expression)
-    extends BinaryExpression with ImplicitCastInputTypes {
+    extends BinaryExpression {
   import org.apache.spark.sql.catalyst.util.QuantileSummaries
 
   override def nullable: Boolean = true
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
   override def prettyName: String = "quantile_sketch_query"
 
-  // ImplicitCastInputTypes so quantile_sketch_query(s, 0.9) works as
-  // written — SQL parses 0.9 as DECIMAL(1,1), which coerces to double
-  // here instead of failing the type check
-  override def inputTypes: Seq[TypeBridge.AbstractType] =
-    Seq(BinaryType, DoubleType)
+  // Strict check — see [[CmsEstimate]]; quantile_sketch_query(s, 0.9)'s
+  // DECIMAL literal coerces in the SQL registration builder
+  // (GraftFunctions.widenToDouble), not via implicit casts that would
+  // also let a string pose as the sketch.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a binary sketch as its first argument")
+    else if (right.dataType != org.apache.spark.sql.types.DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName quantile must be a double in [0, 1]")
+    else TypeCheckResult.TypeCheckSuccess
 
   @transient private var cachedBytes: AnyRef = _
   @transient private var cachedQs: QuantileSummaries = _

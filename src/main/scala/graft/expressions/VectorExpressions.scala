@@ -115,9 +115,13 @@ object VectorUtil {
 
   /** Spark `round(x, scale)` for doubles — java BigDecimal HALF_UP, the
     * exact arithmetic Catalyst's Round emits (oracle parity depends on
-    * it; `Math.round` would differ on .5 boundaries and negatives). */
+    * it; `Math.round` would differ on .5 boundaries and negatives).
+    * Non-finite inputs pass through unchanged, exactly like Catalyst's
+    * Round — BigDecimal.valueOf(NaN) would otherwise throw and fail the
+    * task. */
   def roundHalfUp(x: Double, scale: Int): Double =
-    java.math.BigDecimal.valueOf(x)
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
       .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue
 }
 

@@ -1148,7 +1148,15 @@ object Curation {
     * NOT d² in documents. Only the #sources²-row cell frame is cached;
     * the output is #source-pairs rows. Never joins documents against
     * documents. */
-  def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
+  def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame =
+    sourceOverlapCached(docs, n).result
+
+  /** [[sourceOverlap]] with the release handle for the persisted cell
+    * frame (#sources²-row; read by the totals and pairs branches) — the
+    * [[graft.core.Cached]] contract every operator with an internal
+    * persist follows, so a long-lived session can release it. */
+  def sourceOverlapCached(docs: DataFrame, n: Int = 3)
+      : graft.core.Cached[DataFrame] = {
     val perGram = docs
       .select(col("source"), explode(
         graft.expressions.TextExpressions.polyHash47(
@@ -1169,7 +1177,7 @@ object Curation {
       .select(col("source_a").as("source"), col("cnt").as("__total"))
     val pairs = cells.filter(col("source_a") =!= col("source_b"))
       .withColumnRenamed("cnt", "shared_grams")
-    pairs
+    val result = pairs
       .join(broadcast(totals.withColumnRenamed("source", "source_a")
         .withColumnRenamed("__total", "__ta")), Seq("source_a"))
       .join(broadcast(totals.withColumnRenamed("source", "source_b")
@@ -1177,6 +1185,7 @@ object Curation {
       .select(col("source_a"), col("source_b"), col("shared_grams"),
         round(col("shared_grams").cast("double") /
           (col("__ta") + col("__tb") - col("shared_grams")), 6).as("jaccard"))
+    graft.core.Cached(result, cells)
   }
 
   /** Snapshot diff for incremental corpus refresh: which documents were

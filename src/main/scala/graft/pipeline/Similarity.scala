@@ -150,11 +150,22 @@ object Similarity {
 
   /** The same deterministic sample as driver-side values — for
     * operators that bake the centroids into the projection itself
-    * ([[assignByCentroids]]) instead of joining a local relation. */
+    * ([[assignByCentroids]]) instead of joining a local relation. A
+    * sampled row with a null vector or null elements is kept (the slot
+    * is part of the deterministic sample) but sanitized to an EMPTY
+    * vector: every distance against it is a length mismatch → null →
+    * the candidate never wins, exactly how the relational crossJoin
+    * treated it — where `.toArray` on the raw Seq would NPE. */
   private[graft] def collectedSampleVals(e: DataFrame, n: Int): Seq[(Long, Seq[Double])] =
     e.orderBy(idScramble(col("vec_id")).asc, col("vec_id").asc).limit(n)
       .select(col("vec_id"), col("vec")).collect().toSeq
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .map { r =>
+        val raw = if (r.isNullAt(1)) null else r.getSeq[Any](1)
+        val v =
+          if (raw == null || raw.contains(null)) Seq.empty[Double]
+          else raw.asInstanceOf[Seq[Double]]
+        (r.getLong(0), v)
+      }
 
   /** MAP-ONLY nearest-centroid assignment: `(vec_id, vec, cid, csim)`
     * with the winner computed inside one projection by the native
@@ -598,8 +609,10 @@ object Similarity {
 
   /** The pre-fusion exploded form of [[fusedEncode]] — two aggregates
     * over an (m+1)-way explode joined to the broadcast codebook∪centroid
-    * table. Identical output (spec-pinned); used when the codebook is
-    * too large to bake into the projection. */
+    * table. Identical output on dimension-conformant input
+    * (spec-pinned); mismatched candidates (null score) are filtered
+    * like [[pqAssignmentExploded]]. Used when the codebook is too large
+    * to bake into the projection. */
   private[pipeline] def fusedEncodeExploded(e: DataFrame, cents: DataFrame,
                        codebook: DataFrame, m: Int): DataFrame = {
     val combined = codebook
@@ -616,6 +629,7 @@ object Similarity {
         when(col("sub") >= 0,
           round(Vec.l2Squared(col("subvec"), col("csubvec")) * 1000000.0d))
           .otherwise(-round(Vec.cosine(col("subvec"), col("csubvec")), 6)))
+      .filter(col("score").isNotNull)
       .groupBy(col("vec_id"), col("sub"))
       .agg(min_by(col("code"), struct(col("score"), col("code"))).as("code"))
     perSub.groupBy(col("vec_id"))
@@ -651,7 +665,12 @@ object Similarity {
   }
 
   /** The exploded fallback form of [[pqAssignment]] for oversized
-    * codebooks — identical output. */
+    * codebooks — identical output on dimension-conformant input. A
+    * vector/codebook dimension mismatch yields null distances; those
+    * candidates are filtered (not fed to min_by, whose struct ordering
+    * would otherwise crown an arbitrary code with a null distance), so
+    * a mismatched vector drops from the output — the same contract as
+    * the primary path's null-codes drop. */
   private[pipeline] def pqAssignmentExploded(e: DataFrame, codebook: DataFrame,
                        m: Int): DataFrame =
     e.select(col("vec_id"), col("vec"),
@@ -661,6 +680,7 @@ object Similarity {
       .withColumn("d2u",
         round(Vec.l2Squared(col("subvec"), col("csubvec")) * 1000000.0d)
           .cast("long"))
+      .filter(col("d2u").isNotNull)
       .groupBy(col("vec_id"), col("sub"))
       .agg(min_by(col("code"), struct(col("d2u"), col("code"))).as("code"))
 

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
@@ -673,13 +673,20 @@ object TextPipeline {
     * incremental pipeline re-hashes only those. Oracle twin: DuckDB
     * `nfc_normalize` + the same RE2 classes (q_text_normalize). */
   def normalizeText(docs: DataFrame, form: String = "NFC"): DataFrame = {
-    val norm = trim(regexp_replace(regexp_replace(
-      graft.expressions.TextExpressions.unicodeNormalize(col("text"), form),
-      "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""),
-      "[ \\t]+", " "))
+    val norm = normalizeTextCol(col("text"), form)
     docs.select(col("doc_id"), norm.as("text_norm"),
       (norm =!= col("text")).as("changed"))
   }
+
+  /** The normalization Column itself — ONE definition shared by
+    * [[normalizeText]] and CurateApp's `--normalize` pass, so the CLI
+    * and the oracle-checked operator can never silently diverge on the
+    * control-class or collapse rules. */
+  def normalizeTextCol(text: Column, form: String = "NFC"): Column =
+    trim(regexp_replace(regexp_replace(
+      graft.expressions.TextExpressions.unicodeNormalize(text, form),
+      "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""),
+      "[ \\t]+", " "))
 
   /** Heuristic language ID over the text column (tokens materialized). */
   def langId(docs: DataFrame, profiles: Map[String, Seq[String]]): DataFrame =

@@ -153,10 +153,7 @@ object Layout {
         spark.read.parquet(files.map(_.getPath.toString): _*)
           .coalesce(n)
           .write.mode("overwrite").parquet(tmp.toString)
-        val old = new Path(pdir.getParent, s".old_${pdir.getName}")
-        fs.rename(pdir, old)
-        fs.rename(tmp, pdir)
-        fs.delete(old, true)
+        Stores.swapPartition(fs, pdir, tmp) // rename-checked atomic swap
       }
     }
   }

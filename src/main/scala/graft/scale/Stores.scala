@@ -22,6 +22,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Stores {
 
+  /** Hadoop `FileSystem.rename` reports failure by RETURNING FALSE (and
+    * on several implementations renames INTO a still-existing target
+    * directory as a child) — ignoring it would let a failed swap report
+    * success while the store is untouched or, worse, nested. Throw
+    * instead: the temp/old siblings are left for inspection and the
+    * next run's stale-cleanup. */
+  private def renameOrThrow(fs: FileSystem, src: Path, dst: Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(
+        s"store swap: rename $src -> $dst failed (store left untouched; " +
+          "temp/old siblings preserved for inspection)")
+
   /** Replace the store at `dir` with `result` (whose plan may read
     * `dir` itself): write to a temp sibling, swap atomically, clear
     * leftovers — never an in-place overwrite of files the plan reads. */
@@ -34,8 +46,8 @@ object Stores {
     result.write.mode("overwrite").parquet(tmp.toString)
     val old = new Path(root.getParent, s".old_${root.getName}")
     fs.delete(old, true)
-    fs.rename(root, old)
-    fs.rename(tmp, root)
+    renameOrThrow(fs, root, old)
+    renameOrThrow(fs, tmp, root)
     fs.delete(old, true)
   }
 
@@ -47,8 +59,8 @@ object Stores {
   def swapPartition(fs: FileSystem, storePart: Path, tmpPart: Path): Unit = {
     val old = new Path(storePart.getParent, s".old_${storePart.getName}")
     fs.delete(old, true)
-    if (fs.exists(storePart)) fs.rename(storePart, old)
-    fs.rename(tmpPart, storePart)
+    if (fs.exists(storePart)) renameOrThrow(fs, storePart, old)
+    renameOrThrow(fs, tmpPart, storePart)
     fs.delete(old, true)
   }
 }

@@ -1162,6 +1162,22 @@ class PipelineSpec extends SparkSpec {
     val plan = Similarity.assignByCentroids(e, cents)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
+    // non-finite elements must not crash the loop expression (Catalyst's
+    // Round passes NaN/Infinity through; roundHalfUp must too)
+    val weird = Seq(
+      (50L, Seq(Double.NaN, 1.0, 0.0, 0.0, 0.0, 0.0)),
+      (51L, Seq(Double.MaxValue, Double.MaxValue, 0.0, 0.0, 0.0, 0.0)),
+      (52L, Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0))).toDF("vec_id", "vec")
+    val survived = Similarity.assignByCentroids(weird, cents)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survived == Set(50L, 51L, 52L))
+    // a null / null-element vector in the SAMPLE is sanitized (empty —
+    // never wins), not an NPE at expression construction
+    val withNull = Seq((60L, null), (61L, Seq(1.0, 0.0))).toDF("vec_id", "vec")
+    val centsN = Similarity.collectedSampleVals(withNull, 2)
+    assert(centsN.map(_._2).contains(Seq.empty[Double]))
+    assert(Similarity.assignByCentroids(
+      Seq((70L, Seq(1.0, 0.0))).toDF("vec_id", "vec"), centsN).count() == 1)
   }
 
   test("hybridDedup: cluster gates, Jaccard confirms; no-embedding docs pass") {

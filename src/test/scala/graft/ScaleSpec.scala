@@ -597,6 +597,17 @@ class ScaleSpec extends SparkSpec {
         |  FROM (SELECT CAST(42 AS BIGINT) AS v FROM range(100)))"""
         .stripMargin).collect()
     assert(cms.head.getLong(0) == 100L, cms.head.getLong(0))
+    // ...but a STRING posing as the sketch stays an ANALYSIS error —
+    // literal-friendliness must not come from implicit casts that would
+    // route text into the binary deserializer at runtime
+    val err = intercept[Exception] {
+      spark.sql("SELECT quantile_sketch_query('not a sketch', 0.5)").collect()
+    }
+    assert(err.getMessage.contains("binary sketch"), err.getMessage)
+    val err2 = intercept[Exception] {
+      spark.sql("SELECT cms_estimate('not a sketch', 42)").collect()
+    }
+    assert(err2.getMessage.contains("binary sketch"), err2.getMessage)
   }
 
   test("Observe: gate in/out metrics ride one job, values exact") {
