@@ -23,15 +23,25 @@ import re
 import sys
 
 
+def round_num(path):
+    # basename only (a directory named *_r2 must not shadow the file's
+    # round), and None for non-conforming names instead of a crash
+    m = re.search(r"_r(\d+)\.json$", os.path.basename(path))
+    return int(m.group(1)) if m else None
+
+
 def latest(root, pat):
-    fs = glob.glob(os.path.join(root, pat))
+    fs = [f for f in glob.glob(os.path.join(root, pat))
+          if round_num(f) is not None]
     if not fs:
         return None
-    return max(fs, key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+    return max(fs, key=round_num)
 
 
 def reconciled(cov, q):
-    pat = rf"(ADJUDICATED|FIXED)\b[^\n]*\b{re.escape(q)}\b"
+    # \b on BOTH sides of the marker: "UNFIXED: q_x" must not satisfy
+    # the gate via the FIXED suffix
+    pat = rf"\b(ADJUDICATED|FIXED)\b[^\n]*\b{re.escape(q)}\b"
     rev = rf"\b{re.escape(q)}\b[^\n]*\b(ADJUDICATED|FIXED)\b"
     return re.search(pat, cov) or re.search(rev, cov)
 

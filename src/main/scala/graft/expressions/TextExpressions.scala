@@ -227,19 +227,6 @@ object TextUtil {
     new GenericArrayData(sig)
   }
 
-  /** Content-defined chunk boundaries (Rabin/gear-style CDC restated over
-    * the corpus 47-bit polynomial hash — Muthitacharoen et al. 2001 LBFS;
-    * Xia et al. 2016 FastCDC): a chunk closes after character i (1-based)
-    * when the poly-47 hash of the w-char gram ending at i is ≡ 0 mod
-    * `divisor`; the final chunk closes at end-of-string. Boundaries depend
-    * ONLY on the local w-char window, so an insertion near the front of a
-    * blob shifts every byte yet re-synchronizes after at most one chunk —
-    * the shift-invariance whole-blob digests lack. Returns
-    * array<struct<off:int,len:int>> of 1-based (offset, length) chunks.
-    * The per-position hash is recomputed fresh (O(n·w), same per-char
-    * `(acc*31+c) % M` fold as [[polyHash47]] / the fpSql oracle twin) —
-    * an O(1) rolling update would need 128-bit modular products, and w is
-    * small by construction. */
   /** Supported normalization forms (name → java.text.Normalizer form). */
   val normalizerForms: Map[String, java.text.Normalizer.Form] = Map(
     "NFC" -> java.text.Normalizer.Form.NFC,
@@ -256,6 +243,19 @@ object TextUtil {
     else UTF8String.fromString(java.text.Normalizer.normalize(s, f))
   }
 
+  /** Content-defined chunk boundaries (Rabin/gear-style CDC restated over
+    * the corpus 47-bit polynomial hash — Muthitacharoen et al. 2001 LBFS;
+    * Xia et al. 2016 FastCDC): a chunk closes after character i (1-based)
+    * when the poly-47 hash of the w-char gram ending at i is ≡ 0 mod
+    * `divisor`; the final chunk closes at end-of-string. Boundaries depend
+    * ONLY on the local w-char window, so an insertion near the front of a
+    * blob shifts every byte yet re-synchronizes after at most one chunk —
+    * the shift-invariance whole-blob digests lack. Returns
+    * array<struct<off:int,len:int>> of 1-based (offset, length) chunks.
+    * The per-position hash is recomputed fresh (O(n·w), same per-char
+    * `(acc*31+c) % M` fold as [[polyHash47]] / the fpSql oracle twin) —
+    * an O(1) rolling update would need 128-bit modular products, and w is
+    * small by construction. */
   def cdcChunks(text: UTF8String, w: Int, divisor: Long): ArrayData = {
     // CODE POINTS, not UTF-16 chars: Spark's substr counts code points,
     // and the DuckDB oracle twin hashes per character via ascii(...) —

@@ -276,8 +276,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * and falls back to interpreted eval — this stays inside whole-stage
   * codegen at any nlist. Rounding is HALF_UP to 6 dp, matching the
   * `round(cosine, 6)` the relational spelling applies. Candidates with
-  * a null cosine (length mismatch / null element) are skipped; null out
-  * when none is valid. */
+  * a null cosine (length mismatch / null element) are skipped; when no
+  * candidate is valid the lowest cid wins with a NULL csim (the
+  * fallback's null-ordering semantics — see [[assign]]). */
 case class NearestCentroid(child: Expression,
                            centIds: Seq[Long], centVecs: Seq[Seq[Double]])
     extends UnaryExpression {
@@ -291,15 +292,24 @@ case class NearestCentroid(child: Expression,
   }
   override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("cid", LongType, nullable = false),
-    org.apache.spark.sql.types.StructField("csim", DoubleType, nullable = false)))
+    org.apache.spark.sql.types.StructField("csim", DoubleType, nullable = true)))
   override def nullable: Boolean = true
   override def prettyName: String = "nearest_centroid"
 
   @transient private lazy val ids: Array[Long] = centIds.toArray
   @transient private lazy val vecs: Array[Array[Double]] =
     centVecs.map(_.toArray).toArray
+  @transient private lazy val minCid: Long = ids.min
 
-  /** Shared by interpreted eval and generated code (reference object). */
+  /** Shared by interpreted eval and generated code (reference object).
+    * Comparison uses java.lang.Double.compare — the ordering Spark's
+    * own max_by applies — so a NaN cosine sorts GREATEST (and ties to
+    * the lowest cid) exactly like the crossJoin fallback, instead of
+    * depending on candidate evaluation order. When NO candidate has a
+    * valid cosine (every length mismatched), the fallback's
+    * max_by-over-null-ordering semantics crown the lowest cid with a
+    * null csim — reproduced here rather than nulling the row, so the
+    * two paths agree on any input. */
   def assign(vec: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
     var found = false
     var bestSim = 0.0d
@@ -309,13 +319,15 @@ case class NearestCentroid(child: Expression,
       val s0 = VectorUtil.cosineVs(vec, vecs(c))
       if (s0 != null) {
         val s = VectorUtil.roundHalfUp(s0.doubleValue, 6)
-        if (!found || s > bestSim || (s == bestSim && ids(c) < bestCid)) {
+        val cmp = java.lang.Double.compare(s, bestSim)
+        if (!found || cmp > 0 || (cmp == 0 && ids(c) < bestCid)) {
           found = true; bestSim = s; bestCid = ids(c)
         }
       }
       c += 1
     }
-    if (!found) null
+    if (!found)
+      org.apache.spark.sql.catalyst.InternalRow(minCid, null)
     else org.apache.spark.sql.catalyst.InternalRow(bestCid, bestSim)
   }
 
@@ -365,7 +377,12 @@ case class PqNearestCodes(child: Expression, m: Int,
   @transient private lazy val vecs: Array[Array[Array[Double]]] =
     subVecs.map(_.map(_.toArray).toArray).toArray
 
-  /** Shared by interpreted eval and generated code (reference object). */
+  /** Shared by interpreted eval and generated code (reference object).
+    * Distances compare as the LONG the relational spelling casts to
+    * (`round(d²·1e6).cast("long")` — Scala's Double→Long conversion
+    * maps NaN to 0 exactly like Catalyst's cast), so a non-finite
+    * distance ranks identically on both paths instead of depending on
+    * candidate order. */
   def encode(vec: ArrayData): ArrayData = {
     val n = vec.numElements()
     val w = n / m
@@ -375,13 +392,13 @@ case class PqNearestCodes(child: Expression, m: Int,
       val off = s * w
       val len = if (s == m - 1) n - w * (m - 1) else w
       var found = false
-      var bestD = 0.0d
+      var bestD = 0L
       var bestCode = 0
       var c = 0
       while (c < vecs(s).length) {
         val d0 = VectorUtil.l2SliceVs(vec, off, len, vecs(s)(c))
         if (d0 != null) {
-          val d = VectorUtil.roundHalfUp(d0.doubleValue * 1000000.0d, 0)
+          val d = VectorUtil.roundHalfUp(d0.doubleValue * 1000000.0d, 0).toLong
           if (!found || d < bestD || (d == bestD && codes(s)(c) < bestCode)) {
             found = true; bestD = d; bestCode = codes(s)(c)
           }

@@ -156,16 +156,22 @@ object Similarity {
     * vector: every distance against it is a length mismatch → null →
     * the candidate never wins, exactly how the relational crossJoin
     * treated it — where `.toArray` on the raw Seq would NPE. */
+  /** A collected vector column value, sanitized: null vectors and
+    * vectors with null ELEMENTS become empty (a length mismatch against
+    * everything → null distance → the candidate never wins, the exact
+    * behavior the relational paths gave them) — `.toArray` on the raw
+    * Seq would NPE on the former and silently unbox null to 0.0 on the
+    * latter, letting a corrupt centroid win with a wrong score. */
+  private def sanitizedVec(r: org.apache.spark.sql.Row, i: Int): Seq[Double] = {
+    val raw = if (r.isNullAt(i)) null else r.getSeq[Any](i)
+    if (raw == null || raw.contains(null)) Seq.empty[Double]
+    else raw.asInstanceOf[Seq[Double]]
+  }
+
   private[graft] def collectedSampleVals(e: DataFrame, n: Int): Seq[(Long, Seq[Double])] =
     e.orderBy(idScramble(col("vec_id")).asc, col("vec_id").asc).limit(n)
       .select(col("vec_id"), col("vec")).collect().toSeq
-      .map { r =>
-        val raw = if (r.isNullAt(1)) null else r.getSeq[Any](1)
-        val v =
-          if (raw == null || raw.contains(null)) Seq.empty[Double]
-          else raw.asInstanceOf[Seq[Double]]
-        (r.getLong(0), v)
-      }
+      .map(r => (r.getLong(0), sanitizedVec(r, 1)))
 
   /** MAP-ONLY nearest-centroid assignment: `(vec_id, vec, cid, csim)`
     * with the winner computed inside one projection by the native
@@ -550,7 +556,7 @@ object Similarity {
       .sortBy(_.getLong(0))
     val entries = new java.util.ArrayList[org.apache.spark.sql.Row]()
     rows.zipWithIndex.foreach { case (r, code) =>
-      val cvec = r.getSeq[Double](1)
+      val cvec = sanitizedVec(r, 1) // null/null-element rows never win
       val w = cvec.length / m
       (0 until m).foreach { sub =>
         val len = if (sub == m - 1) cvec.length - w * (m - 1) else w
@@ -591,10 +597,10 @@ object Similarity {
     // exploded two-aggregate form survives as the fallback for
     // oversized codebooks.
     val centVals = cents.select(col("cid").cast("long"), col("cvec"))
-      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .collect().toSeq.map(r => (r.getLong(0), sanitizedVec(r, 1)))
     val cbVals = codebook
       .select(col("sub"), col("code"), col("csubvec"))
-      .collect().toSeq.map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .collect().toSeq.map(r => (r.getInt(0), r.getInt(1), sanitizedVec(r, 2)))
     val bySub = cbVals.groupBy(_._1)
     val exprOk = centVals.nonEmpty &&
       centVals.size + cbVals.size <= 8192 &&
@@ -627,7 +633,11 @@ object Similarity {
       .join(broadcast(combined), Seq("sub"))
       .withColumn("score",
         when(col("sub") >= 0,
-          round(Vec.l2Squared(col("subvec"), col("csubvec")) * 1000000.0d))
+          // through the long cast (then back, exact and monotone) so
+          // PQ candidates rank exactly as [[PqNearestCodes]] and
+          // [[pqAssignmentExploded]] rank them — including NaN → 0
+          round(Vec.l2Squared(col("subvec"), col("csubvec")) * 1000000.0d)
+            .cast("long").cast("double"))
           .otherwise(-round(Vec.cosine(col("subvec"), col("csubvec")), 6)))
       .filter(col("score").isNotNull)
       .groupBy(col("vec_id"), col("sub"))
@@ -652,7 +662,7 @@ object Similarity {
   private[pipeline] def pqAssignment(e: DataFrame, codebook: DataFrame,
                        m: Int): DataFrame = {
     val cbVals = codebook.select(col("sub"), col("code"), col("csubvec"))
-      .collect().toSeq.map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .collect().toSeq.map(r => (r.getInt(0), r.getInt(1), sanitizedVec(r, 2)))
     val bySub = cbVals.groupBy(_._1)
     val exprOk = cbVals.size <= 8192 &&
       (0 until m).forall(s => bySub.get(s).exists(_.nonEmpty))

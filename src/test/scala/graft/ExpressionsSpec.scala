@@ -374,11 +374,12 @@ class ExpressionsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(out == Seq((1L, 7L, 1.0), (2L, 3L, 1.0), (3L, 3L, 0.0),
       (4L, 3L, 0.707107)))
-    // length mismatch with EVERY centroid -> null output row
+    // length mismatch with EVERY centroid -> lowest cid, NULL csim (the
+    // crossJoin fallback's max_by-over-null-ordering semantics)
     val bad = Seq((9L, Seq(1.0, 2.0))).toDF("vec_id", "vec")
       .select(VectorExpressions.nearestCentroid(col("vec"), cents).as("w"))
-      .collect()
-    assert(bad.head.isNullAt(0))
+      .select(col("w.cid"), col("w.csim")).collect()
+    assert(bad.head.getLong(0) == 3L && bad.head.isNullAt(1))
     // interpreted eval agrees with codegen (factory disabled via conf)
     val prev = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")

@@ -1163,14 +1163,22 @@ class PipelineSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
     // non-finite elements must not crash the loop expression (Catalyst's
-    // Round passes NaN/Infinity through; roundHalfUp must too)
+    // Round passes NaN/Infinity through; roundHalfUp must too) — AND the
+    // expression path must assign the SAME cids as the crossJoin
+    // fallback (java.lang.Double.compare ordering: NaN greatest, ties
+    // to lowest cid), not evaluation-order-dependent ones
     val weird = Seq(
       (50L, Seq(Double.NaN, 1.0, 0.0, 0.0, 0.0, 0.0)),
       (51L, Seq(Double.MaxValue, Double.MaxValue, 0.0, 0.0, 0.0, 0.0)),
       (52L, Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0))).toDF("vec_id", "vec")
-    val survived = Similarity.assignByCentroids(weird, cents)
-      .select("vec_id").collect().map(_.getLong(0)).toSet
-    assert(survived == Set(50L, 51L, 52L))
+    def cids(df: org.apache.spark.sql.DataFrame) =
+      rowsOf(df.select("vec_id", "cid"))
+        .map(r => (r("vec_id"), r("cid"))).toSet
+    val weirdFast = cids(Similarity.assignByCentroids(weird, cents))
+    val weirdSlow = cids(Similarity.assignByCentroids(weird, cents,
+      maxExprCentroids = 0))
+    assert(weirdFast == weirdSlow, s"fast=$weirdFast slow=$weirdSlow")
+    assert(weirdFast.map(_._1.asInstanceOf[Long]) == Set(50L, 51L, 52L))
     // a null / null-element vector in the SAMPLE is sanitized (empty —
     // never wins), not an NPE at expression construction
     val withNull = Seq((60L, null), (61L, Seq(1.0, 0.0))).toDF("vec_id", "vec")
