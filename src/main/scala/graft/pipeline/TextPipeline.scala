@@ -375,7 +375,10 @@ object TextPipeline {
         .wordShingles(col("text"), 1, distinct = false).as("toks"))
       .withColumn("hashes", graft.expressions.TextExpressions.polyHash47(col("toks")))
       .select(col("doc_id"),
-        graft.functions.VectorFunctions.simhashFromHashes(col("hashes")).as("simhash"))
+        // native vote fold (byte-identical to the VectorFunctions
+        // composite, spec-pinned) — the composite pays 47 interpreted
+        // lambda CASEs per token in the signature scan
+        graft.expressions.TextExpressions.simhashFold(col("hashes")).as("simhash"))
 
   /** SimHash near-dup candidate pairs: split the 47-bit signature into
     * `bands` bit-bands and pair documents agreeing on at least one band,

@@ -176,6 +176,23 @@ class FunctionsSpec extends SparkSpec {
     assert(a == b)
     assert(a != c)
   }
+
+  test("native simhash_fold is bit-identical to the Column composite") {
+    import spark.implicits._
+    // random-ish hash arrays incl. empty, single, vote-tie shapes
+    val rows = Seq(
+      Seq(0L),
+      Seq((1L << 47) - 1),
+      Seq.empty[Long],
+      (1 to 60).map(i => i * 2654435761L % (1L << 47)),
+      Seq(123456789L, 987654321L, 5L, 0L),
+      (1 to 7).map(i => (i * 77777L) % (1L << 47))).toDF("hashes")
+    val both = rows.select(
+      graft.expressions.TextExpressions.simhashFold(col("hashes")).as("native"),
+      VectorFunctions.simhashFromHashes(col("hashes")).as("composite"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
 }
 
 /** Small alias so the spec can reach the private-ish normalizer. */
