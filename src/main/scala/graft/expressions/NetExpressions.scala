@@ -234,6 +234,9 @@ object GraftFunctions {
       new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
       (e: Seq[Expression]) => CdcChunks(e.head,
         intArg(e(1), "cdc_chunks"), intArg(e(2), "cdc_chunks").toLong)),
+    (FunctionIdentifier("simhash_fold"),
+      new ExpressionInfo(classOf[SimhashFold].getName, "simhash_fold"),
+      (e: Seq[Expression]) => SimhashFold(e.head)),
     (FunctionIdentifier("unicode_normalize"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
       (e: Seq[Expression]) => UnicodeNormalize(e.head,
