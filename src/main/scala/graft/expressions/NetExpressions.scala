@@ -152,14 +152,14 @@ object GraftFunctions {
     * a string posing as the binary sketch. Non-numeric or unresolved
     * arguments pass through for the expression's strict check to
     * reject. */
-  private def widenToDouble(e: Expression): Expression =
+  private[expressions] def widenToDouble(e: Expression): Expression =
     if (e.resolved && e.dataType != org.apache.spark.sql.types.DoubleType &&
         e.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
       org.apache.spark.sql.catalyst.expressions.Cast(
         e, org.apache.spark.sql.types.DoubleType)
     else e
 
-  private def widenToLong(e: Expression): Expression = e match {
+  private[expressions] def widenToLong(e: Expression): Expression = e match {
     case _ if !e.resolved => e
     case _ => e.dataType match {
       case org.apache.spark.sql.types.IntegerType |

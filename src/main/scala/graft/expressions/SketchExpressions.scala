@@ -382,9 +382,14 @@ object SketchExpressions {
   def cmsMerge(sketch: Column): Column =
     ColumnBridge.column(CmsMergeAgg(ColumnBridge.expression(sketch))
       .toAggregateExpression())
+  // Column-API entries widen numeric args exactly like the SQL
+  // registration builders (GraftFunctions.widenToLong/widenToDouble) —
+  // an int32-keyed layer probes without an explicit cast, while the
+  // sketch argument stays under the strict binary check.
   def cmsEstimate(sketch: Column, item: Column): Column =
     ColumnBridge.column(CmsEstimate(
-      ColumnBridge.expression(sketch), ColumnBridge.expression(item)))
+      ColumnBridge.expression(sketch),
+      GraftFunctions.widenToLong(ColumnBridge.expression(item))))
   def quantileSketch(x: Column, relativeError: Double = 0.01): Column =
     ColumnBridge.column(
       QuantileSketchAgg(ColumnBridge.expression(x), relativeError)
@@ -395,5 +400,6 @@ object SketchExpressions {
         .toAggregateExpression())
   def quantileSketchQuery(sketch: Column, q: Column): Column =
     ColumnBridge.column(QuantileSketchQuery(
-      ColumnBridge.expression(sketch), ColumnBridge.expression(q)))
+      ColumnBridge.expression(sketch),
+      GraftFunctions.widenToDouble(ColumnBridge.expression(q))))
 }

@@ -148,14 +148,6 @@ object Similarity {
         StructField("cid", org.apache.spark.sql.types.LongType, nullable = false),
         StructField("cvec", ArrayType(DoubleType), nullable = false))))
 
-  /** The same deterministic sample as driver-side values — for
-    * operators that bake the centroids into the projection itself
-    * ([[assignByCentroids]]) instead of joining a local relation. A
-    * sampled row with a null vector or null elements is kept (the slot
-    * is part of the deterministic sample) but sanitized to an EMPTY
-    * vector: every distance against it is a length mismatch → null →
-    * the candidate never wins, exactly how the relational crossJoin
-    * treated it — where `.toArray` on the raw Seq would NPE. */
   /** A collected vector column value, sanitized: null vectors and
     * vectors with null ELEMENTS become empty (a length mismatch against
     * everything → null distance → the candidate never wins, the exact
@@ -168,6 +160,12 @@ object Similarity {
     else raw.asInstanceOf[Seq[Double]]
   }
 
+  /** The same deterministic sample as driver-side values — for
+    * operators that bake the centroids into the projection itself
+    * ([[assignByCentroids]]) instead of joining a local relation. A
+    * sampled row with a null vector or null elements keeps its slot in
+    * the deterministic sample but is [[sanitizedVec]]-emptied, so it
+    * can never win. */
   private[graft] def collectedSampleVals(e: DataFrame, n: Int): Seq[(Long, Seq[Double])] =
     e.orderBy(idScramble(col("vec_id")).asc, col("vec_id").asc).limit(n)
       .select(col("vec_id"), col("vec")).collect().toSeq
@@ -205,7 +203,11 @@ object Similarity {
     e.select(col("vec_id"), col("vec"),
         Vec.nearestCentroid(col("vec"), cents).as("__w"))
       .select(col("vec_id"), col("vec"),
-        col("__w.cid").as("cid"), col("__w.csim").as("csim"))
+        // a NULL input vector nulls the whole struct (nullSafeEval);
+        // the crossJoin fallback's max_by still crowns the lowest cid
+        // for that row — coalesce keeps the two paths identical there
+        coalesce(col("__w.cid"), lit(cents.map(_._1).min)).as("cid"),
+        col("__w.csim").as("csim"))
   }
 
   /** IVF-style ANN: coarse quantizer → inverted lists → probe-limited
@@ -609,18 +611,29 @@ object Similarity {
     val perSub = (0 until m).map(s =>
       bySub(s).sortBy(_._2).map { case (_, code, csv) => (code, csv) })
     e.select(col("vec_id"),
-      Vec.pqNearestCodes(col("vec"), m, perSub).as("codes"),
-      Vec.nearestCentroid(col("vec"), centVals).getField("cid").as("cid"))
+        Vec.pqNearestCodes(col("vec"), m, perSub).as("codes"),
+        Vec.nearestCentroid(col("vec"), centVals).getField("cid").as("cid"))
+      // a vector that cannot produce a full encode (dimension mismatch,
+      // null elements) is dropped whole — the fallback applies the same
+      // all-or-nothing rule
+      .filter(col("codes").isNotNull)
   }
 
   /** The pre-fusion exploded form of [[fusedEncode]] — two aggregates
     * over an (m+1)-way explode joined to the broadcast codebook∪centroid
-    * table. Identical output on dimension-conformant input
-    * (spec-pinned); mismatched candidates (null score) are filtered
-    * like [[pqAssignmentExploded]]. Used when the codebook is too large
-    * to bake into the projection. */
+    * table. Identical output to the native form on ANY input: PQ
+    * candidates rank on a dedicated LONG column (exact above 2^53,
+    * where a long→double round-trip would tie-collapse; NaN → 0 via the
+    * cast, as [[PqNearestCodes]] compares), the coarse candidates on a
+    * double column; null-scored candidates are filtered; a vector
+    * missing any PQ subspace is dropped whole, and one whose every
+    * COARSE candidate is invalid falls back to the lowest centroid id —
+    * the [[graft.expressions.NearestCentroid]] contract. Used when the
+    * codebook is too large to bake into the projection. */
   private[pipeline] def fusedEncodeExploded(e: DataFrame, cents: DataFrame,
                        codebook: DataFrame, m: Int): DataFrame = {
+    val minRow = cents.agg(min(col("cid"))).collect()(0)
+    val minCid = if (minRow.isNullAt(0)) 0L else minRow.getLong(0)
     val combined = codebook
       .select(col("sub"), col("code").cast("long").as("code"), col("csubvec"))
       .unionByName(cents.select(lit(-1).as("sub"), col("cid").as("code"),
@@ -631,17 +644,19 @@ object Similarity {
         when(col("sub") >= 0, subSlice(col("vec"), col("sub"), m))
           .otherwise(col("vec")))
       .join(broadcast(combined), Seq("sub"))
-      .withColumn("score",
+      .withColumn("scoreL",
         when(col("sub") >= 0,
-          // through the long cast (then back, exact and monotone) so
-          // PQ candidates rank exactly as [[PqNearestCodes]] and
-          // [[pqAssignmentExploded]] rank them — including NaN → 0
           round(Vec.l2Squared(col("subvec"), col("csubvec")) * 1000000.0d)
-            .cast("long").cast("double"))
+            .cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("scoreD",
+        when(col("sub") >= 0, lit(0.0d))
           .otherwise(-round(Vec.cosine(col("subvec"), col("csubvec")), 6)))
-      .filter(col("score").isNotNull)
+      .filter((col("sub") >= 0 && col("scoreL").isNotNull) ||
+        (col("sub") < 0 && col("scoreD").isNotNull))
       .groupBy(col("vec_id"), col("sub"))
-      .agg(min_by(col("code"), struct(col("score"), col("code"))).as("code"))
+      .agg(min_by(col("code"),
+        struct(col("scoreL"), col("scoreD"), col("code"))).as("code"))
     perSub.groupBy(col("vec_id"))
       .agg(
         transform(
@@ -649,7 +664,9 @@ object Similarity {
             when(col("sub") >= 0, struct(col("sub"), col("code"))))),
           s => s.getField("code").cast("int")).as("codes"),
         max(when(col("sub") === -1, col("code"))).as("cid"))
-      .select("vec_id", "codes", "cid")
+      .filter(size(col("codes")) === m)
+      .select(col("vec_id"), col("codes"),
+        coalesce(col("cid"), lit(minCid)).as("cid"))
   }
 
   /** Per-(vector, subspace) nearest-code assignment against a FROZEN
@@ -675,15 +692,16 @@ object Similarity {
   }
 
   /** The exploded fallback form of [[pqAssignment]] for oversized
-    * codebooks — identical output on dimension-conformant input. A
-    * vector/codebook dimension mismatch yields null distances; those
-    * candidates are filtered (not fed to min_by, whose struct ordering
-    * would otherwise crown an arbitrary code with a null distance), so
-    * a mismatched vector drops from the output — the same contract as
-    * the primary path's null-codes drop. */
+    * codebooks — identical output: null-distance candidates (dimension
+    * mismatch / null element) are filtered rather than fed to min_by
+    * (whose struct ordering would crown an arbitrary code), and a
+    * vector missing ANY subspace is then dropped WHOLE — the native
+    * path's all-or-nothing contract, not a partial code set that would
+    * sum fewer ADC terms and rank the corrupt vector artificially
+    * high. */
   private[pipeline] def pqAssignmentExploded(e: DataFrame, codebook: DataFrame,
-                       m: Int): DataFrame =
-    e.select(col("vec_id"), col("vec"),
+                       m: Int): DataFrame = {
+    val perSub = e.select(col("vec_id"), col("vec"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"))
       .withColumn("subvec", subSlice(col("vec"), col("sub"), m))
       .join(broadcast(codebook), Seq("sub"))
@@ -693,6 +711,11 @@ object Similarity {
       .filter(col("d2u").isNotNull)
       .groupBy(col("vec_id"), col("sub"))
       .agg(min_by(col("code"), struct(col("d2u"), col("code"))).as("code"))
+    val complete = perSub.groupBy("vec_id")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") === m)
+      .select("vec_id")
+    perSub.join(complete, Seq("vec_id"), "left_semi")
+  }
 
   /** PQ compression: each vector → `m` codebook indices ('-'-joined).
     * With m=4, ksub=16 a 64-dim float vector (256 B) compresses to 4

@@ -366,9 +366,11 @@ object TextPipeline {
       buckets.join(broadcast(hot), Seq(bucketCol), "left_anti")
     }
 
-  /** SimHash per document over whitespace tokens (47 planes). Tokens and
-    * their hashes come from the native tight-loop expressions; the vote
-    * fold is the single-pass Column composite. */
+  /** SimHash per document over whitespace tokens (47 planes). Tokens,
+    * their hashes AND the vote fold all run as native tight-loop
+    * expressions inside the scan ([[graft.expressions.SimhashFold]] —
+    * byte-identical to the VectorFunctions Column composite,
+    * spec-pinned). */
   def simhash(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), graft.expressions.TextExpressions

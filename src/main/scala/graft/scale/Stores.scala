@@ -28,11 +28,11 @@ object Stores {
     * success while the store is untouched or, worse, nested. Throw
     * instead: the temp/old siblings are left for inspection and the
     * next run's stale-cleanup. */
-  private def renameOrThrow(fs: FileSystem, src: Path, dst: Path): Unit =
+  private def renameOrThrow(fs: FileSystem, src: Path, dst: Path,
+                            recovery: String): Unit =
     if (!fs.rename(src, dst))
       throw new java.io.IOException(
-        s"store swap: rename $src -> $dst failed (store left untouched; " +
-          "temp/old siblings preserved for inspection)")
+        s"store swap: rename $src -> $dst failed; $recovery")
 
   /** Replace the store at `dir` with `result` (whose plan may read
     * `dir` itself): write to a temp sibling, swap atomically, clear
@@ -46,8 +46,11 @@ object Stores {
     result.write.mode("overwrite").parquet(tmp.toString)
     val old = new Path(root.getParent, s".old_${root.getName}")
     fs.delete(old, true)
-    renameOrThrow(fs, root, old)
-    renameOrThrow(fs, tmp, root)
+    renameOrThrow(fs, root, old,
+      s"store left untouched at $root; rewritten copy preserved at $tmp")
+    renameOrThrow(fs, tmp, root,
+      s"store contents now live ONLY under $old — rename it back to " +
+        s"$root (or $tmp in) to recover")
     fs.delete(old, true)
   }
 
@@ -59,8 +62,11 @@ object Stores {
   def swapPartition(fs: FileSystem, storePart: Path, tmpPart: Path): Unit = {
     val old = new Path(storePart.getParent, s".old_${storePart.getName}")
     fs.delete(old, true)
-    if (fs.exists(storePart)) renameOrThrow(fs, storePart, old)
-    renameOrThrow(fs, tmpPart, storePart)
+    if (fs.exists(storePart)) renameOrThrow(fs, storePart, old,
+      s"partition left untouched at $storePart; new copy preserved at $tmpPart")
+    renameOrThrow(fs, tmpPart, storePart,
+      s"partition contents now live ONLY under $old — rename it back to " +
+        s"$storePart (or $tmpPart in) to recover")
     fs.delete(old, true)
   }
 }

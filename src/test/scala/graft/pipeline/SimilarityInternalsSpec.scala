@@ -39,6 +39,38 @@ class SimilarityInternalsSpec extends graft.SparkSpec {
     assert(fused.size == 24)
   }
 
+  test("native and exploded encode paths agree, including degenerate vectors") {
+    // corpus with a dimension-mismatched vector (dim 9 vs the dim-7
+    // sample) and a null-element vector: both must be dropped WHOLE by
+    // every path — no partial code sets, no garbage min-codes
+    val good = (0 until 12).map { i =>
+      (i.toLong, Seq.tabulate(7)(d => 0.3 + (i * 7 + d) * 0.011))
+    }
+    val degenerate = Seq(
+      (100L, Seq.tabulate(9)(d => 0.5 + d * 0.01)),       // wrong dim
+      (101L, null.asInstanceOf[Seq[Double]]))             // null vec
+    val e = (good ++ degenerate).toDF("vec_id", "vec")
+    val eGood = good.toDF("vec_id", "vec")
+    val m = 3
+    val cents = Similarity.collectedSample(eGood, 4)
+    val codebook = Similarity.pqCodebook(cents.limit(4), m)
+    def pq(df: org.apache.spark.sql.DataFrame) = rowsOf(df).map(r =>
+      (r("vec_id"), r("sub"), r("code"))).toSet
+    val pqNative = pq(Similarity.pqAssignment(e, codebook, m))
+    val pqExploded = pq(Similarity.pqAssignmentExploded(e, codebook, m))
+    assert(pqNative == pqExploded, "pqAssignment paths diverged")
+    assert(!pqNative.exists(_._1 == 100L) && !pqNative.exists(_._1 == 101L))
+    assert(pqNative.size == 12 * 3)
+    def fe(df: org.apache.spark.sql.DataFrame) = rowsOf(df).map(r =>
+      r("vec_id") -> ((Option(r("codes"))
+        .map(_.asInstanceOf[scala.collection.Seq[Int]].toSeq), r("cid")))).toMap
+    val feNative = fe(Similarity.fusedEncode(e, cents, codebook, m))
+    val feExploded = fe(Similarity.fusedEncodeExploded(e, cents, codebook, m))
+    assert(feNative == feExploded, "fusedEncode paths diverged")
+    assert(!feNative.contains(100L) && !feNative.contains(101L))
+    assert(feNative.size == 12)
+  }
+
   test("pqCodebook is a task-free local relation with rank/slice semantics") {
     val cents = Seq(
       (30L, Seq(1.0, 2.0, 3.0, 4.0, 5.0)),
