@@ -337,6 +337,32 @@ class ScaleSpec extends SparkSpec {
       f.getName.startsWith(".rewrite_") || f.getName.startsWith(".old_")))
   }
 
+  test("store swap: a failed rename throws with recovery guidance, never silently corrupts") {
+    import org.apache.hadoop.fs.Path
+    // a FileSystem whose rename always REPORTS failure (Hadoop's
+    // contract: boolean false, no exception) — the case the checked
+    // swap exists for
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = java.nio.file.Files.createTempDirectory("swapfail").toString
+    new java.io.File(s"$base/store").mkdirs()
+    new java.io.File(s"$base/tmp").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/tmp/part-0"), "x")
+    val failing = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def rename(src: Path, dst: Path): Boolean = false
+    }
+    failing.initialize(new java.net.URI("file:///"), conf)
+    val err = intercept[java.io.IOException] {
+      graft.scale.Stores.swapPartition(failing,
+        new Path(s"$base/store"), new Path(s"$base/tmp"))
+    }
+    // first-phase failure names the untouched store and the preserved copy
+    assert(err.getMessage.contains("untouched"), err.getMessage)
+    // and nothing moved or vanished
+    assert(new java.io.File(s"$base/store").exists)
+    assert(new java.io.File(s"$base/tmp/part-0").exists)
+  }
+
   test("Layout compaction: report finds small-file partitions; rewrite is value-neutral and scoped") {
     import graft.scale.Layout
     val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
