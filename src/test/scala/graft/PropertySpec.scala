@@ -97,6 +97,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: sourceOverlap equals the brute-force gram-set reference") {
+    import spark.implicits._
+    val word = Gen.oneOf("red", "blue", "green", "ox", "ant", "elk", "fox")
+    val text = Gen.choose(3, 9).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpus = Gen.choose(6, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(text, Gen.oneOf("sA", "sB", "sC"))))
+    forAll(corpus, 4) { rows =>
+      val docs = rows.zipWithIndex
+        .map { case ((t, src), i) => (i.toLong, t, src) }
+        .toDF("doc_id", "text", "source")
+      val got = rowsOf(graft.pipeline.Curation.sourceOverlap(docs, n = 2))
+        .map(r => (r("source_a"), r("source_b")) ->
+          ((r("shared_grams"), r("jaccard")))).toMap
+      // reference: per-source distinct word-bigram sets, pairwise
+      def grams(t: String): Set[Seq[String]] =
+        t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+          .sliding(2).filter(_.length == 2).map(_.toSeq).toSet
+      val bySrc = rows.groupBy(_._2).view
+        .mapValues(_.flatMap(r => grams(r._1)).toSet).toMap
+      val expect = (for {
+        a <- bySrc.keys; b <- bySrc.keys if a < b
+        shared = (bySrc(a) & bySrc(b)).size if shared > 0
+      } yield {
+        val j = shared.toDouble / (bySrc(a) ++ bySrc(b)).size
+        (a, b) -> ((shared.toLong,
+          BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }).toMap
+      assert(got == expect, s"got $got expect $expect rows=$rows")
+    }
+  }
+
   test("property: bpeTrainBatched matches RefBpe twin on random corpora") {
     import spark.implicits._
     val word = Gen.choose(1, 5).flatMap(n =>
