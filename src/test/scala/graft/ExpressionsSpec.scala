@@ -343,6 +343,14 @@ class ExpressionsSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT unicode_normalize(text, 'NFX') FROM unorm_t").collect()
     }
+    // astral plane survives the UTF8String round-trip: U+1D400
+    // MATHEMATICAL BOLD A is NFC-stable but NFKC-folds to plain A
+    val bold = new String(Character.toChars(0x1D400))
+    val astral = Seq(bold + "x").toDF("text")
+    assert(astral.select(TextExpressions.unicodeNormalize(col("text"), "NFC"))
+      .collect().head.getString(0) == bold + "x")
+    assert(astral.select(TextExpressions.unicodeNormalize(col("text"), "NFKC"))
+      .collect().head.getString(0) == "Ax")
   }
 
   test("bpeTrain learns the hand-computed merge sequence") {
