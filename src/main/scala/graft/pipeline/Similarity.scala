@@ -2,7 +2,7 @@ package graft.pipeline
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
@@ -623,13 +623,28 @@ object Similarity {
     * over an (m+1)-way explode joined to the broadcast codebook∪centroid
     * table. Identical output to the native form on ANY input: PQ
     * candidates rank on a dedicated LONG column (exact above 2^53,
-    * where a long→double round-trip would tie-collapse; NaN → 0 via the
-    * cast, as [[PqNearestCodes]] compares), the coarse candidates on a
-    * double column; null-scored candidates are filtered; a vector
+    * where a long→double round-trip would tie-collapse; NaN → 0 and
+    * ±Inf → Long.Max/MinValue via [[toLongScala]], exactly as
+    * [[graft.expressions.PqNearestCodes]] compares), the coarse
+    * candidates on a double column with NaN mapped to -Infinity (the
+    * native Double.compare rank); null-scored candidates are filtered; a vector
     * missing any PQ subspace is dropped whole, and one whose every
     * COARSE candidate is invalid falls back to the lowest centroid id —
     * the [[graft.expressions.NearestCentroid]] contract. Used when the
     * codebook is too large to bake into the projection. */
+  /** Scala's Double→Long conversion as a Column (NaN → 0, ±Infinity →
+    * Long.Max/MinValue) — the comparison domain
+    * [[graft.expressions.PqNearestCodes]] ranks distances in. A plain
+    * `.cast("long")` THROWS under ANSI mode for non-finite distances
+    * (reachable from overflowing vector elements), so the exploded
+    * fallbacks spell the conversion out to stay identical to the
+    * native path on ANY input. Null propagates (callers filter it). */
+  private def toLongScala(d: Column): Column =
+    when(isnan(d), lit(0L))
+      .when(d >= lit(Long.MaxValue.toDouble), lit(Long.MaxValue))
+      .when(d <= lit(Long.MinValue.toDouble), lit(Long.MinValue))
+      .otherwise(d.cast("long"))
+
   private[pipeline] def fusedEncodeExploded(e: DataFrame, cents: DataFrame,
                        codebook: DataFrame, m: Int): DataFrame = {
     val minRow = cents.agg(min(col("cid"))).collect()(0)
@@ -646,12 +661,22 @@ object Similarity {
       .join(broadcast(combined), Seq("sub"))
       .withColumn("scoreL",
         when(col("sub") >= 0,
-          round(Vec.l2Squared(col("subvec"), col("csubvec")) * 1000000.0d)
-            .cast("long"))
+          toLongScala(
+            round(Vec.l2Squared(col("subvec"), col("csubvec")) * 1000000.0d)))
           .otherwise(lit(0L)))
       .withColumn("scoreD",
+        // Negating does not reverse the order for NaN (Spark's total
+        // ordering puts NaN above every double and -NaN is NaN), so a
+        // NaN cosine would rank WORST under min_by here while ranking
+        // BEST in the native NearestCentroid path (java.lang.Double
+        // .compare). Map NaN to -Infinity explicitly — cosine is never
+        // ±Infinity, so the mapping is collision-free — to keep the
+        // two paths identical on non-finite inputs.
         when(col("sub") >= 0, lit(0.0d))
-          .otherwise(-round(Vec.cosine(col("subvec"), col("csubvec")), 6)))
+          .otherwise({
+            val csim = round(Vec.cosine(col("subvec"), col("csubvec")), 6)
+            when(isnan(csim), lit(Double.NegativeInfinity)).otherwise(-csim)
+          }))
       .filter((col("sub") >= 0 && col("scoreL").isNotNull) ||
         (col("sub") < 0 && col("scoreD").isNotNull))
       .groupBy(col("vec_id"), col("sub"))
@@ -673,9 +698,12 @@ object Similarity {
     * codebook — the encode pass, shared by one-shot ANN search and the
     * persisted index's build/append (appending must not retrain).
     * Map-only like [[fusedEncode]]: the codebook is metadata-sized, so
-    * each subspace's argmin is a `least` over code literals inside one
-    * projection and the (vec_id, sub, code) rows come from a
-    * posexplode — no broadcast join, no re-aggregation shuffle. */
+    * it is baked into a native [[graft.expressions.PqNearestCodes]]
+    * loop expression (one codegen'd projection) and the
+    * (vec_id, sub, code) rows come from a posexplode of its result —
+    * no broadcast join, no re-aggregation shuffle. (An unrolled
+    * `least`-over-code-literals chain was measured and rejected
+    * elsewhere: it blows the 64 KB codegen method limit.) */
   private[pipeline] def pqAssignment(e: DataFrame, codebook: DataFrame,
                        m: Int): DataFrame = {
     val cbVals = codebook.select(col("sub"), col("code"), col("csubvec"))
@@ -706,8 +734,8 @@ object Similarity {
       .withColumn("subvec", subSlice(col("vec"), col("sub"), m))
       .join(broadcast(codebook), Seq("sub"))
       .withColumn("d2u",
-        round(Vec.l2Squared(col("subvec"), col("csubvec")) * 1000000.0d)
-          .cast("long"))
+        toLongScala(
+          round(Vec.l2Squared(col("subvec"), col("csubvec")) * 1000000.0d)))
       .filter(col("d2u").isNotNull)
       .groupBy(col("vec_id"), col("sub"))
       .agg(min_by(col("code"), struct(col("d2u"), col("code"))).as("code"))

@@ -247,6 +247,11 @@ object Documents {
     if (!fs.exists(root)) {
       up.write.mode("append").partitionBy("day").parquet(path)
     } else {
+      // A prior run that crashed mid-swap leaves a day partition
+      // stranded at .old_day=<d>; the root read below would silently
+      // miss it and this rewrite would bake the loss in. Roll back
+      // first so the read sees every pre-crash row.
+      graft.scale.Stores.recoverInterruptedSwaps(fs, root)
       val days = up.select("day").distinct()
         .collect().map(_.getString(0)).toSeq // metadata-sized
       val existing = spark.read.parquet(path)
@@ -289,6 +294,9 @@ object Documents {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
+    // Same interrupted-swap rollback as upsertDaily: a stranded
+    // .old_day= sibling must be restored before the store read.
+    graft.scale.Stores.recoverInterruptedSwaps(fs, root)
     val keys = retired.select(col(key)).distinct()
     val store = spark.read.parquet(path)
       .withColumn("day", col("day").cast("string"))

@@ -144,6 +144,11 @@ object Layout {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     partitions.foreach { part =>
       val pdir = if (part.isEmpty) root else new Path(root, part)
+      // If a prior compaction crashed between swap renames, pdir is
+      // missing and .old_<pdir> holds the rows — restore before
+      // listing (listStatus on the missing dir would fail loudly,
+      // but resumably rolling back is strictly better).
+      Stores.recoverInterruptedSwaps(fs, pdir.getParent)
       val files = fs.listStatus(pdir).filter(s =>
         !s.isDirectory && s.getPath.getName.endsWith(".parquet"))
       if (files.length > 1) {

@@ -58,9 +58,27 @@ object Stores {
     * the freshly-written `tmpPart` in over `storePart` (renaming the
     * current files away first, then clearing them). Each partition swap
     * is atomic on its own; a crash between partitions leaves every
-    * partition either fully old or fully new, all readable. */
+    * partition either fully old or fully new, all readable.
+    *
+    * If a PRIOR swap of this partition crashed between its two renames,
+    * the partition is missing and `.old_` holds the only surviving copy
+    * — and, crucially, `tmpPart` was then built from a store read that
+    * silently MISSED this partition (a missing `day=` dir does not fail
+    * a root read the way a missing root does). Deleting `.old_` here
+    * would destroy the only pre-crash copy and install an
+    * incomplete rewrite: refuse loudly instead. Callers avoid ever
+    * reaching this state by running [[recoverInterruptedSwaps]] before
+    * reading the store. */
   def swapPartition(fs: FileSystem, storePart: Path, tmpPart: Path): Unit = {
     val old = new Path(storePart.getParent, s".old_${storePart.getName}")
+    if (!fs.exists(storePart) && fs.exists(old))
+      throw new java.io.IOException(
+        s"interrupted prior swap detected: $storePart is missing and " +
+          s"$old holds the only copy of its pre-crash rows, so the " +
+          s"rewrite at $tmpPart was built from an INCOMPLETE store " +
+          s"read. Rename $old back to $storePart (or call " +
+          s"Stores.recoverInterruptedSwaps on the store root) and " +
+          s"re-run — refusing to delete the only surviving copy")
     fs.delete(old, true)
     if (fs.exists(storePart)) renameOrThrow(fs, storePart, old,
       s"partition left untouched at $storePart; new copy preserved at $tmpPart")
@@ -68,5 +86,33 @@ object Stores {
       s"partition contents now live ONLY under $old — rename it back to " +
         s"$storePart (or $tmpPart in) to recover")
     fs.delete(old, true)
+  }
+
+  /** Roll back any swap a prior run left half-done under `dir`: a child
+    * `.old_<name>` whose `<name>` sibling is missing marks a crash
+    * between [[swapPartition]]'s two renames — rename it back so the
+    * store reads complete again (the interrupted rewrite's temp output
+    * is stale by definition and is cleared by the caller's own
+    * temp-dir cleanup). A `.old_<name>` whose `<name>` DOES exist is
+    * garbage from a crash after the second rename; drop it. Run this
+    * before any read that feeds a store rewrite — a silently-missing
+    * partition would otherwise propagate into the rewritten store.
+    * Returns the number of partitions restored. */
+  def recoverInterruptedSwaps(fs: FileSystem, dir: Path): Int = {
+    if (!fs.exists(dir)) return 0
+    var restored = 0
+    fs.listStatus(dir).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith(".old_")) {
+        val live = new Path(dir, name.stripPrefix(".old_"))
+        if (!fs.exists(live)) {
+          renameOrThrow(fs, st.getPath, live,
+            s"recovery of interrupted swap failed; pre-crash rows remain " +
+              s"at ${st.getPath}")
+          restored += 1
+        } else fs.delete(st.getPath, true) // completed swap's leftover
+      }
+    }
+    restored
   }
 }

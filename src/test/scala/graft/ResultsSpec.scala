@@ -133,6 +133,42 @@ class ResultsSpec extends SparkSpec {
     assert(!new java.io.File(dir).listFiles.exists(_.getName.startsWith(".old_")))
   }
 
+  test("upsertDaily/deleteDaily: a day stranded at .old_ by a mid-swap crash is recovered, not silently lost") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("upcrash").toString + "/store"
+    def doc(key: String, v: Long, tsMs: Long) =
+      Seq((key, v)).toDF("key", "value")
+        .withColumn("@timestamp",
+          org.apache.spark.sql.functions.timestamp_millis(lit(tsMs)))
+    val day1 = 1700000000000L // 2023-11-14
+    val day2 = 1700100000000L // 2023-11-16
+    Documents.writeDaily(doc("a", 1L, day1).unionByName(doc("b", 2L, day1)), dir)
+    Documents.writeDaily(doc("c", 3L, day2), dir)
+    def strandDay1(): Unit = {
+      // the state a crash between swapPartition's two renames leaves:
+      // the partition renamed away, the rewrite never renamed in
+      val live = new java.io.File(s"$dir/day=2023-11-14")
+      assert(live.renameTo(new java.io.File(s"$dir/.old_day=2023-11-14")))
+    }
+    strandDay1()
+    // the natural retry: upsert the same day again. Without recovery the
+    // root read silently misses day1, the rewrite is built WITHOUT b,
+    // and the swap's .old_ cleanup destroys the only pre-crash copy.
+    Documents.upsertDaily(spark, dir, doc("a", 10L, day1), key = "key")
+    def got() = spark.read.parquet(dir)
+      .select(col("key"), col("value"), col("day").cast("string")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(got() == Set(
+      ("a", 10L, "2023-11-14"), ("b", 2L, "2023-11-14"), // b survived
+      ("c", 3L, "2023-11-16")))
+    assert(!new java.io.File(dir).listFiles.exists(_.getName.startsWith(".old_")))
+    // same interleaving against the delete path
+    strandDay1()
+    Documents.deleteDaily(spark, dir, Seq("a").toDF("key"), key = "key")
+    assert(got() == Set(("b", 2L, "2023-11-14"), ("c", 3L, "2023-11-16")))
+    assert(!new java.io.File(dir).listFiles.exists(_.getName.startsWith(".old_")))
+  }
+
   test("dailyProfileDoc: dense 24-slot array, zero-filled silent hours") {
     val profile = Seq(
       ("10.0.0.1", 0L, 3, 100L, 1000L, 2L),

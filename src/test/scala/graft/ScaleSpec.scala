@@ -363,6 +363,73 @@ class ScaleSpec extends SparkSpec {
     assert(new java.io.File(s"$base/tmp/part-0").exists)
   }
 
+  test("store swap: crash between the two renames is recoverable, a blind retry refuses to destroy the only copy") {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = java.nio.file.Files.createTempDirectory("swapcrash").toString
+    new java.io.File(s"$base/store").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/store/part-0"), "precrash")
+    new java.io.File(s"$base/tmp").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/tmp/part-1"), "rewrite")
+    // a FileSystem that dies (throws) on its SECOND rename — i.e. the
+    // process is killed after `store` moved to `.old_store` but before
+    // `tmp` moved in: the exact interleaving the .old_ sibling exists for
+    var renames = 0
+    val crashing = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def rename(src: Path, dst: Path): Boolean = {
+        renames += 1
+        if (renames >= 2) throw new RuntimeException("simulated crash")
+        super.rename(src, dst)
+      }
+    }
+    crashing.initialize(new java.net.URI("file:///"), conf)
+    intercept[RuntimeException] {
+      graft.scale.Stores.swapPartition(crashing,
+        new Path(s"$base/store"), new Path(s"$base/tmp"))
+    }
+    // the documented post-crash state: store gone, .old_ holds the rows
+    assert(!new java.io.File(s"$base/store").exists)
+    assert(new java.io.File(s"$base/.old_store/part-0").exists)
+    val real = new Path(s"$base/store")
+      .getFileSystem(conf)
+    // a blind retry (tmp rebuilt from a store read that MISSED the
+    // stranded rows) must refuse rather than delete the only copy
+    new java.io.File(s"$base/tmp2").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/tmp2/part-2"), "incomplete rewrite")
+    val err = intercept[java.io.IOException] {
+      graft.scale.Stores.swapPartition(real,
+        new Path(s"$base/store"), new Path(s"$base/tmp2"))
+    }
+    assert(err.getMessage.contains("interrupted prior swap"), err.getMessage)
+    assert(new java.io.File(s"$base/.old_store/part-0").exists) // preserved
+    // recovery rolls the partition back...
+    assert(graft.scale.Stores.recoverInterruptedSwaps(real, new Path(base)) == 1)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$base/store/part-0")) == "precrash")
+    assert(!new java.io.File(s"$base/.old_store").exists)
+    // ...and is idempotent
+    assert(graft.scale.Stores.recoverInterruptedSwaps(real, new Path(base)) == 0)
+    // after recovery a normal swap (rewrite rebuilt from the FULL store)
+    // completes and leaves no siblings
+    graft.scale.Stores.swapPartition(real,
+      new Path(s"$base/store"), new Path(s"$base/tmp2"))
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$base/store/part-2")) == "incomplete rewrite")
+    assert(!new java.io.File(s"$base/.old_store").exists)
+    // a crash AFTER the second rename strands a completed-swap .old_;
+    // recovery classifies it as garbage and drops it without touching
+    // the live partition
+    new java.io.File(s"$base/.old_store").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/.old_store/stale"), "x")
+    assert(graft.scale.Stores.recoverInterruptedSwaps(real, new Path(base)) == 0)
+    assert(!new java.io.File(s"$base/.old_store").exists)
+    assert(new java.io.File(s"$base/store/part-2").exists)
+  }
+
   test("Layout compaction: report finds small-file partitions; rewrite is value-neutral and scoped") {
     import graft.scale.Layout
     val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"

@@ -71,6 +71,37 @@ class SimilarityInternalsSpec extends graft.SparkSpec {
     assert(feNative.size == 12)
   }
 
+  test("encode paths agree on non-finite cosines (NaN vs finite per centroid)") {
+    // A vector of ~1e200 elements overflows its own norm to Infinity:
+    // against a small centroid the dot product stays finite → cosine
+    // finite/Inf = 0.0, but against an equally-huge centroid the dot
+    // overflows too → Inf/Inf = NaN. The native NearestCentroid ranks
+    // NaN best (java.lang.Double.compare), so the exploded fallback's
+    // min_by on the negated cosine must map NaN → -Infinity or the two
+    // paths would silently assign different cids across the 8192
+    // codebook-size threshold.
+    val cents = Seq(
+      (0L, Seq.tabulate(7)(d => 0.1 * (d + 1))),
+      (1L, Seq.tabulate(7)(d => 1.0e200 * (d + 1)))).toDF("cid", "cvec")
+    val m = 3
+    val codebook = Similarity.pqCodebook(cents, m)
+    val e = Seq(
+      (0L, Seq.tabulate(7)(d => 1.0e200 + d)), // NaN vs cid 1, 0.0 vs cid 0
+      (1L, Seq.tabulate(7)(d => 0.2 + d * 0.01))) // all-finite control
+      .toDF("vec_id", "vec")
+    def fe(df: org.apache.spark.sql.DataFrame) = rowsOf(df).map(r =>
+      r("vec_id") -> ((Option(r("codes"))
+        .map(_.asInstanceOf[scala.collection.Seq[Int]].toSeq), r("cid")))).toMap
+    val feNative = fe(Similarity.fusedEncode(e, cents, codebook, m))
+    val feExploded = fe(Similarity.fusedEncodeExploded(e, cents, codebook, m))
+    assert(feNative == feExploded,
+      s"non-finite cosine diverged: native=$feNative exploded=$feExploded")
+    // and the specific contract: the NaN-cosine centroid wins, as in
+    // the native Double.compare order
+    assert(feNative(0L)._2 == 1L)
+    assert(feNative.size == 2)
+  }
+
   test("pqCodebook is a task-free local relation with rank/slice semantics") {
     val cents = Seq(
       (30L, Seq(1.0, 2.0, 3.0, 4.0, 5.0)),
