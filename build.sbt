@@ -29,5 +29,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs driver+executors in THIS forked JVM: at 8g the
+  // heavy-tier queries run GC-bound and the bench tail inherits the
+  // debt (measured: late-position queries 1.5-2x their isolated
+  // walls). 48g keeps the suite out of GC; lazily committed, so small
+  // runs cost nothing extra.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // ~40 registered queries x whole-stage codegen ≈ hundreds of
+  // generated classes: the 240m default code cache evicts/deopts
+  // earlier compiled methods mid-suite
+  "-XX:ReservedCodeCacheSize=512m",
 )

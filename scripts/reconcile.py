@@ -86,6 +86,71 @@ def main(root):
     return 0
 
 
+def coverage(root):
+    """Emit the operator -> designated query -> latest-CORRECTNESS-row
+    manifest as machine output (VERDICT r13 #7): the judge's operator
+    table is GENERATED from COVERAGE.md's ID column plus the driver
+    artifact, not hand-kept. A row is `green` only if the artifact says
+    rows+schema+hash all matched; `spec` marks operators whose
+    verification is ScalaTest-only (streaming/Kafka boundary). Exits 1
+    if any designated query is red or missing from the artifact."""
+    cov_path = os.path.join(root, "COVERAGE.md")
+    cf = latest(root, "CORRECTNESS_r*.json")
+    rows = json.load(open(cf)) if cf else {}
+    rnd = round_num(cf) if cf else "-"
+
+    def status(q):
+        v = rows.get(q)
+        if v is None:
+            return "MISSING"
+        if not isinstance(v, dict):
+            return str(v)
+        if v.get("err") == "no_oracle":
+            return "no_oracle"
+        if v.get("err"):
+            return f"ERR:{v['err']}"
+        if all(v.get(k) for k in ("rows_match", "schema_match", "hash_match")):
+            return "green"
+        return "RED:" + ",".join(
+            k for k in ("rows_match", "schema_match", "hash_match")
+            if not v.get(k))
+
+    bad = 0
+    print(f"| ID | designated queries | CORRECTNESS_r{rnd} |")
+    print("|---|---|---|")
+    section_ok = False
+    for line in open(cov_path):
+        if line.startswith("## "):
+            # only the SURVEY §2 operator tables; later sections (LLM
+            # tier, negative results, ledgers) have their own formats
+            section_ok = line.startswith("## §2")
+            continue
+        if not (section_ok and line.startswith("| ") and
+                not line.startswith("| ID") and not line.startswith("|--")):
+            continue
+        cells = [c.strip() for c in line.strip().strip("|").split("|")]
+        if len(cells) < 2:
+            continue
+        op = cells[0]
+        # queries can sit in the "Verified by" cell (3-col tables) or
+        # the "Query" cell (§2.9's 2-col table) — scan every non-ID cell
+        qs = sorted(set(re.findall(r"\bq_[a-z0-9_]+\b",
+                                   " ".join(cells[1:]))))
+        if not qs:
+            print(f"| {op} | — | spec |")
+            continue
+        sts = {q: status(q) for q in qs}
+        bad += sum(1 for s in sts.values() if s.startswith(("RED", "ERR", "MISSING")))
+        print(f"| {op} | {', '.join(qs)} | "
+              f"{'; '.join(f'{q}={s}' for q, s in sts.items())} |")
+    print(f"\n{'FAIL: ' + str(bad) + ' red/missing designated rows' if bad else 'all designated queries green or no_oracle'}")
+    return 1 if bad else 0
+
+
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1
-                  else os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+    args = [a for a in sys.argv[1:] if a != "--coverage"]
+    root = args[0] if args else os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))
+    if "--coverage" in sys.argv[1:]:
+        sys.exit(coverage(root))
+    sys.exit(main(root))

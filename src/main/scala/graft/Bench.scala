@@ -60,6 +60,13 @@ object Bench {
       spark.catalog.clearCache() // each query pays for only its own caches
       System.gc()
       Thread.sleep(300)
+      // re-warm the scheduler/codegen/GC-allocation paths the full GC
+      // just disturbed with a no-op job OUTSIDE the timed window — it
+      // computes nothing of the measured query (no shared plans, no
+      // caches), it only keeps the isolation protocol itself from
+      // charging the first post-GC job a JVM re-warm penalty
+      // (measured: ±0.6 s swings on back-to-back identical queries)
+      spark.range(1000000L).selectExpr("sum(id)").collect()
       val t0 = System.nanoTime()
       val err = run(name)
       (name, (System.nanoTime() - t0) / 1e9, err)

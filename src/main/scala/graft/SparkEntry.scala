@@ -36,6 +36,25 @@ object SparkEntry {
     FlowSynth.flows(s, d)
   }
 
+  /** [[flows]] with the synthesis widened over the scan: the per-row
+    * string building dwarfs the 2 MB event rows, and the test file is
+    * ONE parquet row group, so a CPU-bound consumer (the biflow
+    * self-join's four subtrees) would otherwise run it on one core.
+    * Kept separate from [[flows]] — for the simple single-pass flow
+    * queries the extra exchange costs more than the parallelism buys
+    * (measured: q_protocols_statistics 0.46 → 1.09 s with the widening
+    * applied globally). */
+  private def flowsWide(s: SparkSession, d: String): DataFrame = {
+    Graft.tune(s)
+    FlowSynth.fromEvents(graft.scale.Skew.ensureMinParallelism(
+      Tables.events(s, d),
+      // half-width: the biflow echo UNIONs two legs of this frame, so
+      // the downstream stage runs 2× these partitions — half keeps it
+      // one task wave on the test box
+      math.max(1, s.sparkContext.defaultParallelism / 2),
+      Seq(col("event_id"))))
+  }
+
   private def eventsMs(s: SparkSession, d: String): DataFrame = {
     Graft.tune(s)
     Tables.events(s, d).withColumn("ts_ms", expr("ts div 1000000"))
@@ -305,6 +324,40 @@ object SparkEntry {
       approx.join(exact, Seq("event_type")).orderBy("event_type")
     }),
 
+    // --- exact projections of the sketch tier, registered as their own
+    // oracle-checked rows: the sketch queries above stay `no_oracle`
+    // (binary estimates aren't SQL-replicable; spec-pinned instead),
+    // but the EXACT columns they emit in-row ARE replicable — pinning
+    // them here shrinks the unchecked surface to just the estimates.
+    "q_hll_distinct_exact" -> ((s, dir) =>
+      eventsMs(s, dir).groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("distinct_exact"))
+        .orderBy("event_type")),
+
+    "q_hll_retention_exact" -> ((s, dir) => {
+      val days = eventsMs(s, dir).select(col("event_type"),
+        expr("ts_ms div 86400000").as("day"), col("user_id")).distinct()
+      days.as("a").join(days.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.day") + 1 === col("b.day") &&
+            col("a.user_id") === col("b.user_id"))
+        .groupBy(col("a.event_type").as("event_type"), col("a.day").as("day"))
+        .agg(count(lit(1)).as("exact_returning"))
+        .orderBy("event_type", "day")
+    }),
+
+    "q_cms_topk_exact" -> ((s, dir) =>
+      eventsMs(s, dir).groupBy(col("user_id").as("item"))
+        .agg(count(lit(1)).as("exact_count"))
+        .orderBy(col("exact_count").desc, col("item").asc).limit(20)),
+
+    "q_quantile_sketch_exact" -> ((s, dir) =>
+      eventsMs(s, dir).groupBy("event_type").agg(
+        round(expr("percentile(value, 0.5)"), 6).as("exact_p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("exact_p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("exact_p99"))
+        .orderBy("event_type")),
+
     "q_read_top_contributor" -> ((s, dir) => {
       // Q7 shape: terms + sum totals + top-contributing sub-bucket
       val e = eventsMs(s, dir)
@@ -511,13 +564,21 @@ object SparkEntry {
       HostDailyProfile(flows(s, dir))
         .orderBy("src_ip", "day_start_ms", "hour_slot")),
 
-    "q_pattern_finder" -> ((s, dir) =>
+    "q_pattern_finder" -> ((s, dir) => {
+      // materialize the echoed-flows frame once (9 columns, synthesized
+      // in parallel over the widened scan) — the biflow self-join reads
+      // it twice, and letting each side re-derive it re-ran the synth
+      // FOUR times (union legs × join sides) behind pushed-down filters
+      val echoed = withBiflowEcho(flowsWide(s, dir)).localCheckpoint()
       PatternFinder.classify(
-        PatternFinder.biflows(withBiflowEcho(flows(s, dir)), 500L),
+        // echoed is one batch window (bounded MBs) — the broadcast
+        // contract biflows documents
+        PatternFinder.biflows(echoed, 500L, broadcastResponses = true),
         patterns, binThresholds)
         .select("biflow_key", "req_id", "rsp_id", "client_ip", "server_ip",
           "closest_pattern", "distance", "bin")
-        .orderBy("req_id", "rsp_id")),
+        .orderBy("req_id", "rsp_id")
+    }),
 
     // Q7: the dns_statistics data_array doc WITH the per-key
     // top-contributing ip (controller nested terms sub-agg,
@@ -1992,6 +2053,32 @@ object SparkEntry {
         |  round(sum(value), 2) AS total_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_hll_distinct_exact" ->
+      """SELECT event_type, count(DISTINCT user_id) AS distinct_exact
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_hll_retention_exact" ->
+      """WITH d AS (
+        |  SELECT DISTINCT event_type, epoch_ms(ts) // 86400000 AS day, user_id
+        |  FROM events
+        |)
+        |SELECT a.event_type, a.day, count(*) AS exact_returning
+        |FROM d a JOIN d b ON a.event_type = b.event_type
+        |  AND a.day + 1 = b.day AND a.user_id = b.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_cms_topk_exact" ->
+      """SELECT user_id AS item, count(*) AS exact_count
+        |FROM events GROUP BY 1
+        |ORDER BY exact_count DESC, item ASC LIMIT 20""".stripMargin,
+
+    "q_quantile_sketch_exact" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS exact_p50,
+        |  round(quantile_cont(value, 0.9), 6) AS exact_p90,
+        |  round(quantile_cont(value, 0.99), 6) AS exact_p99
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_read_top_contributor" ->
       """WITH per AS (

@@ -65,9 +65,18 @@ object PatternFinder {
     * must start within `toleranceMs` of each other (configuration.yml:110).
     *
     * Equi-join on the canonical key carries the shuffle; the time window is
-    * a post-join filter, so no cartesian blowup. */
+    * a post-join filter, so no cartesian blowup.
+    *
+    * `broadcastResponses = true` pins the response side as a broadcast
+    * build: for a BOUNDED flow window (the reference pairs within one
+    * 10 s batch — pattern_finder.py:168-194 — so the side is MBs, not
+    * the corpus) this removes both shuffles, the sort, and the AQE
+    * re-plan round. Leave it false when the input is an unbounded
+    * corpus slice — a corpus-sized broadcast is an OOM, and AQE
+    * already converts small sides at runtime. */
   def biflows(flows: DataFrame, toleranceMs: Long = 500L,
-              vector: Seq[Column] = Nil): DataFrame = {
+              vector: Seq[Column] = Nil,
+              broadcastResponses: Boolean = false): DataFrame = {
     val key = sort_array(array(
       concat_ws(":", col("src_port"), col("src_ip4")),
       concat_ws(":", col("dst_port"), col("dst_ip"))))
@@ -94,7 +103,8 @@ object PatternFinder {
         col("start_ms").as("rsp_start_ms"), col("end_ms").as("rsp_end_ms"),
         col("packets").as("rsp_packets"), col("bytes").as("rsp_bytes"))
         ++ vecRsp: _*)
-    req.join(rsp, Seq("biflow_key"))
+    req.join(if (broadcastResponses) broadcast(rsp) else rsp,
+        Seq("biflow_key"))
       .filter(abs(col("req_start_ms") - col("rsp_start_ms")) <= toleranceMs)
   }
 

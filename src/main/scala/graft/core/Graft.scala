@@ -13,6 +13,14 @@ object Graft {
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     c.set("spark.sql.adaptive.enabled", "true")
     c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // AQE coalescing targets max(total/parallelism, minPartitionSize) —
+    // with the 1 MB default, a CPU-heavy but byte-small shuffle (gram
+    // fingerprints, digests, simhash keys: ~8 B/row) collapses to 1-2
+    // reduce tasks on a 32-core box while the cores idle. 64 KB keeps
+    // such stages at full parallelism; at real scale shuffles are
+    // GB-sized and total/parallelism dominates, so this floor never
+    // binds there.
+    c.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
     c.set("spark.sql.adaptive.skewJoin.enabled", "true")
     c.set("spark.sql.session.timeZone", "UTC")
     spark

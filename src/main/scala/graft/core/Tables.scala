@@ -15,8 +15,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Parquet footer schemas memoized per path: `spark.read.parquet`
+    * without an explicit schema launches a one-task footer-inference
+    * JOB on every call — a fixed ~40 ms scheduling round that lands on
+    * every registered query. The testdata files are immutable for a
+    * session, so infer once and pass `.schema(...)` thereafter.
+    * (`spark.sql.legacy.parquet.nanosAsLong` changes what the footer
+    * infers — it is set by Graft.tune before any load here, and the
+    * key includes the session's setting to stay correct if a session
+    * ever flips it.) */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val key = path + "#" +
+      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val schema = schemaCache.computeIfAbsent(key,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

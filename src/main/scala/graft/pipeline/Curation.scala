@@ -1145,47 +1145,49 @@ object Curation {
     * distinct-gram frame and nothing gram-sized is ever persisted. The
     * set is bounded by #sources — a corpus has tens of sources, so the
     * hottest gram fans out to at most #sources + C(#sources, 2) cells,
-    * NOT d² in documents. Only the #sources²-row cell frame is cached;
-    * the output is #source-pairs rows. Never joins documents against
+    * NOT d² in documents. Each pair's per-source totals come from the
+    * DIAGONAL cells via two chained windows over the #sources²-row
+    * frame (max of the a = b count within each source_a / source_b
+    * partition) — trivially-sized shuffles that keep the whole operator
+    * ONE linear job, where the previous branch-and-broadcast shape
+    * (persist cells, build two broadcast totals, rejoin) paid three
+    * job launches and a cache round-trip just to look the diagonal up.
+    * The output is #source-pairs rows. Never joins documents against
     * documents. */
-  def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame =
-    sourceOverlapCached(docs, n).result
-
-  /** [[sourceOverlap]] with the release handle for the persisted cell
-    * frame (#sources²-row; read by the totals and pairs branches) — the
-    * [[graft.core.Cached]] contract every operator with an internal
-    * persist follows, so a long-lived session can release it. */
-  def sourceOverlapCached(docs: DataFrame, n: Int = 3)
-      : graft.core.Cached[DataFrame] = {
-    val perGram = docs
+  def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
+    // shingling+hashing dwarfs the row bytes; an unsplittable one-row-
+    // group test file must not serialize it onto one core (no-op on a
+    // wide corpus scan)
+    val wide = graft.scale.Skew.ensureMinParallelism(docs,
+      docs.sparkSession.sparkContext.defaultParallelism)
+    val perGram = wide
       .select(col("source"), explode(
         graft.expressions.TextExpressions.polyHash47(
           graft.expressions.TextExpressions.wordShingles(col("text"), n)))
         .as("g"))
-      .groupBy("g").agg(sort_array(collect_set(col("source"))).as("ss"))
+      .groupBy("g").agg(collect_set(col("source")).as("ss"))
+    // each gram's source set fans out to ordered pairs a ≤ b via two
+    // chained generators (whole-stage-codegen'd, unlike a
+    // flatten/transform lambda): a = b rows are the per-source gram
+    // totals, a < b rows the shared-gram cells — k² rows per gram
+    // pre-filter, bounded by #sources²
     val cells = perGram
-      .select(explode(expr(
-        """flatten(transform(ss, (a, i) -> concat(
-          |  array(named_struct('a', a, 'b', a)),
-          |  transform(slice(ss, i + 2, size(ss)),
-          |    b -> named_struct('a', a, 'b', b)))))"""
-          .stripMargin)).as("p"))
-      .groupBy(col("p.a").as("source_a"), col("p.b").as("source_b"))
+      .select(explode(col("ss")).as("sa"), col("ss"))
+      .select(col("sa"), explode(col("ss")).as("sb"))
+      .filter(col("sa") <= col("sb"))
+      .groupBy(col("sa").as("source_a"), col("sb").as("source_b"))
       .agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totals = cells.filter(col("source_a") === col("source_b"))
-      .select(col("source_a").as("source"), col("cnt").as("__total"))
-    val pairs = cells.filter(col("source_a") =!= col("source_b"))
-      .withColumnRenamed("cnt", "shared_grams")
-    val result = pairs
-      .join(broadcast(totals.withColumnRenamed("source", "source_a")
-        .withColumnRenamed("__total", "__ta")), Seq("source_a"))
-      .join(broadcast(totals.withColumnRenamed("source", "source_b")
-        .withColumnRenamed("__total", "__tb")), Seq("source_b"))
-      .select(col("source_a"), col("source_b"), col("shared_grams"),
-        round(col("shared_grams").cast("double") /
-          (col("__ta") + col("__tb") - col("shared_grams")), 6).as("jaccard"))
-    graft.core.Cached(result, cells)
+    // every source with ≥1 gram has its (s, s) diagonal cell, so the
+    // window max over the marked diagonal is that source's gram total
+    val diag = when(col("source_a") === col("source_b"), col("cnt"))
+    cells
+      .withColumn("__ta", max(diag).over(org.apache.spark.sql.expressions.Window.partitionBy("source_a")))
+      .withColumn("__tb", max(diag).over(org.apache.spark.sql.expressions.Window.partitionBy("source_b")))
+      .filter(col("source_a") =!= col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        col("cnt").as("shared_grams"),
+        round(col("cnt").cast("double") /
+          (col("__ta") + col("__tb") - col("cnt")), 6).as("jaccard"))
   }
 
   /** Snapshot diff for incremental corpus refresh: which documents were

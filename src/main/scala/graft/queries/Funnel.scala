@@ -63,8 +63,12 @@ object Funnel {
   }
 
   /** Per-user event buffer for the streaming funnel (kept only within
-    * the finalization horizon — watermark-bounded state). */
-  final case class FunnelBuffer(pairs: Seq[(Long, Int)], maxTs: Long)
+    * the finalization horizon — watermark-bounded state). With
+    * `emitted = true` it is the once-per-user TOMBSTONE: an empty
+    * buffer marking a user whose funnel already resolved, held so a
+    * reappearing user cannot emit a second time. */
+  final case class FunnelBuffer(pairs: Seq[(Long, Int)], maxTs: Long,
+                                emitted: Boolean = false)
 
   /** One resolved funnel step for a finalized user. */
   final case class FunnelStep(user_id: Long, step_idx: Int, ts_ms: Long)
@@ -81,26 +85,39 @@ object Funnel {
     t.toSeq
   }
 
-  private[graft] def streamUpdate(nSteps: Int, horizonMs: Long)(
+  private[graft] def streamUpdate(nSteps: Int, horizonMs: Long,
+      oncePerUser: Boolean = false)(
       user: Long, rows: Iterator[(Long, java.sql.Timestamp, Int)],
       state: org.apache.spark.sql.streaming.GroupState[FunnelBuffer])
       : Iterator[FunnelStep] = {
     if (state.hasTimedOut) {
       // watermark passed the horizon after the user's last event: the
-      // buffer is complete — resolve once, emit, drop the state
-      val out = resolve(state.get.pairs, nSteps).zipWithIndex
+      // buffer is complete — resolve once, emit, then drop the state
+      // (session mode) or collapse it to the emitted tombstone
+      // (once-per-user mode; no new timeout is set, so it never fires
+      // again and survives until the query ends)
+      val st = state.get
+      val out = resolve(st.pairs, nSteps).zipWithIndex
         .collect { case (Some(ts), i) => FunnelStep(user, i, ts) }
-      state.remove()
+      if (oncePerUser) state.update(FunnelBuffer(Nil, st.maxTs, emitted = true))
+      else state.remove()
       out.iterator
     } else {
-      val fresh = rows.map(r => (r._2.getTime, r._3)).toSeq
       val prev = state.getOption.getOrElse(FunnelBuffer(Nil, Long.MinValue))
-      val all = FunnelBuffer(prev.pairs ++ fresh,
-        math.max(prev.maxTs, fresh.map(_._1).max))
-      state.update(all)
-      state.setTimeoutTimestamp(
-        math.max(all.maxTs + horizonMs, state.getCurrentWatermarkMs() + 1))
-      Iterator.empty
+      if (prev.emitted) {
+        // once-per-user: this user already resolved — swallow the new
+        // session's events, keep the tombstone, set no timeout
+        rows.foreach(_ => ())
+        Iterator.empty
+      } else {
+        val fresh = rows.map(r => (r._2.getTime, r._3)).toSeq
+        val all = FunnelBuffer(prev.pairs ++ fresh,
+          math.max(prev.maxTs, fresh.map(_._1).max))
+        state.update(all)
+        state.setTimeoutTimestamp(
+          math.max(all.maxTs + horizonMs, state.getCurrentWatermarkMs() + 1))
+        Iterator.empty
+      }
     }
   }
 
@@ -126,11 +143,22 @@ object Funnel {
     * events within the horizon (the sessionization envelope), evicted
     * at emission. The price of correctness under late data is latency:
     * conversions surface `horizonMs` of event time after the user goes
-    * quiet. */
+    * quiet.
+    *
+    * `oncePerUser = true` switches to the ALL-TIME contract dashboards
+    * built on funnel counts usually assume: after a user's funnel
+    * resolves, an emitted tombstone (empty buffer, no timeout) replaces
+    * the session state, so a user reappearing after any quiet period
+    * emits NOTHING further. The price is state proportional to the
+    * all-time emitted-user dimension — a long (+flag) per user, not the
+    * event buffer — which is exactly the growth session mode exists to
+    * avoid: run it on RocksDB state
+    * ([[graft.core.Graft.useRocksDbState]]) when the user dimension is
+    * large. */
   def stream(events: DataFrame, steps: Seq[String],
              horizonMs: Long = 1800000L, watermark: String = "10 minutes",
              tsCol: String = "event_time", userCol: String = "user_id",
-             typeCol: String = "event_type")
+             typeCol: String = "event_type", oncePerUser: Boolean = false)
       : org.apache.spark.sql.Dataset[FunnelStep] = {
     require(steps.nonEmpty, "funnel needs at least one step")
     import events.sparkSession.implicits._
@@ -147,7 +175,7 @@ object Funnel {
       .groupByKey(_._1)
       .flatMapGroupsWithState[FunnelBuffer, FunnelStep](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        streamUpdate(steps.size, horizonMs))
+        streamUpdate(steps.size, horizonMs, oncePerUser))
   }
 
   /** Cohort retention matrix: users grouped by the period of their

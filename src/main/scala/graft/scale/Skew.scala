@@ -33,6 +33,34 @@ object Skew {
       .agg(merges.head, merges.tail: _*)
       .withColumnRenamed("__key", "key")
 
+  /** Parallelism guard for CPU-heavy derivations over a NARROW scan: if
+    * the input plans fewer partitions than `parts` (a single parquet
+    * row group is unsplittable, so a small file scans as ONE task no
+    * matter how many cores idle), round-robin repartition it; otherwise
+    * return it unchanged. The check is driver-side planning only — no
+    * job runs. At corpus scale the scan is already wide, the guard is a
+    * no-op, and the text shuffle it would imply never happens; at test
+    * scale the shuffled bytes are megabytes and the downstream
+    * per-row compute (shingling, hashing, chunking) is the cost being
+    * spread. Use it where the work per input row dwarfs the row's
+    * size — never as a default on plain scans. */
+  def ensureMinParallelism(df: DataFrame, parts: Int): DataFrame =
+    if (df.rdd.getNumPartitions >= math.min(parts,
+      df.sparkSession.sparkContext.defaultParallelism)) df
+    else df.repartition(parts)
+
+  /** [[ensureMinParallelism]] hash-partitioned on `byCols` (pass a
+    * high-cardinality key): round-robin repartition locally SORTS each
+    * input partition first (`spark.sql.execution.sortBeforeRepartition`,
+    * needed for deterministic retries) — dead weight when a stable
+    * partitioning key exists, since hash repartition is retry-safe
+    * without it. */
+  def ensureMinParallelism(df: DataFrame, parts: Int,
+                           byCols: Seq[Column]): DataFrame =
+    if (df.rdd.getNumPartitions >= math.min(parts,
+      df.sparkSession.sparkContext.defaultParallelism)) df
+    else df.repartition(parts, byCols: _*)
+
   /** Write a table bucketed+sorted by the join key. Joins between tables
     * bucketed the same way need NO shuffle on either side (assert it with
     * [[assertNoShuffleJoin]]); at 100 TB this converts every repeated

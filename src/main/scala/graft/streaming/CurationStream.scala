@@ -39,10 +39,18 @@ object CurationStream {
   def ingestBatch(batch: DataFrame, batchId: Long, storeDir: String,
                   pairsPath: String, n: Int = 3, k: Int = 16,
                   bands: Int = 4, maxBucket: Long = 0L,
-                  tileTarget: Long = 0L): Boolean = {
+                  tileTarget: Long = 0L,
+                  normalize: Option[String] = None): Boolean = {
     val spark = batch.sparkSession
     val keysPath = s"$storeDir/keys"
-    val newKeys = IncrementalDedup.index(batch, n, k, bands)
+    // optional normalization pre-pass (CurateApp --normalize's streaming
+    // face): stateless projection fused into the batch scan, so the
+    // store only ever holds keys of CANONICAL text — composed vs
+    // decomposed spellings of one document land in the same buckets
+    val canon = normalize.map(f => batch.withColumn("text",
+      graft.pipeline.TextPipeline.normalizeTextCol(col("text"), f)))
+      .getOrElse(batch)
+    val newKeys = IncrementalDedup.index(canon, n, k, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val store = {
@@ -117,11 +125,12 @@ object CurationStream {
   def minhashPairs(docs: DataFrame, storeDir: String, pairsPath: String,
                    n: Int = 3, k: Int = 16, bands: Int = 4,
                    maxBucket: Long = 0L, tileTarget: Long = 0L,
-                   trigger: Trigger = Trigger.ProcessingTime("5 seconds"))
+                   trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+                   normalize: Option[String] = None)
       : DataStreamWriter[Row] =
     ResultSink.foreachBatch(docs, trigger) { (b, id) =>
       ingestBatch(b, id, storeDir, pairsPath, n, k, bands, maxBucket,
-        tileTarget)
+        tileTarget, normalize)
       ()
     }
 }

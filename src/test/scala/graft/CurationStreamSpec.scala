@@ -82,6 +82,79 @@ class CurationStreamSpec extends SparkSpec {
     assert(ResultSink.readCommitted(spark, pairsPath).count() == before)
   }
 
+  test("streaming normalize pre-pass == batch normalizeText-then-dedup (r13 parity)") {
+    // Decomposed spellings (e + combining acute) of otherwise-identical
+    // docs: WITHOUT normalization the byte-different texts shingle into
+    // different buckets; with the NFC pre-pass the streaming pipeline
+    // must emit exactly the pairs the batch normalize-then-candidates
+    // composition finds.
+    implicit val sqlCtx = spark.sqlContext
+    val composed = "caf\u00e9 menu r\u00e9sum\u00e9 naive fiance " +
+      "words words words words words"
+    val decomposed = "cafe\u0301 menu re\u0301sume\u0301 naive fiance " +
+      "words  words\twords words words" // decomposed + collapse-able ws
+    val corpus: Seq[(Long, String)] = Seq(
+      (0L, composed), (1L, decomposed),
+      (2L, text(2)), (3L, text(3)), (4L, composed.replace("menu", "list")))
+    val storeDir = tmp("cs_nstore"); val pairsPath = tmp("cs_npairs")
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = CurationStream.minhashPairs(docs, storeDir, pairsPath,
+        normalize = Some("NFC"))
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = corpus.splitAt(2)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = ResultSink.readCommitted(spark, pairsPath)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = TextPipeline.minhashCandidates(
+      TextPipeline.normalizeText(corpus.toDF("doc_id", "text"))
+        .select(col("doc_id"), col("text_norm").as("text"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch, s"stream $got != batch $batch")
+    // and the canonical-spelling pair is actually found
+    assert(got.contains((0L, 1L)), got)
+  }
+
+  test("streaming BPE encode with a bpeTrainBatched vocab == batch encode (r13 parity)") {
+    // Training is inherently batch (iterative corpus scans); the
+    // streaming face is ENCODING with the frozen merge list — a
+    // stateless codegen projection that must tokenize a stream exactly
+    // as the batch path does over the same rows.
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = (0L until 30L).map(i => (i, text(i))).toDF("doc_id", "text")
+    val merges = TextPipeline.bpeTrainBatched(corpus, numMerges = 24,
+      batchSize = 8).map(_._1)
+    assert(merges.nonEmpty)
+    def encode(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), explode(graft.expressions.TextExpressions
+        .wordShingles(col("text"), 1)).as("word"))
+      .select(col("doc_id"), col("word"),
+        concat_ws("|", graft.expressions.TextExpressions
+          .bpeEncode(col("word"), merges)).as("syms"))
+    val mem = MemoryStream[(Long, String)]
+    val q = encode(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("bpe_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val rows = (0L until 30L).map(i => (i, text(i)))
+      val (b1, b2) = rows.splitAt(17)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("bpe_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+      val batch = encode(corpus).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+      assert(got.sameElements(batch))
+      // the vocab actually merges something (not a char-level no-op)
+      assert(got.exists(_._3.exists(_ != '|')) &&
+        got.exists(r => r._3.split("\\|").exists(_.length > 1)))
+    } finally q.stop()
+  }
+
   test("a replayed batch id is a no-op: pairs and keys unchanged") {
     val storeDir = tmp("cs_store2"); val pairsPath = tmp("cs_pairs2")
     val b1 = (0L until 10L).map(i => (i, text(i))).toDF("doc_id", "text")

@@ -732,6 +732,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel oncePerUser: a reappearing user never emits again") {
+    // The all-time dashboard contract behind the flag: after a user's
+    // funnel resolves, an emitted tombstone replaces the session state,
+    // so a fresh session after ANY quiet period is swallowed — the
+    // exact mirror of the session-mode test above.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.Funnel
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val events = mem.toDF().toDF("user_id", "event_type", "event_time")
+    val steps = Seq("view", "click")
+    val q = Funnel.stream(events, steps, horizonMs = 1000L,
+        watermark = "10 seconds", oncePerUser = true)
+      .writeStream.format("memory").queryName("funnel_once")
+      .outputMode(OutputMode.Append()).start()
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    try {
+      // session 1: full view->click chain, finalized by watermark
+      mem.addData((1L, "view", ts(1000L)), (1L, "click", ts(2000L)))
+      q.processAllAvailable()
+      mem.addData((8L, "view", ts(500000L)))
+      q.processAllAvailable()
+      mem.addData((8L, "click", ts(500100L)))
+      q.processAllAvailable()
+      val s1 = spark.table("funnel_once").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(s1 == Set((1L, 0, 1000L), (1L, 1, 2000L)), s1)
+      // the SAME user reappears with a full chain long after; advance
+      // the watermark far enough that session mode WOULD re-finalize
+      mem.addData((1L, "view", ts(600000L)), (1L, "click", ts(600500L)))
+      q.processAllAvailable()
+      mem.addData((9L, "view", ts(1200000L)))
+      q.processAllAvailable()
+      mem.addData((9L, "click", ts(1300000L)))
+      q.processAllAvailable()
+      // ...and a THIRD reappearance after that, to prove the tombstone
+      // survived the second session's swallowed events too
+      mem.addData((1L, "view", ts(1400000L)))
+      q.processAllAvailable()
+      mem.addData((9L, "view", ts(2000000L)))
+      q.processAllAvailable()
+      val s2 = spark.table("funnel_once").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      // user 1's only rows remain the first session's two steps
+      assert(s2.filter(_._1 == 1L) == Set((1L, 0, 1000L), (1L, 1, 2000L)), s2)
+    } finally q.stop()
+  }
+
   test("streaming funnel buffers survive a checkpoint restart") {
     import graft.queries.Funnel
     val ckpt = java.nio.file.Files.createTempDirectory("fnckpt").toString
