@@ -1106,7 +1106,13 @@ object Similarity {
     // n_sh counts distinct strings, `shared` counts colliding key
     // matches, and the DuckDB oracle applies the identical hash, so
     // results stay value-identical by construction.
-    val hashed = clustered
+    val hashed = graft.scale.Skew.ensureMinParallelism(clustered,
+        docs.sparkSession.sparkContext.defaultParallelism,
+        Seq(col("doc_id")))
+      // guard BETWEEN the gate join and the shingle projection: the
+      // join output inherits the streamed side's partitioning (one
+      // task against one-row-group test files), and the shingle+hash
+      // compute dwarfs the shuffled text bytes; no-op on a wide corpus
       .select(col("cid"), col("doc_id"),
         graft.expressions.TextExpressions.polyHash47(
           graft.expressions.TextExpressions

@@ -245,9 +245,16 @@ object TextPipeline {
   def nearDupJaccardCached(docs: DataFrame, n: Int, minJaccard: Double,
                            maxDf: Long = 0L,
                            tileTarget: Long = 0L): graft.core.Cached[DataFrame] = {
-    val shingled = docs.select(col("doc_id"),
-      graft.expressions.TextExpressions
-        .wordShingles(col("text"), n, distinct = true).as("shingles"))
+    // shingling dwarfs the row bytes; an unsplittable one-row-group
+    // test file must not serialize it onto one core (no-op on a wide
+    // corpus scan -- the same guard sourceOverlap uses)
+    val shingled = graft.scale.Skew.ensureMinParallelism(
+        docs.select(col("doc_id"), col("text")),
+        docs.sparkSession.sparkContext.defaultParallelism,
+        Seq(col("doc_id")))
+      .select(col("doc_id"),
+        graft.expressions.TextExpressions
+          .wordShingles(col("text"), n, distinct = true).as("shingles"))
     val inv0 = shingled
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val inv = (
