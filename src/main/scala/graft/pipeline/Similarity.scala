@@ -187,8 +187,14 @@ object Similarity {
     * expression.) Above `maxExprCentroids` the classic
     * crossJoin + max_by plan takes over (same result, spec-pinned). */
   private[graft] def assignByCentroids(
-      e: DataFrame, cents: Seq[(Long, Seq[Double])],
+      e0: DataFrame, cents: Seq[(Long, Seq[Double])],
       maxExprCentroids: Int = 4096): DataFrame = {
+    // nlist cosine evaluations per vector dwarf the vector bytes; an
+    // unsplittable one-row-group test file must not serialize the
+    // assignment onto one core (no-op on a wide corpus scan, where the
+    // pass stays map-only with zero added shuffles)
+    val e = graft.scale.Skew.ensureMinParallelism(e0,
+      e0.sparkSession.sparkContext.defaultParallelism, Seq(col("vec_id")))
     if (cents.isEmpty)
       return e.filter(lit(false)).select(col("vec_id"), col("vec"),
         lit(0L).as("cid"), lit(0.0d).as("csim"))
@@ -589,8 +595,13 @@ object Similarity {
     * metrics never meet; tie-breaks (lowest code / lowest cid) match
     * the unfused operators exactly — output is bit-identical
     * (spec-pinned, oracle-checked). */
-  private[pipeline] def fusedEncode(e: DataFrame, cents: DataFrame,
+  private[pipeline] def fusedEncode(e0: DataFrame, cents: DataFrame,
                        codebook: DataFrame, m: Int): DataFrame = {
+    // the per-vector encode (nlist cosines + m×ksub subspace argmins)
+    // dwarfs the vector bytes — same one-row-group parallelism guard
+    // as assignByCentroids, no-op on a wide corpus scan
+    val e = graft.scale.Skew.ensureMinParallelism(e0,
+      e0.sparkSession.sparkContext.defaultParallelism, Seq(col("vec_id")))
     // both sides are metadata-sized local relations by construction —
     // collect them and bake the whole encode into ONE map-only
     // projection via the native loop expressions (PqNearestCodes for

@@ -6,6 +6,35 @@ import graft.scale.Skew
 class ScaleSpec extends SparkSpec {
   import spark.implicits._
 
+  test("ensureMinParallelism: widens narrow inputs, no-op on wide ones, value-neutral") {
+    import spark.implicits._
+    val narrow = (0L until 1000L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+      .coalesce(1)
+    assert(narrow.rdd.getNumPartitions == 1)
+    val par = spark.sparkContext.defaultParallelism
+    // round-robin form widens to exactly `parts`
+    val wideRR = Skew.ensureMinParallelism(narrow, par)
+    assert(wideRR.rdd.getNumPartitions == par)
+    // hash form widens too, and co-locates equal keys
+    val wideHash = Skew.ensureMinParallelism(narrow, par, Seq(col("doc_id")))
+    assert(wideHash.rdd.getNumPartitions == par)
+    // value-neutral: same rows either way
+    val exp = (0L until 1000L).map(i => (i, s"t$i")).toSet
+    assert(wideRR.collect().map(r => (r.getLong(0), r.getString(1))).toSet == exp)
+    assert(wideHash.collect().map(r => (r.getLong(0), r.getString(1))).toSet == exp)
+    // an already-wide input passes through UNCHANGED — no repartition
+    // node appears in the plan (the corpus-scale no-op contract)
+    val alreadyWide = (0L until 1000L).toDF("id").repartition(par)
+    val passthrough = Skew.ensureMinParallelism(alreadyWide, par)
+    assert(passthrough.rdd.getNumPartitions == alreadyWide.rdd.getNumPartitions)
+    assert(passthrough.queryExecution.analyzed eq alreadyWide.queryExecution.analyzed)
+    // asking for more parts than cores still doesn't shuffle a frame
+    // that already saturates the machine
+    val atCores = (0L until 1000L).toDF("id").repartition(par)
+    assert(Skew.ensureMinParallelism(atCores, par * 4)
+      .queryExecution.analyzed eq atCores.queryExecution.analyzed)
+  }
+
   test("saltedAgg equals plain groupBy on skewed data") {
     // hot key: 90% of rows on one key
     val rows = (0 until 1000).map(i =>
