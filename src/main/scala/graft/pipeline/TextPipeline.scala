@@ -78,10 +78,11 @@ object TextPipeline {
 
   /** Positional k-gram hashes of every document: (doc_id, pos, h). */
   private[pipeline] def spanGramsOf(docs: DataFrame, k: Int): DataFrame =
-    docs.select(col("doc_id"),
-      posexplode(graft.expressions.TextExpressions.polyHash47(
-        graft.expressions.TextExpressions.wordShingles(col("text"), k)))
-        .as(Seq("pos", "h")))
+    widenDocs(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        posexplode(graft.expressions.TextExpressions.polyHash47(
+          graft.expressions.TextExpressions.wordShingles(col("text"), k)))
+          .as(Seq("pos", "h")))
 
   /** Span-level dedup — the removal half of [[dupSpans]]: for every
     * duplicated k-gram, the occurrence with the smallest (doc_id, pos)
@@ -292,9 +293,10 @@ object TextPipeline {
   def minhashLsh(docs: DataFrame, n: Int, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
-    val shingled = docs.select(col("doc_id"),
-      graft.expressions.TextExpressions
-        .wordShingles(col("text"), n, distinct = true).as("shingles"))
+    val shingled = widenDocs(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        graft.expressions.TextExpressions
+          .wordShingles(col("text"), n, distinct = true).as("shingles"))
       .filter(size(col("shingles")) > 0)
     // native tight-loop expressions: 47-bit polynomial hash per shingle,
     // then k affine-permutation minima in one pass (values identical to
@@ -361,6 +363,17 @@ object TextPipeline {
     graft.core.Cached(pairs.distinct(), raw)
   }
 
+  /** Scan-parallelism guard shared by the heavy per-row derivations
+    * (shingling, signature folds, positional gram hashes): the work per
+    * document dwarfs its bytes, and an unsplittable one-row-group test
+    * file would serialize it onto one core. Hash-repartition on doc_id
+    * when the input plans fewer partitions than cores; no-op on a wide
+    * corpus scan ([[graft.scale.Skew.ensureMinParallelism]]). */
+  private def widenDocs(docs: DataFrame): DataFrame =
+    graft.scale.Skew.ensureMinParallelism(docs,
+      docs.sparkSession.sparkContext.defaultParallelism,
+      Seq(col("doc_id")))
+
   /** Drop entries of buckets holding more than `maxBucket` members —
     * broadcast LEFT ANTI against the (small) hot-bucket list. The shared
     * skew guard of the LSH candidate generators; no-op when cap <= 0. */
@@ -379,7 +392,7 @@ object TextPipeline {
     * byte-identical to the VectorFunctions Column composite,
     * spec-pinned). */
   def simhash(docs: DataFrame): DataFrame =
-    docs
+    widenDocs(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), graft.expressions.TextExpressions
         .wordShingles(col("text"), 1, distinct = false).as("toks"))
       .withColumn("hashes", graft.expressions.TextExpressions.polyHash47(col("toks")))
@@ -813,7 +826,8 @@ object TextPipeline {
     * spec-pinned; shares the SQL oracle. The 100 TB form. */
   def winnowFingerprintsNative(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
     val posCap = 1 << 16
-    docs.select(col("doc_id"),
+    widenDocs(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
         explode(graft.expressions.TextExpressions
           .winnowFp(col("text"), k, w)).as("sel"))
       .select(col("doc_id"),
