@@ -156,7 +156,10 @@ object Projection {
     * positive, ties to the earliest index) so the output is deterministic
     * across runs — Jacobi is itself deterministic, but the sign of an
     * eigenvector is not mathematically pinned.
-    */
+    *
+    * Envelope: d² covariance cells and the O(d³) driver solve are
+    * metadata up to d ≈ 512; past that use [[pcaProjectPower]], which
+    * never forms the d×d matrix. */
   def pcaProject(embeddings: DataFrame, k: Int): DataFrame = {
     val stats = covarianceMatrix(embeddings).collect() // d² rows — metadata
     val d = math.sqrt(stats.length.toDouble).round.toInt
@@ -175,6 +178,136 @@ object Projection {
     embeddings.select(
       col("vec_id"),
       transform(basis, w => round(Vec.dot(w, centered), 6)).as("proj"))
+  }
+
+  /** Distributed twin of [[pcaProject]] for LARGE embedding dims — block
+    * power (subspace) iteration run directly against the corpus, so the
+    * d×d covariance is NEVER materialized (at d = 10⁵ it would be 10¹⁰
+    * cells and the driver solve O(d³)):
+    *
+    *  - Each iteration multiplies the sample covariance into the current
+    *    d×k basis with ONE linear scan: k dot products per row against
+    *    the broadcast-literal basis, then a posexplode(d) fanout whose
+    *    per-(dim, component) products map-side-combine — the shuffle
+    *    carries `tasks × d×k` partial sums, never `N·d` data.
+    *  - Driver-side numerics stay metadata-sized in d: a modified
+    *    Gram–Schmidt of the d×k iterate per round, and one final k×k
+    *    Rayleigh–Ritz step ([[covarianceMatrix]] of the k-dim projected
+    *    frame + [[Eigen.symmetric]]) that un-mixes any residual rotation
+    *    inside the converged subspace and pins component order to
+    *    descending eigenvalues.
+    *  - The start basis is the derived deterministic ±1 matrix of
+    *    [[randomProject]] (seeded fingerprints, orthonormalized), so runs
+    *    reproduce without random-state coordination across executors.
+    *
+    * Output contract matches [[pcaProject]]: (vec_id, proj ARRAY<DOUBLE>),
+    * descending-eigenvalue component order, canonical signs, rounded to 6;
+    * ProjectionSpec pins power == Jacobi on the same input up to rounding
+    * tolerance. Prefer [[pcaProject]] below d ≈ 512 — one covariance pass
+    * beats `iters` corpus scans there; switch to this path when d² cells
+    * or the O(d³) driver solve stop being metadata. Convergence: `iters`
+    * fixed scans (error ∝ (λ_{k+1}/λ_k)^iters — raise it for near-tied
+    * spectra). */
+  def pcaProjectPower(embeddings: DataFrame, k: Int, iters: Int = 12,
+                      seed: String = "pca"): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val mdims = e
+      .select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(avg(col("x")).as("mu"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1)) // d rows — metadata
+    val d = mdims.length
+    require(k >= 1 && k <= d, s"k must be in [1, $d]")
+    val mu = typedLit(mdims.toSeq)
+    // centered vectors, persisted for the iteration's repeated scans (the
+    // standard trade for iterative methods; recomputing from source costs
+    // one extra decode per scan instead of the cache)
+    val cen = e.select(col("vec_id"),
+      zip_with(col("v"), mu, (x, m) => x - m).as("c")).persist()
+    try {
+      var q = gramSchmidt(rpSigns(d, k, seed).map(_.toArray).toArray)
+      var it = 0
+      while (it < iters) {
+        val qLit = typedLit(q.map(_.toSeq).toSeq)
+        val sums = (0 until k).map(c =>
+          sum(col("x") * col("s").getItem(c)).as(s"m$c"))
+        val rows = cen
+          .select(col("c"),
+            transform(qLit, w => Vec.dot(w, col("c"))).as("s"))
+          .select(posexplode(col("c")).as(Seq("i", "x")), col("s"))
+          .groupBy(col("i")).agg(sums.head, sums.tail: _*)
+          .collect() // d rows × k cols — metadata
+        val m = Array.ofDim[Double](k, d)
+        rows.foreach { r =>
+          val i = r.getInt(0)
+          var c = 0
+          while (c < k) { m(c)(i) = r.getDouble(c + 1); c += 1 }
+        }
+        q = gramSchmidt(m)
+        it += 1
+      }
+      // Rayleigh–Ritz: exact eigenstructure of the covariance RESTRICTED
+      // to span(q) — covariance of the k-dim projections is QᵀCQ
+      val qLit = typedLit(q.map(_.toSeq).toSeq)
+      val bCells = covarianceMatrix(
+        cen.select(col("vec_id"),
+          transform(qLit, w => Vec.dot(w, col("c"))).as("embedding")))
+        .collect() // k² cells — metadata
+      val b = Array.ofDim[Double](k, k)
+      bCells.foreach(r => b(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      val (_, rot) = Eigen.symmetric(b) // descending eigenvalues
+      val basisRows = rot.map { rc =>
+        val w = Array.ofDim[Double](d)
+        var a = 0
+        while (a < k) {
+          val s = rc(a); val qa = q(a)
+          var i = 0
+          while (i < d) { w(i) += s * qa(i); i += 1 }
+          a += 1
+        }
+        // re-canonicalize after composing: Eigen pinned the sign of the
+        // k-dim rotation row, not of the composed d-dim direction
+        val pivot = w.indices.maxBy(i => (math.abs(w(i)), -i))
+        if (w(pivot) < 0) w.map(x => -x) else w
+      }
+      val basis = typedLit(basisRows.map(_.toSeq).toSeq)
+      val centered = zip_with(col("embedding").cast("array<double>"), mu,
+        (x, m) => x - m)
+      embeddings.select(
+        col("vec_id"),
+        transform(basis, w => round(Vec.dot(w, centered), 6)).as("proj"))
+    } finally cen.unpersist()
+  }
+
+  /** Modified Gram–Schmidt over row vectors; throws if the rows are
+    * numerically rank-deficient (k above the data's rank). */
+  private def gramSchmidt(rows: Array[Array[Double]]): Array[Array[Double]] = {
+    val k = rows.length
+    val d = rows(0).length
+    val out = rows.map(_.clone())
+    var c = 0
+    while (c < k) {
+      var p = 0
+      while (p < c) {
+        var dp = 0.0
+        var i = 0
+        while (i < d) { dp += out(c)(i) * out(p)(i); i += 1 }
+        i = 0
+        while (i < d) { out(c)(i) -= dp * out(p)(i); i += 1 }
+        p += 1
+      }
+      var n2 = 0.0
+      var i = 0
+      while (i < d) { n2 += out(c)(i) * out(c)(i); i += 1 }
+      val n = math.sqrt(n2)
+      require(n > 1e-12,
+        s"power-iteration basis went rank-deficient at component $c " +
+          "(k exceeds the data's numerical rank)")
+      i = 0
+      while (i < d) { out(c)(i) /= n; i += 1 }
+      c += 1
+    }
+    out
   }
 
   /** Nearest-class-mean classification over the labeled embedding table.

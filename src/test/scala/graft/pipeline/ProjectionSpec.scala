@@ -178,6 +178,64 @@ class ProjectionSpec extends SparkSpec {
     assert(mi * 5 < mx, s"intra $mi vs inter $mx in the leading plane")
   }
 
+  // --- distributed power-iteration PCA twin -----------------------------
+
+  /** Anisotropic deterministic corpus with a geometric spectrum: component
+    * i carries scale 0.7^i of LCG noise, so sample eigenvalues are
+    * well-separated (ratio ≈ 0.49) and near-axis-aligned — both PCA paths
+    * must resolve the same ordered basis. */
+  private def spectrumVecs(dim: Int, n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { id =>
+      (id.toLong, Array.tabulate(dim)(i =>
+        (math.pow(0.7, i) * noise(id * 131L + i * 7L + 1L, 1.0)).toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("pcaProjectPower == pcaProject on a separated spectrum (scale twin parity)") {
+    val e = spectrumVecs(dim = 24, n = 300)
+    val jac = Projection.pcaProject(e, k = 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val pow = Projection.pcaProjectPower(e, k = 4, iters = 30).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(jac.keySet == pow.keySet)
+    // same components, same order, same canonical signs — agreement to
+    // rounding + convergence tolerance (signs pinned identically by both
+    // paths, so no ± matching needed)
+    val worst = jac.keys.flatMap(id =>
+      jac(id).zip(pow(id)).map { case (a, b) => math.abs(a - b) }).max
+    assert(worst < 5e-4, s"max |jacobi - power| projection gap: $worst")
+  }
+
+  test("pcaProjectPower: deterministic across runs; final projection plan is map-only") {
+    val e = spectrumVecs(dim = 12, n = 80)
+    val a = Projection.pcaProjectPower(e, k = 3, iters = 20)
+    val b = Projection.pcaProjectPower(e, k = 3, iters = 20)
+    // the returned frame is a narrow projection through a broadcast-literal
+    // basis — no Exchange (the iteration's shuffles happened during build,
+    // each carrying only d×k partial sums)
+    val plan = a.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    val ra = a.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val rb = b.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(ra == rb, "power PCA not bit-deterministic across runs")
+  }
+
+  test("pcaProjectPower: rank-deficient k throws instead of emitting junk") {
+    import spark.implicits._
+    // all vectors inside a 2-D subspace of R^6 → rank 2, k=4 must throw
+    val e = (0 until 40).map { id =>
+      val a = noise(id * 11L, 1.0); val b = noise(id * 13L + 5L, 1.0)
+      (id.toLong, Array.tabulate(6)(i =>
+        (a * (i + 1) + b * math.pow(-1.0, i)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val ex = intercept[Exception](Projection.pcaProjectPower(e, k = 4, iters = 8))
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(ex).exists(m => m != null && m.contains("rank")),
+      s"wrong failure: ${ex.getMessage}")
+  }
+
   // --- nearest-class-mean classifier ------------------------------------
 
   test("centroidClassify: geometric classes recover perfectly; split respected") {
