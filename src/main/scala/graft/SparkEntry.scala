@@ -781,6 +781,23 @@ object SparkEntry {
       Projection.centroidClassify(Tables.embeddings(s, dir), testMod = 5)
         .orderBy("vec_id")),
 
+    // trained logistic quality filter (CCNet/DCLM-style linear filter
+    // over document vectors; the trained sibling of q_embed_centroid):
+    // 5 full-batch GD iterations on the train split (binary target =
+    // label parity), then map-only sigmoid scoring of the held-out
+    // split. The fixed iteration count unrolls to SQL, so train AND
+    // inference are oracle-checked end-to-end
+    "q_embed_quality" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val w = Projection.trainLogistic(
+        e.filter(col("vec_id") % 5 =!= 0)
+          .select(col("embedding"), (col("label") % 2).as("label")),
+        iters = 5, step = 2.0)
+      Projection.logisticScore(e.filter(col("vec_id") % 5 === 0),
+        w.toIndexedSeq)
+        .orderBy("vec_id")
+    }),
+
     // PCA to 8 components: one covariance pass + driver-side d×d Jacobi
     // eigen + broadcast-literal projection. Eigendecomposition is not
     // SQL-expressible → rows-only oracle; basis properties spec-pinned
@@ -1699,6 +1716,18 @@ object SparkEntry {
        |$steps,
        |${assignCte("af", s"c$iters")}""".stripMargin
   }
+
+  /** One unrolled full-batch GD iteration for the logistic oracle:
+    * residuals (pinned left-fold dot against the previous weight list) →
+    * per-dimension gradient cells → updated weight list. The weight CTE
+    * is cross-joined, not subqueried — DuckDB lambdas reject subqueries. */
+  private def lrIterSql(k: Int, step: Double): String =
+    s"""r$k AS (SELECT xa, 1.0/(1.0 + exp(-(${dotSql("xa", "pw.w")}))) - y AS r FROM t, w${k - 1} pw),
+       |u$k AS (SELECT r, unnest(list_transform(range(1, len(xa) + 1),
+       |    i -> struct_pack(i := CAST(i AS INT), x := xa[CAST(i AS INT)]))) AS p FROM r$k),
+       |g$k AS (SELECT p.i AS i, sum(p.x * r) AS s FROM u$k GROUP BY 1),
+       |w$k AS (SELECT list(pw.w[g.i] - $step * g.s / (SELECT n FROM meta) ORDER BY g.i) AS w
+       |        FROM g$k g, w${k - 1} pw)""".stripMargin
 
   /** Left-fold dot product — same summation order as VectorFunctions. */
   private def dotSql(a: String, b: String) =
@@ -3454,6 +3483,24 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn FROM d)
          |SELECT vec_id, label, clabel AS predicted FROM r WHERE rn = 1
          |ORDER BY vec_id""".stripMargin,
+
+    // trained logistic filter: 5 GD iterations unrolled as chained CTEs;
+    // per-row dots are the pinned left fold on both engines, cross-row
+    // gradient-sum order noise (~1e-15 relative) is absorbed by the
+    // final round(score, 6)
+    "q_embed_quality" ->
+      s"""WITH t AS (
+         |  SELECT CAST(label % 2 AS DOUBLE) AS y,
+         |    list_append(embedding::DOUBLE[], 1.0) AS xa
+         |  FROM embeddings WHERE vec_id % 5 <> 0),
+         |meta AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t),
+         |w0 AS (SELECT list_transform(range(1, len(xa) + 1),
+         |    i -> CAST(0.0 AS DOUBLE)) AS w FROM t LIMIT 1),
+         |${(1 to 5).map(k => lrIterSql(k, 2.0)).mkString(",\n")},
+         |q AS (SELECT vec_id, list_append(embedding::DOUBLE[], 1.0) AS xa
+         |      FROM embeddings WHERE vec_id % 5 = 0)
+         |SELECT vec_id, round(1.0/(1.0 + exp(-(${dotSql("xa", "fw.w")}))), 6) AS score
+         |FROM q, w5 fw ORDER BY vec_id""".stripMargin,
 
     // --- training-data curation -----------------------------------------
 

@@ -279,6 +279,69 @@ object Projection {
     } finally cen.unpersist()
   }
 
+  /** Train an L2-regularized binary logistic-regression filter over the
+    * embedding column — the TRAINED form of the corpus quality filter
+    * ([[centroidClassify]] is its closed-form cousin; the Naive Bayes in
+    * TextPipeline the lexical one; CCNet/DCLM-style curation runs exactly
+    * this shape as a linear quality classifier over document vectors).
+    *
+    * Full-batch gradient descent in the same scale discipline as
+    * [[pcaProjectPower]]: each iteration is ONE linear scan — per row a
+    * `σ(w·x + b) − y` residual (the bias rides as a virtual all-ones
+    * dimension), then a posexplode(d+1) fanout whose per-dimension
+    * products map-side-combine, so the shuffle carries
+    * `tasks × (d+1)` partial gradient cells and the driver state is the
+    * (d+1)-weight vector — metadata at any corpus size. Deterministic:
+    * zero init, fixed step and iteration count, no sampling.
+    *
+    * `labeled`: (embedding, label) with label ∈ {0, 1}. Returns d weights
+    * followed by the bias. Mean log-loss gradient + `l2`·w (bias
+    * unregularized, the standard convention). */
+  def trainLogistic(labeled: DataFrame, iters: Int = 60, step: Double = 2.0,
+                    l2: Double = 0.0): Array[Double] = {
+    val data = labeled.select(
+      concat(col("embedding").cast("array<double>"), array(lit(1.0))).as("xa"),
+      col("label").cast("double").as("y")).persist()
+    try {
+      val dp1 = data.select(size(col("xa"))).head.getInt(0)
+      val n = data.count().toDouble // also materializes the persist
+      var w = Array.fill(dp1)(0.0)
+      var it = 0
+      while (it < iters) {
+        val wLit = typedLit(w.toSeq)
+        val z = Vec.dot(wLit, col("xa"))
+        val resid = (lit(1.0) / (lit(1.0) + exp(-z))) - col("y")
+        val rows = data
+          .select(col("xa"), resid.as("r"))
+          .select(posexplode(col("xa")).as(Seq("i", "xi")), col("r"))
+          .groupBy(col("i")).agg(sum(col("xi") * col("r")).as("g"))
+          .collect() // d+1 rows — metadata
+        val g = Array.ofDim[Double](dp1)
+        rows.foreach(r => g(r.getInt(0)) = r.getDouble(1) / n)
+        var i = 0
+        while (i < dp1) {
+          val reg = if (i == dp1 - 1) 0.0 else l2 * w(i) // bias unpenalized
+          w(i) -= step * (g(i) + reg)
+          i += 1
+        }
+        it += 1
+      }
+      w
+    } finally data.unpersist()
+  }
+
+  /** Score the corpus with a [[trainLogistic]] model: map-only projection
+    * through the broadcast-literal weights — (vec_id, score) with
+    * score = σ(w·x + b) rounded to 6. Filter `score >= threshold`
+    * downstream; no shuffle anywhere. */
+  def logisticScore(embeddings: DataFrame, weights: Seq[Double]): DataFrame = {
+    val wLit = typedLit(weights.toSeq)
+    val z = Vec.dot(wLit,
+      concat(col("embedding").cast("array<double>"), array(lit(1.0))))
+    embeddings.select(col("vec_id"),
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"))
+  }
+
   /** Modified Gram–Schmidt over row vectors; throws if the rows are
     * numerically rank-deficient (k above the data's rank). */
   private def gramSchmidt(rows: Array[Array[Double]]): Array[Array[Double]] = {

@@ -236,6 +236,57 @@ class ProjectionSpec extends SparkSpec {
       s"wrong failure: ${ex.getMessage}")
   }
 
+  // --- trained logistic quality filter ----------------------------------
+
+  /** Linearly separable corpus: label 1 iff the (noisy) sum of the first
+    * three components clears 0 — a margin the trainer must recover. */
+  private def separableVecs(dim: Int, n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { id =>
+      val v = Array.tabulate(dim)(i => noise(id * 331L + i * 17L + 3L, 1.0))
+      val y = if (v(0) + v(1) + v(2) > 0.15) 1 else 0
+      (id.toLong, y, v.map(_.toFloat))
+    }.toDF("vec_id", "label", "embedding")
+  }
+
+  test("trainLogistic recovers a separable margin; logisticScore is map-only") {
+    val e = separableVecs(dim = 10, n = 400)
+    val w = Projection.trainLogistic(e, iters = 80, step = 2.0)
+    assert(w.length == 11)
+    // the three informative dimensions dominate the learned direction
+    val informative = w.take(3).map(math.abs).min
+    val nuisance = w.slice(3, 10).map(math.abs).max
+    assert(informative > nuisance,
+      s"weights did not align with the margin: ${w.mkString(",")}")
+    val scored = Projection.logisticScore(e, w.toIndexedSeq)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
+    val acc = scored.join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(avg(when((col("score") >= 0.5) === (col("label") === 1), 1.0)
+        .otherwise(0.0)))
+      .head.getDouble(0)
+    assert(acc > 0.95, s"train accuracy $acc")
+  }
+
+  test("trainLogistic: L2 shrinks weights; gradient scan combines map-side") {
+    val e = separableVecs(dim = 8, n = 200)
+    val free = Projection.trainLogistic(e, iters = 40, step = 2.0, l2 = 0.0)
+    val reg = Projection.trainLogistic(e, iters = 40, step = 2.0, l2 = 0.5)
+    def norm(w: Array[Double]) = math.sqrt(w.dropRight(1).map(x => x * x).sum)
+    assert(norm(reg) < norm(free) * 0.8,
+      s"l2 did not shrink: ${norm(reg)} vs ${norm(free)}")
+    // one-iteration gradient plan: partial aggregation before the shuffle
+    val data = e.select(
+      concat(col("embedding").cast("array<double>"), array(lit(1.0))).as("xa"),
+      col("label").cast("double").as("y"))
+    val grad = data
+      .select(posexplode(col("xa")).as(Seq("i", "xi")), col("y"))
+      .groupBy(col("i")).agg(sum(col("xi") * col("y")))
+    val plan = grad.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum") || plan.contains("Partial"),
+      s"no map-side combine in the gradient aggregate:\n$plan")
+  }
+
   // --- nearest-class-mean classifier ------------------------------------
 
   test("centroidClassify: geometric classes recover perfectly; split respected") {
