@@ -119,7 +119,18 @@ object Projection {
           s => s.getField("m")).as("embedding"),
         count(lit(1)).as("dims"))
 
-  def covarianceMatrix(embeddings: DataFrame): DataFrame = {
+  def covarianceMatrix(embeddings: DataFrame): DataFrame =
+    covarianceCells(embeddings, round6 = true)
+
+  /** [[covarianceMatrix]] with the oracle rounding optional: the
+    * Rayleigh–Ritz step of [[pcaProjectPower]] consumes the UNROUNDED
+    * cells — a 1e-6 absolute quantization on a k×k matrix whose
+    * eigenvalues can sit below 1e-6 (unit-norm embeddings at large d
+    * spread trace ≤ 1 over many dims) would decide component order and
+    * mixing by rounding noise. The public form keeps round(6): its
+    * contract is hash parity with the SQL oracle. */
+  private[pipeline] def covarianceCells(embeddings: DataFrame,
+                                        round6: Boolean): DataFrame = {
     val e = embeddings.select(col("embedding").cast("array<double>").as("v"))
     val d = size(col("v"))
     val cells = e
@@ -133,6 +144,8 @@ object Projection {
       .groupBy(col("i")).agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
     val dAtMost = dims // d rows: broadcast twice onto the d² cells
     val dimCount = dims.count() // metadata-sized: d (e.g. 64)
+    val raw = (col("sxy") - col("sxi") * col("sxj") / col("n")) /
+      (col("n") - 1)
     cells
       .withColumn("i", (col("pos") / lit(dimCount)).cast("int"))
       .withColumn("j", (col("pos") % lit(dimCount)).cast("int"))
@@ -141,9 +154,16 @@ object Projection {
       .select(col("i"), col("j"),
         // + 0.0 normalizes IEEE -0.0 to +0.0 so the serialized sign bit
         // matches the oracle's (which applies the same normalization)
-        (round((col("sxy") - col("sxi") * col("sxj") / col("n")) /
-          (col("n") - 1), 6) + lit(0.0)).as("cov"))
+        (if (round6) round(raw, 6) + lit(0.0) else raw).as("cov"))
   }
+
+  /** Per-dimension means of the `v` array column — the d-row metadata
+    * collect shared by both PCA paths (their spec-pinned parity requires
+    * the SAME centering). */
+  private def dimMeans(e: DataFrame): Array[Double] = e
+    .select(posexplode(col("v")).as(Seq("i", "x")))
+    .groupBy(col("i")).agg(avg(col("x")).as("mu"))
+    .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
 
   /** PCA projection to the top-`k` principal components. One covariance
     * pass ([[covarianceMatrix]]) → driver-side Jacobi eigendecomposition
@@ -167,10 +187,8 @@ object Projection {
     stats.foreach(r => cov(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
     val (vals, vecs) = Eigen.symmetric(cov) // descending eigenvalues
     require(k >= 1 && k <= d, s"k must be in [1, $d]")
-    val mdims = embeddings
-      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
-      .groupBy(col("i")).agg(avg(col("x")).as("mu"))
-      .collect().sortBy(_.getInt(0)).map(_.getDouble(1)) // d rows — metadata
+    val mdims = dimMeans(embeddings
+      .select(col("embedding").cast("array<double>").as("v"))) // d rows
     val basis = typedLit((0 until k).map(c => vecs(c).toSeq))
     val mu = typedLit(mdims.toSeq)
     val centered = zip_with(col("embedding").cast("array<double>"), mu,
@@ -210,12 +228,11 @@ object Projection {
     * spectra). */
   def pcaProjectPower(embeddings: DataFrame, k: Int, iters: Int = 12,
                       seed: String = "pca"): DataFrame = {
+    require(iters >= 1, "iters must be >= 1 — with no iteration the " +
+      "output would be a seeded random projection, not PCA")
     val e = embeddings.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
-    val mdims = e
-      .select(posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy(col("i")).agg(avg(col("x")).as("mu"))
-      .collect().sortBy(_.getInt(0)).map(_.getDouble(1)) // d rows — metadata
+    val mdims = dimMeans(e) // d rows — metadata
     val d = mdims.length
     require(k >= 1 && k <= d, s"k must be in [1, $d]")
     val mu = typedLit(mdims.toSeq)
@@ -247,11 +264,14 @@ object Projection {
         it += 1
       }
       // Rayleigh–Ritz: exact eigenstructure of the covariance RESTRICTED
-      // to span(q) — covariance of the k-dim projections is QᵀCQ
+      // to span(q) — covariance of the k-dim projections is QᵀCQ.
+      // UNROUNDED cells: the oracle round(6) would quantize eigenvalues
+      // that legitimately sit below 1e-6 (see covarianceCells)
       val qLit = typedLit(q.map(_.toSeq).toSeq)
-      val bCells = covarianceMatrix(
+      val bCells = covarianceCells(
         cen.select(col("vec_id"),
-          transform(qLit, w => Vec.dot(w, col("c"))).as("embedding")))
+          transform(qLit, w => Vec.dot(w, col("c"))).as("embedding")),
+        round6 = false)
         .collect() // k² cells — metadata
       val b = Array.ofDim[Double](k, k)
       bCells.foreach(r => b(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
@@ -299,12 +319,31 @@ object Projection {
     * unregularized, the standard convention). */
   def trainLogistic(labeled: DataFrame, iters: Int = 60, step: Double = 2.0,
                     l2: Double = 0.0): Array[Double] = {
+    require(iters >= 1, "iters must be >= 1 — zero iterations would " +
+      "silently return the untrained all-zero model")
     val data = labeled.select(
       concat(col("embedding").cast("array<double>"), array(lit(1.0))).as("xa"),
       col("label").cast("double").as("y")).persist()
     try {
-      val dp1 = data.select(size(col("xa"))).head.getInt(0)
-      val n = data.count().toDouble // also materializes the persist
+      // ONE stats job (also materializes the persist): null or ragged
+      // rows would silently vanish from every gradient sum (null dot →
+      // null product → sum skips it) while still counting in n — refuse
+      // them loudly instead of training on a biased fraction
+      val stats = data.agg(
+        count(lit(1)).as("n"),
+        min(size(col("xa"))).as("dmin"),
+        max(size(col("xa"))).as("dmax"),
+        sum(when(col("xa").isNull || col("y").isNull ||
+          col("y") < 0.0 || col("y") > 1.0, 1L).otherwise(0L)).as("bad"))
+        .head()
+      val n = stats.getLong(0).toDouble
+      require(n > 0, "empty training frame")
+      require(stats.getLong(3) == 0,
+        s"${stats.getLong(3)} rows have a null embedding, or a null " +
+          "label, or a label outside [0, 1]")
+      require(stats.getInt(1) == stats.getInt(2),
+        s"ragged embedding lengths: ${stats.getInt(1)}..${stats.getInt(2)}")
+      val dp1 = stats.getInt(1)
       var w = Array.fill(dp1)(0.0)
       var it = 0
       while (it < iters) {
@@ -343,11 +382,17 @@ object Projection {
   }
 
   /** Modified Gram–Schmidt over row vectors; throws if the rows are
-    * numerically rank-deficient (k above the data's rank). */
+    * numerically rank-deficient (k above the data's rank). The deficiency
+    * threshold is RELATIVE to the largest input-row norm — the iterate's
+    * scale is the scatter's (data-dependent, arbitrarily far from 1), so
+    * an absolute cutoff would both spuriously throw on tiny-magnitude
+    * data and miss genuine deficiency on huge corpora. */
   private def gramSchmidt(rows: Array[Array[Double]]): Array[Array[Double]] = {
     val k = rows.length
     val d = rows(0).length
     val out = rows.map(_.clone())
+    val scale = math.sqrt(
+      rows.map(r => r.map(x => x * x).sum).max)
     var c = 0
     while (c < k) {
       var p = 0
@@ -363,7 +408,7 @@ object Projection {
       var i = 0
       while (i < d) { n2 += out(c)(i) * out(c)(i); i += 1 }
       val n = math.sqrt(n2)
-      require(n > 1e-12,
+      require(n > scale * 1e-10,
         s"power-iteration basis went rank-deficient at component $c " +
           "(k exceeds the data's numerical rank)")
       i = 0

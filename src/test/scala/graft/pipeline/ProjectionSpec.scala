@@ -268,6 +268,40 @@ class ProjectionSpec extends SparkSpec {
     assert(acc > 0.95, s"train accuracy $acc")
   }
 
+  test("trainLogistic: ragged/null/out-of-range rows refuse loudly, not silently bias") {
+    import spark.implicits._
+    val ragged = Seq(
+      (0L, 0, Array(1.0f, 2.0f, 3.0f)),
+      (1L, 1, Array(1.0f, 2.0f))).toDF("vec_id", "label", "embedding")
+    val e1 = intercept[IllegalArgumentException](
+      Projection.trainLogistic(ragged, iters = 2))
+    assert(e1.getMessage.contains("ragged"))
+    val badLabel = Seq(
+      (0L, 0, Array(1.0f, 2.0f)),
+      (1L, 7, Array(1.0f, 2.0f))).toDF("vec_id", "label", "embedding")
+    val e2 = intercept[IllegalArgumentException](
+      Projection.trainLogistic(badLabel, iters = 2))
+    assert(e2.getMessage.contains("outside"))
+    intercept[IllegalArgumentException](
+      Projection.trainLogistic(badLabel.limit(0), iters = 2))
+    intercept[IllegalArgumentException](
+      Projection.trainLogistic(badLabel, iters = 0))
+    intercept[IllegalArgumentException](
+      Projection.pcaProjectPower(spectrumVecs(8, 20), k = 2, iters = 0))
+  }
+
+  test("gramSchmidt threshold is scale-relative: tiny-magnitude full-rank data fits fine") {
+    import spark.implicits._
+    // values ~1e-8: the scatter iterate's norms are ~1e-15 — an absolute
+    // 1e-12 cutoff would spuriously call this rank-deficient
+    val e = (0 until 60).map { id =>
+      (id.toLong, Array.tabulate(6)(i =>
+        (noise(id * 97L + i * 31L, 1.0) * 1e-8).toFloat))
+    }.toDF("vec_id", "embedding")
+    val p = Projection.pcaProjectPower(e, k = 3, iters = 10).collect()
+    assert(p.length == 60)
+  }
+
   test("trainLogistic: L2 shrinks weights; gradient scan combines map-side") {
     val e = separableVecs(dim = 8, n = 200)
     val free = Projection.trainLogistic(e, iters = 40, step = 2.0, l2 = 0.0)
