@@ -316,9 +316,17 @@ object Projection {
     *
     * `labeled`: (embedding, label) with label ∈ {0, 1}. Returns d weights
     * followed by the bias. Mean log-loss gradient + `l2`·w (bias
-    * unregularized, the standard convention). */
+    * unregularized, the standard convention).
+    *
+    * `init` warm-starts from a previous fit — the incremental posture for
+    * a growing corpus (continue on the refreshed split instead of
+    * refitting cold). GD is deterministic, so on UNCHANGED data
+    * `trainLogistic(iters = a + b)` equals `trainLogistic(iters = b,
+    * init = trainLogistic(iters = a))` (spec-pinned to float-sum
+    * tolerance). */
   def trainLogistic(labeled: DataFrame, iters: Int = 60, step: Double = 2.0,
-                    l2: Double = 0.0): Array[Double] = {
+                    l2: Double = 0.0,
+                    init: Option[Array[Double]] = None): Array[Double] = {
     require(iters >= 1, "iters must be >= 1 — zero iterations would " +
       "silently return the untrained all-zero model")
     val data = labeled.select(
@@ -344,7 +352,13 @@ object Projection {
       require(stats.getInt(1) == stats.getInt(2),
         s"ragged embedding lengths: ${stats.getInt(1)}..${stats.getInt(2)}")
       val dp1 = stats.getInt(1)
-      var w = Array.fill(dp1)(0.0)
+      val w = init match {
+        case Some(w0) =>
+          require(w0.length == dp1,
+            s"init has ${w0.length} weights, data needs $dp1 (d + bias)")
+          w0.clone()
+        case None => Array.fill(dp1)(0.0)
+      }
       var it = 0
       while (it < iters) {
         val wLit = typedLit(w.toSeq)

@@ -290,6 +290,19 @@ class ProjectionSpec extends SparkSpec {
       Projection.pcaProjectPower(spectrumVecs(8, 20), k = 2, iters = 0))
   }
 
+  test("trainLogistic warm-start: split fit == single longer fit (deterministic GD)") {
+    val e = separableVecs(dim = 8, n = 150)
+    val cold = Projection.trainLogistic(e, iters = 12, step = 2.0)
+    val a = Projection.trainLogistic(e, iters = 5, step = 2.0)
+    val warm = Projection.trainLogistic(e, iters = 7, step = 2.0,
+      init = Some(a))
+    val gap = cold.zip(warm).map { case (x, y) => math.abs(x - y) }.max
+    assert(gap < 1e-9, s"warm-started trajectory diverged: $gap")
+    val badInit = intercept[IllegalArgumentException](
+      Projection.trainLogistic(e, iters = 1, init = Some(Array(1.0, 2.0))))
+    assert(badInit.getMessage.contains("weights"))
+  }
+
   test("gramSchmidt threshold is scale-relative: tiny-magnitude full-rank data fits fine") {
     import spark.implicits._
     // values ~1e-8: the scatter iterate's norms are ~1e-15 — an absolute
