@@ -3241,7 +3241,7 @@ object SparkEntry {
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  round(${cosSql("a.v", "b.v")}, 4) AS cosine
          |FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
-         |WHERE round(${cosSql("a.v", "b.v")}, 4) >= 0.4
+         |WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
 
     "q_embed_ann_lsh" ->

@@ -24,7 +24,12 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *   3. verify schemes re-attach signatures/vectors (from the payload
   *      store plus the batch) for the exact hamming/cosine confirmation
   *      the batch operator applies;
-  *   4. append the batch's keys (and payload) to the store.
+  *   4. publish the batch's keys (and payload) to the store ATOMICALLY:
+  *      every table's rows are staged under an uncommitted ingest
+  *      directory and made visible by one marker-file create, so a crash
+  *      at any point leaves the store either without the batch entirely
+  *      (re-ingest cleanly) or with every table consistent — never band
+  *      keys whose confirm payload is missing.
   *
   * Every candidate pair is emitted exactly once, at the ingest of its
   * LATER member — so the union of all increments' outputs equals the
@@ -58,21 +63,77 @@ object IncrementalDedup {
     TextPipeline.minhashLsh(docs, n, k, bands).select("doc_id", "bucket")
 
   // ----- store plumbing ---------------------------------------------------
+  //
+  // Visibility-gated appends: every ingest STAGES its rows for each table
+  // under `<table>/ingest_<id>/` and then creates ONE `_commits/<id>`
+  // marker file; [[snapshot]] reads only marked stagings (plus legacy
+  // bare-append files). The multi-table schemes (keys+sigs, keys+vecs,
+  // grams+hcounts) previously appended with two independent writes — a
+  // crash between them corrupted the store SILENTLY: band keys whose
+  // signatures/vectors never landed confirm-join their pairs away
+  // forever, and grams without their counts understate `s`, breaking the
+  // exactly-once emission rule. With the single marker, a crash anywhere
+  // before its atomic create leaves every staged directory invisible and
+  // the batch re-ingests cleanly; a crash after it is a completed
+  // ingest. Uncommitted stagings from crashed runs are inert (never
+  // read) and may be deleted at leisure — they are NOT swept here, so a
+  // concurrent ingest's in-flight staging is never destroyed.
 
-  /** Snapshot of a store table's current parquet files (empty frame with
-    * `schema` when the table doesn't exist yet). */
+  private def fsOf(spark: SparkSession, path: Path) =
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def freshIngestId(): String =
+    java.util.UUID.randomUUID().toString.replace("-", "")
+
+  /** Stage one table's batch rows under an uncommitted ingest dir. */
+  private[graft] def stage(df: DataFrame, dir: String, table: String,
+                              id: String): Unit =
+    df.write.mode("overwrite").parquet(s"$dir/$table/ingest_$id")
+
+  /** Atomically publish every staging of `id` (one empty marker file). */
+  private[graft] def commitIngest(spark: SparkSession, dir: String,
+                                     id: String): Unit = {
+    val p = new Path(s"$dir/_commits/$id")
+    val fs = fsOf(spark, p)
+    fs.mkdirs(p.getParent)
+    fs.create(p, false).close()
+  }
+
+  private def committedIds(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: String): Set[String] = {
+    val p = new Path(s"$dir/_commits")
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).map(_.getPath.getName).toSet
+  }
+
+  /** Snapshot of a store table's current contents — legacy bare-append
+    * parquet files plus COMMITTED ingest stagings; an empty frame with
+    * `schema` when the table holds nothing yet. The explicit path list
+    * pins the read: appends that land after this call are invisible to
+    * the returned frame. */
   private def snapshot(spark: SparkSession, dir: String, table: String,
                        schema: StructType): DataFrame = {
     val p = new Path(s"$dir/$table")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files =
+    val fs = fsOf(spark, p)
+    val paths =
       if (!fs.exists(p)) Array.empty[String]
-      else fs.listStatus(p).map(_.getPath.toString)
-        .filter(f => f.endsWith(".parquet"))
-    if (files.isEmpty)
+      else {
+        val committed = committedIds(fs, dir)
+        fs.listStatus(p).flatMap { st =>
+          val name = st.getPath.getName
+          if (st.isDirectory)
+            if (name.startsWith("ingest_") &&
+                committed(name.stripPrefix("ingest_")))
+              Some(st.getPath.toString)
+            else None // uncommitted staging (or foreign dir): invisible
+          else if (name.endsWith(".parquet")) Some(st.getPath.toString)
+          else None
+        }
+      }
+    if (paths.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.parquet(files: _*)
+    else spark.read.parquet(paths.toIndexedSeq: _*)
   }
 
   private def keySchema(idCol: String) = StructType(Seq(
@@ -129,7 +190,9 @@ object IncrementalDedup {
       keyedPairs(store, newKeys, "doc_id", "doc_a", "doc_b", maxBucket,
         tileTarget)
         .localCheckpoint(true) // pin results before the store grows
-    newKeys.write.mode("append").parquet(s"$dir/keys")
+    val id = freshIngestId()
+    stage(newKeys, dir, "keys", id)
+    commitIngest(spark, dir, id)
     newKeys.unpersist()
     result
   }
@@ -165,8 +228,13 @@ object IncrementalDedup {
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
       .localCheckpoint(true)
-    newKeys.write.mode("append").parquet(s"$dir/keys")
-    newSigs.write.mode("append").parquet(s"$dir/sigs")
+    // keys and sigs publish under ONE marker: a batch is either fully in
+    // the store or fully absent — keys-without-sigs would silently drop
+    // every future pair against this batch at the confirm join
+    val id = freshIngestId()
+    stage(newKeys, dir, "keys", id)
+    stage(newSigs, dir, "sigs", id)
+    commitIngest(spark, dir, id)
     newSigs.unpersist()
     result
   }
@@ -197,7 +265,9 @@ object IncrementalDedup {
     val store = snapshot(spark, dir, "winnow_keys", keySchema("doc_id"))
     val result = winnowPairsCore(store, newKeys, minShared, maxDocs)
       .localCheckpoint(true) // pin results before the store grows
-    newKeys.write.mode("append").parquet(s"$dir/winnow_keys")
+    val id = freshIngestId()
+    stage(newKeys, dir, "winnow_keys", id)
+    commitIngest(spark, dir, id)
     newKeys.unpersist()
     result
   }
@@ -256,8 +326,12 @@ object IncrementalDedup {
     val storeCounts = snapshot(spark, dir, "hcounts", hcountSchema)
       .join(broadcast(batchCounts.select("h")), Seq("h"))
       .groupBy("h").agg(sum("cnt").as("s"))
+    // j feeds TWO broadcast subqueries (the s+b>1 and s==1 hash sets);
+    // persisted so the hcounts-store scan + pruning join run once, not
+    // twice, per increment — j is one row per batch hash, tiny
     val j = batchCounts.join(storeCounts, Seq("h"), "left")
       .na.fill(0L, Seq("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val emitBatch = newGrams
       .join(broadcast(j.filter(col("s") + col("b") > 1).select("h")), Seq("h"))
       .select("doc_id", "pos")
@@ -269,9 +343,15 @@ object IncrementalDedup {
       .join(broadcast(j.filter(col("s") === 1).select("h")), Seq("h"))
       .select("doc_id", "pos")
     val result = emitBatch.union(singles).localCheckpoint(true)
-    newGrams.write.mode("append").parquet(s"$dir/grams")
-    batchCounts.select(col("h"), col("b").as("cnt"))
-      .write.mode("append").parquet(s"$dir/hcounts")
+    // grams and hcounts publish under ONE marker: grams without their
+    // counts understate s at every later ingest, silently violating the
+    // exactly-once emission rule
+    val id = freshIngestId()
+    stage(newGrams, dir, "grams", id)
+    stage(batchCounts.select(col("h"), col("b").as("cnt")),
+      dir, "hcounts", id)
+    commitIngest(spark, dir, id)
+    j.unpersist()
     newGrams.unpersist()
     result
   }
@@ -294,6 +374,9 @@ object IncrementalDedup {
       .withColumn("signs", Similarity.lshSignBits(col("vec"), planes))
       .select(col("vec_id"),
         explode(Similarity.lshBandKeys(col("signs"), planes, bands)).as("bucket"))
+      // read twice (pair branches + the store staging): persisted so the
+      // per-plane sign pass runs once per increment
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val storeKeys = snapshot(spark, dir, "keys", keySchema("vec_id"))
     val pairs =
       keyedPairs(storeKeys, newKeys, "vec_id", "vec_a", "vec_b", maxBucket,
@@ -314,8 +397,14 @@ object IncrementalDedup {
       .filter(col("cosine") >= minCosine)
       .select("vec_a", "vec_b", "cosine")
       .localCheckpoint(true)
-    newKeys.write.mode("append").parquet(s"$dir/keys")
-    newVecs.write.mode("append").parquet(s"$dir/vecs")
+    // keys and vecs publish under ONE marker: keys-without-vecs would
+    // silently drop every future pair against this batch at the cosine
+    // confirm join
+    val id = freshIngestId()
+    stage(newKeys, dir, "keys", id)
+    stage(newVecs, dir, "vecs", id)
+    commitIngest(spark, dir, id)
+    newKeys.unpersist()
     newVecs.unpersist()
     result
   }
@@ -335,9 +424,16 @@ object IncrementalDedup {
     * Output (vec_a, vec_b, cosine), each candidate pair exactly once
     * across increments — the compaction input whose loser side
     * (higher id, [[Similarity.semDedup]]'s keep rule) is dropped
-    * downstream. Here `maxBucket`/`tileTarget` guard hot CLUSTERS
-    * rather than hash buckets, on the same two branches as every other
-    * scheme (the cluster id is the bucket key). */
+    * downstream. The confirm threshold applies at round-6 cosine —
+    * exactly [[Similarity.semDedup]]'s — so incremental and batch
+    * decisions agree at the boundary; the emitted cosine column keeps
+    * the scheme-wide round-4 convention. Here `maxBucket`/`tileTarget`
+    * guard hot CLUSTERS rather than hash buckets, on the same two
+    * branches as every other scheme (the cluster id is the bucket
+    * key). An EMPTY first increment returns no pairs and leaves the
+    * store quantizer-less (a later non-empty increment derives it) —
+    * freezing an empty centroid set would silently emit nothing
+    * forever. */
   def ingestSemantic(dir: String, embeddings: DataFrame, nlist: Int,
                      minCosine: Double, maxBucket: Long = 0L,
                      tileTarget: Long = 0L): DataFrame = {
@@ -346,51 +442,92 @@ object IncrementalDedup {
       .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("vec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centPath = new Path(s"$dir/cents")
-    val fs = centPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cents: DataFrame =
+    val fs = fsOf(spark, centPath)
+    val centRows: Array[org.apache.spark.sql.Row] =
       if (!fs.exists(centPath)) {
         val c = Similarity.collectedSample(newVecs, nlist)
-        c.write.mode("overwrite").parquet(s"$dir/cents")
-        c
+        val rows = c.collect() // tiny by construction (≤ nlist rows)
+        // freeze only a REAL quantizer: an EMPTY first increment must
+        // not brick the scheme into zero-centroid assignments forever —
+        // leave the store quantizer-less and let a later non-empty
+        // increment derive it. Torn-write-proof: the centroids land
+        // under a temp sibling and publish via one atomic rename, so a
+        // crash mid-write leaves cents absent (re-derived next run),
+        // never half-present
+        if (rows.nonEmpty) {
+          val tmp = new Path(s"$dir/.cents_tmp")
+          fs.delete(tmp, true) // stale leftover from a crashed prior run
+          c.write.mode("overwrite").parquet(tmp.toString)
+          if (!fs.rename(tmp, centPath))
+            throw new java.io.IOException(
+              s"failed to publish quantizer: rename $tmp -> $centPath")
+        }
+        rows
       } else {
-        // re-inject as a local relation (tiny by construction) so the
-        // assignment broadcast builds task-free, same as first ingest
-        val loaded = spark.read.parquet(centPath.toString)
-        spark.createDataFrame(
-          java.util.Arrays.asList(loaded.collect(): _*), loaded.schema)
+        // tiny by construction; collected once and re-injected below
+        spark.read.parquet(centPath.toString).collect()
       }
-    // same argmax as Similarity.semDedup: highest round-6 cosine, then
-    // lowest cid — assignments are identical given identical centroids
-    val newKeys = newVecs.crossJoin(broadcast(cents))
-      .withColumn("csim",
-        round(graft.expressions.VectorExpressions.cosine(
-          col("vec"), col("cvec")), 6))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"))
-      .select(col("vec_id"), col("cid").cast("string").as("bucket"))
-    val storeKeys = snapshot(spark, dir, "keys", keySchema("vec_id"))
-    val pairs =
-      keyedPairs(storeKeys, newKeys, "vec_id", "vec_a", "vec_b", maxBucket,
-        tileTarget)
-    val vecs = snapshot(spark, dir, "vecs", StructType(Seq(
-        StructField("vec_id", LongType),
-        StructField("vec",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType)))))
-      .union(newVecs)
-    val result = pairs
-      .join(vecs.select(col("vec_id").as("vec_a"), col("vec").as("va")),
-        Seq("vec_a"))
-      .join(vecs.select(col("vec_id").as("vec_b"), col("vec").as("vb")),
-        Seq("vec_b"))
-      .withColumn("cosine",
-        round(graft.expressions.VectorExpressions.cosine(col("va"), col("vb")), 4))
-      .filter(col("cosine") >= minCosine)
-      .select("vec_a", "vec_b", "cosine")
-      .localCheckpoint(true)
-    newKeys.write.mode("append").parquet(s"$dir/keys")
-    newVecs.write.mode("append").parquet(s"$dir/vecs")
-    newVecs.unpersist()
-    result
+    if (centRows.isEmpty) {
+      // no quantizer (empty first increment): nothing can pair yet
+      newVecs.unpersist()
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("vec_a", LongType), StructField("vec_b", LongType),
+          StructField("cosine", org.apache.spark.sql.types.DoubleType))))
+    } else {
+      // re-inject as a local relation so the assignment broadcast builds
+      // task-free, same plan shape on first and later ingests
+      val cents = spark.createDataFrame(
+        java.util.Arrays.asList(centRows: _*),
+        spark.read.parquet(centPath.toString).schema)
+      // same argmax as Similarity.semDedup: highest round-6 cosine, then
+      // lowest cid — assignments are identical given identical centroids.
+      // Persisted: the assignment pass (crossJoin + shuffle) feeds both
+      // the pair branches and the store staging
+      val newKeys = newVecs.crossJoin(broadcast(cents))
+        .withColumn("csim",
+          round(graft.expressions.VectorExpressions.cosine(
+            col("vec"), col("cvec")), 6))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"))
+        .select(col("vec_id"), col("cid").cast("string").as("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val storeKeys = snapshot(spark, dir, "keys", keySchema("vec_id"))
+      val pairs =
+        keyedPairs(storeKeys, newKeys, "vec_id", "vec_a", "vec_b", maxBucket,
+          tileTarget)
+      val vecs = snapshot(spark, dir, "vecs", StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("vec",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType)))))
+        .union(newVecs)
+      // the CONFIRM threshold applies at round-6 — the batch twin
+      // [[Similarity.semDedup]]'s exact rounding, so incremental and
+      // batch decisions agree at the boundary (a 0.8499960 cosine is
+      // below minCosine=0.85 on BOTH paths; the previous round-4 confirm
+      // flipped it). The emitted cosine column keeps the scheme-wide
+      // round-4 display convention
+      val rawCos = graft.expressions.VectorExpressions.cosine(
+        col("va"), col("vb"))
+      val result = pairs
+        .join(vecs.select(col("vec_id").as("vec_a"), col("vec").as("va")),
+          Seq("vec_a"))
+        .join(vecs.select(col("vec_id").as("vec_b"), col("vec").as("vb")),
+          Seq("vec_b"))
+        .filter(round(rawCos, 6) >= minCosine)
+        .withColumn("cosine", round(rawCos, 4))
+        .select("vec_a", "vec_b", "cosine")
+        .localCheckpoint(true)
+      // keys and vecs publish under ONE marker (see ingestEmbeddings)
+      val id = freshIngestId()
+      stage(newKeys, dir, "keys", id)
+      stage(newVecs, dir, "vecs", id)
+      commitIngest(spark, dir, id)
+      newKeys.unpersist()
+      newVecs.unpersist()
+      result
+    }
   }
 }

@@ -431,7 +431,7 @@ object TextPipeline {
     * band's bit value — collision-free, portable). Shared by the batch
     * candidate generator and the incremental ingest so their buckets are
     * identical by construction. */
-  private[pipeline] def simhashBandKeys(sim: org.apache.spark.sql.Column,
+  private[graft] def simhashBandKeys(sim: org.apache.spark.sql.Column,
                                         bands: Int): org.apache.spark.sql.Column = {
     require(bands >= 1 && bands <= 47, "bands must be in [1, 47]")
     val width = 47 / bands

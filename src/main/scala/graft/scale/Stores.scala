@@ -36,11 +36,24 @@ object Stores {
 
   /** Replace the store at `dir` with `result` (whose plan may read
     * `dir` itself): write to a temp sibling, swap atomically, clear
-    * leftovers — never an in-place overwrite of files the plan reads. */
+    * leftovers — never an in-place overwrite of files the plan reads.
+    *
+    * `result` is BY-NAME: if a prior run crashed between this method's
+    * two renames, the store root is missing and `.old_<name>` holds the
+    * only copy — the rename-back recovery below must run BEFORE the
+    * caller's plan reads `dir`, or the natural retry dies on a
+    * missing-path error with manual recovery as the only way out (the
+    * same asymmetry [[swapPartition]]'s guard + [[recoverInterruptedSwaps]]
+    * close for partition swaps). */
   def rewriteAtomically(spark: SparkSession, dir: String,
-                        result: DataFrame): Unit = {
+                        result: => DataFrame): Unit = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val interrupted = new Path(root.getParent, s".old_${root.getName}")
+    if (!fs.exists(root) && fs.exists(interrupted))
+      renameOrThrow(fs, interrupted, root,
+        s"recovery of interrupted rewrite failed; pre-crash store " +
+          s"remains at $interrupted")
     val tmp = new Path(root.getParent, s".rewrite_${root.getName}")
     fs.delete(tmp, true) // stale leftover from a crashed prior run
     result.write.mode("overwrite").parquet(tmp.toString)

@@ -519,6 +519,59 @@ class PipelineSpec extends SparkSpec {
     assert(all.exceptAll(batch).isEmpty && batch.exceptAll(all).isEmpty)
   }
 
+  test("IncrementalDedup: a crash between table writes leaves the batch invisible; re-ingest is clean") {
+    import graft.pipeline.{IncrementalDedup, TextPipeline}
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = (0L until 30L).map { i =>
+      val text = if (i % 6 == 0) base
+      else if (i % 6 == 1) base.replace("kappa", s"mut$i")
+      else s"unique words only document number $i with filler ${i * 31}"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val b1 = corpus.filter(col("doc_id") < 15)
+    val b2 = corpus.filter(col("doc_id") >= 15)
+    val dir = java.nio.file.Files.createTempDirectory("inc_crash").toString
+    val first = IncrementalDedup.ingestSimhash(dir, b1)
+    first.count()
+    // simulate the crash-BETWEEN-writes interleaving for b2: its band
+    // keys are staged (the pre-fix code would have made them LIVE here,
+    // with the signatures missing) but the commit marker never lands
+    val sigs = TextPipeline.simhash(b2)
+    val keys = sigs.select(col("doc_id"),
+      explode(TextPipeline.simhashBandKeys(col("simhash"), 4)).as("bucket"))
+    IncrementalDedup.stage(keys, dir, "keys", "crashed00")
+    // the torn batch must be invisible: a fresh full ingest of b2 must
+    // equal the uncrashed two-batch reference exactly (keys-without-sigs
+    // in the store would instead confirm-join b1xb2 pairs away, or pair
+    // b2 docs against themselves twice)
+    val second = IncrementalDedup.ingestSimhash(dir, b2)
+    val refDir = java.nio.file.Files.createTempDirectory("inc_crash_ref").toString
+    val ref = IncrementalDedup.ingestSimhash(refDir, b1)
+      .union(IncrementalDedup.ingestSimhash(refDir, b2))
+    val got = first.union(second)
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+    assert(ref.count() > 0) // the pin must not be vacuous
+  }
+
+  test("IncrementalDedup.ingestSemantic: an empty first increment does not freeze an empty quantizer") {
+    import graft.pipeline.IncrementalDedup
+    val emb = (0L until 40L).map { i =>
+      val seed = i % 4
+      (i, (0 until 8).map(d =>
+        (((seed * 31 + d * 7) % 13 - 6).toFloat / 6f) + (i.toFloat / 10000f)))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("inc_sem_empty").toString
+    // empty first increment: no pairs, and crucially NO frozen quantizer
+    val empty = IncrementalDedup.ingestSemantic(dir,
+      emb.filter(col("vec_id") < 0), nlist = 3, minCosine = 0.9)
+    assert(empty.count() == 0)
+    // the next (real) increment derives the quantizer and pairs normally
+    val real = IncrementalDedup.ingestSemantic(dir, emb, nlist = 3,
+      minCosine = 0.9)
+    assert(real.count() > 0,
+      "quantizer was frozen empty by the empty first increment")
+  }
+
   test("IncrementalDedup.ingestEmbeddings: batched ingest equals annLshBanded") {
     import graft.pipeline.{IncrementalDedup, Similarity}
     val emb = (0L until 90L).map { i =>
@@ -573,9 +626,11 @@ class PipelineSpec extends SparkSpec {
     val assignM = vecs.map { case (id, v) =>
       id -> cents.maxBy { case (cid, cv) => (rd(cosine(v, cv), 6), -cid) }._1
     }.toMap
+    // confirm threshold at round-6 (Similarity.semDedup's exact rounding);
+    // the emitted cosine column stays at the scheme-wide round-4
     val expect = (for {
       (ia, va) <- vecs; (ib, vb) <- vecs
-      if ia < ib && assignM(ia) == assignM(ib) && rd(cosine(va, vb), 4) >= minCos
+      if ia < ib && assignM(ia) == assignM(ib) && rd(cosine(va, vb), 6) >= minCos
     } yield (ia, ib, rd(cosine(va, vb), 4))).toSet
     assert(expect.nonEmpty) // parity must not be vacuous
     val got = rowsOf(all).map(r => (r("vec_a").asInstanceOf[Long],

@@ -459,6 +459,23 @@ class ScaleSpec extends SparkSpec {
     assert(new java.io.File(s"$base/store/part-2").exists)
   }
 
+  test("rewriteAtomically: an interrupted prior rewrite is resumed before the plan reads the store") {
+    val base = java.nio.file.Files.createTempDirectory("rewrite_crash").toString
+    val dir = s"$base/store"
+    // the crash-between-renames state rewriteAtomically itself can leave:
+    // root missing, `.old_store` holding the only copy of the rows
+    spark.range(5).toDF("v").write.parquet(s"$base/.old_store")
+    // the natural retry: the result plan reads the store ITSELF — the
+    // by-name parameter means recovery runs before this read resolves
+    // (eager evaluation would die on the missing path)
+    graft.scale.Stores.rewriteAtomically(spark, dir,
+      spark.read.parquet(dir).filter(col("v") >= 1))
+    val got = spark.read.parquet(dir).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L, 4L))
+    assert(!new java.io.File(s"$base/.old_store").exists)
+    assert(!new java.io.File(s"$base/.rewrite_store").exists)
+  }
+
   test("Layout compaction: report finds small-file partitions; rewrite is value-neutral and scoped") {
     import graft.scale.Layout
     val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
