@@ -122,21 +122,32 @@ object SparkEntry {
 
   /** Request flows + synthetic paired responses for the biflow self-join:
     * swapped endpoints, +flow_id%400 ms start offset (within the 500 ms
-    * pairing tolerance). */
+    * pairing tolerance).
+    *
+    * The fanout is an EXPLODE of a two-struct array, not a UNION: a union
+    * duplicates the whole upstream subtree per leg (two parquet scans,
+    * two widening exchanges — measured on q_pattern_finder), while the
+    * explode keeps one scan/exchange and doubles rows inside the wide
+    * stage, pipelined into whatever consumes them. */
   private[graft] def withBiflowEcho(f: DataFrame): DataFrame = {
-    val base = f.filter(col("src_ip4").isNotNull)
-      .select("flow_id", "src_ip4", "dst_ip", "src_port", "dst_port",
-        "start_ms", "end_ms", "packets", "bytes")
-    base.unionByName(base.select(
-      (col("flow_id") + 10000000L).as("flow_id"),
-      col("dst_ip").as("src_ip4"),
-      col("src_ip4").as("dst_ip"),
-      col("dst_port").cast("long").as("src_port"),
-      col("src_port").cast("int").as("dst_port"),
-      (col("start_ms") + col("flow_id") % 400).as("start_ms"),
-      (col("end_ms") + col("flow_id") % 400).as("end_ms"),
-      (col("packets") + 1).as("packets"),
-      (col("bytes") * 2).as("bytes")))
+    val both = array(
+      struct(
+        col("flow_id"), col("src_ip4"), col("dst_ip"),
+        col("src_port"), col("dst_port"),
+        col("start_ms"), col("end_ms"), col("packets"), col("bytes")),
+      struct(
+        (col("flow_id") + 10000000L).as("flow_id"),
+        col("dst_ip").as("src_ip4"),
+        col("src_ip4").as("dst_ip"),
+        col("dst_port").cast("long").as("src_port"),
+        col("src_port").cast("int").as("dst_port"),
+        (col("start_ms") + col("flow_id") % 400).as("start_ms"),
+        (col("end_ms") + col("flow_id") % 400).as("end_ms"),
+        (col("packets") + 1).as("packets"),
+        (col("bytes") * 2).as("bytes")))
+    // inline = explode straight to columns: one generator pass, no
+    // struct-expansion select after it
+    f.filter(col("src_ip4").isNotNull).select(inline(both))
   }
 
   /** One per implemented operator from SURVEY.md §2. */
@@ -565,15 +576,12 @@ object SparkEntry {
         .orderBy("src_ip", "day_start_ms", "hour_slot")),
 
     "q_pattern_finder" -> ((s, dir) => {
-      // materialize the echoed-flows frame once (9 columns, synthesized
-      // in parallel over the widened scan) — the biflow self-join reads
-      // it twice, and letting each side re-derive it re-ran the synth
-      // FOUR times (union legs × join sides) behind pushed-down filters
-      val echoed = withBiflowEcho(flowsWide(s, dir)).localCheckpoint()
+      // grouped pairing (the reference's own groupByKey-per-batch shape):
+      // ONE shuffle on the biflow key, req/rsp lists cross-paired in
+      // place — no self-join, so the echoed-flows frame is derived
+      // exactly once and needs no checkpoint or broadcast build
       PatternFinder.classify(
-        // echoed is one batch window (bounded MBs) — the broadcast
-        // contract biflows documents
-        PatternFinder.biflows(echoed, 500L, broadcastResponses = true),
+        PatternFinder.biflowsGrouped(withBiflowEcho(flowsWide(s, dir)), 500L),
         patterns, binThresholds)
         .select("biflow_key", "req_id", "rsp_id", "client_ip", "server_ip",
           "closest_pattern", "distance", "bin")

@@ -108,6 +108,67 @@ object PatternFinder {
       .filter(abs(col("req_start_ms") - col("rsp_start_ms")) <= toleranceMs)
   }
 
+  /** [[biflows]] as grouped pairing — the reference's own execution shape
+    * (pattern_finder.py:168-194 pairs within a `groupByKey` of one batch
+    * window): ONE shuffle on the biflow key carries every flow once with
+    * req/rsp struct tags, each key cross-pairs its request and response
+    * lists in place, and the tolerance filter prunes the fanout. Output
+    * rows and columns are identical to the join form (spec-pinned).
+    *
+    * Use for bounded batch windows: no second exchange, no broadcast
+    * build, no materialization barrier — the whole pairing is
+    * scan → exchange → aggregate, three pipelined stages. The per-key
+    * lists live in one aggregation buffer, so flows-per-biflow-key must
+    * be window-bounded (the reference's contract); for unbounded corpus
+    * slices with possibly hot keys use the join form, whose shuffle join
+    * AQE can skew-split. */
+  def biflowsGrouped(flows: DataFrame, toleranceMs: Long = 500L,
+                     vector: Seq[Column] = Nil): DataFrame = {
+    val key = sort_array(array(
+      concat_ws(":", col("src_port"), col("src_ip4")),
+      concat_ws(":", col("dst_port"), col("dst_ip"))))
+    // fused: one filter + one select (each Dataset op is an analyzer
+    // pass; chained withColumns cost driver latency on sub-second plans)
+    val withVec = flows
+      .filter(col("src_ip4").isNotNull && col("src_port").isNotNull &&
+        col("dst_port").isNotNull)
+      .select(col("*") +: (concat_ws("|", key).as("biflow_key") +:
+        (if (vector.isEmpty) Nil
+         else Seq(array(vector.map(_.cast("double")): _*).as("_vec")))): _*)
+    val vecReq = if (vector.isEmpty) Nil else Seq(col("_vec").as("req_vec"))
+    val vecRsp = if (vector.isEmpty) Nil else Seq(col("_vec").as("rsp_vec"))
+    val isReq = col("src_port") > col("dst_port")
+    // `when` without otherwise is null on the other side, and
+    // collect_list drops nulls — each flow lands in exactly one list
+    val reqS = struct(Seq(col("flow_id").as("req_id"),
+      col("src_ip4").as("client_ip"), col("dst_ip").as("server_ip"),
+      col("start_ms").as("req_start_ms"), col("end_ms").as("req_end_ms"),
+      col("packets").as("req_packets"), col("bytes").as("req_bytes"))
+      ++ vecReq: _*)
+    val rspS = struct(Seq(col("flow_id").as("rsp_id"),
+      col("start_ms").as("rsp_start_ms"), col("end_ms").as("rsp_end_ms"),
+      col("packets").as("rsp_packets"), col("bytes").as("rsp_bytes"))
+      ++ vecRsp: _*)
+    val reqCols = Seq("req_id", "client_ip", "server_ip", "req_start_ms",
+      "req_end_ms", "req_packets", "req_bytes") ++
+      (if (vector.isEmpty) Nil else Seq("req_vec"))
+    val rspCols = Seq("rsp_id", "rsp_start_ms", "rsp_end_ms",
+      "rsp_packets", "rsp_bytes") ++
+      (if (vector.isEmpty) Nil else Seq("rsp_vec"))
+    withVec
+      .groupBy("biflow_key")
+      .agg(collect_list(when(isReq, reqS)).as("__reqs"),
+        collect_list(when(!isReq, rspS)).as("__rsps"))
+      .select(col("biflow_key"), explode(col("__reqs")).as("__rq"),
+        col("__rsps"))
+      .select(col("biflow_key"), col("__rq"), explode(col("__rsps")).as("__rs"))
+      .filter(abs(col("__rq.req_start_ms") - col("__rs.rsp_start_ms")) <=
+        toleranceMs)
+      .select(col("biflow_key") +:
+        (reqCols.map(c => col(s"__rq.$c").as(c)) ++
+          rspCols.map(c => col(s"__rs.$c").as(c))): _*)
+  }
+
   /** The biflow comparison vector for config-driven pairs: request values
     * then response values (biflow_quadratic_form.py:30-41 sums the request
     * and response quadratic terms — identical to one quadratic form over
@@ -120,13 +181,30 @@ object PatternFinder {
 
   /** Feature vector per biflow pair: (req duration, req packets, req bytes,
     * rsp packets, rsp bytes) — the reference's configurable math-op vector
-    * builder instantiated for the biflow case (X14). */
-  private def featureVector: Column = array(
+    * builder instantiated for the biflow case (X14). Kept as a Seq so the
+    * statically-known shape can feed the codegen-friendly unrolled
+    * quadratic form ([[VectorFunctions.quadraticFormDistanceUnrolled]]). */
+  private def featureExprs: Seq[Column] = Seq(
     (col("req_end_ms") - col("req_start_ms")).cast("double"),
     col("req_packets").cast("double"),
     col("req_bytes").cast("double"),
     col("rsp_packets").cast("double"),
     col("rsp_bytes").cast("double"))
+
+  /** The vector form, for callers that carry the features as one array
+    * column (the stateful observation path serializes it through keyed
+    * state). */
+  private def featureVector: Column = array(featureExprs: _*)
+
+  /** Quadratic-form distance of an array column to a static pattern,
+    * unrolled per element so it stays inside whole-stage codegen (the
+    * zip_with/aggregate form is CodegenFallback — interpreted per row).
+    * Precondition: the array has exactly `w.size` elements (the config
+    * loader validates pattern/vector lengths); same left-to-right fold
+    * order as the HOF form, so the doubles are bit-identical. */
+  private def qfd(vec: Column, w: Seq[Double]): Column =
+    VectorFunctions.quadraticFormDistanceUnrolled(
+      w.indices.map(i => get(vec, lit(i))), w)
 
   /** Distribution config (configuration.yml `distance.distribution`):
     * ascending interval upper bounds ("< interval" semantics,
@@ -145,7 +223,12 @@ object PatternFinder {
     * below the first interval wraps to the last bin too (the reference
     * indexes `distribution[-1]` — Python negative indexing, preserved). */
   def intervalBin(dist: Column, intervals: Seq[Double]): Column = {
-    val cnt = size(filter(typedLit(intervals), iv => iv <= dist))
+    // unrolled conditional sum (intervals are a short static list), not
+    // size(filter(...)): the HOF is CodegenFallback and would knock the
+    // enclosing projection out of whole-stage codegen. A null distance
+    // counts 0 passed intervals on both forms (null predicate = drop).
+    val cnt = intervals.map(iv =>
+      when(lit(iv) <= dist, 1).otherwise(0)).reduce(_ + _)
     when(cnt === 0, lit(intervals.size - 1)).otherwise(cnt - 1)
   }
 
@@ -185,9 +268,8 @@ object PatternFinder {
                          pats: Seq[(Pattern, DistConfig)],
                          vec: Column): DataFrame = {
     val binCols = pats.zipWithIndex.map { case ((p, cfg), pi) =>
-      intervalBin(
-        round(VectorFunctions.quadraticFormDistance(vec, typedLit(p.vector)), 6),
-        cfg.intervals).as(s"_bin_$pi")
+      intervalBin(round(qfd(vec, p.vector), 6), cfg.intervals)
+        .as(s"_bin_$pi")
     }
     val slotSums = for {
       (( _, cfg), pi) <- pats.zipWithIndex; i <- cfg.intervals.indices
@@ -248,9 +330,7 @@ object PatternFinder {
                                vec: Column): DataFrame = {
     val nBins = cfg.intervals.size
     val oneHots = patterns.map { p =>
-      val bin = intervalBin(
-        round(VectorFunctions.quadraticFormDistance(vec, typedLit(p.vector)), 6),
-        cfg.intervals)
+      val bin = intervalBin(round(qfd(vec, p.vector), 6), cfg.intervals)
       array((0 until nBins).map(i =>
         when(bin === i, lit(cfg.weights(i))).otherwise(0L)): _*)
     }
@@ -264,18 +344,20 @@ object PatternFinder {
     * bin distribution of the closest distance. */
   def classify(pairs: DataFrame, patterns: Seq[Pattern],
                thresholds: Seq[Double]): DataFrame = {
-    val v = featureVector
     val dists = patterns.map { p =>
       struct(
-        round(VectorFunctions.quadraticFormDistance(v, typedLit(p.vector)), 6)
-          .as("distance"),
+        round(VectorFunctions.quadraticFormDistanceUnrolled(
+          featureExprs, p.vector), 6).as("distance"),
         lit(p.name).as("pattern"))
     }
+    // two fused selects, not five chained withColumns — every Dataset
+    // transformation is an analyzer pass over the whole (deep) plan, and
+    // on sub-second queries the chain shows up as driver latency
     pairs
-      .withColumn("best", sort_array(array(dists: _*)).getItem(0))
-      .withColumn("closest_pattern", col("best.pattern"))
-      .withColumn("distance", col("best.distance"))
-      .withColumn("bin", VectorFunctions.binIndex(col("distance"), thresholds))
-      .drop("best")
+      .select(col("*"), sort_array(array(dists: _*)).getItem(0).as("best"))
+      .select(pairs.columns.map(col) :+
+        col("best.pattern").as("closest_pattern") :+
+        col("best.distance").as("distance") :+
+        VectorFunctions.binIndex(col("best.distance"), thresholds).as("bin"): _*)
   }
 }

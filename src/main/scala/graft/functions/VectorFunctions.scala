@@ -36,11 +36,28 @@ object VectorFunctions {
     sqrt(aggregate(zip_with(v, p, (a, b) => pow((a - b) / b, 2.0d)),
       lit(0.0d), (acc, x) => acc + x))
 
+  /** [[quadraticFormDistance]] unrolled for a STATICALLY-known feature
+    * list and pattern: plain arithmetic instead of
+    * `aggregate`/`zip_with`, because Spark's higher-order functions are
+    * `CodegenFallback` — interpreted per row, and their presence knocks
+    * the enclosing projection out of whole-stage codegen. The fold order
+    * matches the HOF form exactly (left-to-right sum from 0.0), so the
+    * doubles are bit-identical. */
+  def quadraticFormDistanceUnrolled(xs: Seq[Column], w: Seq[Double]): Column = {
+    require(xs.size == w.size, "feature/pattern length mismatch")
+    sqrt(xs.zip(w).map { case (x, wi) =>
+      pow((x - lit(wi)) / lit(wi), 2.0d)
+    }.foldLeft(lit(0.0d))(_ + _))
+  }
+
   /** Distance → bin index over ascending thresholds; value ≥ last threshold
-    * falls in the last bin (pattern_finder.py:200-223). */
+    * falls in the last bin (pattern_finder.py:200-223). Unrolled to a
+    * conditional sum (thresholds are always a short static list) so the
+    * expression stays inside whole-stage codegen — `size(filter(...))`
+    * is a CodegenFallback higher-order function. */
   def binIndex(dist: Column, thresholds: Seq[Double]): Column = {
-    val arr = typedLit(thresholds)
-    val idx = size(filter(arr, t => t <= dist)) // #thresholds passed
+    val idx = thresholds.map(t =>
+      when(lit(t) <= dist, 1).otherwise(0)).reduce(_ + _)
     least(idx, lit(thresholds.size - 1))
   }
 
