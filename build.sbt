@@ -39,4 +39,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // generated classes: the 240m default code cache evicts/deopts
   // earlier compiled methods mid-suite
   "-XX:ReservedCodeCacheSize=512m",
+  // Spark's generated-class cache (STATIC conf) holds only 100 entries
+  // by default — a suite of ~40 queries × several codegen units thrashes
+  // it, so every pass re-Janino-compiles and re-JITs what the last pass
+  // already compiled (measured: mid-suite walls 1.5-2× their isolated
+  // walls with hot methods deopted by the churn). Any long-lived session
+  // running many distinct queries wants this raised.
+  "-Dspark.sql.codegen.cache.maxEntries=4096",
 )

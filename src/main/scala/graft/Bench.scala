@@ -9,6 +9,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // static conf (builder-time only): the 100-entry default generated-
+      // class cache thrashes across a ~40-query suite, re-compiling and
+      // re-JITting every pass (see build.sbt javaOptions note)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.core.Graft.tune(spark)

@@ -8,7 +8,7 @@ import graft.core.{FlowSynth, Graft, Tables}
 import graft.analytics._
 import graft.functions.{DnsFunctions, NetFunctions, TextFunctions}
 import graft.multimodal.Multimodal
-import graft.pipeline.{Curation, Projection, Similarity, TextPipeline}
+import graft.pipeline.{Curation, Projection, Similarity, TextPipeline, UrlCuration}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1078,6 +1078,41 @@ object SparkEntry {
       Curation.sampleBySource(Tables.documents(s, dir),
         Map("src0" -> 0L, "src1" -> 250000L, "src2" -> 500000L))
         .select("doc_id", "source").orderBy("doc_id")),
+
+    // --- URL curation tier (pipeline/UrlCuration): map-only regex
+    // canonicalization + registered-domain extraction, then dedup/cap
+    // aggregations on the canonical keys. URLs are synthesized
+    // deterministically (documents has no url column) with a DuckDB
+    // twin, so the whole tier is hash-checked end to end.
+    "q_url_canonical" -> ((s, dir) =>
+      UrlCuration.synthUrls(Tables.documents(s, dir).select("doc_id", "source"))
+        .select(col("doc_id"), col("url"),
+          UrlCuration.canonicalizeUrl(col("url")).as("url_canon"))
+        .orderBy("doc_id")),
+
+    "q_url_domains" -> ((s, dir) =>
+      UrlCuration.synthUrls(Tables.documents(s, dir).select("doc_id", "source"))
+        .select(UrlCuration.registeredDomain(col("url")).as("domain"),
+          UrlCuration.canonicalizeUrl(col("url")).as("url_canon"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url_canon")).as("n_urls"))
+        .orderBy("domain")),
+
+    "q_url_dedup" -> ((s, dir) =>
+      UrlCuration.urlDedup(
+        UrlCuration.synthUrls(Tables.documents(s, dir).select("doc_id", "source")))
+        .orderBy("url_canon")),
+
+    "q_url_blocklist_cap" -> ((s, dir) => {
+      import s.implicits._
+      val blocked = Seq("site3.com", "site7.co.uk", "site11.net",
+        "site5.com.au").toDF("domain")
+      UrlCuration.blocklistAndCap(
+        UrlCuration.synthUrls(Tables.documents(s, dir).select("doc_id", "source")),
+        blocked, k = 5)
+        .select("doc_id", "domain").orderBy("doc_id")
+    }),
 
     // concat-and-cut sequence packing: global token offsets via the
     // distributed exclusive prefix sum (scale/Ids.prefixSum) — the
@@ -4146,6 +4181,41 @@ object SparkEntry {
       s"""SELECT doc_id, source,
          |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // --- URL curation tier: the synth + canonicalization + domain SQL
+    // fragments are built by UrlCuration from the SAME regexes/rules the
+    // Spark columns use
+    "q_url_canonical" ->
+      s"""WITH u AS (SELECT doc_id, ${UrlCuration.urlSql} AS url FROM documents)
+         |SELECT doc_id, url, ${UrlCuration.canonSql("url")} AS url_canon
+         |FROM u ORDER BY doc_id""".stripMargin,
+
+    "q_url_domains" ->
+      s"""WITH u AS (SELECT doc_id, ${UrlCuration.urlSql} AS url FROM documents),
+         |d AS (SELECT ${UrlCuration.domainSql("url")} AS domain,
+         |             ${UrlCuration.canonSql("url")} AS url_canon FROM u)
+         |SELECT domain, count(*) AS n_docs,
+         |       count(DISTINCT url_canon) AS n_urls
+         |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "q_url_dedup" ->
+      s"""WITH u AS (SELECT doc_id, ${UrlCuration.urlSql} AS url FROM documents),
+         |c AS (SELECT doc_id, ${UrlCuration.canonSql("url")} AS url_canon FROM u)
+         |SELECT url_canon, min(doc_id) AS keeper, count(*) AS dups
+         |FROM c WHERE url_canon IS NOT NULL
+         |GROUP BY url_canon HAVING count(*) > 1
+         |ORDER BY url_canon""".stripMargin,
+
+    "q_url_blocklist_cap" ->
+      s"""WITH u AS (SELECT doc_id, ${UrlCuration.urlSql} AS url FROM documents),
+         |d AS (SELECT doc_id, ${UrlCuration.domainSql("url")} AS domain FROM u),
+         |f AS (SELECT * FROM d WHERE domain IS NOT NULL AND domain NOT IN
+         |        ('site3.com', 'site7.co.uk', 'site11.net', 'site5.com.au')),
+         |r AS (SELECT doc_id, domain, row_number() OVER (PARTITION BY domain
+         |        ORDER BY (doc_id % 1048576 * 2654435761 + 40503) % 1048576 ASC,
+         |                 doc_id ASC) AS rk
+         |      FROM f)
+         |SELECT doc_id, domain FROM r WHERE rk <= 5 ORDER BY doc_id""".stripMargin,
 
     // composed pipeline: repetition filter -> cluster dedup -> decontam ->
     // mixing -> chunking, each stage the SQL twin of its Curation operator
