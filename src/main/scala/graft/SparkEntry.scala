@@ -1079,6 +1079,14 @@ object SparkEntry {
         Map("src0" -> 0L, "src1" -> 250000L, "src2" -> 500000L))
         .select("doc_id", "source").orderBy("doc_id")),
 
+    // token-budget mixture solver: corpus-composition aggregate joined
+    // to the broadcast target-weight table; exact integer allocation
+    "q_mixture_solve" -> ((s, dir) =>
+      Curation.mixtureSolve(Tables.documents(s, dir),
+        Map("src0" -> 6L, "src1" -> 3L, "src2" -> 1L),
+        tokenBudget = 1000000L)
+        .orderBy("source")),
+
     // --- URL curation tier (pipeline/UrlCuration): map-only regex
     // canonicalization + registered-domain extraction, then dedup/cap
     // aggregations on the canonical keys. URLs are synthesized
@@ -4181,6 +4189,23 @@ object SparkEntry {
       s"""SELECT doc_id, source,
          |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // mixture solver: same integer floor-division allocation (div = //
+    // on non-negative operands), same round-4 epochs ratio
+    "q_mixture_solve" ->
+      s"""WITH t AS (
+         |  SELECT source,
+         |    CAST(sum(CAST(len($toksSql) AS BIGINT)) AS BIGINT) AS total_tokens
+         |  FROM documents GROUP BY source
+         |), w(source, weight) AS (
+         |  VALUES ('src0', CAST(6 AS BIGINT)), ('src1', CAST(3 AS BIGINT)),
+         |         ('src2', CAST(1 AS BIGINT))
+         |)
+         |SELECT t.source, total_tokens, weight,
+         |  (1000000 * weight) // 10 AS target_tokens,
+         |  round(CAST((1000000 * weight) // 10 AS DOUBLE) / total_tokens, 4)
+         |    AS epochs
+         |FROM t JOIN w ON t.source = w.source ORDER BY t.source""".stripMargin,
 
     // --- URL curation tier: the synth + canonicalization + domain SQL
     // fragments are built by UrlCuration from the SAME regexes/rules the

@@ -622,6 +622,52 @@ object Curation {
         round(col("q")(1), 2).as("p90_tokens"),
         round(col("q")(2), 2).as("p99_tokens"))
 
+  /** Token-budget mixture solver: given per-source target weights and a
+    * total token budget, emit per source its available tokens, its
+    * integer token allocation `target_tokens = budget·w/Σw` (floor), and
+    * the repeat factor `epochs = target/available` (> 1 ⇒ the source is
+    * upsampled, the signal mixing dashboards watch) — the step that
+    * turns a corpus-composition report into concrete sampling rates for
+    * [[sampleBySource]].
+    *
+    * One token-count aggregate over the corpus (map-side combinable
+    * longs) joined to the broadcast weight table; everything after the
+    * aggregate is metadata-sized. Sources without a target weight are
+    * dropped (weight 0). Integer allocation arithmetic is exact and
+    * engine-portable; caller contract: `tokenBudget × max(weight)` must
+    * stay inside Long (weights are small ratios, budgets ≤ ~10^15 —
+    * fine for 100 TB ≈ 2.5·10^13 tokens). */
+  def mixtureSolve(docs: DataFrame, targetWeights: Map[String, Long],
+                   tokenBudget: Long): DataFrame = {
+    require(targetWeights.nonEmpty && targetWeights.values.forall(_ > 0),
+      "target weights must be positive")
+    val wSum = targetWeights.values.sum
+    require(targetWeights.values.forall(w =>
+      w <= Long.MaxValue / math.max(tokenBudget, 1L)),
+      "tokenBudget * weight overflows Long")
+    val spark = docs.sparkSession
+    val wdf = spark.createDataFrame(
+      java.util.Arrays.asList(targetWeights.toSeq.sortBy(_._1).map {
+        case (s, w) => org.apache.spark.sql.Row(s, w)
+      }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("weight",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    docs
+      .select(col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("n_toks"))
+      .groupBy("source")
+      .agg(sum("n_toks").as("total_tokens"))
+      .join(broadcast(wdf), Seq("source"))
+      .select(col("source"), col("total_tokens"), col("weight"),
+        expr(s"($tokenBudget * weight) div $wSum").as("target_tokens"),
+        round(expr(s"($tokenBudget * weight) div $wSum").cast("double") /
+          col("total_tokens"), 4).as("epochs"))
+  }
+
   // ----- train/val/test split --------------------------------------------
 
   /** Deterministic train/val/test assignment: the salted fingerprint hash

@@ -388,6 +388,31 @@ class PipelineSpec extends SparkSpec {
     assert(out("sB")("n_docs") == 1L && out("sB")("total_tokens") == 1L)
   }
 
+  test("mixtureSolve: exact integer allocation, epochs > 1 flags upsampling, unweighted sources dropped") {
+    import graft.pipeline.Curation
+    val d = Seq(
+      (1L, "one two three four", "big"),   // 4 toks
+      (2L, "five six seven eight", "big"), // 4 toks -> big: 8
+      (3L, "tiny doc", "small"),           // small: 2
+      (4L, "ignored entirely", "other"))   // no target weight
+      .toDF("doc_id", "text", "source")
+    val out = rowsOf(Curation.mixtureSolve(d,
+      Map("big" -> 3L, "small" -> 1L), tokenBudget = 100L))
+      .map(r => r("source") -> r).toMap
+    assert(out.keySet == Set("big", "small")) // 'other' dropped
+    assert(out("big")("total_tokens") == 8L)
+    assert(out("big")("target_tokens") == 75L)   // 100*3 div 4
+    assert(out("small")("target_tokens") == 25L) // 100*1 div 4
+    assert(out("big")("epochs") == 9.375)        // 75/8
+    assert(out("small")("epochs") == 12.5)       // 25/2 -> upsampled
+    intercept[IllegalArgumentException] {
+      Curation.mixtureSolve(d, Map("big" -> 0L), 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.mixtureSolve(d, Map("big" -> Long.MaxValue / 2), 10L)
+    }
+  }
+
   // ----- Curation --------------------------------------------------------
 
   test("contamination counts benchmark n-gram overlap; decontaminate drops") {
