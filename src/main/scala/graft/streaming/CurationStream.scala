@@ -118,6 +118,67 @@ object CurationStream {
       ()
     }
 
+  /** One URL-dedup micro-batch — the crawl-frontier face of
+    * [[graft.pipeline.UrlCuration.urlDedup]]: canonicalize the batch's
+    * URLs, emit every document whose canonical URL already has a keeper
+    * (in the committed store, or a lower doc_id within this batch), and
+    * commit the batch's NEW canonical URLs with their keepers. Union of
+    * all batches' emissions = the batch operator's drop list whenever
+    * doc_ids arrive in order (the keeper is first-seen, min-per-batch);
+    * same exactly-once discipline as [[ingestBatch]] (committed-store
+    * read with batch_id self-exclusion, idempotent emission + key
+    * commits — a replay pairs against exactly the pre-batch store).
+    *
+    * Scale: the store is touched only by one equi-join on the canonical
+    * string per batch (batch side is micro-batch-sized; AQE broadcasts
+    * it); nothing document-sized persists beyond (url_canon, keeper). */
+  def urlDedupBatch(batch: DataFrame, batchId: Long, storeDir: String,
+                    dupsPath: String): Boolean = {
+    val spark = batch.sparkSession
+    val keysPath = s"$storeDir/url_keys"
+    val canon = batch
+      .select(col("doc_id"),
+        graft.pipeline.UrlCuration.canonicalizeUrl(col("url")).as("url_canon"))
+      .filter(col("url_canon").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val store = {
+        val committed = ResultSink.readCommitted(spark, keysPath)
+        if (committed.columns.isEmpty) committed
+        else committed.filter(col("batch_id") =!= batchId)
+          .select("url_canon", "keeper")
+      }
+      val storeOrEmpty =
+        if (store.columns.isEmpty)
+          canon.select(col("url_canon"), col("doc_id").as("keeper"))
+            .filter(lit(false))
+        else store
+      val bmin = canon.groupBy("url_canon").agg(min("doc_id").as("bmin"))
+      val dups = canon
+        .join(storeOrEmpty, Seq("url_canon"), "left")
+        .join(bmin, Seq("url_canon"))
+        .withColumn("keep", coalesce(col("keeper"), col("bmin")))
+        .filter(col("doc_id") =!= col("keep"))
+        .select(col("doc_id"), col("url_canon"), col("keep").as("keeper"))
+      val newKeys = bmin
+        .join(storeOrEmpty, Seq("url_canon"), "left_anti")
+        .select(col("url_canon"), col("bmin").as("keeper"))
+      val wrote = ResultSink.writeBatchIdempotent(dups, batchId, dupsPath)
+      ResultSink.writeBatchIdempotent(newKeys, batchId, keysPath)
+      wrote
+    } finally canon.unpersist()
+  }
+
+  /** Streaming URL dedup — wire a streaming (doc_id, url) frame through
+    * [[urlDedupBatch]]. */
+  def urlDups(docs: DataFrame, storeDir: String, dupsPath: String,
+              trigger: Trigger = Trigger.ProcessingTime("5 seconds"))
+      : DataStreamWriter[Row] =
+    ResultSink.foreachBatch(docs, trigger) { (b, id) =>
+      urlDedupBatch(b, id, storeDir, dupsPath)
+      ()
+    }
+
   /** The streaming pipeline: wire a streaming `docs` frame (doc_id,
     * text) through [[ingestBatch]]. Start with `.option(
     * "checkpointLocation", …).start()`; read results any time with

@@ -155,6 +155,54 @@ class CurationStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming URL dedup == batch urlDedup drop list under in-order arrival") {
+    import graft.pipeline.UrlCuration
+    implicit val sqlCtx = spark.sqlContext
+    val storeDir = tmp("cs_ustore"); val dupsPath = tmp("cs_udups")
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "url")
+    val q = CurationStream.urlDups(docs, storeDir, dupsPath)
+      .outputMode(OutputMode.Append()).start()
+    // synthUrl guarantees canonical collisions (page key = id % 29) and
+    // a couple of rows that never canonicalize; evaluate the synth +
+    // canon once driver-side for the batch reference
+    val table = spark.range(0, 90).toDF("doc_id")
+      .select(col("doc_id"), UrlCuration.synthUrl(col("doc_id")).as("u"),
+        UrlCuration.canonicalizeUrl(
+          UrlCuration.synthUrl(col("doc_id"))).as("c"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), Option(r.getString(2))))
+      .toMap
+    val urlOf = (i: Long) => table(i)._1
+    val canonOf = (u: String) =>
+      table.values.collectFirst { case (url, c) if url == u => c }.flatten
+    val corpus = (0L until 90L).map(i => (i,
+      if (i % 37 == 0) "not a url" else urlOf(i)))
+    try {
+      val (b1, rest) = corpus.splitAt(30)
+      val (b2, b3) = rest.splitAt(30)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = ResultSink.readCommitted(spark, dupsPath)
+      .select("doc_id", "keeper").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.toSet.size, "duplicate emission")
+    // batch reference: every doc except its group's min-id keeper
+    val byCanon = corpus
+      .flatMap { case (id, u) => canonOf(u).map(c => (c, id)) }
+      .groupBy(_._1).values
+    val expect = byCanon.flatMap { g =>
+      val keeper = g.map(_._2).min
+      g.map(_._2).filter(_ != keeper).map(d => (d, keeper))
+    }.toSet
+    assert(expect.nonEmpty && got.toSet == expect)
+    // the store holds each canonical URL exactly once, keeper = global min
+    val keys = ResultSink.readCommitted(spark, s"$storeDir/url_keys")
+    assert(keys.groupBy("url_canon").count()
+      .filter(col("count") > 1).count() == 0L)
+  }
+
   test("a replayed batch id is a no-op: pairs and keys unchanged") {
     val storeDir = tmp("cs_store2"); val pairsPath = tmp("cs_pairs2")
     val b1 = (0L until 10L).map(i => (i, text(i))).toDF("doc_id", "text")
