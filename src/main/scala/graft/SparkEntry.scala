@@ -1079,6 +1079,18 @@ object SparkEntry {
         Map("src0" -> 0L, "src1" -> 250000L, "src2" -> 500000L))
         .select("doc_id", "source").orderBy("doc_id")),
 
+    // per-source snapshot drift: smoothed unigram KL(cur||prev) in the
+    // micro-unit fixed point. Snapshot split on (doc_id div 20) parity —
+    // doc_id % 20 IS the source in this testdata, so a plain-parity
+    // split would starve alternating sources of one whole snapshot
+    "q_corpus_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curation.corpusDrift(
+        docs.filter(expr("(doc_id div 20) % 2") === 0),
+        docs.filter(expr("(doc_id div 20) % 2") === 1))
+        .orderBy("source")
+    }),
+
     // token-budget mixture solver: corpus-composition aggregate joined
     // to the broadcast target-weight table; exact integer allocation
     "q_mixture_solve" -> ((s, dir) =>
@@ -4189,6 +4201,44 @@ object SparkEntry {
       s"""SELECT doc_id, source,
          |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // snapshot drift: same micro-unit log-ratio fixed point as
+    // q_unigram_nll; window totals over the full-outer token join
+    "q_corpus_drift" ->
+      s"""WITH tp AS (
+         |  SELECT source, unnest($toksSql) AS token FROM documents
+         |  WHERE (doc_id // 20) % 2 = 0
+         |), tc AS (
+         |  SELECT source, unnest($toksSql) AS token FROM documents
+         |  WHERE (doc_id // 20) % 2 = 1
+         |), pc AS (SELECT source, token, count(*) AS q_cnt FROM tp GROUP BY 1, 2),
+         |cc AS (SELECT source, token, count(*) AS c_cnt FROM tc GROUP BY 1, 2),
+         |j AS (
+         |  SELECT COALESCE(pc.source, cc.source) AS source,
+         |         COALESCE(q_cnt, 0) AS q_cnt, COALESCE(c_cnt, 0) AS c_cnt
+         |  FROM pc FULL OUTER JOIN cc
+         |    ON pc.source = cc.source AND pc.token = cc.token
+         |), w AS (
+         |  SELECT source, q_cnt, c_cnt,
+         |    sum(q_cnt) OVER (PARTITION BY source) AS q_tot,
+         |    sum(c_cnt) OVER (PARTITION BY source) AS c_tot,
+         |    count(*) OVER (PARTITION BY source) AS vocab
+         |  FROM j
+         |), u AS (
+         |  SELECT source, c_cnt, c_tot, q_tot, vocab,
+         |    CAST(round(ln(
+         |      CAST((c_cnt + 1) * (q_tot + vocab) AS DOUBLE) /
+         |      CAST((q_cnt + 1) * (c_tot + vocab) AS DOUBLE)) * 1000000.0)
+         |      AS BIGINT) AS lr_u
+         |  FROM w
+         |)
+         |SELECT source,
+         |  round(CAST(sum((c_cnt + 1) * lr_u) AS DOUBLE)
+         |    / CAST(max(c_tot) + max(vocab) AS DOUBLE) / 1000000.0, 6) AS kl,
+         |  CAST(max(q_tot) AS BIGINT) AS prev_tokens,
+         |  CAST(max(c_tot) AS BIGINT) AS cur_tokens,
+         |  CAST(max(vocab) AS BIGINT) AS vocab
+         |FROM u GROUP BY source ORDER BY source""".stripMargin,
 
     // mixture solver: same integer floor-division allocation (div = //
     // on non-negative operands), same round-4 epochs ratio

@@ -990,6 +990,51 @@ object Curation {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Per-source distribution drift between two corpus snapshots: the
+    * smoothed unigram KL(cur ‖ prev) — the "did the recrawl shift what
+    * this source looks like" monitor that decides whether mixing
+    * weights, quality thresholds, and trained filters need refitting
+    * (the run-over-run cousin of [[graft.scale.Checks]]' anomaly screen,
+    * over token distributions instead of scalar metrics).
+    *
+    * Add-one smoothing over the UNION vocabulary per source, so both
+    * distributions normalize over the same support and novel/vanished
+    * tokens contribute finite mass. The log-ratio is snapped to integer
+    * micro-units ([[unigramNll]]'s fixed-point discipline) so the result
+    * hash-matches the SQL oracle despite the ln().
+    *
+    * Shape at scale: two (source, token) count aggregates (map-side
+    * combinable), one full-outer join on the hashed token space — counts,
+    * never text — then per-source totals via one window over the joined
+    * frame (single pass, no branch recompute) and one tiny final
+    * aggregate. Long envelope: (c+1)·|lr_u| per token ≲ 3·10¹³; vocab
+    * up to ~10⁵ rows per source stays well inside 2⁶³. */
+  def corpusDrift(prev: DataFrame, cur: DataFrame): DataFrame = {
+    def counts(d: DataFrame, name: String) = d
+      .select(col("source"), explode(
+        graft.expressions.TextExpressions.wordShingles(col("text"), 1))
+        .as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as(name))
+    val bydst = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    counts(prev, "q_cnt")
+      .join(counts(cur, "c_cnt"), Seq("source", "token"), "full_outer")
+      .na.fill(0L, Seq("q_cnt", "c_cnt"))
+      .withColumn("q_tot", sum("q_cnt").over(bydst))
+      .withColumn("c_tot", sum("c_cnt").over(bydst))
+      .withColumn("vocab", count(lit(1)).over(bydst))
+      .withColumn("lr_u", round(log(
+        ((col("c_cnt") + 1) * (col("q_tot") + col("vocab"))).cast("double") /
+          ((col("q_cnt") + 1) * (col("c_tot") + col("vocab"))).cast("double"))
+        * 1000000.0d).cast("long"))
+      .groupBy("source")
+      .agg(
+        round(sum((col("c_cnt") + 1) * col("lr_u")).cast("double") /
+          (max("c_tot") + max("vocab")) / 1000000.0d, 6).as("kl"),
+        max("q_tot").as("prev_tokens"),
+        max("c_tot").as("cur_tokens"),
+        max("vocab").as("vocab"))
+  }
+
   /** Streaming face of [[unigramNll]]: score each arriving document
     * against a STATIC reference LM. Stream-static left join on the
     * exploded tokens (the supported streaming join shape — the LM side

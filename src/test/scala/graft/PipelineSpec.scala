@@ -388,6 +388,31 @@ class PipelineSpec extends SparkSpec {
     assert(out("sB")("n_docs") == 1L && out("sB")("total_tokens") == 1L)
   }
 
+  test("corpusDrift: zero for identical snapshots, positive under drift, per-source isolation") {
+    import graft.pipeline.Curation
+    val prev = Seq(
+      (1L, "alpha beta alpha gamma", "sA"),
+      (2L, "one two three", "sB")).toDF("doc_id", "text", "source")
+    val same = Seq(
+      (11L, "alpha beta alpha gamma", "sA"),
+      (12L, "one two three", "sB")).toDF("doc_id", "text", "source")
+    val zero = rowsOf(Curation.corpusDrift(prev, same))
+      .map(r => r("source") -> r).toMap
+    // identical counts -> every log-ratio is exactly 0 -> KL exactly 0
+    assert(zero("sA")("kl") == 0.0 && zero("sB")("kl") == 0.0)
+    assert(zero("sA")("prev_tokens") == 4L && zero("sA")("cur_tokens") == 4L
+      && zero("sA")("vocab") == 3L)
+    // sA drifts (novel token dominates), sB unchanged -> only sA moves
+    val drifted = Seq(
+      (21L, "delta delta delta delta", "sA"),
+      (22L, "one two three", "sB")).toDF("doc_id", "text", "source")
+    val out = rowsOf(Curation.corpusDrift(prev, drifted))
+      .map(r => r("source") -> r).toMap
+    assert(out("sA")("kl").asInstanceOf[Double] > 0.5)
+    assert(out("sB")("kl") == 0.0)
+    assert(out("sA")("vocab") == 4L) // union support: alpha beta gamma delta
+  }
+
   test("mixtureSolve: exact integer allocation, epochs > 1 flags upsampling, unweighted sources dropped") {
     import graft.pipeline.Curation
     val d = Seq(
