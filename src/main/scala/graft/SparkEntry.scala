@@ -1124,6 +1124,16 @@ object SparkEntry {
         UrlCuration.synthUrls(Tables.documents(s, dir).select("doc_id", "source")))
         .orderBy("url_canon")),
 
+    // domain-level prior joined back: one bounded-key aggregate,
+    // broadcast rejoin; integer token score keeps the mean engine-exact
+    "q_url_domain_prior" -> ((s, dir) =>
+      UrlCuration.domainPrior(
+        UrlCuration.synthUrls(
+          Tables.documents(s, dir).select("doc_id", "source", "text")),
+        TextFunctions.tokenCount(col("text")))
+        .select("doc_id", "domain", "n_domain_docs", "domain_mean")
+        .orderBy("doc_id")),
+
     "q_url_blocklist_cap" -> ((s, dir) => {
       import s.implicits._
       val blocked = Seq("site3.com", "site7.co.uk", "site11.net",
@@ -4280,6 +4290,23 @@ object SparkEntry {
          |FROM c WHERE url_canon IS NOT NULL
          |GROUP BY url_canon HAVING count(*) > 1
          |ORDER BY url_canon""".stripMargin,
+
+    "q_url_domain_prior" ->
+      s"""WITH u AS (SELECT doc_id, text, ${UrlCuration.urlSql} AS url FROM documents),
+         |d AS (
+         |  SELECT doc_id, ${UrlCuration.domainSql("url")} AS domain,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END
+         |      AS BIGINT) AS n_toks
+         |  FROM u
+         |), p AS (
+         |  SELECT domain, CAST(count(*) AS BIGINT) AS n_domain_docs,
+         |    round(CAST(sum(n_toks) AS DOUBLE) / count(*), 6) AS domain_mean
+         |  FROM d WHERE domain IS NOT NULL GROUP BY domain
+         |)
+         |SELECT doc_id, d.domain, n_domain_docs, domain_mean
+         |FROM d JOIN p ON d.domain = p.domain
+         |ORDER BY doc_id""".stripMargin,
 
     "q_url_blocklist_cap" ->
       s"""WITH u AS (SELECT doc_id, ${UrlCuration.urlSql} AS url FROM documents),

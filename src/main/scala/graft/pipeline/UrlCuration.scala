@@ -129,6 +129,32 @@ object UrlCuration {
       .filter(col("__rk") <= k).drop("__rk")
   }
 
+  /** Domain-level prior joined back to documents: per registered domain,
+    * the document count and the mean of `score` — the "judge the page by
+    * its site" signal (domain-level quality priors gate low-information
+    * pages whose own text scores fine, and rescue short pages on strong
+    * domains). Emits every input column plus `domain`, `n_domain_docs`,
+    * `domain_mean` (round-6).
+    *
+    * Scale: one aggregate on the bounded domain key space, then the
+    * priors (domain-count-sized) broadcast back onto the corpus — the
+    * corpus never shuffles. Pass an INTEGER-typed score (token counts,
+    * micro-unit fixed-point scores) when the mean must be engine-exact:
+    * the sum is then exact and the single division deterministic. */
+  def domainPrior(docs: DataFrame, score: Column,
+                  urlCol: String = "url"): DataFrame = {
+    val withDomain = docs
+      .withColumn("domain", registeredDomain(col(urlCol)))
+      .filter(col("domain").isNotNull)
+      .withColumn("__score", score.cast("long"))
+    val priors = withDomain
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_domain_docs"),
+        round(sum("__score").cast("double") / count(lit(1)), 6)
+          .as("domain_mean"))
+    withDomain.join(broadcast(priors), Seq("domain")).drop("__score")
+  }
+
   // ----- deterministic URL synthesis (testdata has no URL column) ---------
 
   /** Deterministic per-document URL covering every canonicalization

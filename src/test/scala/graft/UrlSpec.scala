@@ -105,6 +105,23 @@ class UrlSpec extends SparkSpec {
     assert(rows.map(_("doc_id")).toSet == again.map(_("doc_id")).toSet)
   }
 
+  test("domainPrior: exact per-domain mean joined back, corpus columns preserved") {
+    val docs = Seq(
+      (1L, "http://www.a.com/x", 10L),
+      (2L, "http://cdn.a.com/y", 20L),   // same registered domain
+      (3L, "https://b.org/z", 7L),
+      (4L, "not a url", 99L))            // dropped (no domain)
+      .toDF("doc_id", "url", "score")
+    val got = rowsOf(
+      graft.pipeline.UrlCuration.domainPrior(docs, col("score")))
+      .map(r => r("doc_id") -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L)("domain") == "a.com" && got(1L)("n_domain_docs") == 2L)
+    assert(got(1L)("domain_mean") == 15.0 && got(2L)("domain_mean") == 15.0)
+    assert(got(3L)("domain_mean") == 7.0)
+    assert(got(1L)("score") == 10L) // input columns survive the rejoin
+  }
+
   test("synthUrl: same page key collides after canonicalization, distinct keys never do") {
     val urls = spark.range(0, 290).toDF("doc_id")
       .select(col("doc_id"),
