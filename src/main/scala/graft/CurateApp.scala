@@ -74,6 +74,7 @@ object CurateApp {
       gate: Seq[String] = Nil, // ';'-separated output constraints (see parseGate)
       diffPrev: Option[String] = None, // previous corpus snapshot (parquet)
       retired: Option[String] = None, // removed-doc_id sink for --diff-prev
+      urlDedup: Boolean = false, // canonical-URL dedup (needs a url column)
       audit: Boolean = false) // static plan-audit before running (PlanAudit)
 
   /** Build the curation pipeline frame (lazy — callers choose the sink),
@@ -109,6 +110,26 @@ object CurateApp {
             .col("status") =!= "removed").select("doc_id"),
           Seq("doc_id"), "left_semi")
     }
+    // optional canonical-URL dedup FIRST among all stages — the cheapest
+    // duplicate is the one no text stage ever sees: same page under
+    // tracking-param/trailing-slash/case variants keeps only the lowest
+    // doc_id; rows without a parseable URL pass through untouched
+    val urlDeduped = if (!c.urlDedup) base
+      else {
+        val canon = base.select(
+          org.apache.spark.sql.functions.col("doc_id"),
+          graft.pipeline.UrlCuration.canonicalizeUrl(
+            org.apache.spark.sql.functions.col("url")).as("__uc"))
+        val keepers = canon
+          .filter(org.apache.spark.sql.functions.col("__uc").isNotNull)
+          .groupBy("__uc")
+          .agg(org.apache.spark.sql.functions.min("doc_id").as("doc_id"))
+          .select("doc_id")
+        val nonUrl = canon
+          .filter(org.apache.spark.sql.functions.col("__uc").isNull)
+          .select("doc_id")
+        base.join(keepers.union(nonUrl), Seq("doc_id"), "left_semi")
+      }
     // optional C4 line cleaning ahead of everything else: cheapest-first
     // normalization FIRST among the text stages: every downstream line
     // rule, hash, fingerprint and LM score must see the byte-canonical
@@ -116,10 +137,11 @@ object CurateApp {
     // the dedup they feed (one narrow projection — no join needed, the
     // non-text columns ride through)
     val normed = c.normalize match {
-      case None => base
+      case None => urlDeduped
       case Some(form) =>
-        base.withColumn("text", graft.pipeline.TextPipeline.normalizeTextCol(
-          org.apache.spark.sql.functions.col("text"), form))
+        urlDeduped.withColumn("text",
+          graft.pipeline.TextPipeline.normalizeTextCol(
+            org.apache.spark.sql.functions.col("text"), form))
     }
     // stage order — line rules are partition-local, so scrubbing before
     // dedup/decontamination shrinks every later shuffle
@@ -228,6 +250,7 @@ object CurateApp {
         loop(t, c.copy(gate = v.split(';').toSeq.filter(_.nonEmpty)))
       case "--diff-prev" :: v :: t => loop(t, c.copy(diffPrev = Some(v)))
       case "--retired" :: v :: t   => loop(t, c.copy(retired = Some(v)))
+      case "--url-dedup" :: t      => loop(t, c.copy(urlDedup = true))
       case "--audit" :: t          => loop(t, c.copy(audit = true))
       case "--winnow-store" :: v :: t =>
         loop(t, c.copy(winnowStore = Some(v)))

@@ -139,6 +139,32 @@ class GraftAppSpec extends SparkSpec {
     assert(!texts.contains("noise") && texts.contains("alpha"))
   }
 
+  test("CurateApp --url-dedup: canonical-URL variants collapse before the text stages; URL-less rows survive") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("curlin").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon words", "sA",
+        "http://h.com/page?utm_source=x"),
+      (2L, "completely different text body here now", "sA",
+        "HTTP://H.COM:80/page/"), // canonical twin of doc 1's URL
+      (3L, "a third unrelated document entirely okay", "sA",
+        "http://other.net/p"),
+      (4L, "no url on this row at all but fine", "sA", null))
+      .toDF("doc_id", "text", "source", "url")
+      .write.mode("overwrite").parquet(in)
+    val got = CurateApp.run(spark, CurateApp.parse(Array(
+      "--input", in, "--url-dedup", "--max-dup-word-frac", "0.9",
+      "--chunk-size", "16", "--stride", "16")))
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(got == Set(1L, 3L, 4L)) // 2 dropped: same canonical URL as 1
+    // without the flag the URL twin passes (different text, no near-dup)
+    val off = CurateApp.run(spark, CurateApp.parse(Array(
+      "--input", in, "--max-dup-word-frac", "0.9",
+      "--chunk-size", "16", "--stride", "16")))
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(off == Set(1L, 2L, 3L, 4L))
+  }
+
   test("CurateApp --quality-keep-frac: junk docs gated out before the pipeline") {
     import spark.implicits._
     val in = java.nio.file.Files.createTempDirectory("qgin").toString

@@ -25,6 +25,34 @@ class PropertySpec extends SparkSpec {
     c <- Gen.choose(0, 255); d <- Gen.choose(0, 255)
   } yield s"$a.$b.$c.$d"
 
+  test("property: canonicalizeUrl is idempotent on random generated URLs") {
+    import spark.implicits._
+    val urlGen: Gen[String] = for {
+      scheme <- Gen.oneOf("http", "https", "HTTP", "HTTPS", "ftp")
+      sub <- Gen.oneOf("", "www.", "WWW.", "cdn.", "a.b.")
+      host <- Gen.oneOf("site1.com", "Site2.ORG", "x.co.uk", "h.net")
+      port <- Gen.oneOf("", ":80", ":443", ":8080", ":65000")
+      path <- Gen.oneOf("", "/", "/a", "/a/", "/A/B/", "/p%20q", "//x")
+      qs <- Gen.oneOf("", "?a=1", "?utm_source=x", "?a=1&utm_x=2&b=3",
+        "?fbclid=z", "?ref=1&REF=2", "?a=&=b&&c=1")
+      frag <- Gen.oneOf("", "#f", "#a?b=1")
+    } yield s"$scheme://$sub$host$port$path$qs$frag"
+    val urls = Iterator.continually(urlGen.sample).flatten.take(300).toSeq
+    val out = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("id", "url")
+      .select(col("id"),
+        graft.pipeline.UrlCuration.canonicalizeUrl(col("url")).as("c1"))
+      .select(col("id"), col("c1"),
+        graft.pipeline.UrlCuration.canonicalizeUrl(col("c1")).as("c2"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getString(1) != null, s"row ${r.getLong(0)} canon null")
+      assert(r.getString(1) == r.getString(2),
+        s"not idempotent: '${urls(r.getLong(0).toInt)}' -> " +
+          s"'${r.getString(1)}' -> '${r.getString(2)}'")
+    }
+  }
+
   test("property: Ipv4Util.parse agrees with the JDK on all well-formed IPs") {
     forAll(ipGen, 200) { ip =>
       val jdk = java.net.InetAddress.getByName(ip).getAddress
