@@ -1373,6 +1373,23 @@ object SparkEntry {
       Similarity.kmeansLloyd(Tables.embeddings(s, dir), k = 8, iters = 2)
         .orderBy("vec_id")),
 
+    // cluster-quality report over the kmeans assignment: per cluster,
+    // size + majority label + purity — the "are the clusters real"
+    // check before semantic dedup/labeling trusts them. Two bounded
+    // hash aggregates over (cid, label)
+    "q_cluster_purity" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.kmeansLloyd(e, k = 8, iters = 2)
+        .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .groupBy("cid", "label").agg(count(lit(1)).as("cnt"))
+        .groupBy("cid").agg(
+          sum("cnt").as("n_vecs"),
+          max_by(col("label"), struct(col("cnt"), -col("label")))
+            .as("majority_label"),
+          round(max("cnt").cast("double") / sum("cnt"), 6).as("purity"))
+        .orderBy("cid")
+    }),
+
     // LSH-gated margin mining — the at-scale form: candidates from the
     // band-bucket equi-join, identical margin arithmetic over them
     "q_margin_mine_lsh" -> ((s, dir) => {
@@ -4667,6 +4684,27 @@ object SparkEntry {
       s"""WITH ${kmeansSql(8, 2)}
          |SELECT vec_id, cid, round(l2, 6) AS dist FROM af
          |ORDER BY vec_id""".stripMargin,
+
+    // purity over the same deterministic kmeans CTE; majority label by
+    // (count desc, label asc) row_number = the max_by tie-break
+    "q_cluster_purity" ->
+      s"""WITH ${kmeansSql(8, 2)},
+         |lab AS (
+         |  SELECT af.cid, emb.label FROM af
+         |  JOIN (SELECT vec_id, label FROM embeddings) emb
+         |    ON af.vec_id = emb.vec_id
+         |), cl AS (
+         |  SELECT cid, label, count(*) AS cnt FROM lab GROUP BY 1, 2
+         |), r AS (
+         |  SELECT cid, label, cnt,
+         |    row_number() OVER (PARTITION BY cid ORDER BY cnt DESC, label ASC) AS rn,
+         |    sum(cnt) OVER (PARTITION BY cid) AS tot,
+         |    max(cnt) OVER (PARTITION BY cid) AS mx
+         |  FROM cl
+         |)
+         |SELECT cid, CAST(tot AS BIGINT) AS n_vecs, label AS majority_label,
+         |  round(CAST(mx AS DOUBLE) / tot, 6) AS purity
+         |FROM r WHERE rn = 1 ORDER BY cid""".stripMargin,
 
     "q_bm25" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -179,6 +179,25 @@ object CurationStream {
       ()
     }
 
+  /** Streaming corpus-drift monitor: each arriving micro-batch is scored
+    * against a STATIC reference snapshot with
+    * [[graft.pipeline.Curation.corpusDrift]] (per-source smoothed
+    * unigram KL), one result row set per (batch, source) — the "alert
+    * when a crawl batch stops looking like the corpus we tuned for"
+    * probe, running where the data lands instead of in a nightly job.
+    * The reference is batch-static by nature (same contract as
+    * [[graft.pipeline.Curation.unigramNllStream]]'s LM side); emission
+    * is idempotent per batch id, so a foreachBatch replay can't
+    * double-report. */
+  def driftPerBatch(docs: DataFrame, reference: DataFrame, outPath: String,
+                    trigger: Trigger = Trigger.ProcessingTime("5 seconds"))
+      : DataStreamWriter[Row] =
+    ResultSink.foreachBatch(docs, trigger) { (b, id) =>
+      ResultSink.writeBatchIdempotent(
+        graft.pipeline.Curation.corpusDrift(reference, b), id, outPath)
+      ()
+    }
+
   /** The streaming pipeline: wire a streaming `docs` frame (doc_id,
     * text) through [[ingestBatch]]. Start with `.option(
     * "checkpointLocation", …).start()`; read results any time with

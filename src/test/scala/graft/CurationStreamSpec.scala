@@ -203,6 +203,40 @@ class CurationStreamSpec extends SparkSpec {
       .filter(col("count") > 1).count() == 0L)
   }
 
+  test("streaming drift monitor: per-batch KL rows equal batch corpusDrift against the static reference") {
+    import graft.pipeline.Curation
+    implicit val sqlCtx = spark.sqlContext
+    val outPath = tmp("cs_drift")
+    val reference = Seq(
+      (100L, "alpha beta gamma alpha", "sA"),
+      (101L, "one two three four", "sB")).toDF("doc_id", "text", "source")
+    val mem = MemoryStream[(Long, String, String)]
+    val docs = mem.toDF().toDF("doc_id", "text", "source")
+    val q = CurationStream.driftPerBatch(docs, reference, outPath)
+      .outputMode(OutputMode.Append()).start()
+    val b1 = Seq((1L, "alpha beta gamma alpha", "sA"),
+      (2L, "one two three four", "sB")) // identical to reference: KL 0
+    val b2 = Seq((3L, "delta delta delta", "sA")) // drifted
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = ResultSink.readCommitted(spark, outPath)
+    // batch 0 (both sources identical to the reference): KL exactly 0
+    val g0 = got.filter(col("batch_id") === 0)
+      .select("source", "kl").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(g0 == Map("sA" -> 0.0, "sB" -> 0.0))
+    // batch 1 equals the batch operator run on exactly that batch
+    val expect = Curation.corpusDrift(reference,
+      b2.toDF("doc_id", "text", "source"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    val g1 = got.filter(col("batch_id") === 1)
+      .select("source", "kl").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(g1 == expect && g1.exists(_._2 > 0.5))
+  }
+
   test("a replayed batch id is a no-op: pairs and keys unchanged") {
     val storeDir = tmp("cs_store2"); val pairsPath = tmp("cs_pairs2")
     val b1 = (0L until 10L).map(i => (i, text(i))).toDF("doc_id", "text")
