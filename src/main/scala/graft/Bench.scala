@@ -126,7 +126,9 @@ object Bench {
       }.mkString("{", ",", "}")
       s""","duck":$ds,"ratio":$rs"""
     }.getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"warmup":$warm$duckJson,"sf":"$sfDir"}""")
+    // warmup_passes makes the measurement protocol explicit in the
+    // record itself (2 untimed passes before the timed one; 0 = cold)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"warmup":$warm,"warmup_passes":${if (warm) 2 else 0}$duckJson,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.nonEmpty)) sys.exit(1)
   }
