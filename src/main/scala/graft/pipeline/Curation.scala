@@ -639,6 +639,7 @@ object Curation {
     * fine for 100 TB ≈ 2.5·10^13 tokens). */
   def mixtureSolve(docs: DataFrame, targetWeights: Map[String, Long],
                    tokenBudget: Long): DataFrame = {
+    require(tokenBudget >= 0, s"tokenBudget $tokenBudget is negative")
     require(targetWeights.nonEmpty && targetWeights.values.forall(_ > 0),
       "target weights must be positive")
     val wSum = targetWeights.values.sum

@@ -138,15 +138,17 @@ object UrlCuration {
     *
     * Scale: one aggregate on the bounded domain key space, then the
     * priors (domain-count-sized) broadcast back onto the corpus — the
-    * corpus never shuffles. Pass an INTEGER-typed score (token counts,
-    * micro-unit fixed-point scores) when the mean must be engine-exact:
-    * the sum is then exact and the single division deterministic. */
+    * corpus never shuffles. The score column keeps its own type (no
+    * silent cast): pass an INTEGER-typed score (token counts, micro-unit
+    * fixed-point scores) when the mean must be engine-exact — the sum is
+    * then exact and the single division deterministic; a double score
+    * gives an ordinary float mean. */
   def domainPrior(docs: DataFrame, score: Column,
                   urlCol: String = "url"): DataFrame = {
     val withDomain = docs
       .withColumn("domain", registeredDomain(col(urlCol)))
       .filter(col("domain").isNotNull)
-      .withColumn("__score", score.cast("long"))
+      .withColumn("__score", score)
     val priors = withDomain
       .groupBy("domain")
       .agg(count(lit(1)).as("n_domain_docs"),
