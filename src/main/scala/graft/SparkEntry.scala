@@ -672,6 +672,13 @@ object SparkEntry {
         minJaccard = 0.1, maxDf = 20L)
         .orderBy("doc_a", "doc_b")),
 
+    // character-level fuzzy dedup: df-capped shingle blocking, per-pair
+    // levenshtein confirm — never all-pairs
+    "q_edit_distance_pairs" -> ((s, dir) =>
+      TextPipeline.editDistancePairs(Tables.documents(s, dir),
+        maxDist = 10, n = 2, minShared = 1L, maxDf = 20L)
+        .orderBy("doc_a", "doc_b")),
+
     "q_minhash_candidates" -> ((s, dir) =>
       TextPipeline.minhashCandidates(Tables.documents(s, dir))
         .orderBy("doc_a", "doc_b")),
@@ -3045,6 +3052,40 @@ object SparkEntry {
         |  JOIN sizes sa ON sa.doc_id = doc_a
         |  JOIN sizes sb ON sb.doc_id = doc_b)
         |WHERE jaccard >= 0.1
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same blocking CTEs as q_doc_near_dup (df cap 20, 2-shingles),
+    // then the per-candidate levenshtein confirm
+    "q_edit_distance_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> length(x) > 0) AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 2 THEN []
+        |         ELSE list_distinct(list_transform(range(1, len(toks)),
+        |                i -> array_to_string(toks[i:i+1], ' '))) END AS shingles
+        |  FROM t
+        |), inv0 AS (
+        |  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+        |), keep AS (
+        |  SELECT shingle FROM (SELECT shingle, count(*) AS df FROM inv0 GROUP BY 1)
+        |  WHERE df <= 20
+        |), inv AS (
+        |  SELECT doc_id, shingle FROM inv0 JOIN keep USING (shingle)
+        |), cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b,
+        |  CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist
+        |FROM cand
+        |JOIN documents ta ON ta.doc_id = doc_a
+        |JOIN documents tb ON tb.doc_id = doc_b
+        |WHERE levenshtein(ta.text, tb.text) <= 10
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_simhash" ->

@@ -287,6 +287,57 @@ object TextPipeline {
     graft.core.Cached(result, inv)
   }
 
+  /** Edit-distance near-duplicate pairs: levenshtein(text_a, text_b) ≤
+    * `maxDist` — the character-level fuzzy-match tier (typo'd mirrors,
+    * OCR variants, light template edits) that shingle-set Jaccard
+    * under-scores and exact hashing misses entirely.
+    *
+    * Shape at scale: all-pairs levenshtein is O(d²·len²) — never. The
+    * candidate stage is the same df-capped inverted-index self-join as
+    * [[nearDupJaccard]] (only pairs sharing ≥ `minShared` RARE shingles
+    * are ever materialized). Texts never ride the exploded index — they
+    * join back per candidate pair, and the O(len²) confirm runs once per
+    * candidate. maxDf ≤ 0 disables the skew cap. Caveat on minShared:
+    * a pair within small edit distance shares nearly all its shingles,
+    * but in a duplicate-HEAVY cluster those shingles can all sit above
+    * the df cap, leaving few rare ones — minShared > 1 then drops true
+    * pairs (measured: 21 → 13 pairs on the test corpus), so the default
+    * keeps every one-shingle candidate and lets the levenshtein confirm
+    * do the pruning. */
+  def editDistancePairs(docs: DataFrame, maxDist: Int, n: Int = 2,
+                        minShared: Long = 1L, maxDf: Long = 50L): DataFrame = {
+    require(maxDist >= 0 && minShared >= 1, "maxDist >= 0, minShared >= 1")
+    val base = graft.scale.Skew.ensureMinParallelism(
+      docs.select(col("doc_id"), col("text")),
+      docs.sparkSession.sparkContext.defaultParallelism, Seq(col("doc_id")))
+    val inv0 = base.select(col("doc_id"),
+      explode(graft.expressions.TextExpressions
+        .wordShingles(col("text"), n, distinct = true)).as("shingle"))
+    val inv =
+      if (maxDf <= 0) inv0
+      else {
+        val heavy = inv0.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("shingle")
+        inv0.join(broadcast(heavy), Seq("shingle"), "left_anti")
+      }
+    val cand = inv.as("a").join(inv.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >= minShared)
+      .select("doc_a", "doc_b")
+    val t = docs.select(col("doc_id"), col("text"))
+    cand
+      .join(t.select(col("doc_id").as("doc_a"), col("text").as("__ta")),
+        Seq("doc_a"))
+      .join(t.select(col("doc_id").as("doc_b"), col("text").as("__tb")),
+        Seq("doc_b"))
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("doc_a", "doc_b", "dist")
+  }
+
   /** MinHash signatures: k portable hash functions (a_i·h + b_i mod p) over
     * the polynomial shingle hash; band into `bands` buckets for LSH
     * candidate generation. Candidate pairs share ≥1 (band, band-hash). */

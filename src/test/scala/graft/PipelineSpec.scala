@@ -388,6 +388,23 @@ class PipelineSpec extends SparkSpec {
     assert(out("sB")("n_docs") == 1L && out("sB")("total_tokens") == 1L)
   }
 
+  test("editDistancePairs: typo'd twins confirm within maxDist, unrelated docs never pair") {
+    import graft.pipeline.TextPipeline
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonite"), // d=3 vs 1
+      (3L, "the quick brown fox jumps over the lazy cat tonight"), // d=3 vs 1
+      (4L, "completely unrelated text about other topics entirely"),
+      (5L, "the quick brown fox jumps over the lazy dog tonight")) // exact dup of 1
+      .toDF("doc_id", "text")
+    val got = rowsOf(TextPipeline.editDistancePairs(d, maxDist = 3, maxDf = 0))
+      .map(r => (r("doc_a"), r("doc_b")) -> r("dist")).toMap
+    // (2,3) is d=6 (two independent edits) and every pair with 4 is d=44+
+    assert(got == Map(
+      (1L, 2L) -> 3L, (1L, 3L) -> 3L, (1L, 5L) -> 0L,
+      (2L, 5L) -> 3L, (3L, 5L) -> 3L))
+  }
+
   test("corpusDrift: zero for identical snapshots, positive under drift, per-source isolation") {
     import graft.pipeline.Curation
     val prev = Seq(
