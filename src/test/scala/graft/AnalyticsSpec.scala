@@ -321,6 +321,13 @@ class AnalyticsSpec extends SparkSpec {
     assert(joined.count() > 0) // parity must not be vacuous
     assert(joined.exceptAll(grouped).isEmpty &&
       grouped.exceptAll(joined).isEmpty)
+    // the config-vector variant (YAML path) pairs identically too
+    val vec = Seq(col("packets"), col("bytes"))
+    val jv = PatternFinder.biflows(df, 500L, vector = vec)
+    val gv = PatternFinder.biflowsGrouped(df, 500L, vector = vec)
+    assert(jv.columns.toSeq == gv.columns.toSeq)
+    assert(jv.count() > 0)
+    assert(jv.exceptAll(gv).isEmpty && gv.exceptAll(jv).isEmpty)
   }
 
   test("pattern report: per-key slot sums == explicit arraySum fold (A12)") {
