@@ -676,7 +676,7 @@ object SparkEntry {
     // levenshtein confirm — never all-pairs
     "q_edit_distance_pairs" -> ((s, dir) =>
       TextPipeline.editDistancePairs(Tables.documents(s, dir),
-        maxDist = 10, n = 2, minShared = 1L, maxDf = 20L)
+        maxDist = 10, n = 2, maxDf = 20L)
         .orderBy("doc_a", "doc_b")),
 
     "q_minhash_candidates" -> ((s, dir) =>

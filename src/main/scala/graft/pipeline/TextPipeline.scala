@@ -294,41 +294,72 @@ object TextPipeline {
     *
     * Shape at scale: all-pairs levenshtein is O(d²·len²) — never. The
     * candidate stage is the same df-capped inverted-index self-join as
-    * [[nearDupJaccard]] (only pairs sharing ≥ `minShared` RARE shingles
-    * are ever materialized). Texts never ride the exploded index — they
-    * join back per candidate pair, and the O(len²) confirm runs once per
-    * candidate. maxDf ≤ 0 disables the skew cap. Caveat on minShared:
-    * a pair within small edit distance shares nearly all its shingles,
-    * but in a duplicate-HEAVY cluster those shingles can all sit above
-    * the df cap, leaving few rare ones — minShared > 1 then drops true
-    * pairs (measured: 21 → 13 pairs on the test corpus), so the default
-    * keeps every one-shingle candidate and lets the levenshtein confirm
-    * do the pruning. */
+    * [[nearDupJaccard]] (only pairs sharing ≥ 1 RARE shingle are ever
+    * materialized), then two RECALL-SAFE prunes run before any text
+    * moves:
+    *
+    *   - count bound: one character edit changes at most one word
+    *     boundary region, destroying at most `n + 1` word `n`-shingles,
+    *     so a pair at distance ≤ `maxDist` must still share at least
+    *     `max(rare_a, rare_b) − maxDist·(n+1)` of its rare shingles
+    *     (cap-censoring removes the same shingle identities from both
+    *     sides, so the bound survives the df cap);
+    *   - length bound: edit distance ≥ |len_a − len_b|.
+    *
+    * Both filters consume only per-doc ints, so the candidate stream
+    * stays 8-byte rows until the survivors — output-sized, not
+    * blocking-sized — join the texts for the O(len²) confirm. Without
+    * them the text join is candidate-sized and super-linear in corpus
+    * growth (measured on the 100× smoke: 10× docs → 53× wall, 3.1 GB of
+    * text shuffle; with them the confirm volume tracks true pairs).
+    * maxDf ≤ 0 disables the skew cap. NOTE a minimum-shared-count knob
+    * deliberately does NOT exist: in duplicate-heavy clusters the shared
+    * shingles sit above the df cap, so any fixed floor > 1 silently
+    * drops true pairs (measured: 21 → 13 on the test corpus); the count
+    * bound above prunes adaptively instead. */
   def editDistancePairs(docs: DataFrame, maxDist: Int, n: Int = 2,
-                        minShared: Long = 1L, maxDf: Long = 50L): DataFrame = {
-    require(maxDist >= 0 && minShared >= 1, "maxDist >= 0, minShared >= 1")
+                        maxDf: Long = 50L): DataFrame =
+    editDistancePairsCached(docs, maxDist, n, maxDf).result
+
+  /** [[editDistancePairs]] with the release handle for the persisted
+    * inverted index (three consumers: the per-doc meta aggregate and
+    * both self-join sides) — same cache-lifetime contract as
+    * [[nearDupJaccardCached]]. */
+  def editDistancePairsCached(docs: DataFrame, maxDist: Int, n: Int = 2,
+                              maxDf: Long = 50L): graft.core.Cached[DataFrame] = {
+    require(maxDist >= 0, "maxDist >= 0")
     val base = graft.scale.Skew.ensureMinParallelism(
       docs.select(col("doc_id"), col("text")),
       docs.sparkSession.sparkContext.defaultParallelism, Seq(col("doc_id")))
-    val inv0 = base.select(col("doc_id"),
+    val inv0 = base.select(col("doc_id"), length(col("text")).as("len"),
       explode(graft.expressions.TextExpressions
         .wordShingles(col("text"), n, distinct = true)).as("shingle"))
-    val inv =
+    val inv = (
       if (maxDf <= 0) inv0
       else {
         val heavy = inv0.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDf).select("shingle")
         inv0.join(broadcast(heavy), Seq("shingle"), "left_anti")
-      }
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-doc rare-shingle count + char length: the two ints the prunes
+    // read (one row per doc — broadcast-sized relative to the index)
+    val meta = inv.groupBy("doc_id")
+      .agg(count(lit(1)).as("rare"), first(col("len")).as("len"))
     val cand = inv.as("a").join(inv.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("__shared"))
-      .filter(col("__shared") >= minShared)
+      .join(meta.select(col("doc_id").as("doc_a"), col("rare").as("__ra"),
+        col("len").as("__la")), Seq("doc_a"))
+      .join(meta.select(col("doc_id").as("doc_b"), col("rare").as("__rb"),
+        col("len").as("__lb")), Seq("doc_b"))
+      .filter(abs(col("__la") - col("__lb")) <= maxDist &&
+        col("__shared") >=
+          greatest(col("__ra"), col("__rb")) - maxDist * (n + 1))
       .select("doc_a", "doc_b")
     val t = docs.select(col("doc_id"), col("text"))
-    cand
+    val result = cand
       .join(t.select(col("doc_id").as("doc_a"), col("text").as("__ta")),
         Seq("doc_a"))
       .join(t.select(col("doc_id").as("doc_b"), col("text").as("__tb")),
@@ -336,6 +367,7 @@ object TextPipeline {
       .withColumn("dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
       .filter(col("dist") <= maxDist)
       .select("doc_a", "doc_b", "dist")
+    graft.core.Cached(result, inv)
   }
 
   /** MinHash signatures: k portable hash functions (a_i·h + b_i mod p) over
