@@ -35,10 +35,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // walls). 48g keeps the suite out of GC; lazily committed, so small
   // runs cost nothing extra.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-  // ~40 registered queries x whole-stage codegen ≈ hundreds of
-  // generated classes: the 240m default code cache evicts/deopts
-  // earlier compiled methods mid-suite
-  "-XX:ReservedCodeCacheSize=512m",
+  // ~160 registered queries x whole-stage codegen x two warmup passes ≈
+  // thousands of generated classes: 512m still saturated mid-suite and
+  // the sweeper's deopt churn inflated late-position sub-second queries
+  // by 0.3-0.5 s (measured: q_pattern_finder 1.43 s at 512m vs 1.04 s
+  // at 1g in otherwise identical full runs; suite aggregate 0.32 -> 0.27
+  // of the comparator)
+  "-XX:ReservedCodeCacheSize=1g",
   // Spark's generated-class cache (STATIC conf) holds only 100 entries
   // by default — a suite of ~40 queries × several codegen units thrashes
   // it, so every pass re-Janino-compiles and re-JITs what the last pass
