@@ -25,6 +25,67 @@ class PropertySpec extends SparkSpec {
     c <- Gen.choose(0, 255); d <- Gen.choose(0, 255)
   } yield s"$a.$b.$c.$d"
 
+  test("property: editDistancePairs prunes are recall-safe under random edits incl. space splits/merges") {
+    import spark.implicits._
+    import graft.pipeline.TextPipeline
+    val rnd = new scala.util.Random(4242)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lumen", "omega")
+    def doc(): String =
+      Seq.fill(8 + rnd.nextInt(8))(words(rnd.nextInt(words.size))).mkString(" ")
+    // random character edits, deliberately including the word-boundary
+    // cases the count bound's n+1 argument covers: substitution, char
+    // insert/delete, SPACE insert (splits a word), SPACE delete (merges)
+    def edit(s: String): String = {
+      val i = rnd.nextInt(s.length)
+      rnd.nextInt(5) match {
+        case 0 => s.updated(i, ('a' + rnd.nextInt(26)).toChar)
+        case 1 => s.substring(0, i) + ('a' + rnd.nextInt(26)).toChar + s.substring(i)
+        case 2 if s.length > 1 => s.substring(0, i) + s.substring(math.min(i + 1, s.length))
+        case 3 => s.substring(0, i) + " " + s.substring(i)
+        case _ =>
+          val sp = s.indexOf(' ')
+          if (sp < 0) s else s.substring(0, sp) + s.substring(sp + 1)
+      }
+    }
+    val maxDist = 4
+    for (trial <- 1 to 3) {
+      val bases = Seq.fill(12)(doc())
+      val docs = bases.zipWithIndex.flatMap { case (b, i) =>
+        val v = Iterator.iterate(b)(edit).drop(1 + rnd.nextInt(maxDist)).next()
+        Seq((i * 2L, b), (i * 2L + 1L, v))
+      }.toDF("doc_id", "text")
+      // reference: the same blocking WITHOUT the count/length prunes is
+      // candidates >= 1 shared shingle + confirm — rebuild it inline
+      def pairs(df: org.apache.spark.sql.DataFrame, maxDf: Long) = {
+        val r = TextPipeline.editDistancePairsCached(df, maxDist, n = 2, maxDf)
+        val out = r.result.collect()
+          .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+        r.unpersist(); out
+      }
+      val inv = docs.select(col("doc_id"), col("text"),
+        explode(graft.expressions.TextExpressions
+          .wordShingles(col("text"), 2, distinct = true)).as("sh"))
+      val unpruned = inv.as("a").join(inv.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.text").as("ta"), col("b.text").as("tb")).distinct()
+        .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+        .filter(col("dist") <= maxDist)
+        .select("doc_a", "doc_b", "dist").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      assert(unpruned.nonEmpty, s"trial $trial vacuous")
+      assert(pairs(docs, maxDf = 0L) == unpruned,
+        s"trial $trial: prunes dropped true pairs (uncapped)")
+      // and with a df cap: the operator must still find every pair the
+      // capped blocking can see (subset check against its own blocking
+      // is exactly the pruned==unpruned equality above; with the cap the
+      // bound must hold against CAPPED sizes)
+      assert(pairs(docs, maxDf = 6L).subsetOf(unpruned),
+        s"trial $trial: capped run invented pairs")
+    }
+  }
+
   test("property: canonicalizeUrl is idempotent on random generated URLs") {
     import spark.implicits._
     val urlGen: Gen[String] = for {
