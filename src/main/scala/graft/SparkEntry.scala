@@ -1099,10 +1099,13 @@ object SparkEntry {
     }),
 
     // token-budget mixture solver: corpus-composition aggregate joined
-    // to the broadcast target-weight table; exact integer allocation
+    // to the broadcast target-weight table; exact integer allocation.
+    // srcX is deliberately absent from the corpus — the outer join must
+    // surface it (total_tokens=0, epochs=null) instead of silently
+    // dropping its budget share (r14 ADVICE)
     "q_mixture_solve" -> ((s, dir) =>
       Curation.mixtureSolve(Tables.documents(s, dir),
-        Map("src0" -> 6L, "src1" -> 3L, "src2" -> 1L),
+        Map("src0" -> 6L, "src1" -> 3L, "src2" -> 1L, "srcX" -> 2L),
         tokenBudget = 1000000L)
         .orderBy("source")),
 
@@ -4309,7 +4312,9 @@ object SparkEntry {
          |FROM u GROUP BY source ORDER BY source""".stripMargin,
 
     // mixture solver: same integer floor-division allocation (div = //
-    // on non-negative operands), same round-4 epochs ratio
+    // on non-negative operands), same round-4 epochs ratio; LEFT JOIN
+    // from the weight table so the corpus-absent srcX row survives with
+    // total_tokens=0 / epochs NULL (the outer-join contract)
     "q_mixture_solve" ->
       s"""WITH t AS (
          |  SELECT source,
@@ -4317,13 +4322,14 @@ object SparkEntry {
          |  FROM documents GROUP BY source
          |), w(source, weight) AS (
          |  VALUES ('src0', CAST(6 AS BIGINT)), ('src1', CAST(3 AS BIGINT)),
-         |         ('src2', CAST(1 AS BIGINT))
+         |         ('src2', CAST(1 AS BIGINT)), ('srcX', CAST(2 AS BIGINT))
          |)
-         |SELECT t.source, total_tokens, weight,
-         |  (1000000 * weight) // 10 AS target_tokens,
-         |  round(CAST((1000000 * weight) // 10 AS DOUBLE) / total_tokens, 4)
-         |    AS epochs
-         |FROM t JOIN w ON t.source = w.source ORDER BY t.source""".stripMargin,
+         |SELECT w.source, coalesce(total_tokens, 0) AS total_tokens, weight,
+         |  (1000000 * weight) // 12 AS target_tokens,
+         |  CASE WHEN coalesce(total_tokens, 0) > 0 THEN
+         |    round(CAST((1000000 * weight) // 12 AS DOUBLE) / total_tokens, 4)
+         |  END AS epochs
+         |FROM w LEFT JOIN t ON t.source = w.source ORDER BY w.source""".stripMargin,
 
     // --- URL curation tier: the synth + canonicalization + domain SQL
     // fragments are built by UrlCuration from the SAME regexes/rules the
@@ -4359,7 +4365,7 @@ object SparkEntry {
          |  FROM u
          |), p AS (
          |  SELECT domain, CAST(count(*) AS BIGINT) AS n_domain_docs,
-         |    round(CAST(sum(n_toks) AS DOUBLE) / count(*), 6) AS domain_mean
+         |    round(CAST(sum(n_toks) AS DOUBLE) / count(n_toks), 6) AS domain_mean
          |  FROM d WHERE domain IS NOT NULL GROUP BY domain
          |)
          |SELECT doc_id, d.domain, n_domain_docs, domain_mean

@@ -633,7 +633,12 @@ object Curation {
     * One token-count aggregate over the corpus (map-side combinable
     * longs) joined to the broadcast weight table; everything after the
     * aggregate is metadata-sized. Sources without a target weight are
-    * dropped (weight 0). Integer allocation arithmetic is exact and
+    * dropped (weight 0). The join is OUTER from the weight table: a
+    * target source absent from the corpus (a typo'd name, a source not
+    * yet ingested) still emits its row with `total_tokens = 0` and
+    * `epochs = null`, so per-source `target_tokens` always sum to
+    * ~`tokenBudget` and an unallocatable share is visible instead of
+    * silently vanishing. Integer allocation arithmetic is exact and
     * engine-portable; caller contract: `tokenBudget × max(weight)` must
     * stay inside Long (weights are small ratios, budgets ≤ ~10^15 —
     * fine for 100 TB ≈ 2.5·10^13 tokens). */
@@ -656,17 +661,23 @@ object Curation {
           org.apache.spark.sql.types.StringType, nullable = false),
         org.apache.spark.sql.types.StructField("weight",
           org.apache.spark.sql.types.LongType, nullable = false))))
+    // RIGHT join from the corpus aggregate = every weight row survives;
+    // the big side stays the streamed side and the weight table stays
+    // the broadcast build side (outer-ness does not change that).
     docs
       .select(col("source"),
         graft.functions.TextFunctions.tokenCount(col("text"))
           .cast("long").as("n_toks"))
       .groupBy("source")
       .agg(sum("n_toks").as("total_tokens"))
-      .join(broadcast(wdf), Seq("source"))
-      .select(col("source"), col("total_tokens"), col("weight"),
+      .join(broadcast(wdf), Seq("source"), "right")
+      .select(col("source"),
+        coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
+        col("weight"),
         expr(s"($tokenBudget * weight) div $wSum").as("target_tokens"),
-        round(expr(s"($tokenBudget * weight) div $wSum").cast("double") /
-          col("total_tokens"), 4).as("epochs"))
+        when(coalesce(col("total_tokens"), lit(0L)) > 0L,
+          round(expr(s"($tokenBudget * weight) div $wSum").cast("double") /
+            col("total_tokens"), 4)).as("epochs"))
   }
 
   // ----- train/val/test split --------------------------------------------

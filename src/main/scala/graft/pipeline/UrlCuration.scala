@@ -134,7 +134,12 @@ object UrlCuration {
     * its site" signal (domain-level quality priors gate low-information
     * pages whose own text scores fine, and rescue short pages on strong
     * domains). Emits every input column plus `domain`, `n_domain_docs`,
-    * `domain_mean` (round-6).
+    * `domain_mean` (round-6). `n_domain_docs` counts ALL the domain's
+    * documents; `domain_mean` averages over the NON-NULL scores only —
+    * a null score means "unscored", and counting it in the denominator
+    * would silently bias every mixed domain's mean toward zero (a
+    * domain with no scored documents gets a null mean, loud the way
+    * this repo's validators are).
     *
     * Scale: one aggregate on the bounded domain key space, then the
     * priors (domain-count-sized) broadcast back onto the corpus — the
@@ -152,7 +157,7 @@ object UrlCuration {
     val priors = withDomain
       .groupBy("domain")
       .agg(count(lit(1)).as("n_domain_docs"),
-        round(sum("__score").cast("double") / count(lit(1)), 6)
+        round(sum("__score").cast("double") / count(col("__score")), 6)
           .as("domain_mean"))
     withDomain.join(broadcast(priors), Seq("domain")).drop("__score")
   }

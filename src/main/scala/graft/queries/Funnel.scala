@@ -86,28 +86,46 @@ object Funnel {
   }
 
   private[graft] def streamUpdate(nSteps: Int, horizonMs: Long,
-      oncePerUser: Boolean = false)(
+      oncePerUser: Boolean = false, tombstoneTtlMs: Option[Long] = None)(
       user: Long, rows: Iterator[(Long, java.sql.Timestamp, Int)],
       state: org.apache.spark.sql.streaming.GroupState[FunnelBuffer])
       : Iterator[FunnelStep] = {
     if (state.hasTimedOut) {
+      val st = state.get
+      if (st.emitted) {
+        // tombstone TTL fired: the user has been quiet for the full TTL
+        // beyond resolution — drop the tombstone (bounding state at the
+        // cost of re-emission if they return after that)
+        state.remove()
+        return Iterator.empty
+      }
       // watermark passed the horizon after the user's last event: the
       // buffer is complete — resolve once, emit, then drop the state
       // (session mode) or collapse it to the emitted tombstone
-      // (once-per-user mode; no new timeout is set, so it never fires
-      // again and survives until the query ends)
-      val st = state.get
+      // (once-per-user mode; with no TTL no new timeout is set, so it
+      // never fires again and survives until the query ends)
       val out = resolve(st.pairs, nSteps).zipWithIndex
         .collect { case (Some(ts), i) => FunnelStep(user, i, ts) }
-      if (oncePerUser) state.update(FunnelBuffer(Nil, st.maxTs, emitted = true))
-      else state.remove()
+      if (oncePerUser) {
+        state.update(FunnelBuffer(Nil, st.maxTs, emitted = true))
+        tombstoneTtlMs.foreach(ttl => state.setTimeoutTimestamp(
+          math.max(st.maxTs + horizonMs + ttl,
+            state.getCurrentWatermarkMs() + 1)))
+      } else state.remove()
       out.iterator
     } else {
       val prev = state.getOption.getOrElse(FunnelBuffer(Nil, Long.MinValue))
       if (prev.emitted) {
         // once-per-user: this user already resolved — swallow the new
-        // session's events, keep the tombstone, set no timeout
-        rows.foreach(_ => ())
+        // session's events and keep the tombstone. With a TTL the
+        // timeout re-arms from the new activity (an ACTIVE user's
+        // tombstone must not expire mid-activity — only a user quiet
+        // for the full TTL is forgotten); without one, no timeout.
+        val newMax = rows.map(_._2.getTime).foldLeft(prev.maxTs)(math.max)
+        state.update(FunnelBuffer(Nil, newMax, emitted = true))
+        tombstoneTtlMs.foreach(ttl => state.setTimeoutTimestamp(
+          math.max(newMax + horizonMs + ttl,
+            state.getCurrentWatermarkMs() + 1)))
         Iterator.empty
       } else {
         val fresh = rows.map(r => (r._2.getTime, r._3)).toSeq
@@ -154,12 +172,21 @@ object Funnel {
     * event buffer — which is exactly the growth session mode exists to
     * avoid: run it on RocksDB state
     * ([[graft.core.Graft.useRocksDbState]]) when the user dimension is
-    * large. */
+    * large, and/or bound it with `tombstoneTtlMs`: when set, a resolved
+    * user's tombstone is kept only until the watermark passes
+    * `maxTs + horizonMs + ttl` of that user's LAST activity (activity
+    * while tombstoned re-arms it), then dropped — state becomes
+    * proportional to the TTL-active user dimension, and the contract
+    * weakens, explicitly, to once-per-TTL-window (a multi-week query
+    * can bound state without restarting; a user returning after a full
+    * TTL of silence emits again). */
   def stream(events: DataFrame, steps: Seq[String],
              horizonMs: Long = 1800000L, watermark: String = "10 minutes",
              tsCol: String = "event_time", userCol: String = "user_id",
-             typeCol: String = "event_type", oncePerUser: Boolean = false)
+             typeCol: String = "event_type", oncePerUser: Boolean = false,
+             tombstoneTtlMs: Option[Long] = None)
       : org.apache.spark.sql.Dataset[FunnelStep] = {
+    require(tombstoneTtlMs.forall(_ > 0), "tombstone TTL must be positive")
     require(steps.nonEmpty, "funnel needs at least one step")
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -175,7 +202,7 @@ object Funnel {
       .groupByKey(_._1)
       .flatMapGroupsWithState[FunnelBuffer, FunnelStep](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        streamUpdate(steps.size, horizonMs, oncePerUser))
+        streamUpdate(steps.size, horizonMs, oncePerUser, tombstoneTtlMs))
   }
 
   /** Cohort retention matrix: users grouped by the period of their

@@ -142,13 +142,24 @@ object Layout {
     import org.apache.hadoop.fs.Path
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // If a prior compaction crashed between swap renames, the partition
+    // dir is missing and .old_<name> holds the rows — restore before
+    // listing (listStatus on the missing dir would fail loudly, but
+    // resumably rolling back is strictly better). Recovery is scoped to
+    // THIS store: the whole-store entry (part = "") recovers only its
+    // own .old_<root> sibling — sweeping the root's PARENT would rename
+    // or delete .old_* entries of unrelated sibling stores, racing any
+    // concurrent rewriteAtomically between its two renames — and the
+    // partitioned entries sweep each distinct parent dir INSIDE the
+    // store once, not once per partition.
+    val pdirOf = (part: String) =>
+      if (part.isEmpty) root else new Path(root, part)
+    val (wholeStore, subParts) = partitions.partition(_.isEmpty)
+    if (wholeStore.nonEmpty) Stores.recoverOwnSwap(fs, root)
+    subParts.map(p => pdirOf(p).getParent).distinct
+      .foreach(d => Stores.recoverInterruptedSwaps(fs, d))
     partitions.foreach { part =>
-      val pdir = if (part.isEmpty) root else new Path(root, part)
-      // If a prior compaction crashed between swap renames, pdir is
-      // missing and .old_<pdir> holds the rows — restore before
-      // listing (listStatus on the missing dir would fail loudly,
-      // but resumably rolling back is strictly better).
-      Stores.recoverInterruptedSwaps(fs, pdir.getParent)
+      val pdir = pdirOf(part)
       val files = fs.listStatus(pdir).filter(s =>
         !s.isDirectory && s.getPath.getName.endsWith(".parquet"))
       if (files.length > 1) {

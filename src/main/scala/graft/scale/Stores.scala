@@ -101,6 +101,24 @@ object Stores {
     fs.delete(old, true)
   }
 
+  /** Roll back an interrupted swap of `dir` ITSELF: if `dir` is missing
+    * and its `.old_<name>` sibling exists, the prior swap crashed between
+    * its two renames — rename the pre-crash copy back. Unlike
+    * [[recoverInterruptedSwaps]] this never LISTS the parent directory,
+    * so it cannot touch `.old_*` entries belonging to unrelated sibling
+    * stores (which may be mid-rename in a concurrent
+    * [[rewriteAtomically]] — the r14 ADVICE race). A leftover `.old_`
+    * whose live dir exists is left alone here: [[swapPartition]] clears
+    * it itself before the next swap. Returns true if a recovery ran. */
+  def recoverOwnSwap(fs: FileSystem, dir: Path): Boolean = {
+    val old = new Path(dir.getParent, s".old_${dir.getName}")
+    if (!fs.exists(dir) && fs.exists(old)) {
+      renameOrThrow(fs, old, dir,
+        s"recovery of interrupted swap failed; pre-crash rows remain at $old")
+      true
+    } else false
+  }
+
   /** Roll back any swap a prior run left half-done under `dir`: a child
     * `.old_<name>` whose `<name>` sibling is missing marks a crash
     * between [[swapPartition]]'s two renames — rename it back so the

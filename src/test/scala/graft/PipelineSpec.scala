@@ -447,6 +447,20 @@ class PipelineSpec extends SparkSpec {
     assert(out("small")("target_tokens") == 25L) // 100*1 div 4
     assert(out("big")("epochs") == 9.375)        // 75/8
     assert(out("small")("epochs") == 12.5)       // 25/2 -> upsampled
+    // a weighted source ABSENT from the corpus must surface, not vanish:
+    // its budget share is visible (target_tokens sums to ~budget) with
+    // total_tokens=0 and epochs null (r14 ADVICE — the typo'd-source trap)
+    val withGhost = rowsOf(Curation.mixtureSolve(d,
+      Map("big" -> 3L, "small" -> 1L, "ghost" -> 4L), tokenBudget = 100L))
+      .map(r => r("source") -> r).toMap
+    assert(withGhost.keySet == Set("big", "small", "ghost"))
+    assert(withGhost("ghost")("total_tokens") == 0L)
+    assert(withGhost("ghost")("target_tokens") == 50L) // 100*4 div 8
+    assert(withGhost("ghost")("epochs") == null)
+    // floors sum to budget within nSources-1 — and crucially the
+    // ghost's 50-token share is IN the sum, not silently dropped
+    assert(withGhost.values.map(_("target_tokens").asInstanceOf[Long]).sum
+      == 99L)
     intercept[IllegalArgumentException] {
       Curation.mixtureSolve(d, Map("big" -> 0L), 10L)
     }

@@ -502,6 +502,36 @@ class ScaleSpec extends SparkSpec {
     assert(bFiles == bBefore)
   }
 
+  test("Layout compaction: whole-store recovery never touches sibling stores' .old_ entries") {
+    import graft.scale.Layout
+    import org.apache.hadoop.fs.Path
+    val base = java.nio.file.Files.createTempDirectory("siblings").toString
+    val storeA = s"$base/storeA"
+    val storeB = s"$base/storeB"
+    (0 until 100).map(i => (i.toLong, s"a$i")).toDF("id", "v")
+      .repartition(4).write.parquet(storeA)
+    (0 until 10).map(i => (i.toLong, s"b$i")).toDF("id", "v")
+      .coalesce(1).write.parquet(storeB)
+    val fs = new Path(base).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // simulate a SIBLING store (storeB) mid-rewriteAtomically: its rows
+    // renamed away to .old_storeB between the two renames. Whole-store
+    // compaction of storeA lists partitions = Seq("") — its recovery
+    // must be scoped to .old_storeA and leave the sibling's crash
+    // evidence exactly as found (the r14 ADVICE race: sweeping base
+    // would rename .old_storeB -> storeB under the concurrent rewriter)
+    fs.rename(new Path(storeB), new Path(base, ".old_storeB"))
+    Layout.compactPartitions(spark, storeA, Seq(""), targetBytes = 1L << 20)
+    assert(fs.exists(new Path(base, ".old_storeB")))
+    assert(!fs.exists(new Path(storeB)))
+    assert(spark.read.parquet(storeA).count() == 100L)
+    // and the whole-store case still recovers ITS OWN interrupted swap
+    fs.rename(new Path(storeA), new Path(base, ".old_storeA"))
+    Layout.compactPartitions(spark, storeA, Seq(""), targetBytes = 1L << 20)
+    assert(spark.read.parquet(storeA).count() == 100L)
+    assert(fs.exists(new Path(base, ".old_storeB"))) // still untouched
+  }
+
   test("Graphs.pageRank: nano-unit iterations match an in-memory reference; plan stays bounded") {
     import graft.scale.Graphs
     // star into 0 plus a 2-cycle and a dangling sink

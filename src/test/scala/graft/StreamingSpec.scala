@@ -779,6 +779,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel tombstone TTL: swallowed within the TTL, forgotten after it") {
+    // The r14 ADVICE knob: oncePerUser holds tombstones forever (state
+    // grows with the all-time user dimension). With tombstoneTtlMs set,
+    // a resolved user is still swallowed while the watermark sits inside
+    // maxTs+horizon+ttl of their last activity, but a user quiet for
+    // the FULL TTL is forgotten — bounded state, explicitly weakened to
+    // once-per-TTL-window.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.Funnel
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val events = mem.toDF().toDF("user_id", "event_type", "event_time")
+    val steps = Seq("view", "click")
+    val q = Funnel.stream(events, steps, horizonMs = 1000L,
+        watermark = "10 seconds", oncePerUser = true,
+        tombstoneTtlMs = Some(1000000L))
+      .writeStream.format("memory").queryName("funnel_ttl")
+      .outputMode(OutputMode.Append()).start()
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    def rowsFor(u: Long) = spark.table("funnel_ttl").collect()
+      .filter(_.getLong(0) == u)
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    try {
+      // session 1 resolves once the watermark passes its horizon
+      mem.addData((1L, "view", ts(1000L)), (1L, "click", ts(2000L)))
+      q.processAllAvailable()
+      mem.addData((8L, "view", ts(50000L)))
+      q.processAllAvailable()
+      mem.addData((8L, "click", ts(50100L)))
+      q.processAllAvailable()
+      assert(rowsFor(1L).toSet == Set((1L, 0, 1000L), (1L, 1, 2000L)))
+      // reappearance WITHIN the TTL window: swallowed (and re-arms)
+      mem.addData((1L, "view", ts(200000L)), (1L, "click", ts(201000L)))
+      q.processAllAvailable()
+      mem.addData((9L, "view", ts(900000L)))
+      q.processAllAvailable()
+      mem.addData((9L, "click", ts(901000L)))
+      q.processAllAvailable()
+      assert(rowsFor(1L).toSet == Set((1L, 0, 1000L), (1L, 1, 2000L)))
+      // watermark sails a full TTL past user 1's last activity
+      // (201000 + 1000 + 1000000 = 1202000 << 2990000): tombstone drops
+      mem.addData((10L, "view", ts(3000000L)))
+      q.processAllAvailable()
+      mem.addData((10L, "click", ts(3001000L)))
+      q.processAllAvailable()
+      // a user quiet past the TTL is forgotten -> a fresh session EMITS
+      mem.addData((1L, "view", ts(3100000L)), (1L, "click", ts(3101000L)))
+      q.processAllAvailable()
+      mem.addData((11L, "view", ts(5000000L)))
+      q.processAllAvailable()
+      mem.addData((11L, "click", ts(5001000L)))
+      q.processAllAvailable()
+      val got = rowsFor(1L)
+      assert(got.toSet == Set((1L, 0, 1000L), (1L, 1, 2000L),
+        (1L, 0, 3100000L), (1L, 1, 3101000L)), got)
+      assert(got.size == 4) // first session emitted exactly once
+    } finally q.stop()
+  }
+
   test("streaming funnel buffers survive a checkpoint restart") {
     import graft.queries.Funnel
     val ckpt = java.nio.file.Files.createTempDirectory("fnckpt").toString

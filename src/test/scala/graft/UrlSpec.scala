@@ -122,6 +122,26 @@ class UrlSpec extends SparkSpec {
     assert(got(1L)("score") == 10L) // input columns survive the rejoin
   }
 
+  test("domainPrior: null scores are excluded from the mean, not counted as zero") {
+    // a.com has scores (10, null, 20): mean must be 15 (over the two
+    // scored docs), NOT 10 (sum/count(*) — the r14 ADVICE bias);
+    // b.org is entirely unscored -> null mean, still counted in n_docs
+    val docs = Seq(
+      (1L, "http://a.com/x", Some(10L)),
+      (2L, "http://a.com/y", None),
+      (3L, "http://a.com/z", Some(20L)),
+      (4L, "https://b.org/w", None))
+      .toDF("doc_id", "url", "score")
+    val got = rowsOf(
+      graft.pipeline.UrlCuration.domainPrior(docs, col("score")))
+      .map(r => r("doc_id") -> r).toMap
+    assert(got(1L)("n_domain_docs") == 3L)
+    assert(got(1L)("domain_mean") == 15.0)
+    assert(got(2L)("domain_mean") == 15.0) // the unscored doc still gets the prior
+    assert(got(4L)("n_domain_docs") == 1L)
+    assert(got(4L)("domain_mean") == null)
+  }
+
   test("synthUrl: same page key collides after canonicalization, distinct keys never do") {
     val urls = spark.range(0, 290).toDF("doc_id")
       .select(col("doc_id"),
