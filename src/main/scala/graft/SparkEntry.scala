@@ -679,6 +679,25 @@ object SparkEntry {
         maxDist = 10, n = 2, maxDf = 20L)
         .orderBy("doc_a", "doc_b")),
 
+    // incremental face: two ingests against an append-only store; the
+    // union of increment outputs must equal the batch operator over the
+    // union (uncapped — incremental caps are visibility-scoped, so the
+    // cap-free configuration is the one a global-df oracle can check)
+    "q_edit_distance_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val storeDir = runScratch(s, "ed_inc")
+      val p = new org.apache.hadoop.fs.Path(storeDir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true) // fresh store per run
+      pipeline.IncrementalDedup
+        .ingestEditDistance(storeDir, docs.filter(col("doc_id") % 2 === 0),
+          maxDist = 10, n = 2)
+        .union(pipeline.IncrementalDedup
+          .ingestEditDistance(storeDir, docs.filter(col("doc_id") % 2 === 1),
+            maxDist = 10, n = 2))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "q_minhash_candidates" -> ((s, dir) =>
       TextPipeline.minhashCandidates(Tables.documents(s, dir))
         .orderBy("doc_a", "doc_b")),
@@ -3078,6 +3097,36 @@ object SparkEntry {
         |  WHERE df <= 20
         |), inv AS (
         |  SELECT doc_id, shingle FROM inv0 JOIN keep USING (shingle)
+        |), cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b,
+        |  CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist
+        |FROM cand
+        |JOIN documents ta ON ta.doc_id = doc_a
+        |JOIN documents tb ON tb.doc_id = doc_b
+        |WHERE levenshtein(ta.text, tb.text) <= 10
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // incremental twin, uncapped: pairs sharing ANY word 2-shingle,
+    // levenshtein-confirmed — the recall-safe prunes must be invisible
+    // in the output (they only drop candidates the confirm would drop)
+    "q_edit_distance_incremental" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> length(x) > 0) AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 2 THEN []
+        |         ELSE list_distinct(list_transform(range(1, len(toks)),
+        |                i -> array_to_string(toks[i:i+1], ' '))) END AS shingles
+        |  FROM t
+        |), inv AS (
+        |  SELECT doc_id, unnest(shingles) AS shingle FROM sh
         |), cand AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

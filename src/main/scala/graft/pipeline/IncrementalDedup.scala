@@ -295,6 +295,158 @@ object IncrementalDedup {
       .filter(col("shared") >= minShared)
   }
 
+  // ----- edit-distance scheme (levenshtein-confirmed fuzzy dedup) ---------
+
+  /** Edit-distance ingest — the incremental face of
+    * [[TextPipeline.editDistancePairs]]: document pairs within `maxDist`
+    * character edits, each emitted exactly once (at the ingest of its
+    * later member), candidates blocked on shared word `n`-shingles with
+    * both of the batch twin's recall-safe prunes (adaptive shared-count
+    * bound + length bound) running on store-side ints BEFORE any text
+    * moves.
+    *
+    * Store tables (published under ONE commit marker per ingest):
+    *  - `ed_keys` (doc_id, shingle): the UNCENSORED distinct-shingle
+    *    inverted index. Keys are stored uncensored on purpose: the df
+    *    cap must be evaluated against the df VISIBLE at each pairing,
+    *    and censoring at write time would freeze each doc's censor set
+    *    at its ingest-time df — a shingle crossing the cap later would
+    *    then be dropped on one side of a pair but kept on the other,
+    *    which breaks the count bound's recall proof (it requires the
+    *    SAME censor set on both sides).
+    *  - `ed_meta` (doc_id, len, total): the prune ints — char length
+    *    and total distinct-shingle count (both censor-independent).
+    *  - `ed_texts` (doc_id, text): the confirm payload (the simhash
+    *    scheme's `sigs` analogue), read only by output-sized survivors.
+    *  - `ed_dfs` (shingle, cnt): per-batch PARTIAL document-frequency
+    *    counts whose sum is a shingle's visible df ([[ingestSpans]]'s
+    *    `hcounts` pattern). Appended even when `maxDf <= 0`, so a store
+    *    ingested uncapped can turn the cap on later.
+    *
+    * Censor symmetry per ingest: the hot set C = {shingle : visible df
+    * > maxDf} is aggregated over the full df history + this batch and
+    * applied to BOTH sides of every pair — the batch index is
+    * anti-joined against C, and the cross branch intersects store keys
+    * with the already-censored batch keys, so every pair's shared count
+    * is exactly |Sa ∩ Sb ∖ C|. Effective rare counts are total − |S ∩ C|
+    * (the store side's via one broadcast-hash join of the key scan
+    * against C; a doc ingested before a shingle went hot is thereby
+    * re-censored retroactively), so the batch bound
+    * `shared ≥ max(rare_a, rare_b) − maxDist·(n+1)` applies with one
+    * censor set and the batch twin's recall argument holds verbatim.
+    * The cap is visibility-scoped (df = what has been ingested so far),
+    * like every incremental cap here; C is boilerplate-vocabulary-sized
+    * and broadcasts.
+    *
+    * Scale shape per ingest: one aggregate over the append-only df
+    * partials, one store key scan with broadcast probe sides (batch
+    * keys, C), candidate rows stay (long, long) through both prunes,
+    * and only output-sized survivors join `ed_texts` for the O(len²)
+    * levenshtein confirm. */
+  def ingestEditDistance(dir: String, docs: DataFrame, maxDist: Int,
+                         n: Int = 2, maxDf: Long = 0L): DataFrame = {
+    require(maxDist >= 0, "maxDist >= 0")
+    val spark = docs.sparkSession
+    val base = graft.scale.Skew.ensureMinParallelism(
+      docs.select(col("doc_id"), col("text")),
+      spark.sparkContext.defaultParallelism, Seq(col("doc_id")))
+    val newInv = base.select(col("doc_id"),
+        explode(graft.expressions.TextExpressions
+          .wordShingles(col("text"), n, distinct = true)).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newMeta = newInv.groupBy("doc_id")
+      .agg(count(lit(1)).as("total"))
+      .join(base.select(col("doc_id"), length(col("text")).as("len")),
+        Seq("doc_id"))
+      .select("doc_id", "len", "total")
+    val batchDfs = newInv.groupBy("shingle").agg(count(lit(1)).as("cnt"))
+    val dfSchema = StructType(Seq(
+      StructField("shingle", StringType), StructField("cnt", LongType)))
+    val hot =
+      if (maxDf <= 0L) None
+      else Some(snapshot(spark, dir, "ed_dfs", dfSchema)
+        .union(batchDfs)
+        .groupBy("shingle").agg(sum("cnt").as("df"))
+        .filter(col("df") > maxDf)
+        .select("shingle")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val batchKeys = hot.fold(newInv)(h =>
+        newInv.join(broadcast(h), Seq("shingle"), "left_anti"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edKeySchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("shingle", StringType)))
+    val storeKeys = snapshot(spark, dir, "ed_keys", edKeySchema)
+    val metaSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("len", org.apache.spark.sql.types.IntegerType),
+      StructField("total", LongType)))
+    val storeMeta = snapshot(spark, dir, "ed_meta", metaSchema)
+    // effective rare counts under TODAY's censor set: stored docs get
+    // total − |stored keys ∩ C| (retroactive re-censoring), batch docs
+    // simply count their surviving keys
+    val storeRare = hot match {
+      case Some(h) =>
+        val hc = storeKeys.join(broadcast(h), Seq("shingle"))
+          .groupBy("doc_id").agg(count(lit(1)).as("__hc"))
+        storeMeta.join(hc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("len"),
+            (col("total") - coalesce(col("__hc"), lit(0L))).as("rare"))
+      case None =>
+        storeMeta.select(col("doc_id"), col("len"), col("total").as("rare"))
+    }
+    val batchRare = batchKeys.groupBy("doc_id").agg(count(lit(1)).as("rare"))
+      .join(base.select(col("doc_id"), length(col("text")).as("len")),
+        Seq("doc_id"))
+      .select("doc_id", "len", "rare")
+    val rareAll = storeRare.union(batchRare)
+    val within = batchKeys.as("a").join(batchKeys.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cross = storeKeys.as("s").join(broadcast(batchKeys.as("nw")),
+        col("s.shingle") === col("nw.shingle") &&
+          col("s.doc_id") =!= col("nw.doc_id"))
+      .select(least(col("s.doc_id"), col("nw.doc_id")).as("doc_a"),
+        greatest(col("s.doc_id"), col("nw.doc_id")).as("doc_b"))
+    val cand = within.union(cross)
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("__shared"))
+      .join(rareAll.select(col("doc_id").as("doc_a"), col("rare").as("__ra"),
+        col("len").as("__la")), Seq("doc_a"))
+      .join(rareAll.select(col("doc_id").as("doc_b"), col("rare").as("__rb"),
+        col("len").as("__lb")), Seq("doc_b"))
+      .filter(abs(col("__la") - col("__lb")) <= maxDist &&
+        col("__shared") >=
+          greatest(col("__ra"), col("__rb")) - maxDist * (n + 1))
+      .select("doc_a", "doc_b")
+    val textSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // only shingle-bearing docs are stored (a doc below n words can
+    // never be a candidate), and only survivors' texts move
+    val newTexts = base.join(newMeta.select("doc_id"), Seq("doc_id"),
+      "left_semi")
+    val allTexts = snapshot(spark, dir, "ed_texts", textSchema)
+      .union(newTexts)
+    val result = cand
+      .join(allTexts.select(col("doc_id").as("doc_a"),
+        col("text").as("__ta")), Seq("doc_a"))
+      .join(allTexts.select(col("doc_id").as("doc_b"),
+        col("text").as("__tb")), Seq("doc_b"))
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("doc_a", "doc_b", "dist")
+      .localCheckpoint(true) // pin results before the store grows
+    val id = freshIngestId()
+    stage(newInv, dir, "ed_keys", id)
+    stage(newMeta, dir, "ed_meta", id)
+    stage(newTexts, dir, "ed_texts", id)
+    stage(batchDfs, dir, "ed_dfs", id)
+    commitIngest(spark, dir, id)
+    hot.foreach(_.unpersist())
+    batchKeys.unpersist()
+    newInv.unpersist()
+    result
+  }
+
   // ----- span scheme (duplicate k-gram positions) -------------------------
 
   /** Span-dedup ingest — the incremental face of

@@ -600,6 +600,59 @@ class PipelineSpec extends SparkSpec {
     assert(all.exceptAll(batch).isEmpty && batch.exceptAll(all).isEmpty)
   }
 
+  test("IncrementalDedup.ingestEditDistance: batched ingest equals batch editDistancePairs, exactly once") {
+    import graft.pipeline.{IncrementalDedup, TextPipeline}
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = (0L until 45L).map { i =>
+      val text = if (i % 6 == 0) base
+      else if (i % 6 == 1) base.replace("kappa", s"mu$i") // small edit
+      else s"unique words only document number $i with filler ${i * 31}"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("inc_ed").toString
+    val all = Seq(0L -> 20L, 20L -> 33L, 33L -> 45L).map { case (lo, hi) =>
+      IncrementalDedup.ingestEditDistance(dir,
+        corpus.filter(col("doc_id") >= lo && col("doc_id") < hi),
+        maxDist = 8, n = 2)
+    }.reduce(_ union _)
+    assert(all.count() == all.distinct().count()) // exactly-once
+    val batch = TextPipeline.editDistancePairs(corpus, maxDist = 8, n = 2,
+      maxDf = 0L)
+    assert(all.exceptAll(batch).isEmpty && batch.exceptAll(all).isEmpty)
+    assert(batch.count() > 0) // the parity pin must not be vacuous
+  }
+
+  test("ingestEditDistance df cap: retroactive re-censoring keeps the count bound recall-safe") {
+    import graft.pipeline.{IncrementalDedup, TextPipeline}
+    // A 40-word boilerplate prefix P shared by every doc: its shingles
+    // have df 2 after batch 1 (<= cap 3, so doc 0's keys/meta are
+    // stored while P is still rare) and df 4 after batch 2 (> cap).
+    // Pair (0, 2) then shares exactly ONE surviving shingle ("w40
+    // rare") against ~39 censored ones, so with maxDist=1 (slack
+    // maxDist*(n+1) = 3) the count bound ADMITS it only if doc 0's
+    // effective rare count is recomputed under today's censor set
+    // (41 - 39 = 2): with the stale stored count (41) the bound
+    // demands shared >= 38 and wrongly prunes a true 1-edit pair.
+    val p = (1 to 40).map(i => s"w$i").mkString(" ")
+    val b1 = Seq((0L, s"$p rare cat"), (1L, s"$p zzz dog"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((2L, s"$p rare cab"), (3L, s"$p yyy emu"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("inc_ed_cap").toString
+    val out = IncrementalDedup
+      .ingestEditDistance(dir, b1, maxDist = 1, n = 2, maxDf = 3L)
+      .union(IncrementalDedup
+        .ingestEditDistance(dir, b2, maxDist = 1, n = 2, maxDf = 3L))
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set((0L, 2L, 1L)), got) // cat -> cab, one edit
+    // no false positives vs the uncapped batch truth
+    val truth = TextPipeline
+      .editDistancePairs(b1.union(b2), maxDist = 1, n = 2, maxDf = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.subsetOf(truth), s"got $got truth $truth")
+  }
+
   test("IncrementalDedup: a crash between table writes leaves the batch invisible; re-ingest is clean") {
     import graft.pipeline.{IncrementalDedup, TextPipeline}
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
