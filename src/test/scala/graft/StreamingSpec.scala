@@ -557,6 +557,110 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  /** Run `body` with streaming state on the RocksDB provider, restoring
+    * the default (HDFS-backed heap) provider after — the 100 TB posture
+    * for keyed state that outgrows executor heaps (COVERAGE §2.6). */
+  private def withRocksDb[A](body: => A): A =
+    try { graft.core.Graft.useRocksDbState(spark); body }
+    finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    }
+
+  private def assertRocksDbMetrics(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val metrics = q.lastProgress.stateOperators(0).customMetrics
+    assert(scala.jdk.CollectionConverters.SetHasAsScala(metrics.keySet)
+      .asScala.exists(_.startsWith("rocksdb")),
+      s"no rocksdb metrics on ${q.lastProgress.stateOperators(0).operatorName}")
+  }
+
+  test("RocksDB state store: ddos keyed-state profile parity under the RocksDB provider") {
+    // same scenario as the default-provider test above — the provider
+    // switch must not change mapGroupsWithState semantics
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val mem = MemoryStream[Fx]
+      val det = StreamingAnalytics.ddosKeyedState(
+        FlowSource.withEventTime(mem.toDF()),
+        dstPattern = "192\\.168\\..*", ratioIncrease = 5.0, minPackets = 100L)
+      val q = det.toDF().writeStream.format("memory").queryName("ddos_rocks")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData((0 until 10).map(i =>
+          Fx(flow_id = i, src_ip4 = s"10.1.0.$i", dst_ip = "192.168.1.1",
+            packets = 10)): _*)
+        q.processAllAvailable()
+        assert(spark.table("ddos_rocks").count() == 0)
+        mem.addData((0 until 5).map(i =>
+          Fx(flow_id = 100 + i, src_ip4 = s"10.2.0.$i", dst_ip = "192.168.1.1",
+            packets = 1000)): _*)
+        q.processAllAvailable()
+        val rows = spark.table("ddos_rocks").collect()
+        assert(rows.map(_.getAs[String]("dst_ip")).toSeq == Seq("192.168.1.1"))
+        assert(rows.head.getAs[Long]("packets") == 5000L)
+        assert(rows.head.getAs[Double]("long_ratio") == 10.0d)
+        assertRocksDbMetrics(q)
+      } finally q.stop()
+    }
+  }
+
+  test("RocksDB state store: watermark-evicting dedup parity under the RocksDB provider") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val docs = mem.toDF().toDF("doc_id", "text", "event_time")
+      val out = graft.pipeline.TextPipeline.dedupStreaming(docs)
+      val q = out.writeStream.format("memory").queryName("dedup_rocks")
+        .outputMode(OutputMode.Append()).start()
+      def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+      try {
+        mem.addData((1L, "alpha", ts(10)), (2L, "beta", ts(11)),
+          (3L, "alpha", ts(12)))
+        q.processAllAvailable()
+        mem.addData((4L, "alpha", ts(20)), (5L, "gamma", ts(21)))
+        q.processAllAvailable()
+        val ids = spark.table("dedup_rocks").collect()
+          .map(_.getAs[Long]("doc_id")).toSet
+        assert(ids == Set(1L, 2L, 5L)) // cross-batch first-seen semantics
+        assertRocksDbMetrics(q)
+      } finally q.stop()
+    }
+  }
+
+  test("RocksDB state store: funnel tombstone state parity under the RocksDB provider") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.Funnel
+    withRocksDb {
+      val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val events = mem.toDF().toDF("user_id", "event_type", "event_time")
+      val q = Funnel.stream(events, Seq("view", "click"), horizonMs = 1000L,
+          watermark = "10 seconds", oncePerUser = true)
+        .writeStream.format("memory").queryName("funnel_rocks")
+        .outputMode(OutputMode.Append()).start()
+      def ts(ms: Long) = new java.sql.Timestamp(ms)
+      try {
+        mem.addData((1L, "view", ts(1000L)), (1L, "click", ts(2000L)))
+        q.processAllAvailable()
+        mem.addData((8L, "view", ts(500000L)))
+        q.processAllAvailable()
+        mem.addData((8L, "click", ts(500100L)))
+        q.processAllAvailable()
+        // the SAME user reappears: the tombstone (held in RocksDB)
+        // swallows the new session
+        mem.addData((1L, "view", ts(600000L)), (1L, "click", ts(600500L)))
+        q.processAllAvailable()
+        mem.addData((9L, "view", ts(1200000L)))
+        q.processAllAvailable()
+        val got = spark.table("funnel_rocks").collect()
+          .filter(_.getLong(0) == 1L)
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+        assert(got == Set((1L, 0, 1000L), (1L, 1, 2000L)), got)
+        assertRocksDbMetrics(q)
+      } finally q.stop()
+    }
+  }
+
   test("streaming pattern_finder end-to-end: biflow join -> one-hot bins -> carried report") {
     implicit val sqlCtx = spark.sqlContext
     val pats = Seq(graft.analytics.PatternFinder.Pattern(
