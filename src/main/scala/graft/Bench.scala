@@ -67,7 +67,7 @@ object Bench {
     // persisted frames; the GC lets ContextCleaner reclaim checkpoint
     // blocks and broadcasts, and the pause gives its async thread a
     // beat to run. The pause sits outside the timed window.
-    val results = names.map { name =>
+    def timedPass(): Seq[(String, Double, Option[String])] = names.map { name =>
       spark.catalog.clearCache() // each query pays for only its own caches
       System.gc()
       Thread.sleep(300)
@@ -82,14 +82,35 @@ object Bench {
       val err = run(name)
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    // a crashed query must not read as a fast success: its timing is -1
-    // and it is listed under "errors"
-    val qs = results.map { case (k, v, err) =>
-      s"\"" + k + "\":" + (if (err.isEmpty) v else -1.0)
+    // TWO timed passes (SPARK_GRAFT_TIMED_PASSES overrides): the record
+    // then carries per-query median (the headline) AND min, so a future
+    // reader can separate machine noise from real regressions without
+    // re-running — the 1.5-3x oscillation band on the sub-second floor
+    // queries was previously reconstructable only from prose.
+    val timedPasses = sys.env.get("SPARK_GRAFT_TIMED_PASSES")
+      .map(_.toInt).filter(_ > 0).getOrElse(2)
+    val allPasses = (1 to timedPasses).map(_ => timedPass())
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    // a query that crashed in ANY pass must not read as a fast success:
+    // its timing is -1 and it is listed under "errors"
+    val results = names.map { name =>
+      val samples = allPasses.map(_.find(_._1 == name).get)
+      val err = samples.flatMap(_._3).headOption
+      (name, median(samples.map(_._2)), samples.map(_._2).min, err)
+    }
+    val qs = results.map { case (k, med, _, err) =>
+      s"\"" + k + "\":" + (if (err.isEmpty) med else -1.0)
     }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, Some(e)) => s"\"$k:$e\"" }
+    val qsMin = results.map { case (k, _, mn, err) =>
+      s"\"" + k + "\":" + (if (err.isEmpty) mn else -1.0)
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, _, _, Some(e)) => s"\"$k:$e\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, None) => v }.sum
+    val total = results.collect { case (_, med, _, None) => med }.sum
     // Run the SAME oracle SQL through the single-node DuckDB comparator
     // (scripts/duck_bench.py) and emit per-query comparator seconds +
     // spark/duck ratios, so the 2×-of-comparator bar is machine-checked
@@ -119,17 +140,18 @@ object Bench {
       val ds = names.distinct.map(n =>
         "\"" + n + "\":" + d.get(n).map(_.toString).getOrElse("null"))
         .mkString("{", ",", "}")
-      val rs = results.map { case (k, v, err) =>
+      val rs = results.map { case (k, med, _, err) =>
         val r = for (dv <- d.get(k) if err.isEmpty && dv > 0)
-          yield (math.round(v / dv * 1000.0) / 1000.0).toString
+          yield (math.round(med / dv * 1000.0) / 1000.0).toString
         "\"" + k + "\":" + r.getOrElse("null")
       }.mkString("{", ",", "}")
       s""","duck":$ds,"ratio":$rs"""
     }.getOrElse("")
-    // warmup_passes makes the measurement protocol explicit in the
-    // record itself (2 untimed passes before the timed one; 0 = cold)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"warmup":$warm,"warmup_passes":${if (warm) 2 else 0}$duckJson,"sf":"$sfDir"}""")
+    // warmup_passes / timed_passes make the measurement protocol
+    // explicit in the record itself: "queries" is the per-query MEDIAN
+    // over timed_passes isolated runs, "queries_min" the per-query best
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"errors":$errors,"warmup":$warm,"warmup_passes":${if (warm) 2 else 0},"timed_passes":$timedPasses$duckJson,"sf":"$sfDir"}""")
     spark.stop()
-    if (results.exists(_._3.nonEmpty)) sys.exit(1)
+    if (results.exists(_._4.nonEmpty)) sys.exit(1)
   }
 }
