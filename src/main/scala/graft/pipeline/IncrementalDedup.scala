@@ -345,6 +345,51 @@ object IncrementalDedup {
     * levenshtein confirm. */
   def ingestEditDistance(dir: String, docs: DataFrame, maxDist: Int,
                          n: Int = 2, maxDf: Long = 0L): DataFrame = {
+    val spark = docs.sparkSession
+    val dfSchema = StructType(Seq(
+      StructField("shingle", StringType), StructField("cnt", LongType)))
+    val edKeySchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("shingle", StringType)))
+    val metaSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("len", org.apache.spark.sql.types.IntegerType),
+      StructField("total", LongType)))
+    val textSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val core = editDistanceCore(
+      Some((snapshot(spark, dir, "ed_keys", edKeySchema),
+        snapshot(spark, dir, "ed_meta", metaSchema),
+        snapshot(spark, dir, "ed_texts", textSchema),
+        snapshot(spark, dir, "ed_dfs", dfSchema))),
+      docs, maxDist, n, maxDf)
+    val result = core.pairs
+      .localCheckpoint(true) // pin results before the store grows
+    val id = freshIngestId()
+    stage(core.keys, dir, "ed_keys", id)
+    stage(core.meta, dir, "ed_meta", id)
+    stage(core.texts, dir, "ed_texts", id)
+    stage(core.dfs, dir, "ed_dfs", id)
+    commitIngest(spark, dir, id)
+    core.release()
+    result
+  }
+
+  /** One edit-distance ingest's lazily-composed frames: the emitted
+    * pairs plus the four table appends the caller must publish (under
+    * one marker here; as idempotent batch partitions on the streaming
+    * face). `release()` drops the internal persists — call it after the
+    * caller has MATERIALIZED `pairs`. */
+  private[graft] final case class EdBatch(pairs: DataFrame, keys: DataFrame,
+      meta: DataFrame, texts: DataFrame, dfs: DataFrame, release: () => Unit)
+
+  /** The candidate/prune/confirm core shared by [[ingestEditDistance]]
+    * and the streaming face
+    * ([[graft.streaming.CurationStream.ingestEditDistanceBatch]]): all
+    * the semantics documented on [[ingestEditDistance]], over
+    * caller-supplied store snapshots (`None` = empty store). */
+  private[graft] def editDistanceCore(
+      store: Option[(DataFrame, DataFrame, DataFrame, DataFrame)],
+      docs: DataFrame, maxDist: Int, n: Int, maxDf: Long): EdBatch = {
     require(maxDist >= 0, "maxDist >= 0")
     val spark = docs.sparkSession
     val base = graft.scale.Skew.ensureMinParallelism(
@@ -360,11 +405,16 @@ object IncrementalDedup {
         Seq("doc_id"))
       .select("doc_id", "len", "total")
     val batchDfs = newInv.groupBy("shingle").agg(count(lit(1)).as("cnt"))
-    val dfSchema = StructType(Seq(
-      StructField("shingle", StringType), StructField("cnt", LongType)))
+    // only shingle-bearing docs are stored (a doc below n words can
+    // never be a candidate), and only survivors' texts move
+    val newTexts = base.join(newMeta.select("doc_id"), Seq("doc_id"),
+      "left_semi")
+    val (storeKeys, storeMeta, storeTexts, storeDfs) = store.getOrElse(
+      (newInv.filter(lit(false)), newMeta.filter(lit(false)),
+        newTexts.filter(lit(false)), batchDfs.filter(lit(false))))
     val hot =
       if (maxDf <= 0L) None
-      else Some(snapshot(spark, dir, "ed_dfs", dfSchema)
+      else Some(storeDfs
         .union(batchDfs)
         .groupBy("shingle").agg(sum("cnt").as("df"))
         .filter(col("df") > maxDf)
@@ -373,14 +423,6 @@ object IncrementalDedup {
     val batchKeys = hot.fold(newInv)(h =>
         newInv.join(broadcast(h), Seq("shingle"), "left_anti"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val edKeySchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("shingle", StringType)))
-    val storeKeys = snapshot(spark, dir, "ed_keys", edKeySchema)
-    val metaSchema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("len", org.apache.spark.sql.types.IntegerType),
-      StructField("total", LongType)))
-    val storeMeta = snapshot(spark, dir, "ed_meta", metaSchema)
     // effective rare counts under TODAY's censor set: stored docs get
     // total − |stored keys ∩ C| (retroactive re-censoring), batch docs
     // simply count their surviving keys
@@ -418,15 +460,8 @@ object IncrementalDedup {
         col("__shared") >=
           greatest(col("__ra"), col("__rb")) - maxDist * (n + 1))
       .select("doc_a", "doc_b")
-    val textSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType)))
-    // only shingle-bearing docs are stored (a doc below n words can
-    // never be a candidate), and only survivors' texts move
-    val newTexts = base.join(newMeta.select("doc_id"), Seq("doc_id"),
-      "left_semi")
-    val allTexts = snapshot(spark, dir, "ed_texts", textSchema)
-      .union(newTexts)
-    val result = cand
+    val allTexts = storeTexts.union(newTexts)
+    val pairs = cand
       .join(allTexts.select(col("doc_id").as("doc_a"),
         col("text").as("__ta")), Seq("doc_a"))
       .join(allTexts.select(col("doc_id").as("doc_b"),
@@ -434,17 +469,11 @@ object IncrementalDedup {
       .withColumn("dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
       .filter(col("dist") <= maxDist)
       .select("doc_a", "doc_b", "dist")
-      .localCheckpoint(true) // pin results before the store grows
-    val id = freshIngestId()
-    stage(newInv, dir, "ed_keys", id)
-    stage(newMeta, dir, "ed_meta", id)
-    stage(newTexts, dir, "ed_texts", id)
-    stage(batchDfs, dir, "ed_dfs", id)
-    commitIngest(spark, dir, id)
-    hot.foreach(_.unpersist())
-    batchKeys.unpersist()
-    newInv.unpersist()
-    result
+    EdBatch(pairs, newInv, newMeta, newTexts, batchDfs, () => {
+      hot.foreach(_.unpersist())
+      batchKeys.unpersist()
+      newInv.unpersist()
+    })
   }
 
   // ----- span scheme (duplicate k-gram positions) -------------------------

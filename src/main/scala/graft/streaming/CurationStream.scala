@@ -213,4 +213,60 @@ object CurationStream {
         tileTarget, normalize)
       ()
     }
+
+  /** One edit-distance micro-batch — the foreachBatch face of
+    * [[IncrementalDedup.ingestEditDistance]], sharing its
+    * `editDistanceCore` (same blocking, both recall-safe prunes on
+    * store-side ints, levenshtein confirm, visibility-scoped df cap
+    * with retroactive re-censoring). Store discipline mirrors
+    * [[ingestBatch]]: the four tables (keys/meta/texts/dfs) commit as
+    * idempotent `batch_id` partitions, reads exclude the batch's OWN id
+    * so a replay pairs against exactly the pre-batch store, and a torn
+    * multi-table write is repaired by the replay (missing partitions
+    * written, committed ones skipped) BEFORE any later batch can
+    * observe it — foreachBatch replays in order from the checkpoint, so
+    * keys-without-texts is never visible to a subsequent batch's
+    * confirm join (the torn-write hazard the batch ingest's single
+    * commit marker closes). Returns true when the batch did work. */
+  def ingestEditDistanceBatch(batch: DataFrame, batchId: Long,
+                              storeDir: String, pairsPath: String,
+                              maxDist: Int, n: Int = 2,
+                              maxDf: Long = 0L): Boolean = {
+    val spark = batch.sparkSession
+    def table(name: String, cols: Seq[String]): Option[DataFrame] = {
+      val committed = ResultSink.readCommitted(spark, s"$storeDir/$name")
+      if (committed.columns.isEmpty) None
+      else Some(committed.filter(col("batch_id") =!= batchId)
+        .select(cols.head, cols.tail: _*))
+    }
+    val store = for {
+      k <- table("ed_keys", Seq("doc_id", "shingle"))
+      m <- table("ed_meta", Seq("doc_id", "len", "total"))
+      t <- table("ed_texts", Seq("doc_id", "text"))
+      d <- table("ed_dfs", Seq("shingle", "cnt"))
+    } yield (k, m, t, d)
+    val core = IncrementalDedup.editDistanceCore(store, batch, maxDist, n,
+      maxDf)
+    try {
+      val wrote = ResultSink.writeBatchIdempotent(core.pairs, batchId,
+        pairsPath)
+      ResultSink.writeBatchIdempotent(core.keys, batchId, s"$storeDir/ed_keys")
+      ResultSink.writeBatchIdempotent(core.meta, batchId, s"$storeDir/ed_meta")
+      ResultSink.writeBatchIdempotent(core.texts, batchId,
+        s"$storeDir/ed_texts")
+      ResultSink.writeBatchIdempotent(core.dfs, batchId, s"$storeDir/ed_dfs")
+      wrote
+    } finally core.release()
+  }
+
+  /** Streaming edit-distance fuzzy-dup pairs — wire a streaming docs
+    * frame through [[ingestEditDistanceBatch]]. */
+  def editDistancePairs(docs: DataFrame, storeDir: String, pairsPath: String,
+                        maxDist: Int, n: Int = 2, maxDf: Long = 0L,
+                        trigger: Trigger = Trigger.ProcessingTime("5 seconds"))
+      : DataStreamWriter[Row] =
+    ResultSink.foreachBatch(docs, trigger) { (b, id) =>
+      ingestEditDistanceBatch(b, id, storeDir, pairsPath, maxDist, n, maxDf)
+      ()
+    }
 }

@@ -1,0 +1,113 @@
+package graft.tools
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.DocSynth
+import graft.pipeline.{Curation, Similarity, TextPipeline}
+
+/** Per-stage shuffle-write breakdown for one heavy-tier smoke query at
+  * given DocSynth scales — the "where do the bytes come from" companion
+  * to [[ScaleSmoke]] (which totals shuffle per query) and [[StageProbe]]
+  * (which times stages per registered query at an sf dir). When a smoke
+  * row's shuffle grows faster than its wall, this prints which STAGE
+  * owns the growth and which join strategies the final adaptive plan
+  * actually chose, so the cause lands in the ledger as a measurement,
+  * not a hypothesis (the q_hybrid_dedup 63× row, VERDICT r14 #3).
+  *
+  * Usage: `runMain graft.tools.ShuffleBreakdown <query> [nDocs,nDocs...]`
+  * with query one of the map below; embeddings synthesize at the
+  * testdata ratio (2 vectors / 5 docs) like ScaleSmoke. */
+object ShuffleBreakdown {
+
+  private def queries(docs: DataFrame, emb: DataFrame, n: Long)
+      : Map[String, () => DataFrame] = {
+    val nlist = math.max(10, math.sqrt(n.toDouble * 2 / 5).toInt)
+    Map(
+      "q_hybrid_dedup" -> (() =>
+        Similarity.hybridDedup(docs, emb, nlist = nlist, n = 2,
+          minJaccard = 0.3, maxCluster = 200L)),
+      "q_semdedup" -> (() =>
+        Similarity.semDedup(emb, nlist = nlist, minCosine = 0.4,
+          maxCluster = 200L)),
+      "q_minhash_candidates" -> (() =>
+        TextPipeline.minhashCandidates(docs, maxBucket = 200L)),
+      "q_minhash_candidates_capped" -> (() =>
+        TextPipeline.minhashCandidates(docs, maxBucket = 20L)),
+      "q_edit_distance_pairs" -> (() =>
+        TextPipeline.editDistancePairs(docs, maxDist = 10, n = 2,
+          maxDf = 50L)),
+      "q_edit_distance_capped" -> (() =>
+        TextPipeline.editDistancePairs(docs, maxDist = 10, n = 2,
+          maxDf = 10L)),
+      "q_dedup_cluster" -> (() => Curation.clusterComponents(docs)))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("q_hybrid_dedup")
+    val scales = args.drop(1).headOption.getOrElse("50000,500000")
+      .split(",").toSeq.filter(_.nonEmpty).map(_.toLong)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.core.Graft.tune(spark)
+    val scratch = s"/tmp/graft_breakdown_${System.getProperty("user.name", "u")}"
+
+    scales.foreach { n =>
+      val docDir = s"$scratch/docs_$n"
+      val embDir = s"$scratch/emb_$n"
+      DocSynth.documents(spark, n).write.mode("overwrite").parquet(docDir)
+      DocSynth.embeddings(spark, n * 2 / 5).write.mode("overwrite")
+        .parquet(embDir)
+      val docs = spark.read.parquet(docDir)
+      val emb = spark.read.parquet(embDir)
+      spark.catalog.clearCache()
+      val stages = ArrayBuffer.empty[(Int, String, Long, Long, Int)]
+      val listener = new SparkListener {
+        override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val w = si.taskMetrics.shuffleWriteMetrics
+          stages.synchronized {
+            stages += ((si.stageId,
+              si.rddInfos.map(_.name).distinct.mkString(","),
+              w.bytesWritten, w.recordsWritten, si.numTasks))
+          }
+        }
+      }
+      val mk = queries(docs, emb, n)(name)
+      mk().count() // cold pass: codegen/footers, unmeasured
+      spark.catalog.clearCache()
+      spark.sparkContext.addSparkListener(listener)
+      val df = mk()
+      val t0 = System.nanoTime()
+      val rows = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.removeSparkListener(listener)
+      Thread.sleep(300) // listener bus drain
+      println(f"===== $name @ $n docs: $rows rows, $sec%.2f s")
+      val snap = stages.synchronized(stages.toSeq)
+      snap.filter(_._3 > 0).sortBy(-_._3).foreach {
+        case (id, ops, bytes, recs, tasks) =>
+          println(f"  stage $id%4d  ${bytes / 1e6}%9.1f MB  " +
+            f"${recs}%12d recs  $tasks%4d tasks  " +
+            ops.split(",").take(6).mkString(","))
+      }
+      println(f"  TOTAL shuffle ${snap.map(_._3).sum / 1e6}%.1f MB")
+      // which join strategies the FINAL adaptive plan chose (the
+      // broadcast->shuffle flip is visible here, not in the static plan)
+      df.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("Join") || l.contains("CartesianProduct"))
+        .map(_.trim.take(140)).toSeq.distinct
+        .foreach(l => println(s"  JOIN $l"))
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

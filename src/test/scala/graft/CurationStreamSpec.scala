@@ -82,6 +82,42 @@ class CurationStreamSpec extends SparkSpec {
     assert(ResultSink.readCommitted(spark, pairsPath).count() == before)
   }
 
+  test("streaming edit-distance pairs equal the batch operator; replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val storeDir = tmp("cs_edstore"); val pairsPath = tmp("cs_edpairs")
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = CurationStream.editDistancePairs(docs, storeDir, pairsPath,
+      maxDist = 8, n = 2)
+      .outputMode(OutputMode.Append()).start()
+    val corpus = (0L until 30L).map(i => (i, text(i)))
+    try {
+      val (b1, b2) = corpus.splitAt(11)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = ResultSink.readCommitted(spark, pairsPath)
+      .select("doc_a", "doc_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == got.toSet.size, "duplicate pair emission")
+    val batch = TextPipeline.editDistancePairs(
+        corpus.toDF("doc_id", "text"), maxDist = 8, n = 2, maxDf = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.toSet == batch, "streaming union != batch")
+    assert(batch.nonEmpty) // the parity pin must not be vacuous
+    // replay of the last batch id is a no-op (pairs committed -> skip)
+    val before = ResultSink.readCommitted(spark, pairsPath).count()
+    val b2df = corpus.drop(11).toDF("doc_id", "text")
+    assert(!CurationStream.ingestEditDistanceBatch(b2df, 1L, storeDir,
+      pairsPath, maxDist = 8, n = 2))
+    assert(ResultSink.readCommitted(spark, pairsPath).count() == before)
+    // all four store tables advanced exactly once per batch
+    Seq("ed_keys", "ed_meta", "ed_texts", "ed_dfs").foreach { t =>
+      val tbl = ResultSink.readCommitted(spark, s"$storeDir/$t")
+      assert(tbl.select("batch_id").distinct().count() == 2L, t)
+    }
+  }
+
   test("streaming normalize pre-pass == batch normalizeText-then-dedup (r13 parity)") {
     // Decomposed spellings (e + combining acute) of otherwise-identical
     // docs: WITHOUT normalization the byte-different texts shingle into
