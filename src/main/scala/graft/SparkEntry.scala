@@ -3078,67 +3078,76 @@ object SparkEntry {
 
     // same blocking CTEs as q_doc_near_dup (df cap 20, 2-shingles),
     // then the per-candidate levenshtein confirm
+    // the engine blocks on 8-byte poly-47 shingle keys, not strings (the
+    // hybrid/span key discipline); apply the IDENTICAL hash so the df
+    // cap censors the same key identities on both sides
     "q_edit_distance_pairs" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |      x -> length(x) > 0) AS toks
-        |  FROM documents
-        |), sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) < 2 THEN []
-        |         ELSE list_distinct(list_transform(range(1, len(toks)),
-        |                i -> array_to_string(toks[i:i+1], ' '))) END AS shingles
-        |  FROM t
-        |), inv0 AS (
-        |  SELECT doc_id, unnest(shingles) AS shingle FROM sh
-        |), keep AS (
-        |  SELECT shingle FROM (SELECT shingle, count(*) AS df FROM inv0 GROUP BY 1)
-        |  WHERE df <= 20
-        |), inv AS (
-        |  SELECT doc_id, shingle FROM inv0 JOIN keep USING (shingle)
-        |), cand AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |)
-        |SELECT doc_a, doc_b,
-        |  CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist
-        |FROM cand
-        |JOIN documents ta ON ta.doc_id = doc_a
-        |JOIN documents tb ON tb.doc_id = doc_b
-        |WHERE levenshtein(ta.text, tb.text) <= 10
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |      x -> length(x) > 0) AS toks
+         |  FROM documents
+         |), sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) < 2 THEN []
+         |         ELSE list_distinct(list_transform(range(1, len(toks)),
+         |                i -> array_to_string(toks[i:i+1], ' '))) END AS shingles
+         |  FROM t
+         |), inv0 AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(shingles, w -> ${fpSql("w")})) AS h
+         |  FROM sh
+         |), keep AS (
+         |  SELECT h FROM (SELECT h, count(*) AS df FROM inv0 GROUP BY 1)
+         |  WHERE df <= 20
+         |), inv AS (
+         |  SELECT doc_id, h FROM inv0 JOIN keep USING (h)
+         |), cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b,
+         |  CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist
+         |FROM cand
+         |JOIN documents ta ON ta.doc_id = doc_a
+         |JOIN documents tb ON tb.doc_id = doc_b
+         |WHERE levenshtein(ta.text, tb.text) <= 10
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
-    // incremental twin, uncapped: pairs sharing ANY word 2-shingle,
-    // levenshtein-confirmed — the recall-safe prunes must be invisible
-    // in the output (they only drop candidates the confirm would drop)
+    // incremental twin, uncapped: pairs sharing ANY word 2-shingle
+    // (same poly-47 hashed key space as the batch twin, so collision
+    // candidates agree by construction), levenshtein-confirmed — the
+    // recall-safe prunes must be invisible in the output (they only
+    // drop candidates the confirm would drop)
     "q_edit_distance_incremental" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |      x -> length(x) > 0) AS toks
-        |  FROM documents
-        |), sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) < 2 THEN []
-        |         ELSE list_distinct(list_transform(range(1, len(toks)),
-        |                i -> array_to_string(toks[i:i+1], ' '))) END AS shingles
-        |  FROM t
-        |), inv AS (
-        |  SELECT doc_id, unnest(shingles) AS shingle FROM sh
-        |), cand AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |)
-        |SELECT doc_a, doc_b,
-        |  CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist
-        |FROM cand
-        |JOIN documents ta ON ta.doc_id = doc_a
-        |JOIN documents tb ON tb.doc_id = doc_b
-        |WHERE levenshtein(ta.text, tb.text) <= 10
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |      x -> length(x) > 0) AS toks
+         |  FROM documents
+         |), sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) < 2 THEN []
+         |         ELSE list_distinct(list_transform(range(1, len(toks)),
+         |                i -> array_to_string(toks[i:i+1], ' '))) END AS shingles
+         |  FROM t
+         |), inv AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(shingles, w -> ${fpSql("w")})) AS h
+         |  FROM sh
+         |), cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b,
+         |  CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist
+         |FROM cand
+         |JOIN documents ta ON ta.doc_id = doc_a
+         |JOIN documents tb ON tb.doc_id = doc_b
+         |WHERE levenshtein(ta.text, tb.text) <= 10
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_simhash" ->
       s"""WITH $simhashCtes

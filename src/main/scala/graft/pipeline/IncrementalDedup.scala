@@ -305,8 +305,11 @@ object IncrementalDedup {
     * bound + length bound) running on store-side ints BEFORE any text
     * moves.
     *
-    * Store tables (published under ONE commit marker per ingest):
-    *  - `ed_keys` (doc_id, shingle): the UNCENSORED distinct-shingle
+    * Store tables (published under ONE commit marker per ingest; keys
+    * are 8-byte poly-47 shingle hashes, the batch twin's key
+    * discipline — collisions only merge key identities, which is
+    * recall-safe end to end, see [[TextPipeline.editDistancePairsCached]]):
+    *  - `ed_keys` (doc_id, h): the UNCENSORED distinct-shingle
     *    inverted index. Keys are stored uncensored on purpose: the df
     *    cap must be evaluated against the df VISIBLE at each pairing,
     *    and censoring at write time would freeze each doc's censor set
@@ -318,7 +321,7 @@ object IncrementalDedup {
     *    and total distinct-shingle count (both censor-independent).
     *  - `ed_texts` (doc_id, text): the confirm payload (the simhash
     *    scheme's `sigs` analogue), read only by output-sized survivors.
-    *  - `ed_dfs` (shingle, cnt): per-batch PARTIAL document-frequency
+    *  - `ed_dfs` (h, cnt): per-batch PARTIAL document-frequency
     *    counts whose sum is a shingle's visible df ([[ingestSpans]]'s
     *    `hcounts` pattern). Appended even when `maxDf <= 0`, so a store
     *    ingested uncapped can turn the cap on later.
@@ -347,9 +350,9 @@ object IncrementalDedup {
                          n: Int = 2, maxDf: Long = 0L): DataFrame = {
     val spark = docs.sparkSession
     val dfSchema = StructType(Seq(
-      StructField("shingle", StringType), StructField("cnt", LongType)))
+      StructField("h", LongType), StructField("cnt", LongType)))
     val edKeySchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("shingle", StringType)))
+      StructField("doc_id", LongType), StructField("h", LongType)))
     val metaSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("len", org.apache.spark.sql.types.IntegerType),
@@ -396,15 +399,16 @@ object IncrementalDedup {
       docs.select(col("doc_id"), col("text")),
       spark.sparkContext.defaultParallelism, Seq(col("doc_id")))
     val newInv = base.select(col("doc_id"),
-        explode(graft.expressions.TextExpressions
-          .wordShingles(col("text"), n, distinct = true)).as("shingle"))
+        explode(graft.expressions.TextExpressions.polyHash47(
+          graft.expressions.TextExpressions
+            .wordShingles(col("text"), n, distinct = true))).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newMeta = newInv.groupBy("doc_id")
       .agg(count(lit(1)).as("total"))
       .join(base.select(col("doc_id"), length(col("text")).as("len")),
         Seq("doc_id"))
       .select("doc_id", "len", "total")
-    val batchDfs = newInv.groupBy("shingle").agg(count(lit(1)).as("cnt"))
+    val batchDfs = newInv.groupBy("h").agg(count(lit(1)).as("cnt"))
     // only shingle-bearing docs are stored (a doc below n words can
     // never be a candidate), and only survivors' texts move
     val newTexts = base.join(newMeta.select("doc_id"), Seq("doc_id"),
@@ -416,19 +420,19 @@ object IncrementalDedup {
       if (maxDf <= 0L) None
       else Some(storeDfs
         .union(batchDfs)
-        .groupBy("shingle").agg(sum("cnt").as("df"))
+        .groupBy("h").agg(sum("cnt").as("df"))
         .filter(col("df") > maxDf)
-        .select("shingle")
+        .select("h")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val batchKeys = hot.fold(newInv)(h =>
-        newInv.join(broadcast(h), Seq("shingle"), "left_anti"))
+        newInv.join(broadcast(h), Seq("h"), "left_anti"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // effective rare counts under TODAY's censor set: stored docs get
     // total − |stored keys ∩ C| (retroactive re-censoring), batch docs
     // simply count their surviving keys
     val storeRare = hot match {
       case Some(h) =>
-        val hc = storeKeys.join(broadcast(h), Seq("shingle"))
+        val hc = storeKeys.join(broadcast(h), Seq("h"))
           .groupBy("doc_id").agg(count(lit(1)).as("__hc"))
         storeMeta.join(hc, Seq("doc_id"), "left")
           .select(col("doc_id"), col("len"),
@@ -442,11 +446,11 @@ object IncrementalDedup {
       .select("doc_id", "len", "rare")
     val rareAll = storeRare.union(batchRare)
     val within = batchKeys.as("a").join(batchKeys.as("b"),
-        col("a.shingle") === col("b.shingle") &&
+        col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     val cross = storeKeys.as("s").join(broadcast(batchKeys.as("nw")),
-        col("s.shingle") === col("nw.shingle") &&
+        col("s.h") === col("nw.h") &&
           col("s.doc_id") =!= col("nw.doc_id"))
       .select(least(col("s.doc_id"), col("nw.doc_id")).as("doc_a"),
         greatest(col("s.doc_id"), col("nw.doc_id")).as("doc_b"))

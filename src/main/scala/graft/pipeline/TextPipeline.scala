@@ -331,22 +331,39 @@ object TextPipeline {
     val base = graft.scale.Skew.ensureMinParallelism(
       docs.select(col("doc_id"), col("text")),
       docs.sparkSession.sparkContext.defaultParallelism, Seq(col("doc_id")))
+    // 8-byte poly-47 keys instead of shingle strings (the hybrid/span
+    // key discipline): the inverted index is the operator's dominant
+    // shuffle — measured at 500k docs, the string-keyed index owed
+    // 2×362 MB self-join exchanges + 302 MB for the df count; long keys
+    // ~halve those. Collisions between DISTINCT shingles are kept, not
+    // papered over, and stay recall-safe end to end: a collision can
+    // only MERGE key identities, which inflates `shared`, deflates the
+    // per-doc rare counts, and widens the df-cap censor set — each of
+    // which only ADMITS more candidates through the bound, and the
+    // levenshtein confirm is exact. The DuckDB oracle applies the
+    // identical hash, so results stay value-identical by construction.
     val inv0 = base.select(col("doc_id"), length(col("text")).as("len"),
-      explode(graft.expressions.TextExpressions
-        .wordShingles(col("text"), n, distinct = true)).as("shingle"))
+      explode(graft.expressions.TextExpressions.polyHash47(
+        graft.expressions.TextExpressions
+          .wordShingles(col("text"), n, distinct = true))).as("h"))
+    // NOT pre-repartitioned by h: the self-join re-aliases one side's
+    // attributes, so a cached hashpartitioning(h) satisfies neither
+    // side's clustering requirement after aliasing — measured at 500k,
+    // an explicit repartition(h) just added a third full-index exchange
+    // (245 MB) on top of the two per-side ones
     val inv = (
       if (maxDf <= 0) inv0
       else {
-        val heavy = inv0.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf).select("shingle")
-        inv0.join(broadcast(heavy), Seq("shingle"), "left_anti")
+        val heavy = inv0.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("h")
+        inv0.join(broadcast(heavy), Seq("h"), "left_anti")
       }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-doc rare-shingle count + char length: the two ints the prunes
     // read (one row per doc — broadcast-sized relative to the index)
     val meta = inv.groupBy("doc_id")
       .agg(count(lit(1)).as("rare"), first(col("len")).as("len"))
     val cand = inv.as("a").join(inv.as("b"),
-        col("a.shingle") === col("b.shingle") &&
+        col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("__shared"))

@@ -240,10 +240,10 @@ object CurationStream {
         .select(cols.head, cols.tail: _*))
     }
     val store = for {
-      k <- table("ed_keys", Seq("doc_id", "shingle"))
+      k <- table("ed_keys", Seq("doc_id", "h"))
       m <- table("ed_meta", Seq("doc_id", "len", "total"))
       t <- table("ed_texts", Seq("doc_id", "text"))
-      d <- table("ed_dfs", Seq("shingle", "cnt"))
+      d <- table("ed_dfs", Seq("h", "cnt"))
     } yield (k, m, t, d)
     val core = IncrementalDedup.editDistanceCore(store, batch, maxDist, n,
       maxDf)
