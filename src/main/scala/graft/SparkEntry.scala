@@ -1897,10 +1897,14 @@ object SparkEntry {
        |      hh -> (hh * (2 * i + 1) + 31 * i + 7) % 140737488355213))) AS sig
        |  FROM h
        |), bk AS (
+       |  -- the engine's band key is a poly-31 fold of the band's
+       |  -- signature values seeded with the band index (8-byte longs
+       |  -- through the shuffle instead of band-value strings); apply
+       |  -- the IDENTICAL fold so collisions agree on both sides
        |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
-       |    CAST(b AS VARCHAR) || '_' || array_to_string(
-       |      list_transform(sig[CAST(b * 4 + 1 AS INT):CAST(b * 4 + 4 AS INT)],
-       |        x -> CAST(x AS VARCHAR)), '-'))) AS bucket
+       |    list_reduce(list_prepend(CAST(b AS BIGINT),
+       |      sig[CAST(b * 4 + 1 AS INT):CAST(b * 4 + 4 AS INT)]),
+       |      (acc, c) -> (acc * 31 + c) % 140737488355213))) AS bucket
        |  FROM sig
        |)""".stripMargin
 

@@ -57,10 +57,14 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 object IncrementalDedup {
 
-  /** Band-key table (doc_id, bucket) for a batch. */
+  /** Band-key table (doc_id, bucket) for a batch. The long band key is
+    * stringified at the store boundary — every scheme's key store shares
+    * one (id, bucket string) schema (winnow casts its fingerprints the
+    * same way), and the cast is injective so pair sets are unchanged. */
   def index(docs: DataFrame, n: Int = 3, k: Int = 16,
             bands: Int = 4): DataFrame =
-    TextPipeline.minhashLsh(docs, n, k, bands).select("doc_id", "bucket")
+    TextPipeline.minhashLsh(docs, n, k, bands)
+      .select(col("doc_id"), col("bucket").cast("string").as("bucket"))
 
   // ----- store plumbing ---------------------------------------------------
   //

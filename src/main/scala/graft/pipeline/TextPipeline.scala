@@ -408,12 +408,20 @@ object TextPipeline {
         graft.expressions.TextExpressions.minhashSig(col("hashes"), k))
     // band → bucket key; Scala-side band loop so `signature` is referenced
     // a constant number of times per row, never inside a per-element lambda.
-    // Key = band index + the band's signature VALUES (not a hash of them):
-    // collision-free and portable, so candidate pairs are oracle-checkable.
+    // Key = poly-31 fold of the band's signature values seeded with the
+    // band index, in the SAME 47-bit modulus as the shingle hash — an
+    // 8-byte long instead of the band-values string (the key table is
+    // this operator's dominant shuffle: 4 full passes at the 500k decade,
+    // each ~3× smaller keyed by longs, and the self-join compares/sorts
+    // longs). Portable arithmetic (acc < 2^47, acc·31 + c < 2^53 — no
+    // Long overflow), and the DuckDB oracle applies the IDENTICAL fold,
+    // so candidate pairs stay oracle-checkable; a fold collision between
+    // different band values can only ADD a candidate pair, the usual LSH
+    // false-positive class.
     val bandKeys = array((0 until bands).map(b =>
-      concat_ws("_", lit(b),
-        array_join(slice(col("signature"), b * rowsPerBand + 1, rowsPerBand)
-          .cast("array<string>"), "-"))): _*)
+      aggregate(slice(col("signature"), b * rowsPerBand + 1, rowsPerBand),
+        lit(b.toLong),
+        (acc, c) => (acc * lit(31L) + c) % lit(140737488355213L))): _*)
     sig.select(col("doc_id"), col("signature"), posexplode(bandKeys))
       .withColumnRenamed("col", "bucket")
       .select("doc_id", "signature", "bucket")
