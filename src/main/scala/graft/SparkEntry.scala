@@ -3045,40 +3045,44 @@ object SparkEntry {
          |  ${fpSql("text")} AS fingerprint
          |FROM s ORDER BY doc_id""".stripMargin,
 
+    // the engine blocks on 8-byte poly-47 shingle keys, not strings;
+    // apply the IDENTICAL hash so shared counts agree by construction
     "q_doc_near_dup" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |      x -> length(x) > 0) AS toks
-        |  FROM documents
-        |), sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) < 2 THEN []
-        |         ELSE list_distinct(list_transform(range(1, len(toks)),
-        |                i -> array_to_string(toks[i:i+1], ' '))) END AS shingles
-        |  FROM t
-        |), inv0 AS (
-        |  SELECT doc_id, unnest(shingles) AS shingle FROM sh
-        |), keep AS (
-        |  SELECT shingle FROM (SELECT shingle, count(*) AS df FROM inv0 GROUP BY 1)
-        |  WHERE df <= 20
-        |), inv AS (
-        |  SELECT doc_id, shingle FROM inv0 JOIN keep USING (shingle)
-        |), sizes AS (
-        |  SELECT doc_id, count(*) AS n FROM inv GROUP BY 1
-        |), shared AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-        |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |)
-        |SELECT doc_a, doc_b, shared, jaccard FROM (
-        |  SELECT doc_a, doc_b, shared,
-        |    round(shared * 1.0 / (sa.n + sb.n - shared), 6) AS jaccard
-        |  FROM shared
-        |  JOIN sizes sa ON sa.doc_id = doc_a
-        |  JOIN sizes sb ON sb.doc_id = doc_b)
-        |WHERE jaccard >= 0.1
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |      x -> length(x) > 0) AS toks
+         |  FROM documents
+         |), sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) < 2 THEN []
+         |         ELSE list_distinct(list_transform(range(1, len(toks)),
+         |                i -> array_to_string(toks[i:i+1], ' '))) END AS shingles
+         |  FROM t
+         |), inv0 AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(shingles, w -> ${fpSql("w")})) AS h
+         |  FROM sh
+         |), keep AS (
+         |  SELECT h FROM (SELECT h, count(*) AS df FROM inv0 GROUP BY 1)
+         |  WHERE df <= 20
+         |), inv AS (
+         |  SELECT doc_id, h FROM inv0 JOIN keep USING (h)
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM inv GROUP BY 1
+         |), shared AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b, shared, jaccard FROM (
+         |  SELECT doc_a, doc_b, shared,
+         |    round(shared * 1.0 / (sa.n + sb.n - shared), 6) AS jaccard
+         |  FROM shared
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b)
+         |WHERE jaccard >= 0.1
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // same blocking CTEs as q_doc_near_dup (df cap 20, 2-shingles),
     // then the per-candidate levenshtein confirm

@@ -256,22 +256,31 @@ object TextPipeline {
       .select(col("doc_id"),
         graft.expressions.TextExpressions
           .wordShingles(col("text"), n, distinct = true).as("shingles"))
+    // 8-byte poly-47 keys instead of shingle strings (the discipline
+    // every candidate operator now shares — measured on edit distance:
+    // the string-keyed index owed ~2/3 of a 1.6 GB shuffle). The
+    // Jaccard here is over the hashed-key space; a collision merges two
+    // key identities on BOTH sides (the oracle applies the identical
+    // hash), so values stay engine-exact vs the oracle and differ from
+    // string-space Jaccard only with ~2^-47 probability per shingle pair.
     val inv0 = shingled
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .select(col("doc_id"),
+        explode(graft.expressions.TextExpressions.polyHash47(
+          col("shingles"))).as("h"))
     val inv = (
       if (maxDf <= 0) inv0
       else {
-        val heavy = inv0.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf).select("shingle")
-        inv0.join(broadcast(heavy), Seq("shingle"), "left_anti")
+        val heavy = inv0.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("h")
+        inv0.join(broadcast(heavy), Seq("h"), "left_anti")
       }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val shared = (
       if (tileTarget > 0L)
-        graft.scale.Skew.tiledPairs(inv, "doc_id", "shingle", tileTarget)
+        graft.scale.Skew.tiledPairs(inv, "doc_id", "h", tileTarget)
           .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
       else inv.as("a").join(inv.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       ).agg(count(lit(1)).as("shared"))
     val result = shared
