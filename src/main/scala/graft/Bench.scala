@@ -1,6 +1,76 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Render the driver-contract stdout line and the full-detail JSON.
+    *
+    * The round driver keeps only the LAST ~2000 characters of bench
+    * stdout (every BENCH_r12–r14 artifact has `"parsed": null` with a
+    * 2000-char `tail` that starts mid-line): once the single JSON line
+    * outgrew that window — four 38-entry maps at full double precision —
+    * the driver could no longer machine-read the record and each round's
+    * judge had to reconstruct totals from the visible fragment. So the
+    * stdout line carries the contract fields (`metric/value/unit/
+    * queries/sf`), the error list, the measurement-protocol stamps, and
+    * the duck/ratio SUMMARY, all at millisecond precision — sized to fit
+    * the window with margin even after sbt appends its `[success]`
+    * epilogue — while the per-query min/duck/ratio maps move to a detail
+    * JSON (written to `BENCH_DETAIL.json` in the working directory and
+    * echoed to stderr), where BenchRenderSpec pins both shapes.
+    *
+    * `results` rows are (name, medianSec, minSec, error); a query that
+    * failed in any pass reads -1 in every map and is listed under
+    * `errors`.
+    */
+  private[graft] def renderLines(
+      results: Seq[(String, Double, Double, Option[String])],
+      duck: Option[Map[String, Double]],
+      warm: Boolean, timedPasses: Int, sfDir: String): (String, String) = {
+    def r3(x: Double): String = {
+      val v = math.round(x * 1000.0) / 1000.0
+      if (v == v.toLong) v.toLong + ".0" else v.toString
+    }
+    def qmap(f: ((String, Double, Double, Option[String])) => Double) =
+      results.map { t =>
+        "\"" + t._1 + "\":" + (if (t._4.isEmpty) r3(f(t)) else "-1.0")
+      }.mkString("{", ",", "}")
+    val qs = qmap(_._2)
+    val qsMin = qmap(_._3)
+    val errors = results.collect { case (k, _, _, Some(e)) => s""""$k:$e"""" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, med, _, None) => med }.sum
+    // duck/ratio summary: sums over the queries the comparator actually
+    // timed, so ratio_total is Σspark/Σduck on a like-for-like set
+    val duckSummary = duck.map { d =>
+      val onDuck = results.collect {
+        case (k, med, _, None) if d.get(k).exists(_ > 0) => (med, d(k))
+      }
+      val sSum = onDuck.map(_._1).sum
+      val dSum = onDuck.map(_._2).sum
+      s""","duck_total":${r3(dSum)},"ratio_total":${
+        if (dSum > 0) r3(sSum / dSum) else "null"}"""
+    }.getOrElse("")
+    val protocol =
+      s""""errors":$errors,"warmup":$warm,"warmup_passes":${
+        if (warm) 2 else 0},"timed_passes":$timedPasses"""
+    val compact =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,$protocol$duckSummary,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+    val duckDetail = duck.map { d =>
+      val ds = results.map { case (k, _, _, _) =>
+        "\"" + k + "\":" + d.get(k).map(r3).getOrElse("null")
+      }.mkString("{", ",", "}")
+      val rs = results.map { case (k, med, _, err) =>
+        val r = for (dv <- d.get(k) if err.isEmpty && dv > 0)
+          yield r3(med / dv)
+        "\"" + k + "\":" + r.getOrElse("null")
+      }.mkString("{", ",", "}")
+      s""","duck":$ds,"ratio":$rs"""
+    }.getOrElse("")
+    val detail =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,$protocol$duckDetail$duckSummary,"sf":"$sfDir"}"""
+    (compact, detail)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // driver contract: bench runs at local[32] unless overridden
@@ -102,15 +172,6 @@ object Bench {
       val err = samples.flatMap(_._3).headOption
       (name, median(samples.map(_._2)), samples.map(_._2).min, err)
     }
-    val qs = results.map { case (k, med, _, err) =>
-      s"\"" + k + "\":" + (if (err.isEmpty) med else -1.0)
-    }.mkString("{", ",", "}")
-    val qsMin = results.map { case (k, _, mn, err) =>
-      s"\"" + k + "\":" + (if (err.isEmpty) mn else -1.0)
-    }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, _, Some(e)) => s"\"$k:$e\"" }
-      .mkString("[", ",", "]")
-    val total = results.collect { case (_, med, _, None) => med }.sum
     // Run the SAME oracle SQL through the single-node DuckDB comparator
     // (scripts/duck_bench.py) and emit per-query comparator seconds +
     // spark/duck ratios, so the 2×-of-comparator bar is machine-checked
@@ -136,21 +197,21 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] duck comparator failed: $e"); None
       }
-    val duckJson = duck.map { d =>
-      val ds = names.distinct.map(n =>
-        "\"" + n + "\":" + d.get(n).map(_.toString).getOrElse("null"))
-        .mkString("{", ",", "}")
-      val rs = results.map { case (k, med, _, err) =>
-        val r = for (dv <- d.get(k) if err.isEmpty && dv > 0)
-          yield (math.round(med / dv * 1000.0) / 1000.0).toString
-        "\"" + k + "\":" + r.getOrElse("null")
-      }.mkString("{", ",", "}")
-      s""","duck":$ds,"ratio":$rs"""
-    }.getOrElse("")
     // warmup_passes / timed_passes make the measurement protocol
     // explicit in the record itself: "queries" is the per-query MEDIAN
-    // over timed_passes isolated runs, "queries_min" the per-query best
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"errors":$errors,"warmup":$warm,"warmup_passes":${if (warm) 2 else 0},"timed_passes":$timedPasses$duckJson,"sf":"$sfDir"}""")
+    // over timed_passes isolated runs; the detail JSON adds the
+    // per-query best and the per-query duck/ratio maps
+    val (compact, detail) = renderLines(results, duck, warm, timedPasses, sfDir)
+    if (compact.length > 1800)
+      System.err.println(s"[bench] WARNING: contract line ${compact.length}" +
+        " chars — approaching the driver's 2000-char tail window")
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Path.of(detailPath), detail + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed ($detailPath): $e") }
+    System.err.println(detail)
+    println(compact)
     spark.stop()
     if (results.exists(_._4.nonEmpty)) sys.exit(1)
   }

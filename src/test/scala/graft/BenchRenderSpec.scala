@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Pins the bench record's two shapes (Bench.renderLines).
+  *
+  * The round driver keeps only the LAST ~2000 chars of bench stdout:
+  * BENCH_r12–r14 all carry `"parsed": null` because the single output
+  * line (four 38-entry maps at full double precision) outgrew that
+  * window. The contract line must therefore (a) stay parseable JSON
+  * with the driver-contract fields, and (b) fit the window with margin
+  * at the real headline-set size — that bound is asserted here against
+  * the ACTUAL registered headline set, so growing the set past the
+  * window breaks CI instead of silently breaking the driver's parse.
+  */
+class BenchRenderSpec extends AnyFunSuite {
+  private val mapper = new ObjectMapper
+
+  private def fakeResults(names: Seq[String])
+      : Seq[(String, Double, Double, Option[String])] =
+    names.zipWithIndex.map { case (n, i) =>
+      // worst-case-width seconds: hundreds place + irrational tail
+      (n, 100.0 + i + math.Pi / 7, 100.0 + i, None)
+    }
+
+  test("contract line fits the driver's tail window on the real headline set") {
+    val names = SparkEntry.benchQueries
+    assert(names.nonEmpty)
+    val duck = Some(names.map(n => n -> 123.456789).toMap)
+    val (compact, detail) =
+      Bench.renderLines(fakeResults(names), duck, warm = true,
+        timedPasses = 2, sfDir = "/root/testdata/sf0.1")
+    // sbt appends "[success] Total time: ..." (~75 chars) inside the
+    // same 2000-char window; 1800 leaves that margin plus slack
+    assert(compact.length <= 1800,
+      s"contract line ${compact.length} chars > 1800: the driver's " +
+        "2000-char tail would truncate it back to parsed=null")
+    val c = mapper.readTree(compact)
+    assert(c.get("metric").asText == "total")
+    assert(c.get("unit").asText == "sec")
+    assert(c.get("queries").size == names.size)
+    assert(c.get("value").isNumber)
+    assert(c.get("duck_total").isNumber)
+    assert(c.get("ratio_total").isNumber)
+    assert(c.get("sf").asText == "/root/testdata/sf0.1")
+    val d = mapper.readTree(detail)
+    assert(d.get("queries").size == names.size)
+    assert(d.get("queries_min").size == names.size)
+    assert(d.get("duck").size == names.size)
+    assert(d.get("ratio").size == names.size)
+  }
+
+  test("failed query reads -1 in every map and is listed under errors") {
+    val rs = Seq(
+      ("ok_q", 1.23456, 1.2, None),
+      ("bad_q", 9.9, 9.9, Some("IllegalStateException")))
+    val (compact, detail) = Bench.renderLines(
+      rs, Some(Map("ok_q" -> 2.0)), warm = false, timedPasses = 2, sfDir = "x")
+    val c = mapper.readTree(compact)
+    assert(c.get("queries").get("bad_q").asDouble == -1.0)
+    assert(c.get("queries").get("ok_q").asDouble == 1.235) // 3-decimal round
+    assert(c.get("errors").get(0).asText == "bad_q:IllegalStateException")
+    assert(c.get("warmup_passes").asInt == 0)
+    // total and the duck summary exclude the failed row
+    assert(c.get("value").asDouble == 1.235)
+    assert(c.get("ratio_total").asDouble == 0.617)
+    val d = mapper.readTree(detail)
+    assert(d.get("queries_min").get("bad_q").asDouble == -1.0)
+    assert(d.get("ratio").get("bad_q").isNull)
+    assert(d.get("duck").get("bad_q").isNull)
+  }
+
+  test("no comparator: duck fields absent, line still parses") {
+    val (compact, detail) = Bench.renderLines(
+      fakeResults(Seq("a", "b")), None, warm = true, timedPasses = 1, "x")
+    val c = mapper.readTree(compact)
+    assert(c.get("duck_total") == null)
+    assert(c.get("ratio_total") == null)
+    assert(c.get("queries").size == 2)
+    assert(mapper.readTree(detail).get("duck") == null)
+  }
+}
