@@ -1279,6 +1279,15 @@ object SparkEntry {
       TextPipeline.simhashCandidates(Tables.documents(s, dir), maxBucket = 100L)
         .orderBy("doc_a", "doc_b")),
 
+    // the 94-bit wide-signature tier: the at-scale simhash configuration
+    // (the 47-bit band space saturates past ~10^6 docs — measured recall
+    // collapse in the 5M smoke), cap engaged so the oracle exercises the
+    // capped path end-to-end
+    "q_simhash_candidates_wide" -> ((s, dir) =>
+      TextPipeline.simhashCandidatesWide(Tables.documents(s, dir),
+          maxHamming = 3, maxBucket = 100L)
+        .orderBy("doc_a", "doc_b")),
+
     "q_pq_codes" -> ((s, dir) =>
       Similarity.pqCodes(Tables.embeddings(s, dir)).orderBy("vec_id")),
 
@@ -2003,6 +2012,50 @@ object SparkEntry {
        |    AS BIGINT) AS simhash
        |  FROM h
        |)""".stripMargin
+
+  /** q_simhash_candidates_wide oracle: the 94-bit tier in SQL — second
+    * vote fold over the affine remap (`(hh>>23)·48271 + (hh&(2^23−1))·
+    * 16807 + 11213 mod 2^47−115`, TextUtil.polyRemap47's arithmetic
+    * verbatim), long band keys `band·2^25 + value` over the 23/24-bit
+    * splits of both signatures, hamming summed across both folds. */
+  private def simhashWideOracle(maxBucket: Long): String = {
+    val (capCte, bkt) =
+      if (maxBucket <= 0L) ("", "sb")
+      else (", " + capBucketsSql("sb", "doc_id", maxBucket), "sbc")
+    s"""WITH $simhashCtes, h2 AS (
+       |  SELECT doc_id, list_transform(hashes, hh ->
+       |    ((hh >> 23) * 48271 + (hh & 8388607) * 16807 + 11213)
+       |      % 140737488355213) AS hashes FROM h
+       |), sim2 AS (
+       |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 47), k ->
+       |    CASE WHEN COALESCE(list_sum(list_transform(hashes, hh ->
+       |           CASE WHEN (hh >> k) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+       |         THEN CAST(1 AS BIGINT) << k ELSE CAST(0 AS BIGINT) END))
+       |    AS BIGINT) AS simhash2
+       |  FROM h2
+       |), simw AS (
+       |  SELECT sim.doc_id, sim.simhash AS s1, sim2.simhash2 AS s2
+       |  FROM sim JOIN sim2 USING (doc_id)
+       |), sb AS (
+       |  SELECT doc_id, unnest([
+       |    0 * 33554432 + (s1 & 8388607),
+       |    1 * 33554432 + (s1 >> 23),
+       |    2 * 33554432 + (s2 & 8388607),
+       |    3 * 33554432 + (s2 >> 23)]) AS bucket
+       |  FROM simw
+       |)$capCte, cp AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |  FROM $bkt a JOIN $bkt c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+       |)
+       |SELECT cp.doc_a, cp.doc_b,
+       |  CAST(bit_count(xor(sa.s1, sc.s1)) + bit_count(xor(sa.s2, sc.s2))
+       |    AS INT) AS hamming
+       |FROM cp
+       |JOIN simw sa ON sa.doc_id = cp.doc_a
+       |JOIN simw sc ON sc.doc_id = cp.doc_b
+       |WHERE bit_count(xor(sa.s1, sc.s1)) + bit_count(xor(sa.s2, sc.s2)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   private val eCte =
     """e AS (
@@ -4517,6 +4570,7 @@ object SparkEntry {
     "q_simhash_candidates" -> simhashCandidatesOracle(maxBucket = 0L),
 
     "q_simhash_candidates_capped" -> simhashCandidatesOracle(maxBucket = 100L),
+    "q_simhash_candidates_wide" -> simhashWideOracle(maxBucket = 100L),
 
     "q_pq_codes" ->
       s"""WITH $eCte, ${pqAsgCtes()}

@@ -73,6 +73,26 @@ object TextUtil {
     new GenericArrayData(out)
   }
 
+  /** Second 47-bit hash family from the same token hashes — the affine
+    * remap `h2 = (hi24·48271 + lo23·16807 + 11213) mod (2^47−115)` over
+    * the split `hi24 = h >>> 23, lo23 = h & (2^23−1)` (products ≤ 2^40,
+    * sum < 2^41 — no Long overflow; the modulus is prime, so distinct
+    * inputs stay distinct). Gives [[simhashFold]] an independent second
+    * vote stream for the 94-bit wide signature without re-hashing the
+    * token strings — the same affine-family trick [[minhashSig]] uses
+    * per plane. */
+  def polyRemap47(arr: ArrayData): ArrayData = {
+    val nEl = arr.numElements()
+    val out = new Array[Long](nEl)
+    var i = 0
+    while (i < nEl) {
+      val h = arr.getLong(i)
+      out(i) = ((h >>> 23) * 48271L + (h & 0x7FFFFFL) * 16807L + 11213L) % Mod47
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Shannon entropy (bits/char): Σ over SORTED distinct chars of
     * -(c/n)·log2(c/n) — the summation order and log2 formulation mirror
     * TextFunctions.charEntropy exactly (bit-identical doubles), replacing
@@ -471,6 +491,32 @@ case class SimhashFold(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `poly_remap47(hashes)`: element-wise affine remap of 47-bit hashes
+  * into a second hash family ([[TextUtil.polyRemap47]]) — the wide
+  * simhash's second vote stream, codegen'd so it stays inside the
+  * signature scan next to [[PolyHash47]]/[[SimhashFold]]. */
+case class PolyRemap47(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>")
+  }
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "poly_remap47"
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextUtil.polyRemap47(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextUtil.polyRemap47($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyRemap47 =
+    copy(child = newChild)
+}
+
 case class CharEntropy(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -674,4 +720,6 @@ object TextExpressions {
     ColumnBridge.column(UnicodeNormalize(ColumnBridge.expression(text), form))
   def simhashFold(hashes: Column): Column =
     ColumnBridge.column(SimhashFold(ColumnBridge.expression(hashes)))
+  def polyRemap47(hashes: Column): Column =
+    ColumnBridge.column(PolyRemap47(ColumnBridge.expression(hashes)))
 }

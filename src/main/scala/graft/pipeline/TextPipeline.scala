@@ -600,6 +600,86 @@ object TextPipeline {
     graft.core.Cached(result, sigs)
   }
 
+  /** 94-bit wide SimHash — (doc_id, simhash, simhash2), the base 47-bit
+    * vote fold plus a second fold over an affine remap of the SAME token
+    * hashes ([[graft.expressions.TextExpressions.polyRemap47]], a
+    * distinct member of the affine universal family over the prime
+    * field — no second pass over the token strings).
+    *
+    * Why a wider signature exists at all: the 47-bit/4-band key space
+    * caps at 2^11–2^14 values per band, so bucket population grows
+    * LINEARLY with the corpus and past ~10^6 docs every bucket exceeds
+    * any sane absolute cap — the 5M-doc smoke measured the capped
+    * 47-bit tier censoring nearly everything (candidates FELL 9.6k→2.5k
+    * for 10× docs, a silent recall collapse, not a perf problem). Wide
+    * bands carry 23–24 bits (8.4M–16.8M values), restoring cap headroom
+    * to ~10^8–10^9 docs — the at-scale configuration. */
+  def simhashWide(docs: DataFrame): DataFrame = {
+    val te = graft.expressions.TextExpressions
+    widenDocs(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        te.polyHash47(te.wordShingles(col("text"), 1, distinct = false))
+          .as("hashes"))
+      .select(col("doc_id"),
+        te.simhashFold(col("hashes")).as("simhash"),
+        te.simhashFold(te.polyRemap47(col("hashes"))).as("simhash2"))
+  }
+
+  /** Band keys over the 94-bit wide signature as collision-free 8-byte
+    * longs: band 0/1 = low 23 / high 24 bits of `simhash`, band 2/3 the
+    * same split of `simhash2`, each offset by `band · 2^25` (values are
+    * < 2^24, so the offset makes keys injective across bands). Shared by
+    * the batch generator and any future incremental ingest. */
+  private[graft] def simhashWideBandKeys(s1: org.apache.spark.sql.Column,
+                                         s2: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val m23 = lit((1L << 23) - 1)
+    def band(b: Int, v: org.apache.spark.sql.Column) =
+      lit(b.toLong * (1L << 25)) + v
+    array(
+      band(0, s1.bitwiseAND(m23)),
+      band(1, shiftrightunsigned(s1, 23)),
+      band(2, s2.bitwiseAND(m23)),
+      band(3, shiftrightunsigned(s2, 23)))
+  }
+
+  /** [[simhashCandidates]] over the 94-bit wide signature — same
+    * inverted-bucket shape, hamming measured over all 94 planes
+    * (`bit_count(s1⊕s1') + bit_count(s2⊕s2')`), same pigeonhole
+    * guarantee (hamming ≤ 3 over 94 bits ⇒ one of the 4 bands is
+    * untouched ⇒ the pair IS a candidate). Use this, not the 47-bit
+    * tier, once the corpus approaches the 47-bit band space (~10^6 docs
+    * with any useful cap — see [[simhashWide]] for the measured
+    * collapse); note 3-of-94 is a strictly TIGHTER similarity than
+    * 3-of-47, which is the point at that scale. */
+  def simhashCandidatesWide(docs: DataFrame, maxHamming: Int = 3,
+                            maxBucket: Long = 0L,
+                            tileTarget: Long = 0L): DataFrame = {
+    val sigs = simhashWide(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = capBuckets(
+      sigs.select(col("doc_id"),
+        explode(simhashWideBandKeys(col("simhash"), col("simhash2")))
+          .as("bucket")), maxBucket)
+    val rawPairs =
+      if (tileTarget > 0L)
+        graft.scale.Skew.tiledPairs(buckets, "doc_id", "bucket", tileTarget)
+          .select(col("a").as("doc_a"), col("b").as("doc_b"))
+      else buckets.as("a").join(buckets.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    rawPairs.distinct()
+      .join(sigs.select(col("doc_id").as("doc_a"),
+        col("simhash").as("s1a"), col("simhash2").as("s2a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"),
+        col("simhash").as("s1b"), col("simhash2").as("s2b")), Seq("doc_b"))
+      .withColumn("hamming",
+        (bit_count(col("s1a").bitwiseXOR(col("s1b"))) +
+          bit_count(col("s2a").bitwiseXOR(col("s2b")))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Corpus vocabulary: top-`topK` tokens by frequency (ties broken by
     * token, so the cut is deterministic). One explode + hash aggregate
     * with map-side partial counts; the top-k is a TakeOrderedAndProject

@@ -37,6 +37,11 @@ object ShuffleBreakdown {
         TextPipeline.minhashCandidates(docs, maxBucket = 200L)),
       "q_minhash_candidates_capped" -> (() =>
         TextPipeline.minhashCandidates(docs, maxBucket = 20L)),
+      "q_simhash_candidates_capped" -> (() =>
+        TextPipeline.simhashCandidates(docs, maxBucket = 20L)),
+      "q_simhash_candidates_wide" -> (() =>
+        TextPipeline.simhashCandidatesWide(docs, maxHamming = 3,
+          maxBucket = 20L)),
       "q_edit_distance_pairs" -> (() =>
         TextPipeline.editDistancePairs(docs, maxDist = 10, n = 2,
           maxDf = 50L)),

@@ -375,6 +375,42 @@ class PipelineSpec extends SparkSpec {
       || out.filter(r => r("doc_b") == 3L).forall(_("hamming").asInstanceOf[Int] <= 3))
   }
 
+  test("simhashCandidatesWide: 94-bit tier pairs dups, respects cap, remap matches") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val out = rowsOf(TextPipeline.simhashCandidatesWide(docs(
+      1L -> base,
+      2L -> base,                                   // identical -> hamming 0
+      3L -> "completely different vocabulary set entirely unrelated words")))
+    val pairs = out.map(r => (r("doc_a"), r("doc_b"), r("hamming"))).toSet
+    assert(pairs.contains((1L, 2L, 0)))
+    // 94-bit hamming is summed over both folds; the disjoint doc must
+    // not land within 3 of either dup
+    assert(!out.exists(r => r("doc_a") == 3L || r("doc_b") == 3L))
+    // cap semantics identical to the 47-bit tier: hot bucket dropped,
+    // small-bucket pair survives
+    val corpus = docs((1L to 6L).map(i =>
+      i -> "alpha beta gamma delta epsilon zeta") ++ Seq(
+      7L -> "one two three four five six seven eight",
+      8L -> "one two three four five six seven eight"): _*)
+    def wPairs(maxBucket: Long) =
+      rowsOf(TextPipeline.simhashCandidatesWide(corpus, maxBucket = maxBucket))
+        .map(r => (r("doc_a"), r("doc_b"))).toSet
+    assert(wPairs(4L).subsetOf(wPairs(0L)))
+    assert(wPairs(4L).contains((7L, 8L)) && !wPairs(4L).contains((1L, 2L)))
+    // the native affine remap IS the documented arithmetic (the DuckDB
+    // oracle replicates this formula verbatim — drift here would show
+    // up as an oracle mismatch, pin it at the unit level too)
+    val hs = Seq(0L, 1L, 140737488355212L, 987654321098765L % 140737488355213L)
+    val remapped = rowsOf(spark.range(1)
+        .select(graft.expressions.TextExpressions
+          .polyRemap47(array(hs.map(lit): _*)).as("r")))
+      .head("r").asInstanceOf[scala.collection.Seq[Long]].toSeq
+    val expect = hs.map(h =>
+      ((h >>> 23) * 48271L + (h & 0x7FFFFFL) * 16807L + 11213L) % 140737488355213L)
+    assert(remapped == expect)
+    spark.catalog.clearCache()
+  }
+
   test("corpusReport: per-source doc/token/uniq-text composition") {
     import graft.pipeline.Curation
     val d = Seq(
