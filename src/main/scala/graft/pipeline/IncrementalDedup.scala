@@ -243,6 +243,51 @@ object IncrementalDedup {
     result
   }
 
+  /** Wide-signature (94-bit) simhash ingest — the incremental face of
+    * [[TextPipeline.simhashCandidatesWide]], for corpora past the 47-bit
+    * band space (see the batch twin's scaladoc for the measured recall
+    * collapse). Long band keys stringify at the store boundary (the
+    * winnow discipline — injective, pair sets unchanged); the payload
+    * table `sigs_wide` carries BOTH vote folds (its own name so a wide
+    * store pointed at [[ingestSimhash]] fails loudly on schema instead
+    * of silently confirming on one fold). Exactly-once emission and the
+    * one-marker multi-table commit as every other scheme. */
+  def ingestSimhashWide(dir: String, docs: DataFrame, maxHamming: Int = 3,
+                        maxBucket: Long = 0L, tileTarget: Long = 0L): DataFrame = {
+    val spark = docs.sparkSession
+    val newSigs = TextPipeline.simhashWide(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newKeys = newSigs.select(col("doc_id"),
+        explode(TextPipeline.simhashWideBandKeys(
+          col("simhash"), col("simhash2"))).as("b"))
+      .select(col("doc_id"), col("b").cast("string").as("bucket"))
+    val storeKeys = snapshot(spark, dir, "keys", keySchema("doc_id"))
+    val pairs =
+      keyedPairs(storeKeys, newKeys, "doc_id", "doc_a", "doc_b", maxBucket,
+        tileTarget)
+    val sigs = snapshot(spark, dir, "sigs_wide", StructType(Seq(
+        StructField("doc_id", LongType), StructField("simhash", LongType),
+        StructField("simhash2", LongType))))
+      .union(newSigs)
+    val result = pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("simhash").as("s1a"),
+        col("simhash2").as("s2a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("simhash").as("s1b"),
+        col("simhash2").as("s2b")), Seq("doc_b"))
+      .withColumn("hamming",
+        (bit_count(col("s1a").bitwiseXOR(col("s1b"))) +
+          bit_count(col("s2a").bitwiseXOR(col("s2b")))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .localCheckpoint(true)
+    val id = freshIngestId()
+    stage(newKeys, dir, "keys", id)
+    stage(newSigs, dir, "sigs_wide", id)
+    commitIngest(spark, dir, id)
+    newSigs.unpersist()
+    result
+  }
+
   // ----- winnowing scheme (shared-fingerprint overlap candidates) ---------
 
   /** Winnowing ingest — the incremental face of

@@ -636,6 +636,26 @@ class PipelineSpec extends SparkSpec {
     assert(all.exceptAll(batch).isEmpty && batch.exceptAll(all).isEmpty)
   }
 
+  test("IncrementalDedup.ingestSimhashWide: batched ingest equals batch wide candidates") {
+    import graft.pipeline.{IncrementalDedup, TextPipeline}
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = (0L until 45L).map { i =>
+      val text = if (i % 6 == 0) base
+      else if (i % 6 == 1) base.replace("kappa", s"mut$i")
+      else s"unique words only document number $i with filler ${i * 31}"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("inc_simhash_w").toString
+    val all = Seq(0L -> 20L, 20L -> 33L, 33L -> 45L).map { case (lo, hi) =>
+      IncrementalDedup.ingestSimhashWide(dir,
+        corpus.filter(col("doc_id") >= lo && col("doc_id") < hi))
+    }.reduce(_ union _)
+    assert(all.count() == all.distinct().count())
+    val batch = TextPipeline.simhashCandidatesWide(corpus)
+    assert(all.exceptAll(batch).isEmpty && batch.exceptAll(all).isEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("IncrementalDedup.ingestEditDistance: batched ingest equals batch editDistancePairs, exactly once") {
     import graft.pipeline.{IncrementalDedup, TextPipeline}
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
