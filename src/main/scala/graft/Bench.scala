@@ -15,8 +15,10 @@ object Bench {
     * the duck/ratio SUMMARY, all at millisecond precision — sized to fit
     * the window with margin even after sbt appends its `[success]`
     * epilogue — while the per-query min/duck/ratio maps move to a detail
-    * JSON (written to `BENCH_DETAIL.json` in the working directory and
-    * echoed to stderr), where BenchRenderSpec pins both shapes.
+    * JSON (written to `SPARK_GRAFT_DETAIL`, default `BENCH_DETAIL.json`
+    * in the working directory, and echoed to stderr; the contract line's
+    * `detail` field names whichever path was actually written), where
+    * BenchRenderSpec pins both shapes.
     *
     * `results` rows are (name, medianSec, minSec, error); a query that
     * failed in any pass reads -1 in every map and is listed under
@@ -25,7 +27,8 @@ object Bench {
   private[graft] def renderLines(
       results: Seq[(String, Double, Double, Option[String])],
       duck: Option[Map[String, Double]],
-      warm: Boolean, timedPasses: Int, sfDir: String): (String, String) = {
+      warm: Boolean, timedPasses: Int, sfDir: String,
+      detailPath: String = "BENCH_DETAIL.json"): (String, String) = {
     def r3(x: Double): String = {
       val v = math.round(x * 1000.0) / 1000.0
       if (v == v.toLong) v.toLong + ".0" else v.toString
@@ -54,7 +57,7 @@ object Bench {
       s""""errors":$errors,"warmup":$warm,"warmup_passes":${
         if (warm) 2 else 0},"timed_passes":$timedPasses"""
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,$protocol$duckSummary,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,$protocol$duckSummary,"detail":"$detailPath","sf":"$sfDir"}"""
     val duckDetail = duck.map { d =>
       val ds = results.map { case (k, _, _, _) =>
         "\"" + k + "\":" + d.get(k).map(r3).getOrElse("null")
@@ -201,11 +204,12 @@ object Bench {
     // explicit in the record itself: "queries" is the per-query MEDIAN
     // over timed_passes isolated runs; the detail JSON adds the
     // per-query best and the per-query duck/ratio maps
-    val (compact, detail) = renderLines(results, duck, warm, timedPasses, sfDir)
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
+    val (compact, detail) =
+      renderLines(results, duck, warm, timedPasses, sfDir, detailPath)
     if (compact.length > 1800)
       System.err.println(s"[bench] WARNING: contract line ${compact.length}" +
         " chars — approaching the driver's 2000-char tail window")
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Path.of(detailPath), detail + "\n")
     catch { case e: Throwable =>

@@ -76,11 +76,13 @@ object TextUtil {
   /** Second 47-bit hash family from the same token hashes — the affine
     * remap `h2 = (hi24·48271 + lo23·16807 + 11213) mod (2^47−115)` over
     * the split `hi24 = h >>> 23, lo23 = h & (2^23−1)` (products ≤ 2^40,
-    * sum < 2^41 — no Long overflow; the modulus is prime, so distinct
-    * inputs stay distinct). Gives [[simhashFold]] an independent second
-    * vote stream for the 94-bit wide signature without re-hashing the
-    * token strings — the same affine-family trick [[minhashSig]] uses
-    * per plane. */
+    * sum < 2^41 — no Long overflow). NOT injective: any input delta
+    * `(Δhi, Δlo) = (16807k, −48271k)` collides exactly (the weighted
+    * sum cancels below the modulus), so this is a decorrelating second
+    * VOTE STREAM for [[simhashFold]]'s 94-bit wide signature — rare
+    * collisions only flip individual bit votes — never a collision-free
+    * key. Same affine-family trick [[minhashSig]] uses per plane,
+    * without re-hashing the token strings. */
   def polyRemap47(arr: ArrayData): ArrayData = {
     val nEl = arr.numElements()
     val out = new Array[Long](nEl)

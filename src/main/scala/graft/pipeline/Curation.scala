@@ -661,16 +661,18 @@ object Curation {
           org.apache.spark.sql.types.StringType, nullable = false),
         org.apache.spark.sql.types.StructField("weight",
           org.apache.spark.sql.types.LongType, nullable = false))))
-    // RIGHT join from the corpus aggregate = every weight row survives;
-    // the big side stays the streamed side and the weight table stays
-    // the broadcast build side (outer-ness does not change that).
-    docs
+    // LEFT join FROM the weight table = every weight row survives. The
+    // outer side must be the streamed side of a broadcast-hash join
+    // (unmatched rows can't come off the build side), so the broadcast
+    // goes on the corpus AGGREGATE — metadata-sized by then, one row
+    // per source; the corpus-scale work all happens below the agg.
+    val perSource = docs
       .select(col("source"),
         graft.functions.TextFunctions.tokenCount(col("text"))
           .cast("long").as("n_toks"))
       .groupBy("source")
       .agg(sum("n_toks").as("total_tokens"))
-      .join(broadcast(wdf), Seq("source"), "right")
+    wdf.join(broadcast(perSource), Seq("source"), "left")
       .select(col("source"),
         coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
         col("weight"),

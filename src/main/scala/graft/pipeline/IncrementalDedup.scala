@@ -179,6 +179,33 @@ object IncrementalDedup {
 
   // ----- minhash scheme (word-shingle Jaccard candidates) -----------------
 
+  /** Minhash band keys switched encoding (band-value strings → poly-31
+    * folds) while the store table name and string schema stayed the
+    * same, so a pre-switch store would JOIN cleanly yet never match —
+    * cross-upgrade duplicates silently lost. A one-file format marker
+    * turns that silent loss into a refusal: stores created by the
+    * current build carry the marker; a store with committed band keys
+    * but no marker predates the encoding and must be rebuilt from the
+    * corpus (re-ingest) before this build may touch it. */
+  private val MinhashFormatMarker = "minhash_bandkeys_p31"
+
+  private def ensureMinhashFormat(spark: SparkSession, dir: String): Unit = {
+    val marker = new Path(s"$dir/_format/$MinhashFormatMarker")
+    val fs = fsOf(spark, marker)
+    if (fs.exists(marker)) return
+    val keys = new Path(s"$dir/keys")
+    val hasPriorKeys = fs.exists(keys) && fs.listStatus(keys).nonEmpty
+    if (hasPriorKeys)
+      throw new IllegalStateException(
+        s"minhash key store at $dir predates the poly-31 band-key " +
+          "encoding: its buckets can never match keys produced by this " +
+          "build, so cross-upgrade duplicate pairs would be silently " +
+          "lost. Rebuild the store by re-ingesting the corpus (or keep " +
+          "querying it with the pre-upgrade build).")
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, false).close()
+  }
+
   /** Ingest one batch: return its candidate pairs (within-batch and
     * against the pre-existing store, `doc_a < doc_b`), then append the
     * batch's band keys to the store. Batch twin:
@@ -187,6 +214,7 @@ object IncrementalDedup {
              bands: Int = 4, maxBucket: Long = 0L,
              tileTarget: Long = 0L): DataFrame = {
     val spark = docs.sparkSession
+    ensureMinhashFormat(spark, dir)
     val newKeys = index(docs, n, k, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val store = snapshot(spark, dir, "keys", keySchema("doc_id"))

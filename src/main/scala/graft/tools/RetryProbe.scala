@@ -4,7 +4,6 @@ import org.apache.spark.TaskContext
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Curation, Similarity, TextPipeline}
 
 /** Retry-determinism probe: at 100 TB task retries are ROUTINE (spot
   * instance loss, fetch failures, speculative kills), and a pipeline is
@@ -40,6 +39,22 @@ object RetryProbe {
     val failures = new java.util.concurrent.atomic.AtomicLong(0L)
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
       if (!te.taskInfo.successful) failures.incrementAndGet()
+
+    /** Task-end events arrive on the async listener bus AFTER the query
+      * action returns; reading the counter immediately can see 0 for a
+      * run whose injected failures simply haven't been delivered yet
+      * (spurious rc=1), or bleed one query's failures into the next's
+      * baseline. Read it only once it has gone quiet. */
+    def settled(): Long = {
+      var last = failures.get()
+      var quiet = 0
+      while (quiet < 3) { // 3×100 ms with no new events
+        Thread.sleep(100)
+        val now = failures.get()
+        if (now == last) quiet += 1 else { quiet = 0; last = now }
+      }
+      last
+    }
   }
 
   /** Wraps `df` so the FIRST attempt of every `every`-th source task
@@ -104,34 +119,28 @@ object RetryProbe {
     // shuffles (banded LSH), iterative persist/localCheckpoint loops
     // (connected components), a composed pipeline (curate), and the
     // embedding tier (coarse assignment + cluster-scoped pair confirm).
-    // Each entry: (name, which source gets the fault, the operator).
-    val queries: Seq[(String, String, (DataFrame, DataFrame) => DataFrame)] =
-      Seq(
-        ("q_minhash_candidates", "docs",
-          (d, _) => TextPipeline.minhashCandidates(d, maxBucket = 20L)),
-        ("q_edit_distance_capped", "docs",
-          (d, _) => TextPipeline.editDistancePairs(d, maxDist = 10, n = 2,
-            maxDf = 10L)),
-        ("q_dedup_cluster", "docs",
-          (d, _) => Curation.clusterComponents(d)),
-        ("q_curate", "docs",
-          (d, _) => Curation.curate(d,
-            d.filter(col("doc_id") % 50 === 0 && col("doc_id") < 5000),
-            ratesPpm = Map("src0" -> 0L, "src1" -> 250000L,
-              "src2" -> 500000L))),
-        ("q_semdedup", "emb",
-          (_, e) => Similarity.semDedup(e, nlist = 32, minCosine = 0.4,
-            maxCluster = 200L)))
+    // Each entry: (name, which source gets the fault); the operator and
+    // its configuration come from [[ScaleSmoke.docQueries]] — the SAME
+    // registry the smoke rows measure, so retry determinism is probed
+    // on the configurations the ledger actually records.
+    val queries: Seq[(String, String)] = Seq(
+      ("q_minhash_candidates", "docs"),
+      ("q_edit_distance_capped", "docs"),
+      ("q_dedup_cluster", "docs"),
+      ("q_curate", "docs"),
+      ("q_semdedup", "emb"))
+    def mkFor(name: String, d: DataFrame, e: DataFrame): DataFrame =
+      ScaleSmoke.docQueries(d, e, nDocs, scratch).toMap.apply(name)()
 
     var rc = 0
-    queries.foreach { case (name, faultSide, mk) =>
-      val clean = canon(mk(docs, emb))
-      val f0 = meter.failures.get()
+    queries.foreach { case (name, faultSide) =>
+      val clean = canon(mkFor(name, docs, emb))
+      val f0 = meter.settled()
       val injected = canon(faultSide match {
-        case "emb" => mk(docs, failFirstAttempt(emb, every = 4))
-        case _ => mk(failFirstAttempt(docs, every = 4), emb)
+        case "emb" => mkFor(name, docs, failFirstAttempt(emb, every = 4))
+        case _ => mkFor(name, failFirstAttempt(docs, every = 4), emb)
       })
-      val fired = meter.failures.get() - f0
+      val fired = meter.settled() - f0
       val ok = clean == injected
       // a probe where nothing failed proves nothing — fail loudly
       if (!ok || fired == 0) rc = 1

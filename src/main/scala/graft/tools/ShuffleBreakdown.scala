@@ -7,7 +7,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.DocSynth
-import graft.pipeline.{Curation, Similarity, TextPipeline}
 
 /** Per-stage shuffle-write breakdown for one heavy-tier smoke query at
   * given DocSynth scales — the "where do the bytes come from" companion
@@ -19,37 +18,13 @@ import graft.pipeline.{Curation, Similarity, TextPipeline}
   * not a hypothesis (the q_hybrid_dedup 63× row, VERDICT r14 #3).
   *
   * Usage: `runMain graft.tools.ShuffleBreakdown <query> [nDocs,nDocs...]`
-  * with query one of the map below; embeddings synthesize at the
-  * testdata ratio (2 vectors / 5 docs) like ScaleSmoke. */
+  * with query any [[ScaleSmoke.docQueries]] name; embeddings synthesize
+  * at the testdata ratio (2 vectors / 5 docs) like ScaleSmoke. */
 object ShuffleBreakdown {
 
-  private def queries(docs: DataFrame, emb: DataFrame, n: Long)
-      : Map[String, () => DataFrame] = {
-    val nlist = math.max(10, math.sqrt(n.toDouble * 2 / 5).toInt)
-    Map(
-      "q_hybrid_dedup" -> (() =>
-        Similarity.hybridDedup(docs, emb, nlist = nlist, n = 2,
-          minJaccard = 0.3, maxCluster = 200L)),
-      "q_semdedup" -> (() =>
-        Similarity.semDedup(emb, nlist = nlist, minCosine = 0.4,
-          maxCluster = 200L)),
-      "q_minhash_candidates" -> (() =>
-        TextPipeline.minhashCandidates(docs, maxBucket = 200L)),
-      "q_minhash_candidates_capped" -> (() =>
-        TextPipeline.minhashCandidates(docs, maxBucket = 20L)),
-      "q_simhash_candidates_capped" -> (() =>
-        TextPipeline.simhashCandidates(docs, maxBucket = 20L)),
-      "q_simhash_candidates_wide" -> (() =>
-        TextPipeline.simhashCandidatesWide(docs, maxHamming = 3,
-          maxBucket = 20L)),
-      "q_edit_distance_pairs" -> (() =>
-        TextPipeline.editDistancePairs(docs, maxDist = 10, n = 2,
-          maxDf = 50L)),
-      "q_edit_distance_capped" -> (() =>
-        TextPipeline.editDistancePairs(docs, maxDist = 10, n = 2,
-          maxDf = 10L)),
-      "q_dedup_cluster" -> (() => Curation.clusterComponents(docs)))
-  }
+  // Query shapes and configurations come from [[ScaleSmoke.docQueries]]
+  // — the same registry the smoke rows are measured with, so a cap
+  // retune there is automatically what this breakdown attributes.
 
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("q_hybrid_dedup")
@@ -86,7 +61,7 @@ object ShuffleBreakdown {
           }
         }
       }
-      val mk = queries(docs, emb, n)(name)
+      val mk = ScaleSmoke.docQueries(docs, emb, n, scratch).toMap.apply(name)
       mk().count() // cold pass: codegen/footers, unmeasured
       spark.catalog.clearCache()
       spark.sparkContext.addSparkListener(listener)

@@ -51,6 +51,14 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(d.get("ratio").size == names.size)
   }
 
+  test("detail pointer names the path actually written") {
+    val (compact, _) =
+      Bench.renderLines(fakeResults(Seq("q")), None, warm = false,
+        timedPasses = 1, sfDir = "x", detailPath = "/artifacts/bd.json")
+    assert(mapper.readTree(compact).get("detail").asText
+      == "/artifacts/bd.json")
+  }
+
   test("failed query reads -1 in every map and is listed under errors") {
     val rs = Seq(
       ("ok_q", 1.23456, 1.2, None),

@@ -617,6 +617,29 @@ class PipelineSpec extends SparkSpec {
     assert(firstOut.filter(col("doc_b") >= 15).count() == 0)
   }
 
+  test("IncrementalDedup: pre-poly-31 minhash store is refused, not silently unmatched") {
+    import graft.pipeline.IncrementalDedup
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    // a store with committed band keys but no format marker — the shape
+    // any store built before the poly-31 band-key encoding has
+    val legacy = java.nio.file.Files.createTempDirectory("inc_legacy").toString
+    Seq((1L, "0_12-34-56-78")).toDF("doc_id", "bucket")
+      .write.parquet(s"$legacy/keys/ingest_old")
+    val ex = intercept[IllegalStateException] {
+      IncrementalDedup.ingest(legacy, docs)
+    }
+    assert(ex.getMessage.contains("poly-31"))
+    // a fresh store gets the marker and keeps working across ingests
+    val fresh = java.nio.file.Files.createTempDirectory("inc_fresh").toString
+    IncrementalDedup.ingest(fresh, docs).count()
+    assert(new java.io.File(
+      s"$fresh/_format/minhash_bandkeys_p31").exists())
+    IncrementalDedup.ingest(fresh,
+      Seq((2L, "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "text")).count()
+  }
+
   test("IncrementalDedup.ingestSimhash: batched ingest equals batch simhash candidates") {
     import graft.pipeline.{IncrementalDedup, TextPipeline}
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
