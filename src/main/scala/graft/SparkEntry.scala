@@ -832,6 +832,17 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // classifier eval: tie-corrected Mann-Whitney AUC of a score against
+    // a binary label, ranks via distributed prefix sum (Ids.prefixSum)
+    // instead of the single-partition rank() window the oracle spells
+    "q_quality_auc" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Projection.aucEval(e.select(
+        (aggregate(col("embedding"), lit(0.0d), (a, x) => a + x) /
+          size(col("embedding"))).as("score"),
+        (col("label") % 2).as("label")))
+    }),
+
     // PCA to 8 components: one covariance pass + driver-side d×d Jacobi
     // eigen + broadcast-literal projection. Eigendecomposition is not
     // SQL-expressible → rows-only oracle; basis properties spec-pinned
@@ -3754,6 +3765,35 @@ object SparkEntry {
          |      FROM embeddings WHERE vec_id % 5 = 0)
          |SELECT vec_id, round(1.0/(1.0 + exp(-(${dotSql("xa", "fw.w")}))), 6) AS score
          |FROM q, w5 fw ORDER BY vec_id""".stripMargin,
+
+    // tie-corrected Mann-Whitney AUC; the oracle spells the rank()
+    // window the engine deliberately avoids (Ids.prefixSum ranks), and
+    // avg tie rank = min rank + (ties-1)/2 on both sides. The score is
+    // the same pinned left fold as the other embedding oracles, so rank
+    // ORDER is bit-identical across engines; only the final auc rounds.
+    "q_quality_auc" ->
+      """WITH t AS (
+        |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           embedding::DOUBLE[]), (x, y) -> x + y)
+        |           / len(embedding) AS score,
+        |         CAST(label % 2 AS BIGINT) AS label
+        |  FROM embeddings
+        |), r AS (
+        |  SELECT label,
+        |         rank() OVER (ORDER BY score)
+        |           + (count(*) OVER (PARTITION BY score) - 1) / 2.0 AS ar
+        |  FROM t
+        |), a AS (
+        |  SELECT CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |         CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+        |         sum(CASE WHEN label = 1 THEN ar ELSE 0.0 END) AS rsum
+        |  FROM r
+        |)
+        |SELECT n_pos, n_neg,
+        |       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |         round((rsum - n_pos * (n_pos + 1) / 2.0)
+        |               / (n_pos * n_neg), 6) END AS auc
+        |FROM a""".stripMargin,
 
     // --- training-data curation -----------------------------------------
 

@@ -395,6 +395,44 @@ object Projection {
       round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"))
   }
 
+  /** Tie-corrected Mann–Whitney AUC of a score column against a binary
+    * label — the eval every trained quality filter needs before its
+    * threshold censors a corpus (a filter at AUC 0.5 is deleting random
+    * documents). `AUC = (Σ avg-rank of positives − P(P+1)/2) / (P·N)`
+    * with average ranks for ties.
+    *
+    * The naive spelling ranks N rows through `rank() OVER (ORDER BY
+    * score)` — an empty-partition window, every row through ONE task,
+    * the first thing to die at 100 TB. Here the rank work rides
+    * [[graft.scale.Ids.prefixSum]]: one map-side-combinable aggregate to
+    * per-distinct-score tallies `(cnt, pos)`, a distributed exclusive
+    * prefix count in score order (avg rank = before + (cnt+1)/2 — tie
+    * handling is exact, not approximated), and a scalar fold. Shuffle
+    * carries one row per distinct score, never the corpus.
+    *
+    * Returns one row `(n_pos, n_neg, auc)`, auc rounded to 6 (null when
+    * a class is empty — AUC is undefined there, and silently reporting
+    * 0 or 1 would read as a perfect/terrible filter). */
+  def aucEval(scored: DataFrame, scoreCol: String = "score",
+              labelCol: String = "label"): DataFrame = {
+    val tallies = scored
+      .groupBy(col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("__cnt"),
+        sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("__pos"))
+    graft.scale.Ids.prefixSum(tallies, Seq("__s"), col("__cnt"), "__before")
+      .agg(
+        sum(col("__pos")).as("__p"),
+        sum(col("__cnt") - col("__pos")).as("__n"),
+        sum(col("__pos") * (col("__before") + (col("__cnt") + 1) / 2.0))
+          .as("__rsum"))
+      .select(
+        col("__p").as("n_pos"),
+        col("__n").as("n_neg"),
+        when(col("__p") > 0 && col("__n") > 0,
+          round((col("__rsum") - col("__p") * (col("__p") + 1) / 2.0) /
+            (col("__p") * col("__n")), 6)).as("auc"))
+  }
+
   /** Modified Gram–Schmidt over row vectors; throws if the rows are
     * numerically rank-deficient (k above the data's rank). The deficiency
     * threshold is RELATIVE to the largest input-row norm — the iterate's

@@ -366,4 +366,47 @@ class ProjectionSpec extends SparkSpec {
     assert(out("a")._1 == Seq(2.0, 3.0, 5.0) && out("a")._2 == 3L)
     assert(out("b")._1 == Seq(10.0, 0.0, -2.0))
   }
+
+  // --- AUC eval -----------------------------------------------------------
+
+  test("aucEval: hand value with ties; separable=1; degenerate class=null") {
+    import spark.implicits._
+    // scores: pos {0.9, 0.7, 0.5}, neg {0.7, 0.3}; the 0.7 tie spans
+    // classes. Ranks asc: 0.3→1, 0.5→2, 0.7→avg(3,4)=3.5, 0.9→5.
+    // U = (5 + 3.5 + 2) − 3·4/2 = 4.5 → AUC = 4.5/(3·2) = 0.75
+    val df = Seq((0.9, 1), (0.7, 1), (0.5, 1), (0.7, 0), (0.3, 0))
+      .toDF("score", "label")
+    val r = Projection.aucEval(df).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.75)
+    // perfectly separable → 1.0
+    val sep = Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)).toDF("score", "label")
+    assert(Projection.aucEval(sep).collect().head.getDouble(2) == 1.0)
+    // one class only → auc null, not a fake 0/1
+    val one = Seq((0.9, 1), (0.8, 1)).toDF("score", "label")
+    val r1 = Projection.aucEval(one).collect().head
+    assert(r1.isNullAt(2) && r1.getLong(1) == 0L)
+  }
+
+  test("aucEval matches the single-partition rank() window spelling") {
+    import spark.implicits._
+    // pseudo-random scores with deliberate ties (quantized to 1/32)
+    val df = (0 until 400).map { i =>
+      val s = math.floor(((noise(i * 131L, 0.5) + 0.5) * 32)) / 32.0
+      (s, if (noise(i * 17L + 7L, 1.0) > (s - 0.5)) 0 else 1)
+    }.toDF("score", "label")
+    df.createOrReplaceTempView("auc_in")
+    val ref = spark.sql(
+      """WITH r AS (
+        |  SELECT label, rank() OVER (ORDER BY score)
+        |    + (count(*) OVER (PARTITION BY score) - 1) / 2.0 AS ar
+        |  FROM auc_in)
+        |SELECT CAST(round((sum(CASE WHEN label = 1 THEN ar ELSE 0.0 END)
+        |  - sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)
+        |    * (sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) + 1) / 2.0)
+        |  / (sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)
+        |     * sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)), 6) AS DOUBLE) AS auc
+        |FROM r""".stripMargin).collect().head.getDouble(0)
+    assert(Projection.aucEval(df).collect().head.getDouble(2) == ref)
+  }
 }
