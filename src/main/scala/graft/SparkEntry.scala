@@ -843,6 +843,34 @@ object SparkEntry {
         (col("label") % 2).as("label")))
     }),
 
+    // operating-point sweep + reliability table over the same corpus.
+    // Score is the mean-pool fold squashed to (0,1) by the RATIONAL
+    // x -> 0.5 + x/(2(1+|x|)) — sigmoid-shaped but transcendental-free,
+    // so thresholds and bin edges compare bit-identically in DuckDB
+    // (exp differs in final ulps across libms; a boundary flip there
+    // would be a spurious hash mismatch)
+    "q_pr_thresholds" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val m = aggregate(col("embedding"), lit(0.0d), (a, x) => a + x) /
+        size(col("embedding"))
+      Projection.prAtThresholds(
+        e.select((lit(0.5) + m / (lit(2.0) * (lit(1.0) + abs(m))))
+            .as("score"),
+          (col("label") % 2).as("label")),
+        thresholds = Seq(0.1, 0.3, 0.5, 0.7, 0.9))
+    }),
+
+    "q_calibration" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val m = aggregate(col("embedding"), lit(0.0d), (a, x) => a + x) /
+        size(col("embedding"))
+      Projection.calibrationBins(
+        e.select((lit(0.5) + m / (lit(2.0) * (lit(1.0) + abs(m))))
+            .as("score"),
+          (col("label") % 2).as("label")),
+        bins = 10)
+    }),
+
     // PCA to 8 components: one covariance pass + driver-side d×d Jacobi
     // eigen + broadcast-literal projection. Eigendecomposition is not
     // SQL-expressible → rows-only oracle; basis properties spec-pinned
@@ -3794,6 +3822,52 @@ object SparkEntry {
         |         round((rsum - n_pos * (n_pos + 1) / 2.0)
         |               / (n_pos * n_neg), 6) END AS auc
         |FROM a""".stripMargin,
+
+    // threshold sweep: the grid joins the per-distinct-score tallies in
+    // the engine; the oracle spells the row-level cross join. Column
+    // named prec, not precision (DOUBLE PRECISION keyword hazard).
+    "q_pr_thresholds" ->
+      """WITH t AS (
+        |  SELECT 0.5 + m / (2.0 * (1.0 + abs(m))) AS score,
+        |         CAST(label % 2 AS BIGINT) AS label
+        |  FROM (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |               embedding::DOUBLE[]), (x, y) -> x + y)
+        |               / len(embedding) AS m, label
+        |        FROM embeddings)
+        |), th AS (
+        |  -- ::DOUBLE[]: a bare decimal array literal types DECIMAL(2,1),
+        |  -- and the driver's hasher is dtype-sensitive
+        |  SELECT unnest([0.1, 0.3, 0.5, 0.7, 0.9]::DOUBLE[]) AS threshold
+        |), a AS (
+        |  SELECT threshold,
+        |    CAST(sum(CASE WHEN score >= threshold THEN label ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN score >= threshold THEN 1 - label ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN score < threshold THEN label ELSE 0 END) AS BIGINT) AS fn
+        |  FROM t, th GROUP BY threshold
+        |)
+        |SELECT threshold, tp, fp, fn,
+        |  CASE WHEN tp + fp > 0 THEN round(tp / (tp + fp), 6) END AS prec,
+        |  CASE WHEN tp + fn > 0 THEN round(tp / (tp + fn), 6) END AS recall,
+        |  CASE WHEN tp + fp > 0 AND tp + fn > 0
+        |            AND tp / (tp + fp) + tp / (tp + fn) > 0 THEN
+        |    round(2.0 * (tp / (tp + fp)) * (tp / (tp + fn))
+        |          / (tp / (tp + fp) + tp / (tp + fn)), 6) END AS f1
+        |FROM a ORDER BY threshold""".stripMargin,
+
+    "q_calibration" ->
+      """WITH t AS (
+        |  SELECT 0.5 + m / (2.0 * (1.0 + abs(m))) AS score,
+        |         CAST(label % 2 AS BIGINT) AS label
+        |  FROM (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |               embedding::DOUBLE[]), (x, y) -> x + y)
+        |               / len(embedding) AS m, label
+        |        FROM embeddings)
+        |)
+        |SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin,
+        |       count(*) AS n,
+        |       round(avg(score), 6) AS mean_score,
+        |       round(avg(CAST(label AS DOUBLE)), 6) AS pos_rate
+        |FROM t GROUP BY 1 ORDER BY bin""".stripMargin,
 
     // --- training-data curation -----------------------------------------
 

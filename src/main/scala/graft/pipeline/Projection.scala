@@ -433,6 +433,68 @@ object Projection {
             (col("__p") * col("__n")), 6)).as("auc"))
   }
 
+  /** Operating-point sweep for a scored corpus: tp/fp/fn and
+    * precision/recall/F1 at each candidate threshold — how a filter's
+    * cut point is actually chosen once [[aucEval]] says the ranking is
+    * worth thresholding. Same scale shape as aucEval: ONE corpus pass
+    * to per-distinct-score tallies, then the threshold grid fans out
+    * over the TALLY frame (distinct-scores × T rows, never corpus × T)
+    * and collapses in a map-side-combinable aggregate. Division-free
+    * corners stay null (no fake 0 precision at an empty cut). */
+  def prAtThresholds(scored: DataFrame, thresholds: Seq[Double],
+                     scoreCol: String = "score",
+                     labelCol: String = "label"): DataFrame = {
+    require(thresholds.nonEmpty, "prAtThresholds needs at least one threshold")
+    val tallies = scored
+      .groupBy(col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("__cnt"),
+        sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("__pos"))
+    val p = col("__tp") + col("__fp")
+    val r = col("__tp") + col("__fn")
+    val prec = col("__tp") / p
+    val rec = col("__tp") / r
+    tallies
+      .select(col("__s"), col("__cnt"), col("__pos"),
+        explode(typedLit(thresholds.sorted)).as("threshold"))
+      .groupBy("threshold")
+      .agg(
+        sum(when(col("__s") >= col("threshold"), col("__pos"))
+          .otherwise(0L)).as("__tp"),
+        sum(when(col("__s") >= col("threshold"), col("__cnt") - col("__pos"))
+          .otherwise(0L)).as("__fp"),
+        sum(when(col("__s") < col("threshold"), col("__pos"))
+          .otherwise(0L)).as("__fn"))
+      .select(col("threshold"),
+        col("__tp").as("tp"), col("__fp").as("fp"), col("__fn").as("fn"),
+        // "prec", not "precision": DOUBLE PRECISION is a type keyword in
+        // ANSI SQL engines, and the oracle must alias the same name
+        when(p > 0, round(prec, 6)).as("prec"),
+        when(r > 0, round(rec, 6)).as("recall"),
+        when(p > 0 && r > 0 && prec + rec > 0,
+          round(lit(2.0) * prec * rec / (prec + rec), 6)).as("f1"))
+      .orderBy("threshold")
+  }
+
+  /** Reliability table for a probability-like score in [0, 1): `bins`
+    * equal-width buckets × (count, mean score, empirical positive rate)
+    * — the per-bin |mean − rate| gaps are what an expected-calibration-
+    * error report sums. One map-side-combinable aggregate; the bin key
+    * is pure arithmetic on the score (no transcendentals), so binning
+    * is reproducible bit-for-bit in ANSI SQL for the oracle. */
+  def calibrationBins(scored: DataFrame, bins: Int = 10,
+                      scoreCol: String = "score",
+                      labelCol: String = "label"): DataFrame = {
+    require(bins >= 2, "calibrationBins needs at least 2 bins")
+    scored
+      .groupBy(least(floor(col(scoreCol) * bins), lit(bins - 1))
+        .cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col(scoreCol)), 6).as("mean_score"),
+        round(avg(when(col(labelCol) === 1, 1.0d).otherwise(0.0d)), 6)
+          .as("pos_rate"))
+      .orderBy("bin")
+  }
+
   /** Modified Gram–Schmidt over row vectors; throws if the rows are
     * numerically rank-deficient (k above the data's rank). The deficiency
     * threshold is RELATIVE to the largest input-row norm — the iterate's

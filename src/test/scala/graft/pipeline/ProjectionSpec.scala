@@ -388,6 +388,38 @@ class ProjectionSpec extends SparkSpec {
     assert(r1.isNullAt(2) && r1.getLong(1) == 0L)
   }
 
+  test("prAtThresholds: hand confusion counts; empty cut stays null") {
+    import spark.implicits._
+    val df = Seq((0.9, 1), (0.7, 1), (0.5, 1), (0.7, 0), (0.3, 0))
+      .toDF("score", "label")
+    val out = Projection.prAtThresholds(df, Seq(0.4, 0.6, 1.0))
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)), Option(r.get(5)), Option(r.get(6)))).toMap
+    // t=0.4 keeps {.9p,.7p,.7n,.5p}: tp=3 fp=1 fn=0
+    assert(out(0.4) == ((3L, 1L, 0L,
+      Some(0.75), Some(1.0), Some(0.857143))))
+    // t=0.6 keeps {.9p,.7p,.7n}: tp=2 fp=1 fn=1
+    assert(out(0.6) == ((2L, 1L, 1L,
+      Some(0.666667), Some(0.666667), Some(0.666667))))
+    // t=1.0 keeps nothing: precision and f1 undefined, recall exact 0
+    assert(out(1.0) == ((0L, 0L, 3L, None, Some(0.0), None)))
+  }
+
+  test("calibrationBins: hand bins, top edge clamps into the last bin") {
+    import spark.implicits._
+    val df = Seq((0.9, 1), (0.7, 1), (0.5, 1), (0.7, 0), (0.3, 0), (1.0, 1))
+      .toDF("score", "label")
+    val out = Projection.calibrationBins(df, bins = 4)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1) == ((1L, 0.3, 0.0)))
+    assert(out(2) == ((3L, 0.633333, 0.666667)))
+    // 0.9 → bin 3; score 1.0 would floor to bin 4 — clamped to 3
+    assert(out(3) == ((2L, 0.95, 1.0)))
+    assert(out.keySet == Set(1, 2, 3))
+  }
+
   test("aucEval matches the single-partition rank() window spelling") {
     import spark.implicits._
     // pseudo-random scores with deliberate ties (quantized to 1/32)
