@@ -395,6 +395,22 @@ object Projection {
       round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"))
   }
 
+  /** Loud eval inputs at zero extra jobs: the checks ride the corpus
+    * pass as in-plan raise_error branches (the trainLogistic-refusal /
+    * winnowFingerprints-cap convention) — a null score or a label
+    * outside {0,1} would otherwise silently count as a negative and
+    * bias every metric in this tier. */
+  private def checkedScore(scoreCol: String, op: String): Column =
+    when(col(scoreCol).isNotNull, col(scoreCol))
+      .otherwise(raise_error(lit(
+        s"$op: null score — score the corpus before evaluating it")))
+
+  private def checkedLabel(labelCol: String, op: String): Column =
+    when(col(labelCol) === 1, 1L).when(col(labelCol) === 0, 0L)
+      .otherwise(raise_error(concat(lit(s"$op: label "),
+        coalesce(col(labelCol).cast("string"), lit("null")),
+        lit(" is not 0/1 — eval over dirty labels silently miscounts"))))
+
   /** Tie-corrected Mann–Whitney AUC of a score column against a binary
     * label — the eval every trained quality filter needs before its
     * threshold censors a corpus (a filter at AUC 0.5 is deleting random
@@ -416,9 +432,9 @@ object Projection {
   def aucEval(scored: DataFrame, scoreCol: String = "score",
               labelCol: String = "label"): DataFrame = {
     val tallies = scored
-      .groupBy(col(scoreCol).as("__s"))
+      .groupBy(checkedScore(scoreCol, "aucEval").as("__s"))
       .agg(count(lit(1)).as("__cnt"),
-        sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("__pos"))
+        sum(checkedLabel(labelCol, "aucEval")).as("__pos"))
     graft.scale.Ids.prefixSum(tallies, Seq("__s"), col("__cnt"), "__before")
       .agg(
         sum(col("__pos")).as("__p"),
@@ -446,9 +462,9 @@ object Projection {
                      labelCol: String = "label"): DataFrame = {
     require(thresholds.nonEmpty, "prAtThresholds needs at least one threshold")
     val tallies = scored
-      .groupBy(col(scoreCol).as("__s"))
+      .groupBy(checkedScore(scoreCol, "prAtThresholds").as("__s"))
       .agg(count(lit(1)).as("__cnt"),
-        sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("__pos"))
+        sum(checkedLabel(labelCol, "prAtThresholds")).as("__pos"))
     val p = col("__tp") + col("__fp")
     val r = col("__tp") + col("__fn")
     val prec = col("__tp") / p
@@ -486,11 +502,11 @@ object Projection {
                       labelCol: String = "label"): DataFrame = {
     require(bins >= 2, "calibrationBins needs at least 2 bins")
     scored
-      .groupBy(least(floor(col(scoreCol) * bins), lit(bins - 1))
-        .cast("int").as("bin"))
+      .groupBy(least(floor(checkedScore(scoreCol, "calibrationBins") * bins),
+        lit(bins - 1)).cast("int").as("bin"))
       .agg(count(lit(1)).as("n"),
         round(avg(col(scoreCol)), 6).as("mean_score"),
-        round(avg(when(col(labelCol) === 1, 1.0d).otherwise(0.0d)), 6)
+        round(avg(checkedLabel(labelCol, "calibrationBins").cast("double")), 6)
           .as("pos_rate"))
       .orderBy("bin")
   }

@@ -420,6 +420,26 @@ class ProjectionSpec extends SparkSpec {
     assert(out.keySet == Set(1, 2, 3))
   }
 
+  test("eval tier refuses null scores and non-binary labels loudly") {
+    import spark.implicits._
+    val nullScore = Seq((Some(0.9), 1), (None, 0))
+      .toDF("score", "label")
+    val e1 = intercept[Exception] {
+      Projection.aucEval(nullScore).collect()
+    }
+    assert(e1.getMessage.contains("null score"))
+    val badLabel = Seq((0.9, 1), (0.5, 2)).toDF("score", "label")
+    val e2 = intercept[Exception] {
+      Projection.prAtThresholds(badLabel, Seq(0.5)).collect()
+    }
+    assert(e2.getMessage.contains("not 0/1"))
+    val e3 = intercept[Exception] {
+      Projection.calibrationBins(
+        Seq((0.9, 1), (0.5, -1)).toDF("score", "label")).collect()
+    }
+    assert(e3.getMessage.contains("not 0/1"))
+  }
+
   test("aucEval matches the single-partition rank() window spelling") {
     import spark.implicits._
     // pseudo-random scores with deliberate ties (quantized to 1/32)
