@@ -503,6 +503,15 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Curation.mixtureSolve(d, Map("big" -> Long.MaxValue / 2), 10L)
     }
+    // plan: outer-ness must not cost the broadcast — the weight table is
+    // the streamed PRESERVED side, the per-source aggregate the build
+    // side (LeftOuter CAN build right; the old right-outer hint could
+    // not apply and silently planned differently than documented)
+    val plan = Curation.mixtureSolve(d, Map("big" -> 1L), 100L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftOuter, BuildRight"),
+      s"expected LeftOuter broadcast-hash join building the aggregate:\n$plan")
   }
 
   // ----- Curation --------------------------------------------------------
