@@ -844,14 +844,17 @@ object SparkEntry {
     }),
 
     // operating-point sweep + reliability table over the same corpus.
-    // Score is the mean-pool fold squashed to (0,1) by the RATIONAL
-    // x -> 0.5 + x/(2(1+|x|)) — sigmoid-shaped but transcendental-free,
-    // so thresholds and bin edges compare bit-identically in DuckDB
-    // (exp differs in final ulps across libms; a boundary flip there
-    // would be a spurious hash mismatch)
+    // Score is the mean-pool fold (×128 gain so the squashed scores
+    // SPREAD across the unit interval — at ×1 they pile into two bins
+    // and the table demonstrates nothing) squashed to (0,1) by the
+    // RATIONAL x -> 0.5 + x/(2(1+|x|)) — sigmoid-shaped but
+    // transcendental-free, so thresholds and bin edges compare
+    // bit-identically in DuckDB (exp differs in final ulps across
+    // libms; a boundary flip there would be a spurious hash mismatch)
     "q_pr_thresholds" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val m = aggregate(col("embedding"), lit(0.0d), (a, x) => a + x) /
+      val m = lit(128.0) *
+        aggregate(col("embedding"), lit(0.0d), (a, x) => a + x) /
         size(col("embedding"))
       Projection.prAtThresholds(
         e.select((lit(0.5) + m / (lit(2.0) * (lit(1.0) + abs(m))))
@@ -862,7 +865,8 @@ object SparkEntry {
 
     "q_calibration" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val m = aggregate(col("embedding"), lit(0.0d), (a, x) => a + x) /
+      val m = lit(128.0) *
+        aggregate(col("embedding"), lit(0.0d), (a, x) => a + x) /
         size(col("embedding"))
       Projection.calibrationBins(
         e.select((lit(0.5) + m / (lit(2.0) * (lit(1.0) + abs(m))))
@@ -3830,7 +3834,7 @@ object SparkEntry {
       """WITH t AS (
         |  SELECT 0.5 + m / (2.0 * (1.0 + abs(m))) AS score,
         |         CAST(label % 2 AS BIGINT) AS label
-        |  FROM (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |  FROM (SELECT 128.0 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |               embedding::DOUBLE[]), (x, y) -> x + y)
         |               / len(embedding) AS m, label
         |        FROM embeddings)
@@ -3858,7 +3862,7 @@ object SparkEntry {
       """WITH t AS (
         |  SELECT 0.5 + m / (2.0 * (1.0 + abs(m))) AS score,
         |         CAST(label % 2 AS BIGINT) AS label
-        |  FROM (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |  FROM (SELECT 128.0 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |               embedding::DOUBLE[]), (x, y) -> x + y)
         |               / len(embedding) AS m, label
         |        FROM embeddings)
