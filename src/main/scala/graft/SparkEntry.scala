@@ -875,6 +875,16 @@ object SparkEntry {
         bins = 10)
     }),
 
+    // PR-AUC twin of q_quality_auc over the raw mean-pool score (AP is
+    // squash-invariant — it only reads the ORDER — so no gain needed)
+    "q_average_precision" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Projection.averagePrecision(e.select(
+        (aggregate(col("embedding"), lit(0.0d), (a, x) => a + x) /
+          size(col("embedding"))).as("score"),
+        (col("label") % 2).as("label")))
+    }),
+
     // PCA to 8 components: one covariance pass + driver-side d×d Jacobi
     // eigen + broadcast-literal projection. Eigendecomposition is not
     // SQL-expressible → rows-only oracle; basis properties spec-pinned
@@ -3872,6 +3882,38 @@ object SparkEntry {
         |       round(avg(score), 6) AS mean_score,
         |       round(avg(CAST(label AS DOUBLE)), 6) AS pos_rate
         |FROM t GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // step-interpolated AP: per-distinct-score tallies, descending
+    // cumulatives via ascending exclusive prefixes (ties = one step,
+    // exactly the engine's construction); double casts BEFORE the
+    // products mirror the engine's overflow posture
+    "q_average_precision" ->
+      """WITH t AS (
+        |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           embedding::DOUBLE[]), (x, y) -> x + y)
+        |           / len(embedding) AS score,
+        |         CAST(label % 2 AS BIGINT) AS label
+        |  FROM embeddings
+        |), g AS (
+        |  SELECT score, count(*) AS cnt, sum(label) AS pos
+        |  FROM t GROUP BY score
+        |), p AS (
+        |  SELECT cnt, pos,
+        |    coalesce(sum(cnt) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnt_before,
+        |    coalesce(sum(pos) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos_before
+        |  FROM g
+        |), tot AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS np
+        |  FROM g
+        |)
+        |SELECT np AS n_pos, n - np AS n_neg,
+        |  CASE WHEN np > 0 THEN
+        |    round(sum(CAST(pos AS DOUBLE) * CAST(np - pos_before AS DOUBLE)
+        |          / (CAST(np AS DOUBLE) * CAST(n - cnt_before AS DOUBLE))), 6)
+        |  END AS average_precision
+        |FROM p, tot GROUP BY np, n""".stripMargin,
 
     // --- training-data curation -----------------------------------------
 

@@ -449,6 +449,43 @@ object Projection {
             (col("__p") * col("__n")), 6)).as("auc"))
   }
 
+  /** Average precision (area under the precision–recall curve, step
+    * interpolation): `AP = Σ_k ΔR_k · P_k` over descending-score cuts,
+    * one cut per distinct score with ties collapsed into a single step
+    * — the ranking metric that, unlike [[aucEval]], doesn't reward a
+    * model for ordering the (at 100 TB, overwhelming) negative tail.
+    *
+    * Same scale shape as aucEval, plus one insight: the DESCENDING
+    * cumulative tp/n a PR curve needs is just `total − ascending
+    * exclusive prefix`, so both cumulatives come from
+    * [[graft.scale.Ids.prefixSumWithTotal]] over the distinct-score
+    * tally frame (two tally-sized passes, never a corpus window; the
+    * totals are free). Products are cast to double BEFORE multiplying —
+    * `npos·N` overflows Long at corpus scale. One row `(n_pos, n_neg,
+    * average_precision)`; AP null when there are no positives. */
+  def averagePrecision(scored: DataFrame, scoreCol: String = "score",
+                       labelCol: String = "label"): DataFrame = {
+    val tallies = scored
+      .groupBy(checkedScore(scoreCol, "averagePrecision").as("__s"))
+      .agg(count(lit(1)).as("__cnt"),
+        sum(checkedLabel(labelCol, "averagePrecision")).as("__pos"))
+    val (withCnt, nTot) = graft.scale.Ids.prefixSumWithTotal(
+      tallies, Seq("__s"), col("__cnt"), "__cntBefore")
+    val (withBoth, pTot) = graft.scale.Ids.prefixSumWithTotal(
+      withCnt, Seq("__s"), col("__pos"), "__posBefore")
+    // cut at score s (inclusive, descending): tp = pTot − posBefore(s),
+    // predicted-positive = nTot − cntBefore(s); the step's ΔR = pos/pTot
+    val term = col("__pos").cast("double") *
+      (lit(pTot) - col("__posBefore")).cast("double") /
+      (lit(pTot).cast("double") * (lit(nTot) - col("__cntBefore"))
+        .cast("double"))
+    withBoth
+      .agg(sum(when(lit(pTot) > 0L, term)).as("__ap"))
+      .select(lit(pTot).as("n_pos"), lit(nTot - pTot).as("n_neg"),
+        when(lit(pTot) > 0L, round(col("__ap"), 6))
+          .as("average_precision"))
+  }
+
   /** Operating-point sweep for a scored corpus: tp/fp/fn and
     * precision/recall/F1 at each candidate threshold — how a filter's
     * cut point is actually chosen once [[aucEval]] says the ranking is

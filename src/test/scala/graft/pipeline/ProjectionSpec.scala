@@ -420,6 +420,30 @@ class ProjectionSpec extends SparkSpec {
     assert(out.keySet == Set(1, 2, 3))
   }
 
+  test("averagePrecision: hand value with a cross-class tie step; order-invariance") {
+    import spark.implicits._
+    val df = Seq((0.9, 1), (0.7, 1), (0.5, 1), (0.7, 0), (0.3, 0))
+      .toDF("score", "label")
+    // descending cuts: 0.9 → P=1/1 ΔR=1/3; 0.7 (tie = ONE step) →
+    // P=2/3 ΔR=1/3; 0.5 → P=3/4 ΔR=1/3; 0.3 adds no positives.
+    // AP = 1/3 + 2/9 + 1/4 = 0.805556
+    val r = Projection.averagePrecision(df).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.805556)
+    // AP reads only the ORDER of scores: any strictly monotone remap
+    // (here the registered rational squash) leaves it unchanged
+    val squashed = df.select(
+      (lit(0.5) + col("score") / (lit(2.0) * (lit(1.0) + abs(col("score")))))
+        .as("score"), col("label"))
+    assert(Projection.averagePrecision(squashed)
+      .collect().head.getDouble(2) == 0.805556)
+    // perfect ranking → 1.0; no positives → null
+    val sep = Seq((0.9, 1), (0.8, 1), (0.2, 0)).toDF("score", "label")
+    assert(Projection.averagePrecision(sep).collect().head.getDouble(2) == 1.0)
+    val neg = Seq((0.9, 0), (0.8, 0)).toDF("score", "label")
+    assert(Projection.averagePrecision(neg).collect().head.isNullAt(2))
+  }
+
   test("eval tier refuses null scores and non-binary labels loudly") {
     import spark.implicits._
     val nullScore = Seq((Some(0.9), 1), (None, 0))
