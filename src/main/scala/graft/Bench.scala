@@ -2,6 +2,20 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
+  /** JSON string-escape for text interpolated into the contract line
+    * (exception messages, paths): an unescaped quote, backslash, or
+    * newline in an error string yields an unparseable line — the exact
+    * parsed=null failure the compact line exists to eliminate, and a
+    * newline additionally breaks the one-line stdout contract, so
+    * control characters become spaces rather than \\n escapes. */
+  private[graft] def jsonEscape(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => " "
+      case c => c.toString
+    }
+
   /** Render the driver-contract stdout line and the full-detail JSON.
     *
     * The round driver keeps only the LAST ~2000 characters of bench
@@ -39,8 +53,8 @@ object Bench {
       }.mkString("{", ",", "}")
     val qs = qmap(_._2)
     val qsMin = qmap(_._3)
-    val errors = results.collect { case (k, _, _, Some(e)) => s""""$k:$e"""" }
-      .mkString("[", ",", "]")
+    val errors = results.collect { case (k, _, _, Some(e)) =>
+      s""""${jsonEscape(s"$k:$e")}"""" }.mkString("[", ",", "]")
     val total = results.collect { case (_, med, _, None) => med }.sum
     // duck/ratio summary: sums over the queries the comparator actually
     // timed, so ratio_total is Σspark/Σduck on a like-for-like set
@@ -56,8 +70,12 @@ object Bench {
     val protocol =
       s""""errors":$errors,"warmup":$warm,"warmup_passes":${
         if (warm) 2 else 0},"timed_passes":$timedPasses"""
+    // empty detailPath = "the detail file was NOT written" (write failed
+    // or skipped): the pointer must then read null, not a stale path
+    val detailField =
+      if (detailPath.isEmpty) "null" else s""""${jsonEscape(detailPath)}""""
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,$protocol$duckSummary,"detail":"$detailPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,$protocol$duckSummary,"detail":$detailField,"sf":"${jsonEscape(sfDir)}"}"""
     val duckDetail = duck.map { d =>
       val ds = results.map { case (k, _, _, _) =>
         "\"" + k + "\":" + d.get(k).map(r3).getOrElse("null")
@@ -70,7 +88,7 @@ object Bench {
       s""","duck":$ds,"ratio":$rs"""
     }.getOrElse("")
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,$protocol$duckDetail$duckSummary,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,$protocol$duckDetail$duckSummary,"sf":"${jsonEscape(sfDir)}"}"""
     (compact, detail)
   }
 
@@ -205,15 +223,25 @@ object Bench {
     // over timed_passes isolated runs; the detail JSON adds the
     // per-query best and the per-query duck/ratio maps
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
-    val (compact, detail) =
+    val (_, detail) =
       renderLines(results, duck, warm, timedPasses, sfDir, detailPath)
+    // the contract line's detail field names whichever path was ACTUALLY
+    // written: a failed write re-renders with detail:null so the driver
+    // is never pointed at a stale or absent file
+    val written =
+      try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Path.of(detailPath), detail + "\n")
+        true
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] detail write failed ($detailPath): $e")
+        false
+      }
+    val (compact, _) = renderLines(results, duck, warm, timedPasses, sfDir,
+      if (written) detailPath else "")
     if (compact.length > 1800)
       System.err.println(s"[bench] WARNING: contract line ${compact.length}" +
         " chars — approaching the driver's 2000-char tail window")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Path.of(detailPath), detail + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] detail write failed ($detailPath): $e") }
     System.err.println(detail)
     println(compact)
     spark.stop()

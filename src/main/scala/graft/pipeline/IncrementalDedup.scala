@@ -182,29 +182,48 @@ object IncrementalDedup {
   /** Minhash band keys switched encoding (band-value strings → poly-31
     * folds) while the store table name and string schema stayed the
     * same, so a pre-switch store would JOIN cleanly yet never match —
-    * cross-upgrade duplicates silently lost. A one-file format marker
-    * turns that silent loss into a refusal: stores created by the
-    * current build carry the marker; a store with committed band keys
-    * but no marker predates the encoding and must be rebuilt from the
-    * corpus (re-ingest) before this build may touch it. */
+    * cross-upgrade duplicates silently lost. The same silent-loss shape
+    * exists BETWEEN schemes: minhash, 47-bit simhash, and 94-bit wide
+    * simhash all share the string-typed `keys` table, and their bucket
+    * encodings never collide, so a store built by one scheme joins
+    * cleanly-but-emptily under another. A one-file per-scheme format
+    * marker turns both silent losses into a refusal: stores created by
+    * the current build carry their scheme's marker; a store with
+    * committed band keys but the wrong/absent marker is either a
+    * cross-scheme mixup or a pre-encoding store, and must be rebuilt
+    * from the corpus (re-ingest) before this build may touch it. */
   private val MinhashFormatMarker = "minhash_bandkeys_p31"
+  private val SimhashFormatMarker = "simhash47_bandkeys_p31"
+  private val SimhashWideFormatMarker = "simhash94_bandkeys"
 
-  private def ensureMinhashFormat(spark: SparkSession, dir: String): Unit = {
-    val marker = new Path(s"$dir/_format/$MinhashFormatMarker")
-    val fs = fsOf(spark, marker)
-    if (fs.exists(marker)) return
+  private def ensureFormat(spark: SparkSession, dir: String,
+                           marker: String, scheme: String): Unit = {
+    val path = new Path(s"$dir/_format/$marker")
+    val fs = fsOf(spark, path)
+    if (fs.exists(path)) return
     val keys = new Path(s"$dir/keys")
     val hasPriorKeys = fs.exists(keys) && fs.listStatus(keys).nonEmpty
-    if (hasPriorKeys)
+    if (hasPriorKeys) {
+      val found =
+        if (fs.exists(path.getParent))
+          fs.listStatus(path.getParent).map(_.getPath.getName).sorted
+            .mkString(", ")
+        else "none"
       throw new IllegalStateException(
-        s"minhash key store at $dir predates the poly-31 band-key " +
-          "encoding: its buckets can never match keys produced by this " +
-          "build, so cross-upgrade duplicate pairs would be silently " +
-          "lost. Rebuild the store by re-ingesting the corpus (or keep " +
-          "querying it with the pre-upgrade build).")
-    fs.mkdirs(marker.getParent)
-    fs.create(marker, false).close()
+        s"$scheme key store at $dir has committed band keys but no " +
+          s"'$marker' format marker (markers present: $found). Either " +
+          "it was built by a DIFFERENT scheme (bucket encodings never " +
+          "match across schemes) or it predates the current key " +
+          "encoding — both silently lose duplicate pairs. Rebuild the " +
+          "store by re-ingesting the corpus with this scheme (or keep " +
+          "querying it with the build/scheme that wrote it).")
+    }
+    fs.mkdirs(path.getParent)
+    fs.create(path, false).close()
   }
+
+  private def ensureMinhashFormat(spark: SparkSession, dir: String): Unit =
+    ensureFormat(spark, dir, MinhashFormatMarker, "minhash (poly-31)")
 
   /** Ingest one batch: return its candidate pairs (within-batch and
     * against the pre-existing store, `doc_a < doc_b`), then append the
@@ -239,6 +258,7 @@ object IncrementalDedup {
                     maxHamming: Int = 3, maxBucket: Long = 0L,
                     tileTarget: Long = 0L): DataFrame = {
     val spark = docs.sparkSession
+    ensureFormat(spark, dir, SimhashFormatMarker, "47-bit simhash")
     val newSigs = TextPipeline.simhash(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newKeys = newSigs.select(col("doc_id"),
@@ -276,13 +296,16 @@ object IncrementalDedup {
     * band space (see the batch twin's scaladoc for the measured recall
     * collapse). Long band keys stringify at the store boundary (the
     * winnow discipline — injective, pair sets unchanged); the payload
-    * table `sigs_wide` carries BOTH vote folds (its own name so a wide
-    * store pointed at [[ingestSimhash]] fails loudly on schema instead
-    * of silently confirming on one fold). Exactly-once emission and the
-    * one-marker multi-table commit as every other scheme. */
+    * table `sigs_wide` carries BOTH vote folds under its own name.
+    * Cross-scheme mixups (a wide store pointed at [[ingestSimhash]] or
+    * vice versa) are refused up front by the per-scheme format marker —
+    * a missing payload table would otherwise snapshot as an EMPTY frame
+    * and silently drop every cross-batch pair. Exactly-once emission and
+    * the one-marker multi-table commit as every other scheme. */
   def ingestSimhashWide(dir: String, docs: DataFrame, maxHamming: Int = 3,
                         maxBucket: Long = 0L, tileTarget: Long = 0L): DataFrame = {
     val spark = docs.sparkSession
+    ensureFormat(spark, dir, SimhashWideFormatMarker, "94-bit wide simhash")
     val newSigs = TextPipeline.simhashWide(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newKeys = newSigs.select(col("doc_id"),

@@ -59,6 +59,27 @@ class BenchRenderSpec extends AnyFunSuite {
       == "/artifacts/bd.json")
   }
 
+  test("detail pointer reads null when the detail file was not written") {
+    val (compact, _) =
+      Bench.renderLines(fakeResults(Seq("q")), None, warm = false,
+        timedPasses = 1, sfDir = "x", detailPath = "")
+    assert(mapper.readTree(compact).get("detail").isNull)
+  }
+
+  test("quote/backslash/newline-bearing error text stays parseable JSON") {
+    val rs = Seq(("bad_q", 9.9, 9.9,
+      Some("boom \"quoted\" back\\slash\nand a newline")))
+    val (compact, detail) = Bench.renderLines(
+      rs, None, warm = false, timedPasses = 1, sfDir = "x")
+    // one-line stdout contract: control chars become spaces, never \n
+    assert(!compact.contains("\n") && !detail.contains("\n"))
+    val c = mapper.readTree(compact)
+    assert(c.get("errors").get(0).asText
+      == "bad_q:boom \"quoted\" back\\slash and a newline")
+    assert(mapper.readTree(detail).get("errors").get(0).asText
+      == c.get("errors").get(0).asText)
+  }
+
   test("failed query reads -1 in every map and is listed under errors") {
     val rs = Seq(
       ("ok_q", 1.23456, 1.2, None),

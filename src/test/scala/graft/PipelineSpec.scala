@@ -649,6 +649,37 @@ class PipelineSpec extends SparkSpec {
         .toDF("doc_id", "text")).count()
   }
 
+  test("IncrementalDedup: cross-scheme simhash store mixups are refused, not silently empty") {
+    import graft.pipeline.IncrementalDedup
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    // a 47-bit store pointed at the wide ingest (and vice versa) shares
+    // the string-typed `keys` table but never matches buckets, and the
+    // missing sigs/sigs_wide payload snapshots as an EMPTY frame — the
+    // exact silent-loss shape the per-scheme marker exists to refuse
+    val narrow = java.nio.file.Files.createTempDirectory("inc_sh47").toString
+    IncrementalDedup.ingestSimhash(narrow, docs).count()
+    assert(new java.io.File(
+      s"$narrow/_format/simhash47_bandkeys_p31").exists())
+    val exWide = intercept[IllegalStateException] {
+      IncrementalDedup.ingestSimhashWide(narrow, docs)
+    }
+    assert(exWide.getMessage.contains("simhash94_bandkeys") &&
+      exWide.getMessage.contains("simhash47_bandkeys_p31"))
+    val wide = java.nio.file.Files.createTempDirectory("inc_sh94").toString
+    IncrementalDedup.ingestSimhashWide(wide, docs).count()
+    assert(new java.io.File(s"$wide/_format/simhash94_bandkeys").exists())
+    val exNarrow = intercept[IllegalStateException] {
+      IncrementalDedup.ingestSimhash(wide, docs)
+    }
+    assert(exNarrow.getMessage.contains("simhash47_bandkeys_p31"))
+    // minhash ingest refuses both foreign stores the same way
+    val exMin = intercept[IllegalStateException] {
+      IncrementalDedup.ingest(narrow, docs)
+    }
+    assert(exMin.getMessage.contains("minhash_bandkeys_p31"))
+  }
+
   test("IncrementalDedup.ingestSimhash: batched ingest equals batch simhash candidates") {
     import graft.pipeline.{IncrementalDedup, TextPipeline}
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
