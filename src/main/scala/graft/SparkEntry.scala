@@ -1684,7 +1684,15 @@ object SparkEntry {
     // round-13: corpus text normalization — native unicode_normalize +
     // control strip + whitespace collapse as one narrow projection vs
     // DuckDB nfc_normalize + the same RE2 classes
-    "q_text_normalize")
+    "q_text_normalize",
+    // round-16: the production-posture simhash tier (94-bit wide
+    // signature, the fix for the 47-bit band-space saturation the 5M
+    // smoke measured) gets an official per-round wall-time row
+    "q_simhash_candidates_wide",
+    // round-16: character-level fuzzy dedup (df-capped poly-47 shingle
+    // blocking + levenshtein confirm) — smoke-measured to 5M docs but
+    // previously absent from the official record
+    "q_edit_distance_pairs")
 
   // ---------------------------------------------------------------------
   // DuckDB oracles. `flows` CTE = FlowSynth.cteSql (identical mapping).
