@@ -480,6 +480,31 @@ object TextPipeline {
     graft.core.Cached(pairs.distinct(), raw)
   }
 
+  /** Connectivity-equivalent LINEAR edge generation over the minhash
+    * bucket-co-membership graph, for CLUSTERING consumers
+    * ([[graft.pipeline.Curation.clusterComponents]]): per band bucket,
+    * connect every member to the bucket's min-id hub instead of emitting
+    * all C(d,2) pairs. Two documents share a component under star edges
+    * iff they do under all-pairs edges (same-bucket ⇒ both reach the
+    * hub; star edges exist only within buckets), so connected components
+    * are IDENTICAL — but a d-member bucket now costs d-1 edges, not d².
+    * This is what makes cluster dedup survive a mega duplicate class
+    * (one boilerplate family at 1–10% of a web corpus): the classic
+    * incident shape where all-pairs candidate generation owes 10⁹ edges
+    * from a single family. NOT a candidate generator — pair consumers
+    * that confirm per-pair similarity (Jaccard, Hamming) still need the
+    * real pairs. One groupBy + one co-partitioned join, both on the
+    * 8-byte bucket key; edge count ≤ docs × bands. */
+  def minhashBucketStarEdges(docs: DataFrame, n: Int = 3, k: Int = 16,
+                             bands: Int = 4): DataFrame = {
+    val keys = minhashLsh(docs, n, k, bands).select("doc_id", "bucket")
+    val hubs = keys.groupBy("bucket").agg(min("doc_id").as("hub"))
+    keys.join(hubs, Seq("bucket"))
+      .filter(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** Scan-parallelism guard shared by the heavy per-row derivations
     * (shingling, signature folds, positional gram hashes): the work per
     * document dwarfs its bytes, and an unsplittable one-row-group test
@@ -493,13 +518,21 @@ object TextPipeline {
 
   /** Drop entries of buckets holding more than `maxBucket` members —
     * broadcast LEFT ANTI against the (small) hot-bucket list. The shared
-    * skew guard of the LSH candidate generators; no-op when cap <= 0. */
+    * skew guard of the LSH candidate generators; no-op when cap <= 0.
+    * The hot-list aggregation carries the bucket-saturation observation
+    * ([[graft.scale.CapSaturation]]): when more than the configured
+    * fraction of buckets blow past the cap — the measured 47-bit
+    * band-space-saturation recall collapse — a loud warning fires on the
+    * job that already runs, instead of the query silently succeeding
+    * with censored coverage. */
   private[pipeline] def capBuckets(buckets: DataFrame, maxBucket: Long,
                                    bucketCol: String = "bucket"): DataFrame =
     if (maxBucket <= 0L) buckets
     else {
-      val hot = buckets.groupBy(bucketCol).agg(count(lit(1)).as("bsize"))
-        .filter(col("bsize") > maxBucket).select(bucketCol)
+      val stats = graft.scale.CapSaturation.observed(
+        buckets.groupBy(bucketCol).agg(count(lit(1)).as("bsize")),
+        maxBucket, bucketCol)
+      val hot = stats.filter(col("bsize") > maxBucket).select(bucketCol)
       buckets.join(broadcast(hot), Seq(bucketCol), "left_anti")
     }
 

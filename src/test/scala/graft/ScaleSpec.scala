@@ -936,4 +936,37 @@ class ScaleSpec extends SparkSpec {
       Seq(("r1", "size", 0.0)).toDF("run_id", "check", "value"), 0.5).collect().head
     assert(z.getDouble(3).isPosInfinity && z.getBoolean(4), z)
   }
+
+  test("CapSaturation: loud warning on a saturating corpus, silent on a benign one") {
+    import graft.pipeline.TextPipeline
+    graft.scale.CapSaturation.drainWarnings() // isolate from other specs
+    // benign: fully-disjoint token sets (template-free — shared words
+    // would drag the signatures together), generous cap — no bucket
+    // exceeds it
+    val benign = (0L until 120L)
+      .map(i => (i, Seq.tabulate(8)(j => s"tok${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    TextPipeline.simhashCandidates(benign, maxBucket = 100L).count()
+    // saturating: one boilerplate class floods every band bucket past a
+    // tiny cap — the measured 47-bit recall-collapse shape in miniature
+    val sat = (0L until 120L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    TextPipeline.simhashCandidates(sat, maxBucket = 5L).count()
+    // listener delivery is async — poll briefly
+    val deadline = System.nanoTime() + 10000L * 1000000L
+    var warnings = Seq.empty[String]
+    while (warnings.isEmpty && System.nanoTime() < deadline) {
+      warnings = graft.scale.CapSaturation.drainWarnings()
+      if (warnings.isEmpty) Thread.sleep(50)
+    }
+    assert(warnings.nonEmpty, "saturating corpus fired no warning")
+    // every warning names the SATURATING run's cap (5), never the benign
+    // one (cap 100) — proving the benign pass stayed silent
+    assert(warnings.forall(_.contains("maxBucket=5")), warnings)
+    assert(warnings.head.contains("BUCKET-SATURATION") &&
+      warnings.head.contains("simhashCandidatesWide"))
+    // drained: a second drain is empty (no replay across specs)
+    assert(graft.scale.CapSaturation.drainWarnings().isEmpty)
+  }
 }
