@@ -87,6 +87,39 @@ object DocSynth {
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
+  /** [[documents]] with one MEGA near-duplicate class injected: `megaPpm`
+    * of documents (default 10%) share a single ~60-word boilerplate
+    * template, each mutated in its last word only — the classic web-corpus
+    * incident shape (site chrome, cookie banners, licence blocks) that
+    * [[documents]]' benign tens-of-docs duplicate families never produce.
+    * Members are mutual near-dups under every scheme at once: ~97%
+    * 2-shingle Jaccard, ≤ a few bits of simhash Hamming, edit distance =
+    * one word. At n=500k that is ONE 50k-member class: all-pairs
+    * candidate generation owes 1.25 B pairs from this family alone, so
+    * the corpus exists to prove the caps/tiling/star-edge paths bound
+    * the work while the benign twin (same seed, same everything else)
+    * provides the ≤ ~linear comparison cell. Same schema, same id-hash
+    * gating — deterministic in (nDocs, seed), supersets across scales. */
+  def documentsSkewed(spark: SparkSession, nDocs: Long, seed: Long = 42L,
+                      megaPpm: Long = 100000L, nSources: Int = 20,
+                      tailPct: Int = 40, tailSize: Int = 4000): DataFrame = {
+    val base = documents(spark, nDocs, seed, nSources = nSources,
+      tailPct = tailPct, tailSize = tailSize)
+    val id = col("doc_id")
+    val isMega = pmod(h(lit(seed), lit("mega"), id), lit(1000000L)) < megaPpm
+    // the shared stream: word draws keyed on a CONSTANT, so every mega
+    // doc deals the same 59 boilerplate words
+    val boiler = transform(sequence(lit(0), lit(58)),
+      i => word(h(lit(seed), lit(-1L)), i, 4, tailPct, tailSize))
+    // the per-doc mutation: one trailing word from the doc's own hash
+    // stream, forced into the long tail so it is (almost surely) unique
+    val mut = array(word(h(lit(seed), id), lit(0), 5, 100, 1 << 30))
+    base.withColumn("text",
+        when(isMega, array_join(concat(boiler, mut), " "))
+          .otherwise(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
   /** `nVecs` unit-norm `dims`-dim float embeddings in `nLabels` clusters
     * (testdata schema: vec_id, embedding, label). Each vector is its
     * label's centroid plus 0.3-amplitude noise, renormalized — clustered

@@ -508,18 +508,29 @@ object Curation {
       .distinct()
   }
 
-  /** Cluster-complete near-dup dedup: MinHash-LSH candidate pairs →
+  /** Cluster-complete near-dup dedup: MinHash-LSH bucket graph →
     * connected components → every document labelled with its cluster id
     * (its own id if unpaired). Pairwise dedup keeps B when A~B, B~C but
     * A≁C; clustering removes the whole chain, keeping one canonical
     * (min-id) survivor per component — the standard corpus-dedup
-    * semantics. The component map holds only docs with ≥1 candidate pair
-    * — usually a small fraction, but on a duplicate-heavy corpus it can
-    * approach corpus size, so the join strategy is left to AQE rather
-    * than a forced broadcast. */
+    * semantics. Edges are the LINEAR per-bucket star form by default —
+    * provably the same components as the all-pairs candidate graph
+    * ([[TextPipeline.minhashBucketStarEdges]]). The component map holds
+    * only docs with ≥1 same-bucket neighbor — usually a small fraction,
+    * but on a duplicate-heavy corpus it can approach corpus size, so the
+    * join strategy is left to AQE rather than a forced broadcast. */
   def clusterComponents(docs: DataFrame, n: Int = 3, k: Int = 16,
-                        bands: Int = 4, star: Boolean = false): DataFrame = {
-    val pairs = TextPipeline.minhashCandidates(docs, n, k, bands)
+                        bands: Int = 4, star: Boolean = false,
+                        pairEdges: Boolean = false): DataFrame = {
+    // default: bucket-star edges — connectivity-identical to the
+    // all-pairs candidate graph (see minhashBucketStarEdges) at d-1
+    // edges per bucket instead of d², the form that survives a mega
+    // duplicate class (one 50k-doc boilerplate family owes 1.25 B
+    // all-pairs edges; star owes 50k). `pairEdges` keeps the legacy
+    // quadratic-edge form for A/B measurement.
+    val pairs =
+      if (pairEdges) TextPipeline.minhashCandidates(docs, n, k, bands)
+      else TextPipeline.minhashBucketStarEdges(docs, n, k, bands)
     val comp =
       if (star) connectedComponentsStar(pairs) else connectedComponents(pairs)
     docs.select(col("doc_id"))

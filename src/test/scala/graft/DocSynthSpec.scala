@@ -60,4 +60,33 @@ class DocSynthSpec extends SparkSpec {
     val across = byGroup.find(_("same") == false).get("m").asInstanceOf[Double]
     assert(within > across + 0.1)
   }
+
+  test("documentsSkewed: one mega near-dup class at the gated fraction, rest untouched") {
+    val n = 3000L
+    val skew = DocSynth.documentsSkewed(spark, n)
+    val base = DocSynth.documents(spark, n)
+    // deterministic
+    val skew2 = DocSynth.documentsSkewed(spark, n)
+    assert(skew.exceptAll(skew2).isEmpty && skew2.exceptAll(skew).isEmpty)
+    // mega docs: the dominant shared 59-word prefix (benign docs can
+    // also happen to have 60 words — the CLASS is what identifies mega);
+    // fraction ≈ 10% (id-hash gated, wide tolerance for small-n variance)
+    val sixty = skew
+      .filter(size(split(col("text"), " ")) === 60)
+      .select(col("doc_id"), col("text"))
+      .collect()
+    val byPrefix = sixty.groupBy(_.getString(1).split(" ").init.mkString(" "))
+    val (_, mega) = byPrefix.maxBy(_._2.length)
+    assert(mega.length > (n * 6 / 100) && mega.length < (n * 14 / 100),
+      s"mega class size ${mega.length} outside 6-14% of $n")
+    // near-identical within the class, mutated in the last word only
+    val lastWords = mega.map(_.getString(1).split(" ").last).toSet
+    assert(lastWords.size > mega.length / 2, "mutated last words should be ~unique")
+    // the non-mega rows are byte-identical to the benign twin
+    val megaIds = mega.map(_.getLong(0)).toSet
+    val benignRows = base.filter(!col("doc_id").isin(megaIds.toSeq: _*))
+    val skewRows = skew.filter(!col("doc_id").isin(megaIds.toSeq: _*))
+    assert(skewRows.exceptAll(benignRows).isEmpty &&
+      benignRows.exceptAll(skewRows).isEmpty)
+  }
 }

@@ -581,6 +581,31 @@ class PipelineSpec extends SparkSpec {
     assert(!byDoc.contains(3L))
   }
 
+  test("clusterComponents: star edges give the same components as all-pairs edges") {
+    import graft.pipeline.{Curation, TextPipeline}
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // a mix of one big duplicate family (the mega-class shape in
+    // miniature), chained near-dups, and unique docs
+    val corpus = (0L until 80L).map { i =>
+      val text = if (i % 4 == 0) a
+      else if (i % 4 == 1) a.replace("kappa", s"mut$i")
+      else s"unique words only document number $i with filler ${i * 31}"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val star = rowsOf(Curation.clusterComponents(corpus))
+      .map(r => r("doc_id") -> r("component")).toMap
+    val pairs = rowsOf(Curation.clusterComponents(corpus, pairEdges = true))
+      .map(r => r("doc_id") -> r("component")).toMap
+    assert(star == pairs)
+    // and the edge count is per-bucket LINEAR: the hub form never emits
+    // more edges than (doc, bucket) memberships, while all-pairs owes
+    // C(d,2) per bucket on the 20-member duplicate family
+    val starEdges = TextPipeline.minhashBucketStarEdges(corpus).count()
+    val pairEdges = TextPipeline.minhashCandidates(corpus).count()
+    assert(starEdges < pairEdges,
+      s"star=$starEdges should undercut all-pairs=$pairEdges here")
+  }
+
   test("connectedComponents: transitive chains collapse to min id") {
     import graft.pipeline.Curation
     val pairs = Seq((2L, 3L), (3L, 4L), (7L, 8L)).toDF("doc_a", "doc_b")
