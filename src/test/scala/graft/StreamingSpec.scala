@@ -661,6 +661,58 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("RocksDB + changelog: kill-and-resume mid-stream is exactly-once across the boundary") {
+    // the remaining stateful recovery gap after r15's output-parity pins:
+    // stop a query BETWEEN batches under the RocksDB provider WITH
+    // changelog checkpointing, restart from the checkpoint, and assert
+    // the carried totals and exactly-once emission across the boundary —
+    // the crash-recovery path a 100 TB deployment actually exercises
+    // (changelog files, not full snapshot uploads, per commit)
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_rocks").toString
+    val in = java.nio.file.Files.createTempDirectory("obs_rocks").toString
+    def addFile(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        lines.mkString("\n").getBytes)
+    val outDir = java.nio.file.Files.createTempDirectory("rep_rocks").toString
+    withRocksDb {
+      def start() = {
+        val obs = spark.readStream
+          .schema("key STRING, ts BIGINT, flows BIGINT").json(in)
+          .as[ReportDedup.Observation]
+        ReportDedup(obs, reportIntervalMs = 60000L)
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append()).start()
+      }
+      val q1 = start()
+      try {
+        addFile("b1.json", """{"key":"k","ts":1000,"flows":5}""")
+        q1.processAllAvailable()
+        assertRocksDbMetrics(q1)
+      } finally q1.stop() // the "crash": stopped between batches
+      // changelog checkpointing really engaged: per-commit .changelog
+      // files exist under the state dir (full-snapshot mode writes
+      // only .zip snapshots)
+      val changelogs = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(ckpt, "state"))
+        .filter(_.getFileName.toString.endsWith(".changelog"))
+        .count()
+      assert(changelogs > 0, "no .changelog files — changelog mode was off")
+      val q2 = start()
+      try {
+        addFile("b2.json", """{"key":"k","ts":70000,"flows":2}""")
+        q2.processAllAvailable()
+        assertRocksDbMetrics(q2)
+        // totals carried over the restart, each report emitted ONCE
+        val rows = spark.read.parquet(outDir).as[ReportDedup.Report]
+          .collect().sortBy(_.ts)
+        assert(rows.map(r => (r.flows_total, r.flows_increment)).toSeq ==
+          Seq((5L, 5L), (7L, 2L)))
+      } finally q2.stop()
+    }
+  }
+
   test("streaming pattern_finder end-to-end: biflow join -> one-hot bins -> carried report") {
     implicit val sqlCtx = spark.sqlContext
     val pats = Seq(graft.analytics.PatternFinder.Pattern(
