@@ -1,0 +1,163 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.SparkEntry
+
+/** Concurrent-session posture probe: a production engine serves many
+  * sessions at once, but every bench/smoke artifact so far ran its
+  * queries SERIALLY in one session — the codegen-cache sizing, the
+  * shuffle-partition count, and the GC envelope were all validated
+  * under a single-stream assumption. This tool runs the official
+  * headline set from N concurrent threads against ONE SparkSession
+  * (Spark's FAIR scheduler, one pool per thread — the documented
+  * multi-session serving pattern: jobs are scheduled fairly ACROSS
+  * pools, so no stream starves behind another's heavy tier) and
+  * compares against the same total work done serially:
+  *
+  *   - serial phase: N passes of the headline set, one after another,
+  *     per-query wall recorded per pass;
+  *   - concurrent phase: N threads, each one pass of the SAME set,
+  *     each thread's pass order rotated by i·len/N so the heavy tier
+  *     does not self-collide four-wide (the mixed-workload shape a
+  *     shared engine actually sees), per-query wall per thread.
+  *
+  * Same total work, so the honest headline is one division:
+  * `speedup = serial_wall / concurrent_wall` (4 threads on a 32-core
+  * box should approach but never reach 4× — the heavy tier already
+  * parallelizes internally, so concurrency wins only where a single
+  * query leaves cores idle: scheduling gaps, broadcast builds,
+  * driver-side planning). Per-query, the record carries serial median
+  * vs concurrent median and p95 (nearest-rank over the N samples) —
+  * the p95/serial ratio is the contention signal: a query whose p95
+  * blows out under sharing points at a shared-resource cliff (codegen
+  * cache, GC, driver lock), exactly the class of defect a serial
+  * bench can never see.
+  *
+  * Server posture, deliberately: NO per-query `clearCache`/`System.gc`
+  * isolation in EITHER phase (a shared engine cannot globally clear
+  * caches between one stream's queries — `clearCache` is
+  * session-global and would destroy a concurrent thread's persisted
+  * frames mid-query), so the serial baseline here is the steady-state
+  * serving number, not Bench.scala's isolated-measurement number.
+  *
+  * Usage: `runMain graft.tools.ConcurrentBench [threads]` (default 4);
+  * `SPARK_GRAFT_QUERIES=a,b` restricts the set, `SPARK_GRAFT_SF_DIR`
+  * picks the data (default sf0.1). Prints one JSON line with the
+  * aggregate walls + per-query table; exits 1 if any query failed in
+  * any phase.
+  */
+object ConcurrentBench {
+
+  // q_remove_dup_spans' count() lets Catalyst skip the rewrite work
+  // being measured — force the computed column (same map as Bench)
+  private val forced: Map[String, DataFrame => DataFrame] =
+    Map("q_remove_dup_spans" -> (df => df.filter(
+      org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text_clean")) >= 0)))
+
+  private def run(all: Map[String, (SparkSession, String) => DataFrame],
+                  spark: SparkSession, sfDir: String,
+                  name: String): Option[String] =
+    try { forced.getOrElse(name, identity[DataFrame] _)
+      .apply(all(name)(spark, sfDir)).count(); None }
+    catch { case e: Throwable =>
+      System.err.println(s"[cbench] $name FAILED: $e")
+      Some(e.getClass.getSimpleName) }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) -1.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  /** Nearest-rank p95 (with 4 samples this is the max — stated in the
+    * COVERAGE row rather than pretending at precision). */
+  private def p95(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) -1.0 else s(math.min(s.size - 1,
+      math.ceil(0.95 * s.size).toInt - 1))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nThreads = args.headOption.map(_.toInt).getOrElse(4)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // FAIR across pools; each client thread below claims its own
+      // pool, the standard shared-SparkSession serving configuration
+      .config("spark.scheduler.mode", "FAIR")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.core.Graft.tune(spark)
+
+    val all = SparkEntry.queries
+    val names = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(SparkEntry.benchQueries)
+
+    // warm exactly like Bench: two untimed passes so C2 finishes on the
+    // sub-second tier and both phases measure steady state
+    (1 to 2).foreach { _ => names.foreach(run(all, spark, sfDir, _)) }
+    spark.catalog.clearCache()
+
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+    // ---- serial phase: nThreads passes back-to-back, one thread ----
+    val serial = collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    val s0 = System.nanoTime()
+    (1 to nThreads).foreach { _ =>
+      names.foreach { name =>
+        val t0 = System.nanoTime()
+        run(all, spark, sfDir, name).foreach(e => errs.add(s"serial/$name:$e"))
+        serial(name) = (System.nanoTime() - t0) / 1e9 :: serial(name)
+      }
+    }
+    val serialWall = (System.nanoTime() - s0) / 1e9
+    spark.catalog.clearCache()
+
+    // ---- concurrent phase: nThreads threads, one rotated pass each ----
+    val conc = new java.util.concurrent.ConcurrentHashMap[String, List[Double]]()
+    val started = new AtomicInteger(0)
+    val c0 = System.nanoTime()
+    val threads = (0 until nThreads).map { i =>
+      val t = new Thread(() => {
+        // each client stream gets its own FAIR pool (local property is
+        // inherited by all jobs this thread submits)
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"client$i")
+        started.incrementAndGet()
+        val rotated = {
+          val off = i * names.size / nThreads
+          names.drop(off) ++ names.take(off)
+        }
+        rotated.foreach { name =>
+          val t0 = System.nanoTime()
+          run(all, spark, sfDir, name).foreach(e => errs.add(s"conc$i/$name:$e"))
+          val sec = (System.nanoTime() - t0) / 1e9
+          conc.merge(name, List(sec), (a, b) => b ::: a)
+        }
+      }, s"cbench-client-$i")
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    val concWall = (System.nanoTime() - c0) / 1e9
+
+    def r3(d: Double) = math.rint(d * 1000) / 1000
+    val perQuery = names.map { n =>
+      val sm = median(serial(n))
+      val cs = Option(conc.get(n)).getOrElse(Nil)
+      val cm = median(cs)
+      val cp = p95(cs)
+      s""""$n":{"serial_med":${r3(sm)},"conc_med":${r3(cm)},"conc_p95":${r3(cp)},"p95_ratio":${r3(cp / math.max(sm, 1e-9))}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"mode":"concurrent_bench","threads":$nThreads,"n_queries":${names.size},"sf":"$sfDir","serial_wall":${r3(serialWall)},"concurrent_wall":${r3(concWall)},"speedup":${r3(serialWall / concWall)},"errors":${errs.size},"per_query":$perQuery}""")
+    spark.stop()
+    if (!errs.isEmpty) { errs.forEach(e => System.err.println(s"[cbench] $e")); sys.exit(1) }
+  }
+}
