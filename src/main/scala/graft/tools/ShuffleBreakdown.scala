@@ -49,15 +49,26 @@ object ShuffleBreakdown {
       val docs = spark.read.parquet(docDir)
       val emb = spark.read.parquet(embDir)
       spark.catalog.clearCache()
-      val stages = ArrayBuffer.empty[(Int, String, Long, Long, Int)]
+      val stages = ArrayBuffer.empty[(Int, String, Long, Long, Int, Double, Double, Double)]
       val listener = new SparkListener {
         override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
           val si = sc.stageInfo
           val w = si.taskMetrics.shuffleWriteMetrics
+          // stage wall vs summed executor run time: a stage whose wall
+          // ≈ its total executor time on a 32-core box ran ~serially —
+          // the straggler/collapsed-partition signal per STAGE (the
+          // smoke's max_task_ms says one exists; this says where)
+          val wall = (for {s <- si.submissionTime; c <- si.completionTime}
+            yield (c - s) / 1e3).getOrElse(-1.0)
+          // executorRunTime INCLUDES GC stalls; jvmGCTime separates
+          // "the operator is this expensive" from "the heap was dirty" —
+          // the question behind any 3× run-to-run wall swing at 5M
+          val exec = si.taskMetrics.executorRunTime / 1e3
+          val gc = si.taskMetrics.jvmGCTime / 1e3
           stages.synchronized {
             stages += ((si.stageId,
               si.rddInfos.map(_.name).distinct.mkString(","),
-              w.bytesWritten, w.recordsWritten, si.numTasks))
+              w.bytesWritten, w.recordsWritten, si.numTasks, wall, exec, gc))
           }
         }
       }
@@ -73,11 +84,11 @@ object ShuffleBreakdown {
       Thread.sleep(300) // listener bus drain
       println(f"===== $name @ $n docs: $rows rows, $sec%.2f s")
       val snap = stages.synchronized(stages.toSeq)
-      snap.filter(_._3 > 0).sortBy(-_._3).foreach {
-        case (id, ops, bytes, recs, tasks) =>
-          println(f"  stage $id%4d  ${bytes / 1e6}%9.1f MB  " +
-            f"${recs}%12d recs  $tasks%4d tasks  " +
-            ops.split(",").take(6).mkString(","))
+      snap.filter(s => s._3 > 0 || s._6 > 1.0).sortBy(-_._6).foreach {
+        case (id, ops, bytes, recs, tasks, wall, exec, gc) =>
+          println(f"  stage $id%4d  wall $wall%7.1f s  exec $exec%8.1f s  " +
+            f"gc $gc%7.1f s  ${bytes / 1e6}%9.1f MB  ${recs}%12d recs  " +
+            f"$tasks%4d tasks  " + ops.split(",").take(6).mkString(","))
       }
       println(f"  TOTAL shuffle ${snap.map(_._3).sum / 1e6}%.1f MB")
       // which join strategies the FINAL adaptive plan chose (the
