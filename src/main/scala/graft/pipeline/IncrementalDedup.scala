@@ -570,8 +570,11 @@ object IncrementalDedup {
         col("text").as("__ta")), Seq("doc_a"))
       .join(allTexts.select(col("doc_id").as("doc_b"),
         col("text").as("__tb")), Seq("doc_b"))
-      .withColumn("dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      // threshold form (banded DP, -1 past the bound) — keeps the batch
+      // twin's confirm semantics exactly; see TextPipeline's confirm note
+      .withColumn("dist",
+        levenshtein(col("__ta"), col("__tb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
       .select("doc_a", "doc_b", "dist")
     EdBatch(pairs, newInv, newMeta, newTexts, batchDfs, () => {
       hot.foreach(_.unpersist())

@@ -390,8 +390,17 @@ object TextPipeline {
         Seq("doc_a"))
       .join(t.select(col("doc_id").as("doc_b"), col("text").as("__tb")),
         Seq("doc_b"))
-      .withColumn("dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      // threshold form: banded O(len·maxDist) DP with early exit instead
+      // of the full O(len²) matrix (returns -1 past the bound — same
+      // kept rows, same distances, so the unbounded-levenshtein DuckDB
+      // oracle still matches value-for-value). The confirm is this
+      // operator's dominant CPU at scale — measured at 5M docs the
+      // unbounded form burned ~4,500 executor-seconds on 565k candidate
+      // pairs (~8 ms/pair on ~2 KB texts); the band is ~len/maxDist×
+      // less work per pair
+      .withColumn("dist",
+        levenshtein(col("__ta"), col("__tb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
       .select("doc_a", "doc_b", "dist")
     graft.core.Cached(result, inv)
   }
