@@ -2,6 +2,25 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
+  /** count() over a left join of an aggregate lets Catalyst eliminate
+    * the join and skip the work being measured — force the computed
+    * column for the queries with that shape. Shared with
+    * [[graft.tools.ConcurrentBench]] so both benches measure the same
+    * work by construction (a second copy WOULD drift). */
+  private[graft] val forced: Map[String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] =
+    Map("q_remove_dup_spans" -> (df => df.filter(
+      org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text_clean")) >= 0)))
+
+  /** Median over timing samples (even count → mean of the middle two).
+    * Shared with [[graft.tools.ConcurrentBench]]. */
+  private[graft] def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) -1.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
   /** JSON string-escape for text interpolated into the contract line
     * (exception messages, paths): an unescaped quote, backslash, or
     * newline in an error string yields an unparseable line — the exact
@@ -118,13 +137,6 @@ object Bench {
       .getOrElse(
         if (SparkEntry.benchQueries.nonEmpty) SparkEntry.benchQueries
         else all.keys.toSeq)
-    // count() over a left join of an aggregate lets Catalyst eliminate
-    // the join and skip the work being measured — force the computed
-    // column for the queries with that shape
-    val forced: Map[String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] =
-      Map("q_remove_dup_spans" -> (df => df.filter(
-        org.apache.spark.sql.functions.length(
-          org.apache.spark.sql.functions.col("text_clean")) >= 0)))
     def run(name: String): Option[String] =
       try {
         forced.getOrElse(name, identity[org.apache.spark.sql.DataFrame] _)
@@ -181,11 +193,6 @@ object Bench {
     val timedPasses = sys.env.get("SPARK_GRAFT_TIMED_PASSES")
       .map(_.toInt).filter(_ > 0).getOrElse(2)
     val allPasses = (1 to timedPasses).map(_ => timedPass())
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-    }
     // a query that crashed in ANY pass must not read as a fast success:
     // its timing is -1 and it is listed under "errors"
     val results = names.map { name =>

@@ -201,17 +201,25 @@ object IncrementalDedup {
     val path = new Path(s"$dir/_format/$marker")
     val fs = fsOf(spark, path)
     if (fs.exists(path)) return
+    // A FOREIGN marker refuses even when the keys table is still empty:
+    // the marker is written before the first commit, so an aborted first
+    // ingest leaves (foreign marker, no keys) — if another scheme then
+    // claimed the dir because "no keys yet", the original scheme's
+    // resume would find its own marker present and happily share the
+    // string-typed keys table whose bucket encodings never match —
+    // exactly the silent cross-scheme pair loss this guard refuses.
+    val foreign =
+      if (fs.exists(path.getParent))
+        fs.listStatus(path.getParent).map(_.getPath.getName).sorted
+      else Array.empty[String]
     val keys = new Path(s"$dir/keys")
     val hasPriorKeys = fs.exists(keys) && fs.listStatus(keys).nonEmpty
-    if (hasPriorKeys) {
-      val found =
-        if (fs.exists(path.getParent))
-          fs.listStatus(path.getParent).map(_.getPath.getName).sorted
-            .mkString(", ")
-        else "none"
+    if (foreign.nonEmpty || hasPriorKeys) {
+      val found = if (foreign.nonEmpty) foreign.mkString(", ") else "none"
       throw new IllegalStateException(
-        s"$scheme key store at $dir has committed band keys but no " +
-          s"'$marker' format marker (markers present: $found). Either " +
+        s"$scheme key store at $dir is not this scheme's: it has " +
+          s"${if (hasPriorKeys) "committed band keys" else "a format dir"} " +
+          s"but no '$marker' marker (markers present: $found). Either " +
           "it was built by a DIFFERENT scheme (bucket encodings never " +
           "match across schemes) or it predates the current key " +
           "encoding — both silently lose duplicate pairs. Rebuild the " +

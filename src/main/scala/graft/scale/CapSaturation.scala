@@ -46,9 +46,16 @@ object CapSaturation {
   // the same store plan) re-reports the same saturation fact
   private val warned =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // WEAK keys: this static set must not pin sessions for the JVM
+  // lifetime — a serving process creating per-client sessions
+  // (spark.newSession(), the multi-session posture ConcurrentBench
+  // models) would otherwise leak every session (and its whole state)
+  // plus one listener each. A collected session's listener dies with
+  // it; a live session stays in the set. Guarded by `installed` for
+  // atomicity (WeakHashMap is not thread-safe).
   private val installed =
     java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean])
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
 
   /** Conf key for the warn threshold on (over-cap buckets / buckets). */
   val WarnFractionKey = "spark.graft.capSaturation.warnFraction"
@@ -71,7 +78,7 @@ object CapSaturation {
   }
 
   private def install(spark: SparkSession): Unit =
-    if (installed.add(spark))
+    if (installed.synchronized(installed.add(spark)))
       spark.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution,
                                durationNs: Long): Unit =

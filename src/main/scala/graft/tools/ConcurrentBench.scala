@@ -1,6 +1,5 @@
 package graft.tools
 
-import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.SparkEntry
 
@@ -49,28 +48,14 @@ import graft.SparkEntry
   */
 object ConcurrentBench {
 
-  // q_remove_dup_spans' count() lets Catalyst skip the rewrite work
-  // being measured — force the computed column (same map as Bench)
-  private val forced: Map[String, DataFrame => DataFrame] =
-    Map("q_remove_dup_spans" -> (df => df.filter(
-      org.apache.spark.sql.functions.length(
-        org.apache.spark.sql.functions.col("text_clean")) >= 0)))
-
   private def run(all: Map[String, (SparkSession, String) => DataFrame],
                   spark: SparkSession, sfDir: String,
                   name: String): Option[String] =
-    try { forced.getOrElse(name, identity[DataFrame] _)
+    try { graft.Bench.forced.getOrElse(name, identity[DataFrame] _)
       .apply(all(name)(spark, sfDir)).count(); None }
     catch { case e: Throwable =>
       System.err.println(s"[cbench] $name FAILED: $e")
       Some(e.getClass.getSimpleName) }
-
-  private def median(xs: Seq[Double]): Double = {
-    val s = xs.sorted
-    if (s.isEmpty) -1.0
-    else if (s.size % 2 == 1) s(s.size / 2)
-    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-  }
 
   /** Nearest-rank p95 (with 4 samples this is the max — stated in the
     * COVERAGE row rather than pretending at precision). */
@@ -101,12 +86,16 @@ object ConcurrentBench {
       .map(_.split(",").toSeq.filter(_.nonEmpty))
       .getOrElse(SparkEntry.benchQueries)
 
-    // warm exactly like Bench: two untimed passes so C2 finishes on the
+    // warm exactly like Bench: two untimed passes with a per-query
+    // clearCache (caches stay cold, JIT warms) so C2 finishes on the
     // sub-second tier and both phases measure steady state
-    (1 to 2).foreach { _ => names.foreach(run(all, spark, sfDir, _)) }
-    spark.catalog.clearCache()
+    (1 to 2).foreach { _ =>
+      names.foreach { n => run(all, spark, sfDir, n); spark.catalog.clearCache() }
+    }
 
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val failedQueries =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
     // ---- serial phase: nThreads passes back-to-back, one thread ----
     val serial = collection.mutable.Map.empty[String, List[Double]]
@@ -115,7 +104,9 @@ object ConcurrentBench {
     (1 to nThreads).foreach { _ =>
       names.foreach { name =>
         val t0 = System.nanoTime()
-        run(all, spark, sfDir, name).foreach(e => errs.add(s"serial/$name:$e"))
+        run(all, spark, sfDir, name).foreach { e =>
+          errs.add(s"serial/$name:$e"); failedQueries.add(name)
+        }
         serial(name) = (System.nanoTime() - t0) / 1e9 :: serial(name)
       }
     }
@@ -124,37 +115,51 @@ object ConcurrentBench {
 
     // ---- concurrent phase: nThreads threads, one rotated pass each ----
     val conc = new java.util.concurrent.ConcurrentHashMap[String, List[Double]]()
-    val started = new AtomicInteger(0)
-    val c0 = System.nanoTime()
+    // start barrier: concurrent_wall must time nThreads TRULY
+    // overlapping streams, not a stagger where the first-spawned thread
+    // gets a head start while its siblings are still being constructed
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val c0 = new java.util.concurrent.atomic.AtomicLong(0L)
     val threads = (0 until nThreads).map { i =>
       val t = new Thread(() => {
         // each client stream gets its own FAIR pool (local property is
         // inherited by all jobs this thread submits)
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"client$i")
-        started.incrementAndGet()
+        gate.await()
         val rotated = {
           val off = i * names.size / nThreads
           names.drop(off) ++ names.take(off)
         }
         rotated.foreach { name =>
           val t0 = System.nanoTime()
-          run(all, spark, sfDir, name).foreach(e => errs.add(s"conc$i/$name:$e"))
+          run(all, spark, sfDir, name).foreach { e =>
+            errs.add(s"conc$i/$name:$e"); failedQueries.add(name)
+          }
           val sec = (System.nanoTime() - t0) / 1e9
           conc.merge(name, List(sec), (a, b) => b ::: a)
         }
       }, s"cbench-client-$i")
       t.start(); t
     }
+    c0.set(System.nanoTime())
+    gate.countDown()
     threads.foreach(_.join())
-    val concWall = (System.nanoTime() - c0) / 1e9
+    val concWall = (System.nanoTime() - c0.get()) / 1e9
 
     def r3(d: Double) = math.rint(d * 1000) / 1000
+    // Bench's rule, kept here: a query that crashed in ANY pass of
+    // EITHER phase must not read as a fast success — its row is pinned
+    // to -1 everywhere (time-to-exception is not a timing)
     val perQuery = names.map { n =>
-      val sm = median(serial(n))
-      val cs = Option(conc.get(n)).getOrElse(Nil)
-      val cm = median(cs)
-      val cp = p95(cs)
-      s""""$n":{"serial_med":${r3(sm)},"conc_med":${r3(cm)},"conc_p95":${r3(cp)},"p95_ratio":${r3(cp / math.max(sm, 1e-9))}}"""
+      if (failedQueries.contains(n))
+        s""""$n":{"serial_med":-1,"conc_med":-1,"conc_p95":-1,"p95_ratio":-1}"""
+      else {
+        val sm = graft.Bench.median(serial(n))
+        val cs = Option(conc.get(n)).getOrElse(Nil)
+        val cm = graft.Bench.median(cs)
+        val cp = p95(cs)
+        s""""$n":{"serial_med":${r3(sm)},"conc_med":${r3(cm)},"conc_p95":${r3(cp)},"p95_ratio":${r3(cp / math.max(sm, 1e-9))}}"""
+      }
     }.mkString("{", ",", "}")
     println(s"""{"mode":"concurrent_bench","threads":$nThreads,"n_queries":${names.size},"sf":"$sfDir","serial_wall":${r3(serialWall)},"concurrent_wall":${r3(concWall)},"speedup":${r3(serialWall / concWall)},"errors":${errs.size},"per_query":$perQuery}""")
     spark.stop()

@@ -703,6 +703,22 @@ class PipelineSpec extends SparkSpec {
       IncrementalDedup.ingest(narrow, docs)
     }
     assert(exMin.getMessage.contains("minhash_bandkeys_p31"))
+    // an ABORTED first ingest (marker written, no keys committed yet)
+    // must refuse a foreign scheme too: if 47-bit claimed this dir
+    // because "keys is empty", the wide pipeline's RESUME would find its
+    // own marker present and silently share the mismatched keys table —
+    // the foreign-marker check cannot depend on committed keys
+    val aborted = java.nio.file.Files.createTempDirectory("inc_abort").toString
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$aborted/_format"))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$aborted/_format/simhash94_bandkeys"))
+    val exAbort = intercept[IllegalStateException] {
+      IncrementalDedup.ingestSimhash(aborted, docs)
+    }
+    assert(exAbort.getMessage.contains("simhash94_bandkeys"))
+    // while the aborted dir's OWN scheme resumes cleanly
+    IncrementalDedup.ingestSimhashWide(aborted, docs).count()
   }
 
   test("IncrementalDedup.ingestSimhash: batched ingest equals batch simhash candidates") {

@@ -694,10 +694,12 @@ class StreamingSpec extends SparkSpec {
       // changelog checkpointing really engaged: per-commit .changelog
       // files exist under the state dir (full-snapshot mode writes
       // only .zip snapshots)
-      val changelogs = java.nio.file.Files.walk(
-          java.nio.file.Paths.get(ckpt, "state"))
-        .filter(_.getFileName.toString.endsWith(".changelog"))
-        .count()
+      // Files.walk holds directory handles until closed — Using, not a
+      // bare count(), so the suite doesn't leak fds per run
+      val changelogs = scala.util.Using.resource(java.nio.file.Files.walk(
+          java.nio.file.Paths.get(ckpt, "state"))) {
+        _.filter(_.getFileName.toString.endsWith(".changelog")).count()
+      }
       assert(changelogs > 0, "no .changelog files — changelog mode was off")
       val q2 = start()
       try {
