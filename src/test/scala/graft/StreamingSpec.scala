@@ -1263,4 +1263,92 @@ class StreamingSpec extends SparkSpec {
       assert(got(0).getAs[String]("resolver_ip") == "8.8.8.8")
     } finally q.stop()
   }
+
+  test("four concurrent streaming queries share one session without state cross-talk") {
+    // the streaming face of the concurrent-session posture
+    // (tools/ConcurrentBench covers batch): a production engine runs
+    // MANY streaming queries against one SparkSession — keyed-state
+    // dedup, keyed-state profiles, and watermark dedup all at once,
+    // sharing the state-store infrastructure, the listener bus, and
+    // the shuffle config. Each query below reuses an expectation its
+    // single-query spec already pins; data is fed in interleaved
+    // rounds and the micro-batches are driven from four PARALLEL
+    // threads, so the assertion is isolation under true concurrency,
+    // not just four queries that happened to take turns.
+    implicit val sqlCtx = spark.sqlContext
+    val memDedup = MemoryStream[ReportDedup.Observation]
+    val memScan = MemoryStream[Fx]
+    val memDdos = MemoryStream[Fx]
+    val memDocs = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val qDedup = ReportDedup(memDedup.toDS(), reportIntervalMs = 60000L)
+      .writeStream.format("memory").queryName("cc_dedup")
+      .outputMode(OutputMode.Append()).start()
+    val qScan = StreamingAnalytics.portScanReports(
+        memScan.toDF(), reportIntervalMs = 60000L)
+      .writeStream.format("memory").queryName("cc_scan")
+      .outputMode(OutputMode.Append()).start()
+    val qDdos = StreamingAnalytics.ddosKeyedState(
+        FlowSource.withEventTime(memDdos.toDF()),
+        dstPattern = "192\\.168\\..*", ratioIncrease = 5.0,
+        minPackets = 100L)
+      .toDF().writeStream.format("memory").queryName("cc_ddos")
+      .outputMode(OutputMode.Append()).start()
+    val qDocs = graft.pipeline.TextPipeline.dedupStreaming(
+        memDocs.toDF().toDF("doc_id", "text", "event_time"))
+      .writeStream.format("memory").queryName("cc_docs")
+      .outputMode(OutputMode.Append()).start()
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    try {
+      // round 1, interleaved feeds across all four sources
+      memDedup.addData(ReportDedup.Observation("a|b|22", 1000L, 5L),
+        ReportDedup.Observation("a|b|22", 2000L, 3L))
+      memScan.addData((1 to 3).map(i => Fx(flow_id = i,
+        src_ip4 = "10.9.0.1", dst_ip = s"192.0.2.$i", dst_port = 22,
+        tcp_flags = 2L, start_ms = i * 1000L)): _*)
+      memDdos.addData((0 until 10).map(i =>
+        Fx(flow_id = i, src_ip4 = s"10.1.0.$i", dst_ip = "192.168.1.1",
+          packets = 10)): _*)
+      memDocs.addData((1L, "alpha", ts(10)), (2L, "beta", ts(11)),
+        (3L, "alpha", ts(12)))
+      val queries = Seq(qDedup, qScan, qDdos, qDocs)
+      def driveAll(): Unit = {
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+        val threads = queries.map { q =>
+          val t = new Thread(() =>
+            try q.processAllAvailable()
+            catch { case e: Throwable => errs.add(e) })
+          t.start(); t
+        }
+        threads.foreach(_.join())
+        assert(errs.isEmpty, errs)
+      }
+      driveAll()
+      // round 2: advance each query's state machine
+      memDedup.addData(ReportDedup.Observation("a|b|22", 70000L, 7L))
+      memScan.addData(Fx(flow_id = 5, src_ip4 = "10.9.0.1",
+        dst_ip = "192.0.2.9", dst_port = 22, tcp_flags = 2L,
+        start_ms = 70000L))
+      memDdos.addData((0 until 5).map(i =>
+        Fx(flow_id = 100 + i, src_ip4 = s"10.2.0.$i",
+          dst_ip = "192.168.1.1", packets = 1000)): _*)
+      memDocs.addData((4L, "alpha", ts(20)), (5L, "gamma", ts(21)))
+      driveAll()
+      // every query's output equals its single-query spec expectation
+      val dedupRows = spark.table("cc_dedup").as[ReportDedup.Report]
+        .collect().sortBy(_.ts)
+      assert(dedupRows.length == 2 &&
+        dedupRows(1).flows_total == 15L &&
+        dedupRows(1).flows_increment == 10L)
+      val horiz = spark.table("cc_scan").as[ReportDedup.Report]
+        .collect().filter(_.key == "horizontal|10.9.0.1|22").sortBy(_.ts)
+      assert(horiz.length == 2 && horiz(1).flows_total == 4L)
+      val ddosRows = spark.table("cc_ddos").collect()
+      assert(ddosRows.length == 1 &&
+        ddosRows.head.getAs[Long]("packets") == 5000L &&
+        ddosRows.head.getAs[Double]("long_ratio") == 10.0d)
+      val docIds = spark.table("cc_docs").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(docIds == Set(1L, 2L, 5L), docIds)
+    } finally Seq(qDedup, qScan, qDdos, qDocs).foreach(_.stop())
+  }
 }
