@@ -994,7 +994,11 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_id")),
 
     "q_dedup_cluster" -> ((s, dir) =>
-      Curation.clusterComponents(Tables.documents(s, dir)).orderBy("doc_id")),
+      // star = false: this row TRACKS plain min-label propagation next
+      // to the star-contraction twin below (the production default
+      // since r16 — see clusterComponents' skew measurement)
+      Curation.clusterComponents(Tables.documents(s, dir), star = false)
+        .orderBy("doc_id")),
 
     // same components via O(log²)-round large-star/small-star instead of
     // O(diameter) label propagation — identical result, chain-proof rounds

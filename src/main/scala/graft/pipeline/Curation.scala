@@ -518,9 +518,20 @@ object Curation {
     * ([[TextPipeline.minhashBucketStarEdges]]). The component map holds
     * only docs with ≥1 same-bucket neighbor — usually a small fraction,
     * but on a duplicate-heavy corpus it can approach corpus size, so the
-    * join strategy is left to AQE rather than a forced broadcast. */
+    * join strategy is left to AQE rather than a forced broadcast.
+    *
+    * `star = true` (the DEFAULT since r16) runs star-contraction CC
+    * (O(log²) rounds) instead of plain min-label propagation
+    * (O(diameter) rounds). Components are identical; the difference is
+    * skew behavior, measured on the 1M adversarial-skew smoke: with a
+    * 100k-member mega duplicate class, label propagation concentrates
+    * the hub's neighborhood in single tasks (skew wall 3.54× benign,
+    * max task 6.37×) while star contraction's alternating
+    * large/small-star rounds rebalance every round (0.78×, flat).
+    * `star = false` keeps the propagation form for A/B tracking
+    * (q_dedup_cluster vs q_dedup_cluster_star in the bench). */
   def clusterComponents(docs: DataFrame, n: Int = 3, k: Int = 16,
-                        bands: Int = 4, star: Boolean = false,
+                        bands: Int = 4, star: Boolean = true,
                         pairEdges: Boolean = false): DataFrame = {
     // default: bucket-star edges — connectivity-identical to the
     // all-pairs candidate graph (see minhashBucketStarEdges) at d-1
@@ -561,7 +572,7 @@ object Curation {
     * score. */
   def clusterDedupBest(docs: DataFrame, score: org.apache.spark.sql.Column,
                        n: Int = 3, k: Int = 16, bands: Int = 4,
-                       star: Boolean = false): DataFrame =
+                       star: Boolean = true): DataFrame =
     bestByComponent(clusterComponents(docs, n, k, bands, star), docs, score)
 
   /** Max-`score` member (ties → min id) of every component — the shared
@@ -731,7 +742,7 @@ object Curation {
              ratesPpm: Map[String, Long] = Map.empty,
              defaultPpm: Long = 1000000L,
              chunkSize: Int = 64, stride: Int = 48,
-             star: Boolean = false,
+             star: Boolean = true,
              keepBest: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     // keptIds is referenced from TWO branches (the dedup subtree and the
     // final re-join); persisting the id column makes the repetition
