@@ -529,7 +529,8 @@ object Curation {
     * max task 6.37×) while star contraction's alternating
     * large/small-star rounds rebalance every round (0.78×, flat).
     * `star = false` keeps the propagation form for A/B tracking
-    * (q_dedup_cluster vs q_dedup_cluster_star in the bench). */
+    * (q_dedup_cluster_labelprop vs the default q_dedup_cluster in the
+    * bench). */
   def clusterComponents(docs: DataFrame, n: Int = 3, k: Int = 16,
                         bands: Int = 4, star: Boolean = true,
                         pairEdges: Boolean = false): DataFrame = {

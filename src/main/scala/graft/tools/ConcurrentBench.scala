@@ -53,7 +53,10 @@ object ConcurrentBench {
                   name: String): Option[String] =
     try { graft.Bench.forced.getOrElse(name, identity[DataFrame] _)
       .apply(all(name)(spark, sfDir)).count(); None }
-    catch { case e: Throwable =>
+    // NonFatal, deliberately: a VM-fatal error (executor-side OOM) in a
+    // CONTENTION probe must crash the probe, not be recorded as a query
+    // error and then have the remaining phases measure a degraded JVM
+    catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[cbench] $name FAILED: $e")
       Some(e.getClass.getSimpleName) }
 
@@ -82,20 +85,34 @@ object ConcurrentBench {
     graft.core.Graft.tune(spark)
 
     val all = SparkEntry.queries
+    // default rotation = the official headline set PLUS the heavy
+    // tier's production faces (the smoke-measured df cap and the
+    // bucketed-ingest hybrid): the serving-posture record must cover
+    // what a shared engine actually runs, not only the trend-line set
     val names = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").toSeq.filter(_.nonEmpty))
-      .getOrElse(SparkEntry.benchQueries)
-
-    // warm exactly like Bench: two untimed passes with a per-query
-    // clearCache (caches stay cold, JIT warms) so C2 finishes on the
-    // sub-second tier and both phases measure steady state
-    (1 to 2).foreach { _ =>
-      names.foreach { n => run(all, spark, sfDir, n); spark.catalog.clearCache() }
-    }
+      .getOrElse((SparkEntry.benchQueries ++
+        Seq("q_edit_distance_capped", "q_hybrid_dedup_bucketed")).distinct)
 
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val failedQueries =
       java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+    // warm exactly like Bench: two untimed passes with a per-query
+    // clearCache (caches stay cold, JIT warms) so C2 finishes on the
+    // sub-second tier and both phases measure steady state. A warm-up
+    // failure is a FAILURE of the record, not a footnote: it pins the
+    // query's row to -1 and fails the exit code like a phase error
+    // (an unwarmed query's phase timings would measure a half-compiled
+    // JIT, not the query).
+    (1 to 2).zipWithIndex.foreach { case (_, w) =>
+      names.foreach { n =>
+        run(all, spark, sfDir, n).foreach { e =>
+          errs.add(s"warmup$w/$n:$e"); failedQueries.add(n)
+        }
+        spark.catalog.clearCache()
+      }
+    }
 
     // ---- serial phase: nThreads passes back-to-back, one thread ----
     val serial = collection.mutable.Map.empty[String, List[Double]]

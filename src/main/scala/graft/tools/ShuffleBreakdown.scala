@@ -80,8 +80,26 @@ object ShuffleBreakdown {
       val t0 = System.nanoTime()
       val rows = df.count()
       val sec = (System.nanoTime() - t0) / 1e9
+      // quiesce-until-stable instead of a fixed sleep (ScaleSmoke's
+      // settle() pattern): stage-completed rows ride the ASYNC listener
+      // bus, and under load a slow bus can take >300 ms — a fixed sleep
+      // would silently drop a query's final-stage wall/exec/gc rows.
+      // Settle BEFORE removing the listener (removal drops the queue),
+      // bounded so a zombie-event trickle can't hang the breakdown.
+      locally {
+        val deadline = System.nanoTime() + 30L * 1000000000L
+        var last = stages.synchronized(stages.size)
+        var quiet = 0
+        while (quiet < 2 && System.nanoTime() <= deadline) {
+          Thread.sleep(100)
+          val now = stages.synchronized(stages.size)
+          if (now == last) quiet += 1 else { quiet = 0; last = now }
+        }
+        if (quiet < 2)
+          System.err.println("[breakdown] WARNING: listener bus still " +
+            "receiving stage rows after 30 s — table may be incomplete")
+      }
       spark.sparkContext.removeSparkListener(listener)
-      Thread.sleep(300) // listener bus drain
       println(f"===== $name @ $n docs: $rows rows, $sec%.2f s")
       val snap = stages.synchronized(stages.toSeq)
       snap.filter(s => s._3 > 0 || s._6 > 1.0).sortBy(-_._6).foreach {
