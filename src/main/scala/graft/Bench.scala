@@ -21,6 +21,55 @@ object Bench {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
+  // DCE sink for the calibration kernel (a JIT that proves the result
+  // unused would compile the spin away and the row would time nothing)
+  @volatile private var calibSink = 0L
+
+  /** Fixed single-core weather kernel: ~120 M integer multiply-adds +
+    * 256 MB of memcpy, single-threaded, no allocation inside the timed
+    * window. The work is CONSTANT across rounds, so its wall is a pure
+    * function of the box: CPU throttle, thermal state, noisy neighbors.
+    * Carried in every bench record (`calib_sec` before the timed
+    * passes, `calib_end_sec` after) so a round-over-round ratio shift
+    * is attributable INSIDE the artifact — BENCH_r16 regressed
+    * 0.311×→0.40× on sandbox CPU throttle and the attribution lived in
+    * prose; with this row the driver can weather-normalize mechanically
+    * (healthy-box reference: ~0.25–0.35 s). */
+  private[graft] def calibrate(): Double = {
+    val a = new Array[Long](8 << 20) // 64 MiB
+    var i = 0
+    while (i < a.length) { a(i) = i * 0x9E3779B97F4A7C15L; i += 1 }
+    val b = new Array[Long](a.length)
+    def pass(): Double = {
+      val t0 = System.nanoTime()
+      var acc = 0L
+      var r = 0
+      while (r < 4) {
+        System.arraycopy(a, 0, b, 0, a.length)
+        var x = 0x243F6A8885A308D3L
+        var j = 0
+        while (j < 30000000) {
+          x = x * 6364136223846793005L + 1442695040888963407L; j += 1
+        }
+        acc ^= x + b(((x & 0x7FFFFF) % a.length).toInt)
+        r += 1
+      }
+      calibSink ^= acc
+      (System.nanoTime() - t0) / 1e9
+    }
+    pass() // JIT warm, untimed
+    median((1 to 3).map(_ => pass()))
+  }
+
+  /** Cumulative JVM GC wall (ms) across all collectors — local-mode
+    * executors share the driver JVM, so a delta over a timed window is
+    * exactly that query's GC debt. */
+  private def gcTotalMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(m => math.max(0L, m.getCollectionTime)).sum
+  }
+
   /** JSON string-escape for text interpolated into the contract line
     * (exception messages, paths): an unescaped quote, backslash, or
     * newline in an error string yields an unparseable line — the exact
@@ -61,7 +110,9 @@ object Bench {
       results: Seq[(String, Double, Double, Option[String])],
       duck: Option[Map[String, Double]],
       warm: Boolean, timedPasses: Int, sfDir: String,
-      detailPath: String = "BENCH_DETAIL.json"): (String, String) = {
+      detailPath: String = "BENCH_DETAIL.json",
+      gc: Map[String, Double] = Map.empty,
+      calib: Option[(Double, Double)] = None): (String, String) = {
     def r3(x: Double): String = {
       val v = math.round(x * 1000.0) / 1000.0
       if (v == v.toLong) v.toLong + ".0" else v.toString
@@ -86,9 +137,19 @@ object Bench {
       s""","duck_total":${r3(dSum)},"ratio_total":${
         if (dSum > 0) r3(sSum / dSum) else "null"}"""
     }.getOrElse("")
+    // weather instruments: the fixed single-core kernel's wall before/
+    // after the timed passes, and total GC seconds inside the timed
+    // windows — in the CONTRACT line (scalars only; ~70 chars) so the
+    // driver can weather-normalize a ratio shift without the detail file
+    val weather = calib.map { case (pre, post) =>
+      s""","calib_sec":${r3(pre)},"calib_end_sec":${r3(post)}"""
+    }.getOrElse("") + (
+      if (gc.isEmpty) ""
+      else s""","gc_total_sec":${r3(results.collect {
+        case (k, _, _, None) => gc.getOrElse(k, 0.0) }.sum)}""")
     val protocol =
       s""""errors":$errors,"warmup":$warm,"warmup_passes":${
-        if (warm) 2 else 0},"timed_passes":$timedPasses"""
+        if (warm) 2 else 0},"timed_passes":$timedPasses$weather"""
     // empty detailPath = "the detail file was NOT written" (write failed
     // or skipped): the pointer must then read null, not a stale path
     val detailField =
@@ -106,8 +167,17 @@ object Bench {
       }.mkString("{", ",", "}")
       s""","duck":$ds,"ratio":$rs"""
     }.getOrElse("")
+    // per-query GC seconds (median over timed passes) live in the
+    // detail shape: a query whose wall regressed with flat gc_sec is a
+    // plan problem; regressed wall + regressed gc is heap weather
+    val gcDetail =
+      if (gc.isEmpty) ""
+      else results.map { case (k, _, _, err) =>
+        "\"" + k + "\":" + (if (err.isEmpty) r3(gc.getOrElse(k, 0.0))
+                            else "-1.0")
+      }.mkString(""","queries_gc":{""", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,$protocol$duckDetail$duckSummary,"sf":"${jsonEscape(sfDir)}"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin$gcDetail,$protocol$duckDetail$duckSummary,"sf":"${jsonEscape(sfDir)}"}"""
     (compact, detail)
   }
 
@@ -170,7 +240,7 @@ object Bench {
     // persisted frames; the GC lets ContextCleaner reclaim checkpoint
     // blocks and broadcasts, and the pause gives its async thread a
     // beat to run. The pause sits outside the timed window.
-    def timedPass(): Seq[(String, Double, Option[String])] = names.map { name =>
+    def timedPass(): Seq[(String, Double, Double, Option[String])] = names.map { name =>
       spark.catalog.clearCache() // each query pays for only its own caches
       System.gc()
       Thread.sleep(300)
@@ -181,9 +251,11 @@ object Bench {
       // charging the first post-GC job a JVM re-warm penalty
       // (measured: ±0.6 s swings on back-to-back identical queries)
       spark.range(1000000L).selectExpr("sum(id)").collect()
+      val g0 = gcTotalMs()
       val t0 = System.nanoTime()
       val err = run(name)
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, sec, (gcTotalMs() - g0) / 1e3, err)
     }
     // TWO timed passes (SPARK_GRAFT_TIMED_PASSES overrides): the record
     // then carries per-query median (the headline) AND min, so a future
@@ -192,14 +264,23 @@ object Bench {
     // queries was previously reconstructable only from prose.
     val timedPasses = sys.env.get("SPARK_GRAFT_TIMED_PASSES")
       .map(_.toInt).filter(_ > 0).getOrElse(2)
+    // weather instrument 1: fixed single-core kernel before and after
+    // the timed block — its drift IS the box's drift (see calibrate)
+    val calibPre = calibrate()
     val allPasses = (1 to timedPasses).map(_ => timedPass())
+    val calibPost = calibrate()
     // a query that crashed in ANY pass must not read as a fast success:
     // its timing is -1 and it is listed under "errors"
     val results = names.map { name =>
       val samples = allPasses.map(_.find(_._1 == name).get)
-      val err = samples.flatMap(_._3).headOption
+      val err = samples.flatMap(_._4).headOption
       (name, median(samples.map(_._2)), samples.map(_._2).min, err)
     }
+    // weather instrument 2: per-query GC seconds inside the timed
+    // window (median over passes), same aggregation as the wall
+    val gcByQuery = names.map { name =>
+      name -> median(allPasses.map(_.find(_._1 == name).get._3))
+    }.toMap
     // Run the SAME oracle SQL through the single-node DuckDB comparator
     // (scripts/duck_bench.py) and emit per-query comparator seconds +
     // spark/duck ratios, so the 2×-of-comparator bar is machine-checked
@@ -231,7 +312,8 @@ object Bench {
     // per-query best and the per-query duck/ratio maps
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
     val (_, detail) =
-      renderLines(results, duck, warm, timedPasses, sfDir, detailPath)
+      renderLines(results, duck, warm, timedPasses, sfDir, detailPath,
+        gcByQuery, Some((calibPre, calibPost)))
     // the contract line's detail field names whichever path was ACTUALLY
     // written: a failed write re-renders with detail:null so the driver
     // is never pointed at a stale or absent file
@@ -245,7 +327,7 @@ object Bench {
         false
       }
     val (compact, _) = renderLines(results, duck, warm, timedPasses, sfDir,
-      if (written) detailPath else "")
+      if (written) detailPath else "", gcByQuery, Some((calibPre, calibPost)))
     if (compact.length > 1800)
       System.err.println(s"[bench] WARNING: contract line ${compact.length}" +
         " chars — approaching the driver's 2000-char tail window")

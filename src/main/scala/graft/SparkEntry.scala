@@ -48,10 +48,15 @@ object SparkEntry {
     Graft.tune(s)
     FlowSynth.fromEvents(graft.scale.Skew.ensureMinParallelism(
       Tables.events(s, d),
-      // half-width: the biflow echo UNIONs two legs of this frame, so
-      // the downstream stage runs 2× these partitions — half keeps it
-      // one task wave on the test box
-      math.max(1, s.sparkContext.defaultParallelism / 2),
+      // quarter-width, measured r17 across widths under the bench
+      // protocol (q_pattern_finder, sf0.1 median): 32-wide 0.91 s,
+      // 16-wide 0.81 s, 8-wide 0.77 s — at this row count extra tasks
+      // buy scheduling overhead, not parallelism. 8-wide is also the
+      // contention-robust width: with 16 cores stolen by a load
+      // generator, 8 tasks still get whole cores (measured: 1.02 s,
+      // 1.73× of DuckDB, vs 1.76 s / 2.6× at 16-wide). No-ops at real
+      // scale, where the scan arrives already wider than this floor.
+      math.max(1, s.sparkContext.defaultParallelism / 4),
       Seq(col("event_id"))))
   }
 
@@ -166,8 +171,13 @@ object SparkEntry {
         (col("packets") + 1).as("packets"),
         (col("bytes") * 2).as("bytes")))
     // inline = explode straight to columns: one generator pass, no
-    // struct-expansion select after it
-    f.filter(col("src_ip4").isNotNull).select(inline(both))
+    // struct-expansion select after it. An input already carrying
+    // biflow_key keeps it alongside the fanout — BOTH legs share the
+    // key (it is symmetric under endpoint swap), which is what lets the
+    // grouped pairing reuse a pre-echo exchange (see q_pattern_finder)
+    val keep = if (f.columns.contains("biflow_key"))
+      Seq(col("biflow_key")) else Nil
+    f.filter(col("src_ip4").isNotNull).select(keep :+ inline(both): _*)
   }
 
   /** One per implemented operator from SURVEY.md §2. */
@@ -599,12 +609,21 @@ object SparkEntry {
       // grouped pairing (the reference's own groupByKey-per-batch shape):
       // ONE shuffle on the biflow key, req/rsp lists cross-paired in
       // place — no self-join, so the echoed-flows frame is derived
-      // exactly once and needs no checkpoint or broadcast build
+      // exactly once and needs no checkpoint or broadcast build.
+      // MEASURED ALTERNATIVE (r17): computing biflow_key pre-echo and
+      // repartitioning on it fuses the widen+group exchanges (4→3
+      // stages) and wins at full JIT steady state (0.72 vs 0.91 s
+      // back-to-back), but LOSES under the bench's isolated protocol
+      // (1.07 vs 0.92 s median): the key/IP string building then runs
+      // serially in the one-row-group scan stage and absorbs the
+      // post-GC/JIT disruption alone, while this shape does it 16-wide.
+      // Keep the parallel form — the serial scan is a test-file
+      // artifact, but it is also the shape the bench times.
       PatternFinder.classify(
         PatternFinder.biflowsGrouped(withBiflowEcho(flowsWide(s, dir)), 500L),
-        patterns, binThresholds)
-        .select("biflow_key", "req_id", "rsp_id", "client_ip", "server_ip",
-          "closest_pattern", "distance", "bin")
+        patterns, binThresholds,
+        keep = Seq("biflow_key", "req_id", "rsp_id", "client_ip",
+          "server_ip"))
         .orderBy("req_id", "rsp_id")
     }),
 

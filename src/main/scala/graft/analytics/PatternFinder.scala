@@ -59,6 +59,17 @@ object PatternFinder {
     items.map(itemExpr).reduceOption(_ && _).getOrElse(lit(true))
 
   // ----- J5: biflow self-join ------------------------------------------
+
+  /** Canonical biflow key of ONE flow's endpoints: sorted "port:ip"
+    * strings joined by "|" (pattern_finder.py:158). Symmetric under
+    * endpoint swap, so a request and its echoed/observed response map to
+    * the SAME key — callers may compute it BEFORE a response-echo fanout
+    * and repartition on it once ([[biflowsGrouped]] then reuses that
+    * exchange for its groupBy instead of shuffling a second time). */
+  def biflowKey: Column = concat_ws("|", sort_array(array(
+    concat_ws(":", col("src_port"), col("src_ip4")),
+    concat_ws(":", col("dst_port"), col("dst_ip")))))
+
   /** Pair request/response flows of one biflow: canonical key = sorted
     * endpoint strings ("port:ip", pattern_finder.py:158,168); the request
     * is the flow with the higher src_port (ephemeral → service); pairs
@@ -127,14 +138,21 @@ object PatternFinder {
     val key = sort_array(array(
       concat_ws(":", col("src_port"), col("src_ip4")),
       concat_ws(":", col("dst_port"), col("dst_ip"))))
+    // an input that ALREADY carries biflow_key (e.g. keyed upstream and
+    // repartitioned on it, so the groupBy below reuses that exchange —
+    // see SparkEntry's q_pattern_finder) keeps its attribute: recomputing
+    // would mint a new exprId and force a second, redundant shuffle
+    val hasKey = flows.columns.contains("biflow_key")
     // fused: one filter + one select (each Dataset op is an analyzer
     // pass; chained withColumns cost driver latency on sub-second plans)
     val withVec = flows
       .filter(col("src_ip4").isNotNull && col("src_port").isNotNull &&
         col("dst_port").isNotNull)
-      .select(col("*") +: (concat_ws("|", key).as("biflow_key") +:
-        (if (vector.isEmpty) Nil
-         else Seq(array(vector.map(_.cast("double")): _*).as("_vec")))): _*)
+      .select(col("*") +:
+        ((if (hasKey) Nil
+          else Seq(concat_ws("|", key).as("biflow_key"))) ++
+         (if (vector.isEmpty) Nil
+          else Seq(array(vector.map(_.cast("double")): _*).as("_vec")))): _*)
     val vecReq = if (vector.isEmpty) Nil else Seq(col("_vec").as("req_vec"))
     val vecRsp = if (vector.isEmpty) Nil else Seq(col("_vec").as("rsp_vec"))
     val isReq = col("src_port") > col("dst_port")
@@ -161,9 +179,15 @@ object PatternFinder {
         collect_list(when(!isReq, rspS)).as("__rsps"))
       .select(col("biflow_key"), explode(col("__reqs")).as("__rq"),
         col("__rsps"))
-      .select(col("biflow_key"), col("__rq"), explode(col("__rsps")).as("__rs"))
-      .filter(abs(col("__rq.req_start_ms") - col("__rs.rsp_start_ms")) <=
-        toleranceMs)
+      // tolerance filter FUSED into the response explode's lambda: the
+      // generator never materializes out-of-window pairs (they were
+      // previously produced and then filtered), and one Dataset op
+      // replaces two (each op is a full analyzer pass — driver latency
+      // on sub-second plans)
+      .select(col("biflow_key"), col("__rq"),
+        explode(filter(col("__rsps"), rs =>
+          abs(col("__rq.req_start_ms") - rs.getField("rsp_start_ms")) <=
+            toleranceMs)).as("__rs"))
       .select(col("biflow_key") +:
         (reqCols.map(c => col(s"__rq.$c").as(c)) ++
           rspCols.map(c => col(s"__rs.$c").as(c))): _*)
@@ -341,21 +365,26 @@ object PatternFinder {
   }
 
   /** Distance of each pair to each pattern + closest pattern pick +
-    * bin distribution of the closest distance. */
+    * bin distribution of the closest distance. `keep` restricts which of
+    * the pair's own columns survive (default all): callers that would
+    * otherwise chain their projection after classify fold it in here —
+    * one analyzer pass instead of two on a sub-second plan. */
   def classify(pairs: DataFrame, patterns: Seq[Pattern],
-               thresholds: Seq[Double]): DataFrame = {
+               thresholds: Seq[Double],
+               keep: Seq[String] = Nil): DataFrame = {
     val dists = patterns.map { p =>
       struct(
         round(VectorFunctions.quadraticFormDistanceUnrolled(
           featureExprs, p.vector), 6).as("distance"),
         lit(p.name).as("pattern"))
     }
+    val kept = if (keep.isEmpty) pairs.columns.toSeq else keep
     // two fused selects, not five chained withColumns — every Dataset
     // transformation is an analyzer pass over the whole (deep) plan, and
     // on sub-second queries the chain shows up as driver latency
     pairs
       .select(col("*"), sort_array(array(dists: _*)).getItem(0).as("best"))
-      .select(pairs.columns.map(col) :+
+      .select(kept.map(col) :+
         col("best.pattern").as("closest_pattern") :+
         col("best.distance").as("distance") :+
         VectorFunctions.binIndex(col("best.distance"), thresholds).as("bin"): _*)

@@ -30,8 +30,13 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * When more than `spark.graft.capSaturation.warnFraction` (default 1%)
   * of buckets exceed the cap, a warning naming the drop fractions and
   * the wide-tier escape hatches prints to stderr and is retained for
-  * inspection ([[drainWarnings]] — spec-pinned). Streaming faces reuse
-  * the same observe node via `StreamingQueryProgress.observedMetrics`.
+  * inspection ([[drainWarnings]] — spec-pinned). Streaming faces are
+  * covered by the same listener: the foreachBatch ingest faces
+  * ([[graft.streaming.CurationStream]]) execute each micro-batch as a
+  * batch action on the same session, so the observe node fires through
+  * this listener there too (spec-pinned in CurationStreamSpec); a plan
+  * that instead carries the observation INSIDE a streaming query would
+  * read it from `StreamingQueryProgress.observedMetrics`.
   */
 object CapSaturation {
 

@@ -28,9 +28,13 @@ class BenchRenderSpec extends AnyFunSuite {
     val names = SparkEntry.benchQueries
     assert(names.nonEmpty)
     val duck = Some(names.map(n => n -> 123.456789).toMap)
+    // weather instruments ON (the production configuration) so the
+    // length bound is asserted against the line the driver actually sees
     val (compact, detail) =
       Bench.renderLines(fakeResults(names), duck, warm = true,
-        timedPasses = 2, sfDir = "/root/testdata/sf0.1")
+        timedPasses = 2, sfDir = "/root/testdata/sf0.1",
+        gc = names.map(n => n -> 12.345678).toMap,
+        calib = Some((123.456789, 123.456789)))
     // sbt appends "[success] Total time: ..." (~75 chars) inside the
     // same 2000-char window; 1800 leaves that margin plus slack
     assert(compact.length <= 1800,
@@ -49,6 +53,43 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(d.get("queries_min").size == names.size)
     assert(d.get("duck").size == names.size)
     assert(d.get("ratio").size == names.size)
+    // weather instruments: scalars in BOTH shapes, per-query gc map in
+    // the detail shape only (the contract line must stay scalar-sized)
+    assert(c.get("calib_sec").isNumber && c.get("calib_end_sec").isNumber)
+    assert(c.get("gc_total_sec").isNumber)
+    assert(c.get("queries_gc") == null)
+    assert(d.get("queries_gc").size == names.size)
+    assert(d.get("calib_sec").asDouble == 123.457)
+  }
+
+  test("weather fields: absent when not instrumented, -1 gc on failed rows") {
+    val rs = Seq(
+      ("ok_q", 1.0, 1.0, None),
+      ("bad_q", 9.9, 9.9, Some("IllegalStateException")))
+    val (plain, plainDetail) = Bench.renderLines(
+      rs, None, warm = false, timedPasses = 1, sfDir = "x")
+    assert(mapper.readTree(plain).get("calib_sec") == null)
+    assert(mapper.readTree(plain).get("gc_total_sec") == null)
+    assert(mapper.readTree(plainDetail).get("queries_gc") == null)
+    val (compact, detail) = Bench.renderLines(
+      rs, None, warm = false, timedPasses = 1, sfDir = "x",
+      gc = Map("ok_q" -> 0.25, "bad_q" -> 3.0), calib = Some((0.31, 0.29)))
+    val c = mapper.readTree(compact)
+    assert(c.get("calib_sec").asDouble == 0.31)
+    assert(c.get("calib_end_sec").asDouble == 0.29)
+    // gc_total_sec sums SUCCESSFUL rows only (a failed row's window
+    // times time-to-exception, not the query)
+    assert(c.get("gc_total_sec").asDouble == 0.25)
+    val d = mapper.readTree(detail)
+    assert(d.get("queries_gc").get("ok_q").asDouble == 0.25)
+    assert(d.get("queries_gc").get("bad_q").asDouble == -1.0)
+  }
+
+  test("calibration kernel returns a plausible single-core wall") {
+    val s = Bench.calibrate()
+    // fixed work: sub-millisecond would mean DCE'd, minutes would mean
+    // the kernel is mis-sized for a bench prologue
+    assert(s > 0.001 && s < 60.0, s"calibrate() = $s s")
   }
 
   test("detail pointer names the path actually written") {

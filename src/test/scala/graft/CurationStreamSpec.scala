@@ -310,4 +310,49 @@ class CurationStreamSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == batchPairs, "replay with pre-committed keys double-paired")
   }
+
+  test("CapSaturation streaming face: saturating streamed ingest warns, benign stays silent") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.scale.CapSaturation.drainWarnings() // isolate from other specs
+    // benign: disjoint token sets per doc, generous cap — the streamed
+    // ingest's capBuckets observation must stay SILENT (cap 100 never
+    // appears in any warning drained below)
+    val bStore = tmp("cs_sat_b_store"); val bPairs = tmp("cs_sat_b_pairs")
+    val memB = MemoryStream[(Long, String)]
+    val qB = CurationStream.minhashPairs(memB.toDF().toDF("doc_id", "text"),
+      bStore, bPairs, maxBucket = 100L)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      memB.addData((0L until 60L).map(i =>
+        (i, Seq.tabulate(8)(j => s"tok${i}x$j").mkString(" "))): _*)
+      qB.processAllAvailable()
+    } finally qB.stop()
+    // saturating: one boilerplate class floods every band bucket past a
+    // tiny cap — the 47-bit recall-collapse shape, streamed. The warning
+    // must surface THROUGH the streaming face: foreachBatch's inner
+    // ingest is a batch execution on the same session, so the
+    // QueryExecutionListener CapSaturation installed sees its observe
+    // node exactly as in the batch path.
+    val sStore = tmp("cs_sat_store"); val sPairs = tmp("cs_sat_pairs")
+    val memS = MemoryStream[(Long, String)]
+    val qS = CurationStream.minhashPairs(memS.toDF().toDF("doc_id", "text"),
+      sStore, sPairs, maxBucket = 3L)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      memS.addData((0L until 60L).map(i => (i, base)): _*)
+      qS.processAllAvailable()
+    } finally qS.stop()
+    // listener delivery is async — poll briefly
+    val deadline = System.nanoTime() + 10000L * 1000000L
+    var warnings = Seq.empty[String]
+    while (warnings.isEmpty && System.nanoTime() < deadline) {
+      warnings = graft.scale.CapSaturation.drainWarnings()
+      if (warnings.isEmpty) Thread.sleep(50)
+    }
+    assert(warnings.nonEmpty, "saturating streamed ingest fired no warning")
+    // every drained warning names the SATURATING run's cap (3) — the
+    // benign streamed run (cap 100) stayed silent
+    assert(warnings.forall(_.contains("maxBucket=3")), warnings)
+    assert(warnings.head.contains("BUCKET-SATURATION"))
+  }
 }
