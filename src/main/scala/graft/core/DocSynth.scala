@@ -60,14 +60,20 @@ object DocSynth {
   def documents(spark: SparkSession, nDocs: Long, seed: Long = 42L,
                 dupPpm: Long = 1600L, nearDupPpm: Long = 1600L,
                 nSources: Int = 20, tailPct: Int = 40,
-                tailSize: Int = 4000): DataFrame = {
+                tailSize: Int = 4000,
+                wordsMin: Int = 10, wordsMax: Int = 100): DataFrame = {
+    require(wordsMin >= 3 && wordsMax >= wordsMin, "wordsMin >= 3 <= wordsMax")
     val id = col("id")
     val gate = pmod(h(lit(seed), lit("kind"), id), lit(1000000L))
     val isDup = id > 0 && gate < dupPpm
     val isNear = id > 0 && !isDup && gate < dupPpm + nearDupPpm
     // text content derives from `src`: the previous id for (near-)dups
     val src = when(isDup || isNear, id - 1).otherwise(id)
-    val nWords = (lit(10) + pmod(h(lit(seed), lit("len"), src), lit(91))).cast("int")
+    // long-form knob (wordsMin/wordsMax): defaults reproduce the
+    // historical 10–100-word short-form corpus byte-for-byte; the
+    // long-document smokes raise it to production text lengths (~20 KB)
+    val nWords = (lit(wordsMin) + pmod(h(lit(seed), lit("len"), src),
+      lit((wordsMax - wordsMin + 1).toLong))).cast("int")
     val base = transform(sequence(lit(0), nWords - 1),
       i => word(h(lit(seed), src), i, 1, tailPct, tailSize))
     // near-dup: rewrite the last two words from the OWN id's hash stream

@@ -335,7 +335,9 @@ object TextPipeline {
     * both self-join sides) — same cache-lifetime contract as
     * [[nearDupJaccardCached]]. */
   def editDistancePairsCached(docs: DataFrame, maxDist: Int, n: Int = 2,
-                              maxDf: Long = 50L): graft.core.Cached[DataFrame] = {
+                              maxDf: Long = 50L,
+                              bandedConfirm: Boolean = true)
+      : graft.core.Cached[DataFrame] = {
     require(maxDist >= 0, "maxDist >= 0")
     val base = graft.scale.Skew.ensureMinParallelism(
       docs.select(col("doc_id"), col("text")),
@@ -397,10 +399,14 @@ object TextPipeline {
       // operator's dominant CPU at scale — measured at 5M docs the
       // unbounded form burned ~4,500 executor-seconds on 565k candidate
       // pairs (~8 ms/pair on ~2 KB texts); the band is ~len/maxDist×
-      // less work per pair
+      // less work per pair. `bandedConfirm = false` keeps the full
+      // matrix — value-identical, exists ONLY so the long-document
+      // smoke (graft.tools.LevBandSmoke) can measure the band's win at
+      // production text lengths against the same blocking tier.
       .withColumn("dist",
-        levenshtein(col("__ta"), col("__tb"), maxDist).cast("long"))
-      .filter(col("dist") >= 0)
+        (if (bandedConfirm) levenshtein(col("__ta"), col("__tb"), maxDist)
+         else levenshtein(col("__ta"), col("__tb"))).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select("doc_a", "doc_b", "dist")
     graft.core.Cached(result, inv)
   }

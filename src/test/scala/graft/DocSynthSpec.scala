@@ -29,6 +29,28 @@ class DocSynthSpec extends SparkSpec {
     assert(langs.subsetOf(Set("en", "zh", "es", "fr", "de")))
   }
 
+  test("documents long-form knob: defaults byte-identical, long corpus hits target lengths") {
+    // the knob must not perturb the historical short-form corpus — every
+    // committed smoke number was measured on it
+    val short = DocSynth.documents(spark, 200)
+    val explicit = DocSynth.documents(spark, 200, wordsMin = 10, wordsMax = 100)
+    assert(short.exceptAll(explicit).isEmpty && explicit.exceptAll(short).isEmpty)
+    // long form: ~20 KB documents for the production-length smokes, with
+    // the dup/near-dup structure intact (same id-hash gates)
+    val long = DocSynth.documents(spark, 200, wordsMin = 2300, wordsMax = 2600)
+    val chars = long.selectExpr("min(n_chars)", "avg(n_chars)", "max(n_chars)")
+      .first()
+    assert(chars.getLong(0) > 10000L, s"min n_chars ${chars.getLong(0)}")
+    assert(chars.getDouble(1) > 15000.0 && chars.getDouble(1) < 30000.0,
+      s"avg n_chars ${chars.getDouble(1)}")
+    // exact-dup fodder survives at long form: at 1600 ppm over 200 docs a
+    // pair is unlikely, so force the gate check structurally instead —
+    // text is a pure function of (seed, src), so doc text equality across
+    // the corpus still marks dup families; just assert determinism here
+    val long2 = DocSynth.documents(spark, 200, wordsMin = 2300, wordsMax = 2600)
+    assert(long.exceptAll(long2).isEmpty && long2.exceptAll(long).isEmpty)
+  }
+
   test("documents: dup/near-dup gates inject verbatim and high-overlap copies") {
     // high ppm so a small n still exercises both gates deterministically
     val d = DocSynth.documents(spark, 2000, dupPpm = 50000L, nearDupPpm = 50000L)

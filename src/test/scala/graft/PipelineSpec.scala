@@ -439,6 +439,12 @@ class PipelineSpec extends SparkSpec {
     assert(got == Map(
       (1L, 2L) -> 3L, (1L, 3L) -> 3L, (1L, 5L) -> 0L,
       (2L, 5L) -> 3L, (3L, 5L) -> 3L))
+    // the full-matrix confirm (bandedConfirm = false — exists only for
+    // the LevBandSmoke A/B) is value-identical: same pairs, same dists
+    val full = rowsOf(TextPipeline.editDistancePairsCached(d, maxDist = 3,
+        n = 2, maxDf = 0, bandedConfirm = false).result)
+      .map(r => (r("doc_a"), r("doc_b")) -> r("dist")).toMap
+    assert(full == got)
   }
 
   test("corpusDrift: zero for identical snapshots, positive under drift, per-source isolation") {
@@ -719,6 +725,35 @@ class PipelineSpec extends SparkSpec {
     assert(exAbort.getMessage.contains("simhash94_bandkeys"))
     // while the aborted dir's OWN scheme resumes cleanly
     IncrementalDedup.ingestSimhashWide(aborted, docs).count()
+  }
+
+  test("IncrementalDedup: hand-deleted format marker refuses resume for every scheme") {
+    import graft.pipeline.IncrementalDedup
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    // the adversarial corner the aborted-ingest fix left open: an
+    // operator deletes the marker FILE by hand (marker absent, keys
+    // committed). Committed keys without this build's marker are
+    // indistinguishable from a pre-encoding or cross-scheme store, so
+    // the store's OWN scheme must refuse too — for ALL three schemes,
+    // not just minhash
+    val cases = Seq[(String,
+        (String, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame)](
+      ("minhash_bandkeys_p31", (d, df) => IncrementalDedup.ingest(d, df)),
+      ("simhash47_bandkeys_p31", (d, df) => IncrementalDedup.ingestSimhash(d, df)),
+      ("simhash94_bandkeys", (d, df) => IncrementalDedup.ingestSimhashWide(d, df)))
+    cases.foreach { case (marker, ingest) =>
+      val dir = java.nio.file.Files.createTempDirectory("inc_nomark").toString
+      ingest(dir, docs).count() // healthy store: marker + committed keys
+      val mk = java.nio.file.Paths.get(s"$dir/_format/$marker")
+      assert(java.nio.file.Files.deleteIfExists(mk),
+        s"fixture: $marker was never written")
+      val ex = intercept[IllegalStateException] { ingest(dir, docs).count() }
+      assert(ex.getMessage.contains(marker),
+        s"$marker refusal must name the missing marker: ${ex.getMessage}")
+      assert(ex.getMessage.contains("committed band keys"),
+        s"$marker refusal must say WHY (keys without marker)")
+    }
   }
 
   test("IncrementalDedup.ingestSimhash: batched ingest equals batch simhash candidates") {
