@@ -53,7 +53,72 @@ object LevBandSmoke {
     }
   }
 
+  /** Confirm-only mode (`LevBandSmoke confirm [nPairs]`): the end-to-end
+    * run showed the df-capped blocking tier admits so few candidates at
+    * 20 KB texts (~1–2k per 500k docs) that the confirm's cost vanishes
+    * under ~20,000 exec-s of shingle scan/self-join — the per-pair
+    * scaling claim is unmeasurable there. This mode isolates it: build
+    * nPairs (half near-dup within maxDist, half unrelated — both
+    * populations the real confirm sees), evaluate the full O(len²)
+    * matrix vs the banded threshold form over the SAME pair frame, and
+    * report per-pair milliseconds and the ratio. */
+  private def confirmOnly(spark: SparkSession, nPairs: Long,
+                          wordsMin: Int, wordsMax: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val docs = DocSynth.documents(spark, nPairs * 2, wordsMin = wordsMin,
+      wordsMax = wordsMax)
+    // near pair: text vs itself with the tail clipped (distance = clip
+    // length ≤ maxDist); far pair: two unrelated docs (distance ≈ len)
+    val paired = docs.filter(col("doc_id") < nPairs)
+      .select(col("doc_id"), col("text").as("a"))
+      .join(docs.filter(col("doc_id") >= nPairs)
+        .select((col("doc_id") - nPairs).as("doc_id"), col("text").as("u")),
+        Seq("doc_id"))
+      .select(col("doc_id"),
+        col("a"),
+        when(col("doc_id") % 2 === 0,
+          substring(col("a"), lit(1), length(col("a")) - 6)) // near: dist 6
+          .otherwise(col("u"))                               // far: dist ~len
+          .as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = paired.count() // materialize once; both variants read the cache
+    val avgLen = paired.selectExpr("avg(length(a))").first().getDouble(0)
+    // baseline first: the same cached-frame scan + a trivial projection
+    // (no levenshtein) — subtract it from both variants to isolate the
+    // confirm expression's own per-pair cost
+    val variants = Seq[(String, org.apache.spark.sql.Column)](
+      ("baseline", (length(col("a")) + length(col("b"))).cast("int") * 0),
+      ("banded", levenshtein(col("a"), col("b"), 10)),
+      ("full_matrix", levenshtein(col("a"), col("b"))))
+    variants.foreach { case (tag, d) =>
+      paired.filter(col("doc_id") < 64) // warm
+        .select(d.as("d")).filter(col("d") =!= -2).count()
+      val t0 = System.nanoTime()
+      val kept = paired.select(d.as("d"))
+        .filter(col("d") >= 0 && col("d") <= 10).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"""{"variant":"$tag","mode":"confirm_only","pairs":$n,""" +
+        f""""avg_chars":$avgLen%.0f,"kept":$kept,"wall_sec":$wall%.1f,""" +
+        f""""ms_per_pair":${wall * 1000 / n}%.2f}""")
+    }
+    paired.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("confirm")) {
+      val nPairs = args.drop(1).headOption.map(_.toLong).getOrElse(2000L)
+      val wordsMin = args.drop(2).headOption.map(_.toInt).getOrElse(2300)
+      val wordsMax = args.drop(3).headOption.map(_.toInt).getOrElse(2600)
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder().master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      graft.core.Graft.tune(spark)
+      confirmOnly(spark, nPairs, wordsMin, wordsMax)
+      spark.stop()
+      return
+    }
     val nDocs = args.headOption.map(_.toLong).getOrElse(500000L)
     val wordsMin = args.drop(1).headOption.map(_.toInt).getOrElse(2300)
     val wordsMax = args.drop(2).headOption.map(_.toInt).getOrElse(2600)
