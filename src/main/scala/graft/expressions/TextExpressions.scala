@@ -5,10 +5,10 @@ import scala.collection.mutable
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native expressions for the corpus-pipeline hot path.
@@ -53,6 +53,60 @@ object TextUtil {
       while (j < m) { seen.add(out(j)); j += 1 }
       new GenericArrayData(seen.toArray)
     }
+  }
+
+  /** Banded Levenshtein over raw ASCII bytes: the distance if ≤ `k`,
+    * else −1 — the exact contract of Spark's
+    * `UTF8String.levenshteinDistance(other, k)`, which non-ASCII inputs
+    * fall back to. Exists because Spark's threshold implementation costs
+    * ~150–300 ns per band cell on long ASCII texts (measured r17:
+    * 59 ms/pair average at 18 KB — codepoint stepping and per-cell
+    * bounds arithmetic), two orders over this tight byte-array loop.
+    * Classic |i−j| ≤ k band with INF sentinels one cell outside each
+    * row's window and a row-min early exit. */
+  def levenshteinBanded(a: UTF8String, b: UTF8String, k: Int): Int = {
+    if (k < 0) return -1
+    if (!a.isFullAscii || !b.isFullAscii) return a.levenshteinDistance(b, k)
+    val x = a.getBytes
+    val y = b.getBytes
+    val n = x.length
+    val m = y.length
+    if (math.abs(n - m) > k) return -1
+    if (n == 0) return m // ≤ k by the check above
+    if (m == 0) return n
+    val inf = k + 1
+    var prev = new Array[Int](m + 2)
+    var curr = new Array[Int](m + 2)
+    val up = math.min(m, k)
+    var j = 0
+    while (j <= up) { prev(j) = j; j += 1 }
+    if (up + 1 <= m) prev(up + 1) = inf
+    var i = 1
+    while (i <= n) {
+      val lo = math.max(1, i - k)
+      val hi = math.min(m, i + k)
+      curr(lo - 1) = if (lo == 1 && i <= k) i else inf
+      var rowMin = curr(lo - 1)
+      val xc = x(i - 1)
+      var jj = lo
+      while (jj <= hi) {
+        var v = prev(jj - 1) + (if (xc == y(jj - 1)) 0 else 1)
+        val del = prev(jj) + 1
+        if (del < v) v = del
+        val ins = curr(jj - 1) + 1
+        if (ins < v) v = ins
+        if (v > inf) v = inf
+        curr(jj) = v
+        if (v < rowMin) rowMin = v
+        jj += 1
+      }
+      if (hi + 1 <= m) curr(hi + 1) = inf
+      if (rowMin > k) return -1
+      val t = prev; prev = curr; curr = t
+      i += 1
+    }
+    val d = prev(m)
+    if (d > k) -1 else d
   }
 
   /** 47-bit polynomial hash of each element: fold (acc*31 + codepoint)
@@ -698,8 +752,42 @@ case class CdcChunks(child: Expression, w: Int, divisor: Long)
     copy(child = newChild)
 }
 
+/** `levenshtein_banded(a, b, k)` — the threshold edit distance (value
+  * if ≤ k, else −1; identical contract to Spark's three-arg
+  * `levenshtein`) as one tight byte-array band loop for ASCII inputs,
+  * falling back to `UTF8String.levenshteinDistance(other, k)` on
+  * non-ASCII. This is the fuzzy-dedup confirm's hot expression; see
+  * [[TextUtil.levenshteinBanded]] for the measured motivation. */
+case class LevenshteinBanded(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: StringType, _: StringType) => TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(s"$prettyName requires two strings")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "levenshtein_banded"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    TextUtil.levenshteinBanded(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.TextUtil.levenshteinBanded($a, $b, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LevenshteinBanded =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column wrappers. */
 object TextExpressions {
+  def levenshteinBanded(a: Column, b: Column, k: Int): Column =
+    ColumnBridge.column(LevenshteinBanded(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), k))
   def wordShingles(text: Column, n: Int, distinct: Boolean = false): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n, distinct))
   def polyHash47(arr: Column): Column =

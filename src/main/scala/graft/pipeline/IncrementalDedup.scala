@@ -578,10 +578,12 @@ object IncrementalDedup {
         col("text").as("__ta")), Seq("doc_a"))
       .join(allTexts.select(col("doc_id").as("doc_b"),
         col("text").as("__tb")), Seq("doc_b"))
-      // threshold form (banded DP, -1 past the bound) — keeps the batch
-      // twin's confirm semantics exactly; see TextPipeline's confirm note
+      // threshold form (banded DP, -1 past the bound) via the native
+      // byte-array loop — keeps the batch twin's confirm semantics
+      // exactly; see TextPipeline's confirm note
       .withColumn("dist",
-        levenshtein(col("__ta"), col("__tb"), maxDist).cast("long"))
+        graft.expressions.TextExpressions.levenshteinBanded(
+          col("__ta"), col("__tb"), maxDist).cast("long"))
       .filter(col("dist") >= 0)
       .select("doc_a", "doc_b", "dist")
     EdBatch(pairs, newInv, newMeta, newTexts, batchDfs, () => {

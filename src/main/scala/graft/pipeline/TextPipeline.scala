@@ -399,12 +399,19 @@ object TextPipeline {
       // operator's dominant CPU at scale — measured at 5M docs the
       // unbounded form burned ~4,500 executor-seconds on 565k candidate
       // pairs (~8 ms/pair on ~2 KB texts); the band is ~len/maxDist×
-      // less work per pair. `bandedConfirm = false` keeps the full
-      // matrix — value-identical, exists ONLY so the long-document
-      // smoke (graft.tools.LevBandSmoke) can measure the band's win at
-      // production text lengths against the same blocking tier.
+      // less work per pair. r17: the band runs as the native
+      // byte-array loop (TextExpressions.levenshteinBanded — Spark's
+      // own threshold form costs ~150-300 ns/band-cell on long ASCII
+      // texts; the native loop measured 24× cheaper per 18 KB pair,
+      // value-identical by contract and spec). `bandedConfirm = false`
+      // keeps the full matrix — value-identical, exists ONLY so the
+      // long-document smoke (graft.tools.LevBandSmoke) can measure the
+      // band's win at production text lengths against the same
+      // blocking tier.
       .withColumn("dist",
-        (if (bandedConfirm) levenshtein(col("__ta"), col("__tb"), maxDist)
+        (if (bandedConfirm)
+           graft.expressions.TextExpressions.levenshteinBanded(
+             col("__ta"), col("__tb"), maxDist)
          else levenshtein(col("__ta"), col("__tb"))).cast("long"))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select("doc_a", "doc_b", "dist")

@@ -88,7 +88,10 @@ object LevBandSmoke {
     // confirm expression's own per-pair cost
     val variants = Seq[(String, org.apache.spark.sql.Column)](
       ("baseline", (length(col("a")) + length(col("b"))).cast("int") * 0),
-      ("banded", levenshtein(col("a"), col("b"), 10)),
+      ("banded_native",
+        graft.expressions.TextExpressions.levenshteinBanded(
+          col("a"), col("b"), 10)),
+      ("banded_spark", levenshtein(col("a"), col("b"), 10)),
       ("full_matrix", levenshtein(col("a"), col("b"))))
     variants.foreach { case (tag, d) =>
       paired.filter(col("doc_id") < 64) // warm

@@ -423,4 +423,72 @@ class ExpressionsSpec extends SparkSpec {
       .collect()
     assert(bad.head.isNullAt(0))
   }
+
+  test("levenshtein_banded: Spark-threshold contract on ASCII/non-ASCII/edges, both eval modes") {
+    import spark.implicits._
+    // pair inventory spanning the contract's regions: equal, within-k,
+    // exactly-k, k+1, length-gated, empty sides, non-ASCII fallback
+    // (é/中 — byte-level would overcount, the fallback must kick in),
+    // and substitution-vs-indel mixes that exercise the band edges
+    val pairs = Seq(
+      ("", ""), ("", "abc"), ("abc", ""),
+      ("kitten", "sitting"), ("sunday", "saturday"),
+      ("abcdefgh", "abcdefgh"), ("abcdefgh", "xbcdefgh"),
+      ("abcdefgh", "abcdxfgh"), ("abcdefgh", "hgfedcba"),
+      ("aaaaaaaaaa", "bbbbbbbbbb"), ("abc", "abcdefghijklm"),
+      ("the quick brown fox", "the quick brown cat"),
+      ("café touché", "cafe touche"),
+      ("中文文档", "中文档"),
+      ("naïve", "naive"),
+      ("abcde" * 40, "abcde" * 40 + "xy"),
+      ("abcde" * 40, "edcba" * 40))
+    val df = pairs.toDF("a", "b")
+    for (k <- Seq(0, 1, 2, 3, 10)) {
+      // reference: Spark's own unbounded levenshtein, thresholded
+      val expected = df.select(
+          when(levenshtein(col("a"), col("b")) <= k,
+            levenshtein(col("a"), col("b"))).otherwise(-1).as("d"))
+        .collect().map(_.getInt(0)).toSeq
+      val native = df.select(
+          graft.expressions.TextExpressions
+            .levenshteinBanded(col("a"), col("b"), k).as("d"))
+        .collect().map(_.getInt(0)).toSeq
+      assert(native == expected, s"k=$k codegen")
+      // Spark's own threshold form must agree too (contract witness)
+      val sparkBanded = df.select(
+          levenshtein(col("a"), col("b"), k).as("d"))
+        .collect().map(_.getInt(0)).toSeq
+      assert(sparkBanded == expected, s"k=$k spark-threshold witness")
+      // interpreted eval agrees with codegen
+      val prev = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try {
+        val interp = df.select(
+            graft.expressions.TextExpressions
+              .levenshteinBanded(col("a"), col("b"), k).as("d"))
+          .collect().map(_.getInt(0)).toSeq
+        assert(interp == expected, s"k=$k interpreted")
+      } finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
+    }
+    // exhaustive small-string sweep: every pair over a 3-letter alphabet
+    // up to length 4, k in 0..3 — the band's boundary arithmetic has no
+    // hiding room at these sizes
+    val alpha = Seq("a", "b", "c")
+    def strs(n: Int): Seq[String] =
+      if (n == 0) Seq("") else strs(n - 1).flatMap(s => alpha.map(s + _))
+    val all = (0 to 4).flatMap(strs)
+    val sweep = (for (x <- all; y <- all) yield (x, y))
+    val sweepDf = sweep.toDF("a", "b")
+    for (k <- 0 to 3) {
+      val exp = sweepDf.select(
+          when(levenshtein(col("a"), col("b")) <= k,
+            levenshtein(col("a"), col("b"))).otherwise(-1).as("d"))
+        .collect().map(_.getInt(0)).toSeq
+      val got = sweepDf.select(
+          graft.expressions.TextExpressions
+            .levenshteinBanded(col("a"), col("b"), k).as("d"))
+        .collect().map(_.getInt(0)).toSeq
+      assert(got == exp, s"exhaustive sweep k=$k")
+    }
+  }
 }
