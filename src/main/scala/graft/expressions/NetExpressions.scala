@@ -217,6 +217,11 @@ object GraftFunctions {
     (FunctionIdentifier("char_entropy"),
       new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy"),
       (e: Seq[Expression]) => CharEntropy(e.head)),
+    (FunctionIdentifier("levenshtein_banded"),
+      new ExpressionInfo(classOf[LevenshteinBanded].getName,
+        "levenshtein_banded"),
+      (e: Seq[Expression]) => LevenshteinBanded(e(0), e(1),
+        intArg(e(2), "levenshtein_banded"))),
     (FunctionIdentifier("deflate_ratio"),
       new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
       (e: Seq[Expression]) => DeflateRatio(e.head)),

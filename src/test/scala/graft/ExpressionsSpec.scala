@@ -59,6 +59,12 @@ class ExpressionsSpec extends SparkSpec {
     val ha = ('a'.toLong) % 140737488355213L
     val wf = spark.sql("SELECT winnow_fp('a a a', 1, 2) AS f").head().getSeq[Long](0)
     assert(wf == Seq(ha * 65536 + (65535 - 1), ha * 65536 + (65535 - 2)))
+    // threshold edit distance: value if <= k, -1 past the bound
+    val lb = spark.sql(
+      """SELECT levenshtein_banded('kitten', 'sitting', 3) AS a,
+        |       levenshtein_banded('kitten', 'sitting', 2) AS b""".stripMargin)
+      .head()
+    assert(lb.getInt(0) == 3 && lb.getInt(1) == -1)
   }
 
   test("native char_entropy is bit-identical to the Column composite") {
