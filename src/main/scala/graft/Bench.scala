@@ -112,7 +112,9 @@ object Bench {
       warm: Boolean, timedPasses: Int, sfDir: String,
       detailPath: String = "BENCH_DETAIL.json",
       gc: Map[String, Double] = Map.empty,
-      calib: Option[(Double, Double)] = None): (String, String) = {
+      calib: Option[(Double, Double)] = None,
+      duckMin: Map[String, Double] = Map.empty,
+      duckPasses: Int = 0): (String, String) = {
     def r3(x: Double): String = {
       val v = math.round(x * 1000.0) / 1000.0
       if (v == v.toLong) v.toLong + ".0" else v.toString
@@ -137,6 +139,23 @@ object Bench {
       s""","duck_total":${r3(dSum)},"ratio_total":${
         if (dSum > 0) r3(sSum / dSum) else "null"}"""
     }.getOrElse("")
+    // ratio_norm: Σ spark_min / Σ duck_min on the like-for-like set —
+    // BOTH sides are min-of-passes, so the line moves on plan changes,
+    // not on which pass caught a noisy-neighbor burst (the official
+    // ratio_total drifted 0.311→0.400→0.432 across r15-r17 on box
+    // weather alone; the calib/gc stamps attribute it, this consumes it)
+    val normSummary =
+      if (duckMin.isEmpty) ""
+      else {
+        val onDuck = results.collect {
+          case (k, _, mn, None) if duckMin.get(k).exists(_ > 0) =>
+            (mn, duckMin(k))
+        }
+        val sMin = onDuck.map(_._1).sum
+        val dMin = onDuck.map(_._2).sum
+        s""","duck_min_total":${r3(dMin)},"ratio_norm":${
+          if (dMin > 0) r3(sMin / dMin) else "null"},"duck_passes":$duckPasses"""
+      }
     // weather instruments: the fixed single-core kernel's wall before/
     // after the timed passes, and total GC seconds inside the timed
     // windows — in the CONTRACT line (scalars only; ~70 chars) so the
@@ -155,7 +174,7 @@ object Bench {
     val detailField =
       if (detailPath.isEmpty) "null" else s""""${jsonEscape(detailPath)}""""
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,$protocol$duckSummary,"detail":$detailField,"sf":"${jsonEscape(sfDir)}"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,$protocol$duckSummary$normSummary,"detail":$detailField,"sf":"${jsonEscape(sfDir)}"}"""
     val duckDetail = duck.map { d =>
       val ds = results.map { case (k, _, _, _) =>
         "\"" + k + "\":" + d.get(k).map(r3).getOrElse("null")
@@ -166,7 +185,19 @@ object Bench {
         "\"" + k + "\":" + r.getOrElse("null")
       }.mkString("{", ",", "}")
       s""","duck":$ds,"ratio":$rs"""
-    }.getOrElse("")
+    }.getOrElse("") + (
+      if (duckMin.isEmpty) ""
+      else {
+        val dm = results.map { case (k, _, _, _) =>
+          "\"" + k + "\":" + duckMin.get(k).map(r3).getOrElse("null")
+        }.mkString("{", ",", "}")
+        val rn = results.map { case (k, _, mn, err) =>
+          val r = for (dv <- duckMin.get(k) if err.isEmpty && dv > 0)
+            yield r3(mn / dv)
+          "\"" + k + "\":" + r.getOrElse("null")
+        }.mkString("{", ",", "}")
+        s""","duck_min":$dm,"ratio_norm_q":$rn"""
+      })
     // per-query GC seconds (median over timed passes) live in the
     // detail shape: a query whose wall regressed with flat gc_sec is a
     // plan problem; regressed wall + regressed gc is heap weather
@@ -177,7 +208,7 @@ object Bench {
                             else "-1.0")
       }.mkString(""","queries_gc":{""", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin$gcDetail,$protocol$duckDetail$duckSummary,"sf":"${jsonEscape(sfDir)}"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin$gcDetail,$protocol$duckDetail$duckSummary$normSummary,"sf":"${jsonEscape(sfDir)}"}"""
     (compact, detail)
   }
 
@@ -288,7 +319,11 @@ object Bench {
     // default (SPARK_GRAFT_DUCK=0 opts out for pure-Spark timing runs).
     // Comparator failure (no python/duckdb, dialect gap) degrades to
     // "duck":null — it must never fail the bench itself.
-    val duck: Option[Map[String, Double]] =
+    // (duckFirst, duckMin, passes): duck_bench runs each oracle N passes
+    // (default 3) and reports the first/coldest pass ("sec" — feeds the
+    // round-over-round ratio_total, same semantics as the r15-r17
+    // single-pass records) + the min ("min" — feeds ratio_norm)
+    val duckRun: Option[(Map[String, Double], Map[String, Double], Int)] =
       if (sys.env.get("SPARK_GRAFT_DUCK").contains("0")) None
       else try {
         val oraclePath = java.nio.file.Files.createTempFile("graft_oracle", ".json")
@@ -299,21 +334,35 @@ object Bench {
         val out = new String(p.getInputStream.readAllBytes())
         p.waitFor()
         java.nio.file.Files.deleteIfExists(oraclePath)
-        // duck_bench prints {"sf":..,"queries":{"name":{"sec":S,"rows":N}|{"err":..}|null}}
-        val secRe = """"([A-Za-z0-9_]+)":\s*\{"sec":\s*([0-9.eE+-]+)""".r
-        Some(secRe.findAllMatchIn(out)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+        // duck_bench prints {"sf":..,"passes":N,"queries":
+        //   {"name":{"sec":FIRST,"min":MIN,"rows":N}|{"err":..}|null}}
+        val secRe =
+          """"([A-Za-z0-9_]+)":\s*\{"sec":\s*([0-9.eE+-]+),\s*"min":\s*([0-9.eE+-]+)""".r
+        val ms = secRe.findAllMatchIn(out).toSeq
+        val passes = """"passes":\s*(\d+)""".r.findFirstMatchIn(out)
+          .map(_.group(1).toInt).getOrElse(1)
+        Some((ms.map(m => m.group(1) -> m.group(2).toDouble).toMap,
+          ms.map(m => m.group(1) -> m.group(3).toDouble).toMap, passes))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] duck comparator failed: $e"); None
       }
+    val duck = duckRun.map(_._1)
+    val duckMin = duckRun.map(_._2).getOrElse(Map.empty[String, Double])
+    val duckPasses = duckRun.map(_._3).getOrElse(0)
     // warmup_passes / timed_passes make the measurement protocol
     // explicit in the record itself: "queries" is the per-query MEDIAN
     // over timed_passes isolated runs; the detail JSON adds the
     // per-query best and the per-query duck/ratio maps
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
+    // a SPARK_GRAFT_QUERIES subset run must not overwrite the committed
+    // full-suite BENCH_DETAIL.json that round-over-round consumers read
+    // (it happened in r17: the repo's detail artifact was replaced by a
+    // one-query re-run) — unless the caller names a path explicitly
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL",
+      if (sys.env.contains("SPARK_GRAFT_QUERIES")) "BENCH_DETAIL_partial.json"
+      else "BENCH_DETAIL.json")
     val (_, detail) =
       renderLines(results, duck, warm, timedPasses, sfDir, detailPath,
-        gcByQuery, Some((calibPre, calibPost)))
+        gcByQuery, Some((calibPre, calibPost)), duckMin, duckPasses)
     // the contract line's detail field names whichever path was ACTUALLY
     // written: a failed write re-renders with detail:null so the driver
     // is never pointed at a stale or absent file
@@ -327,7 +376,8 @@ object Bench {
         false
       }
     val (compact, _) = renderLines(results, duck, warm, timedPasses, sfDir,
-      if (written) detailPath else "", gcByQuery, Some((calibPre, calibPost)))
+      if (written) detailPath else "", gcByQuery, Some((calibPre, calibPost)),
+      duckMin, duckPasses)
     if (compact.length > 1800)
       System.err.println(s"[bench] WARNING: contract line ${compact.length}" +
         " chars — approaching the driver's 2000-char tail window")

@@ -44,10 +44,28 @@ object SparkEntry {
     * queries the extra exchange costs more than the parallelism buys
     * (measured: q_protocols_statistics 0.46 → 1.09 s with the widening
     * applied globally). */
+  /** events-scan partition count memo: `ensureMinParallelism`'s
+    * `.rdd.getNumPartitions` probe physically plans the scan — ~60 ms of
+    * driver latency per call for an answer that cannot change within a
+    * session (the testdata files are immutable; same rationale as
+    * Tables' footer-schema memo). Keyed by app id so a new session
+    * re-probes. */
+  private val eventScanParts =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]
+
   private def flowsWide(s: SparkSession, d: String): DataFrame = {
     Graft.tune(s)
-    FlowSynth.fromEvents(graft.scale.Skew.ensureMinParallelism(
-      Tables.events(s, d),
+    val ev = Tables.events(s, d)
+    val scanParts = eventScanParts.computeIfAbsent(
+      s.sparkContext.applicationId + "#" + d,
+      _ => ev.rdd.getNumPartitions).intValue()
+    // narrow synth: the biflow path reads 9 of the 17 flow columns, and
+    // the other 8 carry the FAT expressions (typedLit suites, nested DNS
+    // whens) — pruned from execution either way, but the narrow tree
+    // halves the per-Dataset-op analyzer/optimizer walks that dominate
+    // this query's driver latency (PlanTime: build+optimize 0.4-0.9 s)
+    FlowSynth.fromEvents(graft.scale.Skew.ensureMinParallelismKnown(
+      ev, scanParts,
       // quarter-width, measured r17 across widths under the bench
       // protocol (q_pattern_finder, sf0.1 median): 32-wide 0.91 s,
       // 16-wide 0.81 s, 8-wide 0.77 s — at this row count extra tasks
@@ -57,7 +75,7 @@ object SparkEntry {
       // 1.73× of DuckDB, vs 1.76 s / 2.6× at 16-wide). No-ops at real
       // scale, where the scan arrives already wider than this floor.
       math.max(1, s.sparkContext.defaultParallelism / 4),
-      Seq(col("event_id"))))
+      Seq(col("event_id"))), FlowSynth.biflowCols)
   }
 
   private def eventsMs(s: SparkSession, d: String): DataFrame = {
@@ -90,11 +108,25 @@ object SparkEntry {
   private val bucketedBuildLock = new Object
   private def bucketedDocuments(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     bucketedBuildLock.synchronized {
-      val t = "graft_docs_bucketed_" +
+      // name carries a sanitized dir suffix, not just a 32-bit hash: two
+      // sfDirs colliding on hashCode (or a stale table from a dead
+      // session) must not be silently reused as the wrong corpus
+      val safe = dir.replaceAll("[^A-Za-z0-9]+", "_")
+        .replaceAll("^_+", "").takeRight(40)
+      val t = s"graft_docs_bucketed_${safe}_" +
         java.lang.Integer.toHexString(dir.hashCode)
-      if (!s.catalog.tableExists(t))
+      val scratch = runScratch(s, t)
+      // reuse only a table whose backing location IS this session's
+      // scratch path; anything else is rebuilt in place
+      val reusable = s.catalog.tableExists(t) && {
+        val loc = s.sql(s"DESCRIBE TABLE EXTENDED $t")
+          .filter(col("col_name") === "Location")
+          .select("data_type").collect().headOption.map(_.getString(0))
+        loc.exists(_.stripPrefix("file:") == scratch)
+      }
+      if (!reusable)
         Tables.documents(s, dir).write.mode("overwrite")
-          .option("path", runScratch(s, t))
+          .option("path", scratch)
           .bucketBy(32, "doc_id").sortBy("doc_id")
           .format("parquet").saveAsTable(t)
       s.table(t)
@@ -606,21 +638,22 @@ object SparkEntry {
         .orderBy("src_ip", "day_start_ms", "hour_slot")),
 
     "q_pattern_finder" -> ((s, dir) => {
-      // grouped pairing (the reference's own groupByKey-per-batch shape):
-      // ONE shuffle on the biflow key, req/rsp lists cross-paired in
-      // place — no self-join, so the echoed-flows frame is derived
-      // exactly once and needs no checkpoint or broadcast build.
-      // MEASURED ALTERNATIVE (r17): computing biflow_key pre-echo and
-      // repartitioning on it fuses the widen+group exchanges (4→3
-      // stages) and wins at full JIT steady state (0.72 vs 0.91 s
-      // back-to-back), but LOSES under the bench's isolated protocol
-      // (1.07 vs 0.92 s median): the key/IP string building then runs
-      // serially in the one-row-group scan stage and absorbs the
-      // post-GC/JIT disruption alone, while this shape does it 16-wide.
-      // Keep the parallel form — the serial scan is a test-file
-      // artifact, but it is also the shape the bench times.
+      // equi-join pairing on the biflow key (J5, the reference's own
+      // self-join semantics). SHAPE SHOOTOUT (r18, bench protocol, 4
+      // timed passes, sf0.1): join 0.425 s med / 0.379 min; broadcast-
+      // pinned join 0.480/0.416; grouped collect_list pairing 0.738/
+      // 0.617 (r17's choice — its ObjectHashAggregate partial+final is
+      // object-path, ~8 µs/row, and absorbs the isolation protocol's
+      // GC/JIT disruption worst, while the join stays whole-stage
+      // codegen end to end). The join's duplicated upstream subtree —
+      // the r16 objection to this shape — costs nothing now: AQE reuses
+      // the widening exchange (ReusedExchange) and converts the rsp
+      // side to a runtime broadcast at this size, while at corpus scale
+      // the same declaration stays a skew-splittable shuffle join.
+      // biflowsGrouped remains the bounded-window streaming shape
+      // (one-shuffle, no build side), spec-pinned equal.
       PatternFinder.classify(
-        PatternFinder.biflowsGrouped(withBiflowEcho(flowsWide(s, dir)), 500L),
+        PatternFinder.biflows(withBiflowEcho(flowsWide(s, dir)), 500L),
         patterns, binThresholds,
         keep = Seq("biflow_key", "req_id", "rsp_id", "client_ip",
           "server_ip"))

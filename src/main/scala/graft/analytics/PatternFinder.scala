@@ -88,13 +88,10 @@ object PatternFinder {
   def biflows(flows: DataFrame, toleranceMs: Long = 500L,
               vector: Seq[Column] = Nil,
               broadcastResponses: Boolean = false): DataFrame = {
-    val key = sort_array(array(
-      concat_ws(":", col("src_port"), col("src_ip4")),
-      concat_ws(":", col("dst_port"), col("dst_ip"))))
     val tagged = flows
       .filter(col("src_ip4").isNotNull && col("src_port").isNotNull &&
         col("dst_port").isNotNull)
-      .withColumn("biflow_key", concat_ws("|", key))
+      .withColumn("biflow_key", biflowKey)
     // optional config-driven per-flow vector (X14): evaluated once per flow
     // BEFORE the self-join, so each side carries its array through the
     // shuffle instead of re-deriving features from carried raw columns
@@ -135,9 +132,6 @@ object PatternFinder {
     * AQE can skew-split. */
   def biflowsGrouped(flows: DataFrame, toleranceMs: Long = 500L,
                      vector: Seq[Column] = Nil): DataFrame = {
-    val key = sort_array(array(
-      concat_ws(":", col("src_port"), col("src_ip4")),
-      concat_ws(":", col("dst_port"), col("dst_ip"))))
     // an input that ALREADY carries biflow_key (e.g. keyed upstream and
     // repartitioned on it, so the groupBy below reuses that exchange —
     // see SparkEntry's q_pattern_finder) keeps its attribute: recomputing
@@ -150,7 +144,9 @@ object PatternFinder {
         col("dst_port").isNotNull)
       .select(col("*") +:
         ((if (hasKey) Nil
-          else Seq(concat_ws("|", key).as("biflow_key"))) ++
+          // the shared [[biflowKey]] definition — a local rebuild could
+          // silently drift from the pre-keyed path's construction
+          else Seq(biflowKey.as("biflow_key"))) ++
          (if (vector.isEmpty) Nil
           else Seq(array(vector.map(_.cast("double")): _*).as("_vec")))): _*)
     val vecReq = if (vector.isEmpty) Nil else Seq(col("_vec").as("req_vec"))

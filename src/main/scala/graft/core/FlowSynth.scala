@@ -29,8 +29,18 @@ object FlowSynth {
   def flows(spark: SparkSession, sfDir: String): DataFrame =
     fromEvents(Tables.events(spark, sfDir))
 
-  /** Pure transform: events DataFrame → flows DataFrame. */
-  def fromEvents(events: DataFrame): DataFrame = {
+  /** Pure transform: events DataFrame → flows DataFrame.
+    *
+    * `cols` restricts WHICH flow columns are synthesized (default: all).
+    * Catalyst prunes unused columns from execution anyway, so the subset
+    * buys nothing at runtime — what it buys is DRIVER latency: the full
+    * 17-column tree (nested whens, concats, typedLit arrays) is
+    * re-walked by every analyzer/optimizer pass of every downstream
+    * Dataset op, and on sub-second queries that plan work rivals the
+    * execution itself (measured on q_pattern_finder: build+optimize
+    * ~0.4-0.9 s of a ~1.2 s wall). One definition, filtered — a separate
+    * narrow synth WOULD drift from the oracle CTE. */
+  def fromEvents(events: DataFrame, cols: Seq[String] = Nil): DataFrame = {
     val eid = col("event_id")
     val uid = col("user_id")
     val et  = col("event_type")
@@ -43,7 +53,7 @@ object FlowSynth {
     val packets = lit(1L) + (eid % 50)
     val suites = Seq("002f", "0035", "0033", "0039", "009c", "1301", "c02f", "cca8")
 
-    events.select(
+    val all = Seq(
       eid.as("flow_id"),
       when(et =!= "error",
         concat(lit("10.0."), s(uid % 250), lit("."), s(expr("(user_id div 250) % 250"))))
@@ -85,7 +95,24 @@ object FlowSynth {
           element_at(typedLit(suites), (uid % 8 + 1).cast("int"))))
         .as("tls_cipher_suites")
     )
+    val picked =
+      if (cols.isEmpty) all
+      else {
+        val byName = all.map(c => exprName(c) -> c).toMap
+        cols.map(n => byName.getOrElse(n,
+          throw new IllegalArgumentException(s"unknown flow column $n")))
+      }
+    events.select(picked: _*)
   }
+
+  private def exprName(c: Column): String =
+    org.apache.spark.sql.graftbridge.ColumnBridge.aliasName(c)
+      .getOrElse(c.toString)
+
+  /** The flow columns the biflow/pattern-finder path consumes — the
+    * narrow [[fromEvents]] subset for callers on that path. */
+  val biflowCols: Seq[String] = Seq("flow_id", "src_ip4", "dst_ip",
+    "src_port", "dst_port", "packets", "bytes", "start_ms", "end_ms")
 
   /** The identical mapping as a DuckDB CTE body (oracle side). Compose
     * oracles as: WITH flows AS (<cteSql>) SELECT ... */

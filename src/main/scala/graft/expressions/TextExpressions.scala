@@ -64,13 +64,17 @@ object TextUtil {
     * bounds arithmetic), two orders over this tight byte-array loop.
     * Classic |i−j| ≤ k band with INF sentinels one cell outside each
     * row's window and a row-min early exit. */
-  def levenshteinBanded(a: UTF8String, b: UTF8String, k: Int): Int = {
-    if (k < 0) return -1
-    if (!a.isFullAscii || !b.isFullAscii) return a.levenshteinDistance(b, k)
+  def levenshteinBanded(a: UTF8String, b: UTF8String, kRaw: Int): Int = {
+    if (kRaw < 0) return -1
+    if (!a.isFullAscii || !b.isFullAscii) return a.levenshteinDistance(b, kRaw)
     val x = a.getBytes
     val y = b.getBytes
     val n = x.length
     val m = y.length
+    // clamp: the distance never exceeds the longer length, and a k near
+    // Int.MaxValue would overflow `inf = k + 1` and `i + k` below
+    // (returning garbage instead of honoring the threshold contract)
+    val k = math.min(kRaw, math.max(n, m))
     if (math.abs(n - m) > k) return -1
     if (n == 0) return m // ≤ k by the check above
     if (m == 0) return n

@@ -61,6 +61,16 @@ object Skew {
       df.sparkSession.sparkContext.defaultParallelism)) df
     else df.repartition(parts, byCols: _*)
 
+  /** [[ensureMinParallelism]] with the input's partition count supplied
+    * by the caller: the `.rdd.getNumPartitions` probe physically plans
+    * `df` (~60 ms of driver latency) for an answer callers over
+    * immutable files can memoize across calls. */
+  def ensureMinParallelismKnown(df: DataFrame, currentParts: Int,
+                                parts: Int, byCols: Seq[Column]): DataFrame =
+    if (currentParts >= math.min(parts,
+      df.sparkSession.sparkContext.defaultParallelism)) df
+    else df.repartition(parts, byCols: _*)
+
   /** Write a table bucketed+sorted by the join key. Joins between tables
     * bucketed the same way need NO shuffle on either side (assert it with
     * [[assertNoShuffleJoin]]); at 100 TB this converts every repeated

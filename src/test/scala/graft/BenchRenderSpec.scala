@@ -34,7 +34,8 @@ class BenchRenderSpec extends AnyFunSuite {
       Bench.renderLines(fakeResults(names), duck, warm = true,
         timedPasses = 2, sfDir = "/root/testdata/sf0.1",
         gc = names.map(n => n -> 12.345678).toMap,
-        calib = Some((123.456789, 123.456789)))
+        calib = Some((123.456789, 123.456789)),
+        duckMin = names.map(n => n -> 111.111111).toMap, duckPasses = 3)
     // sbt appends "[success] Total time: ..." (~75 chars) inside the
     // same 2000-char window; 1800 leaves that margin plus slack
     assert(compact.length <= 1800,
@@ -47,12 +48,20 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(c.get("value").isNumber)
     assert(c.get("duck_total").isNumber)
     assert(c.get("ratio_total").isNumber)
+    // weather-normalized ratio line: min-of-passes on BOTH engines, with
+    // the comparator's pass count stated in the artifact (r17 task 2)
+    assert(c.get("duck_min_total").isNumber)
+    assert(c.get("ratio_norm").isNumber)
+    assert(c.get("duck_passes").asInt == 3)
     assert(c.get("sf").asText == "/root/testdata/sf0.1")
     val d = mapper.readTree(detail)
     assert(d.get("queries").size == names.size)
     assert(d.get("queries_min").size == names.size)
     assert(d.get("duck").size == names.size)
     assert(d.get("ratio").size == names.size)
+    assert(d.get("duck_min").size == names.size)
+    assert(d.get("ratio_norm_q").size == names.size)
+    assert(d.get("ratio_norm").isNumber && d.get("duck_passes").asInt == 3)
     // weather instruments: scalars in BOTH shapes, per-query gc map in
     // the detail shape only (the contract line must stay scalar-sized)
     assert(c.get("calib_sec").isNumber && c.get("calib_end_sec").isNumber)
@@ -147,7 +156,29 @@ class BenchRenderSpec extends AnyFunSuite {
     val c = mapper.readTree(compact)
     assert(c.get("duck_total") == null)
     assert(c.get("ratio_total") == null)
+    assert(c.get("duck_min_total") == null)
+    assert(c.get("ratio_norm") == null)
     assert(c.get("queries").size == 2)
     assert(mapper.readTree(detail).get("duck") == null)
+    assert(mapper.readTree(detail).get("duck_min") == null)
+  }
+
+  test("ratio_norm is min/min and excludes failed and un-timed rows") {
+    val rs = Seq(
+      ("a", 2.0, 1.0, None),   // min 1.0, duckMin 0.5 → 2.0
+      ("b", 3.0, 2.0, None),   // no duckMin row → excluded
+      ("bad", 9.9, 9.9, Some("X"))) // failed → excluded
+    val (compact, detail) = Bench.renderLines(
+      rs, Some(Map("a" -> 1.0)), warm = false, timedPasses = 2, sfDir = "x",
+      duckMin = Map("a" -> 0.5, "bad" -> 1.0), duckPasses = 3)
+    val c = mapper.readTree(compact)
+    assert(c.get("duck_min_total").asDouble == 0.5)
+    assert(c.get("ratio_norm").asDouble == 2.0)
+    assert(c.get("duck_passes").asInt == 3)
+    val d = mapper.readTree(detail)
+    assert(d.get("ratio_norm_q").get("a").asDouble == 2.0)
+    assert(d.get("ratio_norm_q").get("b").isNull)
+    assert(d.get("ratio_norm_q").get("bad").isNull)
+    assert(d.get("duck_min").get("a").asDouble == 0.5)
   }
 }
