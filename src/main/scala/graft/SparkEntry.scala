@@ -968,11 +968,33 @@ object SparkEntry {
 
     // PCA to 8 components: one covariance pass + driver-side d×d Jacobi
     // eigen + broadcast-literal projection. Eigendecomposition is not
-    // SQL-expressible → rows-only oracle; basis properties spec-pinned
+    // SQL-expressible → rows-only oracle on the corpus; the VALUE-level
+    // gate is q_embed_pca_fixture below
     "q_embed_pca" -> ((s, dir) =>
       Projection.pcaProject(Tables.embeddings(s, dir), k = 8)
         .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "component")))
         .orderBy("vec_id", "j")),
+
+    // value-level PCA gate: the production pcaProject pipeline (one-pass
+    // covariance → Jacobi eigen → canonical signs → centered projection)
+    // run over a fixture whose eigenbasis is ANALYTIC — x_i = m + a_i·u
+    // + b_i·v with u=(0.6,0.8), v=(−0.8,0.6) orthonormal (3-4-5), coefs
+    // a=(−3,−1,1,3) / b=(0.5,−0.5,−0.5,0.5) zero-mean, uncorrelated,
+    // var(a)=20/3 > var(b)=1/3 — so DuckDB recomputes the projected
+    // coordinates from the closed-form basis with plain arithmetic and
+    // the hash pins Jacobi + sign canon + centering + component order.
+    // (Canonical sign: v's largest-|component| entry (−0.8) flips it to
+    // (0.8,−0.6) → component 2 = −b_i; u is already canonical.)
+    "q_embed_pca_fixture" -> ((s, dir) => {
+      import s.implicits._
+      val fx = Seq(
+        (0L, Seq(7.8, 17.9)), (1L, Seq(9.8, 18.9)),
+        (2L, Seq(11.0, 20.5)), (3L, Seq(11.4, 22.7)))
+        .toDF("vec_id", "embedding")
+      Projection.pcaProject(fx, k = 2)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "component")))
+        .orderBy("vec_id", "j")
+    }),
 
     "q_embed_dedup" -> ((s, dir) =>
       // banded composition (the corpus-scale path; bands ≥ 4)
@@ -1624,6 +1646,20 @@ object SparkEntry {
       Tables.documents(s, dir).select(col("doc_id"),
         graft.expressions.TextExpressions.deflateRatio(col("text"))
           .as("deflate_ratio"))
+        .orderBy("doc_id")),
+
+    // exact integer twin of the ratio signal: raw + compressed byte
+    // counts from the PRODUCTION codegen expression, hash-compared
+    // against a fixture parquet materialized by an independent plain
+    // Deflater loop (Verify.dataOracles) — catches expression/codegen
+    // bugs the rounded double can hide. %7 id subset: the twin gates
+    // the implementation, not the corpus
+    "q_compression_ratio_exact" -> ((s, dir) =>
+      Tables.documents(s, dir).filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("text_len"),
+          graft.expressions.TextExpressions.deflateLen(col("text"))
+            .as("deflate_len"))
         .orderBy("doc_id")),
 
     // cross-source contamination matrix over trigram fp47 sets
@@ -2359,7 +2395,43 @@ object SparkEntry {
     Map(
       "q_bpe_train" -> RefBpe.trainOracleSql(merges),
       "q_bpe_train_batched" -> RefBpe.trainOracleSql(batched),
-      "q_bpe_encode" -> RefBpe.encodeOracleSql(merges))
+      "q_bpe_encode" -> RefBpe.encodeOracleSql(merges),
+      "q_compression_ratio_exact" -> deflateFixtureOracle(spark, dir))
+  }
+
+  /** Materialize the deflate byte counts of the %7 doc subset through
+    * an INDEPENDENT plain-Deflater map (Dataset API, no Catalyst
+    * expression, its own buffer loop) to a per-sfDir fixture parquet,
+    * and return the oracle SQL reading it — the exact-integer gate for
+    * the production `deflate_len`/`deflate_ratio` codegen expression.
+    * Overwritten on every oracle generation: the fixture must describe
+    * THIS corpus, never a stale one. */
+  private def deflateFixtureOracle(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_fixture_deflate_" +
+      java.lang.Integer.toHexString(dir.hashCode) + ".parquet"
+    Tables.documents(s, dir).filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val raw = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val d = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        val out =
+          try {
+            d.setInput(raw); d.finish()
+            val buf = new Array[Byte](8192) // deliberately small: chunked
+            var total = 0L                  // drain, unlike the expression
+            while (!d.finished()) total += d.deflate(buf)
+            total
+          } finally d.end()
+        (id, raw.length.toLong, if (raw.isEmpty) 0L else out)
+      }
+      .toDF("doc_id", "text_len", "deflate_len")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    s"""SELECT doc_id, text_len, deflate_len
+       |FROM read_parquet('$path/*.parquet')
+       |ORDER BY doc_id""".stripMargin
   }
 
   private lazy val baseOracles: Map[String, String] = Map(
@@ -3894,6 +3966,22 @@ object SparkEntry {
         |SELECT a.i AS i, b.i AS j, round(covar_samp(a.x, b.x), 6) + 0.0 AS cov
         |FROM u a JOIN u b ON a.vec_id = b.vec_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // PCA value gate: the fixture's eigenbasis is closed-form (see the
+    // query's comment — u=(0.6,0.8), canonicalized v=(0.8,−0.6)), so
+    // the oracle recomputes the centered projections with plain
+    // arithmetic; no eigensolver needed on the DuckDB side
+    "q_embed_pca_fixture" ->
+      """WITH fx(vec_id, x1, x2) AS (VALUES
+        |    (0, 7.8, 17.9), (1, 9.8, 18.9), (2, 11.0, 20.5), (3, 11.4, 22.7)),
+        |m AS (SELECT avg(x1) AS m1, avg(x2) AS m2 FROM fx),
+        |comp(j) AS (VALUES (0), (1))
+        |SELECT CAST(vec_id AS BIGINT) AS vec_id, j,
+        |  round(CASE WHEN j = 0 THEN (x1 - m1) * 0.6 + (x2 - m2) * 0.8
+        |             ELSE (x1 - m1) * 0.8 + (x2 - m2) * (-0.6) END, 6) + 0.0
+        |    AS component
+        |FROM fx, m, comp
+        |ORDER BY vec_id, j""".stripMargin,
 
     // nearest-class-mean train + score: centroid components rounded to 6
     // BEFORE the distance (both engines), so the argmin can't flip on

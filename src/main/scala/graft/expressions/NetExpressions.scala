@@ -225,6 +225,9 @@ object GraftFunctions {
     (FunctionIdentifier("deflate_ratio"),
       new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
       (e: Seq[Expression]) => DeflateRatio(e.head)),
+    (FunctionIdentifier("deflate_len"),
+      new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
+      (e: Seq[Expression]) => DeflateLen(e.head)),
     (FunctionIdentifier("media_phash"),
       new ExpressionInfo(classOf[MediaPhash].getName, "media_phash"),
       (e: Seq[Expression]) => MediaPhash(e.head)),

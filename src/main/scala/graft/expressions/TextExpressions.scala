@@ -186,6 +186,20 @@ object TextUtil {
   def deflateRatio(s: UTF8String): Double = {
     val raw = s.getBytes
     if (raw.isEmpty) return 0.0d
+    val total = deflateLenBytes(raw)
+    StrictMath.rint(total.toDouble / raw.length * 1000000.0d) / 1000000.0d
+  }
+
+  /** Compressed byte count of the UTF-8 text under the same deflate
+    * parameters as [[deflateRatio]] (which divides this by the raw
+    * length) — the INTEGER face, exposed so the ratio signal can carry
+    * an exact hash-checkable twin (doubles round; byte counts don't). */
+  def deflateLen(s: UTF8String): Long = {
+    val raw = s.getBytes
+    if (raw.isEmpty) 0L else deflateLenBytes(raw)
+  }
+
+  private def deflateLenBytes(raw: Array[Byte]): Long = {
     val d = new java.util.zip.Deflater(
       java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
     try {
@@ -193,7 +207,7 @@ object TextUtil {
       val buf = new Array[Byte](raw.length + 64)
       var total = 0L
       while (!d.finished()) total += d.deflate(buf)
-      StrictMath.rint(total.toDouble / raw.length * 1000000.0d) / 1000000.0d
+      total
     } finally d.end()
   }
 
@@ -639,6 +653,27 @@ case class DeflateRatio(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `deflate_len(text)`: compressed byte count — the integer face of
+  * [[DeflateRatio]], same kernel ([[TextUtil.deflateLen]]). */
+case class DeflateLen(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "deflate_len"
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextUtil.deflateLen(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextUtil.deflateLen($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateLen =
+    copy(child = newChild)
+}
+
 case class MinhashSig(child: Expression, k: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -802,6 +837,8 @@ object TextExpressions {
     ColumnBridge.column(CharEntropy(ColumnBridge.expression(s)))
   def deflateRatio(s: Column): Column =
     ColumnBridge.column(DeflateRatio(ColumnBridge.expression(s)))
+  def deflateLen(s: Column): Column =
+    ColumnBridge.column(DeflateLen(ColumnBridge.expression(s)))
   def mediaPhash(media: Column): Column =
     ColumnBridge.column(MediaPhash(ColumnBridge.expression(media)))
   def bpeEncode(text: Column, merges: Seq[String]): Column =

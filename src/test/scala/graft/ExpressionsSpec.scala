@@ -106,6 +106,29 @@ class ExpressionsSpec extends SparkSpec {
     assert(sql == col2)
   }
 
+  test("deflate_len: integer face consistent with the ratio, SQL registered") {
+    import graft.expressions.TextExpressions
+    val texts = Seq((1L, "click here " * 30), (2L, ""), (3L, "hi"),
+      (4L, "naïve — ünïcode ≠ ascii"))
+    val r = texts.toDF("id", "s").select(col("id"),
+        TextExpressions.deflateLen(col("s")).as("dlen"),
+        octet_length(col("s")).cast("long").as("rlen"),
+        TextExpressions.deflateRatio(col("s")).as("ratio"))
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    // ratio IS dlen/rlen rounded — the two faces may never drift
+    r.foreach { case (id, (dlen, rlen, ratio)) =>
+      val expect = if (rlen == 0) 0.0
+        else StrictMath.rint(dlen.toDouble / rlen * 1e6) / 1e6
+      assert(ratio == expect, s"id=$id dlen=$dlen rlen=$rlen ratio=$ratio")
+    }
+    assert(r(2L)._1 == 0L) // empty → 0 bytes, matching the ratio's 0.0
+    graft.expressions.GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT deflate_len('abcabcabc') AS x").head().getLong(0)
+    val viaCol = texts.toDF("id", "s").limit(1).select(
+      TextExpressions.deflateLen(lit("abcabcabc"))).head().getLong(0)
+    assert(viaSql == viaCol && viaSql > 0)
+  }
+
   test("spark.sql.extensions install path: functions, rewrite rule, strategy all active") {
     import org.apache.spark.sql.classic.{SparkSession => CSparkSession}
     val shared = spark // force-init the spec session BEFORE creating s2
