@@ -61,10 +61,55 @@ final case class IvfPqIndex(centroids: DataFrame, codebook: DataFrame,
     * existing cid-partitioned layout (parquet append touches only the
     * new files), so a reload sees old + new vectors and probe-limited
     * partition pruning keeps working. The incremental-ingestion twin of
-    * [[IncrementalDedup]], for the vector side. */
+    * [[IncrementalDedup]], for the vector side.
+    *
+    * CRASH CONTRACT: parquet `append` commits via multi-file renames —
+    * NOT atomic across partition directories, so a kill mid-commit can
+    * leave a subset of the batch visible, and a blind retry would then
+    * double-encode the already-visible vectors (duplicated codes sum
+    * the same (query, nbr) ADC distance twice). Ingest loops that can
+    * crash and retry must use [[appendBatchTo]], which stages the whole
+    * batch behind ONE directory rename and is idempotent per batch id. */
   def appendTo(dir: String, newEmbeddings: DataFrame): Unit =
     IvfPqIndex.encode(newEmbeddings, centroids, codebook, m)
       .write.mode("append").partitionBy("cid").parquet(s"$dir/codes")
+
+  /** Exactly-once append of one named batch to a SAVED index.
+    *
+    * The batch encodes into a dot-prefixed staging directory (invisible
+    * to every parquet read — Spark's file index skips `.`/`_` paths),
+    * then commits with a SINGLE atomic directory rename to
+    * `codes_batches/batch_<id>`. Every crash window resolves on retry
+    * with the same id:
+    *   - killed during encode/write, or between write and rename → only
+    *     the staging dir exists; reloads never see it; the retry deletes
+    *     it and redoes the batch;
+    *   - killed after the rename → the retry sees the committed dir and
+    *     no-ops, so the batch is never double-encoded.
+    * The rename is atomic on HDFS and POSIX filesystems; object stores
+    * without atomic rename need their own committer underneath.
+    * [[IvfPqIndex.load]] unions the base codes with every committed
+    * batch; each batch stays cid-partitioned inside its directory, so
+    * probe-limited partition pruning keeps working per batch. */
+  def appendBatchTo(dir: String, batchId: String,
+                    newEmbeddings: DataFrame): Unit = {
+    require(batchId.matches("[A-Za-z0-9_-]+"),
+      s"batch id must be [A-Za-z0-9_-]+, got '$batchId'")
+    val spark = centroids.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = new org.apache.hadoop.fs.Path(
+      s"$dir/codes_batches/batch_$batchId")
+    val staging = new org.apache.hadoop.fs.Path(
+      s"$dir/codes_batches/.staging_batch_$batchId")
+    if (fs.exists(committed)) return // idempotent retry: already done
+    if (fs.exists(staging)) fs.delete(staging, true) // crash leftover
+    IvfPqIndex.encode(newEmbeddings, centroids, codebook, m)
+      .write.mode("overwrite").partitionBy("cid").parquet(staging.toString)
+    if (!fs.rename(staging, committed))
+      throw new java.io.IOException(
+        s"could not commit batch $batchId: rename $staging -> $committed")
+  }
 
   /** Probe-limited ADC search over the prebuilt index — same output
     * contract as [[Similarity.annIvfPq]]: (query_id, nbr_id, approx_d2,
@@ -160,13 +205,28 @@ object IvfPqIndex {
         Similarity.asDouble(col("embedding")).as("vec")),
       cents, codebook, m)
 
-  /** Read an index written by [[IvfPqIndex#save]]. */
+  /** Read an index written by [[IvfPqIndex#save]]: the base codes plus
+    * every COMMITTED batch under `codes_batches/` (staged/crashed
+    * batches are dot-prefixed and never listed — see
+    * [[IvfPqIndex#appendBatchTo]]). The directory count is
+    * metadata-sized (one per ingest batch), so the listing is a driver
+    * FS call, not a data pass. */
   def load(spark: SparkSession, dir: String): IvfPqIndex = {
     val p = spark.read.parquet(s"$dir/params").head()
+    val batchesRoot = new org.apache.hadoop.fs.Path(s"$dir/codes_batches")
+    val fs = batchesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchDirs =
+      if (!fs.exists(batchesRoot)) Seq.empty[String]
+      else fs.listStatus(batchesRoot).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_"))
+        .map(_.getPath.toString).sorted
+    val codes = batchDirs.foldLeft(spark.read.parquet(s"$dir/codes")) {
+      (acc, b) => acc.unionByName(spark.read.parquet(b))
+    }
     IvfPqIndex(
       spark.read.parquet(s"$dir/centroids"),
       spark.read.parquet(s"$dir/codebook"),
-      spark.read.parquet(s"$dir/codes"),
+      codes,
       p.getAs[Int]("nlist"), p.getAs[Int]("m"), p.getAs[Int]("ksub"))
   }
 }

@@ -1077,6 +1077,56 @@ class PipelineSpec extends SparkSpec {
       direct.exceptAll(viaDisk).isEmpty)
   }
 
+  test("IvfPqIndex.appendBatchTo: kill-and-resume at every crash window equals the never-crashed twin") {
+    import graft.pipeline.{IvfPqIndex, Similarity}
+    import org.apache.hadoop.fs.Path
+    val emb = (0L until 120L).map { i =>
+      (i, (0 until 16).map(d => ((i * 31 + d * 7) % 13 - 6).toFloat / 6f))
+    }.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 5)
+    val direct = Similarity.annIvfPq(emb, queries,
+      nlist = 8, nprobe = 3, m = 4, ksub = 8, k = 5)
+    val idx = IvfPqIndex.build(emb, nlist = 8, m = 4, ksub = 8)
+    val half = idx.copy(codes = idx.codes.filter(col("vec_id") % 2 === 0))
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    val fs = new Path("/").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+    // never-crashed twin
+    val cleanDir = java.nio.file.Files.createTempDirectory("ivfpq_clean").toString
+    half.save(cleanDir)
+    half.appendBatchTo(cleanDir, "b1", batch)
+    val clean = IvfPqIndex.load(spark, cleanDir).search(queries, nprobe = 3, k = 5)
+    assert(clean.exceptAll(direct).isEmpty && direct.exceptAll(clean).isEmpty)
+
+    // crash window 1: killed BETWEEN code-file write and the commit
+    // rename — reproduce the exact on-disk state by un-renaming a real
+    // committed batch back to its staging path
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_crash").toString
+    half.save(dir)
+    half.appendBatchTo(dir, "b1", batch)
+    val committed = new Path(s"$dir/codes_batches/batch_b1")
+    val staging = new Path(s"$dir/codes_batches/.staging_batch_b1")
+    assert(fs.rename(committed, staging), "test setup: un-rename failed")
+    // the staged batch is INVISIBLE: reload searches like the half index
+    val halfOnly = IvfPqIndex.load(spark, dir).codes.count()
+    assert(halfOnly == 60, s"staged batch leaked into a reload: $halfOnly")
+    // resume: same batch id → leftover deleted, batch redone, committed
+    half.appendBatchTo(dir, "b1", batch)
+    assert(!fs.exists(staging) && fs.exists(committed))
+    val resumed = IvfPqIndex.load(spark, dir)
+    assert(resumed.codes.count() == 120)
+    val viaResumed = resumed.search(queries, nprobe = 3, k = 5)
+    assert(viaResumed.exceptAll(direct).isEmpty &&
+      direct.exceptAll(viaResumed).isEmpty)
+
+    // crash window 2: killed AFTER the rename (or a duplicate retry) —
+    // the same batch id must no-op, never double-encode
+    half.appendBatchTo(dir, "b1", batch)
+    assert(IvfPqIndex.load(spark, dir).codes.count() == 120,
+      "a retried committed batch was double-encoded")
+  }
+
   test("connectedComponentsStar: long path converges in O(log) rounds where label prop cannot") {
     import graft.pipeline.Curation
     // a 100-node path has diameter 99: label propagation inside its
