@@ -157,7 +157,7 @@ object SparkEntry {
     * reference configuration.yml shape (intervals/weights/limit) sized to
     * the synthetic biflow distance scale so the anomaly filter keeps a
     * non-trivial subset. */
-  private val pfDist = PatternFinder.DistConfig(
+  private[graft] val pfDist = PatternFinder.DistConfig(
     intervals = Seq(0.0, 1.0, 1.5, 2.0, 3.0, 6.0),
     weights = Seq(3L, 2L, 1L, 1L, 2L, 3L),
     limit = 5L)
@@ -2136,8 +2136,11 @@ object SparkEntry {
        |  SELECT vec_id, list_reduce(list_transform(range(0, 16), pl ->
        |    CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |      list_transform(range(1, len(v) + 1), i ->
-       |        v[CAST(i AS INT)] * (CAST((CAST(i - 1 AS BIGINT) * 2654435761
-       |          + pl * 40503 + 12345) % 1048576 AS DOUBLE) / 524288.0 - 1.0))),
+       |        v[CAST(i AS INT)] * (CAST(((CAST(i - 1 AS BIGINT) * 2654435761
+       |          + pl * 40503 + 12345) % 1048576
+       |          * ((CAST(i - 1 AS BIGINT) * 2654435761
+       |          + pl * 40503 + 12345) % 1048576 + 1))
+       |          % 1048576 AS DOUBLE) / 524288.0 - 1.0))),
        |      (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END),
        |    (x, y) -> x || y) AS signs
        |  FROM e
@@ -3598,8 +3601,11 @@ object SparkEntry {
          |  SELECT vec_id, list_reduce(list_transform(range(0, 16), pl ->
          |    CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |      list_transform(range(1, len(v) + 1), i ->
-         |        v[CAST(i AS INT)] * (CAST((CAST(i - 1 AS BIGINT) * 2654435761
-         |          + pl * 40503 + 12345) % 1048576 AS DOUBLE) / 524288.0 - 1.0))),
+         |        v[CAST(i AS INT)] * (CAST(((CAST(i - 1 AS BIGINT) * 2654435761
+         |          + pl * 40503 + 12345) % 1048576
+         |          * ((CAST(i - 1 AS BIGINT) * 2654435761
+         |          + pl * 40503 + 12345) % 1048576 + 1))
+         |          % 1048576 AS DOUBLE) / 524288.0 - 1.0))),
          |      (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END),
          |    (x, y) -> x || y) AS signs
          |  FROM e
@@ -3752,8 +3758,11 @@ object SparkEntry {
          |  SELECT vec_id, v, CAST(list_sum(list_transform(range(0, 8), pl ->
          |    CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |      list_transform(range(1, len(v) + 1), i ->
-         |        v[CAST(i AS INT)] * (CAST((CAST(i - 1 AS BIGINT) * 2654435761
-         |          + pl * 40503 + 12345) % 1048576 AS DOUBLE) / 524288.0 - 1.0))),
+         |        v[CAST(i AS INT)] * (CAST(((CAST(i - 1 AS BIGINT) * 2654435761
+         |          + pl * 40503 + 12345) % 1048576
+         |          * ((CAST(i - 1 AS BIGINT) * 2654435761
+         |          + pl * 40503 + 12345) % 1048576 + 1))
+         |          % 1048576 AS DOUBLE) / 524288.0 - 1.0))),
          |      (x, y) -> x + y) >= 0
          |    THEN CAST(1 AS BIGINT) << pl ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
          |    AS bucket

@@ -145,4 +145,40 @@ object DocSynth {
       transform(raw, x => (x / norm).cast("float")).as("embedding"),
       label.as("label"))
   }
+
+  /** [[embeddings]]' adversarial-skew twin: `megaPpm` of vectors (10%
+    * default) collapse into ONE degenerate vector — the same content
+    * embedded over and over, the embedding-tier analogue of
+    * [[documentsSkewed]]'s boilerplate class. The members are mutual
+    * duplicates under EVERY embedding scheme at once: pairwise cosine
+    * exactly 1, identical sign bits on every LSH hyperplane (one band
+    * bucket), one nearest coarse centroid (one inverted list holding
+    * 10% of the corpus — EXACT identity matters here: the IVF quantizer
+    * samples the corpus, so a merely-near-identical class would split
+    * across the ~megaPpm·nlist sampled mega centroids into sub-cap
+    * slivers and exercise no guard, while identical vectors tie on
+    * every assignment and land together deterministically).
+    * `megaNoise > 0` restores the near-dup variant for spec use. At
+    * n=1M the class owes ~5·10⁹ within-cluster pairs, so the corpus
+    * exists to prove the maxCluster / maxBucket / probe-limited paths
+    * bound the work while the benign twin provides the ≤ ~linear
+    * comparison cell. Same schema and id-hash gating — deterministic
+    * in (nVecs, seed), supersets across scales. */
+  def embeddingsSkewed(spark: SparkSession, nVecs: Long, seed: Long = 42L,
+                       dims: Int = 64, nLabels: Int = 10,
+                       megaPpm: Long = 100000L,
+                       megaNoise: Double = 0.0d): DataFrame = {
+    val id = col("vec_id")
+    val isMega = pmod(h(lit(seed), lit("megav"), id), lit(1000000L)) < megaPpm
+    def unit(salt: String, k: Column, d: Column): Column =
+      (pmod(h(lit(seed), lit(salt), k, d), lit(2001L)) - 1000L) / 1000.0d
+    val raw = transform(sequence(lit(0), lit(dims - 1)),
+      d => unit("megac", lit(0L), d) +
+        (if (megaNoise == 0.0d) lit(0.0d)
+         else unit("meganz", id, d) * megaNoise))
+    val norm = sqrt(aggregate(raw, lit(0.0d), (acc, x) => acc + x * x))
+    val mega = transform(raw, x => (x / norm).cast("float"))
+    embeddings(spark, nVecs, seed, dims, nLabels)
+      .withColumn("embedding", when(isMega, mega).otherwise(col("embedding")))
+  }
 }

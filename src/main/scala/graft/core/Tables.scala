@@ -59,7 +59,7 @@ object Tables {
   }
 
   /** ts (of the given read dtype) → epoch-nanos LongType column. */
-  private def normalizeTsNanos(dt: DataType) = dt match {
+  private[graft] def normalizeTsNanos(dt: DataType) = dt match {
     case LongType => col("ts") // already epoch-nanos (nanosAsLong read)
     case TimestampNTZType =>
       // NTZ wall-clock is defined as UTC by the testdata contract. The

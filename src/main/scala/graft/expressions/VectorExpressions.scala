@@ -141,7 +141,11 @@ object LshUtil {
     var i = 0
     while (i < n) {
       if (a.isNullAt(i)) return false // null proj → when() else-branch
-      val h = (i.toLong * 2654435761L + pl.toLong * 40503L + 12345L) % 1048576L
+      // affine draw + quadratic round: the affine hash alone is linear
+      // in pl, collapsing band sign-substrings into run patterns (see
+      // Similarity.planeComponent — the two faces must stay identical)
+      val h1 = (i.toLong * 2654435761L + pl.toLong * 40503L + 12345L) % 1048576L
+      val h = (h1 * (h1 + 1L)) % 1048576L
       acc += a.getDouble(i) * ((h.toDouble / 524288.0d) - 1.0d)
       i += 1
     }

@@ -91,9 +91,20 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * a fixed integer hash mapped to [-1, 1). Portable arithmetic (same
-    * formula is SQL-expressible for oracles). */
+    * formula is SQL-expressible for oracles).
+    *
+    * The quadratic second round matters: the affine draw alone
+    * (i·K1 + pl·K2 mod 2²⁰) makes adjacent planes differ by the SAME
+    * constant at every dim, so projections drift smoothly across planes
+    * and a band's sign-substring collapses into ~planes monotone run
+    * patterns instead of 2^perBand keys (measured r18: top benign
+    * 16-bit band buckets held 1.5-2.4k of 100k vectors, keys like
+    * 0000000011111111 — a quadratic candidate blowup at corpus scale).
+    * h1·(h1+1) mod 2²⁰ is non-affine in (i, pl), overflow-safe
+    * (h1 < 2²⁰ → product < 2⁴⁰), and keeps both engine faces exact. */
   private def planeComponent(plane: Int, dim: org.apache.spark.sql.Column) = {
-    val h = pmod(dim * 2654435761L + lit(plane.toLong) * 40503L + 12345L, lit(1048576L))
+    val h1 = pmod(dim * 2654435761L + lit(plane.toLong) * 40503L + 12345L, lit(1048576L))
+    val h = pmod(h1 * (h1 + 1L), lit(1048576L))
     (h.cast("double") / 524288.0d) - 1.0d
   }
 
@@ -952,6 +963,22 @@ object Similarity {
     val pairs =
       if (bands <= 1) annLsh(embeddings, planes, minCosine)
       else annLshBanded(embeddings, planes, bands, minCosine)
+    val dupes = pairs.select(col("vec_b").as("vec_id")).distinct()
+    embeddings.join(dupes, Seq("vec_id"), "left_anti")
+      .select("vec_id")
+  }
+
+  /** [[dedupByCosine]] in the capped production posture: band buckets
+    * larger than `maxBucket` are dropped before the self-join
+    * ([[annLshBanded]]'s skew guard) — one degenerate cluster sharing
+    * every sign bit would otherwise owe d² pairs through its bucket.
+    * Recall loss is confined to pairs agreeing ONLY on an over-cap band
+    * (their members are all kept — capping loses dedup recall, never
+    * data). */
+  def dedupByCosineCapped(embeddings: DataFrame, planes: Int, bands: Int,
+                          minCosine: Double, maxBucket: Long): DataFrame = {
+    val pairs = annLshBanded(embeddings, planes, bands, minCosine,
+      maxBucket = maxBucket)
     val dupes = pairs.select(col("vec_b").as("vec_id")).distinct()
     embeddings.join(dupes, Seq("vec_id"), "left_anti")
       .select("vec_id")

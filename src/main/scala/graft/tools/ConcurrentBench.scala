@@ -48,11 +48,56 @@ import graft.SparkEntry
   */
 object ConcurrentBench {
 
+  /** Streaming serving faces: every heavy BATCH face is in the rotation,
+    * but a shared engine also hosts micro-batch streams — this runs the
+    * full streaming pattern_finder (file-source events → flow synth →
+    * biflow stream-stream join → keyed report state) as one bounded
+    * AvailableNow drain per invocation, with a fresh checkpoint so every
+    * pass replays the same work. Each client thread runs its own
+    * StreamingQuery (distinct checkpoint + queryName), the documented
+    * multi-stream-per-session posture. */
+  private val streamFaces: Map[String, (SparkSession, String) => Unit] = Map(
+    "s_pattern_finder_stream" -> ((spark: SparkSession, sfDir: String) => {
+      import org.apache.spark.sql.functions._
+      val path = s"$sfDir/events.parquet"
+      val rawSchema = spark.read.parquet(path).schema
+      val ck = java.nio.file.Files
+        .createTempDirectory("cbench_pf_stream").toString
+      // the testdata table is a single FILE; the file stream source
+      // needs a directory, so stream the sf dir filtered to that file
+      val events = spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+        .withColumn("ts", graft.core.Tables.normalizeTsNanos(
+          rawSchema("ts").dataType))
+      val flows = graft.SparkEntry.withBiflowEcho(
+        graft.core.FlowSynth.fromEvents(events,
+          graft.core.FlowSynth.biflowCols))
+      val out = graft.streaming.StreamingAnalytics.patternFinderReports(
+        graft.streaming.FlowSource.withEventTime(flows),
+        graft.SparkEntry.patterns, graft.SparkEntry.pfDist,
+        reportIntervalMs = 60000L)
+      val q = out.writeStream.format("noop")
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination() } finally {
+        if (q.isActive) q.stop()
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(ck))
+      }
+    }))
+
   private def run(all: Map[String, (SparkSession, String) => DataFrame],
                   spark: SparkSession, sfDir: String,
                   name: String): Option[String] =
-    try { graft.Bench.forced.getOrElse(name, identity[DataFrame] _)
-      .apply(all(name)(spark, sfDir)).count(); None }
+    try {
+      streamFaces.get(name) match {
+        case Some(face) => face(spark, sfDir)
+        case None => graft.Bench.forced.getOrElse(name, identity[DataFrame] _)
+          .apply(all(name)(spark, sfDir)).count()
+      }
+      None
+    }
     // NonFatal, deliberately: a VM-fatal error (executor-side OOM) in a
     // CONTENTION probe must crash the probe, not be recorded as a query
     // error and then have the remaining phases measure a degraded JVM
@@ -92,7 +137,8 @@ object ConcurrentBench {
     val names = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").toSeq.filter(_.nonEmpty))
       .getOrElse((SparkEntry.benchQueries ++
-        Seq("q_edit_distance_capped", "q_hybrid_dedup_bucketed")).distinct)
+        Seq("q_edit_distance_capped", "q_hybrid_dedup_bucketed",
+          "s_pattern_finder_stream")).distinct)
 
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val failedQueries =

@@ -35,6 +35,42 @@ class ScaleSpec extends SparkSpec {
       .queryExecution.analyzed eq atCores.queryExecution.analyzed)
   }
 
+  test("embeddingsSkewed: mega class collapses to ONE list/bucket; caps exempt it, benign survives") {
+    import graft.core.DocSynth
+    import graft.pipeline.{IvfPqIndex, Similarity}
+    val n = 2000L
+    val emb = DocSynth.embeddingsSkewed(spark, n, nLabels = 20)
+    // the class is EXACT duplicates (megaPpm=10%), so IVF assignment
+    // ties land every member in one inverted list — the degenerate-list
+    // posture the embskew smoke scales up
+    val idx = IvfPqIndex.build(emb, nlist = 40, m = 4, ksub = 16)
+    val listSizes = idx.codes.groupBy("cid").count()
+      .collect().map(_.getLong(1)).sorted.reverse
+    assert(listSizes.head >= n / 10 * 9 / 10, // ≥ ~90% of the 10% class
+      s"mega class split across lists: top=${listSizes.head}")
+    // banded LSH: the mega bucket is over ANY reasonable cap and is
+    // dropped loudly; benign near-dup pairs survive the capped path
+    val capped = Similarity.annLshBanded(emb, planes = 64, bands = 4,
+      minCosine = 0.9, maxBucket = 150L)
+    val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // build the mega membership set via exact-duplicate grouping
+    val megaSet = emb.groupBy("embedding").agg(
+        collect_list("vec_id").as("ids"), count(lit(1)).as("c"))
+      .filter(col("c") > 100)
+      .select(explode(col("ids")))
+      .collect().map(_.getLong(0)).toSet
+    assert(megaSet.size >= 150, s"expected a mega class, got ${megaSet.size}")
+    assert(!pairs.exists { case (a, b) => megaSet(a) && megaSet(b) },
+      "capped LSH must drop the over-cap mega buckets")
+    assert(pairs.nonEmpty, "benign near-dup pairs must survive the cap")
+    // semDedup with maxCluster: the mega members are all KEPT (exempted
+    // from comparison), so capping loses dedup recall, never data
+    val kept = Similarity.semDedup(emb, nlist = 40, minCosine = 0.4,
+        maxCluster = 150L)
+      .collect().map(_.getLong(0)).toSet
+    assert(megaSet.forall(kept), "maxCluster must exempt-and-keep the mega class")
+  }
+
   test("saltedAgg equals plain groupBy on skewed data") {
     // hot key: 90% of rows on one key
     val rows = (0 until 1000).map(i =>
