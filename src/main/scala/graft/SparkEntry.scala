@@ -31,9 +31,16 @@ object SparkEntry {
     HostStats(FlowSynth.flows(spark, "/root/testdata/sf0.001"))
   }
 
-  private def flows(s: SparkSession, d: String): DataFrame = {
+  /** Flow view over the events table. `cols` narrows WHICH flow columns
+    * are synthesized (the analytics declare their sets as `inputCols`):
+    * Catalyst prunes execution either way, but the un-synthesized
+    * columns' fat expression trees stop being re-walked by every
+    * downstream analyzer/optimizer pass — the driver-latency share of
+    * the sub-second flow queries (see flowsWide's measurement). */
+  private def flows(s: SparkSession, d: String,
+                    cols: Seq[String] = Nil): DataFrame = {
     Graft.tune(s)
-    FlowSynth.flows(s, d)
+    FlowSynth.fromEvents(Tables.events(s, d), cols)
   }
 
   /** [[flows]] with the synthesis widened over the scan: the per-row
@@ -545,14 +552,14 @@ object SparkEntry {
 
     // --- Stream4Flow analytics (SURVEY §2) -----------------------------
     "q_protocols_statistics" -> ((s, dir) =>
-      ProtocolStatistics(flows(s, dir), 3600000L)
+      ProtocolStatistics(flows(s, dir, ProtocolStatistics.inputCols), 3600000L)
         .orderBy("window_start_ms", "protocol")),
 
     "q_host_stats" -> ((s, dir) =>
-      HostStats(flows(s, dir)).orderBy("src_ip")),
+      HostStats(flows(s, dir, HostStats.inputCols)).orderBy("src_ip")),
 
     "q_top_n_host_stats" -> ((s, dir) =>
-      TopNHostStats(flows(s, dir), 10)
+      TopNHostStats(flows(s, dir, TopNHostStats.inputCols), 10)
         .orderBy("src_ip", "stat_type", "rank")),
 
     "q_portscan" -> ((s, dir) =>
@@ -564,7 +571,7 @@ object SparkEntry {
         .orderBy("src_ip", "dst_ip")),
 
     "q_dns_statistics" -> ((s, dir) =>
-      DnsStatistics(flows(s, dir), topN = 100)
+      DnsStatistics(flows(s, dir, DnsStatistics.inputCols), topN = 100)
         .orderBy(col("stat_type"), col("value").desc, col("key"))),
 
     "q_ddos" -> ((s, dir) =>
@@ -585,7 +592,8 @@ object SparkEntry {
     "q_dns_external_resolvers" -> ((s, dir) =>
       // 30 min tolerance: the synthetic event cadence is sparse; the
       // reference's 5 s would make the interval join vacuously empty here
-      DnsExternalResolvers(flows(s, dir), toleranceMs = 1800000L)
+      DnsExternalResolvers(flows(s, dir, DnsExternalResolvers.inputCols),
+        toleranceMs = 1800000L)
         .orderBy("client_ip", "resolver_ip")),
 
     "q_tls_classification" -> ((s, dir) =>

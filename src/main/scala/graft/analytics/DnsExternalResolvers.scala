@@ -20,6 +20,10 @@ import graft.functions.BitFunctions
   */
 object DnsExternalResolvers {
 
+  /** Flow columns this analytic consumes (see ProtocolStatistics.inputCols). */
+  val inputCols: Seq[String] = Seq("protocol", "dns_flags", "src_ip4",
+    "dst_ip", "flow_id", "start_ms", "end_ms")
+
   def apply(flows: DataFrame, toleranceMs: Long = 5000L): DataFrame = {
     val dns = flows
       .filter(col("protocol") === 17 && col("dns_flags").isNotNull &&

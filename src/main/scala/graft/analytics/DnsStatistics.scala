@@ -19,6 +19,10 @@ import graft.functions.{BitFunctions, DnsFunctions}
   */
 object DnsStatistics {
 
+  /** Flow columns this analytic consumes (see ProtocolStatistics.inputCols). */
+  val inputCols: Seq[String] = Seq("dns_name", "dns_flags", "dns_qtype",
+    "src_ip4", "src_ip6")
+
   /** F12 fanout: one DNS flow → 0..5 (stat_type, key) contribution rows.
     * `carry` columns (e.g. event_time for streaming windows) ride along. */
   def contributions(flows: DataFrame, carry: Seq[String] = Nil): DataFrame = {

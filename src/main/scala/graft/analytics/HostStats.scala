@@ -21,6 +21,10 @@ import graft.functions.{BitFunctions, NetFunctions}
   */
 object HostStats {
 
+  /** Flow columns this analytic consumes (see ProtocolStatistics.inputCols). */
+  val inputCols: Seq[String] = Seq("src_ip4", "src_ip6", "dst_ip", "dst_port",
+    "protocol", "packets", "bytes", "tcp_flags", "start_ms", "end_ms")
+
   private def base(flows: DataFrame) = {
     val f = flows.filter(
       coalesce(col("src_ip4"), col("src_ip6")).isNotNull &&

@@ -19,6 +19,12 @@ import graft.functions.NetFunctions
   */
 object ProtocolStatistics {
 
+  /** Flow columns this analytic consumes — callers over a synthesized
+    * flow view pass this to prune the synth tree (driver-latency win;
+    * execution is pruned by Catalyst either way). A stale list fails
+    * loudly at analysis, and the oracle gate runs every query. */
+  val inputCols: Seq[String] = Seq("protocol", "packets", "bytes", "start_ms")
+
   def apply(flows: DataFrame, windowMs: Long): DataFrame =
     flows
       .filter(col("protocol").isNotNull && col("packets").isNotNull &&

@@ -20,6 +20,10 @@ import graft.functions.NetFunctions
   */
 object TopNHostStats {
 
+  /** Flow columns this analytic consumes (see ProtocolStatistics.inputCols). */
+  val inputCols: Seq[String] = Seq("src_ip4", "src_ip6", "dst_ip", "dst_port",
+    "http_host")
+
   /** The three-way key fanout (dst_port / dst_ip / http_host per source
     * host). `carry` columns (e.g. event_time for streaming windows) ride
     * along — shared by the batch rank and the streaming counts builder. */
