@@ -1497,6 +1497,25 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // incremental-ingest twin of the persisted-index path: HALF the
+    // corpus built+saved, the other half committed via the exactly-once
+    // staged batch append (appendBatchTo — atomic dir rename, idempotent
+    // per batch id), reload, search. Codes re-derive bit-identically
+    // against the frozen quantizer/codebook, so the oracle is the SAME
+    // monolithic annIvfPq SQL — the batch-append commit protocol itself
+    // sits on the hash-checked path
+    "q_embed_ann_ivfpq_batch" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idxDir = runScratch(s, "ivfpq_batch")
+      val full = pipeline.IvfPqIndex.build(emb, nlist = 10, m = 4, ksub = 16)
+      full.copy(codes = full.codes.filter(col("vec_id") % 2 === 0))
+        .save(idxDir)
+      full.appendBatchTo(idxDir, "b1", emb.filter(col("vec_id") % 2 === 1))
+      pipeline.IvfPqIndex.load(s, idxDir)
+        .search(emb.filter(col("vec_id") < 10), nprobe = 3, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // two-stage refined search: ADC ranks 10 candidates, exact cosine
     // over full vectors re-ranks the candidate set to the final top-5
     "q_embed_ann_refine" -> ((s, dir) => {
@@ -2322,6 +2341,8 @@ object SparkEntry {
       baseOracles("q_edit_distance_pairs"), "df <= 20", "df <= 10")) +
     // persisted-index search must equal the monolithic IVF-PQ — same oracle
     ("q_embed_ann_ivfpq_idx" -> baseOracles("q_embed_ann_ivfpq")) +
+    // ...and so must the half-build + exactly-once batch-append path
+    ("q_embed_ann_ivfpq_batch" -> baseOracles("q_embed_ann_ivfpq")) +
     // bloom prune → exact join must equal the un-pruned contamination
     ("q_contamination_bloom" -> baseOracles("q_contamination")) +
     // frozen-table append must search exactly like the monolithic index
