@@ -89,12 +89,14 @@ class PlanAuditSpec extends SparkSpec {
     //  - q_embed_centroid: the build side is the per-class centroid
     //    aggregate — one row per class label (a grouped aggregate, so
     //    the static proof can't bound it)
-    //  - q_embed_ann_ivfpq_idx: the build side is the PERSISTED index's
-    //    centroid table re-read from parquet (nlist = sqrt(N) rows
-    //    written by IvfPqIndex.build — a FileScan carries no static
-    //    row bound)
+    //  - q_embed_ann_ivfpq_idx / q_embed_ann_ivfpq_batch: the build
+    //    side is the PERSISTED index's centroid table re-read from
+    //    parquet (nlist = sqrt(N) rows written by IvfPqIndex.build — a
+    //    FileScan carries no static row bound); the batch twin differs
+    //    only in its codes union, not the centroid build side
     val exactKnnTier = Set("q_embed_knn", "q_embed_knn_int8", "q_ann_recall",
-      "q_margin_mine", "q_embed_centroid", "q_embed_ann_ivfpq_idx")
+      "q_margin_mine", "q_embed_centroid", "q_embed_ann_ivfpq_idx",
+      "q_embed_ann_ivfpq_batch")
     val findings = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try PlanAudit.audit(fn(spark, dir),
