@@ -2166,7 +2166,7 @@ object SparkEntry {
        |        v[CAST(i AS INT)] * (CAST(((CAST(i - 1 AS BIGINT) * 2654435761
        |          + pl * 40503 + 12345) % 1048576
        |          * ((CAST(i - 1 AS BIGINT) * 2654435761
-       |          + pl * 40503 + 12345) % 1048576 + 1))
+       |          + pl * 40503 + 12345) % 1048576 + 1) // 2)
        |          % 1048576 AS DOUBLE) / 524288.0 - 1.0))),
        |      (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END),
        |    (x, y) -> x || y) AS signs
@@ -2440,8 +2440,15 @@ object SparkEntry {
     * THIS corpus, never a stale one. */
   private def deflateFixtureOracle(s: SparkSession, dir: String): String = {
     import s.implicits._
+    // path carries a sanitized dir suffix AND the session applicationId
+    // (mirroring bucketedDocuments + runScratch): a bare dir.hashCode is
+    // 32-bit-collision-prone, and two concurrent sessions sharing
+    // java.io.tmpdir must not overwrite the fixture while the other's
+    // DuckDB oracle pass is reading it
+    val safe = dir.replaceAll("[^A-Za-z0-9]+", "_")
+      .replaceAll("^_+", "").takeRight(40)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_fixture_deflate_" +
-      java.lang.Integer.toHexString(dir.hashCode) + ".parquet"
+      s"${safe}_${s.sparkContext.applicationId}.parquet"
     Tables.documents(s, dir).filter(col("doc_id") % 7 === 0)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
@@ -3633,7 +3640,7 @@ object SparkEntry {
          |        v[CAST(i AS INT)] * (CAST(((CAST(i - 1 AS BIGINT) * 2654435761
          |          + pl * 40503 + 12345) % 1048576
          |          * ((CAST(i - 1 AS BIGINT) * 2654435761
-         |          + pl * 40503 + 12345) % 1048576 + 1))
+         |          + pl * 40503 + 12345) % 1048576 + 1) // 2)
          |          % 1048576 AS DOUBLE) / 524288.0 - 1.0))),
          |      (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END),
          |    (x, y) -> x || y) AS signs
@@ -3790,7 +3797,7 @@ object SparkEntry {
          |        v[CAST(i AS INT)] * (CAST(((CAST(i - 1 AS BIGINT) * 2654435761
          |          + pl * 40503 + 12345) % 1048576
          |          * ((CAST(i - 1 AS BIGINT) * 2654435761
-         |          + pl * 40503 + 12345) % 1048576 + 1))
+         |          + pl * 40503 + 12345) % 1048576 + 1) // 2)
          |          % 1048576 AS DOUBLE) / 524288.0 - 1.0))),
          |      (x, y) -> x + y) >= 0
          |    THEN CAST(1 AS BIGINT) << pl ELSE CAST(0 AS BIGINT) END)) AS BIGINT)

@@ -127,8 +127,9 @@ object VectorUtil {
 
 /** Sign-of-projection LSH kernels shared by [[LshSignBits]] and
   * [[LshBucketKey]] — the same deterministic hyperplane formula as the
-  * Column composite in Similarity (h = (i·2654435761 + pl·40503 + 12345)
-  * mod 2^20, component = h/2^19 − 1, left-fold projection), one tight
+  * Column composite in Similarity (h1 = (i·2654435761 + pl·40503 + 12345)
+  * mod 2^20, h = h1·(h1+1)/2 mod 2^20, component = h/2^19 − 1, left-fold
+  * projection), one tight
   * loop instead of planes × dims interpreted lambda calls. A null element
   * nulls that plane's projection, which the composite's when() maps to
   * sign 0 — replicated here. (Whole-NULL input is null under these
@@ -141,11 +142,13 @@ object LshUtil {
     var i = 0
     while (i < n) {
       if (a.isNullAt(i)) return false // null proj → when() else-branch
-      // affine draw + quadratic round: the affine hash alone is linear
-      // in pl, collapsing band sign-substrings into run patterns (see
-      // Similarity.planeComponent — the two faces must stay identical)
+      // affine draw + triangular-number round: the affine hash alone is
+      // linear in pl, collapsing band sign-substrings into run patterns,
+      // and the un-halved product h1·(h1+1) is always even — half the
+      // component resolution (see Similarity.planeComponent — the two
+      // faces and the three oracle-SQL sites must stay identical)
       val h1 = (i.toLong * 2654435761L + pl.toLong * 40503L + 12345L) % 1048576L
-      val h = (h1 * (h1 + 1L)) % 1048576L
+      val h = (h1 * (h1 + 1L) / 2L) % 1048576L
       acc += a.getDouble(i) * ((h.toDouble / 524288.0d) - 1.0d)
       i += 1
     }

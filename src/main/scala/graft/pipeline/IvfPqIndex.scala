@@ -36,10 +36,20 @@ final case class IvfPqIndex(centroids: DataFrame, codebook: DataFrame,
 
   /** Write the index under `dir` (params, centroids, codebook, codes).
     * Codes partition by coarse centroid id so probe-limited reads prune
-    * whole inverted lists at the scan. */
+    * whole inverted lists at the scan.
+    *
+    * A fresh save OWNS the directory: any `codes_batches/` left by a
+    * previous index at the same path is deleted first. Batches are
+    * encoded against the codebook that existed when they committed —
+    * unioning them under a rebuilt (different corpus / nlist / m /
+    * ksub) index would silently mix codes from two quantizers, so the
+    * overwrite must cover them too, not just the four base tables. */
   def save(dir: String): Unit = {
     val spark = centroids.sparkSession
     import spark.implicits._
+    val batchesRoot = new org.apache.hadoop.fs.Path(s"$dir/codes_batches")
+    val fs = batchesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(batchesRoot)) fs.delete(batchesRoot, true)
     Seq((nlist, m, ksub)).toDF("nlist", "m", "ksub")
       .write.mode("overwrite").parquet(s"$dir/params")
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")

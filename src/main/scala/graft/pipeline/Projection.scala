@@ -195,7 +195,11 @@ object Projection {
       (x, m) => x - m)
     embeddings.select(
       col("vec_id"),
-      transform(basis, w => round(Vec.dot(w, centered), 6)).as("proj"))
+      // + 0.0 normalizes IEEE -0.0 → 0.0, matching covarianceCells and
+      // the fixture oracle's `round(...,6) + 0.0`: a component rounding
+      // to zero must hash identically on both engines
+      transform(basis, w => round(Vec.dot(w, centered), 6) + lit(0.0))
+        .as("proj"))
   }
 
   /** Distributed twin of [[pcaProject]] for LARGE embedding dims — block
@@ -295,7 +299,9 @@ object Projection {
         (x, m) => x - m)
       embeddings.select(
         col("vec_id"),
-        transform(basis, w => round(Vec.dot(w, centered), 6)).as("proj"))
+        // + 0.0: -0.0 → 0.0, same engine-parity reason as pcaProject
+        transform(basis, w => round(Vec.dot(w, centered), 6) + lit(0.0))
+          .as("proj"))
     } finally cen.unpersist()
   }
 

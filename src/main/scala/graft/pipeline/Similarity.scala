@@ -100,11 +100,17 @@ object Similarity {
     * patterns instead of 2^perBand keys (measured r18: top benign
     * 16-bit band buckets held 1.5-2.4k of 100k vectors, keys like
     * 0000000011111111 — a quadratic candidate blowup at corpus scale).
-    * h1·(h1+1) mod 2²⁰ is non-affine in (i, pl), overflow-safe
-    * (h1 < 2²⁰ → product < 2⁴⁰), and keeps both engine faces exact. */
+    * The triangular number h1·(h1+1)/2 mod 2²⁰ is non-affine in
+    * (i, pl), overflow-safe (h1 < 2²⁰ → product < 2⁴⁰, and the product
+    * is always even so /2 is exact), and keeps both engine faces exact.
+    * The /2 matters for resolution: h1·(h1+1) is always even, so
+    * WITHOUT it the hash mod 2²⁰ only ever took 2¹⁹ even values —
+    * half the intended component resolution (r18 ADVICE). Any change
+    * here must land IN LOCK-STEP on LshUtil.planeSign (native codegen)
+    * and the three oracle-SQL sites in SparkEntry (grep 40503). */
   private def planeComponent(plane: Int, dim: org.apache.spark.sql.Column) = {
     val h1 = pmod(dim * 2654435761L + lit(plane.toLong) * 40503L + 12345L, lit(1048576L))
-    val h = pmod(h1 * (h1 + 1L), lit(1048576L))
+    val h = pmod(shiftright(h1 * (h1 + 1L), 1), lit(1048576L))
     (h.cast("double") / 524288.0d) - 1.0d
   }
 
