@@ -68,6 +68,27 @@ def main(root):
                            f"({ {k: v.get(k) for k in ('rows_match', 'schema_match', 'hash_match', 'err')} }) "
                            f"and COVERAGE.md carries no ADJUDICATED:/FIXED: line for it")
 
+    # Manifest freshness gate (VERDICT r18 #2): the committed
+    # COVERAGE_OPERATORS.md names the artifact it was generated against
+    # in its table header; it shipped one round stale at r14 and two
+    # artifacts stale at r18, so staleness is now a FAILURE, not a
+    # protocol memory. Regenerate with `scripts/reconcile.py --coverage`
+    # and re-commit whenever a newer CORRECTNESS_r*.json lands.
+    man_path = os.path.join(root, "COVERAGE_OPERATORS.md")
+    if cf and os.path.exists(man_path):
+        man = open(man_path).read()
+        m = re.search(r"CORRECTNESS_r(\d+)", man)
+        if not m:
+            bad.append("COVERAGE_OPERATORS.md: no CORRECTNESS_r<N> table "
+                       "header found — regenerate with scripts/reconcile.py "
+                       "--coverage")
+        elif int(m.group(1)) != round_num(cf):
+            bad.append(
+                f"COVERAGE_OPERATORS.md is stale: headed "
+                f"CORRECTNESS_r{m.group(1)} but the newest artifact is "
+                f"{os.path.basename(cf)}; regenerate with "
+                f"scripts/reconcile.py --coverage and re-commit")
+
     bf = latest(root, "BENCH_r*.json")
     if bf:
         bench = json.load(open(bf))
