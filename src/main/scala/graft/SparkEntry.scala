@@ -668,6 +668,23 @@ object SparkEntry {
         .orderBy("req_id", "rsp_id")
     }),
 
+    // the grouped-pairing twin (biflowsGrouped — the reference's own
+    // groupByKey execution shape, retained as the bounded-window
+    // STREAMING form after the r18 shootout made the join the batch
+    // default). Same rows by construction; registering it against the
+    // SAME oracle upgrades the spec-pinned equality to a hash gate, and
+    // ConcurrentBench carries it as a serving row so the streaming
+    // shape's cost sits on the record next to the join shape's
+    // (r18 verdict optional task 8)
+    "q_pattern_finder_grouped" -> ((s, dir) => {
+      PatternFinder.classify(
+        PatternFinder.biflowsGrouped(withBiflowEcho(flowsWide(s, dir)), 500L),
+        patterns, binThresholds,
+        keep = Seq("biflow_key", "req_id", "rsp_id", "client_ip",
+          "server_ip"))
+        .orderBy("req_id", "rsp_id")
+    }),
+
     // Q7: the dns_statistics data_array doc WITH the per-key
     // top-contributing ip (controller nested terms sub-agg,
     // web-interface/Stream4Flow/controllers/dns_statistics.py:53-75);
@@ -2341,6 +2358,9 @@ object SparkEntry {
       baseOracles("q_edit_distance_pairs"), "df <= 20", "df <= 10")) +
     // persisted-index search must equal the monolithic IVF-PQ — same oracle
     ("q_embed_ann_ivfpq_idx" -> baseOracles("q_embed_ann_ivfpq")) +
+    // grouped pairing (the bounded-window streaming shape) must produce
+    // the join form's exact rows — same oracle, hash-gated
+    ("q_pattern_finder_grouped" -> baseOracles("q_pattern_finder")) +
     // ...and so must the half-build + exactly-once batch-append path
     ("q_embed_ann_ivfpq_batch" -> baseOracles("q_embed_ann_ivfpq")) +
     // bloom prune → exact join must equal the un-pruned contamination
@@ -2428,7 +2448,38 @@ object SparkEntry {
       "q_bpe_train" -> RefBpe.trainOracleSql(merges),
       "q_bpe_train_batched" -> RefBpe.trainOracleSql(batched),
       "q_bpe_encode" -> RefBpe.encodeOracleSql(merges),
-      "q_compression_ratio_exact" -> deflateFixtureOracle(spark, dir))
+      "q_compression_ratio_exact" -> deflateFixtureOracle(spark, dir),
+      "q_embed_pca" -> pcaFullOracle(spark, dir))
+  }
+
+  /** Full-corpus value oracle for q_embed_pca (closes the registry's
+    * last rows-only gap — r18 verdict optional task): the mean vector
+    * and eigenbasis are driver-side metadata derived by the SAME
+    * deterministic pipeline the query runs (rounded covariance cells →
+    * Jacobi → canonical signs; the derivation itself is bracketed by the
+    * oracle-checked covariance and the analytic q_embed_pca_fixture), so
+    * they embed as SQL literals and DuckDB re-derives every projected
+    * component over the corpus with the identical left-fold
+    * Σ w_i·(v_i − mu_i): shortest-round-trip double literals parse back
+    * to the same bits, so the 6-dp rounds agree exactly. */
+  private def pcaFullOracle(s: SparkSession, dir: String): String = {
+    val (mu, basis) = pipeline.Projection.pcaMuBasis(
+      Tables.embeddings(s, dir), k = 8)
+    def arr(xs: Seq[Double]) = xs.mkString("[", ", ", "]")
+    val rows = basis.zipWithIndex
+      .map { case (w, j) => s"($j, ${arr(w)}::DOUBLE[])" }.mkString(",\n    ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), m AS (SELECT ${arr(mu)}::DOUBLE[] AS mu),
+       |b(j, w) AS (VALUES
+       |    $rows)
+       |SELECT e.vec_id, b.j,
+       |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(range(1, ${mu.size + 1}), i ->
+       |      w[CAST(i AS INT)] * (v[CAST(i AS INT)] - mu[CAST(i AS INT)]))),
+       |    (x, y) -> x + y), 6) + 0.0 AS component
+       |FROM e, m, b
+       |ORDER BY e.vec_id, b.j""".stripMargin
   }
 
   /** Materialize the deflate byte counts of the %7 doc subset through

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native vector-distance expressions for the embedding hot path.
@@ -20,33 +20,48 @@ import org.apache.spark.unsafe.types.UTF8String
   * IEEE operations in identical (left-fold) order, so every rounded
   * oracle value is unchanged; ExpressionsSpec pins tier equality
   * including null/length-mismatch propagation.
+  *
+  * Element type: every kernel accepts `array<float>` as well as
+  * `array<double>` (per-side flag, constant-folded in codegen).
+  * Accumulation is ALWAYS double and float→double widening is IEEE
+  * EXACT, so a float input produces bit-identical results to casting it
+  * `array<double>` first — which is why the pipeline hot paths keep
+  * embeddings float32 end-to-end (half the shuffle/cache bytes and none
+  * of the per-row fp64 copy garbage the cast allocated; the r18 1M-cell
+  * GC attribution) without touching any oracle value.
   */
 object VectorUtil {
 
+  /** Element read widened to double: `fl` selects the float accessor.
+    * The flag is a per-call-site constant (codegen emits a literal), so
+    * the branch predicts perfectly / specializes under JIT. */
+  @inline private def elem(a: ArrayData, fl: Boolean, i: Int): Double =
+    if (fl) a.getFloat(i).toDouble else a.getDouble(i)
+
   /** Σ a·b, left fold; null on length mismatch or null element (the
     * zip_with null-padding / null-propagation behavior). */
-  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+  def dot(a: ArrayData, aF: Boolean, b: ArrayData, bF: Boolean): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var acc = 0.0d
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      acc += a.getDouble(i) * b.getDouble(i)
+      acc += elem(a, aF, i) * elem(b, bF, i)
       i += 1
     }
     java.lang.Double.valueOf(acc)
   }
 
   /** Σ (a-b)², left fold; null semantics as [[dot]]. */
-  def l2Squared(a: ArrayData, b: ArrayData): java.lang.Double = {
+  def l2Squared(a: ArrayData, aF: Boolean, b: ArrayData, bF: Boolean): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var acc = 0.0d
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val d = a.getDouble(i) - b.getDouble(i)
+      val d = elem(a, aF, i) - elem(b, bF, i)
       acc += d * d
       i += 1
     }
@@ -55,7 +70,7 @@ object VectorUtil {
 
   /** Cosine similarity with the composite's exact op order:
     * d = Σ a·b (left fold), n = sqrt(Σ a²)·sqrt(Σ b²), 0-norm → 0. */
-  def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
+  def cosine(a: ArrayData, aF: Boolean, b: ArrayData, bF: Boolean): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var d = 0.0d
@@ -64,8 +79,8 @@ object VectorUtil {
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = a.getDouble(i)
-      val y = b.getDouble(i)
+      val x = elem(a, aF, i)
+      val y = elem(b, bF, i)
       d += x * y
       na += x * x
       nb += y * y
@@ -77,7 +92,7 @@ object VectorUtil {
 
   /** [[cosine]] against a plain driver-side array (the baked-in centroid
     * form): same op order, same null/length semantics. */
-  def cosineVs(a: ArrayData, b: Array[Double]): java.lang.Double = {
+  def cosineVs(a: ArrayData, aF: Boolean, b: Array[Double]): java.lang.Double = {
     val n = a.numElements()
     if (n != b.length) return null
     var d = 0.0d
@@ -86,7 +101,7 @@ object VectorUtil {
     var i = 0
     while (i < n) {
       if (a.isNullAt(i)) return null
-      val x = a.getDouble(i)
+      val x = elem(a, aF, i)
       val y = b(i)
       d += x * y
       na += x * x
@@ -99,14 +114,14 @@ object VectorUtil {
 
   /** [[l2Squared]] of `a[off, off+len)` against a plain array — the PQ
     * subvector distance without materializing the slice. */
-  def l2SliceVs(a: ArrayData, off: Int, len: Int,
+  def l2SliceVs(a: ArrayData, aF: Boolean, off: Int, len: Int,
                 b: Array[Double]): java.lang.Double = {
     if (len != b.length) return null
     var acc = 0.0d
     var i = 0
     while (i < len) {
       if (a.isNullAt(off + i)) return null
-      val d = a.getDouble(off + i) - b(i)
+      val d = elem(a, aF, off + i) - b(i)
       acc += d * d
       i += 1
     }
@@ -136,7 +151,7 @@ object VectorUtil {
   * expressions, where the composite degenerates to all-zero signs; no
   * data path feeds null embeddings.) */
 object LshUtil {
-  private def planeSign(a: ArrayData, pl: Int): Boolean = {
+  private def planeSign(a: ArrayData, aF: Boolean, pl: Int): Boolean = {
     val n = a.numElements()
     var acc = 0.0d
     var i = 0
@@ -149,77 +164,94 @@ object LshUtil {
       // faces and the three oracle-SQL sites must stay identical)
       val h1 = (i.toLong * 2654435761L + pl.toLong * 40503L + 12345L) % 1048576L
       val h = (h1 * (h1 + 1L) / 2L) % 1048576L
-      acc += a.getDouble(i) * ((h.toDouble / 524288.0d) - 1.0d)
+      val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+      acc += x * ((h.toDouble / 524288.0d) - 1.0d)
       i += 1
     }
     acc >= 0.0d
   }
 
-  def signBits(a: ArrayData, planes: Int): UTF8String = {
+  def signBits(a: ArrayData, aF: Boolean, planes: Int): UTF8String = {
     val out = new Array[Byte](planes)
     var pl = 0
     while (pl < planes) {
-      out(pl) = if (planeSign(a, pl)) '1' else '0'
+      out(pl) = if (planeSign(a, aF, pl)) '1' else '0'
       pl += 1
     }
     UTF8String.fromBytes(out)
   }
 
-  def bucketKey(a: ArrayData, planes: Int): Long = {
+  def bucketKey(a: ArrayData, aF: Boolean, planes: Int): Long = {
     var key = 0L
     var pl = 0
     while (pl < planes) {
-      if (planeSign(a, pl)) key |= (1L << pl)
+      if (planeSign(a, aF, pl)) key |= (1L << pl)
       pl += 1
     }
     key
   }
 }
 
+/** Shared type-gate for the float-or-double vector expressions. */
+private[expressions] object VecType {
+  def ok(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  def isFloat(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+}
+
 /** Per-plane sign string ("10011…", length = planes) — the banded-LSH
   * signature column. */
 case class LshSignBits(child: Expression, planes: Int) extends UnaryExpression {
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
-    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<double>")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VecType.ok(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> or array<float>")
+  private lazy val childF: Boolean = VecType.isFloat(child.dataType)
   override def dataType: DataType = StringType
   override def prettyName: String = "lsh_sign_bits"
   protected override def nullSafeEval(input: Any): Any =
-    LshUtil.signBits(input.asInstanceOf[ArrayData], planes)
+    LshUtil.signBits(input.asInstanceOf[ArrayData], childF, planes)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.expressions.LshUtil.signBits($c, $planes);")
+      s"${ev.value} = graft.expressions.LshUtil.signBits($c, $childF, $planes);")
   override protected def withNewChildInternal(newChild: Expression): LshSignBits =
     copy(child = newChild)
 }
 
 /** Single-table LSH bucket key: bit pl set iff plane pl's sign is 1. */
 case class LshBucketKey(child: Expression, planes: Int) extends UnaryExpression {
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
-    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<double>")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VecType.ok(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> or array<float>")
+  private lazy val childF: Boolean = VecType.isFloat(child.dataType)
   override def dataType: DataType = LongType
   override def prettyName: String = "lsh_bucket_key"
   protected override def nullSafeEval(input: Any): Any =
-    LshUtil.bucketKey(input.asInstanceOf[ArrayData], planes)
+    LshUtil.bucketKey(input.asInstanceOf[ArrayData], childF, planes)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.expressions.LshUtil.bucketKey($c, $planes);")
+      s"${ev.value} = graft.expressions.LshUtil.bucketKey($c, $childF, $planes);")
   override protected def withNewChildInternal(newChild: Expression): LshBucketKey =
     copy(child = newChild)
 }
 
-/** Shared shape for the three binary array<double> → double distances. */
+/** Shared shape for the three binary vector → double distances. Each
+  * side is independently array<double> OR array<float> (mixed pairs are
+  * the broadcast-centroid-vs-float-corpus case). */
 abstract class VectorBinaryExpression extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
-      case _ =>
-        TypeCheckResult.TypeCheckFailure(s"$prettyName requires two array<double>")
-    }
+    if (VecType.ok(left.dataType) && VecType.ok(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double>/array<float>")
+  protected lazy val leftF: Boolean = VecType.isFloat(left.dataType)
+  protected lazy val rightF: Boolean = VecType.isFloat(right.dataType)
   override def dataType: DataType = DoubleType
   // null also on length mismatch / null element, not just null input
   override def nullable: Boolean = true
@@ -235,7 +267,7 @@ abstract class VectorBinaryExpression extends BinaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val r = ctx.freshName("vres")
-      s"""java.lang.Double $r = graft.expressions.VectorUtil.$util($a, $b);
+      s"""java.lang.Double $r = graft.expressions.VectorUtil.$util($a, $leftF, $b, $rightF);
          |${ev.isNull} = ($r == null);
          |${ev.value} = ($r == null) ? 0.0d : $r.doubleValue();""".stripMargin
     })
@@ -246,7 +278,7 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "vec_dot"
   protected def util: String = "dot"
   protected def eval2(a: ArrayData, b: ArrayData): java.lang.Double =
-    VectorUtil.dot(a, b)
+    VectorUtil.dot(a, leftF, b, rightF)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
@@ -257,7 +289,7 @@ case class L2SquaredDistance(left: Expression, right: Expression)
   override def prettyName: String = "vec_l2sq"
   protected def util: String = "l2Squared"
   protected def eval2(a: ArrayData, b: ArrayData): java.lang.Double =
-    VectorUtil.l2Squared(a, b)
+    VectorUtil.l2Squared(a, leftF, b, rightF)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): L2SquaredDistance =
     copy(left = newLeft, right = newRight)
@@ -268,7 +300,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "vec_cosine"
   protected def util: String = "cosine"
   protected def eval2(a: ArrayData, b: ArrayData): java.lang.Double =
-    VectorUtil.cosine(a, b)
+    VectorUtil.cosine(a, leftF, b, rightF)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimilarity =
     copy(left = newLeft, right = newRight)
@@ -292,11 +324,11 @@ case class NearestCentroid(child: Expression,
   require(centIds.length == centVecs.length && centIds.nonEmpty,
     "nearest_centroid needs a non-empty centroid table")
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
-    case _ => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<double>")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VecType.ok(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> or array<float>")
+  private lazy val childF: Boolean = VecType.isFloat(child.dataType)
   override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("cid", LongType, nullable = false),
     org.apache.spark.sql.types.StructField("csim", DoubleType, nullable = true)))
@@ -323,7 +355,7 @@ case class NearestCentroid(child: Expression,
     var bestCid = 0L
     var c = 0
     while (c < vecs.length) {
-      val s0 = VectorUtil.cosineVs(vec, vecs(c))
+      val s0 = VectorUtil.cosineVs(vec, childF, vecs(c))
       if (s0 != null) {
         val s = VectorUtil.roundHalfUp(s0.doubleValue, 6)
         val cmp = java.lang.Double.compare(s, bestSim)
@@ -369,11 +401,11 @@ case class PqNearestCodes(child: Expression, m: Int,
       subCodes(s).nonEmpty && subCodes(s).length == subVecs(s).length),
     "pq_nearest_codes needs a non-empty codebook for every subspace")
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
-    case _ => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<double>")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VecType.ok(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> or array<float>")
+  private lazy val childF: Boolean = VecType.isFloat(child.dataType)
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
   override def nullable: Boolean = true
@@ -403,7 +435,7 @@ case class PqNearestCodes(child: Expression, m: Int,
       var bestCode = 0
       var c = 0
       while (c < vecs(s).length) {
-        val d0 = VectorUtil.l2SliceVs(vec, off, len, vecs(s)(c))
+        val d0 = VectorUtil.l2SliceVs(vec, childF, off, len, vecs(s)(c))
         if (d0 != null) {
           val d = VectorUtil.roundHalfUp(d0.doubleValue * 1000000.0d, 0).toLong
           if (!found || d < bestD || (d == bestD && codes(s)(c) < bestCode)) {

@@ -126,7 +126,7 @@ final case class IvfPqIndex(centroids: DataFrame, codebook: DataFrame,
     * rank ≤ k). */
   def search(queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"),
-      Similarity.asDouble(col("embedding")).as("qvec"))
+      Similarity.asVec(queries).as("qvec"))
     val probes = q.crossJoin(broadcast(centroids))
       .withColumn("csim", round(Vec.cosine(col("qvec"), col("cvec")), 6))
       .withColumn("crn", row_number().over(
@@ -171,9 +171,9 @@ final case class IvfPqIndex(centroids: DataFrame, codebook: DataFrame,
     val cand = search(queries, nprobe, kCandidates)
       .select("query_id", "nbr_id")
     val q = queries.select(col("vec_id").as("query_id"),
-      Similarity.asDouble(col("embedding")).as("qvec"))
+      Similarity.asVec(queries).as("qvec"))
     val full = embeddings.select(col("vec_id").as("nbr_id"),
-      Similarity.asDouble(col("embedding")).as("nvec"))
+      Similarity.asVec(embeddings).as("nvec"))
     full.join(broadcast(cand.join(broadcast(q), Seq("query_id"))),
         Seq("nbr_id"))
       .withColumn("cosine", round(Vec.cosine(col("qvec"), col("nvec")), 4))
@@ -193,7 +193,7 @@ object IvfPqIndex {
   def build(embeddings: DataFrame, nlist: Int, m: Int = 4,
             ksub: Int = 16): IvfPqIndex = {
     val e = embeddings.select(col("vec_id"),
-      Similarity.asDouble(col("embedding")).as("vec"))
+      Similarity.asVec(embeddings).as("vec"))
     // one collected scrambled-id sample serves both broadcast sides
     // (same derivation as annIvfPq — prefix property keeps them equal)
     val sample = Similarity.collectedSample(e, math.max(nlist, ksub))
@@ -212,7 +212,7 @@ object IvfPqIndex {
                      codebook: DataFrame, m: Int): DataFrame =
     Similarity.fusedEncode(
       embeddings.select(col("vec_id"),
-        Similarity.asDouble(col("embedding")).as("vec")),
+        Similarity.asVec(embeddings).as("vec")),
       cents, codebook, m)
 
   /** Read an index written by [[IvfPqIndex#save]]: the base codes plus

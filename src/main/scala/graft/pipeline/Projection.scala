@@ -180,17 +180,31 @@ object Projection {
     * Envelope: d² covariance cells and the O(d³) driver solve are
     * metadata up to d ≈ 512; past that use [[pcaProjectPower]], which
     * never forms the d×d matrix. */
-  def pcaProject(embeddings: DataFrame, k: Int): DataFrame = {
+  /** The exact (mu, basis-rows) pair [[pcaProject]] projects through —
+    * covariance pass, Jacobi eigen, canonical signs, descending
+    * eigenvalue order. Exposed so the full-corpus oracle can bake the
+    * SAME driver-side values into its SQL and re-derive every projected
+    * component with identical left-fold arithmetic: the basis derivation
+    * is bracketed by the covariance oracle and the analytic fixture
+    * (q_embed_pca_fixture), and this closes the projection pass itself
+    * at corpus scale. Deterministic given the data (rounded covariance
+    * cells, deterministic Jacobi, pinned sign canon). */
+  def pcaMuBasis(embeddings: DataFrame, k: Int): (Seq[Double], Seq[Seq[Double]]) = {
     val stats = covarianceMatrix(embeddings).collect() // d² rows — metadata
     val d = math.sqrt(stats.length.toDouble).round.toInt
     val cov = Array.ofDim[Double](d, d)
     stats.foreach(r => cov(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-    val (vals, vecs) = Eigen.symmetric(cov) // descending eigenvalues
+    val (_, vecs) = Eigen.symmetric(cov) // descending eigenvalues
     require(k >= 1 && k <= d, s"k must be in [1, $d]")
     val mdims = dimMeans(embeddings
       .select(col("embedding").cast("array<double>").as("v"))) // d rows
-    val basis = typedLit((0 until k).map(c => vecs(c).toSeq))
-    val mu = typedLit(mdims.toSeq)
+    (mdims.toSeq, (0 until k).map(c => vecs(c).toSeq))
+  }
+
+  def pcaProject(embeddings: DataFrame, k: Int): DataFrame = {
+    val (mdims, basisRows) = pcaMuBasis(embeddings, k)
+    val basis = typedLit(basisRows)
+    val mu = typedLit(mdims)
     val centered = zip_with(col("embedding").cast("array<double>"), mu,
       (x, m) => x - m)
     embeddings.select(

@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, StructField, StructType}
 import graft.expressions.{VectorExpressions => Vec}
 import graft.functions.VectorFunctions
 
@@ -25,14 +25,33 @@ object Similarity {
 
   private[pipeline] def asDouble(c: org.apache.spark.sql.Column) = c.cast("array<double>")
 
+  /** The embedding column in its NATIVE element type when that is
+    * float32 or float64, cast to array<double> otherwise. The native
+    * kernels ([[graft.expressions.VectorExpressions]]) read either
+    * element type with double accumulation — float→double widening is
+    * IEEE exact, so results are bit-identical to casting first — which
+    * lets the corpus-sized hot paths keep vectors at 4 bytes/component
+    * through persists and shuffles instead of materializing an fp64
+    * copy per row per pass (the r18 1M-vector GC attribution:
+    * q_hybrid_dedup spent 701 task-summed GC seconds on a 260 s wall at
+    * 2 GB/core, dominated by cast copies + doubled cache residency).
+    * Operators whose math runs through COMPOSITE lambdas (zip_with /
+    * aggregate — where float arithmetic would stay float and diverge)
+    * keep [[asDouble]]. */
+  private[pipeline] def asVec(df: DataFrame, name: String = "embedding"): Column =
+    df.schema(name).dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => col(name)
+      case _ => asDouble(col(name))
+    }
+
   /** Exact top-k cosine neighbors for each query vector.
     * The queries side is broadcast (small); ranking is per-query via a
     * window function, ties broken by neighbor id. */
   def knnBruteForce(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val base = embeddings.select(col("vec_id").as("nbr_id"),
-      asDouble(col("embedding")).as("nbr_vec"))
+      asVec(embeddings).as("nbr_vec"))
     val q = queries.select(col("vec_id").as("query_id"),
-      asDouble(col("embedding")).as("query_vec"))
+      asVec(queries).as("query_vec"))
     base.join(broadcast(q), col("query_id") =!= col("nbr_id"))
       .withColumn("cosine",
         round(Vec.cosine(col("query_vec"), col("nbr_vec")), 4))
@@ -174,7 +193,13 @@ object Similarity {
   private def sanitizedVec(r: org.apache.spark.sql.Row, i: Int): Seq[Double] = {
     val raw = if (r.isNullAt(i)) null else r.getSeq[Any](i)
     if (raw == null || raw.contains(null)) Seq.empty[Double]
-    else raw.asInstanceOf[Seq[Double]]
+    // float rows (asVec-preserved corpora) widen exactly; the driver-side
+    // centroid/codebook values are the same doubles the cast produced
+    else raw.map {
+      case d: java.lang.Double => d.doubleValue
+      case f: java.lang.Float  => f.toDouble
+      case x                   => x.asInstanceOf[Number].doubleValue
+    }
   }
 
   /** The same deterministic sample as driver-side values — for
@@ -830,7 +855,7 @@ object Similarity {
   def annIvfPq(embeddings: DataFrame, queries: DataFrame,
                nlist: Int, nprobe: Int, m: Int = 4, ksub: Int = 16,
                k: Int = 10): DataFrame = {
-    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val e = embeddings.select(col("vec_id"), asVec(embeddings).as("vec"))
     // The coarse quantizer (nlist rows) and the PQ codebook sample (ksub
     // rows) are prefixes of the SAME scrambled-id order, so one corpus
     // TakeOrderedAndProject — collected to the driver and re-injected as
@@ -843,7 +868,7 @@ object Similarity {
     val cents = sample.limit(nlist)
     val codebook = pqCodebook(sample.limit(ksub), m)
     val probes = queries
-      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qvec"))
+      .select(col("vec_id").as("query_id"), asVec(queries).as("qvec"))
       .crossJoin(broadcast(cents))
       .withColumn("csim", round(Vec.cosine(col("qvec"), col("cvec")), 6))
       .withColumn("crn", row_number().over(
@@ -851,7 +876,7 @@ object Similarity {
       .filter(col("crn") <= nprobe)
       .select(col("query_id"), col("cid"))
     val qtable = queries
-      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qvec"))
+      .select(col("vec_id").as("query_id"), asVec(queries).as("qvec"))
       .select(col("query_id"), col("qvec"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"))
       .withColumn("qsubvec", subSlice(col("qvec"), col("sub"), m))
@@ -1035,7 +1060,7 @@ object Similarity {
     * crossJoin fanout, no groupBy shuffle — one narrow pass fused into
     * the scan. */
   private def coarseAssigned(embeddings: DataFrame, nlist: Int): DataFrame = {
-    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val e = embeddings.select(col("vec_id"), asVec(embeddings).as("vec"))
     assignByCentroids(e, collectedSampleVals(e, nlist))
   }
 
@@ -1259,7 +1284,7 @@ object Similarity {
                          maxBucket: Long = 0L,
                          tileTarget: Long = 0L): graft.core.Cached[DataFrame] = {
     val sig = embeddings
-      .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .select(col("vec_id"), asVec(embeddings).as("vec"))
       .withColumn("signs", lshSignBits(col("vec"), planes))
     val bandKeys = lshBandKeys(col("signs"), planes, bands)
     // persisted: both self-join sides read the buckets, and the sign
@@ -1283,9 +1308,9 @@ object Similarity {
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
     val pairs = rawPairs.distinct()
     val va = embeddings.select(col("vec_id").as("vec_a"),
-      asDouble(col("embedding")).as("va"))
+      asVec(embeddings).as("va"))
     val vb = embeddings.select(col("vec_id").as("vec_b"),
-      asDouble(col("embedding")).as("vb"))
+      asVec(embeddings).as("vb"))
     val result = pairs.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
       .withColumn("cosine", round(Vec.cosine(col("va"), col("vb")), 4))
       .filter(col("cosine") >= minCosine)
@@ -1297,7 +1322,7 @@ object Similarity {
     * Single-table form: fine at moderate N, but the key space is
     * 2^planes — prefer [[annLshBanded]] when the corpus is large. */
   def annLsh(embeddings: DataFrame, planes: Int, minCosine: Double): DataFrame = {
-    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val e = embeddings.select(col("vec_id"), asVec(embeddings).as("vec"))
       .withColumn("bucket", lshBucket(col("vec"), planes))
     e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))

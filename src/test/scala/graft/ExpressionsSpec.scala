@@ -214,6 +214,50 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("vector kernels on array<float>: bit-identical to the cast-to-double path") {
+    // float→double widening is IEEE exact, so a float-element input must
+    // produce BIT-identical doubles to casting array<double> first — the
+    // contract that lets the pipeline hot paths keep embeddings float32
+    // end-to-end (r19 heap-posture work) without moving any oracle value
+    import graft.expressions.VectorExpressions
+    import graft.pipeline.Similarity
+    val rnd = new scala.util.Random(23)
+    val df = Seq.tabulate(50)(i => (
+        i.toLong,
+        Seq.fill(64)((rnd.nextDouble() * 2 - 1).toFloat),
+        Seq.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)))
+      .toDF("id", "fa", "fb")
+    val rows = df.select(
+      VectorExpressions.cosine(col("fa"), col("fb")).as("cf"),
+      VectorExpressions.cosine(col("fa").cast("array<double>"),
+        col("fb").cast("array<double>")).as("cd"),
+      VectorExpressions.dot(col("fa"), col("fb")).as("df_"),
+      VectorExpressions.dot(col("fa").cast("array<double>"),
+        col("fb").cast("array<double>")).as("dd"),
+      VectorExpressions.l2Squared(col("fa"), col("fb")).as("lf"),
+      VectorExpressions.l2Squared(col("fa").cast("array<double>"),
+        col("fb").cast("array<double>")).as("ld"),
+      // mixed pair: float corpus side vs double broadcast side
+      VectorExpressions.cosine(col("fa"), col("fb").cast("array<double>")).as("cm"),
+      Similarity.lshSignBits(col("fa"), 16).as("sf"),
+      Similarity.lshSignBits(col("fa").cast("array<double>"), 16).as("sd"),
+      Similarity.lshBucket(col("fa"), 16).as("bf"),
+      Similarity.lshBucket(col("fa").cast("array<double>"), 16).as("bd"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), s"cosine: $r")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), s"dot: $r")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(4)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(5)), s"l2sq: $r")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(6)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(0)), s"mixed cosine: $r")
+      assert(r.getString(7) == r.getString(8), s"sign bits: $r")
+      assert(r.getLong(9) == r.getLong(10), s"bucket key: $r")
+    }
+  }
+
   test("native cidr_match agrees with the composite NetFunctions version") {
     val ips = (0 until 256).map(i => s"10.0.${i % 8}.$i").toDF("ip")
     val both = ips.select(
