@@ -357,10 +357,23 @@ case class NearestCentroid(child: Expression,
     while (c < vecs.length) {
       val s0 = VectorUtil.cosineVs(vec, childF, vecs(c))
       if (s0 != null) {
-        val s = VectorUtil.roundHalfUp(s0.doubleValue, 6)
-        val cmp = java.lang.Double.compare(s, bestSim)
-        if (!found || cmp > 0 || (cmp == 0 && ids(c) < bestCid)) {
-          found = true; bestSim = s; bestCid = ids(c)
+        val raw = s0.doubleValue
+        // LAZY rounding (r19 scale fix): roundHalfUp is a BigDecimal
+        // allocation+setScale — at corpus encode volume (rows × nlist ≈
+        // 10⁹ candidates at 1M vectors, nlist 1000) it WAS the whole
+        // stage cost (probed: 52 s/task of a 58 s wall) and the GC bed
+        // the r18 footnote attributed to heap posture. Rounding is
+        // monotone and moves a value by < 5e-7, so a candidate whose RAW
+        // cosine is ≥ 1e-6 below the current ROUNDED best can neither
+        // exceed it nor tie it — skip the BigDecimal entirely. NaN
+        // passes the guard (comparisons with NaN are false), keeping
+        // the Double.compare NaN-sorts-greatest semantics intact.
+        if (!found || !(raw < bestSim - 1e-6)) {
+          val s = VectorUtil.roundHalfUp(raw, 6)
+          val cmp = java.lang.Double.compare(s, bestSim)
+          if (!found || cmp > 0 || (cmp == 0 && ids(c) < bestCid)) {
+            found = true; bestSim = s; bestCid = ids(c)
+          }
         }
       }
       c += 1
@@ -437,9 +450,20 @@ case class PqNearestCodes(child: Expression, m: Int,
       while (c < vecs(s).length) {
         val d0 = VectorUtil.l2SliceVs(vec, childF, off, len, vecs(s)(c))
         if (d0 != null) {
-          val d = VectorUtil.roundHalfUp(d0.doubleValue * 1000000.0d, 0).toLong
-          if (!found || d < bestD || (d == bestD && codes(s)(c) < bestCode)) {
-            found = true; bestD = d; bestCode = codes(s)(c)
+          val rawU = d0.doubleValue * 1000000.0d
+          // lazy rounding, argmin face of the NearestCentroid guard:
+          // round(x, 0) ≥ x − 0.5, so a candidate with rawU > bestD + 0.6
+          // rounds strictly above bestD (integer domain → ≥ bestD + 1)
+          // and can neither beat nor tie it; NaN fails the comparison
+          // and takes the exact path, preserving the NaN → 0L cast rank.
+          // bestD == Long.MaxValue keeps the exact path too: a +Infinity
+          // candidate CASTS to Long.MaxValue and must still tie-break by
+          // lowest code against an infinite best, exactly as before
+          if (!found || bestD == Long.MaxValue || !(rawU > bestD + 0.6d)) {
+            val d = VectorUtil.roundHalfUp(rawU, 0).toLong
+            if (!found || d < bestD || (d == bestD && codes(s)(c) < bestCode)) {
+              found = true; bestD = d; bestCode = codes(s)(c)
+            }
           }
         }
         c += 1

@@ -54,7 +54,16 @@ final case class IvfPqIndex(centroids: DataFrame, codebook: DataFrame,
       .write.mode("overwrite").parquet(s"$dir/params")
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     codebook.write.mode("overwrite").parquet(s"$dir/codebook")
-    codes.write.mode("overwrite").partitionBy("cid").parquet(s"$dir/codes")
+    // cluster by cid BEFORE the dynamic-partition write: without it
+    // every write task holds rows of ~every inverted list and opens
+    // nlist files (32 tasks × 1000 cids = 32k small files, measured as
+    // a single ~92 s straggler at 1M vectors); hashed on cid each list
+    // is written by exactly one task — nlist files total, one per list,
+    // the FAISS-like on-disk layout the probe-pruned reads want. The
+    // explicit partition count keeps AQE from coalescing the tiny
+    // shuffle (codes are ~m bytes/vector) below write parallelism.
+    codes.repartition(32, col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/codes")
   }
 
   /** Index grown by `newEmbeddings`, encoded against the FROZEN
@@ -82,6 +91,7 @@ final case class IvfPqIndex(centroids: DataFrame, codebook: DataFrame,
     * batch behind ONE directory rename and is idempotent per batch id. */
   def appendTo(dir: String, newEmbeddings: DataFrame): Unit =
     IvfPqIndex.encode(newEmbeddings, centroids, codebook, m)
+      .repartition(32, col("cid")) // one writer per list — see save()
       .write.mode("append").partitionBy("cid").parquet(s"$dir/codes")
 
   /** Exactly-once append of one named batch to a SAVED index.
@@ -115,6 +125,7 @@ final case class IvfPqIndex(centroids: DataFrame, codebook: DataFrame,
     if (fs.exists(committed)) return // idempotent retry: already done
     if (fs.exists(staging)) fs.delete(staging, true) // crash leftover
     IvfPqIndex.encode(newEmbeddings, centroids, codebook, m)
+      .repartition(32, col("cid")) // one writer per list — see save()
       .write.mode("overwrite").partitionBy("cid").parquet(staging.toString)
     if (!fs.rename(staging, committed))
       throw new java.io.IOException(
