@@ -1287,10 +1287,24 @@ object Similarity {
       .select(col("vec_id"), asVec(embeddings).as("vec"))
       .withColumn("signs", lshSignBits(col("vec"), planes))
     val bandKeys = lshBandKeys(col("signs"), planes, bands)
-    // persisted: both self-join sides read the buckets, and the sign
-    // computation (planes × dims fold) is the expensive part; the
-    // hot-bucket list reads the persisted frame (cheap cached scan)
-    val raw = sig.select(col("vec_id"), explode(bandKeys).as("bucket"))
+    // The vector rides THROUGH the explode: cosine is confirmed inside
+    // the bucket self-join, so the only vector-carrying shuffle is the
+    // bucket frame itself (N × bands rows) — never the candidate pairs.
+    // The pair-side attach it replaces (distinct ids → two vector
+    // joins) shipped one 64-float array PER CANDIDATE PAIR, and pairs
+    // grow ~N·d_mean while the bucket frame grows ~N·bands: at 1M
+    // vectors that shape measured 25 GB of pair shuffle (30 GB memory +
+    // 22 GB disk spill under sort-merge before the shuffle-hash hint).
+    // Confirming in-bucket also lets the minCosine filter run BEFORE
+    // the dedup, so distinct sees only survivors. A pair agreeing on k
+    // bands pays k cosines (k ≤ bands, near-dups only) — arithmetic is
+    // ~free next to shuffled bytes at corpus scale. Values identical:
+    // cosine is deterministic per pair, so filter∘distinct commutes.
+    // The persisted frame serves the hot-bucket census (bucket column
+    // only — the cached columnar scan prunes), both self-join sides,
+    // and the tiled path (which drops vec: tiledPairs' row_number
+    // window must not shuffle arrays; its slim pairs re-attach below).
+    val raw = sig.select(col("vec_id"), col("vec"), explode(bandKeys).as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets =
       if (maxBucket <= 0L) raw
@@ -1299,22 +1313,30 @@ object Similarity {
           .filter(col("bsize") > maxBucket).select("bucket")
         raw.join(broadcast(hot), Seq("bucket"), "left_anti")
       }
-    val rawPairs =
-      if (tileTarget > 0L)
-        graft.scale.Skew.tiledPairs(buckets, "vec_id", "bucket", tileTarget)
+    val result =
+      if (tileTarget > 0L) {
+        val pairs = graft.scale.Skew.tiledPairs(
+            buckets.select("vec_id", "bucket"), "vec_id", "bucket", tileTarget)
           .select(col("a").as("vec_a"), col("b").as("vec_b"))
-      else buckets.as("a").join(buckets.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-    val pairs = rawPairs.distinct()
-    val va = embeddings.select(col("vec_id").as("vec_a"),
-      asVec(embeddings).as("va"))
-    val vb = embeddings.select(col("vec_id").as("vec_b"),
-      asVec(embeddings).as("vb"))
-    val result = pairs.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
-      .withColumn("cosine", round(Vec.cosine(col("va"), col("vb")), 4))
-      .filter(col("cosine") >= minCosine)
-      .select("vec_a", "vec_b", "cosine")
+          .distinct()
+        // vector re-attach (tiled path only): SHUFFLE_HASH, not
+        // sort-merge — the corpus side hashes to ~10 MB/task while the
+        // pair side streams unsorted instead of sorting arrays.
+        val va = embeddings.select(col("vec_id").as("vec_a"),
+          asVec(embeddings).as("va")).hint("shuffle_hash")
+        val vb = embeddings.select(col("vec_id").as("vec_b"),
+          asVec(embeddings).as("vb")).hint("shuffle_hash")
+        pairs.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
+          .withColumn("cosine", round(Vec.cosine(col("va"), col("vb")), 4))
+          .filter(col("cosine") >= minCosine)
+          .select("vec_a", "vec_b", "cosine")
+      } else
+        buckets.as("a").join(buckets.as("b"),
+            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            round(Vec.cosine(col("a.vec"), col("b.vec")), 4).as("cosine"))
+          .filter(col("cosine") >= minCosine)
+          .distinct()
     graft.core.Cached(result, raw)
   }
 
