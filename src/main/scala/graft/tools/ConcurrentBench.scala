@@ -138,11 +138,29 @@ object ConcurrentBench {
     "s_pattern_finder_stream" -> ((spark: SparkSession, sfDir: String) =>
       inStreamPool(spark) {
       import org.apache.spark.sql.functions._
+      // Width cap (SPARK_GRAFT_STREAM_WIDTH, default 8): the r19 task
+      // audit showed the ENTIRE serving tail is this drain's stateful
+      // stage — 32 uniform 4.4–6.5 s state-commit tasks holding every
+      // core, and FAIR reallocates only at task completion, so pool
+      // weights alone cannot bound the wait. A cloned session pins the
+      // drain's shuffle (= state store) partitions to 8: the drain
+      // never holds more than 8 of 32 slots, 24 cores stay interactive
+      // whatever the drain does — the local[32] emulation of giving a
+      // background stream its own small executor pool (what a real
+      // cluster does with workload-isolated executors). Cost is drain
+      // wall (~8 tasks × longer state commits, acceptable for an
+      // AvailableNow catch-up); the rejected alternatives (chunked
+      // triggers, global 128 partitions, ZGC) are measured in the
+      // inStreamPool note.
+      val width = sys.env.get("SPARK_GRAFT_STREAM_WIDTH")
+        .map(_.toInt).getOrElse(8)
+      val session = spark.newSession()
+      session.conf.set("spark.sql.shuffle.partitions", width)
       val path = s"$sfDir/events.parquet"
-      val rawSchema = spark.read.parquet(path).schema
+      val rawSchema = session.read.parquet(path).schema
       val ck = java.nio.file.Files
         .createTempDirectory("cbench_pf_stream").toString
-      val events = spark.readStream.schema(rawSchema)
+      val events = session.readStream.schema(rawSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(splitEvents(spark, sfDir))
         .withColumn("ts", graft.core.Tables.normalizeTsNanos(
@@ -169,6 +187,9 @@ object ConcurrentBench {
                   spark: SparkSession, sfDir: String,
                   name: String): Option[String] =
     try {
+      // job description = query name: the task audit attributes long
+      // tasks to the query that submitted them, not a callsite
+      spark.sparkContext.setJobDescription(name)
       streamFaces.get(name) match {
         case Some(face) => face(spark, sfDir)
         case None => graft.Bench.forced.getOrElse(name, identity[DataFrame] _)
@@ -183,12 +204,66 @@ object ConcurrentBench {
       System.err.println(s"[cbench] $name FAILED: $e")
       Some(e.getClass.getSimpleName) }
 
-  /** Nearest-rank p95 (with 4 samples this is the max — stated in the
-    * COVERAGE row rather than pretending at precision). */
+  /** Nearest-rank p95. With the default single rotation that is the max
+    * of 4 samples — stated in the COVERAGE row rather than pretending at
+    * precision; `SPARK_GRAFT_ROTATIONS=5` gives 20 samples per query
+    * (p95 = 2nd-worst), a percentile that actually discounts the one
+    * unlucky slot-lottery draw instead of BEING it. */
   private def p95(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.isEmpty) -1.0 else s(math.min(s.size - 1,
       math.ceil(0.95 * s.size).toInt - 1))
+  }
+
+  /** Concurrent-phase task-duration audit (`SPARK_GRAFT_TASK_AUDIT=1`):
+    * the serving tail is slot-availability — an interactive query can
+    * start only when a running task finishes, so the tail's size IS the
+    * duration of the longest tasks holding the box. This records, per
+    * stage completed while the concurrent phase runs, the max task
+    * duration, the count of tasks over one second, and the submitting
+    * pool — naming exactly which query shapes hold slots too long
+    * (the fix target), instead of inferring them from victim p95s. */
+  private final class TaskAudit extends org.apache.spark.scheduler.SparkListener {
+    private final class Cell {
+      var maxMs = 0L; var n = 0L; var over1s = 0L
+    }
+    private val stagePool = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    private val stageName = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    private val cells = new java.util.concurrent.ConcurrentHashMap[Int, Cell]()
+    @volatile var enabled = false
+    override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      val pool = Option(js.properties)
+        .map(_.getProperty("spark.scheduler.pool", "default"))
+        .getOrElse("default")
+      // streaming micro-batches overwrite the description with the
+      // multi-line query status — keep the first line only (valid JSON)
+      val desc = Option(js.properties)
+        .flatMap(p => Option(p.getProperty("spark.job.description")))
+        .getOrElse("?")
+        .linesIterator.map(_.trim).find(_.nonEmpty).getOrElse("?")
+      js.stageInfos.foreach { si =>
+        stagePool.put(si.stageId, pool)
+        stageName.put(si.stageId, desc.take(80))
+      }
+    }
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (enabled && te.taskInfo != null) {
+        val ms = te.taskInfo.duration
+        val c = cells.computeIfAbsent(te.stageId, _ => new Cell)
+        c.synchronized {
+          c.maxMs = math.max(c.maxMs, ms); c.n += 1
+          if (ms >= 1000L) c.over1s += 1
+        }
+      }
+    def report(topK: Int): String = {
+      import scala.jdk.CollectionConverters._
+      cells.asScala.toSeq.sortBy { case (_, c) => -c.maxMs }.take(topK)
+        .map { case (sid, c) =>
+          val pool = stagePool.getOrDefault(sid, "?")
+          val nm = stageName.getOrDefault(sid, "?").replace("\"", "'")
+          s"""{"stage":$sid,"pool":"$pool","max_task_ms":${c.maxMs},"tasks_over_1s":${c.over1s},"n_tasks":${c.n},"query":"$nm"}"""
+        }.mkString("[", ",", "]")
+    }
   }
 
   /** FAIR pool weights: interactive client pools outweigh the `stream`
@@ -257,6 +332,16 @@ object ConcurrentBench {
           "q_pattern_finder_grouped",
           "s_pattern_finder_stream")).distinct)
 
+    // rotations: passes PER THREAD in the concurrent phase (and the
+    // serial phase runs nThreads × rotations passes — same-total-work
+    // invariant preserved). Default 1 keeps the historical protocol;
+    // 5 gives 20 samples/query so p95 is a percentile, not the max.
+    val rotations = sys.env.get("SPARK_GRAFT_ROTATIONS")
+      .map(_.toInt).getOrElse(1)
+    val audit = new TaskAudit
+    if (sys.env.get("SPARK_GRAFT_TASK_AUDIT").exists(_.nonEmpty))
+      spark.sparkContext.addSparkListener(audit)
+
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val failedQueries =
       java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -281,7 +366,7 @@ object ConcurrentBench {
     val serial = collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     val s0 = System.nanoTime()
-    (1 to nThreads).foreach { _ =>
+    (1 to nThreads * rotations).foreach { _ =>
       names.foreach { name =>
         val t0 = System.nanoTime()
         run(all, spark, sfDir, name).foreach { e =>
@@ -300,6 +385,7 @@ object ConcurrentBench {
     // gets a head start while its siblings are still being constructed
     val gate = new java.util.concurrent.CountDownLatch(1)
     val c0 = new java.util.concurrent.atomic.AtomicLong(0L)
+    audit.enabled = true
     val threads = (0 until nThreads).map { i =>
       val t = new Thread(() => {
         // each client stream gets its own FAIR pool (local property is
@@ -310,7 +396,7 @@ object ConcurrentBench {
           val off = i * names.size / nThreads
           names.drop(off) ++ names.take(off)
         }
-        rotated.foreach { name =>
+        Seq.fill(rotations)(rotated).flatten.foreach { name =>
           val t0 = System.nanoTime()
           run(all, spark, sfDir, name).foreach { e =>
             errs.add(s"conc$i/$name:$e"); failedQueries.add(name)
@@ -325,6 +411,9 @@ object ConcurrentBench {
     gate.countDown()
     threads.foreach(_.join())
     val concWall = (System.nanoTime() - c0.get()) / 1e9
+    audit.enabled = false
+    if (sys.env.get("SPARK_GRAFT_TASK_AUDIT").exists(_.nonEmpty))
+      println(s"""{"mode":"task_audit","top_stages":${audit.report(20)}}""")
 
     def r3(d: Double) = math.rint(d * 1000) / 1000
     // Bench's rule, kept here: a query that crashed in ANY pass of
@@ -341,7 +430,7 @@ object ConcurrentBench {
         s""""$n":{"serial_med":${r3(sm)},"conc_med":${r3(cm)},"conc_p95":${r3(cp)},"p95_ratio":${r3(cp / math.max(sm, 1e-9))}}"""
       }
     }.mkString("{", ",", "}")
-    println(s"""{"mode":"concurrent_bench","threads":$nThreads,"n_queries":${names.size},"sf":"$sfDir","serial_wall":${r3(serialWall)},"concurrent_wall":${r3(concWall)},"speedup":${r3(serialWall / concWall)},"errors":${errs.size},"per_query":$perQuery}""")
+    println(s"""{"mode":"concurrent_bench","threads":$nThreads,"rotations":$rotations,"n_queries":${names.size},"sf":"$sfDir","serial_wall":${r3(serialWall)},"concurrent_wall":${r3(concWall)},"speedup":${r3(serialWall / concWall)},"errors":${errs.size},"per_query":$perQuery}""")
     spark.stop()
     if (!errs.isEmpty) { errs.forEach(e => System.err.println(s"[cbench] $e")); sys.exit(1) }
   }
