@@ -1,0 +1,119 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-by-round timing probe for the connected-components loops at an
+  * sf dir: prints per-round wall, edge counts, and total for the
+  * star-contraction and label-propagation forms — the measurement
+  * behind any CC-loop optimization claim. */
+object CcProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.core.Graft.tune(spark)
+    val docs = graft.core.Tables.documents(spark, sfDir)
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"  [$label] ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+    }
+
+    // warm: JIT + parquet footers
+    graft.pipeline.TextPipeline.minhashBucketStarEdges(docs).count()
+
+    val pairs = time("edges") {
+      val p = graft.pipeline.TextPipeline.minhashBucketStarEdges(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"  edge rows=${p.count()}")
+      p
+    }
+
+    // star contraction, instrumented round by round (mirrors
+    // Curation.connectedComponentsStar exactly)
+    time("star-total") {
+      var edges = pairs
+        .select(greatest(col("doc_a"), col("doc_b")).as("hi"),
+          least(col("doc_a"), col("doc_b")).as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct().localCheckpoint(true)
+      var nEdges = edges.count()
+      println(s"  init edges=$nEdges")
+      var i = 0
+      var converged = nEdges == 0L
+      def adj(e: DataFrame): DataFrame =
+        e.select(col("hi").as("u"), col("lo").as("v"))
+          .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      while (!converged && i < 20) {
+        val t0 = System.nanoTime()
+        val a1 = adj(edges)
+        val mins = a1.groupBy("u").agg(min("v").as("mn"))
+        val large = a1.join(mins, Seq("u"))
+          .filter(col("v") > col("u"))
+          .select(col("v").as("hi"), least(col("u"), col("mn")).as("lo"))
+          .filter(col("hi") =!= col("lo")).distinct().localCheckpoint(true)
+        val minsSmall = large.groupBy(col("hi").as("u")).agg(min("lo").as("mn"))
+        val smallRaw = large.join(minsSmall, large("hi") === minsSmall("u"))
+          .select(col("lo").as("hi"), col("mn").as("lo"))
+          .union(minsSmall.select(col("u").as("hi"), col("mn").as("lo")))
+          .filter(col("hi") =!= col("lo")).distinct()
+        if (i == 0 && sys.env.contains("CC_PLAN")) {
+          smallRaw.count()
+          val p = smallRaw.queryExecution.executedPlan.toString
+          println(p)
+          println("  exchanges=" + "Exchange hashpartitioning".r.findAllIn(p).size)
+        }
+        val small = smallRaw.localCheckpoint(true)
+        val tCompute = (System.nanoTime() - t0) / 1e9
+        val n2 = small.count()
+        val tc0 = System.nanoTime()
+        converged = n2 == nEdges && small.except(edges).isEmpty
+        val tCheck = (System.nanoTime() - tc0) / 1e9
+        println(f"  round $i: edges $nEdges -> $n2 compute=$tCompute%.3f " +
+          f"check=$tCheck%.3f (ran_except=${n2 == nEdges})")
+        edges = small; nEdges = n2; i += 1
+      }
+    }
+
+    // label propagation, instrumented (mirrors connectedComponents)
+    time("labelprop-total") {
+      val edges = pairs
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("component")).localCheckpoint(true)
+      var i = 0
+      var converged = false
+      while (!converged && i < 25) {
+        val t0 = System.nanoTime()
+        val nbrMin = edges
+          .join(labels.select(col("id").as("dst"), col("component").as("dst_comp")),
+            Seq("dst"))
+          .groupBy(col("src")).agg(min("dst_comp").as("nbr_comp"))
+        val next = labels
+          .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+          .select(col("id"),
+            least(col("component"), coalesce(col("nbr_comp"), col("component")))
+              .as("component"),
+            (coalesce(col("nbr_comp"), col("component")) < col("component"))
+              .as("_changed"))
+          .localCheckpoint(true)
+        val tCompute = (System.nanoTime() - t0) / 1e9
+        val tc0 = System.nanoTime()
+        converged = next.filter(col("_changed")).limit(1).isEmpty
+        val tCheck = (System.nanoTime() - tc0) / 1e9
+        println(f"  round $i: compute=$tCompute%.3f check=$tCheck%.3f")
+        labels = next.drop("_changed")
+        i += 1
+      }
+      edges.unpersist()
+    }
+    spark.stop()
+  }
+}
