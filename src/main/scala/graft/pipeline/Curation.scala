@@ -472,11 +472,21 @@ object Curation {
       // large-star: (v, min(Γ(u) ∪ {u})) for v ∈ Γ(u), v > u
       val a1 = adj(edges)
       val mins = a1.groupBy("u").agg(min("v").as("mn"))
+      // EAGERLY materialized: `large` is consumed twice (minsSmall's
+      // aggregate + the small-star join's probe side), and when the
+      // planner broadcasts the mins side the probe side carries no
+      // exchange, so Catalyst's ReuseExchange has nothing to match and
+      // the WHOLE large-star subtree — both aggregates and the join —
+      // is otherwise planned twice per round (measured at sf0.1: the
+      // round-0 executed plan held two copies of `large` and three of
+      // `mins`; checkpointing large cut the round's plan to each phase
+      // once). Bounded by the input edge count, same as `small`.
       val large = a1.join(mins, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("hi"), least(col("u"), col("mn")).as("lo"))
         .filter(col("hi") =!= col("lo"))
         .distinct()
+        .localCheckpoint(true)
       // small-star: (v, m) for v ∈ Γ⁻(u) ∪ {u}, m = min(Γ⁻(u) ∪ {u});
       // Γ⁻ = smaller neighbors, i.e. exactly the canonical (hi→lo) edges
       val minsSmall = large.groupBy(col("hi").as("u"))
@@ -1288,23 +1298,66 @@ object Curation {
     // wide corpus scan)
     val wide = graft.scale.Skew.ensureMinParallelism(docs,
       docs.sparkSession.sparkContext.defaultParallelism)
-    val perGram = wide
+    val gramRows = wide
       .select(col("source"), explode(
         graft.expressions.TextExpressions.polyHash47(
           graft.expressions.TextExpressions.wordShingles(col("text"), n)))
         .as("g"))
-      .groupBy("g").agg(collect_set(col("source")).as("ss"))
-    // each gram's source set fans out to ordered pairs a ≤ b via two
-    // chained generators (whole-stage-codegen'd, unlike a
-    // flatten/transform lambda): a = b rows are the per-source gram
-    // totals, a < b rows the shared-gram cells — k² rows per gram
-    // pre-filter, bounded by #sources²
-    val cells = perGram
-      .select(explode(col("ss")).as("sa"), col("ss"))
-      .select(col("sa"), explode(col("ss")).as("sb"))
-      .filter(col("sa") <= col("sb"))
-      .groupBy(col("sa").as("source_a"), col("sb").as("source_b"))
-      .agg(count(lit(1)).as("cnt"))
+    // Source dictionary, collected once: bounded by #sources — the same
+    // metadata-sized driver state class as Ids.prefixSum's offsets and
+    // Bloom's filter build, NOT a data collect. Sorted, so an index
+    // comparison below is exactly the `source_a <= source_b` ordering,
+    // and embedding it as literal map/array expressions keeps the whole
+    // fast path free of extra joins, windows, and broadcast builds.
+    val srcs = docs.select(col("source")).distinct().orderBy("source")
+      .collect().map(_.getString(0))
+    val nSrc = srcs.length
+    val cells =
+      // a null source key cannot enter a map literal — such corpora
+      // (like >62-source ones) take the join fallback, which treats
+      // null as an ordinary grouping value exactly like the old shape
+      if (nSrc > 0 && nSrc <= 62 && !srcs.contains(null)) {
+        // Mask fast path: each gram's source set is a single long —
+        // `bit_or(1 << idx)` is a codegen DeclarativeAggregate whose
+        // map-side partials also dedup duplicate (gram, source) rows for
+        // free, so the per-gram shuffle state is 16 bytes instead of a
+        // boxed string set (the former collect_set ObjectHashAggregate
+        // ran outside whole-stage codegen and serialized string sets
+        // through the exchange). Same single gram-keyed shuffle and the
+        // same ≤ k² fanout per gram as before, now codegen end to end;
+        // the pair counts partial-aggregate map-side to ≤ #sources² rows
+        // per task. Cells are identical by construction: a bit is set
+        // iff the source held the gram.
+        val idxMap = map(srcs.zipWithIndex.flatMap { case (s, i) =>
+          Seq(lit(s), lit(i)) }: _*)
+        val srcArr = array(srcs.map(lit): _*)
+        val masks = gramRows
+          .withColumn("__i", element_at(idxMap, col("source")))
+          .groupBy("g")
+          .agg(expr("bit_or(shiftleft(1L, __i))").as("m"))
+        val bitsOf = expr(
+          s"filter(sequence(0, ${nSrc - 1}), i -> (shiftright(m, cast(i as int)) & 1) = 1)")
+        masks
+          .select(col("m"), explode(bitsOf).as("ia"))
+          .select(col("ia"), explode(bitsOf).as("ib"))
+          .filter(col("ia") <= col("ib"))
+          .groupBy("ia", "ib").agg(count(lit(1)).as("cnt"))
+          .select(element_at(srcArr, col("ia").cast("int") + 1).as("source_a"),
+            element_at(srcArr, col("ib").cast("int") + 1).as("source_b"),
+            col("cnt"))
+      } else {
+        // > 62 sources: distinct (gram, source) via a codegen hash
+        // aggregate, then ordered source pairs a ≤ b per gram via a
+        // self-join on the 8-byte gram key (both sides the identical
+        // subtree — one exchange, read twice). Same cells, no long-width
+        // cap; fanout still ≤ #sources² per gram, never d² in documents.
+        val perGramSource = gramRows.distinct()
+        perGramSource.as("a")
+          .join(perGramSource.as("b"),
+            col("a.g") === col("b.g") && col("a.source") <= col("b.source"))
+          .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("cnt"))
+      }
     // every source with ≥1 gram has its (s, s) diagonal cell, so the
     // window max over the marked diagonal is that source's gram total
     val diag = when(col("source_a") === col("source_b"), col("cnt"))
