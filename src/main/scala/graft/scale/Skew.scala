@@ -109,9 +109,18 @@ object Skew {
     *
     * This is recall-lossless parallelism — when dropping hot buckets is
     * acceptable, the `maxBucket`/`maxDf` caps are cheaper (no d² work at
-    * all); tiling is for when every pair must be produced. */
+    * all); tiling is for when every pair must be produced.
+    *
+    * `carry` names payload columns of `rows` to ride along into the
+    * pair output as `a_<col>` / `b_<col>` (each the named column of the
+    * pair's a/b row, orientation-corrected). Carrying a small fixed-width
+    * payload (a signature long) lets the caller CONFIRM pairs inside the
+    * tile join instead of re-attaching the payload with two pair-keyed
+    * joins afterwards — at pair volumes the two joins are the dominant
+    * shuffle (guide §2.3: decide with the bytes already in hand, don't
+    * re-ship them per pair). */
   def tiledPairs(rows: DataFrame, idCol: String, keyCol: String,
-                 targetTile: Long): DataFrame = {
+                 targetTile: Long, carry: Seq[String] = Nil): DataFrame = {
     require(targetTile >= 1, "targetTile must be >= 1")
     val tileCounts = rows.groupBy(keyCol)
       .agg(count(lit(1)).as("__d"))
@@ -125,12 +134,14 @@ object Skew {
       .withColumn("__t",
         pmod(row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(keyCol).orderBy(idCol)) - 1, col("__tiles")))
-    val sideA = withTile.select(col(keyCol), col(idCol).as("__a"),
+    val sideA = withTile.select(Seq(col(keyCol), col(idCol).as("__a"),
         col("__t").as("__ti"),
-        explode(sequence(col("__t"), col("__tiles") - 1)).as("__tj"))
-    val sideB = withTile.select(col(keyCol), col(idCol).as("__b"),
+        explode(sequence(col("__t"), col("__tiles") - 1)).as("__tj")) ++
+      carry.map(c => col(c).as(s"__a_$c")): _*)
+    val sideB = withTile.select(Seq(col(keyCol), col(idCol).as("__b"),
         explode(sequence(lit(0), col("__t"))).as("__ti"),
-        col("__t").as("__tj"))
+        col("__t").as("__tj")) ++
+      carry.map(c => col(c).as(s"__b_$c")): _*)
     // The tiles only help if the join actually RUNS with many partitions.
     // AQE coalesces planner shuffles by INPUT bytes — a few MB of band
     // keys collapse to one partition even though the join's OUTPUT
@@ -140,10 +151,17 @@ object Skew {
     // keys really do spread over the cluster.
     val parts = rows.sparkSession.sessionState.conf.numShufflePartitions
     val joinKeys = Seq(col(keyCol), col("__ti"), col("__tj"))
+    // a/b are least/greatest of the meeting's two ids; the carried
+    // payloads swap under the same condition so a_<col> is always the
+    // payload of the row whose id became `a`
+    val fwd = col("__a") < col("__b")
     sideA.repartition(parts, joinKeys: _*)
       .join(sideB.repartition(parts, joinKeys: _*), Seq(keyCol, "__ti", "__tj"))
       .filter(col("__ti") =!= col("__tj") || col("__a") < col("__b"))
-      .select(least(col("__a"), col("__b")).as("a"),
-        greatest(col("__a"), col("__b")).as("b"))
+      .select(Seq(least(col("__a"), col("__b")).as("a"),
+        greatest(col("__a"), col("__b")).as("b")) ++
+        carry.flatMap(c => Seq(
+          when(fwd, col(s"__a_$c")).otherwise(col(s"__b_$c")).as(s"a_$c"),
+          when(fwd, col(s"__b_$c")).otherwise(col(s"__a_$c")).as(s"b_$c"))): _*)
   }
 }

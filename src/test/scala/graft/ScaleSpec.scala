@@ -102,6 +102,25 @@ class ScaleSpec extends SparkSpec {
     assert(one.exceptAll(naive).isEmpty && naive.exceptAll(one).isEmpty)
   }
 
+  test("tiledPairs carry: payload columns ride orientation-correctly") {
+    // payload = a pure function of the id, so a swapped carry is
+    // detectable on EVERY pair; same hot+cold key layout as above
+    val rows = ((0 until 57).map(i => ((i * 37 + 11) % 1000 + 1000L, "hot")) ++
+      (0 until 30).map(i => (i.toLong, s"cold${i % 7}")))
+      .toDF("id", "key")
+      .withColumn("sig", col("id") * 1000L + 7L)
+    val tiled = Skew.tiledPairs(rows, "id", "key", targetTile = 8,
+      carry = Seq("sig"))
+    assert(tiled.columns.toSeq == Seq("a", "b", "a_sig", "b_sig"))
+    val bad = tiled.filter(col("a_sig") =!= col("a") * 1000L + 7L ||
+      col("b_sig") =!= col("b") * 1000L + 7L)
+    assert(bad.isEmpty, bad.collect().take(5).mkString(","))
+    // pair set unchanged by the carry
+    val plain = Skew.tiledPairs(rows, "id", "key", targetTile = 8)
+    assert(tiled.select("a", "b").exceptAll(plain).isEmpty &&
+      plain.exceptAll(tiled.select("a", "b")).isEmpty)
+  }
+
   test("tiled candidate generation equals the default path in all three generators") {
     import graft.pipeline.{Similarity, TextPipeline}
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
