@@ -994,7 +994,9 @@ object Similarity {
     val pairs =
       if (bands <= 1) annLsh(embeddings, planes, minCosine)
       else annLshBanded(embeddings, planes, bands, minCosine)
-    val dupes = pairs.select(col("vec_b").as("vec_id")).distinct()
+    // no distinct on the loser ids: anti-join semantics absorb
+    // duplicates (semDedup's documented shape) — one exchange fewer
+    val dupes = pairs.select(col("vec_b").as("vec_id"))
     embeddings.join(dupes, Seq("vec_id"), "left_anti")
       .select("vec_id")
   }
@@ -1010,7 +1012,8 @@ object Similarity {
                           minCosine: Double, maxBucket: Long): DataFrame = {
     val pairs = annLshBanded(embeddings, planes, bands, minCosine,
       maxBucket = maxBucket)
-    val dupes = pairs.select(col("vec_b").as("vec_id")).distinct()
+    // no distinct on the loser ids: anti-join absorbs duplicates
+    val dupes = pairs.select(col("vec_b").as("vec_id"))
     embeddings.join(dupes, Seq("vec_id"), "left_anti")
       .select("vec_id")
   }

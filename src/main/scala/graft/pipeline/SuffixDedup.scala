@@ -74,7 +74,9 @@ object SuffixDedup {
       .select((col("pos0") / Shift).cast("long").as("doc_id"),
         explode(sequence((col("pos0") % Shift).cast("int"),
           (col("pos0") % Shift).cast("int") + (minLen - 1))).as("tp"))
-      .distinct()
+      // no distinct: collect_set dedups (doc_id, tp) itself, map-side —
+      // the extra exchange bought nothing (TextPipeline.removeDupSpans'
+      // r19 fix, same shape)
       .groupBy("doc_id").agg(sort_array(collect_set("tp")).as("rm"))
     docs.join(rm, Seq("doc_id"), "left")
       .withColumn("__toks", TextFunctions.tokens(col("text")))

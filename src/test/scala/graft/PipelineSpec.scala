@@ -2449,6 +2449,35 @@ class PipelineSpec extends SparkSpec {
     assert(out == Map(("A", "B") -> ((2L, 0.4))), out)
   }
 
+  test("sourceOverlap: >62 sources takes the join fallback and equals the mask path") {
+    import graft.pipeline.Curation
+    // 70 sources — one doc each — forces the join fallback (the bit_or
+    // mask is a single long, capped at 62 sources). Every source holds
+    // the shared run "x y z w"; sources s00..s09 add a private tail, so
+    // totals differ between the two groups and the jaccard exercises
+    // both the shared and the diagonal cells through the fallback.
+    val docs = (0 until 70).map { i =>
+      val priv = if (i < 10) s" p$i q$i r$i" else ""
+      (i.toLong, "x y z w" + priv, f"s$i%02d")
+    }.toDF("doc_id", "text", "source")
+    val out = Curation.sourceOverlap(docs, n = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.size == 70 * 69 / 2)
+    // two plain sources: share both 3-grams of "x y z w", totals 2 and 2
+    assert(out(("s10", "s11")) == ((2L, 1.0)))
+    // plain vs private-tail source: shared 2, totals 2 and 5 → 2/5
+    assert(out(("s09", "s10"))._1 == 2L && out(("s09", "s10"))._2 == 0.4)
+    // the mask fast path (≤ 62 sources) must agree cell-for-cell with
+    // the fallback on the same corpus restricted to 60 sources
+    val docs60 = docs.filter(col("doc_id") < 60)
+    val mask = Curation.sourceOverlap(docs60, n = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val expect60 = out.filter { case ((a, b), _) => a < "s60" && b < "s60" }
+    assert(mask == expect60)
+  }
+
   test("corpusDiff: added/removed/changed only — unchanged rows dropped") {
     import graft.pipeline.Curation
     val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
