@@ -130,10 +130,17 @@ object Skew {
     val withTile = rows
       .join(broadcast(tileCounts), Seq(keyCol), "left")
       .withColumn("__tiles", coalesce(col("__tiles"), lit(1)))
-      // row position within the key: linear window (d rows, not d² pairs)
-      .withColumn("__t",
-        pmod(row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(keyCol).orderBy(idCol)) - 1, col("__tiles")))
+      // Tile assignment is a deterministic HASH of the id, not a row
+      // position: the meet-exactly-once guarantee below only needs SOME
+      // deterministic t(row) ∈ [0, __tiles) — a pair (ta ≤ tb) meets at
+      // tile-pair (ta, tb) via sideA's (ta, ·≥ta) × sideB's (·≤tb, tb)
+      // regardless of how t was drawn. The positional row_number this
+      // replaces needed a key-partitioned WINDOW — one full extra
+      // shuffle + per-key sort of the bucket frame, paid by every hot
+      // key, bought only perfectly-equal tile sizes; the hash gives the
+      // same expected balance with binomial variance at targetTile
+      // granularity. Pair set unchanged (spec-pinned vs the naive join).
+      .withColumn("__t", pmod(xxhash64(col(idCol)), col("__tiles")))
     val sideA = withTile.select(Seq(col(keyCol), col(idCol).as("__a"),
         col("__t").as("__ti"),
         explode(sequence(col("__t"), col("__tiles") - 1)).as("__tj")) ++

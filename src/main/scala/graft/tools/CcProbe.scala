@@ -49,16 +49,18 @@ object CcProbe {
       def adj(e: DataFrame): DataFrame =
         e.select(col("hi").as("u"), col("lo").as("v"))
           .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val shared = sys.env.contains("CC_SHARED")
       while (!converged && i < 20) {
         val t0 = System.nanoTime()
-        val a1 = adj(edges)
+        val a1 = if (shared) adj(edges).repartition(col("u")) else adj(edges)
         val mins = a1.groupBy("u").agg(min("v").as("mn"))
         val large = a1.join(mins, Seq("u"))
           .filter(col("v") > col("u"))
           .select(col("v").as("hi"), least(col("u"), col("mn")).as("lo"))
           .filter(col("hi") =!= col("lo")).distinct().localCheckpoint(true)
-        val minsSmall = large.groupBy(col("hi").as("u")).agg(min("lo").as("mn"))
-        val smallRaw = large.join(minsSmall, large("hi") === minsSmall("u"))
+        val largeIn = if (shared) large.repartition(col("hi")) else large
+        val minsSmall = largeIn.groupBy(col("hi").as("u")).agg(min("lo").as("mn"))
+        val smallRaw = largeIn.join(minsSmall, largeIn("hi") === minsSmall("u"))
           .select(col("lo").as("hi"), col("mn").as("lo"))
           .union(minsSmall.select(col("u").as("hi"), col("mn").as("lo")))
           .filter(col("hi") =!= col("lo")).distinct()
