@@ -374,6 +374,37 @@ object Curation {
 
   // ----- connected components / cluster dedup ----------------------------
 
+  /** Attach the CC-loop fixpoint metrics to an edge frame so they ride
+    * the frame's checkpoint materialization instead of costing separate
+    * per-round driver actions: the distinct-edge count and an
+    * ORDER-INDEPENDENT xor content hash of the edge set. The hash is a
+    * pre-filter only — unequal hash proves unequal sets (skip the
+    * except); equal hash still runs the exact except, so a collision
+    * can never flip convergence. */
+  private def observeEdgeSet(edges: DataFrame, name: String): DataFrame =
+    edges.observe(name, count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(hi, lo))"), lit(0L)).as("x"))
+
+  /** Read back [[observeEdgeSet]]'s (count, xor) after the frame's
+    * eager checkpoint ran. */
+  private def edgeSetObserved(observed: DataFrame, name: String): (Long, Long) = {
+    val r = observed.queryExecution.observedMetrics(name)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Release a SPENT eager localCheckpoint's storage blocks. The CC
+    * loops checkpoint every round (lineage must not grow with rounds);
+    * without this, a long run retains every round's blocks in
+    * MEMORY_AND_DISK until ContextCleaner gets to them. Only ever call
+    * it on a frame no future consumer can read — a local checkpoint has
+    * no lineage to recompute from. No-op on non-checkpoint frames. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Connected components over an undirected candidate-pair graph
     * (doc_a, doc_b) by iterative min-label propagation: each node adopts
     * the minimum component id among itself and its neighbours until a
@@ -405,9 +436,10 @@ object Curation {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .repartition(parts, col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
+    var labelsCp = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
       .localCheckpoint(true)
+    var labels = labelsCp
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
@@ -415,15 +447,28 @@ object Curation {
         .join(labels.select(col("id").as("dst"), col("component").as("dst_comp")),
           Seq("dst"))
         .groupBy(col("src")).agg(min("dst_comp").as("nbr_comp"))
-      val next = labels
+      // the convergence test rides the checkpoint job as an observed
+      // metric (count of changed labels) instead of a second per-round
+      // driver action over the materialized frame — exact: converged
+      // iff NO label changed, the same predicate the former
+      // filter(_changed).isEmpty action evaluated
+      val nextObs = labels
         .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_comp"), col("component")))
             .as("component"),
           (coalesce(col("nbr_comp"), col("component")) < col("component"))
             .as("_changed"))
-        .localCheckpoint(true)
-      converged = next.filter(col("_changed")).limit(1).isEmpty
+        .observe(s"cc_lp_$i",
+          coalesce(sum(col("_changed").cast("long")), lit(0L)).as("changed"))
+      val next = nextObs.localCheckpoint(true)
+      converged =
+        nextObs.queryExecution.observedMetrics(s"cc_lp_$i").getLong(0) == 0L
+      // the previous round's checkpoint blocks are now unreachable by
+      // any future consumer (next is materialized) — release them
+      // instead of holding 1 RDD/round until ContextCleaner GC
+      unpersistCheckpoint(labelsCp)
+      labelsCp = next
       labels = next.drop("_changed")
       i += 1
     }
@@ -464,14 +509,17 @@ object Curation {
     * reachable. */
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 20,
                               requireConvergence: Boolean = false): DataFrame = {
-    // canonical undirected edges (hi > lo), self-loops dropped
-    var edges = pairs
+    // canonical undirected edges (hi > lo), self-loops dropped. The
+    // count (and the order-independent xor content hash the fixpoint
+    // test reads, see below) ride the checkpoint materialization as
+    // observed metrics — no separate count() job here or per round.
+    val edges0 = observeEdgeSet(pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("hi"),
         least(col("doc_a"), col("doc_b")).as("lo"))
       .filter(col("hi") =!= col("lo"))
-      .distinct()
-      .localCheckpoint(true)
-    var nEdges = edges.count()
+      .distinct(), "cc_star_init")
+    var edges = edges0.localCheckpoint(true)
+    var (nEdges, xorEdges) = edgeSetObserved(edges0, "cc_star_init")
     var i = 0
     var converged = nEdges == 0L
     def adj(e: DataFrame): DataFrame =
@@ -511,19 +559,32 @@ object Curation {
       val largeIn = large.repartition(col("hi"))
       val minsSmall = largeIn.groupBy(col("hi").as("u"))
         .agg(min("lo").as("mn"))
-      val small = largeIn
+      val smallObs = observeEdgeSet(largeIn
         .join(minsSmall, largeIn("hi") === minsSmall("u"))
         .select(col("lo").as("hi"), col("mn").as("lo"))
         .union(minsSmall.select(col("u").as("hi"), col("mn").as("lo")))
         .filter(col("hi") =!= col("lo"))
-        .distinct()
-        .localCheckpoint(true)
-      val n2 = small.count()
-      // sets of distinct rows with equal counts are equal iff one-sided
-      // difference is empty — an exact fixpoint test, no hash collisions
-      converged = n2 == nEdges && small.except(edges).isEmpty
+        .distinct(), s"cc_star_$i")
+      val small = smallObs.localCheckpoint(true)
+      // count + order-independent xor content hash ride the checkpoint
+      // job (formerly a separate count() action per round). Fixpoint
+      // stays EXACT: sets of distinct rows with equal counts are equal
+      // iff the one-sided difference is empty, and the except() decider
+      // is unchanged — the xor hash only SKIPS it when the sets provably
+      // differ (unequal hash ⇒ unequal sets; a collision merely runs the
+      // except that then answers exactly). Measured at sf0.1 the skipped
+      // equal-count-not-converged rounds paid 0.1–0.2 s each in except.
+      val (n2, xor2) = edgeSetObserved(smallObs, s"cc_star_$i")
+      converged = n2 == nEdges && xor2 == xorEdges && small.except(edges).isEmpty
+      // previous round's edge set (and this round's large-star
+      // intermediate) can no longer be read by anyone — small is
+      // materialized and the except above has run — so release their
+      // checkpoint blocks instead of retaining 2 RDDs/round
+      unpersistCheckpoint(edges)
+      unpersistCheckpoint(large)
       edges = small
       nEdges = n2
+      xorEdges = xor2
       i += 1
     }
     if (!converged) {
