@@ -1386,12 +1386,27 @@ object Curation {
         .as("g"))
     // Source dictionary, collected once: bounded by #sources — the same
     // metadata-sized driver state class as Ids.prefixSum's offsets and
-    // Bloom's filter build, NOT a data collect. Sorted, so an index
-    // comparison below is exactly the `source_a <= source_b` ordering,
-    // and embedding it as literal map/array expressions keeps the whole
-    // fast path free of extra joins, windows, and broadcast builds.
-    val srcs = docs.select(col("source")).distinct().orderBy("source")
+    // Bloom's filter build, NOT a data collect. NOTE this collect is an
+    // EAGER job at DataFrame-construction time (building the query scans
+    // `source` off the corpus once — column-pruned, ReadSchema is the
+    // one string column); measured at sf0.1 it is job-launch floor, not
+    // bytes (~0.3 s of the query's ~1.3 s), and the alternative — a
+    // join/window against a source-index frame — re-adds the extra
+    // broadcast builds the r19 reshape removed. Sorted DRIVER-side in
+    // UTF8 binary order (UTF8String.compareTo — exactly Spark's string
+    // `<=`), so the index comparison below is exactly the
+    // `source_a <= source_b` ordering; an orderBy in the job itself
+    // would cost a range exchange plus its sampling pass on a
+    // metadata-sized frame. Embedding the dictionary as literal
+    // map/array expressions keeps the whole fast path free of extra
+    // joins, windows, and broadcast builds.
+    val srcs0 = docs.select(col("source")).distinct()
       .collect().map(_.getString(0))
+    val srcs =
+      if (srcs0.contains(null)) srcs0 // fallback path below; order unused
+      else srcs0.sortWith((a, b) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0)
     val nSrc = srcs.length
     val cells =
       // a null source key cannot enter a map literal — such corpora
