@@ -177,6 +177,49 @@ object IncrementalDedup {
     within.union(cross).distinct()
   }
 
+  /** [[keyedPairs]] with fixed-width payload columns riding the pair
+    * generation (the batch twins' bucket-local-confirm discipline,
+    * guide §2.3: at pair volume, re-attaching a signature with two
+    * pair-keyed joins AFTER the distinct is the dominant shuffle —
+    * carry the 8 bytes through the bucket join instead). Both `store`
+    * and `newKeys` must carry every `carry` column next to (idCol,
+    * bucket); output columns are (outA, outB, a_<c>, b_<c>…) with the
+    * payloads orientation-corrected to the least/greatest id swap.
+    * NO distinct here — the caller confirms (filter) first, so the
+    * dedup shuffle carries confirmed pairs only, then distincts. */
+  private[graft] def keyedPairsCarry(store: DataFrame, newKeys: DataFrame,
+                         idCol: String, outA: String, outB: String,
+                         maxBucket: Long, tileTarget: Long,
+                         carry: Seq[String]): DataFrame = {
+    val capped = TextPipeline.capBuckets(store, maxBucket)
+    val within =
+      if (tileTarget > 0L)
+        graft.scale.Skew.tiledPairs(newKeys, idCol, "bucket", tileTarget,
+            carry)
+          .select(Seq(col("a").as(outA), col("b").as(outB)) ++
+            carry.flatMap(c => Seq(col(s"a_$c"), col(s"b_$c"))): _*)
+      else {
+        val nw = TextPipeline.capBuckets(newKeys, maxBucket)
+        nw.as("a").join(nw.as("b"),
+            col("a.bucket") === col("b.bucket") &&
+              col(s"a.$idCol") < col(s"b.$idCol"))
+          .select(Seq(col(s"a.$idCol").as(outA),
+              col(s"b.$idCol").as(outB)) ++
+            carry.flatMap(c => Seq(col(s"a.$c").as(s"a_$c"),
+              col(s"b.$c").as(s"b_$c"))): _*)
+      }
+    val fwd = col(s"s.$idCol") < col(s"nw.$idCol")
+    val cross = capped.as("s").join(broadcast(newKeys.as("nw")),
+        col(s"s.bucket") === col(s"nw.bucket") &&
+          col(s"s.$idCol") =!= col(s"nw.$idCol"))
+      .select(Seq(least(col(s"s.$idCol"), col(s"nw.$idCol")).as(outA),
+          greatest(col(s"s.$idCol"), col(s"nw.$idCol")).as(outB)) ++
+        carry.flatMap(c => Seq(
+          when(fwd, col(s"s.$c")).otherwise(col(s"nw.$c")).as(s"a_$c"),
+          when(fwd, col(s"nw.$c")).otherwise(col(s"s.$c")).as(s"b_$c"))): _*)
+    within.union(cross)
+  }
+
   // ----- minhash scheme (word-shingle Jaccard candidates) -----------------
 
   /** Minhash band keys switched encoding (band-value strings → poly-31
@@ -269,30 +312,40 @@ object IncrementalDedup {
     ensureFormat(spark, dir, SimhashFormatMarker, "47-bit simhash")
     val newSigs = TextPipeline.simhash(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val newKeys = newSigs.select(col("doc_id"),
-      explode(TextPipeline.simhashBandKeys(col("simhash"), bands)).as("bucket"))
-    val storeKeys = snapshot(spark, dir, "keys", keySchema("doc_id"))
-    val pairs =
-      keyedPairs(storeKeys, newKeys, "doc_id", "doc_a", "doc_b", maxBucket,
-        tileTarget)
-    val sigs = snapshot(spark, dir, "sigs", StructType(Seq(
-        StructField("doc_id", LongType), StructField("simhash", LongType))))
-      .union(newSigs)
-    val result = pairs
-      .join(sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a")),
-        Seq("doc_a"))
-      .join(sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b")),
-        Seq("doc_b"))
+    // the 8-byte signature rides the band explode on BOTH sides (the
+    // batch twin's bucket-local-confirm reshape, r20): the store's band
+    // keys are RE-DERIVED from the sigs payload table — the identical
+    // derivation that wrote the keys table, so buckets agree by
+    // construction and the store format is untouched — which both
+    // removes the two pair-keyed signature joins the old shape paid
+    // AFTER the pair distinct (at pair volume, its dominant shuffles)
+    // and reads ONE store table instead of two.
+    val bandKeysOf = (sigs: DataFrame) => sigs.select(col("doc_id"),
+      col("simhash"),
+      explode(TextPipeline.simhashBandKeys(col("simhash"), bands))
+        .as("bucket"))
+    val newKeys = bandKeysOf(newSigs)
+    val storeKeys = bandKeysOf(snapshot(spark, dir, "sigs", StructType(Seq(
+      StructField("doc_id", LongType), StructField("simhash", LongType)))))
+    val result =
+      keyedPairsCarry(storeKeys, newKeys, "doc_id", "doc_a", "doc_b",
+        maxBucket, tileTarget, Seq("simhash"))
       .withColumn("hamming",
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
+        bit_count(col("a_simhash").bitwiseXOR(col("b_simhash"))).cast("int"))
+      // hamming is pair-functional, so filter→distinct ≡ distinct→filter
+      // and the dedup shuffle carries confirmed pairs only
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+      .distinct()
       .localCheckpoint(true)
     // keys and sigs publish under ONE marker: a batch is either fully in
     // the store or fully absent — keys-without-sigs would silently drop
-    // every future pair against this batch at the confirm join
+    // every future pair against this batch at the confirm join. The
+    // keys table keeps its exact (doc_id, bucket string) schema even
+    // though this build's read path derives keys from sigs: the store
+    // stays readable by the build/scheme contract that wrote it.
     val id = freshIngestId()
-    stage(newKeys, dir, "keys", id)
+    stage(newKeys.select("doc_id", "bucket"), dir, "keys", id)
     stage(newSigs, dir, "sigs", id)
     commitIngest(spark, dir, id)
     newSigs.unpersist()
@@ -316,31 +369,33 @@ object IncrementalDedup {
     ensureFormat(spark, dir, SimhashWideFormatMarker, "94-bit wide simhash")
     val newSigs = TextPipeline.simhashWide(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val newKeys = newSigs.select(col("doc_id"),
+    // both signature halves ride the band explode, store keys re-derived
+    // from the sigs_wide payload — the same bucket-local-confirm reshape
+    // as [[ingestSimhash]] (store format untouched, one store table read
+    // instead of two, the two pair-keyed signature joins gone)
+    val bandKeysOf = (sigs: DataFrame) => sigs.select(col("doc_id"),
+        col("simhash"), col("simhash2"),
         explode(TextPipeline.simhashWideBandKeys(
           col("simhash"), col("simhash2"))).as("b"))
-      .select(col("doc_id"), col("b").cast("string").as("bucket"))
-    val storeKeys = snapshot(spark, dir, "keys", keySchema("doc_id"))
-    val pairs =
-      keyedPairs(storeKeys, newKeys, "doc_id", "doc_a", "doc_b", maxBucket,
-        tileTarget)
-    val sigs = snapshot(spark, dir, "sigs_wide", StructType(Seq(
+      .withColumn("bucket", col("b").cast("string")).drop("b")
+    val newKeys = bandKeysOf(newSigs)
+    val storeKeys = bandKeysOf(snapshot(spark, dir, "sigs_wide",
+      StructType(Seq(
         StructField("doc_id", LongType), StructField("simhash", LongType),
-        StructField("simhash2", LongType))))
-      .union(newSigs)
-    val result = pairs
-      .join(sigs.select(col("doc_id").as("doc_a"), col("simhash").as("s1a"),
-        col("simhash2").as("s2a")), Seq("doc_a"))
-      .join(sigs.select(col("doc_id").as("doc_b"), col("simhash").as("s1b"),
-        col("simhash2").as("s2b")), Seq("doc_b"))
+        StructField("simhash2", LongType)))))
+    val result =
+      keyedPairsCarry(storeKeys, newKeys, "doc_id", "doc_a", "doc_b",
+        maxBucket, tileTarget, Seq("simhash", "simhash2"))
       .withColumn("hamming",
-        (bit_count(col("s1a").bitwiseXOR(col("s1b"))) +
-          bit_count(col("s2a").bitwiseXOR(col("s2b")))).cast("int"))
+        (bit_count(col("a_simhash").bitwiseXOR(col("b_simhash"))) +
+          bit_count(col("a_simhash2").bitwiseXOR(col("b_simhash2"))))
+          .cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+      .distinct()
       .localCheckpoint(true)
     val id = freshIngestId()
-    stage(newKeys, dir, "keys", id)
+    stage(newKeys.select("doc_id", "bucket"), dir, "keys", id)
     stage(newSigs, dir, "sigs_wide", id)
     commitIngest(spark, dir, id)
     newSigs.unpersist()

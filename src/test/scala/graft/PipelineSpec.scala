@@ -775,6 +775,54 @@ class PipelineSpec extends SparkSpec {
     assert(all.exceptAll(batch).isEmpty && batch.exceptAll(all).isEmpty)
   }
 
+  test("ingestSimhash bucket-local confirm: carry paths (tiled, capped) match the " +
+      "batch twin and the store schema is unchanged") {
+    import graft.pipeline.{IncrementalDedup, TextPipeline}
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = (0L until 45L).map { i =>
+      val text = if (i % 6 == 0) base
+      else if (i % 6 == 1) base.replace("kappa", s"mut$i")
+      else s"unique words only document number $i with filler ${i * 31}"
+      (i, text)
+    }.toDF("doc_id", "text")
+    // tiled within-batch pair generation (tileTarget engaged, single
+    // batch = empty store, so every pair takes the carry-through-tiles
+    // path) must equal the batch twin's tiled form
+    val dirT = java.nio.file.Files.createTempDirectory("inc_sh_tile").toString
+    val tiled = IncrementalDedup.ingestSimhash(dirT, corpus, tileTarget = 5L)
+    val batchTiled = TextPipeline.simhashCandidates(corpus, tileTarget = 5L)
+    assert(tiled.exceptAll(batchTiled).isEmpty &&
+      batchTiled.exceptAll(tiled).isEmpty)
+    // capped store×new branch: second ingest against the now-populated
+    // store with maxBucket engaged must equal the legacy shape's
+    // semantics — the cap applies to the RE-DERIVED store keys exactly
+    // as it did to the keys table (same rows per bucket by construction)
+    val dirC = java.nio.file.Files.createTempDirectory("inc_sh_cap").toString
+    val b1 = corpus.filter(col("doc_id") < 30)
+    val b2 = corpus.filter(col("doc_id") >= 30)
+    IncrementalDedup.ingestSimhash(dirC, b1).count()
+    val second = IncrementalDedup.ingestSimhash(dirC, b2, maxBucket = 4L)
+    // every emitted pair is hamming-confirmed and oriented a < b
+    assert(second.filter(col("hamming") > 3 ||
+      col("doc_a") >= col("doc_b")).isEmpty)
+    // the cap only CENSORS (never invents): capped emission ⊆ uncapped
+    // emission of the identical second batch against an identical store
+    val dirU = java.nio.file.Files.createTempDirectory("inc_sh_cap_u").toString
+    IncrementalDedup.ingestSimhash(dirU, b1).count()
+    val secondUncapped = IncrementalDedup.ingestSimhash(dirU, b2)
+    assert(second.exceptAll(secondUncapped).isEmpty)
+    assert(second.count() < secondUncapped.count(),
+      "cap must actually censor on this corpus or the subset pin is vacuous")
+    // the keys table keeps the pinned (doc_id long, bucket string)
+    // store schema even though the read path now derives keys from sigs
+    val keysOnDisk = spark.read.parquet(
+      new java.io.File(s"$dirC/keys").listFiles()
+        .filter(_.getName.startsWith("ingest_")).map(_.toString): _*)
+    assert(keysOnDisk.schema.map(f => (f.name, f.dataType.simpleString))
+      .toSet == Set(("doc_id", "bigint"), ("bucket", "string")))
+    spark.catalog.clearCache()
+  }
+
   test("IncrementalDedup.ingestSimhashWide: batched ingest equals batch wide candidates") {
     import graft.pipeline.{IncrementalDedup, TextPipeline}
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
