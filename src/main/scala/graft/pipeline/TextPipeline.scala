@@ -372,22 +372,33 @@ object TextPipeline {
           .filter(col("df") > maxDf).select("h")
         inv0.join(broadcast(heavy), Seq("h"), "left_anti")
       }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // per-doc rare-shingle count + char length: the two ints the prunes
-    // read (one row per doc — broadcast-sized relative to the index)
+    // per-doc rare-shingle count, the int the post-aggregate count
+    // bound reads (one row per doc — broadcast-sized relative to the
+    // index; the length bound reads `len` straight off the inv rows)
     val meta = inv.groupBy("doc_id")
-      .agg(count(lit(1)).as("rare"), first(col("len")).as("len"))
+      .agg(count(lit(1)).as("rare"))
+    // the LENGTH bound rides the index self-join itself: `len` is
+    // already a column of both inv sides, so |len_a − len_b| ≤ maxDist
+    // prunes candidate rows BEFORE the pair-keyed groupBy shuffle
+    // instead of after it (guide §2.3 — the prune consumes ints already
+    // in hand; at pair volume the groupBy is this stage's dominant
+    // exchange). Pair-exact equivalence: every row of a given pair
+    // carries the same (len_a, len_b), so the pair either fully
+    // survives or fully drops, and `__shared` for survivors is
+    // untouched — the same pairs reach the levenshtein confirm. The
+    // count bound still runs post-aggregate (it needs `__shared`).
     val cand = inv.as("a").join(inv.as("b"),
         col("a.h") === col("b.h") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.len") - col("b.len")) <= maxDist)
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("__shared"))
-      .join(meta.select(col("doc_id").as("doc_a"), col("rare").as("__ra"),
-        col("len").as("__la")), Seq("doc_a"))
-      .join(meta.select(col("doc_id").as("doc_b"), col("rare").as("__rb"),
-        col("len").as("__lb")), Seq("doc_b"))
-      .filter(abs(col("__la") - col("__lb")) <= maxDist &&
-        col("__shared") >=
-          greatest(col("__ra"), col("__rb")) - maxDist * (n + 1))
+      .join(meta.select(col("doc_id").as("doc_a"), col("rare").as("__ra")),
+        Seq("doc_a"))
+      .join(meta.select(col("doc_id").as("doc_b"), col("rare").as("__rb")),
+        Seq("doc_b"))
+      .filter(col("__shared") >=
+        greatest(col("__ra"), col("__rb")) - maxDist * (n + 1))
       .select("doc_a", "doc_b")
     val t = docs.select(col("doc_id"), col("text"))
     val result = cand
