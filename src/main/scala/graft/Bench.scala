@@ -356,9 +356,15 @@ object Bench {
     // a SPARK_GRAFT_QUERIES subset run must not overwrite the committed
     // full-suite BENCH_DETAIL.json that round-over-round consumers read
     // (it happened in r17: the repo's detail artifact was replaced by a
-    // one-query re-run) — unless the caller names a path explicitly
+    // one-query re-run), and NEITHER may a full-suite run at the wrong
+    // SF (it happened in the interrupted r19 build round: an sf0.001
+    // run clobbered the official sf0.1 record because the guard only
+    // covered subset runs) — unless the caller names a path explicitly.
+    // The official record is the sf0.1 testdata dir the driver benches.
+    val officialSf = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL",
-      if (sys.env.contains("SPARK_GRAFT_QUERIES")) "BENCH_DETAIL_partial.json"
+      if (sys.env.contains("SPARK_GRAFT_QUERIES") || !officialSf)
+        "BENCH_DETAIL_partial.json"
       else "BENCH_DETAIL.json")
     val (_, detail) =
       renderLines(results, duck, warm, timedPasses, sfDir, detailPath,
