@@ -1155,8 +1155,8 @@ object Similarity {
 
   /** [[hybridDedup]] with the release handle for the persisted
     * per-doc hashed-gram frame (read by the pair join's two sides; the
-    * per-doc sizes are a map-side projection of the same cached frame)
-    * and the slim (doc_id, cid) assignment. */
+    * per-doc sizes ride the index rows through the pair join as a
+    * carried int) and the slim (doc_id, cid) assignment. */
   def hybridDedupCached(docs: DataFrame, embeddings: DataFrame, nlist: Int,
                         n: Int = 2, minJaccard: Double = 0.5,
                         maxCluster: Long = 0L, tileTarget: Long = 0L)
@@ -1190,27 +1190,38 @@ object Similarity {
           graft.expressions.TextExpressions
             .wordShingles(col("text"), n, distinct = true)).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = hashed.select(col("doc_id"), size(col("hs")).as("n_sh"))
-    val inv = hashed.select(col("cid"), col("doc_id"), explode(col("hs")).as("h"))
+    // the per-doc distinct-gram count is ROW-LOCAL here (no df cap on
+    // grams — size(hs) off the pre-explode array), so the 4-byte int
+    // rides the index rows through the pair join and the aggregate
+    // takes min() of a per-group constant, instead of re-attaching it
+    // with two pair-keyed joins AFTER the aggregate (guide §2.3: at
+    // pair volume those two joins are the dominant shuffles; locally
+    // they cost two broadcast builds plus the duplicated sizes
+    // subtree). Exact: every inv row of a doc carries the same n_sh,
+    // so min() IS that value. Contrast nearDupJaccard, whose sizes
+    // count POST-df-cap index rows — not row-local — so its re-attach
+    // joins must stay.
+    val inv = hashed.select(col("cid"), col("doc_id"),
+      size(col("hs")).as("n_sh"), explode(col("hs")).as("h"))
     val shared = (
       if (tileTarget > 0L)
         graft.scale.Skew.tiledPairs(
           inv.withColumn("ck",
             concat_ws("\u0000", col("cid").cast("string"),
               col("h").cast("string"))),
-          "doc_id", "ck", tileTarget)
+          "doc_id", "ck", tileTarget, Seq("n_sh"))
           .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
+          .agg(count(lit(1)).as("shared"),
+            min("a_n_sh").as("size_a"), min("b_n_sh").as("size_b"))
       else inv.as("a").join(inv.as("b"),
           col("a.cid") === col("b.cid") &&
             col("a.h") === col("b.h") &&
             col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      ).agg(count(lit(1)).as("shared"))
+        .agg(count(lit(1)).as("shared"),
+          min(col("a.n_sh")).as("size_a"), min(col("b.n_sh")).as("size_b"))
+      )
     val losers = shared
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("size_a")),
-        Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("size_b")),
-        Seq("doc_b"))
       .filter(round(col("shared").cast("double") /
         (col("size_a") + col("size_b") - col("shared")), 6) >= minJaccard)
       .select(col("doc_b").as("doc_id"))
