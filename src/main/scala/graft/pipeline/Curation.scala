@@ -96,48 +96,56 @@ object Curation {
     * repetition filters): duplicate-word fraction, duplicate-2-gram
     * fraction, and the fraction held by the single most frequent 2-gram.
     *
-    * ONE tokenize → explode → two-level hash-aggregate chain carries
-    * BOTH gram families: a token never contains whitespace (they are
-    * split on `\s+`) and a 2-gram always does (space-joined), so the
-    * family is recoverable from the gram itself and both stat sets ride
-    * a single (doc_id, gram) partial-agg shuffle as conditional sums.
-    * The earlier two-path form read and re-tokenized the corpus twice —
-    * and because the paths differed, nothing in the plan could be
-    * reused, so a caller referencing this frame from two branches (as
-    * [[curate]] does) paid tokenization 4×, racing the cache when AQE
-    * launched the leaf stages concurrently. The single-path form needs
-    * no persist at all, and identical twin subtrees dedupe via exchange
-    * reuse. Left join back so gram-less documents keep zeros. */
+    * MAP-ONLY (r20): every output is a per-document function of that
+    * document's token stream, so the stats are computed ROW-LOCALLY
+    * with array expressions — totals/uniques via size/array_distinct of
+    * the gram arrays, the top-2-gram count via a run-length fold over
+    * the SORTED 2-gram array (sorting groups equal grams adjacently;
+    * only run lengths are read, so the sort order itself is
+    * irrelevant). The previous form exploded grams into a corpus-wide
+    * (doc_id, gram) STRING shuffle through two hash aggregates and a
+    * join-back — at corpus scale the engine's largest single exchange
+    * (gram bytes ≈ corpus bytes), bought nothing: no cross-document
+    * state exists in these stats. Values are pinned equal to the
+    * aggregate form and the oracle (counts are the same integers, the
+    * fractions the same rounded doubles); gram-less and null-text
+    * documents keep their zeros via the empty-array coalesce, exactly
+    * as the old left join did. Per-row cost is O(L log L) in doc
+    * tokens — the same row-local class as tokenization itself. */
   def repetitionStats(docs: DataFrame): DataFrame = {
-    // native shingle production (values spec-pinned equal to the
-    // tokens/shinglesFromTokens composites); grams stay STRINGS — they
-    // are the group keys and the oracle groups the same strings
-    val grams = docs.select(col("doc_id"),
-      explode(concat(
-        graft.expressions.TextExpressions.wordShingles(col("text"), 1),
-        graft.expressions.TextExpressions.wordShingles(col("text"), 2)))
-        .as("gram"))
-    val stats = grams
-      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
-      .withColumn("is2", col("gram").contains(" "))
-      .groupBy(col("doc_id")).agg(
-        sum(when(!col("is2"), col("c"))).as("w_total"),
-        sum(when(!col("is2"), 1L)).as("w_uniq"),
-        sum(when(col("is2"), col("c"))).as("g2_total"),
-        sum(when(col("is2"), 1L)).as("g2_uniq"),
-        max(when(col("is2"), col("c"))).as("g2_top"))
+    val empty = array().cast("array<string>")
+    val w = coalesce(
+      graft.expressions.TextExpressions.wordShingles(col("text"), 1), empty)
+    val g = coalesce(
+      graft.expressions.TextExpressions.wordShingles(col("text"), 2), empty)
+    // longest run of equal adjacent elements in the sorted array = the
+    // max per-gram multiplicity (the old max(c)). The fold state is
+    // (current run, best run, previous gram); x === null is false-ish
+    // for the first element, starting run at 1.
+    def topCount(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column = aggregate(
+      array_sort(arr),
+      struct(lit(0L).as("run"), lit(0L).as("best"),
+        lit(null).cast("string").as("prev")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(1L)
+        struct(run.as("run"),
+          greatest(acc.getField("best"), run).as("best"), x.as("prev"))
+      },
+      acc => acc.getField("best"))
     val frac = (num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =>
       round(when(den > 0, num.cast("double") / den).otherwise(0.0), 6)
-    docs.select(col("doc_id"))
-      .join(stats, Seq("doc_id"), "left")
+    // two-level select so the shingle arrays materialize once per row
+    // (CollapseProject keeps the split: the aliases are referenced more
+    // than once and are not cheap)
+    docs.select(col("doc_id"), w.as("__w"), g.as("__g"))
       .select(
         col("doc_id"),
-        frac(coalesce(col("w_total"), lit(0L)) - coalesce(col("w_uniq"), lit(0L)),
-          coalesce(col("w_total"), lit(0L))).as("dup_word_frac"),
-        frac(coalesce(col("g2_total"), lit(0L)) - coalesce(col("g2_uniq"), lit(0L)),
-          coalesce(col("g2_total"), lit(0L))).as("dup_2gram_frac"),
-        frac(coalesce(col("g2_top"), lit(0L)),
-          coalesce(col("g2_total"), lit(0L))).as("top_2gram_frac"))
+        frac(size(col("__w")) - size(array_distinct(col("__w"))),
+          size(col("__w"))).as("dup_word_frac"),
+        frac(size(col("__g")) - size(array_distinct(col("__g"))),
+          size(col("__g"))).as("dup_2gram_frac"),
+        frac(topCount(col("__g")), size(col("__g"))).as("top_2gram_frac"))
   }
 
   // ----- PII redaction ---------------------------------------------------
