@@ -65,7 +65,16 @@ object TextPipeline {
     dupSpansCached(docs, k).result
 
   /** [[dupSpans]] with the release handle for the persisted gram frame
-    * (read twice: the occurrence count and the join back). */
+    * (read twice: the occurrence count and the join back).
+    *
+    * NOT pre-partitioned on `h` (r20, measured): although both
+    * consumers cluster on `h`, the join-back is frame⋈derived-aggregate
+    * of the SAME cached frame, so DeduplicateRelations rewrites one
+    * side's attributes and the cached hashpartitioning loses identity —
+    * the same failure class as editDistancePairsCached's aliased
+    * self-join. SpanProbe at sf0.1/32c: pre-partitioned ran 5→8
+    * executed exchanges (1.50→1.94 s); labelprop's edge cache wins the
+    * same trick only because it joins a DIFFERENT frame. */
   def dupSpansCached(docs: DataFrame, k: Int = 3): graft.core.Cached[DataFrame] = {
     val grams = spanGramsOf(docs, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
