@@ -22,6 +22,12 @@ import org.apache.spark.sql.functions._
   *   CC_LEGACY_ACTIONS=1  per-round count()/isEmpty driver actions
   *                    instead of observed metrics (the pre-r20 form,
   *                    kept for A/B)
+  *   CC_LARGE_PERSIST=1  lazy persist() of the twice-consumed
+  *                    large-star intermediate instead of the eager
+  *                    localCheckpoint(true): same single-computation
+  *                    guarantee (both consumers scan one
+  *                    InMemoryRelation) but the materialization rides
+  *                    the small-star job — one job per round, not two
   */
 object CcProbe {
   def main(args: Array[String]): Unit = {
@@ -86,10 +92,14 @@ object CcProbe {
         val t0 = System.nanoTime()
         val a1 = if (shared) adj(edges).repartition(col("u")) else adj(edges)
         val mins = a1.groupBy("u").agg(min("v").as("mn"))
-        val large = a1.join(mins, Seq("u"))
+        val largeRaw = a1.join(mins, Seq("u"))
           .filter(col("v") > col("u"))
           .select(col("v").as("hi"), least(col("u"), col("mn")).as("lo"))
-          .filter(col("hi") =!= col("lo")).distinct().localCheckpoint(true)
+          .filter(col("hi") =!= col("lo")).distinct()
+        val large =
+          if (sys.env.contains("CC_LARGE_PERSIST"))
+            largeRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else largeRaw.localCheckpoint(true)
         val largeIn = if (shared) large.repartition(col("hi")) else large
         val minsSmall = largeIn.groupBy(col("hi").as("u")).agg(min("lo").as("mn"))
         val smallRaw = observeEdges(largeIn
@@ -115,6 +125,7 @@ object CcProbe {
         println(f"  round $i: edges $nEdges -> $n2 compute=$tCompute%.3f " +
           f"check=$tCheck%.3f (ran_except=${n2 == nEdges &&
             (legacy || xor2 == xorEdges)})")
+        large.unpersist()
         edges = small; nEdges = n2; xorEdges = xor2; i += 1
       }
     }
