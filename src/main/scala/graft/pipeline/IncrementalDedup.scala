@@ -561,15 +561,20 @@ object IncrementalDedup {
     val base = graft.scale.Skew.ensureMinParallelism(
       docs.select(col("doc_id"), col("text")),
       spark.sparkContext.defaultParallelism, Seq(col("doc_id")))
-    val newInv = base.select(col("doc_id"),
+    // len rides the inverted index rows (4 bytes, row-local at explode
+    // time — the batch twin's r20 reshape) so the within-batch length
+    // bound prunes candidate rows BEFORE the pair groupBy, the branch's
+    // dominant exchange. The STORE write projects it back out
+    // (EdBatch.keys below), so the persisted ed_keys schema is untouched.
+    val newInv = base.select(col("doc_id"), length(col("text")).as("len"),
         explode(graft.expressions.TextExpressions.polyHash47(
           graft.expressions.TextExpressions
             .wordShingles(col("text"), n, distinct = true))).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // len is a per-group constant of the carried column — min() reads it
+    // back without the former join against a second scan of `base`
     val newMeta = newInv.groupBy("doc_id")
-      .agg(count(lit(1)).as("total"))
-      .join(base.select(col("doc_id"), length(col("text")).as("len")),
-        Seq("doc_id"))
+      .agg(min("len").as("len"), count(lit(1)).as("total"))
       .select("doc_id", "len", "total")
     val batchDfs = newInv.groupBy("h").agg(count(lit(1)).as("cnt"))
     // only shingle-bearing docs are stored (a doc below n words can
@@ -577,7 +582,8 @@ object IncrementalDedup {
     val newTexts = base.join(newMeta.select("doc_id"), Seq("doc_id"),
       "left_semi")
     val (storeKeys, storeMeta, storeTexts, storeDfs) = store.getOrElse(
-      (newInv.filter(lit(false)), newMeta.filter(lit(false)),
+      (newInv.select("doc_id", "h").filter(lit(false)),
+        newMeta.filter(lit(false)),
         newTexts.filter(lit(false)), batchDfs.filter(lit(false))))
     val hot =
       if (maxDf <= 0L) None
@@ -603,14 +609,21 @@ object IncrementalDedup {
       case None =>
         storeMeta.select(col("doc_id"), col("len"), col("total").as("rare"))
     }
-    val batchRare = batchKeys.groupBy("doc_id").agg(count(lit(1)).as("rare"))
-      .join(base.select(col("doc_id"), length(col("text")).as("len")),
-        Seq("doc_id"))
+    val batchRare = batchKeys.groupBy("doc_id")
+      .agg(min("len").as("len"), count(lit(1)).as("rare"))
       .select("doc_id", "len", "rare")
     val rareAll = storeRare.union(batchRare)
+    // the length bound prunes within-batch candidate rows INSIDE the
+    // h-keyed self-join, before the pair groupBy (pair-exact: every row
+    // of a pair carries the same (len_a, len_b), so a pair fully
+    // survives or fully drops and survivors' __shared is untouched —
+    // the batch twin's r20 argument verbatim). The cross branch cannot
+    // pre-prune (store keys are (doc_id, h) on disk; len would change
+    // the persisted schema), so its pairs keep the post-aggregate bound.
     val within = batchKeys.as("a").join(batchKeys.as("b"),
         col("a.h") === col("b.h") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.len") - col("b.len")) <= maxDist)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     val cross = storeKeys.as("s").join(broadcast(batchKeys.as("nw")),
         col("s.h") === col("nw.h") &&
@@ -641,11 +654,12 @@ object IncrementalDedup {
           col("__ta"), col("__tb"), maxDist).cast("long"))
       .filter(col("dist") >= 0)
       .select("doc_a", "doc_b", "dist")
-    EdBatch(pairs, newInv, newMeta, newTexts, batchDfs, () => {
-      hot.foreach(_.unpersist())
-      batchKeys.unpersist()
-      newInv.unpersist()
-    })
+    EdBatch(pairs, newInv.select("doc_id", "h"), newMeta, newTexts, batchDfs,
+      () => {
+        hot.foreach(_.unpersist())
+        batchKeys.unpersist()
+        newInv.unpersist()
+      })
   }
 
   // ----- span scheme (duplicate k-gram positions) -------------------------

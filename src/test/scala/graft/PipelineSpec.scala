@@ -865,6 +865,33 @@ class PipelineSpec extends SparkSpec {
     assert(batch.count() > 0) // the parity pin must not be vacuous
   }
 
+  test("ingestEditDistance within-batch length bound: pre-join prune fires, store schema unchanged") {
+    import graft.pipeline.{IncrementalDedup, TextPipeline}
+    // Same-batch docs sharing MANY shingles but lengths apart by far
+    // more than maxDist: the pre-aggregate length bound must drop the pair
+    // inside the h-keyed self-join (it can never confirm), while the
+    // 1-edit twin pair survives — and the batch twin agrees on both.
+    val p = (1 to 30).map(i => s"w$i").mkString(" ")
+    val tail = (1 to 60).map(i => s"extra$i").mkString(" ")
+    val b = Seq(
+      (0L, s"$p cat"), (1L, s"$p cab"),   // 1 edit apart, pair expected
+      (2L, s"$p $tail")                   // shares p, len gap >> maxDist
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("inc_ed_len").toString
+    val got = IncrementalDedup.ingestEditDistance(dir, b, maxDist = 2, n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 1L, 1L)), got)
+    val batch = TextPipeline.editDistancePairs(b, maxDist = 2, n = 2,
+      maxDf = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == batch, s"got $got batch $batch")
+    // the len column rides only the in-flight index: the persisted
+    // ed_keys table keeps its exact (doc_id, h) schema
+    val keys = spark.read.parquet(s"$dir/ed_keys/ingest_*")
+    assert(keys.schema.fields.map(f => (f.name, f.dataType.typeName)).toSeq ==
+      Seq(("doc_id", "long"), ("h", "long")), keys.schema.treeString)
+  }
+
   test("ingestEditDistance df cap: retroactive re-censoring keeps the count bound recall-safe") {
     import graft.pipeline.{IncrementalDedup, TextPipeline}
     // A 40-word boilerplate prefix P shared by every doc: its shingles
