@@ -155,31 +155,55 @@ object TextPipeline {
     * document. Lines shorter than `minChars` are exempt — dedup'ing
     * "Yes." corpus-wide would shred ordinary prose.
     *
-    * Scale shape: the keeper table is a map-side-combinable
-    * min(struct(doc_id, idx)) per line, so a billion-occurrence banner
-    * collapses to one row per map task before the shuffle and never
-    * serializes through a single reducer; the join back is line-keyed
-    * (AQE skew-split applies) and documents are rebuilt with one
-    * per-doc sort over the surviving (idx, line) pairs. Every input doc
-    * keeps its row — a fully-boilerplate document comes back with empty
-    * `text_clean`, so the caller decides whether to drop it. */
+    * Scale shape (r20): line TEXT never leaves its document. Lines
+    * travel as 8-byte xxhash64 keys — the keeper table is a
+    * map-side-combinable min(struct(doc_id, idx)) per KEY (a
+    * billion-occurrence banner still collapses to one row per map task
+    * and never serializes through a single reducer), pre-filtered to
+    * keys seen more than once (a singleton is always its own first);
+    * the victim inventory join then moves only (h, doc_id, idx) ints,
+    * and each document is rebuilt IN PLACE by re-splitting its own
+    * text against its removal-index array (the [[removeDupSpans]]
+    * rebuild idiom — re-tokenizing is row-local and beats shuffling
+    * the corpus, the same measured trade as repetitionStats). The
+    * former shape shipped every line string through TWO exchanges
+    * (the line-keyed join back and a per-doc collect_list rebuild).
+    * A 2⁻⁶⁴ key collision can merge two distinct lines — the
+    * [[dupSpans]] trade (removal only ever drops repeated-looking
+    * text), at a 2¹⁷× lower rate than its accepted poly-47 keys.
+    * Every input doc keeps its row — a fully-boilerplate document
+    * comes back with empty `text_clean`, so the caller decides
+    * whether to drop it. */
   def removeDupLines(docs: DataFrame, minChars: Int = 30): DataFrame = {
-    val lines = docs.select(col("doc_id"),
-      posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
-    val keepers = lines.filter(length(col("line")) >= minChars)
-      .groupBy("line")
-      .agg(min(struct(col("doc_id"), col("idx"))).as("__first"))
-    lines.join(keepers, Seq("line"), "left")
-      .withColumn("__keep", col("__first").isNull ||
-        (col("__first").getField("doc_id") === col("doc_id") &&
-          col("__first").getField("idx") === col("idx")))
-      .groupBy("doc_id")
-      .agg(
-        array_join(transform(array_sort(collect_list(
-          when(col("__keep"), struct(col("idx"), col("line"))))),
-          s => s.getField("line")), "\n").as("text_clean"),
-        sum(when(col("__keep"), 1).otherwise(0)).cast("int").as("n_kept"),
-        sum(when(col("__keep"), 0).otherwise(1)).cast("int").as("n_dropped"))
+    val keyed = docs.select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
+      .filter(length(col("line")) >= minChars)
+      .select(col("doc_id"), col("idx"), xxhash64(col("line")).as("h"))
+    val keepers = keyed.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("__first"),
+        count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .select("h", "__first")
+    val rm = keyed.join(keepers, Seq("h"))
+      .filter(!(col("__first").getField("doc_id") === col("doc_id") &&
+        col("__first").getField("idx") === col("idx")))
+      .groupBy("doc_id").agg(collect_set(col("idx")).as("rm"))
+    // null-text docs explode to no lines and have no output row — the
+    // pre-reshape contract, preserved explicitly now that the rebuild
+    // starts from `docs` instead of the exploded lines
+    docs.filter(col("text").isNotNull)
+      .join(rm, Seq("doc_id"), "left")
+      .withColumn("__lines", split(col("text"), "\n"))
+      .withColumn("__rm", coalesce(col("rm"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        array_join(transform(
+          filter(zip_with(col("__lines"),
+            sequence(lit(0), size(col("__lines")) - 1),
+            (l, i) => struct(l.as("l"), i.as("i"))),
+            s => !array_contains(col("__rm"), s.getField("i"))),
+          s => s.getField("l")), "\n").as("text_clean"),
+        (size(col("__lines")) - size(col("__rm"))).cast("int").as("n_kept"),
+        size(col("__rm")).cast("int").as("n_dropped"))
   }
 
   /** Streaming exact dedup: the first-seen document per md5 digest within

@@ -1856,6 +1856,13 @@ class PipelineSpec extends SparkSpec {
       minChars = 10)).head
     assert(twice("text_clean") == "repeated interior line text\nmiddle")
     assert(twice("n_dropped") == 1)
+    // r20 scale shape: line text never leaves its document — lines
+    // travel as xxhash64 keys and the rebuild re-splits in place, so no
+    // collect of (idx, line) structs exists anywhere in the plan
+    val plan = TextPipeline.removeDupLines(corpus, minChars = 10)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("xxhash64"), plan)
+    assert(!plan.contains("collect_list"), plan)
   }
 
   test("dsirWeights: target-like docs outscore raw-like; exact replay") {
